@@ -1,0 +1,747 @@
+"""Single-pass validation executor.
+
+The reference pyspark backend launches one Spark ACTION per data check
+(``df.filter(~cond).limit(1).count()`` — backends/pyspark/builtin_checks.py:49;
+groupBy-count per unique spec — backends/pyspark/container.py:532-540;
+``distinct().collect()`` — builtin_checks.py:418-421): O(#checks) scans.
+
+This executor compiles the whole schema into:
+
+  1. zero-job driver metadata checks (column presence, dtype, order, strict,
+     duplicate labels — reference backends/pyspark/container.py:251-379,
+     562-637, column.py:153-212);
+  2. ONE ``df.agg(...)`` pass computing every violation count, null count,
+     coercion-error count and ``collect_set`` at once (map-side partial
+     aggregation, no shuffle besides the final 1-row exchange — SURVEY.md §4);
+  3. one ``groupBy`` job per declared uniqueness constraint (only if set).
+
+At 100 TB this means: a single full scan with all predicates fused into one
+WholeStageCodegen stage, column pruning down to the checked columns, and no
+per-check job-scheduling overhead.  Coercion-error counters read the
+pre-cast column carried alongside the casted one in the same projection, so
+coercion costs no extra scan.
+
+Execution order mirrors reference backends/pyspark/container.py:74-116:
+strict_filter -> add_missing_columns -> coerce -> defaults -> parsers ->
+column names unique -> column presence -> unique -> component checks ->
+dataframe checks.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import TYPE_CHECKING, Any, Optional
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..checks import Check
+from ..config import ValidationDepth, get_config
+from ..engine import dtype_equal
+from ..errors import (
+    SchemaError,
+    SchemaErrorReason,
+    UnsupportedDtypeError,
+)
+from ..report import CheckOutcome, ErrorHandler, ValidationResult
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..container import DataFrameSchema
+
+_ORIG_PREFIX = "__pandera_orig__"
+
+
+def _schema_depth_on(cfg) -> bool:
+    return cfg.validation_depth in (
+        ValidationDepth.SCHEMA_ONLY,
+        ValidationDepth.SCHEMA_AND_DATA,
+    )
+
+
+def _data_depth_on(cfg) -> bool:
+    return cfg.validation_depth in (
+        ValidationDepth.DATA_ONLY,
+        ValidationDepth.SCHEMA_AND_DATA,
+    )
+
+
+def _violation_count_expr(cond: SparkCol, key: str) -> SparkCol:
+    """count of rows where ``cond`` holds, as a non-null long."""
+    return F.count(F.when(cond, F.lit(1))).alias(key)
+
+
+class _Ctx:
+    """Mutable compilation context for one validate run."""
+
+    def __init__(self, schema: "DataFrameSchema", df: DataFrame, lazy: bool):
+        self.schema = schema
+        self.df = df
+        self.handler = ErrorHandler(lazy)
+        self.outcomes: list[CheckOutcome] = []
+        self.agg_exprs: list[SparkCol] = []
+        # key -> (finalize callable taking the agg row dict)
+        self.finalizers: list = []
+        self.pass_conditions: list[SparkCol] = []  # for drop_invalid_rows
+        self.unique_specs: list[tuple[str, ...]] = []
+        self.metrics: dict = {}
+
+    def outcome(
+        self,
+        column: Optional[str],
+        check: str,
+        reason_code: SchemaErrorReason,
+        passed: bool,
+        violations: int = 0,
+        message: str = "",
+    ) -> None:
+        o = CheckOutcome(
+            schema=self.schema.name or "schema",
+            column=column,
+            check=check,
+            reason_code=reason_code,
+            passed=passed,
+            violations=violations,
+            message=message,
+        )
+        self.outcomes.append(o)
+        if not passed:
+            self.handler.collect(
+                SchemaError(
+                    schema_name=o.schema,
+                    column=column,
+                    check=check,
+                    reason_code=reason_code,
+                    message=message or f"check '{check}' failed",
+                    failure_cases_count=violations,
+                )
+            )
+
+
+def run_validation(
+    schema: "DataFrameSchema",
+    df: DataFrame,
+    *,
+    lazy: bool = True,
+    head: Optional[int] = None,
+    sample: Optional[float] = None,
+    random_state: Optional[int] = None,
+) -> ValidationResult:
+    cfg = get_config()
+    if not cfg.validation_enabled:
+        # kill switch: reference api/pyspark/container.py:121-122
+        return ValidationResult(schema.name or "schema", df)
+
+    # subsampling (reference backends/pyspark/base.py:55-68)
+    if head is not None:
+        df = df.limit(head)
+    if sample is not None:
+        df = df.sample(fraction=sample, seed=random_state)
+
+    cached = False
+    if cfg.cache_dataframe:
+        # reference backends/pyspark/decorators.py:107-172
+        df = df.cache()
+        cached = True
+
+    ctx = _Ctx(schema, df, lazy)
+    try:
+        result = _run(ctx, cfg)
+    finally:
+        if cached and not cfg.keep_cached_dataframe:
+            df.unpersist()
+    return result
+
+
+def _run(ctx: _Ctx, cfg) -> ValidationResult:
+    schema = ctx.schema
+    df = ctx.df
+    name = schema.name or "schema"
+
+    # ---- driver-side schema checks (zero Spark jobs) ------------------------
+    df_columns = list(df.columns)
+
+    if _schema_depth_on(cfg):
+        _check_unique_column_names(ctx, df_columns)
+
+    # expand components (regex) + presence
+    expansion = _expand_components(ctx, df_columns)
+
+    if _schema_depth_on(cfg):
+        _check_strict_and_ordered(ctx, df_columns, expansion)
+
+    # ---- build transformed projection --------------------------------------
+    transformed, coerce_agg_cols = _apply_transforms(ctx, expansion)
+
+    # dtype checks run on the post-transform schema (coerced columns are cast)
+    if _schema_depth_on(cfg):
+        _check_dtypes(ctx, transformed, expansion)
+
+    # ---- compile data checks into one agg pass ------------------------------
+    if _data_depth_on(cfg):
+        _compile_column_checks(ctx, transformed, expansion)
+        _compile_dataframe_checks(ctx, transformed)
+        _compile_coerce_errors(ctx, coerce_agg_cols)
+
+    # ---- execute -----------------------------------------------------------
+    total_rows = None
+    if ctx.agg_exprs:
+        exprs = [F.count(F.lit(1)).alias("__pandera_total__"), *ctx.agg_exprs]
+        row = transformed.agg(*exprs).first().asDict()
+        total_rows = row["__pandera_total__"]
+        for fin in ctx.finalizers:
+            fin(row)
+
+    if _data_depth_on(cfg):
+        _run_unique_checks(ctx, transformed, total_rows)
+
+    # ---- finalize ----------------------------------------------------------
+    out_df = transformed.drop(
+        *[c for c in transformed.columns if c.startswith(_ORIG_PREFIX)]
+    )
+    if schema.drop_invalid_rows and ctx.pass_conditions:
+        # reference api/dataframe/container.py:100 (not implemented in the
+        # reference pyspark backend — natural as a Spark filter)
+        cond = ctx.pass_conditions[0]
+        for c in ctx.pass_conditions[1:]:
+            cond = cond & c
+        out_df = out_df.filter(cond)
+
+    report = ctx.handler.summarize()
+    return ValidationResult(
+        schema_name=name,
+        df=out_df,
+        outcomes=ctx.outcomes,
+        errors=ctx.handler.errors,
+        report=report,
+        total_rows=total_rows,
+        metrics=ctx.metrics,
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver-side checks
+# ---------------------------------------------------------------------------
+
+
+def _check_unique_column_names(ctx: _Ctx, df_columns: list[str]) -> None:
+    if not ctx.schema.unique_column_names:
+        return
+    dupes = [c for c, n in Counter(df_columns).items() if n > 1]
+    ctx.outcome(
+        None,
+        "unique_column_names",
+        SchemaErrorReason.DUPLICATE_COLUMN_LABELS,
+        passed=not dupes,
+        violations=len(dupes),
+        message=f"duplicate column labels: {dupes}" if dupes else "",
+    )
+
+
+def _expand_components(ctx: _Ctx, df_columns: list[str]) -> dict:
+    """Map each schema Column component to its matching df columns.
+
+    Returns {component_key: (component, [matched df column names])}.
+    Collects COLUMN_NOT_IN_DATAFRAME errors for required missing columns
+    (reference backends/pyspark/container.py:607-637) and regex zero-match
+    errors (backends/pandas/components.py:210-227).
+    """
+    out = {}
+    for key, comp in ctx.schema.columns.items():
+        matched = comp.matching_columns(df_columns)
+        if comp.regex and not matched:
+            ctx.outcome(
+                comp.name, "regex_column_match",
+                SchemaErrorReason.COLUMN_NOT_IN_DATAFRAME,
+                passed=False,
+                message=(
+                    f"no columns match regex {comp.name!r}"
+                ),
+            )
+        elif not matched and comp.required and not (
+            ctx.schema.add_missing_columns
+            and (comp.default is not None or comp.nullable)
+        ):
+            ctx.outcome(
+                comp.name, "column_in_dataframe",
+                SchemaErrorReason.COLUMN_NOT_IN_DATAFRAME,
+                passed=False,
+                message=f"column '{comp.name}' not in dataframe",
+            )
+        out[key] = (comp, matched)
+    return out
+
+
+def _check_strict_and_ordered(
+    ctx: _Ctx, df_columns: list[str], expansion: dict
+) -> None:
+    schema = ctx.schema
+    declared = set()
+    for comp, matched in expansion.values():
+        declared.update(matched)
+        if not comp.regex and comp.name:
+            declared.add(comp.name)
+    if schema.strict is True:
+        for c in df_columns:
+            if c not in declared:
+                ctx.outcome(
+                    c, "column_in_schema",
+                    SchemaErrorReason.COLUMN_NOT_IN_SCHEMA,
+                    passed=False,
+                    message=f"column '{c}' not in schema",
+                )
+    if schema.ordered:
+        # reference backends/pyspark/container.py ordered semantics: declared
+        # (non-regex) columns must appear in schema order in the dataframe
+        ordered_names = [
+            comp.name
+            for comp, _ in expansion.values()
+            if not comp.regex and comp.name in df_columns
+        ]
+        present_in_order = [c for c in df_columns if c in set(ordered_names)]
+        if present_in_order != ordered_names:
+            ctx.outcome(
+                None, "column_ordered",
+                SchemaErrorReason.COLUMN_NOT_ORDERED,
+                passed=False,
+                message=(
+                    f"columns out of order: expected {ordered_names}, "
+                    f"found {present_in_order}"
+                ),
+            )
+        else:
+            ctx.outcome(
+                None, "column_ordered",
+                SchemaErrorReason.COLUMN_NOT_ORDERED,
+                passed=True,
+            )
+
+
+def _check_dtypes(ctx: _Ctx, df: DataFrame, expansion: dict) -> None:
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    for comp, matched in expansion.values():
+        if comp.dtype is None:
+            continue
+        for colname in matched:
+            act = actual.get(colname)
+            if act is None:
+                continue
+            ok = dtype_equal(comp.dtype, act)
+            ctx.outcome(
+                colname,
+                f"dtype('{comp.dtype.simpleString()}')",
+                SchemaErrorReason.WRONG_DATATYPE,
+                passed=ok,
+                message=(
+                    ""
+                    if ok
+                    else (
+                        f"expected column '{colname}' to have type "
+                        f"{comp.dtype.simpleString()}, got {act.simpleString()}"
+                    )
+                ),
+            )
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+
+def _apply_transforms(ctx: _Ctx, expansion: dict):
+    """strict-filter, add_missing_columns, coerce casts, defaults, parsers.
+
+    Returns (transformed_df, coerce_agg_cols) where coerce_agg_cols maps an
+    output column name to the hidden original column carried for cast-error
+    counting — all inside ONE projection so Catalyst sees a single select.
+    """
+    schema = ctx.schema
+    df = ctx.df
+    df_columns = list(df.columns)
+
+    declared: dict[str, Any] = {}
+    for comp, matched in expansion.values():
+        for c in matched:
+            declared[c] = comp
+
+    # strict="filter": project extras away
+    # (reference backends/pyspark/container.py:329-379)
+    if schema.strict == "filter":
+        keep = [c for c in df_columns if c in declared]
+        df_columns = keep
+
+    select_cols: list[SparkCol] = []
+    coerce_agg_cols: dict[str, str] = {}
+
+    for c in df_columns:
+        comp = declared.get(c)
+        expr = F.col(c)
+        if comp is not None:
+            do_coerce = comp.dtype is not None and (
+                comp.coerce or schema.coerce
+            )
+            if do_coerce:
+                actual_dt = df.schema[c].dataType
+                if not dtype_equal(comp.dtype, actual_dt):
+                    orig_key = _ORIG_PREFIX + c
+                    select_cols.append(F.col(c).alias(orig_key))
+                    coerce_agg_cols[c] = orig_key
+                    # try_cast semantics: invalid -> null (ANSI-safe;
+                    # reference assumes ansi off, container.py:437-438)
+                    expr = F.col(c).try_cast(comp.dtype)
+            if comp.default is not None:
+                # set_defaults (reference backends/pandas/container.py:626-651)
+                expr = F.coalesce(expr, F.lit(comp.default))
+            for parser in comp.parsers:
+                expr = parser(expr)
+        select_cols.append(expr.alias(c))
+
+    # add_missing_columns (reference backends/pandas/container.py:418-548)
+    if schema.add_missing_columns:
+        for comp, matched in expansion.values():
+            if matched or comp.regex:
+                continue
+            if comp.default is not None:
+                lit = F.lit(comp.default)
+            elif comp.nullable:
+                lit = F.lit(None)
+            else:
+                ctx.outcome(
+                    comp.name, "add_missing_columns",
+                    SchemaErrorReason.ADD_MISSING_COLUMN_NO_DEFAULT,
+                    passed=False,
+                    message=(
+                        f"column '{comp.name}' is missing and has no default"
+                    ),
+                )
+                continue
+            dt = comp.dtype or T.StringType()
+            select_cols.append(lit.cast(dt).alias(comp.name))
+            # make the added column visible to downstream checks
+            for key, (c2, m2) in expansion.items():
+                if c2 is comp:
+                    expansion[key] = (c2, [comp.name])
+
+    transformed = df.select(*select_cols)
+
+    # dataframe-level parsers: arbitrary DataFrame -> DataFrame
+    for parser in schema.parsers:
+        try:
+            transformed = parser(transformed)
+        except Exception as exc:
+            ctx.outcome(
+                None, parser.name, SchemaErrorReason.DATAFRAME_PARSER,
+                passed=False, message=f"parser raised: {exc!r}",
+            )
+    return transformed, coerce_agg_cols
+
+
+# ---------------------------------------------------------------------------
+# data-check compilation
+# ---------------------------------------------------------------------------
+
+
+def _compile_column_checks(
+    ctx: _Ctx, df: DataFrame, expansion: dict
+) -> None:
+    actual = {f.name: f for f in df.schema.fields}
+    for comp, matched in expansion.values():
+        for colname in matched:
+            field = actual.get(colname)
+            if field is None:
+                continue
+            col = F.col(colname)
+
+            # nullable (reference backends/pyspark/column.py:131-151) with
+            # the StructField-non-nullable short-circuit (:139)
+            if not comp.nullable:
+                if not field.nullable:
+                    ctx.outcome(
+                        colname, "not_nullable",
+                        SchemaErrorReason.SERIES_CONTAINS_NULLS, passed=True,
+                    )
+                else:
+                    key = f"__nn__{colname}__{len(ctx.agg_exprs)}"
+                    ctx.agg_exprs.append(
+                        _violation_count_expr(col.isNull(), key)
+                    )
+                    ctx.finalizers.append(
+                        _count_finalizer(
+                            ctx, key, colname, "not_nullable",
+                            SchemaErrorReason.SERIES_CONTAINS_NULLS,
+                        )
+                    )
+                    ctx.pass_conditions.append(col.isNotNull())
+
+            # per-column unique (reference backends/pandas/array.py:354-397)
+            if comp.unique:
+                ctx.unique_specs.append((colname,))
+
+            for check in comp.checks:
+                _compile_one_check(ctx, df, check, colname, field.dataType)
+
+
+def _compile_one_check(
+    ctx: _Ctx,
+    df: DataFrame,
+    check: Check,
+    colname: str,
+    dtype: T.DataType,
+) -> None:
+    col = F.col(colname)
+    try:
+        check.gate_dtype(dtype)
+    except UnsupportedDtypeError as exc:
+        # reference raises SchemaError with INVALID_TYPE from the
+        # type-dispatch decorator (backends/pyspark/decorators.py:92-104)
+        ctx.outcome(
+            colname, check.error, SchemaErrorReason.CHECK_ERROR,
+            passed=False, message=str(exc),
+        )
+        return
+
+    if check.agg_kind == "unique_values_eq":
+        key = f"__uve__{colname}__{len(ctx.agg_exprs)}"
+        ctx.agg_exprs.append(F.collect_set(col).alias(key))
+        expected = set(check.statistics["values"])
+
+        def fin(row, key=key, colname=colname, check=check, expected=expected):
+            got = set(row[key] or [])
+            ok = got == expected
+            ctx.outcome(
+                colname, check.error,
+                SchemaErrorReason.SCHEMA_COMPONENT_CHECK,
+                passed=ok,
+                violations=0 if ok else len(got ^ expected),
+                message=(
+                    "" if ok else
+                    f"unique values {sorted(got)!r} != expected "
+                    f"{sorted(expected)!r}"
+                ),
+            )
+
+        ctx.finalizers.append(fin)
+        return
+
+    if check.agg_kind == "is_monotonic":
+        _compile_is_monotonic(ctx, check, colname)
+        return
+
+    try:
+        cond = check.violation_condition(col)
+    except Exception as exc:
+        ctx.outcome(
+            colname, check.error, SchemaErrorReason.CHECK_ERROR,
+            passed=False, message=f"check compilation failed: {exc!r}",
+        )
+        return
+    key = f"__chk__{colname}__{len(ctx.agg_exprs)}"
+    ctx.agg_exprs.append(_violation_count_expr(cond, key))
+    ctx.finalizers.append(
+        _count_finalizer(
+            ctx, key, colname, check.error,
+            SchemaErrorReason.SCHEMA_COMPONENT_CHECK,
+            raise_warning=check.raise_warning,
+        )
+    )
+    ctx.pass_conditions.append(check.pass_condition(col))
+
+
+def _compile_is_monotonic(ctx: _Ctx, check: Check, colname: str) -> None:
+    """Monotonicity via a lag window.
+
+    NOTE(scale): a global ``Window.orderBy`` collapses to one partition.  For
+    the 100 TB path use ``operators.ordered.monotonic_violations`` which
+    range-repartitions and checks partition boundaries; this inline variant
+    is kept for small/medium validation workloads.
+    """
+    from pyspark.sql import Window
+
+    stats = check.statistics
+    order_col = F.col(stats["order_by"])
+    col = F.col(colname)
+    w = Window.orderBy(order_col)
+    prev = F.lag(col).over(w)
+    if stats["decreasing"]:
+        ok = col < prev if stats["strict"] else col <= prev
+    else:
+        ok = col > prev if stats["strict"] else col >= prev
+    viol = prev.isNotNull() & col.isNotNull() & ~ok
+
+    # windows can't go in agg directly: pre-aggregate per row then sum
+    key = f"__mono__{colname}__{len(ctx.agg_exprs)}"
+    # build as a separate tiny job at finalize time to keep the main agg
+    # window-free
+    df = ctx.df
+
+    def fin(row, key=key):
+        cnt = (
+            ctx.df.select(
+                F.when(viol, F.lit(1)).otherwise(F.lit(0)).alias("v")
+            )
+            .agg(F.sum("v").alias("v"))
+            .first()["v"]
+            or 0
+        )
+        ctx.outcome(
+            colname, check.error,
+            SchemaErrorReason.SCHEMA_COMPONENT_CHECK,
+            passed=cnt == 0, violations=int(cnt),
+            message="" if cnt == 0 else f"{cnt} monotonicity violations",
+        )
+
+    ctx.finalizers.append(fin)
+    if not ctx.agg_exprs:
+        # ensure the agg pass runs so finalizers execute
+        ctx.agg_exprs.append(
+            F.count(F.lit(1)).alias(f"__mono_anchor_{len(ctx.agg_exprs)}")
+        )
+
+
+def _compile_dataframe_checks(ctx: _Ctx, df: DataFrame) -> None:
+    """Container-level checks: ``fn(df) -> boolean Column``
+    (reference backends/pyspark/container.py:216-249)."""
+    for check in ctx.schema.checks:
+        try:
+            pred = check.check_fn(df)
+        except Exception as exc:
+            ctx.outcome(
+                None, check.error, SchemaErrorReason.CHECK_ERROR,
+                passed=False, message=f"dataframe check failed to compile: {exc!r}",
+            )
+            continue
+        if isinstance(pred, DataFrame):
+            ctx.outcome(
+                None, check.error, SchemaErrorReason.CHECK_ERROR,
+                passed=False,
+                message="dataframe checks must return a boolean Column",
+            )
+            continue
+        if check.ignore_na:
+            viol = ~F.coalesce(pred, F.lit(True))
+        else:
+            viol = ~F.coalesce(pred, F.lit(False))
+        key = f"__dfchk__{len(ctx.agg_exprs)}"
+        ctx.agg_exprs.append(_violation_count_expr(viol, key))
+        ctx.finalizers.append(
+            _count_finalizer(
+                ctx, key, None, check.error,
+                SchemaErrorReason.DATAFRAME_CHECK,
+                raise_warning=check.raise_warning,
+            )
+        )
+        ctx.pass_conditions.append(~viol)
+
+
+def _compile_coerce_errors(ctx: _Ctx, coerce_agg_cols: dict) -> None:
+    """Count rows where a non-null original failed to cast
+    (reference backends/pyspark/container.py:419-483; pandas null-introduction
+    semantics backends/pandas/array.py:209-285)."""
+    for out_col, orig_col in coerce_agg_cols.items():
+        cond = F.col(orig_col).isNotNull() & F.col(out_col).isNull()
+        key = f"__coerce__{out_col}"
+        ctx.agg_exprs.append(_violation_count_expr(cond, key))
+        ctx.finalizers.append(
+            _count_finalizer(
+                ctx, key, out_col, f"coerce_dtype('{out_col}')",
+                SchemaErrorReason.DATATYPE_COERCION,
+            )
+        )
+
+
+def _count_finalizer(
+    ctx: _Ctx,
+    key: str,
+    column: Optional[str],
+    check_label: str,
+    reason: SchemaErrorReason,
+    raise_warning: bool = False,
+):
+    def fin(row):
+        cnt = int(row[key] or 0)
+        passed = cnt == 0 or raise_warning
+        ctx.outcome(
+            column, check_label, reason,
+            passed=passed, violations=cnt,
+            message=(
+                ""
+                if cnt == 0
+                else f"column '{column}': check '{check_label}' failed on "
+                f"{cnt} rows"
+            ),
+        )
+
+    return fin
+
+
+# ---------------------------------------------------------------------------
+# uniqueness (shuffle jobs, only when declared)
+# ---------------------------------------------------------------------------
+
+
+def _run_unique_checks(
+    ctx: _Ctx, df: DataFrame, total_rows: Optional[int]
+) -> None:
+    """Joint + per-column uniqueness via groupBy-count
+    (reference backends/pyspark/container.py:485-556).
+
+    One shuffle per spec on exactly the key columns (column-pruned scan).
+    ``report_duplicates`` (reference dtypes.py:627) decides the violation
+    count: 'all' counts every row in a duplicated group; 'exclude_first' /
+    'exclude_last' count all but one per group.
+    """
+    schema = ctx.schema
+    specs = list(ctx.unique_specs)
+    if schema.unique:
+        cols = (
+            [schema.unique]
+            if isinstance(schema.unique, str)
+            else list(schema.unique)
+        )
+        specs.append(tuple(cols))
+
+    existing = set(df.columns)
+    for spec in specs:
+        missing = [c for c in spec if c not in existing]
+        label = (
+            f"unique({list(spec)!r})" if len(spec) > 1
+            else f"field_uniqueness('{spec[0]}')"
+        )
+        if missing:
+            ctx.outcome(
+                ",".join(spec), label,
+                SchemaErrorReason.DUPLICATES, passed=False,
+                message=f"unique spec references missing columns {missing}",
+            )
+            continue
+        agg = (
+            df.groupBy(*[F.col(c) for c in spec])
+            .agg(F.count(F.lit(1)).alias("__cnt__"))
+            .filter(F.col("__cnt__") > 1)
+            .agg(
+                F.count(F.lit(1)).alias("groups"),
+                F.coalesce(F.sum("__cnt__"), F.lit(0)).alias("rows"),
+            )
+            .first()
+        )
+        groups, rows = int(agg["groups"] or 0), int(agg["rows"] or 0)
+        if schema.report_duplicates == "all":
+            violations = rows
+        else:  # exclude_first / exclude_last
+            violations = rows - groups
+        reason = (
+            SchemaErrorReason.DUPLICATES
+            if len(spec) > 1
+            else SchemaErrorReason.SERIES_CONTAINS_DUPLICATES
+        )
+        ctx.outcome(
+            ",".join(spec), label, reason,
+            passed=violations == 0, violations=violations,
+            message=(
+                ""
+                if violations == 0
+                else f"columns {list(spec)} contain {violations} duplicate rows "
+                f"in {groups} groups"
+            ),
+        )

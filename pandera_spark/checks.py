@@ -1,0 +1,415 @@
+"""Check: a value constraint that compiles to a Spark boolean ``Column``.
+
+API surface mirrors the reference ``Check`` namespace
+(/root/reference/pandera/api/checks.py:18-223 options; builtin classmethods
+:263-754 and aliases :1004-1051).  Execution model is deliberately different
+from the reference pyspark backend (one ``filter(~cond).limit(1).count()``
+Spark ACTION per check, backends/pyspark/builtin_checks.py:49 et al.): here a
+check only *builds an expression*; the container backend folds every check
+into ONE aggregation pass (SURVEY.md §4).
+
+Null semantics: with default ``ignore_na=True`` null elements pass
+(reference api/checks.py:80-82; polars postprocess backends/polars/checks.py:93-96).
+A row is a violation iff ``col IS NOT NULL AND NOT pred`` (ignore_na) or
+``NOT coalesce(pred, FALSE)`` otherwise.
+
+Type gating mirrors backends/pyspark/decorators.py:16-28,42-104: applying e.g.
+``gt`` to a StringType column is a SCHEMA error, caught at compile time.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Callable, Iterable
+from typing import Any
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .engine import (
+    BINARY_TYPES,
+    BOOLEAN_TYPES,
+    DATE_TYPES,
+    NUMERIC_TYPES,
+    STRING_TYPES,
+)
+from .errors import UnsupportedDtypeError
+
+_EQ_TYPES = NUMERIC_TYPES + DATE_TYPES + STRING_TYPES + BINARY_TYPES + BOOLEAN_TYPES
+_CMP_TYPES = NUMERIC_TYPES + DATE_TYPES
+_SET_TYPES = NUMERIC_TYPES + DATE_TYPES + STRING_TYPES + BINARY_TYPES
+
+
+def _lit(v: Any):
+    return F.lit(v)
+
+
+class Check:
+    """A reusable value constraint.
+
+    :param check_fn: custom predicate.  Signatures supported:
+        ``fn(col: Column) -> Column`` (per-column boolean expression) or, for
+        dataframe-level checks, ``fn(df: DataFrame) -> Column``.  This replaces
+        the reference's pandas-series lambdas with Spark expressions (the
+        narwhals/polars design, SURVEY.md §2.D).
+    :param element_wise: accepted for API compatibility; expressions are
+        always element-wise on Spark.
+    """
+
+    def __init__(
+        self,
+        check_fn: Callable | None = None,
+        *,
+        name: str | None = None,
+        error: str | None = None,
+        title: str | None = None,
+        description: str | None = None,
+        ignore_na: bool = True,
+        raise_warning: bool = False,
+        n_failure_cases: int | None = None,
+        element_wise: bool = False,
+        statistics: dict | None = None,
+        accepted_dtypes: tuple | None = None,
+        agg_kind: str | None = None,
+        groupby: str | list[str] | None = None,
+        **kwargs: Any,
+    ):
+        self.check_fn = check_fn
+        self.name = name or (getattr(check_fn, "__name__", None) or "check")
+        if self.name == "<lambda>":
+            self.name = "lambda"
+        self.error = error or self.name
+        self.title = title
+        self.description = description
+        self.ignore_na = ignore_na
+        self.raise_warning = raise_warning
+        self.n_failure_cases = n_failure_cases
+        self.element_wise = element_wise
+        self.statistics = statistics or {}
+        self.accepted_dtypes = accepted_dtypes  # None = no gating
+        # agg_kind: None = row predicate; "unique_values_eq" = needs collect_set
+        self.agg_kind = agg_kind
+        self.groupby = groupby
+        self._kwargs = kwargs
+
+    def __repr__(self) -> str:
+        return f"<Check {self.error}>"
+
+    # -- compilation ----------------------------------------------------------
+
+    def gate_dtype(self, dtype: T.DataType) -> None:
+        """Raise if this check does not support ``dtype``
+        (reference backends/pyspark/decorators.py:42-104)."""
+        if self.accepted_dtypes is not None and not isinstance(
+            dtype, self.accepted_dtypes
+        ):
+            raise UnsupportedDtypeError(
+                f"check '{self.error}' does not accept Spark dtype "
+                f"{dtype.simpleString()}"
+            )
+
+    def predicate(self, col: SparkCol) -> SparkCol:
+        """Boolean pass/fail expression for one element (null => null/True
+        handled by :meth:`violation_condition`)."""
+        if self.check_fn is None:
+            raise ValueError(f"check {self.name} has no predicate")
+        return self.check_fn(col)
+
+    def violation_condition(self, col: SparkCol) -> SparkCol:
+        """Expression that is TRUE for rows violating this check."""
+        pred = self.predicate(col)
+        if self.ignore_na:
+            return col.isNotNull() & ~F.coalesce(pred, F.lit(False))
+        return ~F.coalesce(pred, F.lit(False))
+
+    def pass_condition(self, col: SparkCol) -> SparkCol:
+        """Expression TRUE for rows passing (used by drop_invalid_rows)."""
+        return ~self.violation_condition(col)
+
+    # -- builtin factory ------------------------------------------------------
+
+    @classmethod
+    def _builtin(
+        cls,
+        name: str,
+        error: str,
+        fn: Callable[[SparkCol], SparkCol],
+        statistics: dict,
+        accepted: tuple | None,
+        kwargs: dict,
+        agg_kind: str | None = None,
+    ) -> "Check":
+        return cls(
+            fn,
+            name=name,
+            error=error,
+            statistics=statistics,
+            accepted_dtypes=accepted,
+            agg_kind=agg_kind,
+            **kwargs,
+        )
+
+    # reference api/checks.py:263
+    @classmethod
+    def equal_to(cls, value: Any, **kwargs) -> "Check":
+        return cls._builtin(
+            "equal_to", f"equal_to({value!r})",
+            lambda c: c == _lit(value), {"value": value}, _EQ_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:278
+    @classmethod
+    def not_equal_to(cls, value: Any, **kwargs) -> "Check":
+        return cls._builtin(
+            "not_equal_to", f"not_equal_to({value!r})",
+            lambda c: c != _lit(value), {"value": value}, _EQ_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:292
+    @classmethod
+    def greater_than(cls, min_value: Any, **kwargs) -> "Check":
+        if min_value is None:
+            raise ValueError("min_value must not be None")
+        return cls._builtin(
+            "greater_than", f"greater_than({min_value!r})",
+            lambda c: c > _lit(min_value), {"min_value": min_value},
+            _CMP_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:312
+    @classmethod
+    def greater_than_or_equal_to(cls, min_value: Any, **kwargs) -> "Check":
+        if min_value is None:
+            raise ValueError("min_value must not be None")
+        return cls._builtin(
+            "greater_than_or_equal_to",
+            f"greater_than_or_equal_to({min_value!r})",
+            lambda c: c >= _lit(min_value), {"min_value": min_value},
+            _CMP_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:330
+    @classmethod
+    def less_than(cls, max_value: Any, **kwargs) -> "Check":
+        if max_value is None:
+            raise ValueError("max_value must not be None")
+        return cls._builtin(
+            "less_than", f"less_than({max_value!r})",
+            lambda c: c < _lit(max_value), {"max_value": max_value},
+            _CMP_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:348
+    @classmethod
+    def less_than_or_equal_to(cls, max_value: Any, **kwargs) -> "Check":
+        if max_value is None:
+            raise ValueError("max_value must not be None")
+        return cls._builtin(
+            "less_than_or_equal_to", f"less_than_or_equal_to({max_value!r})",
+            lambda c: c <= _lit(max_value), {"max_value": max_value},
+            _CMP_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:366-473 (positional-arg juggling preserved)
+    @classmethod
+    def in_range(
+        cls,
+        min_value: Any = None,
+        max_value: Any = None,
+        include_min: bool = True,
+        include_max: bool = True,
+        **kwargs,
+    ) -> "Check":
+        if min_value is None or max_value is None:
+            raise ValueError("in_range requires min_value and max_value")
+        if max_value < min_value or (
+            min_value == max_value and (not include_min or not include_max)
+        ):
+            raise ValueError(
+                f"The combination of min_value = {min_value} and "
+                f"max_value = {max_value} defines an empty interval!"
+            )
+
+        def fn(c: SparkCol) -> SparkCol:
+            lo = (c >= _lit(min_value)) if include_min else (c > _lit(min_value))
+            hi = (c <= _lit(max_value)) if include_max else (c < _lit(max_value))
+            return lo & hi
+
+        return cls._builtin(
+            "in_range", f"in_range({min_value!r}, {max_value!r})", fn,
+            {
+                "min_value": min_value, "max_value": max_value,
+                "include_min": include_min, "include_max": include_max,
+            },
+            _CMP_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:475
+    @classmethod
+    def isin(cls, allowed_values: Iterable, **kwargs) -> "Check":
+        vals = list(allowed_values)
+        return cls._builtin(
+            "isin", f"isin({vals!r})",
+            lambda c: c.isin(vals), {"allowed_values": vals}, _SET_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:532
+    @classmethod
+    def notin(cls, forbidden_values: Iterable, **kwargs) -> "Check":
+        vals = list(forbidden_values)
+        return cls._builtin(
+            "notin", f"notin({vals!r})",
+            lambda c: ~c.isin(vals), {"forbidden_values": vals},
+            _SET_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:588; pyspark impl anchors with '^'
+    # (backends/pyspark/builtin_checks.py:280)
+    @classmethod
+    def str_matches(cls, pattern: str, **kwargs) -> "Check":
+        pat = pattern if pattern.startswith("^") else "^" + pattern
+        return cls._builtin(
+            "str_matches", f"str_matches('{pattern}')",
+            lambda c: c.rlike(pat), {"pattern": pattern}, STRING_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:610
+    @classmethod
+    def str_contains(cls, pattern: str, **kwargs) -> "Check":
+        return cls._builtin(
+            "str_contains", f"str_contains('{pattern}')",
+            lambda c: c.rlike(pattern), {"pattern": pattern},
+            STRING_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:634
+    @classmethod
+    def str_startswith(cls, string: str, **kwargs) -> "Check":
+        return cls._builtin(
+            "str_startswith", f"str_startswith('{string}')",
+            lambda c: c.startswith(string), {"string": string},
+            STRING_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:650
+    @classmethod
+    def str_endswith(cls, string: str, **kwargs) -> "Check":
+        return cls._builtin(
+            "str_endswith", f"str_endswith('{string}')",
+            lambda c: c.endswith(string), {"string": string},
+            STRING_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:665-727 (exact / min / max / range forms)
+    @classmethod
+    def str_length(
+        cls,
+        *args,
+        min_value: int | None = None,
+        max_value: int | None = None,
+        exact_value: int | None = None,
+        **kwargs,
+    ) -> "Check":
+        if len(args) == 1:
+            exact_value = args[0]
+        elif len(args) == 2:
+            min_value, max_value = args
+        elif len(args) > 2:
+            raise ValueError("str_length accepts at most 2 positional args")
+        if exact_value is not None:
+            return cls._builtin(
+                "str_length", f"str_length({exact_value})",
+                lambda c: F.length(c) == exact_value,
+                {"exact_value": exact_value}, STRING_TYPES, kwargs,
+            )
+        if min_value is None and max_value is None:
+            raise ValueError(
+                "At least a minimum or a maximum need to be specified."
+            )
+
+        def fn(c: SparkCol) -> SparkCol:
+            ln = F.length(c)
+            if min_value is None:
+                return ln <= max_value
+            if max_value is None:
+                return ln >= min_value
+            return (ln >= min_value) & (ln <= max_value)
+
+        return cls._builtin(
+            "str_length", f"str_length({min_value}, {max_value})", fn,
+            {"min_value": min_value, "max_value": max_value},
+            STRING_TYPES, kwargs,
+        )
+
+    # reference api/checks.py:731; pyspark impl distinct().collect()
+    # (backends/pyspark/builtin_checks.py:403-421) — ours folds a
+    # collect_set into the shared aggregation pass.
+    @classmethod
+    def unique_values_eq(cls, values: Iterable, **kwargs) -> "Check":
+        vals = frozenset(values)
+        return cls._builtin(
+            "unique_values_eq", f"unique_values_eq({sorted(vals)!r})",
+            None, {"values": vals}, _SET_TYPES, kwargs,
+            agg_kind="unique_values_eq",
+        )
+
+    # tabular analogue of xarray is_monotonic (SURVEY.md §2.D note): value
+    # non-decreasing when ordered by ``order_by``.  Needs a window — kept as
+    # an opt-in extra check, executed in the shared pass via a lag expression
+    # only when the container compiles it with an order column.
+    @classmethod
+    def is_monotonic(
+        cls, order_by: str, decreasing: bool = False, strict: bool = False,
+        **kwargs,
+    ) -> "Check":
+        chk = cls(
+            None,
+            name="is_monotonic",
+            error=f"is_monotonic(order_by='{order_by}', decreasing={decreasing})",
+            statistics={
+                "order_by": order_by, "decreasing": decreasing, "strict": strict,
+            },
+            accepted_dtypes=_CMP_TYPES,
+            agg_kind="is_monotonic",
+            **kwargs,
+        )
+        return chk
+
+    # -- aliases (reference api/checks.py:1004-1051) --------------------------
+    eq = equal_to
+    ne = not_equal_to
+    gt = greater_than
+    ge = greater_than_or_equal_to
+    lt = less_than
+    le = less_than_or_equal_to
+    between = in_range
+
+
+#: names usable from DataFrameModel Field(...) kwargs — reference
+#: api/dataframe/model_components.py:114-284 `_check_dispatch`
+BUILTIN_CHECK_NAMES = {
+    "eq": Check.equal_to,
+    "equal_to": Check.equal_to,
+    "ne": Check.not_equal_to,
+    "not_equal_to": Check.not_equal_to,
+    "gt": Check.greater_than,
+    "greater_than": Check.greater_than,
+    "ge": Check.greater_than_or_equal_to,
+    "greater_than_or_equal_to": Check.greater_than_or_equal_to,
+    "lt": Check.less_than,
+    "less_than": Check.less_than,
+    "le": Check.less_than_or_equal_to,
+    "less_than_or_equal_to": Check.less_than_or_equal_to,
+    "in_range": Check.in_range,
+    "between": Check.in_range,
+    "isin": Check.isin,
+    "notin": Check.notin,
+    "str_matches": Check.str_matches,
+    "str_contains": Check.str_contains,
+    "str_startswith": Check.str_startswith,
+    "str_endswith": Check.str_endswith,
+    "str_length": Check.str_length,
+    "unique_values_eq": Check.unique_values_eq,
+}

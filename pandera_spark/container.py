@@ -1,0 +1,220 @@
+"""``DataFrameSchema`` — the table-level schema object (the "query").
+
+Reference API: /root/reference/pandera/api/dataframe/container.py:44-180
+(kwargs), pandera/api/pyspark/container.py:59-133 (validate entry),
+to_structtype/to_ddl :163-195, to_yaml/to_json :197-231.
+
+Spark-native execution: see backend/runner.py — one aggregation pass for all
+data checks instead of the reference's job-per-check.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .accessor import attach_report
+from .backend.runner import run_validation
+from .checks import Check
+from .components import Column
+from .engine import dtype_to_ddl, normalize_dtype
+from .errors import SchemaErrors, SchemaInitError
+from .parsers import Parser
+from .report import ValidationResult
+
+
+def _as_list(x, cls):
+    if x is None:
+        return []
+    if isinstance(x, cls):
+        return [x]
+    return list(x)
+
+
+class DataFrameSchema:
+    def __init__(
+        self,
+        columns: Optional[dict[str, Union[Column, Any]]] = None,
+        checks: Optional[Union[Check, list[Check]]] = None,
+        parsers: Optional[Union[Parser, list[Parser]]] = None,
+        *,
+        dtype: Any = None,
+        coerce: bool = False,
+        strict: Union[bool, str] = False,
+        ordered: bool = False,
+        unique: Optional[Union[str, list[str]]] = None,
+        report_duplicates: str = "all",
+        unique_column_names: bool = False,
+        add_missing_columns: bool = False,
+        drop_invalid_rows: bool = False,
+        name: Optional[str] = None,
+        title: Optional[str] = None,
+        description: Optional[str] = None,
+        metadata: Optional[dict] = None,
+    ):
+        if strict not in (True, False, "filter"):
+            raise SchemaInitError(
+                f"strict must be True, False or 'filter', got {strict!r}"
+            )
+        if report_duplicates not in ("all", "exclude_first", "exclude_last"):
+            # reference dtypes.py:627 UniqueSettings
+            raise SchemaInitError(
+                f"report_duplicates must be all|exclude_first|exclude_last, "
+                f"got {report_duplicates!r}"
+            )
+        self.columns: dict[str, Column] = {}
+        for key, comp in (columns or {}).items():
+            if not isinstance(comp, Column):
+                # shorthand: {"a": "bigint"} or {"a": T.LongType()} or
+                # {"a": Check.gt(0)} / {"a": [checks]}
+                if isinstance(comp, Check) or (
+                    isinstance(comp, list)
+                    and all(isinstance(c, Check) for c in comp)
+                ):
+                    comp = Column(checks=comp)
+                else:
+                    comp = Column(comp)
+            if comp.name is None:
+                comp.set_name(key)
+            self.columns[key] = comp
+        self.checks = _as_list(checks, Check)
+        self.parsers = _as_list(parsers, Parser)
+        self.dtype = normalize_dtype(dtype) if dtype is not None else None
+        self.coerce = coerce
+        self.strict = strict
+        self.ordered = ordered
+        self.unique = unique
+        self.report_duplicates = report_duplicates
+        self.unique_column_names = unique_column_names
+        self.add_missing_columns = add_missing_columns
+        self.drop_invalid_rows = drop_invalid_rows
+        self.name = name
+        self.title = title
+        self.description = description
+        self.metadata = metadata
+
+    # -- validation ----------------------------------------------------------
+
+    def validate(
+        self,
+        df: DataFrame,
+        head: Optional[int] = None,
+        sample: Optional[float] = None,
+        random_state: Optional[int] = None,
+        lazy: bool = True,
+        inplace: bool = False,
+    ) -> DataFrame:
+        """Validate ``df``.
+
+        lazy=True (pyspark-reference behavior): collect every failure,
+        attach the error report to the returned DataFrame
+        (``df.pandera.errors``) and never raise.
+        lazy=False: raise :class:`SchemaErrors` when anything fails.
+        """
+        result = self.validate_result(
+            df, head=head, sample=sample, random_state=random_state
+        )
+        if not lazy and result.errors:
+            raise SchemaErrors(
+                self.name or "schema", result.errors, result.report
+            )
+        attach_report(result.df, result.report, result)
+        return result.df
+
+    def validate_result(
+        self,
+        df: DataFrame,
+        head: Optional[int] = None,
+        sample: Optional[float] = None,
+        random_state: Optional[int] = None,
+    ) -> ValidationResult:
+        """Validate and return the full :class:`ValidationResult` (outcome
+        table, counts, report dict, transformed df)."""
+        return run_validation(
+            self, df, head=head, sample=sample, random_state=random_state
+        )
+
+    def __call__(self, df: DataFrame, **kwargs) -> DataFrame:
+        return self.validate(df, **kwargs)
+
+    # -- schema <-> Spark metadata -------------------------------------------
+
+    def to_structtype(self) -> T.StructType:
+        """Emit the Spark StructType (reference
+        api/pyspark/container.py:163-184)."""
+        return T.StructType(
+            [
+                T.StructField(
+                    comp.name, comp.dtype or T.StringType(), comp.nullable
+                )
+                for comp in self.columns.values()
+                if not comp.regex
+            ]
+        )
+
+    def to_ddl(self) -> str:
+        """Emit a DDL string (reference api/pyspark/container.py:186-195)."""
+        return ", ".join(
+            f"{comp.name} {dtype_to_ddl(comp.dtype or T.StringType()).upper()}"
+            for comp in self.columns.values()
+            if not comp.regex
+        )
+
+    # -- mutation helpers (reference dataframe/container.py transforms) ------
+
+    def add_columns(self, extra: dict) -> "DataFrameSchema":
+        import copy
+
+        new = copy.deepcopy(self)
+        for k, v in extra.items():
+            comp = v if isinstance(v, Column) else Column(v)
+            if comp.name is None:
+                comp.set_name(k)
+            new.columns[k] = comp
+        return new
+
+    def remove_columns(self, names: list[str]) -> "DataFrameSchema":
+        import copy
+
+        new = copy.deepcopy(self)
+        for n in names:
+            if n not in new.columns:
+                raise SchemaInitError(f"column '{n}' not in schema")
+            del new.columns[n]
+        return new
+
+    def update_column(self, name: str, **kwargs) -> "DataFrameSchema":
+        import copy
+
+        if name not in self.columns:
+            raise SchemaInitError(f"column '{name}' not in schema")
+        new = copy.deepcopy(self)
+        props = new.columns[name].properties
+        props.update(kwargs)
+        dtype = props.pop("dtype")
+        comp = Column(dtype, **{k: v for k, v in props.items() if k != "name"})
+        comp.set_name(kwargs.get("name", name))
+        new.columns[name] = comp
+        return new
+
+    def select_columns(self, names: list[str]) -> "DataFrameSchema":
+        import copy
+
+        new = copy.deepcopy(self)
+        new.columns = {k: v for k, v in new.columns.items() if k in names}
+        return new
+
+    def __repr__(self) -> str:
+        return (
+            f"<DataFrameSchema {self.name!r} columns={list(self.columns)} "
+            f"checks={len(self.checks)}>"
+        )
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, DataFrameSchema):
+            return NotImplemented
+        return repr(self) == repr(other) and {
+            k: repr(v) for k, v in self.columns.items()
+        } == {k: repr(v) for k, v in other.columns.items()}

@@ -1,0 +1,389 @@
+"""End-to-end tests over FIXTURES.md F1 (products), F6 (dupes), F7 (coercion).
+
+Mirrors the reference test strategy (SURVEY.md §5): tiny hand-built frames
+with explicit StructTypes, asserting the error-report shape.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandera_spark import (
+    Check,
+    Column,
+    DataFrameSchema,
+    SchemaErrors,
+)
+
+
+@pytest.fixture(scope="module")
+def products(spark):
+    # FIXTURES.md F1; reference tests/pyspark/conftest.py:70-86
+    schema = T.StructType(
+        [
+            T.StructField("product", T.StringType(), True),
+            T.StructField("price", T.IntegerType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [("Bread", 9), ("Butter", 15)], schema=schema
+    )
+
+
+def test_all_pass(spark, products):
+    schema = DataFrameSchema(
+        {
+            "product": Column(T.StringType(), Check.str_startswith("B")),
+            "price": Column(T.IntegerType(), Check.gt(5)),
+        },
+        name="products",
+    )
+    out = schema.validate(products)
+    assert out.pandera.errors == {}
+    assert out.count() == 2
+
+
+def test_value_check_fails_with_count(spark, products):
+    schema = DataFrameSchema(
+        {"price": Column(T.IntegerType(), Check.gt(10))}, name="products"
+    )
+    result = schema.validate_result(products)
+    assert not result.passed
+    [err] = result.errors
+    assert err.column == "price"
+    assert err.failure_cases_count == 1  # only the 9 fails
+    report = result.report
+    assert "DATA" in report
+    assert "schema_component_check" in report["DATA"]
+
+
+def test_single_agg_job_runs_all_checks(spark, products):
+    """Many checks -> still one aggregation (smoke: result correct for all)."""
+    schema = DataFrameSchema(
+        {
+            "product": Column(
+                T.StringType(),
+                [
+                    Check.str_startswith("B"),
+                    Check.str_length(1, 6),
+                    Check.isin(["Bread", "Butter", "Milk"]),
+                    Check.str_matches(r"[A-Z]"),
+                ],
+            ),
+            "price": Column(
+                T.IntegerType(),
+                [Check.gt(5), Check.lt(100), Check.in_range(9, 15), Check.ne(0)],
+            ),
+        },
+        name="products",
+    )
+    result = schema.validate_result(products)
+    assert result.passed
+    assert result.total_rows == 2
+    # every declared check shows up in the outcome table
+    assert len([o for o in result.outcomes if o.check.startswith("dtype")]) == 2
+    assert len(result.outcomes) >= 10
+
+
+def test_lazy_false_raises(spark, products):
+    schema = DataFrameSchema(
+        {"price": Column(T.IntegerType(), Check.gt(10))}, name="products"
+    )
+    with pytest.raises(SchemaErrors) as exc:
+        schema.validate(products, lazy=False)
+    assert "price" in str(exc.value)
+
+
+def test_missing_column_and_strict(spark, products):
+    schema = DataFrameSchema(
+        {
+            "price": Column(T.IntegerType()),
+            "nonexistent": Column(T.StringType()),
+        },
+        strict=True,
+        name="products",
+    )
+    result = schema.validate_result(products)
+    reasons = {e.reason_code.value for e in result.errors}
+    assert "column_not_in_dataframe" in reasons
+    assert "column_not_in_schema" in reasons  # 'product' not declared
+
+
+def test_strict_filter_projects(spark, products):
+    schema = DataFrameSchema(
+        {"price": Column(T.IntegerType())}, strict="filter", name="products"
+    )
+    out = schema.validate(products)
+    assert out.columns == ["price"]
+    assert out.pandera.errors == {}
+
+
+def test_dtype_mismatch(spark, products):
+    schema = DataFrameSchema(
+        {"price": Column(T.LongType())}, name="products"
+    )
+    result = schema.validate_result(products)
+    [err] = result.errors
+    assert err.reason_code.value == "wrong_dtype"
+
+
+def test_nullable_violation(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None)],
+        schema=T.StructType(
+            [
+                T.StructField("k", T.StringType(), True),
+                T.StructField("v", T.IntegerType(), True),
+            ]
+        ),
+    )
+    schema = DataFrameSchema({"v": Column(T.IntegerType(), nullable=False)})
+    result = schema.validate_result(df)
+    [err] = result.errors
+    assert err.reason_code.value == "series_contains_nulls"
+    assert err.failure_cases_count == 1
+
+
+def test_ignore_na_default_null_passes_value_checks(spark):
+    df = spark.createDataFrame(
+        [(1,), (None,), (20,)],
+        schema=T.StructType([T.StructField("v", T.IntegerType(), True)]),
+    )
+    result = DataFrameSchema(
+        {"v": Column(T.IntegerType(), Check.gt(5))}
+    ).validate_result(df)
+    [err] = [e for e in result.errors]
+    assert err.failure_cases_count == 1  # only value 1; null ignored
+
+    # ignore_na=False: null is a violation too
+    result2 = DataFrameSchema(
+        {"v": Column(T.IntegerType(), Check.gt(5, ignore_na=False))}
+    ).validate_result(df)
+    [err2] = result2.errors
+    assert err2.failure_cases_count == 2
+
+
+def test_joint_unique_report_modes(spark):
+    # FIXTURES.md F6
+    df = spark.createDataFrame(
+        [
+            (1, "a", 0.1),
+            (1, "a", 0.2),
+            (2, "b", 0.3),
+            (3, "c", 0.4),
+            (3, "c", 0.5),
+            (3, "c", 0.6),
+        ],
+        schema="k1 int, k2 string, v double",
+    )
+    for mode, expected in [("all", 5), ("exclude_first", 3), ("exclude_last", 3)]:
+        schema = DataFrameSchema(
+            {"k1": Column(T.IntegerType())},
+            unique=["k1", "k2"],
+            report_duplicates=mode,
+        )
+        result = schema.validate_result(df)
+        dup_errs = [
+            e for e in result.errors if e.reason_code.value == "duplicates"
+        ]
+        assert len(dup_errs) == 1
+        assert dup_errs[0].failure_cases_count == expected, mode
+
+
+def test_column_level_unique(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,)], schema="k1 int"
+    )
+    schema = DataFrameSchema({"k1": Column(T.IntegerType(), unique=True)})
+    result = schema.validate_result(df)
+    [err] = result.errors
+    assert err.reason_code.value == "series_contains_duplicates"
+    assert err.failure_cases_count == 2  # report_duplicates=all
+
+
+def test_coercion(spark):
+    # FIXTURES.md F7
+    df = spark.createDataFrame(
+        [("1", "2024-01-01", 1), ("2", "not-a-date", 2), ("x", "2024-02-03", 3)],
+        schema="s_int string, s_date string, i_dbl int",
+    )
+    schema = DataFrameSchema(
+        {
+            "s_int": Column(T.IntegerType(), coerce=True),
+            "s_date": Column(T.DateType(), coerce=True),
+            "i_dbl": Column(T.DoubleType(), coerce=True),
+        }
+    )
+    result = schema.validate_result(df)
+    out = result.df
+    assert dict(out.dtypes)["s_int"] == "int"
+    assert dict(out.dtypes)["s_date"] == "date"
+    assert dict(out.dtypes)["i_dbl"] == "double"
+    coercion_errs = {
+        e.column: e.failure_cases_count
+        for e in result.errors
+        if e.reason_code.value == "dtype_coercion_error"
+    }
+    assert coercion_errs == {"s_int": 1, "s_date": 1}
+    # hidden original columns must not leak
+    assert all(not c.startswith("__pandera") for c in out.columns)
+
+
+def test_drop_invalid_rows(spark):
+    df = spark.createDataFrame(
+        [(1,), (7,), (20,), (None,)],
+        schema=T.StructType([T.StructField("v", T.IntegerType(), True)]),
+    )
+    schema = DataFrameSchema(
+        {"v": Column(T.IntegerType(), Check.in_range(5, 25), nullable=False)},
+        drop_invalid_rows=True,
+    )
+    out = schema.validate(df)
+    assert sorted(r.v for r in out.collect()) == [7, 20]
+
+
+def test_dataframe_level_check(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (5, 3)], schema="a int, b int"
+    )
+    schema = DataFrameSchema(
+        {"a": Column(T.IntegerType()), "b": Column(T.IntegerType())},
+        checks=Check(
+            lambda d: F.col("a") <= F.col("b"), name="a_le_b", error="a<=b"
+        ),
+    )
+    result = schema.validate_result(df)
+    [err] = result.errors
+    assert err.reason_code.value == "dataframe_check"
+    assert err.failure_cases_count == 1
+
+
+def test_regex_columns(spark):
+    # FIXTURES.md F8
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -3.0, "x")],
+        schema="metric_2021 double, metric_2022 double, metric_2023 double, note string",
+    )
+    schema = DataFrameSchema(
+        {
+            r"metric_\d{4}": Column(
+                T.DoubleType(), Check.ge(0), regex=True
+            ),
+            "note": Column(T.StringType()),
+        }
+    )
+    result = schema.validate_result(df)
+    [err] = result.errors
+    assert err.column == "metric_2023"
+
+    # zero-match regex must error
+    schema2 = DataFrameSchema(
+        {r"nope_\d+": Column(T.DoubleType(), regex=True)}
+    )
+    result2 = schema2.validate_result(df)
+    assert any(
+        e.reason_code.value == "column_not_in_dataframe"
+        for e in result2.errors
+    )
+
+
+def test_add_missing_columns_and_defaults(spark):
+    df = spark.createDataFrame([(1,), (2,)], schema="a int")
+    schema = DataFrameSchema(
+        {
+            "a": Column(T.IntegerType()),
+            "extra": Column(T.IntegerType(), default=0),
+        },
+        add_missing_columns=True,
+    )
+    result = schema.validate_result(df)
+    assert result.passed
+    assert "extra" in result.df.columns
+    assert {r.extra for r in result.df.collect()} == {0}
+
+
+def test_unique_values_eq(spark):
+    df = spark.createDataFrame([("A",), ("B",), ("A",)], schema="f string")
+    ok = DataFrameSchema(
+        {"f": Column(T.StringType(), Check.unique_values_eq({"A", "B"}))}
+    ).validate_result(df)
+    assert ok.passed
+    bad = DataFrameSchema(
+        {"f": Column(T.StringType(), Check.unique_values_eq({"A", "B", "C"}))}
+    ).validate_result(df)
+    assert not bad.passed
+
+
+def test_type_gating(spark, products):
+    """Numeric check on a string column is a compile-time SCHEMA error
+    (reference backends/pyspark/decorators.py:42-104)."""
+    schema = DataFrameSchema(
+        {"product": Column(T.StringType(), Check.gt(5))}
+    )
+    result = schema.validate_result(products)
+    [err] = result.errors
+    assert err.reason_code.value == "check_error"
+    assert "does not accept" in err.message
+
+
+def test_ordered(spark, products):
+    schema = DataFrameSchema(
+        {
+            "price": Column(T.IntegerType()),
+            "product": Column(T.StringType()),
+        },
+        ordered=True,
+    )
+    result = schema.validate_result(products)
+    assert any(
+        e.reason_code.value == "column_not_ordered" for e in result.errors
+    )
+
+
+def test_validation_disabled(spark, products):
+    from pandera_spark import config_context
+
+    schema = DataFrameSchema({"zzz": Column(T.StringType())})
+    with config_context(validation_enabled=False):
+        result = schema.validate_result(products)
+    assert result.passed
+
+
+def test_schema_only_depth_skips_data_checks(spark, products):
+    from pandera_spark import ValidationDepth, config_context
+
+    schema = DataFrameSchema(
+        {"price": Column(T.IntegerType(), Check.gt(1000))}
+    )
+    with config_context(validation_depth=ValidationDepth.SCHEMA_ONLY):
+        result = schema.validate_result(products)
+    assert result.passed  # data check skipped
+
+
+def test_to_structtype_and_ddl(spark):
+    schema = DataFrameSchema(
+        {
+            "a": Column(T.LongType(), nullable=False),
+            "b": Column(T.StringType()),
+        }
+    )
+    st = schema.to_structtype()
+    assert st.fieldNames() == ["a", "b"]
+    assert schema.to_ddl() == "a BIGINT, b STRING"
+
+
+def test_parser_runs_before_checks(spark):
+    from pandera_spark import Parser
+
+    df = spark.createDataFrame([(" x ",), ("y",)], schema="s string")
+    schema = DataFrameSchema(
+        {
+            "s": Column(
+                T.StringType(),
+                Check.str_length(1, 1),
+                parsers=Parser(lambda c: F.trim(c)),
+            )
+        }
+    )
+    result = schema.validate_result(df)
+    assert result.passed
