@@ -141,6 +141,9 @@ class Check:
         kwargs: dict,
         agg_kind: str | None = None,
     ) -> "Check":
+        # allow user override of the error label (used as the check's
+        # stable identifier in reports), like the reference's ``error=`` kwarg
+        error = kwargs.pop("error", None) or error
         return cls(
             fn,
             name=name,

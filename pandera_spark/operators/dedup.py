@@ -1,0 +1,267 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup hashes the payload column FIRST (``xxhash64``/``md5`` — JVM-side,
+  whole-stage codegen) so the shuffle moves 8-16 byte keys, never documents.
+- MinHash signatures are computed in one projection (no UDF: ``transform`` +
+  ``aggregate`` higher-order functions over the shingle array), then banded;
+  candidate pairs come from a self-join on (band, band_hash) buckets —
+  the classic LSH bucket join, shuffle keyed on small band hashes.
+- near-dup verification (exact Jaccard) runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as C
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# large 64-bit odd multipliers for the minhash permutation family
+_MINHASH_SEED_A = 0x9E3779B97F4A7C15
+_MINHASH_SEED_B = 0xC2B2AE3D27D4EB4F
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup_stats(df: DataFrame, col: str) -> DataFrame:
+    """Duplicate statistics by exact content hash.
+
+    Returns one row: (n_docs, n_distinct, dup_rows).  Hash-first so the
+    groupBy shuffles 128-bit digests instead of full documents.
+    """
+    h = F.md5(F.col(col).cast("string"))
+    per_group = (
+        df.select(h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_group.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        ).cast("long").alias("dup_rows"),
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str], keep: str = "first") -> DataFrame:
+    """Drop exact duplicates over ``cols``.
+
+    ``keep='any'`` uses ``dropDuplicates`` (fastest — map-side partial
+    aggregation).  ``keep='first'`` keeps the row with the smallest
+    ``_dedup_order`` column if present, else falls back to 'any'.
+    """
+    if keep == "any" or "_dedup_order" not in df.columns:
+        return df.dropDuplicates(cols)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy("_dedup_order")
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(col: C, n: int = 3) -> C:
+    """Word n-gram shingle array from a text column (pure built-ins:
+    split + transform over index range — stays in codegen)."""
+    words = F.split(col, r"\s+")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(0), k - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+
+
+def minhash_signature(shingle_col: C, num_hashes: int = 64) -> C:
+    """MinHash signature as an array<long> using xxhash64 with per-row salt.
+
+    min over the shingle array via the ``array_min``/``transform`` higher-order
+    functions — no Python UDF, fully JVM-side.
+    """
+    sigs = []
+    for i in range(num_hashes):
+        salted = F.transform(
+            shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))
+        )
+        sigs.append(F.array_min(salted))
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Returns (id_a, id_b) with id_a < id_b.  Scale shape: one projection to
+    compute signatures, explode to ``bands`` rows per doc, shuffle on
+    (band, band_hash) — bucket sizes are data-dependent but tiny for
+    non-duplicate-heavy corpora; the join never touches raw text.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
+    banded = df.select(
+        F.col(id_col).alias("__id"), sig.alias("__sig")
+    ).select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("__sig")[b * rows + r]
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("__id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    candidates: DataFrame | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    When ``candidates`` is None, falls back to MinHash-LSH candidate
+    generation first (never all-pairs).  Jaccard via
+    ``array_intersect``/``array_union`` sizes — JVM built-ins.
+    """
+    if candidates is None:
+        candidates = minhash_lsh_candidates(df, id_col, text_col,
+                                            shingle_n=shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    joined = (
+        candidates.join(a, F.col("id_a") == F.col("sa.__id"))
+        .join(b, F.col("id_b") == F.col("sb.__id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sa.__sh", "sb.__sh"))
+                / F.size(F.array_union("sa.__sh", "sb.__sh"))
+            ).alias("jaccard"),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(col: C, num_bits: int = 64) -> C:
+    """64-bit SimHash over word tokens, pure built-ins.
+
+    Implementation: per token a 64-bit hash; for each bit position the
+    signed contribution is summed with ``aggregate``; sign of the sum sets
+    the output bit.  Compiled entirely to Catalyst expressions.
+    """
+    words = F.split(col, r"\s+")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bit_exprs = []
+    for bit in range(num_bits):
+        mask = F.lit(1 << bit).cast("long")
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bit_exprs.append(
+            F.when(contrib > 0, mask).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out.bitwiseOR(e)
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3,
+    num_bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Scale path: block on 4 16-bit chunks (pigeonhole — any pair within
+    hamming distance 3 shares at least one exact chunk), join per chunk,
+    verify with bit_count.  Avoids all-pairs entirely.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"), simhash(F.col(text_col), num_bits).alias("__sh")
+    )
+    chunks = 4
+    width = num_bits // chunks
+    mask = (1 << width) - 1
+    blocked = sh.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("__sh", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ckey"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("__id", "__sh", "c.chunk", "c.ckey")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(
+                F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

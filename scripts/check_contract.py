@@ -1,0 +1,101 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every __spark_entry__.queries() entry on Spark and the matching
+oracle_sql() on DuckDB over the same parquet, compares row count, sorted
+column names, and an order-insensitive value multiset.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    import datetime
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return v
+
+
+def main(sf_dir: str) -> int:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("contract-check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        sdf = fn(spark, sf_dir)
+        spark_rows = sdf.collect()
+        spark_cols = sorted(sdf.columns)
+        s_vals = sorted(
+            tuple(norm(r[c]) for c in spark_cols) for r in spark_rows
+        )
+        if name not in oracles:
+            print(f"  {name}: rows-only ({len(spark_rows)} rows) [no oracle]")
+            continue
+        ddf = con.execute(oracles[name]).fetch_df()
+        duck_cols = sorted(ddf.columns)
+        d_vals = sorted(
+            tuple(norm(v) for v in row)
+            for row in ddf[duck_cols].itertuples(index=False, name=None)
+        )
+        ok_rows = len(spark_rows) == len(ddf)
+        ok_cols = spark_cols == duck_cols
+        ok_vals = s_vals == d_vals
+        status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+            print(f"  {name}: {status} rows={ok_rows} cols={ok_cols} vals={ok_vals}")
+            if not ok_cols:
+                print(f"    spark cols: {spark_cols}\n    duck  cols: {duck_cols}")
+            if not ok_vals:
+                sm = [x for x in s_vals if x not in d_vals][:5]
+                dm = [x for x in d_vals if x not in s_vals][:5]
+                print(f"    spark-only: {sm}\n    duck-only:  {dm}")
+        else:
+            print(f"  {name}: OK ({len(spark_rows)} rows)")
+    # smoke entry()
+    edf = entrymod.entry(spark)
+    print(f"  entry(): {len(edf.collect())} rows, schema={sorted(edf.columns)}")
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(main(sf))
