@@ -26,6 +26,26 @@ from .errors import (
     SchemaInitError,
     UnsupportedDtypeError,
 )
+from .decorators import check_input, check_io, check_output, check_types
+from .extensions import register_check_method, unregister_check_method
+from .hypotheses import Hypothesis
+from .inference import infer_schema
+from .io import (
+    from_frictionless_schema,
+    schema_from_json,
+    schema_from_yaml,
+    schema_to_json,
+    schema_to_script,
+    schema_to_yaml,
+)
+from .model import (
+    DataFrameModel,
+    Field,
+    check,
+    dataframe_check,
+    dataframe_parser,
+    parser,
+)
 from .parsers import Parser
 from .report import ValidationResult
 
@@ -36,7 +56,10 @@ __all__ = [
     "Column",
     "ColumnSchema",
     "Config",
+    "DataFrameModel",
     "DataFrameSchema",
+    "Field",
+    "Hypothesis",
     "ErrorCategory",
     "PanderaSparkError",
     "Parser",
@@ -47,7 +70,24 @@ __all__ = [
     "UnsupportedDtypeError",
     "ValidationDepth",
     "ValidationResult",
+    "check",
+    "check_input",
+    "check_io",
+    "check_output",
+    "check_types",
     "config_context",
+    "dataframe_check",
+    "dataframe_parser",
+    "from_frictionless_schema",
     "get_config",
+    "infer_schema",
+    "parser",
+    "register_check_method",
+    "schema_from_json",
+    "schema_from_yaml",
+    "schema_to_json",
+    "schema_to_script",
+    "schema_to_yaml",
     "set_config",
+    "unregister_check_method",
 ]

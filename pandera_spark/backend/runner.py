@@ -85,6 +85,7 @@ class _Ctx:
         self.finalizers: list = []
         self.pass_conditions: list[SparkCol] = []  # for drop_invalid_rows
         self.unique_specs: list[tuple[str, ...]] = []
+        self.deferred: list = []  # post-agg jobs (grouped hypotheses)
         self.metrics: dict = {}
 
     def outcome(
@@ -195,6 +196,8 @@ def _run(ctx: _Ctx, cfg) -> ValidationResult:
 
     if _data_depth_on(cfg):
         _run_unique_checks(ctx, transformed, total_rows)
+        for job in ctx.deferred:
+            job(transformed)
 
     # ---- finalize ----------------------------------------------------------
     out_df = transformed.drop(
@@ -528,6 +531,10 @@ def _compile_one_check(
         _compile_is_monotonic(ctx, check, colname)
         return
 
+    if check.agg_kind and check.agg_kind.startswith("hypothesis"):
+        _compile_hypothesis(ctx, check, colname)
+        return
+
     try:
         cond = check.violation_condition(col)
     except Exception as exc:
@@ -597,6 +604,130 @@ def _compile_is_monotonic(ctx: _Ctx, check: Check, colname: str) -> None:
         ctx.agg_exprs.append(
             F.count(F.lit(1)).alias(f"__mono_anchor_{len(ctx.agg_exprs)}")
         )
+
+
+def _compile_hypothesis(ctx: _Ctx, check, colname: str) -> None:
+    """Hypothesis execution (SURVEY.md §2.E).
+
+    one-sample: count/avg/stddev folded into the SHARED agg pass (no extra
+    job).  two-sample: one groupBy job on the (tiny) groupby key.  custom:
+    collect_list per group — driver-side, opt-in, documented scale hazard.
+    """
+    from ..hypotheses import one_sample_t, two_sample_t
+
+    col = F.col(colname)
+    reason = SchemaErrorReason.SCHEMA_COMPONENT_CHECK
+
+    if check.agg_kind == "hypothesis_one_sample":
+        base = f"__hyp1__{colname}__{len(ctx.agg_exprs)}"
+        ctx.agg_exprs.extend(
+            [
+                F.count(col).alias(base + "_n"),
+                F.avg(col).alias(base + "_m"),
+                F.stddev_samp(col).alias(base + "_s"),
+            ]
+        )
+
+        def fin(row, base=base):
+            n = int(row[base + "_n"] or 0)
+            m = float(row[base + "_m"] or 0.0)
+            s = float(row[base + "_s"] or 0.0)
+            stat, p = one_sample_t(n, m, s, check.popmean)
+            ok = check.decide(stat, p)
+            ctx.metrics[check.error] = {"stat": stat, "pvalue": p}
+            ctx.outcome(
+                colname, check.error, reason, passed=ok,
+                message="" if ok else
+                f"one_sample_ttest failed: t={stat:.4f} p={p:.4g}",
+            )
+
+        ctx.finalizers.append(fin)
+        return
+
+    if check.agg_kind == "hypothesis_two_sample":
+        g1, g2 = check.samples
+
+        def job(df: DataFrame):
+            rows = (
+                df.filter(F.col(check.groupby).isin([g1, g2]))
+                .groupBy(F.col(check.groupby).alias("__g"))
+                .agg(
+                    F.count(col).alias("n"),
+                    F.avg(col).alias("m"),
+                    F.var_samp(col).alias("v"),
+                )
+                .collect()
+            )
+            stats = {r["__g"]: r for r in rows}
+            if g1 not in stats or g2 not in stats:
+                ctx.outcome(
+                    colname, check.error, reason, passed=False,
+                    message=(
+                        f"groups {g1!r}/{g2!r} not both present in "
+                        f"'{check.groupby}'"
+                    ),
+                )
+                return
+            a, b = stats[g1], stats[g2]
+            stat, p = two_sample_t(
+                int(a["n"]), float(a["m"]), float(a["v"] or 0.0),
+                int(b["n"]), float(b["m"]), float(b["v"] or 0.0),
+                equal_var=getattr(check, "equal_var", True),
+            )
+            ok = check.decide(stat, p)
+            ctx.metrics[check.error] = {"stat": stat, "pvalue": p}
+            ctx.outcome(
+                colname, check.error, reason, passed=ok,
+                message="" if ok else
+                f"two_sample_ttest failed: t={stat:.4f} p={p:.4g}",
+            )
+
+        ctx.deferred.append(job)
+        return
+
+    # custom hypothesis: collect per-group samples (bounded by data size —
+    # explicit opt-in, reference api/hypotheses.py:39-99)
+    def job(df: DataFrame):
+        if check.groupby:
+            rows = (
+                df.groupBy(F.col(check.groupby).alias("__g"))
+                .agg(F.collect_list(col).alias("vals"))
+                .collect()
+            )
+            groups = {r["__g"]: r["vals"] for r in rows}
+            samples = [groups.get(s, []) for s in check.samples] or [
+                v for v in groups.values()
+            ]
+        else:
+            samples = [
+                [
+                    r[0]
+                    for r in df.select(col).dropna().collect()
+                ]
+            ]
+        try:
+            out = check.test(*samples, **check.test_kwargs)
+        except Exception as exc:
+            ctx.outcome(
+                colname, check.error, SchemaErrorReason.CHECK_ERROR,
+                passed=False, message=f"hypothesis test raised: {exc!r}",
+            )
+            return
+        if isinstance(out, tuple) and len(out) == 2:
+            stat, p = float(out[0]), float(out[1])
+        else:
+            stat, p = float(out), float("nan")
+        ok = check.decide(stat, p)
+        ctx.metrics[check.error] = {"stat": stat, "pvalue": p}
+        ctx.outcome(
+            colname, check.error, reason, passed=ok,
+            message="" if ok else f"hypothesis failed: stat={stat:.4f}",
+        )
+
+    ctx.deferred.append(job)
+    # ensure the finalize phase runs even with no other agg exprs
+    if not ctx.agg_exprs:
+        ctx.agg_exprs.append(F.count(F.lit(1)).alias("__hyp_anchor__"))
 
 
 def _compile_dataframe_checks(ctx: _Ctx, df: DataFrame) -> None:

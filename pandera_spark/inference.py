@@ -1,0 +1,120 @@
+"""Schema inference: profile a DataFrame and emit a candidate schema.
+
+Reference: /root/reference/pandera/schema_inference/pyspark.py:15-58 and
+schema_statistics/pyspark.py:12-62 — per-column null counts via
+``sum(when(isNull))``, min/max -> ge/le checks for numeric/datetime columns,
+``isin`` for low-cardinality string columns, ``coerce=True`` on the result.
+
+Spark-native upgrade: the reference runs several passes; we fold EVERY
+statistic (null count, min, max, approx distinct) for EVERY column into ONE
+``df.agg`` job, then fetch exact distinct values only for candidate
+categorical columns (second tiny job on those columns alone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .checks import Check
+from .components import Column
+from .container import DataFrameSchema
+from .engine import DATE_TYPES, NUMERIC_TYPES
+
+_CATEGORY_LIMIT = 256  # reference schema_statistics/pyspark.py distinct cap
+
+
+def infer_schema(
+    df: DataFrame,
+    *,
+    categorical_columns: bool = True,
+    category_limit: int = _CATEGORY_LIMIT,
+) -> DataFrameSchema:
+    """Infer a validation schema from data in at most two Spark jobs."""
+    fields = df.schema.fields
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c = F.col(f.name)
+        aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"nulls__{f.name}"))
+        if isinstance(f.dataType, NUMERIC_TYPES + DATE_TYPES):
+            aggs.append(F.min(c).alias(f"min__{f.name}"))
+            aggs.append(F.max(c).alias(f"max__{f.name}"))
+        if isinstance(f.dataType, T.StringType):
+            aggs.append(
+                F.approx_count_distinct(c).alias(f"adist__{f.name}")
+            )
+    row = df.agg(*aggs).first().asDict()
+
+    # second tiny job: exact value sets for candidate categoricals only
+    cat_values: dict[str, list] = {}
+    if categorical_columns:
+        cat_cols = [
+            f.name
+            for f in fields
+            if isinstance(f.dataType, T.StringType)
+            and (row.get(f"adist__{f.name}") or 0) <= category_limit
+        ]
+        if cat_cols:
+            sets = df.agg(
+                *[F.collect_set(F.col(c)).alias(c) for c in cat_cols]
+            ).first()
+            for c in cat_cols:
+                cat_values[c] = sorted(sets[c])
+
+    columns: dict[str, Column] = {}
+    for f in fields:
+        checks: list[Check] = []
+        if isinstance(f.dataType, NUMERIC_TYPES + DATE_TYPES):
+            lo, hi = row.get(f"min__{f.name}"), row.get(f"max__{f.name}")
+            if lo is not None:
+                checks.append(Check.ge(lo))
+            if hi is not None:
+                checks.append(Check.le(hi))
+        elif f.name in cat_values and cat_values[f.name]:
+            checks.append(Check.isin(cat_values[f.name]))
+        nullable = (row.get(f"nulls__{f.name}") or 0) > 0
+        columns[f.name] = Column(
+            f.dataType,
+            checks=checks,
+            nullable=nullable,
+            coerce=True,
+            name=f.name,
+        )
+    return DataFrameSchema(columns, coerce=True, name="inferred_schema")
+
+
+def profile(df: DataFrame) -> DataFrame:
+    """Single-pass statistics profile as a long-format DataFrame:
+    (col_name, null_count, distinct_estimate, min_str, max_str)."""
+    spark = df.sparkSession
+    fields = df.schema.fields
+    aggs = []
+    for f in fields:
+        c = F.col(f.name)
+        aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"nulls__{f.name}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"adist__{f.name}"))
+        if isinstance(f.dataType, NUMERIC_TYPES + DATE_TYPES + (T.StringType,)):
+            aggs.append(F.min(c).cast("string").alias(f"min__{f.name}"))
+            aggs.append(F.max(c).cast("string").alias(f"max__{f.name}"))
+    row = df.agg(*aggs).first().asDict()
+    data = [
+        (
+            f.name,
+            int(row.get(f"nulls__{f.name}") or 0),
+            int(row.get(f"adist__{f.name}") or 0),
+            row.get(f"min__{f.name}"),
+            row.get(f"max__{f.name}"),
+        )
+        for f in fields
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("col_name", T.StringType(), False),
+            T.StructField("null_count", T.LongType(), False),
+            T.StructField("distinct_estimate", T.LongType(), False),
+            T.StructField("min_str", T.StringType(), True),
+            T.StructField("max_str", T.StringType(), True),
+        ]
+    )
+    return spark.createDataFrame(data, schema)
