@@ -326,6 +326,128 @@ def _drop_invalid_oracle() -> str:
     )
 
 
+def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (similarity-search baseline operator).
+
+    First 5 vectors are the query set; embeddings cast float->double so the
+    arithmetic matches the DuckDB oracle bit-for-bit."""
+    from pandera_spark.operators.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    top = brute_force_topk(emb, queries, k=5)
+    return top.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.round(F.col("cosine_sim"), 6).alias("cosine_sim_r"),
+    )
+
+
+_ANN_ORACLE = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS sim
+  FROM emb q JOIN emb c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       ROUND(sim, 6) AS cosine_sim_r
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality metrics (length/punct/token counts) per document."""
+    from pandera_spark.operators.text import token_count
+
+    df = _load(spark, sf_dir, "documents")
+    col = F.col("text")
+    return df.select(
+        "doc_id",
+        F.length(col).cast("long").alias("n_chars_c"),
+        token_count(col).alias("n_tokens"),
+        F.regexp_count(col, F.lit(r"[^a-zA-Z0-9 ]")).cast("long").alias("n_punct"),
+    )
+
+
+def q_coerce_errors_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coercion-error capture (SURVEY §2.B coerce dtype): casting the JSON
+    props column to double fails on every non-null row; value->int is clean.
+    Counts come from the same single agg pass as everything else."""
+    from pandera_spark import Column as PColumn
+    from pandera_spark import DataFrameSchema as PSchema
+
+    df = _load(spark, sf_dir, "events")
+    schema = PSchema(
+        {
+            "props": PColumn("double", coerce=True),
+            "user_id": PColumn("int", coerce=True),
+        },
+        name="events_coerce",
+    )
+    result = schema.validate_result(df)
+    rows = [
+        (o.column, int(o.violations))
+        for o in result.outcomes
+        if o.reason_code.value == "dtype_coercion_error"
+    ]
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("col_name", T.StringType(), False),
+                T.StructField("cast_errors", T.LongType(), False),
+            ]
+        ),
+    )
+
+
+def q_monotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_monotonic tabular check (SURVEY §2.D note): ts ordered by event_id.
+    Returns the violation count."""
+    from pandera_spark import Check as C2
+    from pandera_spark import Column as PColumn
+    from pandera_spark import DataFrameSchema as PSchema
+
+    df = _load(spark, sf_dir, "events")
+    schema = PSchema(
+        {
+            "ts": PColumn(
+                checks=C2.is_monotonic(order_by="event_id", error="ts_monotonic")
+            )
+        },
+        name="events_mono",
+    )
+    result = schema.validate_result(df)
+    [outcome] = [o for o in result.outcomes if o.check == "ts_monotonic"]
+    return spark.createDataFrame(
+        [(int(outcome.violations),)],
+        T.StructType([T.StructField("mono_violations", T.LongType(), False)]),
+    )
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 document fingerprint (text-analysis operator; md5 so
+    the DuckDB oracle can reproduce it)."""
+    df = _load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""),
+            r"  +", " ",
+        )
+    )
+    return df.select("doc_id", F.md5(norm).alias("fp"))
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup fingerprint over documents (hash-groupBy; beyond-reference
     operator, BASELINE.json north star)."""
@@ -352,6 +474,128 @@ def q_lang_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+def q_minhash_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 is
+    not reproducible in DuckDB)."""
+    from pandera_spark.operators.dedup import minhash_lsh_candidates
+
+    df = _load(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        df, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming<=3 (rows-only)."""
+    from pandera_spark.operators.dedup import simhash_near_dups
+
+    df = _load(spark, sf_dir, "documents")
+    return simhash_near_dups(df, "doc_id", "text", max_hamming=3)
+
+
+def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID vs the labeled lang column: per-language
+    accuracy counts (rows-only: argmax-over-structs not portable to SQL)."""
+    from pandera_spark.operators.text import detect_language
+
+    df = _load(spark, sf_dir, "documents")
+    return (
+        df.select("lang", detect_language(F.col("text")).alias("pred"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("pred") == F.col("lang"), 1)).alias(
+                "n_correct"
+            ),
+        )
+    )
+
+
+def q_lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k (scale path of similarity
+    search; rows-only — recall vs brute force is checked in tests)."""
+    from pandera_spark.operators.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, k=5, dim=64, n_planes=16, bands=8).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def q_ttest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample t statistic via Spark aggregates (hypothesis operator,
+    SURVEY §2.E); oracle computes the closed form in SQL."""
+    df = _load(spark, sf_dir, "events")
+    g = (
+        df.filter(F.col("event_type").isin(["click", "error"]))
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+        .collect()
+    )
+    s = {r.event_type: r for r in g}
+    from pandera_spark.hypotheses import two_sample_t
+
+    a, b = s["click"], s["error"]
+    stat, _p = two_sample_t(
+        int(a.n), float(a.m), float(a.v), int(b.n), float(b.m), float(b.v),
+        equal_var=True,
+    )
+    return spark.createDataFrame(
+        [(round(stat, 6),)],
+        T.StructType([T.StructField("t_stat_r", T.DoubleType(), False)]),
+    )
+
+
+_TTEST_ORACLE = """
+WITH g AS (
+  SELECT event_type, COUNT(value) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+  FROM events WHERE event_type IN ('click','error') GROUP BY event_type
+), a AS (SELECT * FROM g WHERE event_type='click'),
+   b AS (SELECT * FROM g WHERE event_type='error')
+SELECT ROUND(
+  (a.m - b.m) / SQRT( ((a.n-1)*a.v + (b.n-1)*b.v)/(a.n+b.n-2)
+                      * (1.0/a.n + 1.0/b.n) ), 6) AS t_stat_r
+FROM a, b
+"""
+
+
+CUSTOMER_CHECKS: list[tuple[str, str, Check, str]] = [
+    ("c_custkey", "custkey_gt_0", Check.gt(0, error="custkey_gt_0"),
+     "c_custkey IS NOT NULL AND NOT (c_custkey > 0)"),
+    ("c_name", "name_startswith", Check.str_startswith("Customer#", error="name_startswith"),
+     "c_name IS NOT NULL AND NOT starts_with(c_name, 'Customer#')"),
+    ("c_acctbal", "acctbal_in_range", Check.in_range(-1000.0, 10000.0, error="acctbal_in_range"),
+     "c_acctbal IS NOT NULL AND NOT (c_acctbal BETWEEN -1000.0 AND 10000.0)"),
+    ("c_mktsegment", "mktsegment_isin",
+     Check.isin(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+                error="mktsegment_isin"),
+     "c_mktsegment IS NOT NULL AND c_mktsegment NOT IN "
+     "('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')"),
+    ("c_nationkey", "nationkey_in_range", Check.in_range(0, 24, error="nationkey_in_range"),
+     "c_nationkey IS NOT NULL AND NOT (c_nationkey BETWEEN 0 AND 24)"),
+]
+
+PART_CHECKS: list[tuple[str, str, Check, str]] = [
+    ("p_partkey", "partkey_gt_0", Check.gt(0, error="partkey_gt_0"),
+     "p_partkey IS NOT NULL AND NOT (p_partkey > 0)"),
+    ("p_size", "size_in_1_50", Check.in_range(1, 50, error="size_in_1_50"),
+     "p_size IS NOT NULL AND NOT (p_size BETWEEN 1 AND 50)"),
+    ("p_retailprice", "retailprice_gt_0", Check.gt(0.0, error="retailprice_gt_0"),
+     "p_retailprice IS NOT NULL AND NOT (p_retailprice > 0.0)"),
+    ("p_name", "name_len_1_60", Check.str_length(1, 60, error="name_len_1_60"),
+     "p_name IS NOT NULL AND NOT (LENGTH(p_name) BETWEEN 1 AND 60)"),
+    ("p_brand", "brand_matches", Check.str_matches("Brand#", error="brand_matches"),
+     "p_brand IS NOT NULL AND NOT regexp_matches(p_brand, '^Brand#')"),
+]
 
 
 def q_distinct_returnflags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +637,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_documents": q_token_stats_documents,
         "lang_profile_documents": q_lang_profile_documents,
         "distinct_returnflags": q_distinct_returnflags,
+        "validate_customer": _report_query(
+            "customer", CUSTOMER_CHECKS, ["c_custkey", "c_name"]
+        ),
+        "validate_part": _report_query("part", PART_CHECKS, ["p_partkey"]),
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "text_quality_documents": q_text_quality_documents,
+        "coerce_errors_events": q_coerce_errors_events,
+        "monotonic_events": q_monotonic_events,
+        "fingerprint_documents": q_fingerprint_documents,
+        "ttest_events": q_ttest_events,
+        "minhash_candidates_documents": q_minhash_candidates_documents,
+        "simhash_documents": q_simhash_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "lsh_ann_embeddings": q_lsh_ann_embeddings,
     }
 
 
@@ -439,4 +697,41 @@ def oracle_sql() -> dict[str, str]:
         "distinct_returnflags": (
             "SELECT DISTINCT l_returnflag AS flag FROM lineitem"
         ),
+        "validate_customer": _report_oracle(
+            "customer", CUSTOMER_CHECKS, ["c_custkey", "c_name"]
+        ),
+        "validate_part": _report_oracle("part", PART_CHECKS, ["p_partkey"]),
+        "ann_topk_embeddings": _ANN_ORACLE,
+        "text_quality_documents": (
+            "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_c, "
+            "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) "
+            "AS n_tokens, "
+            "CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) "
+            "AS BIGINT) AS n_punct "
+            "FROM documents"
+        ),
+        "coerce_errors_events": (
+            "SELECT 'props' AS col_name, CAST(COALESCE(SUM(CASE WHEN "
+            "props IS NOT NULL AND TRY_CAST(props AS DOUBLE) IS NULL "
+            "THEN 1 ELSE 0 END),0) AS BIGINT) AS cast_errors FROM events "
+            "UNION ALL "
+            "SELECT 'user_id' AS col_name, CAST(COALESCE(SUM(CASE WHEN "
+            "user_id IS NOT NULL AND TRY_CAST(user_id AS INTEGER) IS NULL "
+            "THEN 1 ELSE 0 END),0) AS BIGINT) AS cast_errors FROM events"
+        ),
+        "monotonic_events": (
+            "SELECT CAST(COALESCE(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 "
+            "END),0) AS BIGINT) AS mono_violations FROM ("
+            "SELECT ts, LAG(ts) OVER (ORDER BY event_id) AS prev_ts "
+            "FROM events)"
+        ),
+        "fingerprint_documents": (
+            "SELECT doc_id, md5(trim(regexp_replace(regexp_replace("
+            "lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS fp "
+            "FROM documents"
+        ),
+        "ttest_events": _TTEST_ORACLE,
+        # minhash_candidates_documents, simhash_documents, lang_id_documents,
+        # lsh_ann_embeddings: rows-only (hash functions / argmax not
+        # reproducible in ANSI SQL) — driver records the weaker check.
     }

@@ -86,6 +86,9 @@ class _Ctx:
         self.pass_conditions: list[SparkCol] = []  # for drop_invalid_rows
         self.unique_specs: list[tuple[str, ...]] = []
         self.deferred: list = []  # post-agg jobs (grouped hypotheses)
+        # (column|None, label, violation_cond, n_failure_cases|None) for
+        # on-demand failure-case extraction
+        self.failure_specs: list[tuple] = []
         self.metrics: dict = {}
 
     def outcome(
@@ -212,7 +215,7 @@ def _run(ctx: _Ctx, cfg) -> ValidationResult:
         out_df = out_df.filter(cond)
 
     report = ctx.handler.summarize()
-    return ValidationResult(
+    result = ValidationResult(
         schema_name=name,
         df=out_df,
         outcomes=ctx.outcomes,
@@ -221,6 +224,9 @@ def _run(ctx: _Ctx, cfg) -> ValidationResult:
         total_rows=total_rows,
         metrics=ctx.metrics,
     )
+    result._failure_specs = ctx.failure_specs
+    result._checked_df = transformed
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -476,6 +482,9 @@ def _compile_column_checks(
                         )
                     )
                     ctx.pass_conditions.append(col.isNotNull())
+                    ctx.failure_specs.append(
+                        (colname, "not_nullable", col.isNull(), None)
+                    )
 
             # per-column unique (reference backends/pandas/array.py:354-397)
             if comp.unique:
@@ -553,6 +562,9 @@ def _compile_one_check(
         )
     )
     ctx.pass_conditions.append(check.pass_condition(col))
+    ctx.failure_specs.append(
+        (colname, check.error, cond, check.n_failure_cases)
+    )
 
 
 def _compile_is_monotonic(ctx: _Ctx, check: Check, colname: str) -> None:
@@ -763,6 +775,9 @@ def _compile_dataframe_checks(ctx: _Ctx, df: DataFrame) -> None:
             )
         )
         ctx.pass_conditions.append(~viol)
+        ctx.failure_specs.append(
+            (None, check.error, viol, check.n_failure_cases)
+        )
 
 
 def _compile_coerce_errors(ctx: _Ctx, coerce_agg_cols: dict) -> None:

@@ -370,7 +370,8 @@ class Check:
         chk = cls(
             None,
             name="is_monotonic",
-            error=f"is_monotonic(order_by='{order_by}', decreasing={decreasing})",
+            error=kwargs.pop("error", None)
+            or f"is_monotonic(order_by='{order_by}', decreasing={decreasing})",
             statistics={
                 "order_by": order_by, "decreasing": decreasing, "strict": strict,
             },

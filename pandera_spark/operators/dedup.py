@@ -187,6 +187,14 @@ def ngram_jaccard_pairs(
     return joined.filter(F.col("jaccard") >= threshold)
 
 
+def _mask_lit(bit: int) -> C:
+    """Signed-long literal with only ``bit`` set (bit 63 wraps negative)."""
+    m = 1 << bit
+    if m >= 1 << 63:
+        m -= 1 << 64
+    return F.lit(m).cast("long")
+
+
 def simhash(col: C, num_bits: int = 64) -> C:
     """64-bit SimHash over word tokens, pure built-ins.
 
@@ -198,7 +206,7 @@ def simhash(col: C, num_bits: int = 64) -> C:
     hashes = F.transform(words, lambda w: F.xxhash64(w))
     bit_exprs = []
     for bit in range(num_bits):
-        mask = F.lit(1 << bit).cast("long")
+        mask = _mask_lit(bit)
         contrib = F.aggregate(
             hashes,
             F.lit(0).cast("long"),

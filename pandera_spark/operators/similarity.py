@@ -1,0 +1,242 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — dot products via ``zip_with`` +
+``aggregate`` higher-order functions (JVM-side, no UDF), top-k via a window
+partitioned per query (parallel across queries, no global sort).
+
+Scale path: random-hyperplane LSH — bucket the corpus by sign-bit bands so a
+query only scans its candidate buckets; at 100 TB the bucket join replaces
+the full cross product.  Hyperplanes are seeded-deterministic and shipped as
+literal arrays (tiny), so no broadcast variable management is needed.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional
+
+from pyspark.sql import Column as C
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def dot(a: C, b: C) -> C:
+    """Element-wise dot product of two array columns (pure built-ins)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: C) -> C:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: C, b: C) -> C:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for every query vector.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank).  The query side is
+    broadcast (queries are assumed small); ranking is a per-query window so
+    work parallelizes across queries.  Ties broken by neighbor id for
+    determinism.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    sim = cosine(F.col("__qvec"), F.col("__cvec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            sim.alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_signature(vec: C, planes: list[list[float]]) -> C:
+    """Sign-bit signature (one long per <=64 hyperplanes)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(dot(vec, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH banding.
+
+    Signature of ``n_planes`` sign bits split into ``bands`` bands; a corpus
+    vector is a candidate iff it shares at least one full band with the
+    query.  Exact cosine is computed only on candidates.  Recall rises with
+    bands; cost with band width.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+    mask = (1 << rows_per_band) - 1
+
+    def banded(df: DataFrame, idc: str, vecc: str, prefix: str) -> DataFrame:
+        sig = lsh_signature(F.col(vecc), planes)
+        return df.select(
+            F.col(idc).alias(f"{prefix}_id"),
+            F.col(vecc).alias(f"{prefix}_vec"),
+            sig.alias("__sig"),
+        ).select(
+            f"{prefix}_id",
+            f"{prefix}_vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(
+                                "__sig", b * rows_per_band
+                            ).bitwiseAND(F.lit(mask)).alias("bkey"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        ).select(
+            f"{prefix}_id", f"{prefix}_vec",
+            F.col("bh.band").alias("band"), F.col("bh.bkey").alias("bkey"),
+        )
+
+    qb = F.broadcast(banded(queries, query_id_col, query_vec_col, "query"))
+    cb = banded(corpus, id_col, vec_col, "neighbor")
+    candidates = (
+        qb.join(cb, on=["band", "bkey"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .distinct()
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
+    via LSH candidate generation + exact verify."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+    mask = (1 << rows_per_band) - 1
+    sig = lsh_signature(F.col(vec_col), planes)
+    banded = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
+        sig.alias("__sig"),
+    ).select(
+        "__id", "__vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("__sig", b * rows_per_band)
+                        .bitwiseAND(F.lit(mask)).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("__id", "__vec", "bh.band", "bh.bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__vec").alias("va"),
+            F.col("b.__vec").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -94,9 +94,60 @@ class ValidationResult:
     total_rows: Optional[int] = None
     metrics: dict = field(default_factory=dict)
 
+    # set by the runner: compiled violation conditions + the checked frame
+    _failure_specs: list = field(default_factory=list, repr=False)
+    _checked_df: Optional[DataFrame] = field(default=None, repr=False)
+
     @property
     def passed(self) -> bool:
         return not self.errors
+
+    def failure_cases(self, n: int = 5) -> Optional[DataFrame]:
+        """Sample failing values for every FAILED check
+        (reference n_failure_cases, api/checks.py:99-101; the reference
+        pyspark backend reduced failure cases to scalars —
+        backends/pyspark/base.py:95-98 — ours returns real samples).
+
+        Returns (column, check, failure_case) with up to ``n`` rows per
+        failed check (a per-check ``n_failure_cases`` overrides ``n``).
+        Runs one filter+limit job per failed check, only on demand.
+        """
+        if self._checked_df is None or not self._failure_specs:
+            return None
+        from pyspark.sql import functions as F
+
+        failed = {
+            (o.column, o.check)
+            for o in self.outcomes
+            if not o.passed and o.violations > 0
+        }
+        parts = []
+        df = self._checked_df
+        for column, label, cond, n_override in self._failure_specs:
+            key = (column, label)
+            if key not in failed:
+                continue
+            limit = n_override if n_override is not None else n
+            value = (
+                F.col(column).cast("string")
+                if column is not None
+                else F.to_json(F.struct(*df.columns))
+            )
+            parts.append(
+                df.filter(cond)
+                .select(
+                    F.lit(column).alias("column"),
+                    F.lit(label).alias("check"),
+                    value.alias("failure_case"),
+                )
+                .limit(limit)
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
 
     def outcome_rows(self) -> list[tuple]:
         return [

@@ -1,0 +1,243 @@
+"""Operator tests: dedup, similarity, text, multimodal, streaming,
+failure cases."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import pandera_spark as ps
+from pandera_spark import Check, Column, DataFrameSchema
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (3, "the quick brown fox jumps over a lazy dog today", "en"),  # near
+        (4, "der schnelle braune fuchs springt und ist nicht da", "de"),
+        (5, "completely different content about spark engines", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_exact_dedup_stats(spark, docs):
+    from pandera_spark.operators.dedup import exact_dedup_stats
+
+    row = exact_dedup_stats(docs, "text").first()
+    assert row.n_docs == 5
+    assert row.n_distinct == 4
+    assert row.dup_rows == 2
+
+
+def test_exact_dedup_drop(spark, docs):
+    from pandera_spark.operators.dedup import exact_dedup
+
+    assert exact_dedup(docs, ["text"], keep="any").count() == 4
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from pandera_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    cands = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=32, bands=16, shingle_n=2
+    )
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 2) in pairs  # exact dups always collide
+
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", candidates=cands, shingle_n=2, threshold=0.99
+    )
+    exact = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert (1, 2) in exact
+    # near-dup 3 shouldn't survive a 0.99 threshold
+    assert (1, 3) not in exact
+
+
+def test_simhash_near_dups(spark, docs):
+    from pandera_spark.operators.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(docs, "doc_id", "text", max_hamming=0)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 5) not in got
+
+
+def test_token_and_quality(spark, docs):
+    from pandera_spark.operators.text import text_quality, token_stats
+
+    ts = {r.doc_id: r.n_tokens for r in token_stats(docs).collect()}
+    assert ts[1] == 9
+    q = {r.doc_id: r.quality for r in text_quality(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+
+
+def test_language_id(spark, docs):
+    from pandera_spark.operators.text import language_id
+
+    got = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[4] == "de"
+
+
+def test_fingerprints_normalize(spark):
+    from pandera_spark.operators.text import document_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "other")],
+        "doc_id bigint, text string",
+    )
+    fps = {r.doc_id: r.fingerprint for r in document_fingerprints(df).collect()}
+    assert fps[1] == fps[2]  # case/punct/ws-insensitive
+    assert fps[1] != fps[3]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(20):
+        angle = i * math.pi / 40
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_brute_force_topk(spark, vectors):
+    from pandera_spark.operators.similarity import brute_force_topk
+
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = brute_force_topk(vectors, q, k=3).collect()
+    assert [r.neighbor_id for r in top] == [1, 2, 3]  # angular order
+    assert all(r.query_id == 0 for r in top)
+    assert top[0].cosine_sim > top[1].cosine_sim > top[2].cosine_sim
+
+
+def test_lsh_topk_recall(spark, vectors):
+    from pandera_spark.operators.similarity import lsh_topk
+
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = lsh_topk(
+        vectors, q, k=3, dim=4, n_planes=8, bands=8
+    ).collect()  # bands=8 of width 1: high recall
+    assert top and top[0].neighbor_id == 1
+
+
+def test_embedding_near_dups(spark):
+    from pandera_spark.operators.similarity import embedding_near_dups
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0, 0.0]),  # near-dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = embedding_near_dups(
+        df, threshold=0.99, dim=4, n_planes=8, bands=8
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_multimodal_fake_pipeline(spark):
+    from pandera_spark.operators.multimodal import (
+        image_features,
+        media_stats,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b"\x89PNG" + bytes(range(256)))),
+            (2, bytearray(b"\xff\xd8\xff" + bytes(range(128)))),
+            (3, None),
+        ],
+        "media_id bigint, payload binary",
+    )
+    stats = media_stats(media).first()
+    assert stats.n_media == 3 and stats.null_payloads == 1
+
+    feats = image_features(media, dim=8, deterministic_fake=True).collect()
+    assert len(feats) == 3
+    by_id = {r.media_id: r.feature for r in feats}
+    assert len(by_id[1]) == 8
+    # deterministic: re-run gives identical features
+    feats2 = image_features(media, dim=8, deterministic_fake=True).collect()
+    assert {r.media_id: r.feature for r in feats2} == by_id
+
+    frames = sample_frames(media, deterministic_fake=True).collect()
+    assert all(r.media_id in (1, 2) for r in frames)
+
+    # real decode path is an explicit stub
+    with pytest.raises(Exception):
+        image_features(media, deterministic_fake=False).collect()
+
+
+def test_streaming_foreach_batch(spark, tmp_path):
+    from pandera_spark.streaming import validate_stream
+
+    schema = DataFrameSchema(
+        {"value": Column(T.LongType(), Check.lt(5))}, name="stream_schema"
+    )
+    src = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    src = src.select(F.col("value"))
+    reports = {}
+    seen = []
+
+    writer = validate_stream(
+        src,
+        schema,
+        on_report=lambda bid, rep: reports.update({bid: rep}),
+        drop_invalid=True,
+        sink=lambda df, bid: seen.append(df.count()),
+    )
+    q = writer.start()
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline and len(seen) < 2:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert seen, "no micro-batches processed"
+    assert any("DATA" in r for r in reports.values() if r) or reports
+
+
+def test_observe_validation(spark):
+    from pandera_spark.streaming import observed_validation
+
+    schema = DataFrameSchema(
+        {"v": Column(T.LongType(), Check.gt(2), nullable=False)}
+    )
+    df = spark.range(10).select(F.col("id").alias("v"))
+    out, obs = observed_validation(df, schema)
+    out.count()  # metrics piggyback on this action
+    metrics = obs.get
+    assert metrics["rows"] == 10
+    assert metrics["viol__v__greater_than(2)"] == 3  # 0,1,2
+
+
+def test_failure_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (20, "b"), (30, "c")], "v int, s string"
+    )
+    schema = DataFrameSchema(
+        {"v": Column(T.IntegerType(), Check.le(10, n_failure_cases=1))},
+        checks=Check(lambda d: F.col("v") != 30, name="v_ne_30", error="v_ne_30"),
+    )
+    result = schema.validate_result(df)
+    fc = result.failure_cases(n=5)
+    rows = fc.collect()
+    by_check = {}
+    for r in rows:
+        by_check.setdefault(r.check, []).append(r.failure_case)
+    assert len(by_check["less_than_or_equal_to(10)"]) == 1  # n_failure_cases=1
+    assert len(by_check["v_ne_30"]) == 1
+    assert "30" in by_check["v_ne_30"][0]  # df-level -> json of row
