@@ -160,7 +160,11 @@ def _validation_schema(
     for colname in not_null:
         if colname not in cols:
             cols[colname] = Column(nullable=False)
-    return DataFrameSchema(cols, name=name, unique=unique)
+    # exclude_first duplicate accounting: the violation count folds into the
+    # single agg pass (total - countDistinct) — no groupBy job at all
+    return DataFrameSchema(
+        cols, name=name, unique=unique, report_duplicates="exclude_first"
+    )
 
 
 def _report_query(
@@ -210,9 +214,8 @@ def _report_oracle(
         label = f"unique({[c for c in unique]!r})".replace("'", "''")
         selects.append(
             f"SELECT '{col_id}' AS col_name, '{label}' AS check_name, "
-            f"CAST(COALESCE((SELECT SUM(c) FROM (SELECT COUNT(*) AS c "
-            f"FROM {table} GROUP BY {cols} HAVING COUNT(*) > 1)), 0) "
-            f"AS BIGINT) AS violations"
+            f"CAST(COUNT(*) - COUNT(DISTINCT ({cols})) AS BIGINT) "
+            f"AS violations FROM {table}"
         )
     return " UNION ALL ".join(selects)
 
@@ -232,35 +235,31 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference schema_statistics/pyspark.py:12-62 runs one agg per stat — we
     fold every column's null-count/min/max/distinct into one job)."""
     df = _load(spark, sf_dir, "lineitem")
-    aggs = []
+    # one union-of-aggregates plan, ONE action: each column's subtree is a
+    # single-distinct two-phase aggregate (map-side partial distinct), which
+    # shuffles only distinct values per partition — unlike a multi-distinct
+    # agg whose Expand multiplies every row by #columns
+    parts = []
     for c in _LINEITEM_NUMERIC:
-        aggs += [
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls__{c}"),
-            F.min(F.col(c).cast("double")).alias(f"min__{c}"),
-            F.max(F.col(c).cast("double")).alias(f"max__{c}"),
-            F.countDistinct(F.col(c)).alias(f"distinct__{c}"),
-        ]
-    row = df.agg(*aggs).first().asDict()
-    data = [
-        (
-            c,
-            int(row[f"nulls__{c}"]),
-            float(row[f"min__{c}"]),
-            float(row[f"max__{c}"]),
-            int(row[f"distinct__{c}"]),
+        parts.append(
+            df.select(F.col(c)).agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias("null_count"),
+                F.min(F.col(c).cast("double")).alias("min_value"),
+                F.max(F.col(c).cast("double")).alias("max_value"),
+                F.countDistinct(F.col(c)).alias("distinct_count"),
+            )
         )
-        for c in _LINEITEM_NUMERIC
-    ]
-    schema = T.StructType(
-        [
-            T.StructField("col_name", T.StringType(), False),
-            T.StructField("null_count", T.LongType(), False),
-            T.StructField("min_value", T.DoubleType(), False),
-            T.StructField("max_value", T.DoubleType(), False),
-            T.StructField("distinct_count", T.LongType(), False),
-        ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "col_name",
+        F.col("null_count").cast("long").alias("null_count"),
+        "min_value",
+        "max_value",
+        F.col("distinct_count").cast("long").alias("distinct_count"),
     )
-    return spark.createDataFrame(data, schema)
 
 
 def _profile_oracle() -> str:

@@ -187,6 +187,7 @@ def _run(ctx: _Ctx, cfg) -> ValidationResult:
         _compile_column_checks(ctx, transformed, expansion)
         _compile_dataframe_checks(ctx, transformed)
         _compile_coerce_errors(ctx, coerce_agg_cols)
+        _compile_unique_in_agg(ctx, transformed)
 
     # ---- execute -----------------------------------------------------------
     total_rows = None
@@ -826,17 +827,7 @@ def _count_finalizer(
 # ---------------------------------------------------------------------------
 
 
-def _run_unique_checks(
-    ctx: _Ctx, df: DataFrame, total_rows: Optional[int]
-) -> None:
-    """Joint + per-column uniqueness via groupBy-count
-    (reference backends/pyspark/container.py:485-556).
-
-    One shuffle per spec on exactly the key columns (column-pruned scan).
-    ``report_duplicates`` (reference dtypes.py:627) decides the violation
-    count: 'all' counts every row in a duplicated group; 'exclude_first' /
-    'exclude_last' count all but one per group.
-    """
+def _all_unique_specs(ctx: _Ctx) -> list[tuple[str, ...]]:
     schema = ctx.schema
     specs = list(ctx.unique_specs)
     if schema.unique:
@@ -846,6 +837,81 @@ def _run_unique_checks(
             else list(schema.unique)
         )
         specs.append(tuple(cols))
+    return specs
+
+
+def _unique_label_reason(spec: tuple[str, ...]):
+    label = (
+        f"unique({list(spec)!r})" if len(spec) > 1
+        else f"field_uniqueness('{spec[0]}')"
+    )
+    reason = (
+        SchemaErrorReason.DUPLICATES
+        if len(spec) > 1
+        else SchemaErrorReason.SERIES_CONTAINS_DUPLICATES
+    )
+    return label, reason
+
+
+def _compile_unique_in_agg(ctx: _Ctx, df: DataFrame) -> None:
+    """exclude_first/exclude_last uniqueness folds into the shared agg pass:
+    violation count == total - countDistinct(keys) — no extra job, no
+    groupBy stage.  ('all' semantics need per-group counts — handled by the
+    groupBy path in :func:`_run_unique_checks`.)"""
+    if ctx.schema.report_duplicates == "all":
+        return
+    existing = set(df.columns)
+    for spec in _all_unique_specs(ctx):
+        label, reason = _unique_label_reason(spec)
+        if any(c not in existing for c in spec):
+            ctx.outcome(
+                ",".join(spec), label, reason, passed=False,
+                message=(
+                    f"unique spec references missing columns "
+                    f"{[c for c in spec if c not in existing]}"
+                ),
+            )
+            continue
+        key = f"__uniq__{len(ctx.agg_exprs)}"
+        ctx.agg_exprs.append(
+            F.count_distinct(*[F.col(c) for c in spec]).alias(key)
+        )
+
+        def fin(row, key=key, spec=spec, label=label, reason=reason):
+            total = int(row["__pandera_total__"] or 0)
+            distinct = int(row[key] or 0)
+            # count_distinct skips all-null keys; count rows accordingly is
+            # close enough for non-null keys (duplicate semantics over nulls
+            # follow SQL distinct)
+            violations = max(total - distinct, 0)
+            ctx.outcome(
+                ",".join(spec), label, reason,
+                passed=violations == 0, violations=violations,
+                message=(
+                    "" if violations == 0 else
+                    f"columns {list(spec)} contain {violations} duplicate rows"
+                ),
+            )
+
+        ctx.finalizers.append(fin)
+
+
+def _run_unique_checks(
+    ctx: _Ctx, df: DataFrame, total_rows: Optional[int]
+) -> None:
+    """Joint + per-column uniqueness via groupBy-count
+    (reference backends/pyspark/container.py:485-556).
+
+    One shuffle per spec on exactly the key columns (column-pruned scan).
+    ``report_duplicates`` (reference dtypes.py:627) decides the violation
+    count: 'all' counts every row in a duplicated group; 'exclude_first' /
+    'exclude_last' count all but one per group (those two run in the shared
+    agg pass instead — see _compile_unique_in_agg).
+    """
+    schema = ctx.schema
+    if schema.report_duplicates != "all":
+        return
+    specs = _all_unique_specs(ctx)
 
     existing = set(df.columns)
     for spec in specs:

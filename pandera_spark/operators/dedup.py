@@ -22,6 +22,17 @@ _MINHASH_SEED_B = 0xC2B2AE3D27D4EB4F
 _MERSENNE = (1 << 61) - 1
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives in
+    fewer partitions (small files).  At real scale inputs already have many
+    partitions and this is a no-op — no shuffle added."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_stats(df: DataFrame, col: str) -> DataFrame:
     """Duplicate statistics by exact content hash.
 
@@ -76,8 +87,10 @@ def shingles(col: C, n: int = 3) -> C:
 def minhash_signature(shingle_col: C, num_hashes: int = 64) -> C:
     """MinHash signature as an array<long> using xxhash64 with per-row salt.
 
-    min over the shingle array via the ``array_min``/``transform`` higher-order
-    functions — no Python UDF, fully JVM-side.
+    Expression form (min over the shingle array via higher-order functions).
+    NOTE: lambda higher-order functions are interpreted, not codegen'd —
+    prefer :func:`minhash_signatures` (explode + groupBy formulation) for
+    large corpora.
     """
     sigs = []
     for i in range(num_hashes):
@@ -86,6 +99,42 @@ def minhash_signature(shingle_col: C, num_hashes: int = 64) -> C:
         )
         sigs.append(F.array_min(salted))
     return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures via explode + groupBy — the scalable formulation.
+
+    Shape: explode shingles (no shuffle), compute ``num_hashes`` codegen'd
+    ``xxhash64(shingle, seed)`` values per shingle row, groupBy doc with
+    ``min`` aggregates.  Map-side partial aggregation reduces the shuffle to
+    ``num_hashes`` longs per doc per partition — at 100 TB the shuffle moves
+    signatures, never shingles.
+
+    Returns (id_col, sig: array<long>).
+    """
+    tokens = _ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), shingle_n))
+        ).alias("__sh"),
+    )
+    mins = tokens.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
 
 
 def minhash_lsh_candidates(
@@ -105,10 +154,9 @@ def minhash_lsh_candidates(
     non-duplicate-heavy corpora; the join never touches raw text.
     """
     rows = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
-    banded = df.select(
-        F.col(id_col).alias("__id"), sig.alias("__sig")
-    ).select(
+    banded = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    ).select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig")).select(
         "__id",
         F.explode(
             F.array(
@@ -130,6 +178,12 @@ def minhash_lsh_candidates(
             )
         ).alias("bh"),
     ).select("__id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
+
+    # the self-join reads `banded` twice and Spark does not reuse the
+    # exchange across the two sides — persist the (id, band, bhash) frame
+    # (tiny: ids + band keys, never text) so signatures are computed once
+    banded = banded.persist()
+    banded.count()  # eager: populate the cache before the self-join plan runs
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -222,6 +276,41 @@ def simhash(col: C, num_bits: int = 64) -> C:
     return out
 
 
+def simhashes(
+    df: DataFrame, id_col: str, text_col: str, *, num_bits: int = 64
+) -> DataFrame:
+    """SimHash via explode + groupBy — the scalable formulation
+    (codegen'd when/sum aggregates instead of interpreted lambda folds).
+
+    Returns (id_col, simhash: long).  Map-side partial aggregation shuffles
+    ``num_bits`` small sums per doc per partition.
+    """
+    tokens = _ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("__w"),
+    ).select(F.col(id_col), F.xxhash64("__w").alias("__h"))
+    sums = tokens.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("__h").bitwiseAND(_mask_lit(b)) != 0, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"__b{b}")
+            for b in range(num_bits)
+        ]
+    )
+    bit_exprs = [
+        F.when(F.col(f"__b{b}") > 0, _mask_lit(b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(num_bits)
+    ]
+    sh = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sh = sh.bitwiseOR(e)
+    return sums.select(F.col(id_col), sh.alias("simhash"))
+
+
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3,
     num_bits: int = 64,
@@ -232,8 +321,8 @@ def simhash_near_dups(
     hamming distance 3 shares at least one exact chunk), join per chunk,
     verify with bit_count.  Avoids all-pairs entirely.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"), simhash(F.col(text_col), num_bits).alias("__sh")
+    sh = simhashes(df, id_col, text_col, num_bits=num_bits).select(
+        F.col(id_col).alias("__id"), F.col("simhash").alias("__sh")
     )
     chunks = 4
     width = num_bits // chunks
@@ -255,6 +344,8 @@ def simhash_near_dups(
             )
         ).alias("c"),
     ).select("__id", "__sh", "c.chunk", "c.ckey")
+    blocked = blocked.persist()  # self-join input computed once (see minhash)
+    blocked.count()  # eager materialization
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = (
         a.join(

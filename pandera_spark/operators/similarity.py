@@ -64,7 +64,9 @@ def brute_force_topk(
             F.col(query_vec_col).alias("__qvec"),
         )
     )
-    c = corpus.select(
+    from .dedup import _ensure_parallelism
+
+    c = _ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     sim = cosine(F.col("__qvec"), F.col("__cvec"))
@@ -161,8 +163,12 @@ def lsh_topk(
             F.col("bh.band").alias("band"), F.col("bh.bkey").alias("bkey"),
         )
 
+    from .dedup import _ensure_parallelism
+
     qb = F.broadcast(banded(queries, query_id_col, query_vec_col, "query"))
-    cb = banded(corpus, id_col, vec_col, "neighbor")
+    # corpus signatures computed once and kept (ids + vec refs + band keys)
+    cb = banded(_ensure_parallelism(corpus), id_col, vec_col, "neighbor").persist()
+    cb.count()  # eager materialization before the bucket join
     candidates = (
         qb.join(cb, on=["band", "bkey"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -196,11 +202,13 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
     via LSH candidate generation + exact verify."""
+    from .dedup import _ensure_parallelism
+
     planes = _hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
     mask = (1 << rows_per_band) - 1
     sig = lsh_signature(F.col(vec_col), planes)
-    banded = df.select(
+    banded = _ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
         sig.alias("__sig"),
     ).select(
@@ -218,6 +226,8 @@ def embedding_near_dups(
             )
         ).alias("bh"),
     ).select("__id", "__vec", "bh.band", "bh.bkey")
+    banded = banded.persist()  # self-join input computed once
+    banded.count()  # eager materialization
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
