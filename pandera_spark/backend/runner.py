@@ -545,6 +545,40 @@ def _compile_one_check(
         _compile_hypothesis(ctx, check, colname)
         return
 
+    if check.groupby is not None:
+        _compile_groupby_check(ctx, check, colname)
+        return
+
+    if check.element_wise and not _returns_spark_column(check):
+        # escape hatch: arbitrary python value->bool via Arrow-batched
+        # pandas UDF (reference element_wise, api/checks.py:61-69 —
+        # the documented UDF cost cliff, opt-in)
+        from pyspark.sql.functions import pandas_udf
+
+        fn = check.check_fn
+
+        @pandas_udf("boolean")
+        def _elem(s):
+            return s.map(lambda v: bool(fn(v)) if v is not None else True)
+
+        pred = _elem(col)
+        if check.ignore_na:
+            cond = col.isNotNull() & ~F.coalesce(pred, F.lit(False))
+        else:
+            cond = ~F.coalesce(pred, F.lit(False))
+        key = f"__chk__{colname}__{len(ctx.agg_exprs)}"
+        ctx.agg_exprs.append(_violation_count_expr(cond, key))
+        ctx.finalizers.append(
+            _count_finalizer(
+                ctx, key, colname, check.error,
+                SchemaErrorReason.SCHEMA_COMPONENT_CHECK,
+                raise_warning=check.raise_warning,
+            )
+        )
+        ctx.pass_conditions.append(~cond)
+        ctx.failure_specs.append((colname, check.error, cond, check.n_failure_cases))
+        return
+
     try:
         cond = check.violation_condition(col)
     except Exception as exc:
@@ -617,6 +651,65 @@ def _compile_is_monotonic(ctx: _Ctx, check: Check, colname: str) -> None:
         ctx.agg_exprs.append(
             F.count(F.lit(1)).alias(f"__mono_anchor_{len(ctx.agg_exprs)}")
         )
+
+
+def _returns_spark_column(check: Check) -> bool:
+    """Heuristic: expression-based checks (builtin or custom fn over a
+    Column) vs plain-python element functions — builtins always have
+    statistics; customs declared element_wise are python-valued."""
+    return bool(check.statistics) and check.check_fn is not None
+
+
+def _compile_groupby_check(ctx: _Ctx, check: Check, colname: str) -> None:
+    """Grouped custom check (reference Check groupby/groups options,
+    api/checks.py:148-154; pandas backend only — `Column._allow_groupby`
+    is False in the reference pyspark backend, api/pyspark/components.py:114;
+    we support it natively).
+
+    The check fn receives ``dict[group_key -> pandas.Series]`` (the
+    reference's contract) built from one groupBy+collect job.  Driver-side
+    and bounded by the grouped data size — explicit opt-in (SURVEY.md §2
+    hard part 5).
+    """
+
+    def job(df: DataFrame):
+        import pandas as pd
+
+        gcol = check.groupby if isinstance(check.groupby, str) else list(check.groupby)
+        gexprs = [F.col(gcol)] if isinstance(gcol, str) else [F.col(c) for c in gcol]
+        rows = (
+            df.groupBy(*gexprs)
+            .agg(F.collect_list(F.col(colname)).alias("__vals"))
+            .collect()
+        )
+        if isinstance(gcol, str):
+            groups = {r[gcol]: pd.Series(r["__vals"]) for r in rows}
+        else:
+            groups = {
+                tuple(r[c] for c in gcol): pd.Series(r["__vals"]) for r in rows
+            }
+        wanted = check._kwargs.get("groups")
+        if wanted:
+            groups = {k: v for k, v in groups.items() if k in set(wanted)}
+        try:
+            out = check.check_fn(groups)
+        except Exception as exc:
+            ctx.outcome(
+                colname, check.error, SchemaErrorReason.CHECK_ERROR,
+                passed=False, message=f"groupby check raised: {exc!r}",
+            )
+            return
+        ok = bool(out)
+        ctx.outcome(
+            colname, check.error,
+            SchemaErrorReason.SCHEMA_COMPONENT_CHECK,
+            passed=ok or check.raise_warning,
+            message="" if ok else f"groupby check '{check.error}' failed",
+        )
+
+    ctx.deferred.append(job)
+    if not ctx.agg_exprs:
+        ctx.agg_exprs.append(F.count(F.lit(1)).alias("__gb_anchor__"))
 
 
 def _compile_hypothesis(ctx: _Ctx, check, colname: str) -> None:

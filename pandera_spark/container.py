@@ -162,6 +162,21 @@ class DataFrameSchema:
             if not comp.regex
         )
 
+    # -- data synthesis (reference schema.example / schema.strategy) ---------
+
+    def example(self, spark: SparkSession, size: int = 5, seed: int = 42):
+        """Small conforming fixture frame (reference
+        api/pandas/components.py:176-220)."""
+        from .strategies import example as _example
+
+        return _example(self, spark, size=size, seed=seed)
+
+    def synthesize(self, spark: SparkSession, rows: int, seed: int = 42):
+        """Cluster-side conforming data generation at any scale."""
+        from .strategies import synthesize as _synthesize
+
+        return _synthesize(self, spark, rows=rows, seed=seed)
+
     # -- mutation helpers (reference dataframe/container.py transforms) ------
 
     def add_columns(self, extra: dict) -> "DataFrameSchema":
