@@ -475,6 +475,62 @@ def q_lang_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fk_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity checks via broadcast anti-join (relational
+    operator; Spark plans a BroadcastHashJoin on the deduped dim keys)."""
+    from pandera_spark.operators.relational import fk_violation_count
+
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    orders = _load(spark, sf_dir, "orders")
+    a = fk_violation_count(li, "l_partkey", part, "p_partkey").select(
+        F.lit("l_partkey->part").alias("fk"), F.col("violations")
+    )
+    b = fk_violation_count(li, "l_orderkey", orders, "o_orderkey").select(
+        F.lit("l_orderkey->orders").alias("fk"), F.col("violations")
+    )
+    c = fk_violation_count(
+        _load(spark, sf_dir, "customer"), "c_nationkey",
+        _load(spark, sf_dir, "nation"), "n_nationkey",
+    ).select(F.lit("c_nationkey->nation").alias("fk"), F.col("violations"))
+    return a.unionAll(b).unionAll(c)
+
+
+_FK_ORACLE = """
+SELECT 'l_partkey->part' AS fk, CAST(COUNT(*) AS BIGINT) AS violations
+FROM lineitem WHERE l_partkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+UNION ALL
+SELECT 'l_orderkey->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS violations
+FROM lineitem WHERE l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'c_nationkey->nation' AS fk, CAST(COUNT(*) AS BIGINT) AS violations
+FROM customer WHERE c_nationkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+"""
+
+
+def q_orphan_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan summary for events.user_id against customer keys."""
+    from pandera_spark.operators.relational import orphan_stats
+
+    ev = _load(spark, sf_dir, "events")
+    cust = _load(spark, sf_dir, "customer")
+    return orphan_stats(ev, "user_id", cust, "c_custkey")
+
+
+_ORPHAN_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+  CAST(COALESCE(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),0) AS BIGINT)
+    AS null_key_rows,
+  CAST(COALESCE(SUM(CASE WHEN user_id IS NOT NULL AND NOT EXISTS
+    (SELECT 1 FROM customer WHERE c_custkey = user_id) THEN 1 ELSE 0 END),0)
+    AS BIGINT) AS orphan_rows
+FROM events
+"""
+
+
 def q_minhash_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 is
     not reproducible in DuckDB)."""
@@ -646,6 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monotonic_events": q_monotonic_events,
         "fingerprint_documents": q_fingerprint_documents,
         "ttest_events": q_ttest_events,
+        "fk_lineitem": q_fk_lineitem,
+        "orphan_stats_events": q_orphan_stats_events,
         "minhash_candidates_documents": q_minhash_candidates_documents,
         "simhash_documents": q_simhash_documents,
         "lang_id_documents": q_lang_id_documents,
@@ -730,6 +788,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "ttest_events": _TTEST_ORACLE,
+        "fk_lineitem": _FK_ORACLE,
+        "orphan_stats_events": _ORPHAN_ORACLE,
         # minhash_candidates_documents, simhash_documents, lang_id_documents,
         # lsh_ann_embeddings: rows-only (hash functions / argmax not
         # reproducible in ANSI SQL) — driver records the weaker check.

@@ -1,0 +1,112 @@
+"""Relational validation operators: referential integrity / membership
+against reference tables.
+
+The reference's ``isin`` takes a literal list (SURVEY §2.D); at warehouse
+scale the "allowed values" are usually another table.  These operators
+express membership as joins so Catalyst picks the physical strategy:
+
+- small dimension -> ``broadcast()`` hash join, no shuffle of the fact table;
+- large dimension -> shuffle hash / sort-merge join on the key only
+  (column-pruned scans on both sides).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cols(c: Union[str, list[str]]) -> list[str]:
+    return [c] if isinstance(c, str) else list(c)
+
+
+def fk_violations(
+    df: DataFrame,
+    keys: Union[str, list[str]],
+    ref: DataFrame,
+    ref_keys: Union[str, list[str], None] = None,
+    *,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Rows of ``df`` whose key has no match in ``ref`` (left ANTI join).
+
+    Null keys are not violations (SQL FK semantics).  ``broadcast=True``
+    broadcasts the deduplicated reference keys — the dimension side shrinks
+    to distinct keys BEFORE the broadcast, so even a large dim often fits.
+    """
+    keys = _cols(keys)
+    ref_keys = _cols(ref_keys) if ref_keys is not None else keys
+    ref_sel = ref.select(
+        *[F.col(rk).alias(k) for rk, k in zip(ref_keys, keys)]
+    ).dropDuplicates(keys)
+    if broadcast:
+        ref_sel = F.broadcast(ref_sel)
+    non_null = df
+    for k in keys:
+        non_null = non_null.filter(F.col(k).isNotNull())
+    return non_null.join(ref_sel, on=keys, how="left_anti")
+
+
+def fk_violation_count(
+    df: DataFrame,
+    keys: Union[str, list[str]],
+    ref: DataFrame,
+    ref_keys: Union[str, list[str], None] = None,
+    *,
+    broadcast: bool = True,
+) -> DataFrame:
+    """One row (violations: bigint) — the FK check verdict."""
+    return fk_violations(df, keys, ref, ref_keys, broadcast=broadcast).agg(
+        F.count(F.lit(1)).cast("long").alias("violations")
+    )
+
+
+def isin_table(
+    df: DataFrame,
+    keys: Union[str, list[str]],
+    ref: DataFrame,
+    ref_keys: Union[str, list[str], None] = None,
+    *,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Keep rows whose key IS present in ``ref`` (left SEMI join) — the
+    table-valued generalization of ``Check.isin``."""
+    keys = _cols(keys)
+    ref_keys = _cols(ref_keys) if ref_keys is not None else keys
+    ref_sel = ref.select(
+        *[F.col(rk).alias(k) for rk, k in zip(ref_keys, keys)]
+    ).dropDuplicates(keys)
+    if broadcast:
+        ref_sel = F.broadcast(ref_sel)
+    return df.join(ref_sel, on=keys, how="left_semi")
+
+
+def orphan_stats(
+    fact: DataFrame,
+    keys: Union[str, list[str]],
+    dim: DataFrame,
+    dim_keys: Union[str, list[str], None] = None,
+) -> DataFrame:
+    """One-row summary of referential integrity: total fact rows, null-key
+    rows, orphans (no dim match) — computed in one pass via a left join."""
+    keys = _cols(keys)
+    dim_keys = _cols(dim_keys) if dim_keys is not None else keys
+    marker = "__dim_present"
+    dim_sel = (
+        dim.select(*[F.col(dk).alias(k) for dk, k in zip(dim_keys, keys)])
+        .dropDuplicates(keys)
+        .withColumn(marker, F.lit(1))
+    )
+    joined = fact.join(F.broadcast(dim_sel), on=keys, how="left")
+    null_key = F.lit(False)
+    for k in keys:
+        null_key = null_key | F.col(k).isNull()
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("total_rows"),
+        F.count(F.when(null_key, 1)).cast("long").alias("null_key_rows"),
+        F.count(
+            F.when(~null_key & F.col(marker).isNull(), 1)
+        ).cast("long").alias("orphan_rows"),
+    )

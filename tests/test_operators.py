@@ -241,3 +241,40 @@ def test_failure_cases(spark):
     assert len(by_check["less_than_or_equal_to(10)"]) == 1  # n_failure_cases=1
     assert len(by_check["v_ne_30"]) == 1
     assert "30" in by_check["v_ne_30"][0]  # df-level -> json of row
+
+
+def test_fk_violations_and_count(spark):
+    from pandera_spark.operators.relational import (
+        fk_violation_count,
+        fk_violations,
+        isin_table,
+        orphan_stats,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id int, k int"
+    )
+    dim = spark.createDataFrame([(10,), (20,), (20,)], "dk int")
+
+    bad = fk_violations(fact, "k", dim, "dk").collect()
+    assert [r.id for r in bad] == [3]  # null key is not a violation
+    assert fk_violation_count(fact, "k", dim, "dk").first().violations == 1
+
+    kept = isin_table(fact, "k", dim, "dk").collect()
+    assert sorted(r.id for r in kept) == [1, 2]
+
+    st = orphan_stats(fact, "k", dim, "dk").first()
+    assert (st.total_rows, st.null_key_rows, st.orphan_rows) == (4, 1, 1)
+
+
+def test_fk_composite_keys(spark):
+    from pandera_spark.operators.relational import fk_violations
+
+    fact = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (3, "a", 2)], "id int, k1 string, k2 int"
+    )
+    dim = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "r1 string, r2 int"
+    )
+    bad = fk_violations(fact, ["k1", "k2"], dim, ["r1", "r2"]).collect()
+    assert [r.id for r in bad] == [3]
