@@ -22,6 +22,24 @@ _MINHASH_SEED_B = 0xC2B2AE3D27D4EB4F
 _MERSENNE = (1 << 61) - 1
 
 
+def _signed64(x: int) -> int:
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= 1 << 63 else x
+
+
+def _permutation_constants(n: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) constants for n multiply-add permutations of the
+    64-bit hash space (a odd => ``a*h + b`` is a bijection mod 2^64).
+    Values are signed-64 so they are valid Spark long literals; long
+    arithmetic wraps (ANSI off), i.e. computes exactly mod 2^64."""
+    import random
+
+    rng = random.Random(_MINHASH_SEED_A ^ n)
+    a = [_signed64(rng.getrandbits(64) | 1) for _ in range(n)]
+    b = [_signed64(rng.getrandbits(64)) for _ in range(n)]
+    return a, b
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input arrives in
     fewer partitions (small files).  At real scale inputs already have many
@@ -84,6 +102,24 @@ def shingles(col: C, n: int = 3) -> C:
     )
 
 
+def shingle_hashes(col: C, n: int = 3) -> C:
+    """64-bit hashes of word n-gram shingles, without materializing the
+    shingle strings: each word is hashed once (``xxhash64``), then the n
+    word-hashes are combined with odd-multiplier arithmetic (position-
+    sensitive, wraps mod 2^64).  ~n× fewer string hashes and no string
+    allocation vs hashing ``shingles()`` output."""
+    words = F.split(col, r"\s+")
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    a, _ = _permutation_constants(max(n, 2))
+    def combine(i: C) -> C:
+        out = F.element_at(wh, i + 1) * F.lit(a[0])
+        for j in range(1, n):
+            out = out + F.element_at(wh, i + 1 + j) * F.lit(a[j % len(a)])
+        return out
+    return F.transform(F.sequence(F.lit(0), k - F.lit(1)), combine)
+
+
 def minhash_signature(shingle_col: C, num_hashes: int = 64) -> C:
     """MinHash signature as an array<long> using xxhash64 with per-row salt.
 
@@ -122,12 +158,17 @@ def minhash_signatures(
     tokens = _ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(shingles(F.col(text_col), shingle_n))
-        ).alias("__sh"),
+            F.array_distinct(shingle_hashes(F.col(text_col), shingle_n))
+        ).alias("__h"),
     )
+    # one string hash per word (shingle_hashes), then `num_hashes`
+    # multiply-add permutations (odd multiplier => bijection mod 2^64):
+    # ~10x cheaper than hashing the shingle string once per permutation
+    a, b = _permutation_constants(num_hashes)
+    h = F.col("__h")
     mins = tokens.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__h{i}")
+            F.min(h * F.lit(a[i]) + F.lit(b[i])).alias(f"__h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -154,24 +195,25 @@ def minhash_lsh_candidates(
     non-duplicate-heavy corpora; the join never touches raw text.
     """
     rows = num_hashes // bands
-    banded = minhash_signatures(
+    sigs = minhash_signatures(
         df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
-    ).select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig")).select(
+    ).select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig"))
+    # band key = multiply-add combine of the band's signature longs (no
+    # string building; ~4 long ops per band, tiny codegen footprint)
+    ca, cb = _permutation_constants(rows)
+    def band_key(b: int) -> C:
+        out = F.lit(cb[0])
+        for r in range(rows):
+            out = out + F.col("__sig")[b * rows + r] * F.lit(ca[r])
+        return out
+    banded = sigs.select(
         "__id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("__sig")[b * rows + r]
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bhash"),
+                        band_key(b).alias("bhash"),
                     )
                     for b in range(bands)
                 ]
@@ -220,9 +262,13 @@ def ngram_jaccard_pairs(
     if candidates is None:
         candidates = minhash_lsh_candidates(df, id_col, text_col,
                                             shingle_n=shingle_n)
+    # Jaccard over hashed shingles (identical value modulo 64-bit hash
+    # collisions): the candidate join carries array<long>, never text
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+        F.array_distinct(
+            shingle_hashes(F.col(text_col), shingle_n)
+        ).alias("__sh"),
     )
     a = sh.alias("sa")
     b = sh.alias("sb")
