@@ -582,6 +582,21 @@ def q_lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means cells + nprobe scan
+    (rows-only — centroid fit is iterative, not SQL-expressible; recall vs
+    brute force is asserted in tests)."""
+    from pandera_spark.operators.ann_ivf import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=8, seed=42
+    ).select("query_id", "rank", "neighbor_id")
+
+
 def q_ttest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample t statistic via Spark aggregates (hypothesis operator,
     SURVEY §2.E); oracle computes the closed form in SQL."""
@@ -707,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates_documents": q_minhash_candidates_documents,
         "simhash_documents": q_simhash_documents,
         "lang_id_documents": q_lang_id_documents,
+        "ivf_ann_embeddings": q_ivf_ann_embeddings,
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
     }
 
@@ -759,6 +775,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "validate_part": _report_oracle("part", PART_CHECKS, ["p_partkey"]),
         "ann_topk_embeddings": _ANN_ORACLE,
+        # IVF with nprobe == n_centroids scans every cell -> exact top-k,
+        # so the brute-force ranking oracle applies verbatim
+        "ivf_ann_embeddings": """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS sim
+  FROM emb q JOIN emb c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+FROM ranked WHERE rank <= 5
+""",
         "text_quality_documents": (
             "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_c, "
             "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) "

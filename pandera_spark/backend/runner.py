@@ -158,6 +158,31 @@ def run_validation(
     return result
 
 
+def row_pass_condition(
+    schema: "DataFrameSchema", df: DataFrame
+) -> tuple[DataFrame, SparkCol]:
+    """Compile the conjunction of every row-resolvable check predicate —
+    the ``drop_invalid_rows`` condition — WITHOUT running any Spark action.
+
+    Returns (transformed_df, pass_cond): the post-transform projection
+    (strict-filter / coerce / defaults / parsers applied) and a boolean
+    Column that is true for rows passing all row-level checks.  Used by
+    :mod:`pandera_spark.sinks` to split valid/quarantine rows in one pass.
+    """
+    ctx = _Ctx(schema, df, lazy=True)
+    expansion = _expand_components(ctx, list(df.columns))
+    transformed, _coerce = _apply_transforms(ctx, expansion)
+    _compile_column_checks(ctx, transformed, expansion)
+    _compile_dataframe_checks(ctx, transformed)
+    cond = F.lit(True)
+    for c in ctx.pass_conditions:
+        cond = cond & c
+    out = transformed.drop(
+        *[c for c in transformed.columns if c.startswith(_ORIG_PREFIX)]
+    )
+    return out, cond
+
+
 def _run(ctx: _Ctx, cfg) -> ValidationResult:
     schema = ctx.schema
     df = ctx.df

@@ -1,0 +1,95 @@
+"""Sinks: write validated data, quarantining invalid rows.
+
+The reference returns the validated object and an error report
+(SURVEY.md §2.A — it has no sink operators); at warehouse scale the
+useful sink is *routed* output: rows passing every row-resolvable check
+go to the main table, failing rows to a quarantine location for triage.
+
+Scale shape: the valid/invalid split is ONE boolean projection
+(`row_pass_condition` — the same compiled predicates the validator
+aggregates), and `write_quarantined` writes both routes in a SINGLE pass
+using a partitioned write on the validity flag — one scan, one job, two
+output directories. No double-scan, no driver round-trip.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from .container import DataFrameSchema
+
+VALID_FLAG = "_pandera_valid"
+
+
+def split_valid_invalid(
+    df: DataFrame, schema: "DataFrameSchema"
+) -> tuple[DataFrame, DataFrame]:
+    """(valid_rows, invalid_rows) by the conjunction of all row-resolvable
+    checks.  Lazy — no Spark action; each side is a filtered view, and a
+    filter pushed into the scan when the input is a file source."""
+    from .backend.runner import row_pass_condition
+
+    out, cond = row_pass_condition(schema, df)
+    return out.filter(cond), out.filter(~cond)
+
+
+def write_quarantined(
+    df: DataFrame,
+    schema: "DataFrameSchema",
+    path: str,
+    *,
+    format: str = "parquet",
+    mode: str = "error",
+    flag_col: str = VALID_FLAG,
+) -> dict[str, str]:
+    """Write ``df`` under ``path`` partitioned by a validity flag — one
+    scan, one write job; valid rows land in ``{path}/{flag}=true/``,
+    quarantined rows in ``{path}/{flag}=false/``.
+
+    Returns the two output locations.  Readers of the main table prune to
+    the valid partition for free (partition pruning on the flag column).
+    """
+    from .backend.runner import row_pass_condition
+
+    out, cond = row_pass_condition(schema, df)
+    (
+        out.withColumn(flag_col, cond)
+        .write.format(format)
+        .mode(mode)
+        .partitionBy(flag_col)
+        .save(path)
+    )
+    return {
+        "valid": f"{path}/{flag_col}=true",
+        "invalid": f"{path}/{flag_col}=false",
+    }
+
+
+def write_validated(
+    df: DataFrame,
+    schema: "DataFrameSchema",
+    path: str,
+    *,
+    format: str = "parquet",
+    mode: str = "error",
+    drop_invalid: bool = False,
+) -> "DataFrame":
+    """Validate then write.  ``drop_invalid=False`` raises on any error
+    (nothing is written); ``drop_invalid=True`` filters failing rows and
+    writes the clean frame.  Returns the written DataFrame."""
+    from .errors import SchemaErrors
+
+    result = schema.validate_result(df)
+    if result.errors and not drop_invalid:
+        raise SchemaErrors(schema.name or "schema", result.errors,
+                           result.report)
+    out = result.df
+    if drop_invalid:
+        valid, _ = split_valid_invalid(df, schema)
+        out = valid
+    out.write.format(format).mode(mode).save(path)
+    return out

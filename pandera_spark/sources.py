@@ -39,6 +39,73 @@ def read_parquet(
     return df
 
 
+def _reader_schema(schema):
+    """Accept a DataFrameSchema, DataFrameModel, or StructType."""
+    from pyspark.sql import types as T
+
+    if isinstance(schema, T.StructType):
+        return schema
+    if hasattr(schema, "to_structtype"):
+        return schema.to_structtype()
+    raise TypeError(f"cannot derive a reader schema from {type(schema)!r}")
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    *,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """CSV scan typed by a pandera schema (``schema.to_structtype()``).
+
+    Declaring the schema up front skips Spark's inference pass (a full
+    extra scan at 100 TB) and keeps the scan column-pruned.  Malformed
+    rows are kept PERMISSIVE-ly in ``corrupt_col`` so validation can
+    quarantine them instead of silently dropping data.
+    """
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        st = _reader_schema(schema)
+        from pyspark.sql import types as T
+
+        if corrupt_col and corrupt_col not in [f.name for f in st.fields]:
+            st = T.StructType(
+                [*st.fields, T.StructField(corrupt_col, T.StringType(), True)]
+            )
+        reader = reader.schema(st).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    *,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """JSON-lines scan typed by a pandera schema — same contract as
+    :func:`read_csv` (no inference scan, corrupt records preserved)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        st = _reader_schema(schema)
+        from pyspark.sql import types as T
+
+        if corrupt_col and corrupt_col not in [f.name for f in st.fields]:
+            st = T.StructType(
+                [*st.fields, T.StructField(corrupt_col, T.StringType(), True)]
+            )
+        reader = reader.schema(st).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    return reader.json(path)
+
+
 def _nano_timestamp_columns(path: str) -> list[str]:
     try:
         import pyarrow.dataset as ds

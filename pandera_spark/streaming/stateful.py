@@ -1,0 +1,123 @@
+"""Stateful streaming operators: watermarked dedup and per-key violation
+state via ``applyInPandasWithState``.
+
+The reference has no streaming surface (SURVEY.md §2.L); these are the
+beyond-reference operators a training-data ingest pipeline needs:
+
+- :func:`streaming_dedup` — drop duplicate records across micro-batches
+  with bounded state: a watermark ages the dedup keys out of the state
+  store, so state size is O(keys within the watermark window), not
+  O(all keys ever).  Uses Spark's native
+  ``dropDuplicatesWithinWatermark`` when available (Spark >= 3.5),
+  falling back to ``dropDuplicates`` (exact-once per key, unbounded
+  state — flagged in the docstring, acceptable for bounded key spaces).
+- :func:`stateful_violation_counts` — custom stateful operator: per key,
+  a running count of rows and of validation-check violations, maintained
+  in the state store via ``applyInPandasWithState`` (Arrow-batched; the
+  per-group pandas frame never leaves the executor).  Emits one update
+  row per key per micro-batch — the streaming analogue of the engine's
+  single-pass violation aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..container import DataFrameSchema
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    *,
+    watermark_col: Optional[str] = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Cross-batch exact dedup with bounded state.
+
+    With ``watermark_col`` set, the event-time watermark bounds the state
+    store: a key older than ``delay`` is evicted, so duplicates arriving
+    later than the watermark are NOT suppressed (the standard trade-off).
+    Without a watermark, state is unbounded — only safe for bounded key
+    domains.
+    """
+    if watermark_col is not None:
+        wm = stream_df.withWatermark(watermark_col, delay)
+        if hasattr(wm, "dropDuplicatesWithinWatermark"):
+            return wm.dropDuplicatesWithinWatermark(keys)
+        return wm.dropDuplicates([*keys, watermark_col])
+    return stream_df.dropDuplicates(keys)
+
+
+def stateful_violation_counts(
+    stream_df: DataFrame,
+    schema: "DataFrameSchema",
+    key_col: str,
+    *,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Running per-key (rows_seen, violations) across micro-batches.
+
+    Custom stateful operator via ``applyInPandasWithState``: state is two
+    longs per key; each micro-batch group arrives as a pandas frame with a
+    precomputed ``__viol`` long column (the schema's row-resolvable
+    violation predicate, compiled ONCE to a Spark expression and evaluated
+    JVM-side before Arrow transfer — Python only sums it).
+
+    Output stream (update mode): (key, rows_seen, violations).
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    from ..backend.runner import row_pass_condition
+
+    transformed, pass_cond = row_pass_condition(schema, stream_df)
+    tagged = transformed.withColumn(
+        "__viol", (~pass_cond).cast("long")
+    ).select(F.col(key_col).alias("__key"), "__viol")
+
+    out_type = T.StructType(
+        [
+            T.StructField("key", tagged.schema["__key"].dataType),
+            T.StructField("rows_seen", T.LongType()),
+            T.StructField("violations", T.LongType()),
+        ]
+    )
+    state_type = T.StructType(
+        [
+            T.StructField("rows_seen", T.LongType()),
+            T.StructField("violations", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        rows = viol = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            viol += int(pdf["__viol"].sum())
+        if state.exists:
+            prev_rows, prev_viol = state.get
+        else:
+            prev_rows = prev_viol = 0
+        state.update((prev_rows + rows, prev_viol + viol))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "rows_seen": [prev_rows + rows],
+                "violations": [prev_viol + viol],
+            }
+        )
+
+    return tagged.groupBy("__key").applyInPandasWithState(
+        update,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

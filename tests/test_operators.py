@@ -278,3 +278,145 @@ def test_fk_composite_keys(spark):
     )
     bad = fk_violations(fact, ["k1", "k2"], dim, ["r1", "r2"]).collect()
     assert [r.id for r in bad] == [3]
+
+
+def test_ivf_fit_deterministic(spark, vectors):
+    from pandera_spark.operators.ann_ivf import ivf_fit
+
+    c1 = ivf_fit(vectors, n_centroids=4, seed=7)
+    c2 = ivf_fit(vectors, n_centroids=4, seed=7)
+    assert c1.shape == (4, 4)
+    assert (c1 == c2).all()
+
+
+def test_ivf_topk_recall(spark, vectors):
+    from pandera_spark.operators.ann_ivf import ivf_topk
+    from pandera_spark.operators.similarity import brute_force_topk
+
+    q = vectors.filter(F.col("vec_id") == 0)
+    exact = {r.neighbor_id for r in brute_force_topk(vectors, q, k=3).collect()}
+    # nprobe == n_centroids scans every cell -> exact result
+    approx = ivf_topk(
+        vectors, q, k=3, n_centroids=4, nprobe=4, seed=7
+    ).collect()
+    assert {r.neighbor_id for r in approx} == exact
+    # single-probe stays a subset of the corpus with correct ranking shape
+    one = ivf_topk(vectors, q, k=3, n_centroids=4, nprobe=1, seed=7).collect()
+    assert [r.rank for r in one] == sorted(r.rank for r in one)
+    assert len(one) <= 3
+
+
+def test_split_and_quarantine_sink(spark, tmp_path):
+    from pandera_spark.sinks import split_valid_invalid, write_quarantined
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (4, 9.0)], "id int, v double"
+    )
+    schema = DataFrameSchema(
+        {"v": Column(T.DoubleType(), Check.gt(0.0), nullable=False)}
+    )
+    valid, invalid = split_valid_invalid(df, schema)
+    assert sorted(r.id for r in valid.collect()) == [1, 4]
+    assert sorted(r.id for r in invalid.collect()) == [2, 3]
+
+    out = str(tmp_path / "routed")
+    paths = write_quarantined(df, schema, out)
+    good = spark.read.parquet(paths["valid"])
+    bad = spark.read.parquet(paths["invalid"])
+    assert sorted(r.id for r in good.collect()) == [1, 4]
+    assert sorted(r.id for r in bad.collect()) == [2, 3]
+
+
+def test_write_validated_raises_then_drops(spark, tmp_path):
+    from pandera_spark.errors import SchemaErrors
+    from pandera_spark.sinks import write_validated
+
+    df = spark.createDataFrame([(1, 5.0), (2, -1.0)], "id int, v double")
+    schema = DataFrameSchema({"v": Column(T.DoubleType(), Check.gt(0.0))})
+    with pytest.raises(SchemaErrors):
+        write_validated(df, schema, str(tmp_path / "strict"))
+    out = write_validated(
+        df, schema, str(tmp_path / "clean"), drop_invalid=True
+    )
+    assert [r.id for r in out.collect()] == [1]
+    assert spark.read.parquet(str(tmp_path / "clean")).count() == 1
+
+
+def test_read_csv_typed_with_corrupt_records(spark, tmp_path):
+    from pandera_spark.sources import read_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,v\n1,2.5\n2,not_a_number\n3,4.0\n")
+    schema = DataFrameSchema(
+        {"id": Column(T.IntegerType()), "v": Column(T.DoubleType())}
+    )
+    df = read_csv(spark, str(p), schema)
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].v == 2.5 and rows[1]._corrupt_record is None
+    # malformed row preserved for quarantine, not dropped
+    bad = [r for r in rows.values() if r._corrupt_record is not None]
+    assert len(bad) == 1
+
+
+def test_read_json_typed(spark, tmp_path):
+    from pandera_spark.sources import read_json
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "v": 2.5}\n{"id": 2, "v": "oops"}\n')
+    schema = DataFrameSchema(
+        {"id": Column(T.LongType()), "v": Column(T.DoubleType())}
+    )
+    df = read_json(spark, str(p), schema)
+    rows = sorted(df.collect(), key=lambda r: (r.id is None, r.id))
+    assert rows[0].v == 2.5
+    assert any(r._corrupt_record is not None for r in rows)
+
+
+def test_streaming_dedup_batch_semantics(spark):
+    # batch-mode semantic check of the dedup projection (watermark path is
+    # exercised in the stateful streaming test below)
+    from pandera_spark.streaming.stateful import streaming_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k int, v string"
+    )
+    assert streaming_dedup(df, ["k"]).count() == 2
+
+
+def test_stateful_violation_counts(spark, tmp_path):
+    import time
+
+    from pandera_spark.streaming.stateful import stateful_violation_counts
+
+    schema = DataFrameSchema(
+        {"value": Column(T.LongType(), Check.lt(3))}, name="s"
+    )
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .select(F.col("value"), (F.col("value") % 2).alias("parity"))
+    )
+    counted = stateful_violation_counts(src, schema, "parity")
+    rows = {}
+
+    def sink(batch_df, bid):
+        for r in batch_df.collect():
+            rows[r.key] = (r.rows_seen, r.violations)
+
+    q = (
+        counted.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 40
+        while time.time() < deadline and len(rows) < 2:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert set(rows) == {0, 1}, rows
+    # values 0,1,2 pass; everything >= 3 violates — so each parity key has
+    # violations = rows_seen - (passing values seen for that key)
+    for key, (n, v) in rows.items():
+        passing = len([x for x in (0, 1, 2) if x % 2 == key])
+        assert v == n - passing, (key, n, v)
