@@ -70,7 +70,9 @@ def serialize_schema(schema: DataFrameSchema) -> dict:
         if ser is not None:
             container_checks[ser[0]] = ser[1]
     return {
-        "schema_type": "dataframe",
+        # the reference pyspark io asserts this exact tag
+        # (io/pyspark_sql_io.py:237); our loader accepts any
+        "schema_type": "pyspark_sql_dataframe",
         "version": "pandera_spark-0.1",
         "columns": {
             name: _serialize_column(col)

@@ -358,3 +358,33 @@ def test_profile(spark):
     by_col = {r.col_name: r for r in p}
     assert by_col["s"].null_count == 1
     assert by_col["a"].min_str == "1"
+
+
+def test_yaml_interop_reference_format(spark):
+    """A schema YAML produced by the reference pyspark io
+    (io/pyspark_sql_io.py, minimal=True shape) loads into an equivalent
+    pandera_spark schema, and our YAML carries the schema_type tag the
+    reference's loader requires (io/pyspark_sql_io.py:237)."""
+    import pandera_spark as ps
+    from pyspark.sql import types as T
+
+    reference_yaml = """\
+schema_type: pyspark_sql_dataframe
+columns:
+  a:
+    dtype: LongType()
+  b:
+    dtype: StringType()
+strict: true
+name: tbl
+"""
+    s = ps.schema_from_yaml(reference_yaml)
+    assert sorted(s.columns) == ["a", "b"]
+    assert s.strict is True and s.name == "tbl"
+    assert s.columns["a"].dtype == T.LongType()
+
+    out = ps.schema_to_yaml(s)
+    assert "schema_type: pyspark_sql_dataframe" in out
+    # and it round-trips through our own loader
+    s2 = ps.schema_from_yaml(out)
+    assert sorted(s2.columns) == ["a", "b"] and s2.strict is True
