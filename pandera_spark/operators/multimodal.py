@@ -180,6 +180,66 @@ def sample_frames(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    *,
+    width: int = 224,
+    height: int = 224,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Resize image payloads via the same Arrow-batched ``mapInPandas``
+    contract as :func:`image_features`.
+
+    Fake mode emits a deterministic byte downsample sized ``width*height``
+    so batch shape / memory behavior is exercised; a real deployment swaps
+    in PIL/cv2 inside ``run`` (schema unchanged).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    payloads.append(None)
+                    continue
+                if not deterministic_fake:
+                    decode_image(payload)  # raises NotImplementedError
+                step = max(1, len(payload) // target)
+                payloads.append(bytes(payload[::step][:target]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": pd.array(
+                        [width if p is not None else None for p in payloads],
+                        dtype="Int32",
+                    ),
+                    "height": pd.array(
+                        [height if p is not None else None for p in payloads],
+                        dtype="Int32",
+                    ),
+                }
+            )
+
+    from .._shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Payload statistics without decoding (pure built-ins — the cheap
     validation pass you run before spending decode cycles)."""

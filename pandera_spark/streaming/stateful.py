@@ -54,6 +54,51 @@ def streaming_dedup(
     return stream_df.dropDuplicates(keys)
 
 
+def windowed_violation_counts(
+    stream_df: DataFrame,
+    schema: "DataFrameSchema",
+    ts_col: str,
+    *,
+    window: str = "1 minute",
+    slide: Optional[str] = None,
+    delay: str = "5 minutes",
+) -> DataFrame:
+    """Event-time windowed violation counts with a watermark for late data.
+
+    Pure built-ins: ``withWatermark`` bounds state, ``groupBy(window(ts))``
+    aggregates the schema's row-resolvable violation flag (compiled once,
+    evaluated JVM-side).  Late rows within ``delay`` still update their
+    window; older windows are finalized and evicted.  Works on batch
+    frames too (the watermark is a no-op there).
+
+    Output: (window_start, window_end, rows, violations).
+    """
+    from ..backend.runner import row_pass_condition
+
+    transformed, pass_cond = row_pass_condition(schema, stream_df)
+    tagged = transformed.select(
+        F.col(ts_col).alias("__ts"), (~pass_cond).cast("long").alias("__viol")
+    )
+    if tagged.isStreaming:
+        tagged = tagged.withWatermark("__ts", delay)
+    win = F.window("__ts", window, slide) if slide else F.window(
+        "__ts", window
+    )
+    return (
+        tagged.groupBy(win.alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("__viol").alias("violations"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            "rows",
+            "violations",
+        )
+    )
+
+
 def stateful_violation_counts(
     stream_df: DataFrame,
     schema: "DataFrameSchema",

@@ -420,3 +420,65 @@ def test_stateful_violation_counts(spark, tmp_path):
     for key, (n, v) in rows.items():
         passing = len([x for x in (0, 1, 2) if x % 2 == key])
         assert v == n - passing, (key, n, v)
+
+
+def test_resize_images(spark):
+    from pandera_spark.operators.multimodal import decode_image, resize_images
+
+    rows = [(1, bytes(range(256)) * 40), (2, None), (3, b"abc" * 100)]
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = resize_images(
+        media, width=16, height=16, deterministic_fake=True
+    ).collect()
+    by_id = {r.media_id: r for r in out}
+    assert len(by_id[1].payload) <= 16 * 16
+    assert by_id[1].width == 16 and by_id[1].height == 16
+    assert by_id[2].payload is None and by_id[2].width is None
+    # real codec path is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x")
+    with pytest.raises(Exception):
+        resize_images(media, deterministic_fake=False).collect()
+
+
+def test_windowed_violation_counts_batch_and_stream(spark, tmp_path):
+    import datetime
+    import time
+
+    from pandera_spark.streaming.stateful import windowed_violation_counts
+
+    schema = DataFrameSchema({"v": Column(T.LongType(), Check.lt(10))})
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + datetime.timedelta(seconds=s), v)
+        for s, v in [(0, 1), (10, 50), (70, 2), (80, 99)]
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v long")
+    out = {
+        r.window_start.minute: (r.rows, r.violations)
+        for r in windowed_violation_counts(df, schema, "ts").collect()
+    }
+    assert out == {0: (2, 1), 1: (2, 1)}
+
+    # streaming: same operator over a rate source, update mode
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+        .select(F.col("timestamp").alias("ts"), F.col("value").alias("v"))
+    )
+    agg = windowed_violation_counts(
+        src, schema, "ts", window="10 seconds", delay="5 seconds"
+    )
+    got = []
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(lambda b, _id: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "wm"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not got:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got and all(r.rows >= r.violations for r in got)
