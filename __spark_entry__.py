@@ -531,6 +531,61 @@ FROM events
 """
 
 
+def q_dup_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-based duplicate failure-case extraction (report_duplicates
+    exclude_first over o_custkey ordered by o_orderkey): all but the first
+    order per customer."""
+    from pandera_spark.operators.dedup import duplicate_rows
+
+    df = _load(spark, sf_dir, "orders")
+    return duplicate_rows(
+        df, ["o_custkey"], mode="exclude_first", order_by="o_orderkey"
+    ).select("o_custkey", "o_orderkey")
+
+
+_DUP_ROWS_ORACLE = """
+SELECT o_custkey, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn > 1
+"""
+
+
+def q_quarantine_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass valid/quarantine routing counts (sinks operator): the
+    compiled conjunction of every row-resolvable lineitem check."""
+    from pandera_spark.sinks import split_valid_invalid
+
+    df = _load(spark, sf_dir, "lineitem")
+    schema = _validation_schema(LINEITEM_CHECKS, LINEITEM_NOT_NULL, "lineitem")
+    valid, invalid = split_valid_invalid(df, schema)
+    return valid.agg(F.count(F.lit(1)).cast("long").alias("valid_rows")).crossJoin(
+        invalid.agg(F.count(F.lit(1)).cast("long").alias("invalid_rows"))
+    )
+
+
+def _quarantine_oracle() -> str:
+    # pass condition: for nullable cols (col IS NULL OR pred); for
+    # non-null cols (col IS NOT NULL AND pred); mirrored from the check
+    # spec table so Spark and SQL can't drift
+    conds = []
+    for colname in LINEITEM_NOT_NULL:
+        conds.append(f"{colname} IS NOT NULL")
+    for col, _label, _chk, sqlcond in LINEITEM_CHECKS:
+        # sqlcond is the VIOLATION condition incl. "IS NOT NULL AND NOT
+        # pred"; a row passes the check iff NOT violation
+        conds.append(f"NOT ({sqlcond})")
+    pass_cond = " AND ".join(conds)
+    return (
+        f"SELECT CAST(SUM(CASE WHEN {pass_cond} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS valid_rows, "
+        f"CAST(SUM(CASE WHEN NOT ({pass_cond}) THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS invalid_rows FROM lineitem"
+    )
+
+
 def q_minhash_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 is
     not reproducible in DuckDB)."""
@@ -719,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttest_events": q_ttest_events,
         "fk_lineitem": q_fk_lineitem,
         "orphan_stats_events": q_orphan_stats_events,
+        "dup_rows_orders": q_dup_rows_orders,
+        "quarantine_counts_lineitem": q_quarantine_counts_lineitem,
         "minhash_candidates_documents": q_minhash_candidates_documents,
         "simhash_documents": q_simhash_documents,
         "lang_id_documents": q_lang_id_documents,
@@ -823,6 +880,8 @@ FROM ranked WHERE rank <= 5
         ),
         "ttest_events": _TTEST_ORACLE,
         "fk_lineitem": _FK_ORACLE,
+        "dup_rows_orders": _DUP_ROWS_ORACLE,
+        "quarantine_counts_lineitem": _quarantine_oracle(),
         "orphan_stats_events": _ORPHAN_ORACLE,
         # minhash_candidates_documents, simhash_documents, lang_id_documents,
         # lsh_ann_embeddings: rows-only (hash functions / argmax not

@@ -91,6 +91,53 @@ def exact_dedup(df: DataFrame, cols: list[str], keep: str = "first") -> DataFram
     )
 
 
+def duplicate_rows(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    mode: str = "all",
+    order_by: str | None = None,
+) -> DataFrame:
+    """Rows that violate uniqueness over ``cols`` — the failure-case
+    extractor behind ``report_duplicates`` (SURVEY §2.B; reference
+    dtypes.py:627 UniqueSettings).
+
+    - ``mode="all"``: every row of a duplicated group (window count > 1).
+    - ``mode="exclude_first"|"exclude_last"``: all but the first/last row
+      per group, ordered by ``order_by`` — REQUIRED for these modes: Spark
+      has no row order, so determinism needs an explicit ordering column
+      (SURVEY §7 hard part 3).
+
+    Scale shape: one shuffle on the key columns; the window never sees a
+    global sort (partitionBy keys only).
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in cols]
+    if mode == "all":
+        w = Window.partitionBy(*keys)
+        return (
+            df.withColumn("__cnt", F.count(F.lit(1)).over(w))
+            .filter(F.col("__cnt") > 1)
+            .drop("__cnt")
+        )
+    if mode not in ("exclude_first", "exclude_last"):
+        raise ValueError(f"unknown report_duplicates mode {mode!r}")
+    if order_by is None:
+        raise ValueError(
+            f"mode={mode!r} needs order_by= for a deterministic 'first'"
+        )
+    ob = F.col(order_by).asc() if mode == "exclude_first" else F.col(
+        order_by
+    ).desc()
+    w = Window.partitionBy(*keys).orderBy(ob)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .drop("__rn")
+    )
+
+
 def shingles(col: C, n: int = 3) -> C:
     """Word n-gram shingle array from a text column (pure built-ins:
     split + transform over index range — stays in codegen)."""

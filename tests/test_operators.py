@@ -482,3 +482,19 @@ def test_windowed_violation_counts_batch_and_stream(spark, tmp_path):
     finally:
         q.stop()
     assert got and all(r.rows >= r.violations for r in got)
+
+
+def test_duplicate_rows_modes(spark):
+    from pandera_spark.operators.dedup import duplicate_rows
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "c")], "id int, k string"
+    )
+    allm = duplicate_rows(df, ["k"], mode="all").collect()
+    assert sorted(r.id for r in allm) == [1, 2, 3]
+    ef = duplicate_rows(df, ["k"], mode="exclude_first", order_by="id").collect()
+    assert sorted(r.id for r in ef) == [2, 3]
+    el = duplicate_rows(df, ["k"], mode="exclude_last", order_by="id").collect()
+    assert sorted(r.id for r in el) == [1, 2]
+    with pytest.raises(ValueError):
+        duplicate_rows(df, ["k"], mode="exclude_first")
