@@ -121,6 +121,103 @@ def ivf_assign(
     return df.withColumn(out_col, F.explode(cells))
 
 
+def ivf_write_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "error",
+) -> None:
+    """Materialize the IVF index: corpus partitioned on disk by cell, plus
+    a centroid sidecar table.
+
+    Layout: ``{path}/data/cell=<i>/*.parquet`` and
+    ``{path}/centroids/*.parquet``.  Because ``cell`` is a PARTITION
+    column, a probe query's ``cell IN (...)`` filter prunes at the file
+    index — unprobed cells are never opened (the ANN analogue of
+    partition pruning; see PLANS.md §5).
+    """
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, centroids
+    )
+    (
+        assigned.repartition("cell")
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(f"{path}/data")
+    )
+    spark = corpus.sparkSession
+    cent_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k against a materialized IVF index — scans ONLY probed cells.
+
+    The probed cell set is collected driver-side from the (small) query
+    frame, then applied as a partition filter on the index scan; Spark's
+    file index prunes every other cell's files before any task launches.
+    """
+    from .similarity import cosine
+    from pyspark.sql import Window
+
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = np.asarray([r.centroid for r in cent], dtype=np.float64)
+
+    q_assigned = ivf_assign(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+        ),
+        "__qvec",
+        centroids,
+        nprobe=min(nprobe, len(centroids)),
+    )
+    probed = [r.cell for r in q_assigned.select("cell").distinct().collect()]
+
+    corpus = (
+        spark.read.parquet(f"{path}/data")
+        .filter(F.col("cell").isin(probed))  # partition pruning
+        .select(
+            F.col("cell"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cvec"),
+        )
+    )
+    scored = (
+        F.broadcast(q_assigned)
+        .join(corpus, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,96 @@
+"""Skew mitigation utilities: salted two-phase aggregation and salted
+bucket joins.
+
+At 100 TB a handful of hot keys (empty documents, a default user id, a
+null-ish sentinel) can put one reducer orders of magnitude behind the
+rest.  AQE's skew-join handling covers sort-merge joins; for hash
+AGGREGATIONS on a skewed key the standard fix is salting: shard each key
+into ``n_salt`` sub-keys, pre-aggregate per shard (parallel), then
+aggregate the shards (tiny).  Cost: one extra reduce over ``n_salt`` rows
+per key — negligible; benefit: the hot key's work spreads over ``n_salt``
+tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def salted_count_by_key(
+    df: DataFrame, keys: list[str], *, n_salt: int = 16
+) -> DataFrame:
+    """groupBy(keys).count() robust to skewed keys.
+
+    Phase 1 groups on (keys, random salt) — hot keys spread over
+    ``n_salt`` partitions; phase 2 sums the per-shard counts.  Result is
+    identical to a plain groupBy count (asserted in tests).
+    """
+    salted = df.withColumn(
+        SALT, (F.rand(seed=0) * n_salt).cast("int")
+    )
+    phase1 = salted.groupBy(*keys, SALT).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return phase1.groupBy(*keys).agg(
+        F.sum("__c").cast("long").alias("count")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    *,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for decomposable aggregates.
+
+    ``aggs`` maps column -> one of sum/count/min/max (the aggregates that
+    re-combine with themselves; avg must be expressed as sum+count by the
+    caller).  Output columns are ``{fn}_{col}``.
+    """
+    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for fn in aggs.values():
+        if fn not in recombine:
+            raise ValueError(
+                f"{fn!r} is not self-decomposable; use sum+count and "
+                "combine driver-side"
+            )
+    salted = df.withColumn(SALT, (F.rand(seed=0) * n_salt).cast("int"))
+    p1 = salted.groupBy(*keys, SALT).agg(
+        *[
+            first[fn](F.col(c)).alias(f"{fn}_{c}")
+            for c, fn in aggs.items()
+        ]
+    )
+    return p1.groupBy(*keys).agg(
+        *[
+            recombine[fn](F.col(f"{fn}_{c}")).alias(f"{fn}_{c}")
+            for c, fn in aggs.items()
+        ]
+    )
+
+
+def salt_join_key(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    n_salt: int = 8,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Prepare a skew-resistant equi-join: salt the fact side randomly,
+    EXPLODE the dim side across all salt values (dim rows replicate
+    ``n_salt``×, acceptable for small/medium dims), and return
+    (fact', dim', join_keys).  ``fact'.join(dim', join_keys)`` then spreads
+    each hot key over ``n_salt`` tasks.
+    """
+    f = fact.withColumn(SALT, (F.rand(seed=0) * n_salt).cast("int"))
+    d = dim.withColumn(
+        SALT,
+        F.explode(F.array(*[F.lit(i) for i in range(n_salt)])),
+    )
+    return f, d, [key, SALT]

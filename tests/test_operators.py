@@ -498,3 +498,67 @@ def test_duplicate_rows_modes(spark):
     assert sorted(r.id for r in el) == [1, 2]
     with pytest.raises(ValueError):
         duplicate_rows(df, ["k"], mode="exclude_first")
+
+
+def test_salted_aggs_match_plain(spark):
+    from pandera_spark.operators.skew import (
+        salt_join_key,
+        salted_agg,
+        salted_count_by_key,
+    )
+
+    rows = [(i % 3, float(i)) for i in range(100)] + [(0, 1.0)] * 50
+    df = spark.createDataFrame(rows, "k int, v double")
+    plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {
+        r.k: r["count"] for r in salted_count_by_key(df, ["k"]).collect()
+    }
+    assert salted == plain
+
+    agg = {
+        r.k: (r.sum_v, r.min_v, r.max_v)
+        for r in salted_agg(
+            df, ["k"], {"v": "sum"} | {}, n_salt=8
+        ).select("k", "sum_v", F.lit(0).alias("min_v"),
+                 F.lit(0).alias("max_v")).collect()
+    }
+    plain_sum = {r.k: r["sum(v)"] for r in df.groupBy("k").sum("v").collect()}
+    for key in plain_sum:
+        assert abs(agg[key][0] - plain_sum[key]) < 1e-9
+
+    f, d, jk = salt_join_key(
+        df, spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k int, nm string"),
+        "k", n_salt=4,
+    )
+    joined = f.join(d, jk)
+    assert joined.count() == df.count()  # every fact row matched exactly once
+
+
+def test_ivf_indexed_partition_pruning(spark, vectors, tmp_path):
+    from pandera_spark.operators.ann_ivf import (
+        ivf_fit,
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    cents = ivf_fit(vectors, n_centroids=4, seed=7)
+    idx = str(tmp_path / "ivf")
+    ivf_write_index(vectors, cents, idx)
+
+    q = vectors.filter(F.col("vec_id") == 0)
+    direct = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(
+            vectors, q, k=3, n_centroids=4, nprobe=4, seed=7,
+            centroids=cents,
+        ).collect()
+    }
+    indexed = ivf_topk_indexed(spark, idx, q, k=3, nprobe=4)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in indexed.collect()}
+    assert got == direct
+
+    # nprobe=1 must prune partitions at the file index
+    pruned = ivf_topk_indexed(spark, idx, q, k=3, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
