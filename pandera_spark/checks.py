@@ -74,6 +74,7 @@ class Check:
         accepted_dtypes: tuple | None = None,
         agg_kind: str | None = None,
         groupby: str | list[str] | None = None,
+        determined_by_unique: bool = False,
         **kwargs: Any,
     ):
         self.check_fn = check_fn
@@ -92,6 +93,11 @@ class Check:
         # agg_kind: None = row predicate; "unique_values_eq" = needs collect_set
         self.agg_kind = agg_kind
         self.groupby = groupby
+        # API parity with reference api/checks.py:118-123: a dedup-
+        # before-check hint.  Accepted as metadata; the Spark engine's
+        # single aggregated pass evaluates predicates inline, so a
+        # distinct() pre-pass (an extra shuffle) never wins (SURVEY §4).
+        self.determined_by_unique = determined_by_unique
         self._kwargs = kwargs
 
     def __repr__(self) -> str:

@@ -149,3 +149,59 @@ def test_check_aliases(alias, canonical):
     a = getattr(Check, alias)(*args)
     c = getattr(Check, canonical)(*args)
     assert a.name == c.name
+
+
+NESTED_DTYPE_CASES = [
+    ("array_ok", T.ArrayType(T.IntegerType()),
+     T.ArrayType(T.IntegerType()), True),
+    ("array_elem_mismatch", T.ArrayType(T.IntegerType()),
+     T.ArrayType(T.LongType()), False),
+    # containsNull is deliberately ignored by default (engine.py:162 —
+    # the reference compares it, :494-514, but Spark's createDataFrame
+    # rewrites nullability unpredictably, so strict comparison is opt-in)
+    ("array_containsnull_relaxed", T.ArrayType(T.IntegerType(), True),
+     T.ArrayType(T.IntegerType(), False), True),
+    ("map_ok", T.MapType(T.StringType(), T.DoubleType()),
+     T.MapType(T.StringType(), T.DoubleType()), True),
+    ("map_value_mismatch", T.MapType(T.StringType(), T.DoubleType()),
+     T.MapType(T.StringType(), T.FloatType()), False),
+    ("decimal_ok", T.DecimalType(10, 2), T.DecimalType(10, 2), True),
+    ("decimal_scale_mismatch", T.DecimalType(10, 2),
+     T.DecimalType(10, 4), False),
+    ("struct_ok",
+     T.StructType([T.StructField("x", T.IntegerType())]),
+     T.StructType([T.StructField("x", T.IntegerType())]), True),
+    ("struct_field_mismatch",
+     T.StructType([T.StructField("x", T.IntegerType())]),
+     T.StructType([T.StructField("x", T.StringType())]), False),
+    ("nested_array_of_map_ok",
+     T.ArrayType(T.MapType(T.StringType(), T.LongType())),
+     T.ArrayType(T.MapType(T.StringType(), T.LongType())), True),
+]
+
+
+@pytest.mark.parametrize(
+    "label,declared,actual,should_pass",
+    NESTED_DTYPE_CASES,
+    ids=[c[0] for c in NESTED_DTYPE_CASES],
+)
+def test_nested_dtype_deep_equality(spark, label, declared, actual,
+                                    should_pass):
+    """Deep structural dtype checks for Array/Map/Decimal/Struct
+    (reference engines/pyspark_engine.py:336-360,494-514,556-579; Struct
+    is our extension — the reference pyspark engine omits it)."""
+    schema = DataFrameSchema({"v": Column(declared)})
+    df = spark.createDataFrame(
+        [], T.StructType([T.StructField("v", actual, True)])
+    )
+    res = schema.validate_result(df)
+    dtype_errs = [
+        e for e in res.errors if e.reason_code.value == "wrong_dtype"
+    ]
+    assert bool(dtype_errs) != should_pass, (label, res.report)
+
+
+def test_determined_by_unique_accepted():
+    c = Check.gt(0, determined_by_unique=True)
+    assert c.determined_by_unique is True
+    assert Check.gt(0).determined_by_unique is False
