@@ -43,10 +43,18 @@ def _permutation_constants(n: int) -> tuple[list[int], list[int]]:
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input arrives in
     fewer partitions (small files).  At real scale inputs already have many
-    partitions and this is a no-op — no shuffle added."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    partitions and this is a no-op — no shuffle added.
+
+    Spark Connect has no ``df.rdd`` / ``sparkContext``; there we return the
+    input unchanged (a Connect backend is a real cluster whose scans are
+    already split)."""
+    try:
+        sc = df.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect (PySparkNotImplementedError) et al.
+        return df
+    if n < target:
         return df.repartition(target)
     return df
 
