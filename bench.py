@@ -49,15 +49,20 @@ def main() -> None:
     except Exception:
         pass
 
+    # best of N runs per query: absorbs shared-VM noise (observed ±20%
+    # run-to-run on identical plans); N=2 keeps total wall bounded
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
-        spark.catalog.clearCache()  # operator-internal persists don't leak
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()  # operator persists don't leak
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -68,6 +73,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": runs,
             }
         )
     )
