@@ -387,3 +387,49 @@ def test_parser_runs_before_checks(spark):
     )
     result = schema.validate_result(df)
     assert result.passed
+
+
+def test_golden_error_report_shape(spark):
+    """Golden end-to-end report (reference test strategy: exact nested
+    error dicts, tests/pyspark/test_pyspark_check.py:115-120): the full
+    {"SCHEMA"|"DATA": {reason_code: [entries]}} structure for a
+    multi-failure validate."""
+    df = spark.createDataFrame(
+        [(1, 5.0, "x"), (2, -1.0, "y"), (None, 200.0, "zz")],
+        T.StructType([
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField("v", T.DoubleType(), True),
+            T.StructField("s", T.StringType(), True),
+        ]),
+    )
+    schema = DataFrameSchema(
+        {
+            "id": Column(T.IntegerType(), nullable=False),
+            "v": Column(T.DoubleType(), Check.in_range(0.0, 100.0,
+                                                       error="v_in_0_100")),
+            "s": Column(T.StringType(), Check.str_length(1, 1,
+                                                         error="s_len_1")),
+            "missing_col": Column(T.StringType()),
+        },
+        name="golden",
+    )
+    report = schema.validate_result(df).report
+    assert set(report) <= {"SCHEMA", "DATA"}
+    assert report["SCHEMA"] == {
+        "column_not_in_dataframe": [
+            {
+                "schema": "golden",
+                "column": "missing_col",
+                "check": "column_in_dataframe",
+                "error": "column 'missing_col' not in dataframe",
+                "violations": 0,
+            }
+        ]
+    }
+    data = report["DATA"]["schema_component_check"]
+    by_check = {e["check"]: e for e in data}
+    assert by_check["v_in_0_100"]["violations"] == 2
+    assert by_check["v_in_0_100"]["column"] == "v"
+    assert by_check["s_len_1"]["violations"] == 1
+    nulls = report["DATA"]["series_contains_nulls"]
+    assert nulls[0]["column"] == "id" and nulls[0]["violations"] == 1

@@ -146,3 +146,41 @@ def test_element_wise_python_check(spark):
     result = schema.validate_result(df)
     [err] = result.errors
     assert err.failure_cases_count == 1  # only 10; null ignored
+
+
+def test_property_roundtrip_random_bounds(spark):
+    """Property-based round-trip (reference tests/strategies/
+    test_strategies.py:128,148,212 pattern): for random constraint
+    bounds, data generated from the schema validates clean against the
+    same schema."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pandera_spark import Check, Column, DataFrameSchema
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        lo=st.integers(min_value=-1000, max_value=0),
+        span=st.integers(min_value=1, max_value=1000),
+        strlen=st.integers(min_value=1, max_value=20),
+    )
+    def run(lo, span, strlen):
+        schema = DataFrameSchema(
+            {
+                "n": Column(
+                    T.LongType(), Check.in_range(lo, lo + span),
+                    nullable=False,
+                ),
+                "s": Column(T.StringType(), Check.str_length(1, strlen)),
+            },
+            name="prop",
+        )
+        df = schema.example(spark, size=7, seed=lo + span)
+        res = schema.validate_result(df)
+        assert not res.errors, res.report
+
+    run()
