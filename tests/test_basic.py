@@ -433,3 +433,51 @@ def test_golden_error_report_shape(spark):
     assert by_check["s_len_1"]["violations"] == 1
     nulls = report["DATA"]["series_contains_nulls"]
     assert nulls[0]["column"] == "id" and nulls[0]["violations"] == 1
+
+
+def test_empty_dataframe_validates_vacuously(spark):
+    st = T.StructType([
+        T.StructField("v", T.IntegerType(), True),
+        T.StructField("s", T.StringType(), True),
+    ])
+    empty = spark.createDataFrame([], st)
+    schema = DataFrameSchema(
+        {
+            "v": Column(T.IntegerType(), Check.gt(0), nullable=False,
+                        unique=True),
+            "s": Column(T.StringType(), Check.str_length(1, 5)),
+        },
+        unique=["v", "s"],
+    )
+    res = schema.validate_result(empty)
+    assert res.passed and res.total_rows == 0 and not res.errors
+
+
+def test_all_null_column_reports(spark):
+    st = T.StructType([
+        T.StructField("v", T.IntegerType(), True),
+        T.StructField("s", T.StringType(), True),
+    ])
+    df = spark.createDataFrame([(None, None)] * 3, st)
+    schema = DataFrameSchema(
+        {
+            "v": Column(T.IntegerType(), Check.gt(0), nullable=False,
+                        unique=True),
+            "s": Column(T.StringType(), Check.str_length(1, 5)),
+        },
+        unique=["v", "s"],
+    )
+    res = schema.validate_result(df)
+    got = sorted(
+        (e.reason_code.value, e.column, e.failure_cases_count)
+        for e in res.errors
+    )
+    # nulls: 3 not-null violations; null groups count as duplicate tuples
+    # (groupBy treats null keys as equal — same as the reference's
+    # groupBy-count, backends/pyspark/container.py:532-540); value checks
+    # ignore nulls (ignore_na)
+    assert got == [
+        ("duplicates", "v,s", 3),
+        ("series_contains_duplicates", "v", 3),
+        ("series_contains_nulls", "v", 3),
+    ]
