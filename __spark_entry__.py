@@ -586,6 +586,32 @@ def _quarantine_oracle() -> str:
     )
 
 
+def q_failure_cases_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failure-case extraction (n_failure_cases surface): every failing
+    value for one check, deterministic because the limit exceeds the
+    failure count."""
+    df = _load(spark, sf_dir, "lineitem")
+    schema = DataFrameSchema(
+        {
+            "l_linenumber": Column(
+                T.IntegerType(),
+                Check.in_range(1, 6, error="linenumber_in_1_6"),
+            )
+        },
+        name="lineitem_fc",
+    )
+    fc = schema.validate_result(df).failure_cases(n=10_000_000)
+    return fc.select("column", "check", "failure_case")
+
+
+_FAILURE_CASES_ORACLE = """
+SELECT 'l_linenumber' AS "column", 'linenumber_in_1_6' AS "check",
+       CAST(l_linenumber AS VARCHAR) AS failure_case
+FROM lineitem
+WHERE l_linenumber IS NOT NULL AND NOT (l_linenumber BETWEEN 1 AND 6)
+"""
+
+
 def q_minhash_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 is
     not reproducible in DuckDB)."""
@@ -776,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_stats_events": q_orphan_stats_events,
         "dup_rows_orders": q_dup_rows_orders,
         "quarantine_counts_lineitem": q_quarantine_counts_lineitem,
+        "failure_cases_lineitem": q_failure_cases_lineitem,
         "minhash_candidates_documents": q_minhash_candidates_documents,
         "simhash_documents": q_simhash_documents,
         "lang_id_documents": q_lang_id_documents,
@@ -882,6 +909,7 @@ FROM ranked WHERE rank <= 5
         "fk_lineitem": _FK_ORACLE,
         "dup_rows_orders": _DUP_ROWS_ORACLE,
         "quarantine_counts_lineitem": _quarantine_oracle(),
+        "failure_cases_lineitem": _FAILURE_CASES_ORACLE,
         "orphan_stats_events": _ORPHAN_ORACLE,
         # minhash_candidates_documents, simhash_documents, lang_id_documents,
         # lsh_ann_embeddings: rows-only (hash functions / argmax not
