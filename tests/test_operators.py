@@ -562,3 +562,32 @@ def test_ivf_indexed_partition_pruning(spark, vectors, tmp_path):
     pruned = ivf_topk_indexed(spark, idx, q, k=3, nprobe=1)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
+
+
+def test_monotonic_violations_matches_global_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pandera_spark.operators.ordered import monotonic_violations
+
+    rng = random.Random(7)
+    rows = [(i, float(i + (5 if rng.random() < 0.2 else 0) - (8 if rng.random() < 0.1 else 0))) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "o int, v double").repartition(8)
+
+    for decreasing, strict in [(False, False), (False, True), (True, False)]:
+        w = Window.orderBy("o")
+        prev = F.lag("v").over(w)
+        cur = F.col("v")
+        if decreasing:
+            ok = cur < prev if strict else cur <= prev
+        else:
+            ok = cur > prev if strict else cur >= prev
+        expected = df.select(
+            (prev.isNotNull() & cur.isNotNull() & ~ok).cast("long").alias("x")
+        ).agg(F.sum("x")).first()[0]
+        got = monotonic_violations(
+            df, "v", "o", decreasing=decreasing, strict=strict,
+            num_partitions=7,
+        )
+        assert got == expected, (decreasing, strict, got, expected)
