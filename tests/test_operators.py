@@ -591,3 +591,38 @@ def test_monotonic_violations_matches_global_window(spark):
             num_partitions=7,
         )
         assert got == expected, (decreasing, strict, got, expected)
+
+
+def test_end_to_end_training_data_pipeline(spark, tmp_path):
+    """Integration: read -> validate/quarantine -> exact dedup -> quality
+    filter -> token stats -> routed write. The composed engine a
+    training-data pipeline actually runs."""
+    from pandera_spark.operators.dedup import exact_dedup
+    from pandera_spark.operators.text import bpe_ish_token_count
+    from pandera_spark.sinks import split_valid_invalid
+    from pandera_spark.sources import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    schema = DataFrameSchema(
+        {
+            "doc_id": Column(T.LongType(), Check.gt(0), nullable=False),
+            "text": Column(T.StringType(), Check.str_length(1, 100_000),
+                           nullable=False),
+        },
+        name="docs_in",
+    )
+    valid, quarantined = split_valid_invalid(docs, schema)
+    deduped = exact_dedup(valid, ["text"], keep="any")
+    scored = deduped.withColumn(
+        "n_tokens", bpe_ish_token_count(F.col("text"))
+    ).filter(F.col("n_tokens") >= 3)
+    out_path = str(tmp_path / "clean_docs")
+    scored.write.parquet(out_path)
+
+    written = spark.read.parquet(out_path)
+    n_in, n_q = docs.count(), quarantined.count()
+    n_out = written.count()
+    assert n_out > 0 and n_out <= n_in - n_q
+    assert "n_tokens" in written.columns
+    # dedup really happened: no duplicate texts remain
+    assert written.select("text").distinct().count() == n_out
