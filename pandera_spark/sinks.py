@@ -69,6 +69,37 @@ def write_quarantined(
     }
 
 
+def quarantine_stream(
+    stream_df: DataFrame,
+    schema: "DataFrameSchema",
+    path: str,
+    *,
+    format: str = "parquet",
+    flag_col: str = VALID_FLAG,
+):
+    """Streaming quarantine routing: every micro-batch appends to
+    ``{path}/{flag}=true|false`` via the same single-pass partitioned
+    write as :func:`write_quarantined`.
+
+    Returns a ``DataStreamWriter`` (caller adds checkpoint/trigger and
+    ``.start()``).  One scan per micro-batch; no per-check jobs.
+    """
+    from .backend.runner import row_pass_condition
+
+    out, cond = row_pass_condition(schema, stream_df)
+    flagged = out.withColumn(flag_col, cond)
+
+    def route(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.write.format(format)
+            .mode("append")
+            .partitionBy(flag_col)
+            .save(path)
+        )
+
+    return flagged.writeStream.foreachBatch(route)
+
+
 def write_validated(
     df: DataFrame,
     schema: "DataFrameSchema",

@@ -106,6 +106,50 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema=None, **options
+) -> DataFrame:
+    """ORC scan, optionally typed by a pandera schema (skips inference;
+    ORC supports the same predicate pushdown / column pruning as parquet)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(_reader_schema(schema))
+    return reader.orc(path)
+
+
+def read_text_documents(
+    spark: SparkSession,
+    path: str,
+    *,
+    whole_file: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Raw text corpus scan -> (doc_id, text, source_file).
+
+    ``whole_file=False``: one document per line (the common
+    one-example-per-line corpus layout).  ``whole_file=True``: one
+    document per file (``wholetext`` reader — beware executor memory for
+    large files).  ``doc_id`` is a content+provenance hash
+    (``xxhash64(file, text)``) — stable across re-runs and partition
+    layouts, unlike ``monotonically_increasing_id``.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read
+    if whole_file:
+        reader = reader.option("wholetext", "true")
+    df = reader.text(path).select(
+        F.col("value").alias(text_col),
+        F.input_file_name().alias("source_file"),
+    )
+    return df.select(
+        F.xxhash64(F.col("source_file"), F.col(text_col)).alias(id_col),
+        text_col,
+        "source_file",
+    )
+
+
 def _nano_timestamp_columns(path: str) -> list[str]:
     try:
         import pyarrow.dataset as ds

@@ -626,3 +626,63 @@ def test_end_to_end_training_data_pipeline(spark, tmp_path):
     assert "n_tokens" in written.columns
     # dedup really happened: no duplicate texts remain
     assert written.select("text").distinct().count() == n_out
+
+
+def test_read_orc_typed(spark, tmp_path):
+    from pandera_spark.sources import read_orc
+
+    p = str(tmp_path / "t.orc")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string").write.orc(p)
+    schema = DataFrameSchema(
+        {"id": Column(T.IntegerType()), "s": Column(T.StringType())}
+    )
+    df = read_orc(spark, p, schema)
+    assert df.schema["id"].dataType == T.IntegerType()
+    assert df.count() == 2
+
+
+def test_read_text_documents(spark, tmp_path):
+    from pandera_spark.sources import read_text_documents
+
+    (tmp_path / "a.txt").write_text("doc one\ndoc two\n")
+    (tmp_path / "b.txt").write_text("doc three\n")
+    df = read_text_documents(spark, str(tmp_path / "*.txt"))
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r.text for r in rows} == {"doc one", "doc two", "doc three"}
+    # ids are stable across re-reads (content+provenance hash)
+    again = {r.text: r.doc_id for r in
+             read_text_documents(spark, str(tmp_path / "*.txt")).collect()}
+    assert all(again[r.text] == r.doc_id for r in rows)
+
+
+def test_quarantine_stream(spark, tmp_path):
+    import time
+
+    from pandera_spark.sinks import quarantine_stream
+
+    schema = DataFrameSchema({"value": Column(T.LongType(), Check.lt(5))})
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .select("value")
+    )
+    out = str(tmp_path / "routed")
+    q = (
+        quarantine_stream(src, schema, out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        import glob
+        while time.time() < deadline:
+            if glob.glob(f"{out}/_pandera_valid=false/*.parquet"):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    good = spark.read.parquet(f"{out}/_pandera_valid=true")
+    bad = spark.read.parquet(f"{out}/_pandera_valid=false")
+    assert good.count() > 0 and bad.count() > 0
+    assert good.agg(F.max("value")).first()[0] < 5
+    assert bad.agg(F.min("value")).first()[0] >= 5
