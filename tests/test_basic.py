@@ -481,3 +481,56 @@ def test_all_null_column_reports(spark):
         ("series_contains_duplicates", "v", 3),
         ("series_contains_nulls", "v", 3),
     ]
+
+
+def test_job_count_independent_of_check_count(spark, products):
+    """The scale invariant: adding checks adds aggregate expressions, not
+    Spark actions (SURVEY §4; vs the reference's job-per-check)."""
+    few = DataFrameSchema(
+        {"price": Column(T.IntegerType(), [Check.gt(0)])}, name="few"
+    )
+    many = DataFrameSchema(
+        {
+            "price": Column(T.IntegerType(), [
+                Check.gt(0), Check.lt(1000), Check.ne(-1),
+                Check.in_range(0, 999), Check.ge(1), Check.le(999),
+            ]),
+            "product": Column(T.StringType(), [
+                Check.str_length(1, 99), Check.str_matches("."),
+                Check.isin(["Bread", "Butter"]), Check.str_startswith("B"),
+            ]),
+        },
+        name="many",
+    )
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_for(schema):
+        schema.validate_result(products)  # warm
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        schema.validate_result(products)
+        return len(tracker.getJobIdsForGroup(None) or []) - before
+
+    j_few, j_many = jobs_for(few), jobs_for(many)
+    assert j_many == j_few, (j_few, j_many)
+    assert j_many <= 3  # one action; AQE may re-plan it into 2-3 job ids
+
+
+def test_validate_under_ansi_mode(spark, products):
+    """Spark 4 defaults to ANSI on; coerce-error capture must use
+    try_cast semantics, not rely on ansi-off silent-null casts."""
+    original = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        bad = spark.createDataFrame([("1",), ("x",)], "v string")
+        s = DataFrameSchema({"v": Column(T.IntegerType(), coerce=True)})
+        r = s.validate_result(bad)
+        errs = [
+            e for e in r.errors
+            if e.reason_code.value == "dtype_coercion_error"
+        ]
+        assert len(errs) == 1 and errs[0].failure_cases_count == 1
+        assert DataFrameSchema(
+            {"price": Column(T.IntegerType(), Check.gt(5))}
+        ).validate_result(products).passed
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", original)
