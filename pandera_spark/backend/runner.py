@@ -630,14 +630,37 @@ def _compile_one_check(
 def _compile_is_monotonic(ctx: _Ctx, check: Check, colname: str) -> None:
     """Monotonicity via a lag window.
 
-    NOTE(scale): a global ``Window.orderBy`` collapses to one partition.  For
-    the 100 TB path use ``operators.ordered.monotonic_violations`` which
-    range-repartitions and checks partition boundaries; this inline variant
-    is kept for small/medium validation workloads.
+    NOTE(scale): a global ``Window.orderBy`` collapses to one partition.
+    ``Check.is_monotonic(..., distributed=True)`` routes to
+    ``operators.ordered.monotonic_violations`` (range-repartition +
+    per-partition windows + driver boundary check); the inline global
+    window stays the default for small/medium validation workloads.
     """
     from pyspark.sql import Window
 
     stats = check.statistics
+
+    if stats.get("distributed"):
+        def fin_dist(row, colname=colname, check=check, stats=stats):
+            from ..operators.ordered import monotonic_violations
+
+            cnt = monotonic_violations(
+                ctx.df, colname, stats["order_by"],
+                decreasing=stats["decreasing"], strict=stats["strict"],
+            )
+            ctx.outcome(
+                colname, check.error,
+                SchemaErrorReason.SCHEMA_COMPONENT_CHECK,
+                passed=cnt == 0, violations=int(cnt),
+                message="" if cnt == 0 else f"{cnt} monotonicity violations",
+            )
+
+        ctx.finalizers.append(fin_dist)
+        if not ctx.agg_exprs:
+            ctx.agg_exprs.append(
+                F.count(F.lit(1)).alias(f"__mono_anchor_{len(ctx.agg_exprs)}")
+            )
+        return
     order_col = F.col(stats["order_by"])
     col = F.col(colname)
     w = Window.orderBy(order_col)

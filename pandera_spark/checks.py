@@ -371,15 +371,21 @@ class Check:
     @classmethod
     def is_monotonic(
         cls, order_by: str, decreasing: bool = False, strict: bool = False,
-        **kwargs,
+        distributed: bool = False, **kwargs,
     ) -> "Check":
+        """``distributed=True`` evaluates via
+        :func:`pandera_spark.operators.ordered.monotonic_violations`
+        (range-repartition + per-partition windows) instead of a global
+        ``Window.orderBy`` — required at data sizes where one partition
+        can't hold the table."""
         chk = cls(
             None,
             name="is_monotonic",
             error=kwargs.pop("error", None)
             or f"is_monotonic(order_by='{order_by}', decreasing={decreasing})",
             statistics={
-                "order_by": order_by, "decreasing": decreasing, "strict": strict,
+                "order_by": order_by, "decreasing": decreasing,
+                "strict": strict, "distributed": distributed,
             },
             accepted_dtypes=_CMP_TYPES,
             agg_kind="is_monotonic",

@@ -534,3 +534,26 @@ def test_validate_under_ansi_mode(spark, products):
         ).validate_result(products).passed
     finally:
         spark.conf.set("spark.sql.ansi.enabled", original)
+
+
+def test_is_monotonic_distributed_matches_inline(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, float(i if rng.random() > 0.15 else i - 10))
+            for i in range(300)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "o int, v double").repartition(6)
+
+    def violations(distributed):
+        schema = DataFrameSchema(
+            {"v": Column(T.DoubleType(),
+                         Check.is_monotonic("o", distributed=distributed))}
+        )
+        res = schema.validate_result(df)
+        if res.passed:
+            return 0
+        [err] = res.errors
+        return err.failure_cases_count
+
+    assert violations(True) == violations(False) > 0
