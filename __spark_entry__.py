@@ -586,6 +586,78 @@ def _quarantine_oracle() -> str:
     )
 
 
+def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard similarity (the correctness baseline the
+    MinHash estimator approximates) for query docs (doc_id < 50) vs the
+    corpus; pure built-ins (split/array_distinct/array_intersect)."""
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).alias("__w"),
+    )
+    a = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("id_a"), F.col("__w").alias("wa")
+    )
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("__w").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    union = (F.size("wa") + F.size("wb") - F.size(
+        F.array_intersect("wa", "wb")
+    )).cast("double")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard_r")
+        )
+        .filter(F.col("jaccard_r") >= 0.2)
+    )
+
+
+_JACCARD_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(text), '\\s+')) AS words
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.words, b.words))::DOUBLE /
+             (len(a.words) + len(b.words)
+              - len(list_intersect(a.words, b.words))), 6) AS jaccard_r
+FROM w a JOIN w b ON a.doc_id < 50 AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.words, b.words))::DOUBLE /
+      (len(a.words) + len(b.words)
+       - len(list_intersect(a.words, b.words))) >= 0.2
+"""
+
+
+def q_fk_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity across the remaining dimension chain:
+    supplier.s_nationkey -> nation, nation.n_regionkey -> region."""
+    from pandera_spark.operators.relational import fk_violation_count
+
+    sup = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation")
+    reg = _load(spark, sf_dir, "region")
+    a = fk_violation_count(sup, "s_nationkey", nat, "n_nationkey").select(
+        F.lit("s_nationkey->nation").alias("fk"), F.col("violations")
+    )
+    b = fk_violation_count(nat, "n_regionkey", reg, "r_regionkey").select(
+        F.lit("n_regionkey->region").alias("fk"), F.col("violations")
+    )
+    return a.unionAll(b)
+
+
+_FK_SUPPLIER_ORACLE = """
+SELECT 's_nationkey->nation' AS fk, CAST(COUNT(*) AS BIGINT) AS violations
+FROM supplier WHERE s_nationkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)
+UNION ALL
+SELECT 'n_regionkey->region' AS fk, CAST(COUNT(*) AS BIGINT) AS violations
+FROM nation WHERE n_regionkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
+"""
+
+
 def q_failure_cases_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Failure-case extraction (n_failure_cases surface): every failing
     value for one check, deterministic because the limit exceeds the
@@ -803,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rows_orders": q_dup_rows_orders,
         "quarantine_counts_lineitem": q_quarantine_counts_lineitem,
         "failure_cases_lineitem": q_failure_cases_lineitem,
+        "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "fk_supplier_region": q_fk_supplier_region,
         "minhash_candidates_documents": q_minhash_candidates_documents,
         "simhash_documents": q_simhash_documents,
         "lang_id_documents": q_lang_id_documents,
@@ -910,6 +984,8 @@ FROM ranked WHERE rank <= 5
         "dup_rows_orders": _DUP_ROWS_ORACLE,
         "quarantine_counts_lineitem": _quarantine_oracle(),
         "failure_cases_lineitem": _FAILURE_CASES_ORACLE,
+        "jaccard_pairs_documents": _JACCARD_ORACLE,
+        "fk_supplier_region": _FK_SUPPLIER_ORACLE,
         "orphan_stats_events": _ORPHAN_ORACLE,
         # minhash_candidates_documents, simhash_documents, lang_id_documents,
         # lsh_ann_embeddings: rows-only (hash functions / argmax not
