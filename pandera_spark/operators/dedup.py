@@ -390,20 +390,22 @@ def simhashes(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("__w"),
     ).select(F.col(id_col), F.xxhash64("__w").alias("__h"))
+    # branch-free bit sums: sum((h >> b) & 1) per bit plus a row count;
+    # bit b is set iff set-count > half (2*ones > n  <=>  sum(+-1) > 0)
+    h = F.col("__h")
     sums = tokens.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(
-                F.when(
-                    F.col("__h").bitwiseAND(_mask_lit(b)) != 0, F.lit(1)
-                ).otherwise(F.lit(-1))
+                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
             ).alias(f"__b{b}")
             for b in range(num_bits)
         ]
     )
     bit_exprs = [
-        F.when(F.col(f"__b{b}") > 0, _mask_lit(b)).otherwise(
-            F.lit(0).cast("long")
-        )
+        F.when(
+            F.col(f"__b{b}") * 2 > F.col("__n"), _mask_lit(b)
+        ).otherwise(F.lit(0).cast("long"))
         for b in range(num_bits)
     ]
     sh = bit_exprs[0]
