@@ -158,6 +158,13 @@ def run_validation(
     return result
 
 
+def strip_hidden(df: DataFrame) -> DataFrame:
+    """Drop the hidden pre-cast originals carried for coerce-error
+    accounting.  Apply AFTER any filter built from ``row_pass_condition``
+    (the coerce predicates reference the hidden columns)."""
+    return df.drop(*[c for c in df.columns if c.startswith(_ORIG_PREFIX)])
+
+
 def row_pass_condition(
     schema: "DataFrameSchema", df: DataFrame
 ) -> tuple[DataFrame, SparkCol]:
@@ -165,22 +172,22 @@ def row_pass_condition(
     the ``drop_invalid_rows`` condition — WITHOUT running any Spark action.
 
     Returns (transformed_df, pass_cond): the post-transform projection
-    (strict-filter / coerce / defaults / parsers applied) and a boolean
-    Column that is true for rows passing all row-level checks.  Used by
-    :mod:`pandera_spark.sinks` to split valid/quarantine rows in one pass.
+    (strict-filter / coerce / defaults / parsers applied, hidden pre-cast
+    originals still present — finish with :func:`strip_hidden`) and a
+    boolean Column true for rows passing all row-level checks, including
+    coerce-cast success.  Used by :mod:`pandera_spark.sinks` to split
+    valid/quarantine rows in one pass.
     """
     ctx = _Ctx(schema, df, lazy=True)
     expansion = _expand_components(ctx, list(df.columns))
-    transformed, _coerce = _apply_transforms(ctx, expansion)
+    transformed, coerce_agg_cols = _apply_transforms(ctx, expansion)
     _compile_column_checks(ctx, transformed, expansion)
     _compile_dataframe_checks(ctx, transformed)
+    _compile_coerce_errors(ctx, coerce_agg_cols)
     cond = F.lit(True)
     for c in ctx.pass_conditions:
         cond = cond & c
-    out = transformed.drop(
-        *[c for c in transformed.columns if c.startswith(_ORIG_PREFIX)]
-    )
-    return out, cond
+    return transformed, cond
 
 
 def _run(ctx: _Ctx, cfg) -> ValidationResult:
@@ -229,9 +236,9 @@ def _run(ctx: _Ctx, cfg) -> ValidationResult:
             job(transformed)
 
     # ---- finalize ----------------------------------------------------------
-    out_df = transformed.drop(
-        *[c for c in transformed.columns if c.startswith(_ORIG_PREFIX)]
-    )
+    # filter BEFORE dropping hidden originals: coerce pass-conditions
+    # reference the pre-cast column
+    out_df = transformed
     if schema.drop_invalid_rows and ctx.pass_conditions:
         # reference api/dataframe/container.py:100 (not implemented in the
         # reference pyspark backend — natural as a Spark filter)
@@ -239,6 +246,7 @@ def _run(ctx: _Ctx, cfg) -> ValidationResult:
         for c in ctx.pass_conditions[1:]:
             cond = cond & c
         out_df = out_df.filter(cond)
+    out_df = strip_hidden(out_df)
 
     report = ctx.handler.summarize()
     result = ValidationResult(
@@ -935,6 +943,14 @@ def _compile_coerce_errors(ctx: _Ctx, coerce_agg_cols: dict) -> None:
                 ctx, key, out_col, f"coerce_dtype('{out_col}')",
                 SchemaErrorReason.DATATYPE_COERCION,
             )
+        )
+        # a failed cast is a row-level failure: drop_invalid_rows and the
+        # quarantine split must not route it as valid (the predicate
+        # references the hidden original column, so filters are applied
+        # BEFORE hidden columns are dropped)
+        ctx.pass_conditions.append(~cond)
+        ctx.failure_specs.append(
+            (out_col, f"coerce_dtype('{out_col}')", cond, None)
         )
 
 

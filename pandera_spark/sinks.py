@@ -31,10 +31,10 @@ def split_valid_invalid(
     """(valid_rows, invalid_rows) by the conjunction of all row-resolvable
     checks.  Lazy — no Spark action; each side is a filtered view, and a
     filter pushed into the scan when the input is a file source."""
-    from .backend.runner import row_pass_condition
+    from .backend.runner import row_pass_condition, strip_hidden
 
     out, cond = row_pass_condition(schema, df)
-    return out.filter(cond), out.filter(~cond)
+    return strip_hidden(out.filter(cond)), strip_hidden(out.filter(~cond))
 
 
 def write_quarantined(
@@ -53,11 +53,11 @@ def write_quarantined(
     Returns the two output locations.  Readers of the main table prune to
     the valid partition for free (partition pruning on the flag column).
     """
-    from .backend.runner import row_pass_condition
+    from .backend.runner import row_pass_condition, strip_hidden
 
     out, cond = row_pass_condition(schema, df)
     (
-        out.withColumn(flag_col, cond)
+        strip_hidden(out.withColumn(flag_col, cond))
         .write.format(format)
         .mode(mode)
         .partitionBy(flag_col)
@@ -84,10 +84,10 @@ def quarantine_stream(
     Returns a ``DataStreamWriter`` (caller adds checkpoint/trigger and
     ``.start()``).  One scan per micro-batch; no per-check jobs.
     """
-    from .backend.runner import row_pass_condition
+    from .backend.runner import row_pass_condition, strip_hidden
 
     out, cond = row_pass_condition(schema, stream_df)
-    flagged = out.withColumn(flag_col, cond)
+    flagged = strip_hidden(out.withColumn(flag_col, cond))
 
     def route(batch_df: DataFrame, _batch_id: int) -> None:
         (

@@ -686,3 +686,32 @@ def test_quarantine_stream(spark, tmp_path):
     assert good.count() > 0 and bad.count() > 0
     assert good.agg(F.max("value")).first()[0] < 5
     assert bad.agg(F.min("value")).first()[0] >= 5
+
+
+def test_quarantine_includes_coerce_failures(spark):
+    from pandera_spark.sinks import split_valid_invalid
+
+    df = spark.createDataFrame(
+        [("1", "a"), ("oops", "b"), (None, "c")], "v string, k string"
+    )
+    schema = DataFrameSchema(
+        {"v": Column(T.IntegerType(), coerce=True)}, name="co"
+    )
+    valid, invalid = split_valid_invalid(df, schema)
+    # 'oops' fails the cast -> quarantined; null original passes (nullable)
+    assert sorted(r.k for r in valid.collect()) == ["a", "c"]
+    assert [r.k for r in invalid.collect()] == ["b"]
+    # hidden pre-cast columns never leak
+    assert all(not c.startswith("__pandera") for c in valid.columns)
+
+
+def test_drop_invalid_rows_drops_coerce_failures(spark):
+    df = spark.createDataFrame(
+        [("1",), ("oops",), ("3",)], "v string"
+    )
+    schema = DataFrameSchema(
+        {"v": Column(T.IntegerType(), coerce=True)},
+        drop_invalid_rows=True,
+    )
+    out = schema.validate_result(df).df
+    assert sorted(r.v for r in out.collect()) == [1, 3]
