@@ -705,7 +705,9 @@ def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-based language ID vs the labeled lang column: per-language
-    accuracy counts (rows-only: argmax-over-structs not portable to SQL)."""
+    accuracy counts.  Oracle-checked: the struct-argmax is replayed in SQL
+    with ``list_max`` over (score, lang) structs (same lexicographic
+    tie-break as Spark's ``array_max``)."""
     from pandera_spark.operators.text import detect_language
 
     df = _load(spark, sf_dir, "documents")
@@ -723,7 +725,9 @@ def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k (scale path of similarity
-    search; rows-only — recall vs brute force is checked in tests)."""
+    search).  Oracle-checked: the hyperplanes are deterministic from the
+    seed, so the DuckDB oracle rebuilds the same sign-bit signatures with
+    ``list_dot_product`` against plane literals and replays the banding."""
     from pandera_spark.operators.similarity import lsh_topk
 
     emb = _load(spark, sf_dir, "embeddings").select(
@@ -732,6 +736,61 @@ def q_lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_topk(emb, queries, k=5, dim=64, n_planes=16, bands=8).select(
         "query_id", "rank", "neighbor_id"
+    )
+
+
+def q_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH banding for candidates,
+    exact cosine verify (dedup family, BASELINE.json north star).  The
+    oracle replays the full operator — banding AND verify — in SQL."""
+    from pandera_spark.operators.similarity import embedding_near_dups
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = embedding_near_dups(
+        emb, threshold=0.35, dim=64, n_planes=16, bands=4
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("sim_r")
+    )
+
+
+def q_media_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal payload-statistics pass (pre-decode validation): documents
+    text re-encoded as opaque binary payloads with deterministic nulls, then
+    the no-decode stats aggregate (SURVEY §2.L beyond-reference ops)."""
+    from pandera_spark.operators.multimodal import media_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 37 == 0, F.lit(None).cast("binary"))
+        .otherwise(F.encode("text", "UTF-8"))
+        .alias("payload"),
+    )
+    return media_stats(media)
+
+
+def q_frame_samples_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling through the Arrow-batched ``mapInPandas``
+    plumbing (deterministic fake slicer standing in for a demuxer).  The
+    oracle reproduces the per-frame byte counts arithmetically, verifying
+    row fan-out and batch shape end-to-end."""
+    from pandera_spark.operators.multimodal import sample_frames
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    frames = sample_frames(
+        media, every_nth=10, max_frames=8, deterministic_fake=True
+    )
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame").cast("long").alias("frame_bytes"),
     )
 
 
@@ -882,7 +941,145 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": q_lang_id_documents,
         "ivf_ann_embeddings": q_ivf_ann_embeddings,
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
+        "neardup_embeddings": q_neardup_embeddings,
+        "media_stats_documents": q_media_stats_documents,
+        "frame_samples_documents": q_frame_samples_documents,
     }
+
+
+def _lsh_sig_sql(dim: int, n_planes: int, seed: int = 42) -> str:
+    """DuckDB expression computing the same sign-bit LSH signature as
+    operators.similarity.lsh_signature: the hyperplanes are deterministic
+    from (dim, n_planes, seed), so they are inlined as DOUBLE[] literals."""
+    from pandera_spark.operators.similarity import _hyperplanes
+
+    terms = []
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _lsh_ann_oracle(k: int = 5, dim: int = 64, n_planes: int = 16,
+                    bands: int = 8) -> str:
+    rpb = n_planes // bands
+    mask = (1 << rpb) - 1
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, {_lsh_sig_sql(dim, n_planes)} AS sig FROM e),
+banded AS (
+  SELECT vec_id, t.band, (sig >> (t.band * {rpb})) & {mask} AS bkey
+  FROM s, range({bands}) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c ON q.band = c.band AND q.bkey = c.bkey
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(eq.v, ec.v) AS sim
+  FROM cand
+  JOIN e eq ON eq.vec_id = query_id
+  JOIN e ec ON ec.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _neardup_oracle(threshold: float = 0.35, dim: int = 64,
+                    n_planes: int = 16, bands: int = 4) -> str:
+    rpb = n_planes // bands
+    mask = (1 << rpb) - 1
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, {_lsh_sig_sql(dim, n_planes)} AS sig FROM e),
+banded AS (
+  SELECT vec_id, t.band, (sig >> (t.band * {rpb})) & {mask} AS bkey
+  FROM s, range({bands}) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim_r
+FROM cand c
+JOIN e ea ON ea.vec_id = c.id_a
+JOIN e eb ON eb.vec_id = c.id_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+"""
+
+
+def _lang_id_oracle() -> str:
+    """Replays detect_language's struct-argmax: list_max over (score, lang)
+    structs has the same lexicographic tie-break as Spark's array_max."""
+    from pandera_spark.operators.text import _LANG_MARKERS
+
+    structs = []
+    for lang, words in _LANG_MARKERS.items():
+        if lang == "zh":
+            pat = "(" + "|".join(words) + ")"
+        else:
+            pat = r"(?i)\b(" + "|".join(words) + r")\b"
+        structs.append(
+            "{'score': len(regexp_extract_all(text, '" + pat + "')), "
+            "'lang': '" + lang + "'}"
+        )
+    best = "list_max([" + ", ".join(structs) + "])"
+    return f"""
+WITH scored AS (
+  SELECT lang,
+         CASE WHEN struct_extract({best}, 'score') > 0
+              THEN struct_extract({best}, 'lang') ELSE 'und' END AS pred
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN pred = lang THEN 1 END) AS BIGINT) AS n_correct
+FROM scored GROUP BY lang
+"""
+
+
+_MEDIA_STATS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(COUNT(CASE WHEN doc_id % 37 = 0 THEN 1 END) AS BIGINT)
+         AS null_payloads,
+       CAST(COALESCE(SUM(CASE WHEN doc_id % 37 <> 0
+                         THEN octet_length(encode(text)) END), 0) AS BIGINT)
+         AS total_bytes,
+       CAST(COALESCE(MAX(CASE WHEN doc_id % 37 <> 0
+                         THEN octet_length(encode(text)) END), 0) AS BIGINT)
+         AS max_bytes
+FROM documents
+"""
+
+# len(payload[i::n][:64]) == min(64, ceil((len-i)/n)); n = min(8, max(1,
+# len // 10)) — the arithmetic mirror of the fake frame slicer
+_FRAME_SAMPLES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+  FROM documents WHERE text IS NOT NULL
+),
+f AS (
+  SELECT media_id, len, LEAST(8, GREATEST(1, len // 10)) AS n FROM m
+),
+x AS (
+  SELECT media_id, len, n, unnest(range(n)) AS i FROM f
+)
+SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+       CAST(LEAST(64, (len - i + n - 1) // n) AS BIGINT) AS frame_bytes
+FROM x
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -987,7 +1184,12 @@ FROM ranked WHERE rank <= 5
         "jaccard_pairs_documents": _JACCARD_ORACLE,
         "fk_supplier_region": _FK_SUPPLIER_ORACLE,
         "orphan_stats_events": _ORPHAN_ORACLE,
-        # minhash_candidates_documents, simhash_documents, lang_id_documents,
-        # lsh_ann_embeddings: rows-only (hash functions / argmax not
-        # reproducible in ANSI SQL) — driver records the weaker check.
+        "lang_id_documents": _lang_id_oracle(),
+        "lsh_ann_embeddings": _lsh_ann_oracle(),
+        "neardup_embeddings": _neardup_oracle(),
+        "media_stats_documents": _MEDIA_STATS_ORACLE,
+        "frame_samples_documents": _FRAME_SAMPLES_ORACLE,
+        # minhash_candidates_documents, simhash_documents: rows-only
+        # (xxhash64 is not reproducible in ANSI SQL) — driver records the
+        # weaker rows-only check.
     }
