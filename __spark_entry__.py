@@ -685,22 +685,109 @@ WHERE l_linenumber IS NOT NULL AND NOT (l_linenumber BETWEEN 1 AND 6)
 
 
 def q_minhash_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 is
-    not reproducible in DuckDB)."""
+    """MinHash-LSH near-dup candidate pairs, portable hash family: the
+    md5-prefix shingle hash and mod-(2^31-1) permutations are replayed
+    exactly by the DuckDB oracle (full hash-parity check of the shingle →
+    signature → band → bucket-join pipeline)."""
     from pandera_spark.operators.dedup import minhash_lsh_candidates
 
     df = _load(spark, sf_dir, "documents")
     return minhash_lsh_candidates(
-        df, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3
+        df, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3,
+        portable=True,
     ).orderBy("id_a", "id_b")
 
 
+_HEXFOLD = (
+    "list_reduce([strpos('0123456789abcdef', x)-1 for x in "
+    "string_split(substr(md5({e}),1,7), '')], (u,v) -> u*16+v)"
+)
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replay of q_minhash_candidates_documents: same md5-prefix
+    hashes, same permutation constants, same banding."""
+    from pandera_spark.operators.dedup import (
+        PORTABLE_P,
+        portable_permutation_constants,
+    )
+
+    num_hashes, bands, n = 32, 8, 3
+    rows = num_hashes // bands
+    a, b = portable_permutation_constants(num_hashes)
+    ca, cb = portable_permutation_constants(rows, bound=1 << 28)
+    shingle_hash = _HEXFOLD.format(e=f"array_to_string(w[i:i+{n - 1}], ' ')")
+    mins = ",\n    ".join(
+        f"list_min([(h*{a[i]}+{b[i]})%{PORTABLE_P} for h in hs]) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bd} AS band, ({cb[0]}"
+        + "".join(f" + m{bd * rows + r}*{ca[r]}" for r in range(rows))
+        + f") % {PORTABLE_P} AS bhash FROM m"
+        for bd in range(bands)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+),
+h AS (
+  SELECT doc_id, list_distinct([{shingle_hash}
+    for i in range(1, greatest(len(w)-{n - 1}, 0)+1)]) AS hs
+  FROM w
+),
+m AS (
+  SELECT doc_id,
+    {mins}
+  FROM h WHERE len(hs) > 0
+),
+banded AS ({band_rows})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+"""
+
+
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming<=3 (rows-only)."""
+    """SimHash near-dup pairs at hamming<=3, portable 28-bit hash: the
+    DuckDB oracle rebuilds the identical bit-sum simhash and checks the
+    blocked join against brute-force all-pairs hamming (also proving the
+    4-chunk pigeonhole blocking loses no pair)."""
     from pandera_spark.operators.dedup import simhash_near_dups
 
     df = _load(spark, sf_dir, "documents")
-    return simhash_near_dups(df, "doc_id", "text", max_hamming=3)
+    return simhash_near_dups(
+        df, "doc_id", "text", max_hamming=3, num_bits=28, portable=True
+    )
+
+
+def _simhash_oracle() -> str:
+    num_bits, max_hamming = 28, 3
+    tok_hash = _HEXFOLD.format(e="t")
+    bit_sums = ",\n    ".join(
+        f"sum((h >> {bb}) & 1) AS b{bb}" for bb in range(num_bits)
+    )
+    sim = " + ".join(
+        f"CASE WHEN 2*b{bb} > n THEN {1 << bb} ELSE 0 END"
+        for bb in range(num_bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {tok_hash} AS h
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+        FROM documents)
+),
+s AS (
+  SELECT doc_id, count(*) AS n,
+    {bit_sums}
+  FROM tok GROUP BY doc_id
+),
+sh AS (SELECT doc_id, CAST({sim} AS BIGINT) AS s FROM s)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
 
 
 def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1189,7 +1276,6 @@ FROM ranked WHERE rank <= 5
         "neardup_embeddings": _neardup_oracle(),
         "media_stats_documents": _MEDIA_STATS_ORACLE,
         "frame_samples_documents": _FRAME_SAMPLES_ORACLE,
-        # minhash_candidates_documents, simhash_documents: rows-only
-        # (xxhash64 is not reproducible in ANSI SQL) — driver records the
-        # weaker rows-only check.
+        "minhash_candidates_documents": _minhash_oracle(),
+        "simhash_documents": _simhash_oracle(),
     }

@@ -21,6 +21,38 @@ _MINHASH_SEED_A = 0x9E3779B97F4A7C15
 _MINHASH_SEED_B = 0xC2B2AE3D27D4EB4F
 _MERSENNE = (1 << 61) - 1
 
+#: prime modulus of the *portable* permutation family (2^31 - 1).  The
+#: portable path keeps every intermediate < 2^63 so the identical
+#: arithmetic can be replayed by an ANSI SQL oracle (DuckDB) that errors
+#: on BIGINT overflow instead of wrapping like Spark longs do.
+PORTABLE_P = (1 << 31) - 1
+
+
+def portable_hash28(col: C) -> C:
+    """28-bit content hash = first 7 hex digits of ``md5`` parsed base-16.
+
+    MD5 over UTF-8 bytes is bit-identical across engines, so an external
+    SQL oracle can reproduce this hash exactly (DuckDB:
+    ``list_reduce`` fold of ``substr(md5(x),1,7)`` hex digits).  Used by
+    the ``portable=True`` MinHash/SimHash paths; the default paths use
+    ``xxhash64`` (cheaper, JVM-only)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def portable_permutation_constants(
+    n: int, *, bound: int = PORTABLE_P, seed: int = _MINHASH_SEED_B
+) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) constants for ``(a*h + b) % PORTABLE_P``
+    permutations of the 28-bit portable hash space.  ``a*h < bound * 2^31``
+    must stay below 2^63 for overflow-free replay — callers combining
+    several products pass a smaller ``bound``."""
+    import random
+
+    rng = random.Random(seed ^ n)
+    a = [rng.randrange(1, bound) for _ in range(n)]
+    b = [rng.randrange(0, PORTABLE_P) for _ in range(n)]
+    return a, b
+
 
 def _signed64(x: int) -> int:
     x &= (1 << 64) - 1
@@ -146,13 +178,21 @@ def duplicate_rows(
     )
 
 
+def _index_range(k: C) -> C:
+    """``[0, k)`` as an int array, empty when ``k == 0``.  A bare
+    ``sequence(0, k-1)`` is wrong for k=0: Spark generates a *descending*
+    [0, -1], and downstream ``slice``/``element_at`` throw on index 0."""
+    return F.slice(F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))), F.lit(1), k)
+
+
 def shingles(col: C, n: int = 3) -> C:
     """Word n-gram shingle array from a text column (pure built-ins:
-    split + transform over index range — stays in codegen)."""
+    split + transform over index range — stays in codegen).  Documents
+    shorter than ``n`` words yield an empty array."""
     words = F.split(col, r"\s+")
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
     return F.transform(
-        F.sequence(F.lit(0), k - F.lit(1)),
+        _index_range(k),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
 
@@ -172,7 +212,7 @@ def shingle_hashes(col: C, n: int = 3) -> C:
         for j in range(1, n):
             out = out + F.element_at(wh, i + 1 + j) * F.lit(a[j % len(a)])
         return out
-    return F.transform(F.sequence(F.lit(0), k - F.lit(1)), combine)
+    return F.transform(_index_range(k), combine)
 
 
 def minhash_signature(shingle_col: C, num_hashes: int = 64) -> C:
@@ -199,6 +239,7 @@ def minhash_signatures(
     *,
     num_hashes: int = 64,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures via explode + groupBy — the scalable formulation.
 
@@ -208,24 +249,34 @@ def minhash_signatures(
     ``num_hashes`` longs per doc per partition — at 100 TB the shuffle moves
     signatures, never shingles.
 
+    ``portable=True`` switches to the md5-prefix shingle hash and the
+    mod-(2^31-1) permutation family (:func:`portable_hash28`) whose exact
+    values an external SQL oracle can replay; plan shape is identical.
+
     Returns (id_col, sig: array<long>).
     """
+    if portable:
+        sh = F.transform(
+            shingles(F.col(text_col), shingle_n), portable_hash28
+        )
+    else:
+        sh = shingle_hashes(F.col(text_col), shingle_n)
     tokens = _ensure_parallelism(df).select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(shingle_hashes(F.col(text_col), shingle_n))
-        ).alias("__h"),
+        F.explode(F.array_distinct(sh)).alias("__h"),
     )
     # one string hash per word (shingle_hashes), then `num_hashes`
     # multiply-add permutations (odd multiplier => bijection mod 2^64):
     # ~10x cheaper than hashing the shingle string once per permutation
-    a, b = _permutation_constants(num_hashes)
     h = F.col("__h")
+    if portable:
+        a, b = portable_permutation_constants(num_hashes)
+        perm = lambda i: (h * F.lit(a[i]) + F.lit(b[i])) % F.lit(PORTABLE_P)
+    else:
+        a, b = _permutation_constants(num_hashes)
+        perm = lambda i: h * F.lit(a[i]) + F.lit(b[i])
     mins = tokens.groupBy(id_col).agg(
-        *[
-            F.min(h * F.lit(a[i]) + F.lit(b[i])).alias(f"__h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(perm(i)).alias(f"__h{i}") for i in range(num_hashes)]
     )
     return mins.select(
         F.col(id_col),
@@ -241,6 +292,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -248,19 +300,33 @@ def minhash_lsh_candidates(
     compute signatures, explode to ``bands`` rows per doc, shuffle on
     (band, band_hash) — bucket sizes are data-dependent but tiny for
     non-duplicate-heavy corpora; the join never touches raw text.
+
+    ``portable=True``: oracle-replayable hashes (see
+    :func:`minhash_signatures`); band keys stay below 2^63 by bounding the
+    combine multipliers to 2^28 (sig < 2^31, so each product < 2^59 and a
+    4-term sum < 2^61 — no overflow in an ANSI engine).
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n,
+        portable=portable,
     ).select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig"))
     # band key = multiply-add combine of the band's signature longs (no
     # string building; ~4 long ops per band, tiny codegen footprint)
-    ca, cb = _permutation_constants(rows)
-    def band_key(b: int) -> C:
-        out = F.lit(cb[0])
-        for r in range(rows):
-            out = out + F.col("__sig")[b * rows + r] * F.lit(ca[r])
-        return out
+    if portable:
+        ca, cb = portable_permutation_constants(rows, bound=1 << 28)
+        def band_key(b: int) -> C:
+            out = F.lit(cb[0])
+            for r in range(rows):
+                out = out + F.col("__sig")[b * rows + r] * F.lit(ca[r])
+            return out % F.lit(PORTABLE_P)
+    else:
+        ca, cb = _permutation_constants(rows)
+        def band_key(b: int) -> C:
+            out = F.lit(cb[0])
+            for r in range(rows):
+                out = out + F.col("__sig")[b * rows + r] * F.lit(ca[r])
+            return out
     banded = sigs.select(
         "__id",
         F.explode(
@@ -378,18 +444,25 @@ def simhash(col: C, num_bits: int = 64) -> C:
 
 
 def simhashes(
-    df: DataFrame, id_col: str, text_col: str, *, num_bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, *, num_bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash via explode + groupBy — the scalable formulation
     (codegen'd when/sum aggregates instead of interpreted lambda folds).
 
     Returns (id_col, simhash: long).  Map-side partial aggregation shuffles
     ``num_bits`` small sums per doc per partition.
+
+    ``portable=True``: md5-prefix 28-bit word hash (oracle-replayable,
+    :func:`portable_hash28`) — requires ``num_bits <= 28``.
     """
+    if portable and num_bits > 28:
+        raise ValueError("portable simhash carries 28 hash bits at most")
+    word_hash = portable_hash28 if portable else F.xxhash64
     tokens = _ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("__w"),
-    ).select(F.col(id_col), F.xxhash64("__w").alias("__h"))
+    ).select(F.col(id_col), word_hash(F.col("__w")).alias("__h"))
     # branch-free bit sums: sum((h >> b) & 1) per bit plus a row count;
     # bit b is set iff set-count > half (2*ones > n  <=>  sum(+-1) > 0)
     h = F.col("__h")
@@ -416,7 +489,7 @@ def simhashes(
 
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3,
-    num_bits: int = 64,
+    num_bits: int = 64, portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -424,7 +497,9 @@ def simhash_near_dups(
     hamming distance 3 shares at least one exact chunk), join per chunk,
     verify with bit_count.  Avoids all-pairs entirely.
     """
-    sh = simhashes(df, id_col, text_col, num_bits=num_bits).select(
+    sh = simhashes(
+        df, id_col, text_col, num_bits=num_bits, portable=portable
+    ).select(
         F.col(id_col).alias("__id"), F.col("simhash").alias("__sh")
     )
     chunks = 4

@@ -66,6 +66,63 @@ def test_simhash_near_dups(spark, docs):
     assert (1, 5) not in got
 
 
+def test_shingles_shorter_than_n(spark):
+    """Docs with fewer than n words must yield an empty shingle array, not
+    a slice(..., 0) crash (regression: sequence(0, -1) descends)."""
+    from pandera_spark.operators.dedup import shingle_hashes, shingles
+
+    df = spark.createDataFrame(
+        [("one",), ("one two",), ("one two three",), ("",)], "t string"
+    )
+    out = df.select(
+        F.size(shingles(F.col("t"), 3)).alias("s"),
+        F.size(shingle_hashes(F.col("t"), 3)).alias("h"),
+    ).collect()
+    assert [r.s for r in out] == [0, 0, 1, 0]
+    assert [r.h for r in out] == [0, 0, 1, 0]
+
+
+def test_portable_paths_match_default_semantics(spark, docs):
+    """portable=True swaps the hash family but not the pipeline: exact
+    dups still collide in every band, and portable simhash of identical
+    texts is identical (hamming 0)."""
+    from pandera_spark.operators.dedup import (
+        PORTABLE_P,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        simhash_near_dups,
+        simhashes,
+    )
+
+    cands = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=32, bands=8, portable=True
+    )
+    assert (1, 2) in {(r.id_a, r.id_b) for r in cands.collect()}
+
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, portable=True
+    ).collect()}
+    assert sigs[1] == sigs[2]
+    assert all(0 <= v < PORTABLE_P for v in sigs[1])
+
+    sh = {r.doc_id: r.simhash for r in simhashes(
+        docs, "doc_id", "text", num_bits=28, portable=True
+    ).collect()}
+    assert sh[1] == sh[2]
+    assert all(0 <= v < (1 << 28) for v in sh.values())
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dups(
+            docs, "doc_id", "text", max_hamming=0, num_bits=28, portable=True
+        ).collect()
+    }
+    assert (1, 2) in got
+
+    with pytest.raises(ValueError):
+        simhashes(docs, "doc_id", "text", num_bits=64, portable=True)
+
+
 def test_token_and_quality(spark, docs):
     from pandera_spark.operators.text import text_quality, token_stats
 
