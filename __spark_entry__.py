@@ -987,6 +987,133 @@ def entry(spark: SparkSession) -> DataFrame:
     )(spark, "/root/testdata/sf0.001")
 
 
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (beyond-reference temporal operator): every
+    purchase event matched to the user's most recent signup at or before
+    it.  Spark plan: union + one window pass, single shuffle on user_id —
+    never a range join.  Oracle: DuckDB native ASOF LEFT JOIN."""
+    from pandera_spark.operators.temporal import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    return asof_join(
+        purchases, signups, on="ts", by=["user_id"],
+        right_cols=["signup_event"],
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts_r").alias("signup_ts"),
+        F.col("signup_event_r").alias("signup_event"),
+    ).filter(F.col("signup_event").isNotNull())
+    # inner flavor for the contract: null-free output hashes identically
+    # across engines (pandas NaT/NaN vs None ambiguity)
+
+
+_ASOF_ORACLE = """
+SELECT l.event_id, l.user_id, r.ts AS signup_ts,
+       r.event_id AS signup_event
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: (purchase, error) event pairs of the same user
+    within 10 minutes.  Spark plan: bucket ts by the band, explode the
+    left side into 3 adjacent buckets, equi-join on (user, bucket) +
+    residual filter — bounded duplication, no cross join.  Oracle: plain
+    inequality join (exact at oracle scale)."""
+    from pandera_spark.operators.temporal import banded_range_join
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error")
+    out = banded_range_join(
+        purchases, errors, left_on="ts", right_on="ts",
+        band_seconds=600, by=["user_id"],
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_r").alias("error_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias(
+            "delta_us"
+        ),
+    )
+
+
+_RANGE_PAIRS_ORACLE = """
+SELECT l.event_id AS purchase_id, r.event_id AS error_id,
+       epoch_us(l.ts) - epoch_us(r.ts) AS delta_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id
+ AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 600 * 1000000
+"""
+
+
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling rollup per event_type (hypertable-style continuous
+    aggregate): one hash aggregate, map-side partials.  Oracle: DuckDB
+    time_bucket."""
+    from pandera_spark.operators.temporal import time_rollup
+
+    ev = _load(spark, sf_dir, "events")
+    return time_rollup(
+        ev, "ts", resolution="1 hour", keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)).cast("long"),
+            "sum_value": F.round(F.sum("value"), 4).cast("double"),
+        },
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_rollup_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup derived from the hourly rollup by re-aggregation (the
+    cascade never rescans events); oracle aggregates events directly —
+    value parity proves sum/count decomposability end-to-end."""
+    from pandera_spark.operators.temporal import (
+        rollup_reaggregate,
+        time_rollup,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    hourly = time_rollup(
+        ev, "ts", resolution="1 hour", keys=["event_type"],
+        aggs={"n_events": F.count(F.lit(1)).cast("long"),
+              "sum_value": F.sum("value")},
+    )
+    daily = rollup_reaggregate(
+        hourly, resolution="1 day", keys=["event_type"],
+        sum_cols=["n_events", "sum_value"],
+    )
+    return daily.select(
+        "bucket_start", "event_type", "n_events",
+        F.round(F.col("sum_value"), 4).cast("double").alias("sum_value"),
+    )
+
+
+_ROLLUP_DAILY_ORACLE = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -1031,6 +1158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embeddings": q_neardup_embeddings,
         "media_stats_documents": q_media_stats_documents,
         "frame_samples_documents": q_frame_samples_documents,
+        "asof_events": q_asof_events,
+        "range_pairs_events": q_range_pairs_events,
+        "rollup_events": q_rollup_events,
+        "rollup_daily_events": q_rollup_daily_events,
     }
 
 
@@ -1278,4 +1409,8 @@ FROM ranked WHERE rank <= 5
         "frame_samples_documents": _FRAME_SAMPLES_ORACLE,
         "minhash_candidates_documents": _minhash_oracle(),
         "simhash_documents": _simhash_oracle(),
+        "asof_events": _ASOF_ORACLE,
+        "range_pairs_events": _RANGE_PAIRS_ORACLE,
+        "rollup_events": _ROLLUP_ORACLE,
+        "rollup_daily_events": _ROLLUP_DAILY_ORACLE,
     }

@@ -1,0 +1,233 @@
+"""Temporal operators: as-of join, banded range join, time-bucket rollup.
+
+Beyond-reference family (the reference validates single tables and has no
+join/temporal operators — SURVEY §2.L "Joins: none in the reference");
+these are the time-series primitives a large-scale event/training-data
+pipeline needs, expressed Spark-first.
+
+Design for 100 TB:
+- ``asof_join`` is the union + partitioned-window formulation: ONE shuffle
+  on the key columns, then a per-key sort inside each partition — never a
+  range join (Spark would otherwise plan a broadcast-nested-loop or
+  sort-merge with an inequality post-filter that degenerates on wide time
+  ranges).  The right payload travels as a single struct so the window
+  carries one ``last(ignorenulls)`` regardless of payload width.
+- ``banded_range_join`` buckets time by the band width and explodes one
+  side into its 3 adjacent buckets: an equi-join on (key, bucket) plus a
+  residual band filter.  Shuffle is keyed on (key, bucket) — bounded
+  duplication (3x of the smaller side), no cross product, AQE-splittable.
+- ``time_rollup`` is a tumbling-window hash aggregate (map-side partial
+  agg); ``rollup_reaggregate`` derives coarser resolutions from a finer
+  rollup (hour -> day) without rescanning the fact table — the classic
+  hypertable continuous-aggregate cascade.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column as C
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "asof_join",
+    "banded_range_join",
+    "time_rollup",
+    "rollup_reaggregate",
+]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: Sequence[str] | None = None,
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_r",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of join: for every left row, the single right row with the
+    greatest ``on`` <= left's (``backward``) or smallest ``on`` >= left's
+    (``forward``), per ``by`` group; unmatched left rows keep nulls
+    (pandas ``merge_asof`` semantics, left-join flavor).
+
+    Implementation: tag and union both sides, then one window pass
+    ``last(payload, ignorenulls=True)`` ordered by (ts, side) — right rows
+    sort before left rows at equal timestamps, so exact matches are
+    inclusive.  Forward direction flips the sort instead of re-deriving
+    the window.  Ties *within* the right side at identical (by, ts) are
+    broken arbitrarily — supply distinct timestamps per key for
+    deterministic output.
+
+    Scale: one shuffle on ``by``; per-key in-partition sort.  ``by=None``
+    is a global as-of (single partition) — small-data path only.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    by = list(by or [])
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != on and c not in by]
+    out_names = [c + suffix for c in right_cols]
+
+    payload = F.struct(
+        F.col(on).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__side"),
+        payload.alias("__p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by],
+    ).select(*by, "__on", "__side", "__p",
+             *[c for c in left.columns if c not in by])
+    l = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c) for c in left.columns if c not in by],
+    )
+    unioned = l.unionByName(r)
+
+    ts_order = F.col("__on").asc() if direction == "backward" else F.col(
+        "__on"
+    ).desc()
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(ts_order, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "__m", F.last("__p", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
+
+    if tolerance_seconds is not None:
+        tol = int(tolerance_seconds * 1_000_000)
+        dt = F.unix_micros(F.col("__on")) - F.unix_micros(
+            F.col("__m.__ts")
+        )
+        if direction == "forward":
+            dt = -dt
+        matched = matched.withColumn(
+            "__m", F.when(dt <= F.lit(tol), F.col("__m"))
+        )
+
+    return matched.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__m.__ts").alias(on + suffix),
+        *[F.col(f"__m.{c}").alias(o) for c, o in zip(right_cols, out_names)],
+    )
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    band_seconds: float,
+    by: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """All (left, right) pairs with ``|left_on - right_on| <= band`` per
+    ``by`` group — the bounded-interval join.
+
+    Never a cross join: both sides bucket time by the band width; the left
+    side explodes into its bucket and both neighbors (any in-band pair
+    lands in one of those three), then an equi-join on (by, bucket) and a
+    residual exact filter.  Column name collisions get a ``_r`` suffix on
+    the right side.
+    """
+    if how != "inner":
+        raise ValueError("banded_range_join supports how='inner'")
+    by = list(by or [])
+    band_us = int(band_seconds * 1_000_000)
+
+    lbucket = F.floor(F.unix_micros(F.col(left_on)) / F.lit(band_us))
+    rbucket = F.floor(F.unix_micros(F.col(right_on)) / F.lit(band_us))
+
+    rename = {
+        c: c + "_r"
+        for c in right.columns
+        if c in left.columns and c not in by
+    }
+    r = right.select(
+        *[F.col(c) for c in by],
+        *[F.col(c).alias(rename.get(c, c)) for c in right.columns
+          if c not in by],
+    ).withColumn("__b", rbucket if right_on not in rename
+                 else F.floor(F.unix_micros(F.col(rename[right_on]))
+                              / F.lit(band_us)))
+    l = left.withColumn(
+        "__b", F.explode(F.array(lbucket - 1, lbucket, lbucket + 1))
+    )
+    ron = rename.get(right_on, right_on)
+    joined = l.join(r, [*by, "__b"]).drop("__b")
+    dt = F.unix_micros(F.col(left_on)) - F.unix_micros(F.col(ron))
+    return joined.filter(F.abs(dt) <= F.lit(band_us))
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    resolution: str = "1 hour",
+    keys: Sequence[str] = (),
+    aggs: Mapping[str, C] | None = None,
+) -> DataFrame:
+    """Tumbling-window rollup: one hash aggregate over
+    ``window(ts, resolution)`` x ``keys``.
+
+    Returns (bucket_start: timestamp, *keys, *aggs).  ``aggs`` maps output
+    name -> aggregate Column; default is a row count.  Map-side partial
+    aggregation means the shuffle carries one partial row per
+    (partition, bucket, keys) — at 100 TB the reducer sees aggregates,
+    never events.
+    """
+    aggs = dict(aggs) if aggs else {"n_events": F.count(F.lit(1))}
+    win = F.window(F.col(ts_col), resolution)
+    return (
+        df.groupBy(win.alias("__w"), *[F.col(k) for k in keys])
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+        .select(
+            F.col("__w.start").alias("bucket_start"),
+            *[F.col(k) for k in keys],
+            *[F.col(name) for name in aggs],
+        )
+    )
+
+
+def rollup_reaggregate(
+    rollup: DataFrame,
+    *,
+    bucket_col: str = "bucket_start",
+    resolution: str = "1 day",
+    keys: Sequence[str] = (),
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Coarser rollup derived from a finer one (hour -> day) by
+    re-aggregating decomposable aggregates (sum/count/min/max) — the fact
+    table is never rescanned.  Input bucket timestamps must align to the
+    coarser grid (every standard resolution chain does)."""
+    win = F.window(F.col(bucket_col), resolution)
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return (
+        rollup.groupBy(win.alias("__w"), *[F.col(k) for k in keys])
+        .agg(*aggs)
+        .select(
+            F.col("__w.start").alias(bucket_col),
+            *[F.col(k) for k in keys],
+            *[F.col(c) for c in (*sum_cols, *min_cols, *max_cols)],
+        )
+    )

@@ -30,9 +30,12 @@ def read_parquet(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if nano_cols and nanos_to_timestamp:
+        # integer DIV, not float `/`: nano-epoch longs (~2^60) exceed the
+        # 53-bit double mantissa, so float division drifts by ±1 µs; DIV
+        # matches the truncation every nanos-aware reader applies
         df = df.withColumns(
             {
-                c: F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+                c: F.timestamp_micros(F.expr(f"`{c}` DIV 1000"))
                 for c in nano_cols
             }
         )

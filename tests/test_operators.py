@@ -772,3 +772,106 @@ def test_drop_invalid_rows_drops_coerce_failures(spark):
     )
     out = schema.validate_result(df).df
     assert sorted(r.v for r in out.collect()) == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# temporal operators (as-of join, banded range join, rollup cascade)
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    rows = [
+        # (id, user, ts, kind, value)
+        (1, 10, "2024-01-01 10:00:00", "quote", 1.0),
+        (2, 10, "2024-01-01 10:05:00", "trade", 0.0),
+        (3, 10, "2024-01-01 10:10:00", "quote", 2.0),
+        (4, 10, "2024-01-01 10:10:00", "trade", 0.0),  # exact-match tie
+        (5, 10, "2024-01-01 10:30:00", "trade", 0.0),
+        (6, 20, "2024-01-01 09:00:00", "trade", 0.0),  # no prior quote
+        (7, 20, "2024-01-01 11:00:00", "quote", 9.0),
+    ]
+    return spark.createDataFrame(
+        rows, "id bigint, user bigint, ts string, kind string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_asof_join_backward(spark, ticks):
+    from pandera_spark.operators.temporal import asof_join
+
+    trades = ticks.filter(F.col("kind") == "trade")
+    quotes = ticks.filter(F.col("kind") == "quote").select(
+        "user", "ts", F.col("id").alias("qid"), F.col("value").alias("qv")
+    )
+    out = asof_join(
+        trades, quotes, on="ts", by=["user"], right_cols=["qid", "qv"]
+    )
+    got = {r.id: (r.qid_r, r.qv_r) for r in out.collect()}
+    assert got[2] == (1, 1.0)   # latest quote before 10:05 is 10:00
+    assert got[4] == (3, 2.0)   # exact match at 10:10 is inclusive
+    assert got[5] == (3, 2.0)
+    assert got[6] == (None, None)  # no prior quote -> left row kept, nulls
+
+
+def test_asof_join_forward_and_tolerance(spark, ticks):
+    from pandera_spark.operators.temporal import asof_join
+
+    trades = ticks.filter(F.col("kind") == "trade")
+    quotes = ticks.filter(F.col("kind") == "quote").select(
+        "user", "ts", F.col("id").alias("qid")
+    )
+    fwd = asof_join(
+        trades, quotes, on="ts", by=["user"], right_cols=["qid"],
+        direction="forward",
+    )
+    got = {r.id: r.qid_r for r in fwd.collect()}
+    assert got[2] == 3          # next quote after 10:05 is 10:10
+    assert got[6] == 7          # forward finds the 11:00 quote
+    assert got[5] is None       # nothing after 10:30 for user 10
+
+    tol = asof_join(
+        trades, quotes, on="ts", by=["user"], right_cols=["qid"],
+        tolerance_seconds=60,
+    )
+    got = {r.id: r.qid_r for r in tol.collect()}
+    assert got[4] == 3          # 0s away -> within tolerance
+    assert got[5] is None       # 20min away -> out of tolerance
+
+
+def test_banded_range_join(spark, ticks):
+    from pandera_spark.operators.temporal import banded_range_join
+
+    trades = ticks.filter(F.col("kind") == "trade")
+    quotes = ticks.filter(F.col("kind") == "quote")
+    out = banded_range_join(
+        trades, quotes, left_on="ts", right_on="ts",
+        band_seconds=360, by=["user"],
+    )
+    pairs = {(r.id, r.id_r) for r in out.collect()}
+    # trade 2 (10:05) within 6min of quotes 1 (10:00) and 3 (10:10)
+    assert (2, 1) in pairs and (2, 3) in pairs
+    assert (4, 3) in pairs      # exact same ts
+    assert (5, 3) not in pairs  # 20min apart
+    assert not any(l == 6 for l, _ in pairs)  # cross-user never joins
+
+
+def test_time_rollup_and_cascade(spark, ticks):
+    from pandera_spark.operators.temporal import (
+        rollup_reaggregate,
+        time_rollup,
+    )
+
+    hourly = time_rollup(
+        ticks, "ts", resolution="1 hour", keys=["user"],
+        aggs={"n": F.count(F.lit(1)), "v": F.sum("value")},
+    )
+    rows = {(r.bucket_start.hour, r.user): (r.n, r.v)
+            for r in hourly.collect()}
+    assert rows[(10, 10)] == (5, 3.0)
+    assert rows[(9, 20)] == (1, 0.0)
+
+    daily = rollup_reaggregate(
+        hourly, resolution="1 day", keys=["user"], sum_cols=["n", "v"],
+    )
+    drows = {r.user: (r.n, r.v) for r in daily.collect()}
+    assert drows[10] == (5, 3.0)
+    assert drows[20] == (2, 9.0)
