@@ -1114,6 +1114,58 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-free train/val/test split by content-key
+    hash (curation operator): per-split doc counts.  Oracle replays the
+    exact md5-prefix bucket assignment in SQL."""
+    from pandera_spark.operators.curation import hash_split
+
+    df = _load(spark, sf_dir, "documents")
+    out = hash_split(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def _split_oracle() -> str:
+    bucket = _HEXFOLD.format(e="CAST(doc_id AS VARCHAR)") + " % 10000"
+    return f"""
+SELECT CASE WHEN ({bucket}) < 8000 THEN 'train'
+            WHEN ({bucket}) < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_charbins_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartile bins over document length (curriculum-binning
+    curation operator): per-bin count and char range.  Oracle: ntile
+    over the identical total ordering."""
+    from pandera_spark.operators.curation import ntile_bins
+
+    df = _load(spark, sf_dir, "documents")
+    out = ntile_bins(df, "n_chars", 4, tiebreak_cols=["doc_id"])
+    return out.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+_CHARBINS_ORACLE = """
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM (SELECT n_chars,
+             ntile(4) OVER (ORDER BY n_chars, doc_id) AS bin
+      FROM documents)
+GROUP BY bin
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -1162,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_pairs_events": q_range_pairs_events,
         "rollup_events": q_rollup_events,
         "rollup_daily_events": q_rollup_daily_events,
+        "split_documents": q_split_documents,
+        "charbins_documents": q_charbins_documents,
     }
 
 
@@ -1413,4 +1467,6 @@ FROM ranked WHERE rank <= 5
         "range_pairs_events": _RANGE_PAIRS_ORACLE,
         "rollup_events": _ROLLUP_ORACLE,
         "rollup_daily_events": _ROLLUP_DAILY_ORACLE,
+        "split_documents": _split_oracle(),
+        "charbins_documents": _CHARBINS_ORACLE,
     }

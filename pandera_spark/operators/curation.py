@@ -1,0 +1,176 @@
+"""Training-data curation operators: deterministic splits, dataset
+mixing, stratified sampling, quantile binning.
+
+Beyond-reference family (the reference has no sampling/splitting
+operators; its closest surface is validate-subset sampling,
+reference pandera/backends/pyspark/base.py:55-68).  These are the
+curation primitives a training-data pipeline needs in front of a
+trainer, expressed Spark-first.
+
+Design for 100 TB:
+- ``hash_split`` is a pure projection (hash of the key -> bucket ->
+  split label): no shuffle, no RNG, rerun-stable, and leakage-free by
+  construction (equal keys always land in the same split — the property
+  row-level ``rand()`` splits silently violate for multi-row entities).
+  Uses the portable md5-prefix hash so an external SQL engine can replay
+  the exact assignment.
+- ``stratified_sample`` delegates to ``DataFrame.sampleBy`` — executor-
+  side Bernoulli per stratum, no shuffle.
+- ``weighted_mix`` samples each corpus at a rate proportional to its
+  weight and unions — scan-side sampling, no shuffle, tags provenance.
+- ``cdf_bins`` computes exact quantile bins from a groupBy-count CDF:
+  the window pass runs over *distinct scores* (tiny after aggregation),
+  then a broadcast join maps rows to bins — never a global row sort.
+  ``ntile_bins`` is the exact row-level variant (global window) for
+  modest data and oracle checks.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash28
+
+__all__ = [
+    "hash_split",
+    "stratified_sample",
+    "weighted_mix",
+    "ntile_bins",
+    "cdf_bins",
+]
+
+_SPLIT_BUCKETS = 10_000
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: Mapping[str, float],
+    *,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, leakage-free split assignment.
+
+    ``fractions`` maps split name -> fraction (must sum to 1.0 within
+    1e-6); rows are assigned by ``portable_hash28(key || salt) % 10000``
+    against cumulative thresholds in insertion order.  Same key (and
+    salt) -> same split, forever, on any engine.  Change ``salt`` to
+    draw an independent re-split.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    bucket = portable_hash28(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    ) % F.lit(_SPLIT_BUCKETS)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = bucket < F.lit(int(round(acc * _SPLIT_BUCKETS)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = names[-1]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping,
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (``sampleBy``): executor-side, no
+    shuffle; strata absent from ``fractions`` are dropped (fraction 0)."""
+    return df.sampleBy(strata_col, dict(fractions), seed=seed)
+
+
+def weighted_mix(
+    parts: Mapping[str, tuple[DataFrame, float]],
+    *,
+    seed: int = 42,
+    source_col: str = "source_corpus",
+) -> DataFrame:
+    """Mix corpora at rates proportional to their weights.
+
+    The largest weight is sampled at rate 1.0 (no data discarded from
+    the dominant corpus); every other corpus at ``weight / max_weight``.
+    Adds ``source_col`` provenance.  Sampling happens at the scan —
+    union of narrow plans, no shuffle.
+    """
+    if not parts:
+        raise ValueError("weighted_mix needs at least one corpus")
+    wmax = max(w for _, w in parts.values())
+    if wmax <= 0:
+        raise ValueError("weights must be positive")
+    out = None
+    for i, (name, (df, w)) in enumerate(parts.items()):
+        frac = w / wmax
+        piece = df if frac >= 1.0 else df.sample(
+            fraction=frac, seed=seed + i
+        )
+        piece = piece.withColumn(source_col, F.lit(name))
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+def ntile_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int,
+    *,
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str = "bin",
+) -> DataFrame:
+    """Exact equi-depth bins via ``ntile`` over a global ordering
+    (score, *tiebreaks).  Deterministic when the ordering is total.
+    Global window => single-partition sort: fine up to ~10^7 rows;
+    beyond that use :func:`cdf_bins`."""
+    w = Window.orderBy(
+        F.col(score_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    return df.withColumn(out_col, F.ntile(n_bins).over(w))
+
+
+def cdf_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int,
+    *,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Exact equi-depth bins at scale: groupBy-count per distinct score,
+    cumulative sum over the (small) aggregated frame, bin by cumulative
+    fraction, broadcast-join back.  All rows sharing a score share a bin
+    (bins can be uneven under heavy ties — that's the price of never
+    splitting a score).  Bin ids are 1-based like ``ntile``."""
+    counts = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.orderBy(F.col("__s").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = counts.agg(F.sum("__c")).first()[0]
+    binned = counts.withColumn("__cum", F.sum("__c").over(w)).select(
+        "__s",
+        F.least(
+            F.lit(n_bins),
+            (
+                F.floor(
+                    (F.col("__cum") - F.col("__c"))
+                    * n_bins
+                    / F.lit(total)
+                )
+                + 1
+            ).cast("int"),
+        ).alias(out_col),
+    )
+    return df.join(
+        F.broadcast(binned), df[score_col] == binned["__s"], "inner"
+    ).drop("__s")

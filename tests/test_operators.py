@@ -875,3 +875,81 @@ def test_time_rollup_and_cascade(spark, ticks):
     drows = {r.user: (r.n, r.v) for r in daily.collect()}
     assert drows[10] == (5, 3.0)
     assert drows[20] == (2, 9.0)
+
+
+# ---------------------------------------------------------------------------
+# curation operators (splits, mixing, sampling, binning)
+
+
+def test_hash_split_deterministic_and_leakage_free(spark):
+    from pandera_spark.operators.curation import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    # duplicate keys (multi-row entities) must co-locate in one split
+    dup = df.union(df)
+    out = hash_split(dup, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_key = out.groupBy("k").agg(F.countDistinct("split").alias("ns"))
+    assert per_key.filter(F.col("ns") > 1).count() == 0
+
+    counts = {r.split: r.c for r in out.groupBy("split")
+              .agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert abs(counts["train"] / 4000 - 0.8) < 0.05
+    # rerun-stable
+    again = hash_split(dup, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).count() == 0
+    # a different salt draws a different assignment
+    resplit = hash_split(
+        dup, "k", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v2"
+    )
+    assert out.exceptAll(resplit).count() > 0
+
+    with pytest.raises(ValueError):
+        hash_split(df, "k", {"a": 0.5, "b": 0.6})
+
+
+def test_weighted_mix_and_stratified_sample(spark):
+    from pandera_spark.operators.curation import (
+        stratified_sample,
+        weighted_mix,
+    )
+
+    a = spark.range(0, 1000).select(F.col("id"))
+    b = spark.range(0, 1000).select(F.col("id"))
+    mix = weighted_mix({"a": (a, 1.0), "b": (b, 0.25)}, seed=7)
+    counts = {r.source_corpus: r.c for r in mix.groupBy("source_corpus")
+              .agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert counts["a"] == 1000          # dominant corpus never discarded
+    assert 150 < counts["b"] < 400      # ~250
+
+    df = spark.range(0, 1000).withColumn(
+        "stratum", F.when(F.col("id") % 10 == 0, "rare").otherwise("common")
+    )
+    s = stratified_sample(df, "stratum", {"rare": 1.0, "common": 0.1}, seed=1)
+    got = {r.stratum: r.c for r in s.groupBy("stratum")
+           .agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert got["rare"] == 100           # fraction 1.0 keeps all
+    assert 40 < got["common"] < 180
+
+
+def test_bins_exact_and_scalable_agree(spark):
+    from pandera_spark.operators.curation import cdf_bins, ntile_bins
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 7 % 997).alias("score")
+    )  # distinct scores -> both methods give identical equi-depth bins
+    nt = ntile_bins(df, "score", 4, tiebreak_cols=["id"])
+    cd = cdf_bins(df, "score", 4)
+    joined = nt.alias("a").join(cd.alias("b"), "id").select(
+        F.col("a.bin").alias("bn"), F.col("b.bin").alias("bc")
+    )
+    assert joined.filter(F.col("bn") != F.col("bc")).count() == 0
+    sizes = [r.c for r in nt.groupBy("bin")
+             .agg(F.count(F.lit(1)).alias("c")).orderBy("bin").collect()]
+    assert sizes == [250, 250, 250, 250]
+    # heavy ties: cdf_bins never splits a score across bins
+    ties = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 2).alias("score")
+    )
+    cb = cdf_bins(ties, "score", 4)
+    per_score = cb.groupBy("score").agg(F.countDistinct("bin").alias("nb"))
+    assert per_score.filter(F.col("nb") > 1).count() == 0
