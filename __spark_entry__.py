@@ -211,7 +211,12 @@ def _report_oracle(
     if unique:
         cols = ", ".join(unique)
         col_id = ",".join(unique)
-        label = f"unique({[c for c in unique]!r})".replace("'", "''")
+        # engine naming (backend/runner.py): single column -> field
+        # uniqueness; multi column -> joint unique
+        if len(unique) == 1:
+            label = f"field_uniqueness(''{unique[0]}'')"
+        else:
+            label = f"unique({[c for c in unique]!r})".replace("'", "''")
         selects.append(
             f"SELECT '{col_id}' AS col_name, '{label}' AS check_name, "
             f"CAST(COUNT(*) - COUNT(DISTINCT ({cols})) AS BIGINT) "
@@ -1114,6 +1119,33 @@ FROM events GROUP BY 1, 2
 """
 
 
+EMBEDDINGS_CHECKS: list[tuple[str, str, Check, str]] = [
+    # nested-type (array<float>) validation coverage: custom expression
+    # checks compile to Catalyst higher-order functions, folded into the
+    # same single agg pass as scalar checks (SURVEY §1.2 / §2.G)
+    ("vec_id", "vec_id_ge_0", Check.ge(0, error="vec_id_ge_0"),
+     "vec_id IS NOT NULL AND NOT (vec_id >= 0)"),
+    ("embedding", "dim_eq_64",
+     Check(lambda c: F.size(c) == 64, error="dim_eq_64"),
+     "embedding IS NOT NULL AND NOT (len(embedding) = 64)"),
+    ("embedding", "no_null_elems",
+     Check(lambda c: ~F.exists(c, lambda x: x.isNull()),
+           error="no_null_elems"),
+     "embedding IS NOT NULL AND "
+     "len(list_filter(embedding, x -> x IS NULL)) > 0"),
+    ("embedding", "norm_positive",
+     Check(lambda c: F.aggregate(
+         c, F.lit(0.0),
+         lambda a, x: a + x.cast("double") * x.cast("double")) > 0,
+           error="norm_positive"),
+     "embedding IS NOT NULL AND NOT (list_sum([x*x for x in embedding]) > 0)"),
+    # deliberately tight bound (labels run 0-9): nonzero violation counts
+    # prove the counting path, not just vacuous passes
+    ("label", "label_in_0_8", Check.in_range(0, 8, error="label_in_0_8"),
+     "label IS NOT NULL AND NOT (label BETWEEN 0 AND 8)"),
+]
+
+
 def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic leakage-free train/val/test split by content-key
     hash (curation operator): per-split doc counts.  Oracle replays the
@@ -1216,6 +1248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_daily_events": q_rollup_daily_events,
         "split_documents": q_split_documents,
         "charbins_documents": q_charbins_documents,
+        "validate_embeddings": _report_query(
+            "embeddings", EMBEDDINGS_CHECKS, ["vec_id", "embedding"],
+            unique=["vec_id"],
+        ),
     }
 
 
@@ -1469,4 +1505,8 @@ FROM ranked WHERE rank <= 5
         "rollup_daily_events": _ROLLUP_DAILY_ORACLE,
         "split_documents": _split_oracle(),
         "charbins_documents": _CHARBINS_ORACLE,
+        "validate_embeddings": _report_oracle(
+            "embeddings", EMBEDDINGS_CHECKS, ["vec_id", "embedding"],
+            unique=["vec_id"],
+        ),
     }
