@@ -327,26 +327,30 @@ def minhash_lsh_candidates(
             for r in range(rows):
                 out = out + F.col("__sig")[b * rows + r] * F.lit(ca[r])
             return out
+    # carry ALL band keys (bands longs) so multi-band matches dedup by the
+    # first-matching-band filter instead of a distinct() — the candidate
+    # pair set never takes a second shuffle (on dup-heavy corpora pairs
+    # >> rows, so a pair-level shuffle is the expensive one)
     banded = sigs.select(
         "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_key(b).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("__id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
+        F.array(*[band_key(b) for b in range(bands)]).alias("__bkeys"),
+    ).select(
+        "__id",
+        "__bkeys",
+        F.posexplode("__bkeys").alias("band", "bhash"),
+    )
 
     # the self-join reads `banded` twice and Spark does not reuse the
-    # exchange across the two sides — persist the (id, band, bhash) frame
+    # exchange across the two sides — persist the (id, band keys) frame
     # (tiny: ids + band keys, never text) so signatures are computed once
     banded = banded.persist()
     banded.count()  # eager: populate the cache before the self-join plan runs
+
+    fm = F.lit(-1)
+    for b in range(bands - 1, -1, -1):
+        fm = F.when(
+            F.col("a.__bkeys")[b] == F.col("b.__bkeys")[b], F.lit(b)
+        ).otherwise(fm)
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -357,10 +361,10 @@ def minhash_lsh_candidates(
             & (F.col("a.bhash") == F.col("b.bhash"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
+        .filter(F.col("a.band") == fm)
         .select(
             F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
         )
-        .distinct()
     )
     return pairs
 
@@ -525,6 +529,19 @@ def simhash_near_dups(
     blocked = blocked.persist()  # self-join input computed once (see minhash)
     blocked.count()  # eager materialization
     a, b = blocked.alias("a"), blocked.alias("b")
+
+    # first-matching-chunk filter replaces distinct(): both simhashes ride
+    # the join row already, so dedup of multi-chunk matches is free bit
+    # math — no pair-level shuffle
+    def ckey(col: C, i: int) -> C:
+        return F.shiftrightunsigned(col, i * width).bitwiseAND(F.lit(mask))
+
+    fm = F.lit(-1)
+    for i in range(chunks - 1, -1, -1):
+        fm = F.when(
+            ckey(F.col("a.__sh"), i) == ckey(F.col("b.__sh"), i), F.lit(i)
+        ).otherwise(fm)
+
     pairs = (
         a.join(
             b,
@@ -532,6 +549,7 @@ def simhash_near_dups(
             & (F.col("a.ckey") == F.col("b.ckey"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
+        .filter(F.col("a.chunk") == fm)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
@@ -539,6 +557,5 @@ def simhash_near_dups(
                 F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
             ).alias("hamming"),
         )
-        .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)

@@ -111,6 +111,70 @@ def lsh_signature(vec: C, planes: list[list[float]]) -> C:
     return out
 
 
+def _first_matching_band(
+    sig_a: C, sig_b: C, bands: int, width: int, mask: int
+) -> C:
+    """Index of the first band where two sign-bit signatures agree (or -1).
+
+    Banded LSH self-joins emit a (a, b) pair once per shared band; instead
+    of a ``distinct()`` over the pair rows (an extra shuffle that at scale
+    carries vectors), keep only the row whose band equals this expression —
+    dedup by construction, pure bit math in codegen."""
+    def bkey(sig: C, b: int) -> C:
+        return F.shiftrightunsigned(sig, b * width).bitwiseAND(F.lit(mask))
+
+    expr = F.lit(-1)
+    for b in range(bands - 1, -1, -1):
+        expr = F.when(bkey(sig_a, b) == bkey(sig_b, b), F.lit(b)).otherwise(
+            expr
+        )
+    return expr
+
+
+def _banded(
+    df: DataFrame,
+    idc: str,
+    vecc: str,
+    prefix: str,
+    planes: list[list[float]],
+    bands: int,
+) -> DataFrame:
+    """(id, vec, l2 norm, signature) exploded to one row per band.
+
+    The norm is computed once per vector here so candidate scoring is a
+    dot product plus one multiply — never a per-pair norm recomputation."""
+    n_planes = len(planes)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    sig = lsh_signature(F.col(vecc), planes)
+    return df.select(
+        F.col(idc).alias(f"{prefix}_id"),
+        F.col(vecc).alias(f"{prefix}_vec"),
+        l2_norm(F.col(vecc)).alias(f"{prefix}_norm"),
+        sig.alias(f"{prefix}_sig"),
+    ).select(
+        f"{prefix}_id",
+        f"{prefix}_vec",
+        f"{prefix}_norm",
+        f"{prefix}_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(f"{prefix}_sig", b * width)
+                        .bitwiseAND(F.lit(mask)).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(
+        f"{prefix}_id", f"{prefix}_vec", f"{prefix}_norm", f"{prefix}_sig",
+        F.col("bh.band").alias("band"), F.col("bh.bkey").alias("bkey"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -131,54 +195,42 @@ def lsh_topk(
     vector is a candidate iff it shares at least one full band with the
     query.  Exact cosine is computed only on candidates.  Recall rises with
     bands; cost with band width.
+
+    Dedup of multi-band matches is the first-matching-band filter (bit
+    math), not a ``distinct()`` — no second shuffle, and the shuffle that
+    does happen carries band keys, ids, norms and one vector copy, with
+    per-pair scoring reduced to dot / (norm_a * norm_b).
     """
     planes = _hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
     mask = (1 << rows_per_band) - 1
 
-    def banded(df: DataFrame, idc: str, vecc: str, prefix: str) -> DataFrame:
-        sig = lsh_signature(F.col(vecc), planes)
-        return df.select(
-            F.col(idc).alias(f"{prefix}_id"),
-            F.col(vecc).alias(f"{prefix}_vec"),
-            sig.alias("__sig"),
-        ).select(
-            f"{prefix}_id",
-            f"{prefix}_vec",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftrightunsigned(
-                                "__sig", b * rows_per_band
-                            ).bitwiseAND(F.lit(mask)).alias("bkey"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bh"),
-        ).select(
-            f"{prefix}_id", f"{prefix}_vec",
-            F.col("bh.band").alias("band"), F.col("bh.bkey").alias("bkey"),
-        )
-
     from .dedup import _ensure_parallelism
 
-    qb = F.broadcast(banded(queries, query_id_col, query_vec_col, "query"))
+    qb = F.broadcast(
+        _banded(queries, query_id_col, query_vec_col, "query", planes, bands)
+    )
     # corpus signatures computed once and kept (ids + vec refs + band keys)
-    cb = banded(_ensure_parallelism(corpus), id_col, vec_col, "neighbor").persist()
+    cb = _banded(
+        _ensure_parallelism(corpus), id_col, vec_col, "neighbor", planes,
+        bands,
+    ).persist()
     cb.count()  # eager materialization before the bucket join
+    fm = _first_matching_band(
+        F.col("query_sig"), F.col("neighbor_sig"), bands, rows_per_band, mask
+    )
     candidates = (
         qb.join(cb, on=["band", "bkey"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
-        .distinct()
+        .filter(F.col("band") == fm)
     )
     scored = candidates.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cosine_sim"),
+        (
+            dot(F.col("query_vec"), F.col("neighbor_vec"))
+            / (F.col("query_norm") * F.col("neighbor_norm"))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -201,52 +253,41 @@ def embedding_near_dups(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
-    via LSH candidate generation + exact verify."""
+    via LSH candidate generation + exact verify.
+
+    Pair dedup is the first-matching-band filter (see
+    :func:`_first_matching_band`) — no ``distinct()`` shuffle of vector
+    rows; norms are precomputed per vector so verification is one dot
+    product per candidate."""
     from .dedup import _ensure_parallelism
 
     planes = _hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
     mask = (1 << rows_per_band) - 1
-    sig = lsh_signature(F.col(vec_col), planes)
-    banded = _ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
-        sig.alias("__sig"),
-    ).select(
-        "__id", "__vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned("__sig", b * rows_per_band)
-                        .bitwiseAND(F.lit(mask)).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("__id", "__vec", "bh.band", "bh.bkey")
+    banded = _banded(
+        _ensure_parallelism(df), id_col, vec_col, "v", planes, bands
+    )
     banded = banded.persist()  # self-join input computed once
     banded.count()  # eager materialization
     a, b = banded.alias("a"), banded.alias("b")
+    fm = _first_matching_band(
+        F.col("a.v_sig"), F.col("b.v_sig"), bands, rows_per_band, mask
+    )
     pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.v_id") < F.col("b.v_id")),
         )
+        .filter(F.col("a.band") == fm)
         .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__vec").alias("va"),
-            F.col("b.__vec").alias("vb"),
+            F.col("a.v_id").alias("id_a"),
+            F.col("b.v_id").alias("id_b"),
+            (
+                dot(F.col("a.v_vec"), F.col("b.v_vec"))
+                / (F.col("a.v_norm") * F.col("b.v_norm"))
+            ).alias("cosine_sim"),
         )
-        .distinct()
     )
-    return (
-        pairs.select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+    return pairs.filter(F.col("cosine_sim") >= threshold)
