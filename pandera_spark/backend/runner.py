@@ -1030,16 +1030,20 @@ def _compile_unique_in_agg(ctx: _Ctx, df: DataFrame) -> None:
             )
             continue
         key = f"__uniq__{len(ctx.agg_exprs)}"
+        # struct-wrap the keys: a struct is never null, so null key values
+        # count as distinct values exactly like the groupBy path ('all'
+        # mode) and the reference's pandas duplicated() treat them — bare
+        # count_distinct silently drops rows with any null key, inflating
+        # the duplicate count (one all-null row would read as a duplicate)
         ctx.agg_exprs.append(
-            F.count_distinct(*[F.col(c) for c in spec]).alias(key)
+            F.count_distinct(
+                F.struct(*[F.col(c) for c in spec])
+            ).alias(key)
         )
 
         def fin(row, key=key, spec=spec, label=label, reason=reason):
             total = int(row["__pandera_total__"] or 0)
             distinct = int(row[key] or 0)
-            # count_distinct skips all-null keys; count rows accordingly is
-            # close enough for non-null keys (duplicate semantics over nulls
-            # follow SQL distinct)
             violations = max(total - distinct, 0)
             ctx.outcome(
                 ",".join(spec), label, reason,

@@ -1,0 +1,177 @@
+"""Differential fuzz: engine violation counts vs a pure-Python replay.
+
+Hypothesis generates column data (with nulls) and check parameters; the
+engine's single-pass counts must equal an independent per-row Python
+evaluation of the same semantics (reference null handling: with
+ignore_na=True a null element passes; a check never counts nulls —
+reference pandera/api/checks.py:80-82).
+
+This is the oracle the reference's own suite lacks (SURVEY §5.6): the
+hand-written matrix pins known cases; this pins the *counting path* on
+inputs nobody thought of.
+"""
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from pandera_spark import Check, Column, DataFrameSchema
+
+SET = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _counts(spark, data, dtype, check, *, nullable=True):
+    df = spark.createDataFrame(
+        [(v,) for v in data],
+        T.StructType([T.StructField("c", dtype, True)]),
+    )
+    schema = DataFrameSchema(
+        {"c": Column(checks=[check], nullable=nullable)}, name="fuzz"
+    )
+    res = schema.validate_result(df)
+    out = {}
+    for o in res.outcomes:
+        out[(o.column, o.check)] = int(o.violations)
+    return out
+
+
+ints = st.lists(st.none() | st.integers(-1000, 1000), max_size=60)
+
+
+@SET
+@given(data=ints, lo=st.integers(-500, 500), span=st.integers(0, 400))
+def test_in_range_counts(spark, data, lo, span):
+    hi = lo + span
+    got = _counts(
+        spark, data, T.IntegerType(),
+        Check.in_range(lo, hi, error="r"),
+    )[("c", "r")]
+    want = sum(1 for v in data if v is not None and not (lo <= v <= hi))
+    assert got == want
+
+
+@SET
+@given(data=ints, bound=st.integers(-500, 500))
+def test_ge_ignore_na_false(spark, data, bound):
+    # ignore_na=False: nulls COUNT as violations (reference ignore_na flag)
+    got = _counts(
+        spark, data, T.IntegerType(),
+        Check.ge(bound, error="g", ignore_na=False),
+    )[("c", "g")]
+    want = sum(1 for v in data if v is None or v < bound)
+    assert got == want
+
+
+@SET
+@given(
+    data=ints,
+    allowed=st.lists(st.integers(-1000, 1000), min_size=1, max_size=8),
+)
+def test_isin_counts(spark, data, allowed):
+    got = _counts(
+        spark, data, T.IntegerType(), Check.isin(allowed, error="i")
+    )[("c", "i")]
+    want = sum(1 for v in data if v is not None and v not in allowed)
+    assert got == want
+
+
+texts = st.lists(
+    st.none() | st.text(alphabet="abcXYZ09 _%", max_size=12), max_size=40
+)
+
+
+@SET
+@given(data=texts, pat=st.sampled_from(["a", "ab", "X.Z", "a+b", "[0-9]+"]))
+def test_str_contains_counts(spark, data, pat):
+    got = _counts(
+        spark, data, T.StringType(), Check.str_contains(pat, error="s")
+    )[("c", "s")]
+    rx = re.compile(pat)
+    want = sum(1 for v in data if v is not None and not rx.search(v))
+    assert got == want
+
+
+@SET
+@given(data=texts, lo=st.integers(0, 6), span=st.integers(0, 8))
+def test_str_length_counts(spark, data, lo, span):
+    hi = lo + span
+    got = _counts(
+        spark, data, T.StringType(),
+        Check.str_length(lo, hi, error="L"),
+    )[("c", "L")]
+    want = sum(
+        1 for v in data if v is not None and not (lo <= len(v) <= hi)
+    )
+    assert got == want
+
+
+@SET
+@given(data=ints)
+def test_nullable_counts(spark, data):
+    got = _counts(
+        spark, data, T.IntegerType(), Check.ge(-10_000, error="g"),
+        nullable=False,
+    )
+    want_nulls = sum(1 for v in data if v is None)
+    assert got[("c", "not_nullable")] == want_nulls
+
+
+@SET
+@given(data=st.lists(st.none() | st.integers(0, 5), max_size=60))
+def test_unique_counts(spark, data):
+    from collections import Counter
+
+    df = spark.createDataFrame(
+        [(v,) for v in data],
+        T.StructType([T.StructField("c", T.IntegerType(), True)]),
+    )
+    schema = DataFrameSchema(
+        {"c": Column(nullable=True)}, unique=["c"], name="u",
+        report_duplicates="exclude_first",
+    )
+    res = schema.validate_result(df)
+    got = {int(o.violations) for o in res.outcomes if "unique" in o.check}
+    # exclude_first: every duplicate row beyond the first per value;
+    # engine counts rows - distinct (nulls group like values in groupBy)
+    cnt = Counter(data)
+    want = sum(c - 1 for c in cnt.values() if c > 1)
+    assert got == {want}
+
+
+@SET
+@given(
+    data=st.lists(
+        st.none() | st.floats(-1e6, 1e6, allow_nan=False, width=64),
+        max_size=50,
+    ),
+    bound=st.floats(-1e5, 1e5, allow_nan=False),
+)
+def test_float_le_counts(spark, data, bound):
+    got = _counts(
+        spark, data, T.DoubleType(), Check.le(bound, error="le")
+    )[("c", "le")]
+    want = sum(1 for v in data if v is not None and not (v <= bound))
+    assert got == want
+
+
+def test_nan_semantics_documented(spark):
+    """Pin Spark SQL NaN ordering (NaN > any value, NaN == NaN): a NaN is
+    NOT null, so ignore_na does not exempt it; under `le` it violates,
+    under `ge` it passes.  Divergence from pandas (where NaN is missing)
+    is deliberate and documented (SURVEY §7 hard part 1 family)."""
+    data = [1.0, float("nan"), None]
+    got_le = _counts(
+        spark, data, T.DoubleType(), Check.le(100.0, error="le")
+    )[("c", "le")]
+    got_ge = _counts(
+        spark, data, T.DoubleType(), Check.ge(0.0, error="ge")
+    )[("c", "ge")]
+    assert got_le == 1  # NaN > 100 -> violates; null ignored
+    assert got_ge == 0  # NaN >= 0 -> passes
