@@ -175,3 +175,101 @@ def test_nan_semantics_documented(spark):
     )[("c", "ge")]
     assert got_le == 1  # NaN > 100 -> violates; null ignored
     assert got_ge == 0  # NaN >= 0 -> passes
+
+
+@SET
+@given(
+    data=ints, lo=st.integers(-500, 500), span=st.integers(1, 400),
+    inc_min=st.booleans(), inc_max=st.booleans(),
+)
+def test_in_range_open_intervals(spark, data, lo, span, inc_min, inc_max):
+    hi = lo + span
+    got = _counts(
+        spark, data, T.IntegerType(),
+        Check.in_range(lo, hi, include_min=inc_min, include_max=inc_max,
+                       error="r"),
+    )[("c", "r")]
+
+    def ok(v):
+        lo_ok = v >= lo if inc_min else v > lo
+        hi_ok = v <= hi if inc_max else v < hi
+        return lo_ok and hi_ok
+
+    want = sum(1 for v in data if v is not None and not ok(v))
+    assert got == want
+
+
+@SET
+@given(data=texts, pat=st.sampled_from(["a", "ab+", "X.Z", "[0-9]+", "a c"]))
+def test_str_matches_is_anchored(spark, data, pat):
+    # reference semantics: str_matches anchors at the START (pandas
+    # str.match; pyspark impl prepends '^' — reference
+    # backends/pyspark/builtin_checks.py:280)
+    got = _counts(
+        spark, data, T.StringType(), Check.str_matches(pat, error="m")
+    )[("c", "m")]
+    rx = re.compile(pat)
+    want = sum(1 for v in data if v is not None and not rx.match(v))
+    assert got == want
+
+
+_INTISH = st.one_of(
+    st.none(),
+    st.integers(-10**9, 10**9).map(str),
+    st.sampled_from(["", " ", "abc", "1.5", "2e3", "0x1f", " 7", "9 ", "+3"]),
+)
+
+
+@SET
+@given(data=st.lists(_INTISH, max_size=40))
+def test_coerce_error_counts(spark, data):
+    """Cast-error capture == rows where the value is non-null but Spark's
+    int cast nulls it.  The Python replay mirrors Spark ANSI-off cast
+    rules (trimmed integral string, optional sign; no floats/hex)."""
+    df = spark.createDataFrame(
+        [(v,) for v in data],
+        T.StructType([T.StructField("c", T.StringType(), True)]),
+    )
+    schema = DataFrameSchema(
+        {"c": Column(T.IntegerType(), coerce=True, nullable=True)},
+        name="co",
+    )
+    res = schema.validate_result(df)
+    got = sum(
+        int(o.violations)
+        for o in res.outcomes
+        if o.reason_code.value == "dtype_coercion_error"
+    )
+
+    def casts(v):
+        s = v.strip()
+        if not s:
+            return False
+        try:
+            return -(2**31) <= int(s, 10) <= 2**31 - 1
+        except ValueError:
+            return False
+
+    want = sum(1 for v in data if v is not None and not casts(v))
+    assert got == want
+
+
+@SET
+@given(data=ints, bound=st.integers(-500, 500))
+def test_drop_invalid_rows_parity(spark, data, bound):
+    df = spark.createDataFrame(
+        [(v,) for v in data],
+        T.StructType([T.StructField("c", T.IntegerType(), True)]),
+    )
+    schema = DataFrameSchema(
+        {"c": Column(checks=[Check.ge(bound)], nullable=True)},
+        drop_invalid_rows=True, name="d",
+    )
+    out = schema.validate_result(df).df
+    got = sorted((r.c is None, r.c if r.c is not None else 0)
+                 for r in out.collect())
+    want = sorted(
+        (v is None, v if v is not None else 0)
+        for v in data if v is None or v >= bound  # null passes (ignore_na)
+    )
+    assert got == want
