@@ -7,8 +7,40 @@ expressions and every data check executes in a single aggregation pass
 """
 
 from . import accessor  # noqa: F401  (registers df.pandera)
+from . import config, errors  # noqa: F401  (reference-style submodule access)
 from .checks import Check
 from .components import Column, ColumnSchema
+from .dtypes import (
+    Binary,
+    Bool,
+    Category,
+    DataType,
+    Complex,
+    Complex64,
+    Complex128,
+    Complex256,
+    Date,
+    DateTime,
+    Decimal,
+    Float,
+    Float16,
+    Float32,
+    Float64,
+    Float128,
+    Int,
+    Int8,
+    Int16,
+    Int32,
+    Int64,
+    String,
+    Timedelta,
+    Timestamp,
+    UInt,
+    UInt8,
+    UInt16,
+    UInt32,
+    UInt64,
+)
 from .config import (
     Config,
     ValidationDepth,
@@ -20,6 +52,7 @@ from .container import DataFrameSchema
 from .errors import (
     ErrorCategory,
     PanderaSparkError,
+    PysparkSchemaError,
     SchemaError,
     SchemaErrorReason,
     SchemaErrors,
@@ -30,6 +63,9 @@ from .decorators import check_input, check_io, check_output, check_types
 from .extensions import register_check_method, unregister_check_method
 from .hypotheses import Hypothesis
 from .inference import infer_schema
+
+#: reference-name alias (pandera/schema_inference/pyspark.py exports both)
+infer_dataframe_schema = infer_schema
 from .io import (
     from_frictionless_schema,
     schema_from_json,
@@ -52,6 +88,37 @@ from .report import ValidationResult
 __version__ = "0.1.0"
 
 __all__ = [
+    # abstract dtypes (reference pandera/pyspark.py __all__ parity)
+    "Binary",
+    "Bool",
+    "Category",
+    "Complex",
+    "Complex64",
+    "Complex128",
+    "Complex256",
+    "DataType",
+    "Date",
+    "DateTime",
+    "Decimal",
+    "Float",
+    "Float16",
+    "Float32",
+    "Float64",
+    "Float128",
+    "Int",
+    "Int8",
+    "Int16",
+    "Int32",
+    "Int64",
+    "String",
+    "Timedelta",
+    "Timestamp",
+    "UInt",
+    "UInt8",
+    "UInt16",
+    "UInt32",
+    "UInt64",
+    # core API
     "Check",
     "Column",
     "ColumnSchema",
@@ -63,6 +130,7 @@ __all__ = [
     "ErrorCategory",
     "PanderaSparkError",
     "Parser",
+    "PysparkSchemaError",
     "SchemaError",
     "SchemaErrorReason",
     "SchemaErrors",
@@ -80,6 +148,7 @@ __all__ = [
     "dataframe_parser",
     "from_frictionless_schema",
     "get_config",
+    "infer_dataframe_schema",
     "infer_schema",
     "parser",
     "register_check_method",

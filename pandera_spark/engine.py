@@ -117,6 +117,13 @@ def normalize_dtype(spec: Any) -> T.DataType:
         return spec
     if isinstance(spec, type) and issubclass(spec, T.DataType):
         return spec()
+    # abstract dtypes (pandera.pyspark-style: Column(Int64), Decimal(10,2))
+    from . import dtypes as _abstract
+
+    if isinstance(spec, _abstract.DataType):
+        return spec.resolve()
+    if isinstance(spec, type) and issubclass(spec, _abstract.DataType):
+        return spec().resolve()
     if isinstance(spec, type) and spec in _PYTHON_TYPES:
         return _PYTHON_TYPES[spec]
     if isinstance(spec, str):

@@ -83,6 +83,12 @@ class UnsupportedDtypeError(PanderaSparkError):
     (reference pandera/backends/pyspark/decorators.py:42-104)."""
 
 
+class PysparkSchemaError(PanderaSparkError):
+    """Name-compatible with the reference pyspark surface
+    (reference errors.py PysparkSchemaError, exported by
+    pandera/pyspark.py)."""
+
+
 class SchemaError(PanderaSparkError):
     """A single validation failure (reference errors.py:79)."""
 

@@ -388,3 +388,64 @@ name: tbl
     # and it round-trips through our own loader
     s2 = ps.schema_from_yaml(out)
     assert sorted(s2.columns) == ["a", "b"] and s2.strict is True
+
+
+# ---------------------------------------------------------------------------
+# reference pandera.pyspark surface parity
+
+
+REFERENCE_PYSPARK_ALL = [
+    # the reference's pandera/pyspark.py __all__ (file inspected read-only)
+    "Bool", "Category", "Complex", "Complex64", "Complex128", "Complex256",
+    "DataType", "DateTime", "Float", "Float16", "Float32", "Float64",
+    "Float128", "Int", "Int8", "Int16", "Int32", "Int64", "String",
+    "Timedelta", "Timestamp", "UInt", "UInt8", "UInt16", "UInt32", "UInt64",
+    "Check", "check_input", "check_io", "check_output", "check_types",
+    "DataFrameModel", "Field", "check", "dataframe_check", "Column",
+    "infer_dataframe_schema", "infer_schema", "DataFrameSchema",
+    "__version__", "set_config",
+]
+
+
+def test_reference_pyspark_export_parity():
+    import pandera_spark as mod
+
+    missing = [n for n in REFERENCE_PYSPARK_ALL if not hasattr(mod, n)]
+    assert not missing, f"missing reference exports: {missing}"
+
+
+def test_abstract_dtypes_resolve_and_validate(spark):
+    import pandera_spark as pa
+    from pandera_spark.engine import normalize_dtype
+
+    assert normalize_dtype(pa.Int64) == T.LongType()
+    assert normalize_dtype(pa.Int8) == T.ByteType()
+    assert normalize_dtype(pa.Float64) == T.DoubleType()
+    assert normalize_dtype(pa.Decimal(12, 3)) == T.DecimalType(12, 3)
+    assert normalize_dtype(pa.DateTime) == T.TimestampType()
+    assert normalize_dtype(pa.Binary) == T.BinaryType()
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    schema = DataFrameSchema(
+        {"id": Column(pa.Int64, checks=[Check.ge(0)]),
+         "name": Column(pa.String)},
+        name="abstract",
+    )
+    res = schema.validate_result(df)
+    assert not res.errors
+
+    # model API with abstract annotations
+    class M(DataFrameModel):
+        id: pa.Int64 = Field(ge=0)
+        name: pa.String
+
+    assert M.to_schema().columns["id"].dtype == T.LongType()
+
+
+def test_unsupported_abstract_dtypes_raise(spark):
+    import pandera_spark as pa
+
+    df = spark.createDataFrame([(1,)], "x int")
+    for bad in (pa.UInt64, pa.Complex128, pa.Float16, pa.Category):
+        with pytest.raises(pa.UnsupportedDtypeError):
+            DataFrameSchema({"x": Column(bad)}, name="bad").validate_result(df)
