@@ -287,6 +287,23 @@ class DataFrameModel:
         cls._schema_cache = schema
         return schema
 
+    @classmethod
+    def get_metadata(cls) -> dict | None:
+        """Column- and schema-level metadata keyed by schema name
+        (reference api/dataframe/model.py:633-645 shape:
+        ``{name: {"columns": {col: metadata}, "dataframe": Config.metadata}}``
+        )."""
+        schema = cls.to_schema()
+        res = {
+            "columns": {
+                name: col.metadata for name, col in schema.columns.items()
+            },
+            "dataframe": getattr(
+                getattr(cls, "Config", None), "metadata", None
+            ),
+        }
+        return {schema.name: res}
+
     # -- validation -----------------------------------------------------------
 
     @classmethod

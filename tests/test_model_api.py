@@ -449,3 +449,23 @@ def test_unsupported_abstract_dtypes_raise(spark):
     for bad in (pa.UInt64, pa.Complex128, pa.Float16, pa.Category):
         with pytest.raises(pa.UnsupportedDtypeError):
             DataFrameSchema({"x": Column(bad)}, name="bad").validate_result(df)
+
+
+def test_get_metadata_shape():
+    import pandera_spark as pa
+
+    class M(pa.DataFrameModel):
+        a: pa.Int64 = pa.Field(metadata={"owner": "ingest"})
+        b: pa.String
+
+        class Config:
+            name = "meta_schema"
+            metadata = {"domain": "docs"}
+
+    md = M.get_metadata()
+    assert md == {
+        "meta_schema": {
+            "columns": {"a": {"owner": "ingest"}, "b": None},
+            "dataframe": {"domain": "docs"},
+        }
+    }
