@@ -214,6 +214,31 @@ class DataFrameSchema:
         new.columns[name] = comp
         return new
 
+    def update_columns(self, update_dict: dict[str, dict]) -> "DataFrameSchema":
+        """Batch :meth:`update_column`
+        (reference api/dataframe/container.py:636)."""
+        new = self
+        for name, kwargs in update_dict.items():
+            new = new.update_column(name, **kwargs)
+        return new
+
+    def rename_columns(self, rename_dict: dict[str, str]) -> "DataFrameSchema":
+        """Schema with columns renamed, order preserved
+        (reference api/dataframe/container.py:725; unknown keys raise)."""
+        import copy
+
+        missing = [k for k in rename_dict if k not in self.columns]
+        if missing:
+            raise SchemaInitError(f"columns {missing} not in schema")
+        new = copy.deepcopy(self)
+        renamed = {}
+        for k, v in new.columns.items():
+            nk = rename_dict.get(k, k)
+            v.set_name(nk)
+            renamed[nk] = v
+        new.columns = renamed
+        return new
+
     def select_columns(self, names: list[str]) -> "DataFrameSchema":
         import copy
 

@@ -469,3 +469,26 @@ def test_get_metadata_shape():
             "dataframe": {"domain": "docs"},
         }
     }
+
+
+def test_schema_transform_helpers(spark):
+    import pandera_spark as pa
+
+    s = pa.DataFrameSchema(
+        {"a": pa.Column(pa.Int64, checks=[pa.Check.ge(0)]),
+         "b": pa.Column(pa.String)},
+        name="t",
+    )
+    s2 = s.update_columns({"a": {"nullable": False}, "b": {"coerce": True}})
+    assert s2.columns["a"].nullable is False
+    assert s2.columns["b"].coerce is True
+    assert s.columns["a"].nullable is True  # original untouched
+
+    s3 = s.rename_columns({"a": "x"})
+    assert list(s3.columns) == ["x", "b"]
+    assert s3.columns["x"].name == "x"
+    df = spark.createDataFrame([(1, "q")], "x bigint, b string")
+    assert not s3.validate_result(df).errors
+
+    with pytest.raises(pa.SchemaInitError):
+        s.rename_columns({"zz": "y"})
