@@ -35,12 +35,39 @@ def _serialize_stat(v: Any) -> Any:
     return v
 
 
+def _check_options(check: Check) -> dict:
+    """Non-default check options, serialized alongside the statistics in
+    the reference's ``options`` sub-dict shape (io/pyspark_sql_io.py:44-59)
+    — without these, ignore_na/raise_warning (which change semantics) and
+    custom error labels would not survive a round-trip."""
+    opts: dict[str, Any] = {}
+    if check.error and check.error != check.name:
+        opts["error"] = check.error
+    if check.ignore_na is not True:
+        opts["ignore_na"] = check.ignore_na
+    if check.raise_warning:
+        opts["raise_warning"] = True
+    if check.n_failure_cases is not None:
+        opts["n_failure_cases"] = check.n_failure_cases
+    if check.title:
+        opts["title"] = check.title
+    if check.description:
+        opts["description"] = check.description
+    return opts
+
+
 def _serialize_check(check: Check) -> tuple[str, Any] | None:
     if check.name not in BUILTIN_CHECK_NAMES or not check.statistics:
         return None  # custom lambdas are not serializable (same as reference)
     stats = {k: _serialize_stat(v) for k, v in check.statistics.items()}
+    options = _check_options(check)
     if len(stats) == 1:
-        return check.name, next(iter(stats.values()))
+        value = next(iter(stats.values()))
+        if options:
+            return check.name, {"value": value, "options": options}
+        return check.name, value
+    if options:
+        stats["options"] = options
     return check.name, stats
 
 
@@ -97,12 +124,19 @@ def _deserialize_checks(checks: dict | None) -> list[Check]:
         factory = BUILTIN_CHECK_NAMES.get(name)
         if factory is None:
             raise SchemaDefinitionError(f"unknown check in schema file: {name}")
+        options: dict = {}
         if isinstance(stats, dict):
-            out.append(factory(**stats))
+            stats = dict(stats)
+            options = stats.pop("options", {}) or {}
+            options.pop("check_name", None)  # reference lookup key, not ours
+            if set(stats) == {"value"}:
+                stats = stats["value"]  # single-stat-with-options shape
+        if isinstance(stats, dict):
+            out.append(factory(**stats, **options))
         elif name in ("in_range", "between") and isinstance(stats, list):
-            out.append(factory(*stats))
+            out.append(factory(*stats, **options))
         else:
-            out.append(factory(stats))
+            out.append(factory(stats, **options))
     return out
 
 

@@ -273,3 +273,134 @@ def test_drop_invalid_rows_parity(spark, data, bound):
         for v in data if v is None or v >= bound  # null passes (ignore_na)
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# interaction properties: combined features on multi-column frames
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.none() | st.integers(0, 30),            # key (dup-prone)
+            st.none() | st.sampled_from(
+                ["1", "7", "x", "", "12", "999", "-4"]
+            ),                                          # coercible string
+            st.none() | st.integers(-50, 50),           # checked value
+        ),
+        max_size=40,
+    ),
+    bound=st.integers(-20, 20),
+)
+def test_combined_coerce_check_unique(spark, rows, bound):
+    """coerce + value check + uniqueness in ONE schema: each count must
+    match an independent replay, proving the single-pass compiler keeps
+    features independent."""
+    df = spark.createDataFrame(
+        rows or [(None, None, None)],
+        T.StructType([
+            T.StructField("k", T.IntegerType(), True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("v", T.IntegerType(), True),
+        ]),
+    )
+    data = rows or [(None, None, None)]
+    schema = DataFrameSchema(
+        {
+            "k": Column(nullable=True),
+            "s": Column(T.IntegerType(), coerce=True, nullable=True),
+            "v": Column(checks=[Check.ge(bound, error="g")], nullable=True),
+        },
+        unique=["k"], report_duplicates="exclude_first", name="mix",
+    )
+    res = schema.validate_result(df)
+    got = {}
+    for o in res.outcomes:
+        got[(o.column, o.check, o.reason_code.value)] = int(o.violations)
+
+    def casts(x):
+        t = x.strip()
+        try:
+            int(t, 10)
+            return True
+        except ValueError:
+            return False
+
+    want_cast = sum(1 for k, s, v in data if s is not None and not casts(s))
+    want_check = sum(1 for k, s, v in data if v is not None and v < bound)
+    from collections import Counter
+
+    cnt = Counter(k for k, s, v in data)
+    want_dup = sum(c - 1 for c in cnt.values() if c > 1)
+
+    cast_got = sum(v for (c, ch, rc), v in got.items()
+                   if rc == "dtype_coercion_error")
+    check_got = sum(v for (c, ch, rc), v in got.items() if ch == "g")
+    dup_got = sum(v for (c, ch, rc), v in got.items() if "uniq" in ch.lower())
+    assert (cast_got, check_got, dup_got) == (want_cast, want_check, want_dup)
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(st.none() | st.integers(-100, 100),
+                  st.none() | st.integers(-100, 100)),
+        max_size=40,
+    ),
+)
+def test_infer_then_validate_roundtrip(spark, rows):
+    """infer_schema(df).validate(df) must be clean: inferred bounds and
+    nullability always admit their own source frame (reference
+    schema_inference/pyspark.py contract)."""
+    df = spark.createDataFrame(
+        rows or [(1, 2)],
+        T.StructType([
+            T.StructField("a", T.IntegerType(), True),
+            T.StructField("b", T.IntegerType(), True),
+        ]),
+    )
+    from pandera_spark import infer_schema
+
+    schema = infer_schema(df)
+    res = schema.validate_result(df)
+    assert not res.errors, [str(e) for e in res.errors]
+
+
+@SET
+@given(
+    lo=st.integers(-100, 0), hi=st.integers(1, 100),
+    allowed=st.lists(st.sampled_from(["A", "B", "C"]), min_size=1,
+                     max_size=3, unique=True),
+    nullable=st.booleans(), coerce=st.booleans(),
+)
+def test_yaml_roundtrip_preserves_outcomes(spark, lo, hi, allowed, nullable,
+                                           coerce):
+    """schema -> yaml -> schema reproduces identical validation outcomes
+    on the same frame (serialization loses nothing the engine uses)."""
+    from pandera_spark import schema_from_yaml, schema_to_yaml
+
+    schema = DataFrameSchema(
+        {
+            "x": Column(
+                T.IntegerType(), coerce=coerce, nullable=nullable,
+                checks=[Check.in_range(lo, hi, error="r")],
+            ),
+            "f": Column(T.StringType(),
+                        checks=[Check.isin(allowed, error="i")]),
+        },
+        name="rt",
+    )
+    back = schema_from_yaml(schema_to_yaml(schema))
+    df = spark.createDataFrame(
+        [(0, "A"), (200, "Z"), (None, None)],
+        T.StructType([
+            T.StructField("x", T.IntegerType(), True),
+            T.StructField("f", T.StringType(), True),
+        ]),
+    )
+    a = {(o.column, o.check): int(o.violations)
+         for o in schema.validate_result(df).outcomes}
+    b = {(o.column, o.check): int(o.violations)
+         for o in back.validate_result(df).outcomes}
+    assert a == b
