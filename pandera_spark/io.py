@@ -205,12 +205,28 @@ def schema_to_script(schema: DataFrameSchema) -> str:
         "schema = ps.DataFrameSchema(",
         "    columns={",
     ]
+    def render_check(c: Check) -> str | None:
+        ser = _serialize_check(c)
+        if ser is None:
+            return None
+        cname, payload = ser
+        # normalize the three serialized shapes back to (args, kwargs):
+        # scalar | {"value":..., "options":...} | multi-stat dict [+options]
+        if isinstance(payload, dict) and set(payload) == {"value", "options"}:
+            args, kw = [payload["value"]], dict(payload["options"])
+        elif isinstance(payload, dict):
+            kw = dict(payload)
+            kw.update(kw.pop("options", {}))
+            args = []
+        else:
+            args, kw = [payload], {}
+        parts = [f"{a!r}" for a in args] + [
+            f"{k}={v!r}" for k, v in kw.items()
+        ]
+        return f"ps.Check.{cname}(" + ", ".join(parts) + ")"
+
     for name, col in schema.columns.items():
-        checks_src = []
-        for c in col.checks:
-            ser = _serialize_check(c)
-            if ser is not None:
-                checks_src.append(f"ps.Check.{ser[0]}({ser[1]!r})")
+        checks_src = [s for s in map(render_check, col.checks) if s]
         checks_repr = "[" + ", ".join(checks_src) + "]"
         dtype_repr = (
             f"{col.dtype.simpleString()!r}" if col.dtype is not None else None
@@ -227,6 +243,10 @@ def schema_to_script(schema: DataFrameSchema) -> str:
         f"    strict={schema.strict!r}," if schema.strict is not True else
         f"    strict=True,",
         f"    unique={schema.unique!r},",
+        f"    report_duplicates={schema.report_duplicates!r},",
+        f"    unique_column_names={schema.unique_column_names},",
+        f"    add_missing_columns={schema.add_missing_columns},",
+        f"    drop_invalid_rows={schema.drop_invalid_rows},",
         f"    coerce={schema.coerce},",
         f"    ordered={schema.ordered},",
         ")",

@@ -111,8 +111,14 @@ class ValidationResult:
         Returns (column, check, failure_case) with up to ``n`` rows per
         failed check (a per-check ``n_failure_cases`` overrides ``n``).
         Runs one filter+limit job per failed check, only on demand.
+
+        Always a DataFrame when validation touched data — EMPTY (same
+        3-column schema) when every check passed, so callers can
+        ``.count()``/``.filter()`` without a None branch.  ``None`` only
+        when validation never ran against data (kill switch /
+        SCHEMA_ONLY depth).
         """
-        if self._checked_df is None or not self._failure_specs:
+        if self._checked_df is None:
             return None
         from pyspark.sql import functions as F
 
@@ -143,7 +149,16 @@ class ValidationResult:
                 .limit(limit)
             )
         if not parts:
-            return None
+            from pyspark.sql import types as T
+
+            return self._checked_df.sparkSession.createDataFrame(
+                [],
+                T.StructType([
+                    T.StructField("column", T.StringType(), True),
+                    T.StructField("check", T.StringType(), True),
+                    T.StructField("failure_case", T.StringType(), True),
+                ]),
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionAll(p)

@@ -404,3 +404,77 @@ def test_yaml_roundtrip_preserves_outcomes(spark, lo, hi, allowed, nullable,
     b = {(o.column, o.check): int(o.violations)
          for o in back.validate_result(df).outcomes}
     assert a == b
+
+
+@SET
+@given(data=ints, lo=st.integers(-200, 0), span=st.integers(0, 250))
+def test_failure_cases_count_matches_violations(spark, data, lo, span):
+    """failure_cases() (the extraction path) and outcome.violations (the
+    agg path) are two different plans over the same predicate — their
+    counts must agree exactly."""
+    hi = lo + span
+    df = spark.createDataFrame(
+        [(v,) for v in data],
+        T.StructType([T.StructField("c", T.IntegerType(), True)]),
+    )
+    schema = DataFrameSchema(
+        {"c": Column(checks=[Check.in_range(lo, hi, error="r")],
+                     nullable=True)},
+        name="fc",
+    )
+    res = schema.validate_result(df)
+    want = sum(int(o.violations) for o in res.outcomes if o.check == "r")
+    got = res.failure_cases(n=10_000_000).filter("check = 'r'").count()
+    assert got == want
+
+
+@SET
+@given(data=ints, bound=st.integers(-300, 300))
+def test_drop_invalid_closure(spark, data, bound):
+    """validate(drop_invalid_rows=True) output must re-validate clean
+    under the same schema (idempotence / closure)."""
+    df = spark.createDataFrame(
+        [(v,) for v in data],
+        T.StructType([T.StructField("c", T.IntegerType(), True)]),
+    )
+    schema = DataFrameSchema(
+        {"c": Column(checks=[Check.ge(bound)], nullable=True)},
+        drop_invalid_rows=True, name="cl",
+    )
+    cleaned = schema.validate_result(df).df
+    strict = DataFrameSchema(
+        {"c": Column(checks=[Check.ge(bound)], nullable=True)}, name="cl2"
+    )
+    res2 = strict.validate_result(cleaned)
+    assert not res2.errors
+
+
+def test_to_script_roundtrip_outcomes(spark):
+    """schema -> python source -> exec -> schema validates identically."""
+    from pandera_spark import schema_to_script
+
+    schema = DataFrameSchema(
+        {
+            "x": Column(T.IntegerType(), nullable=False,
+                        checks=[Check.in_range(0, 10, error="r")]),
+            "y": Column(T.StringType(),
+                        checks=[Check.isin(["a", "b"], error="i")]),
+        },
+        unique=["x"], report_duplicates="exclude_first", name="script_rt",
+    )
+    src = schema_to_script(schema)
+    ns: dict = {}
+    exec(src, ns)
+    back = next(v for v in ns.values() if isinstance(v, DataFrameSchema))
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "z"), (None, "b"), (50, None)],
+        T.StructType([
+            T.StructField("x", T.IntegerType(), True),
+            T.StructField("y", T.StringType(), True),
+        ]),
+    )
+    a = {(o.column, o.check): (int(o.violations), o.passed)
+         for o in schema.validate_result(df).outcomes}
+    b = {(o.column, o.check): (int(o.violations), o.passed)
+         for o in back.validate_result(df).outcomes}
+    assert a == b
