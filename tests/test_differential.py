@@ -478,3 +478,54 @@ def test_to_script_roundtrip_outcomes(spark):
     b = {(o.column, o.check): (int(o.violations), o.passed)
          for o in back.validate_result(df).outcomes}
     assert a == b
+
+
+@SET
+@given(
+    days=st.lists(st.none() | st.integers(0, 3000), max_size=40),
+    lo_d=st.integers(0, 1500), span_d=st.integers(0, 1500),
+)
+def test_date_in_range_counts(spark, days, lo_d, span_d):
+    import datetime as dt
+
+    base = dt.date(2017, 1, 1)
+    data = [None if d is None else base + dt.timedelta(days=d) for d in days]
+    lo = base + dt.timedelta(days=lo_d)
+    hi = base + dt.timedelta(days=lo_d + span_d)
+    got = _counts(
+        spark, data, T.DateType(), Check.in_range(lo, hi, error="d")
+    )[("c", "d")]
+    want = sum(1 for v in data if v is not None and not (lo <= v <= hi))
+    assert got == want
+
+
+@SET
+@given(
+    cents=st.lists(st.none() | st.integers(-10**6, 10**6), max_size=40),
+    bound_cents=st.integers(-10**5, 10**5),
+)
+def test_decimal_ge_counts(spark, cents, bound_cents):
+    from decimal import Decimal as D
+
+    data = [None if c is None else D(c) / 100 for c in cents]
+    bound = D(bound_cents) / 100
+    got = _counts(
+        spark, data, T.DecimalType(12, 2), Check.ge(bound, error="g")
+    )[("c", "g")]
+    want = sum(1 for v in data if v is not None and v < bound)
+    assert got == want
+
+
+def test_strict_filter_projects(spark):
+    df = spark.createDataFrame([(1, "x", 2.0)], "a int, b string, c double")
+    schema = DataFrameSchema(
+        {"a": Column(T.IntegerType())}, strict="filter", name="sf"
+    )
+    out = schema.validate_result(df).df
+    assert out.columns == ["a"]
+
+    strict = DataFrameSchema(
+        {"a": Column(T.IntegerType())}, strict=True, name="st"
+    )
+    res = strict.validate_result(df)
+    assert res.errors  # extra columns rejected
