@@ -529,3 +529,143 @@ def test_strict_filter_projects(spark):
     )
     res = strict.validate_result(df)
     assert res.errors  # extra columns rejected
+
+
+# ---------------------------------------------------------------------------
+# parser / defaults / regex-column / element-wise / array-check surfaces
+
+
+@SET
+@given(data=ints, shift=st.integers(-5, 5), bound=st.integers(-500, 500))
+def test_parser_applies_before_checks(spark, data, shift, bound):
+    """Column parser output (not the raw input) is what checks see
+    (reference execution order, backends/pandas/array.py:287-311)."""
+    from pandera_spark import Parser
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(v,) for v in data],
+        T.StructType([T.StructField("c", T.IntegerType(), True)]),
+    )
+    schema = DataFrameSchema(
+        {"c": Column(
+            checks=[Check.ge(bound, error="g")],
+            parsers=[Parser(lambda col: col + shift)],
+            nullable=True,
+        )},
+        name="p",
+    )
+    res = schema.validate_result(df)
+    got = sum(int(o.violations) for o in res.outcomes if o.check == "g")
+    want = sum(1 for v in data if v is not None and v + shift < bound)
+    assert got == want
+
+
+@SET
+@given(data=ints, default=st.integers(-50, 50), bound=st.integers(-40, 40))
+def test_default_fill_before_checks(spark, data, default, bound):
+    """Column default fills nulls BEFORE checks (reference
+    backends/pandas/array.py:114-116): filled values are checked."""
+    df = spark.createDataFrame(
+        [(v,) for v in data],
+        T.StructType([T.StructField("c", T.IntegerType(), True)]),
+    )
+    schema = DataFrameSchema(
+        {"c": Column(checks=[Check.ge(bound, error="g")],
+                     default=default, nullable=True)},
+        name="d",
+    )
+    res = schema.validate_result(df)
+    got = sum(int(o.violations) for o in res.outcomes if o.check == "g")
+    filled = [default if v is None else v for v in data]
+    want = sum(1 for v in filled if v < bound)
+    assert got == want
+    # the returned frame carries the filled values
+    out = res.df
+    got_vals = sorted(r.c for r in out.collect())
+    assert got_vals == sorted(filled)
+
+
+@SET
+@given(
+    cols=st.lists(st.sampled_from(["m_a", "m_b", "m_c", "other"]),
+                  min_size=1, max_size=4, unique=True),
+    bound=st.integers(-10, 10),
+)
+def test_regex_column_expansion(spark, cols, bound):
+    """Column(regex=True) applies to EVERY matching column; violation
+    counts accumulate per real column (reference
+    backends/pandas/components.py:174-227)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [tuple(range(len(cols))), tuple(-10 - i for i in range(len(cols)))],
+        T.StructType([T.StructField(c, T.IntegerType(), True) for c in cols]),
+    )
+    schema = DataFrameSchema(
+        {r"^m_": Column(checks=[Check.ge(bound, error="g")], regex=True,
+                        nullable=True)},
+        name="rx",
+    )
+    res = schema.validate_result(df)
+    per_col = {o.column: int(o.violations) for o in res.outcomes
+               if o.check == "g"}
+    m_cols = [c for c in cols if c.startswith("m_")]
+    rows = [list(range(len(cols))), [-10 - i for i in range(len(cols))]]
+    for c in m_cols:
+        i = cols.index(c)
+        want = sum(1 for r in rows if r[i] < bound)
+        assert per_col[c] == want, (c, per_col)
+    assert set(per_col) == set(m_cols)
+
+
+@SET
+@given(data=st.lists(st.none() | st.integers(-100, 100), max_size=30),
+       bound=st.integers(-50, 50))
+def test_element_wise_python_check_counts(spark, data, bound):
+    """element_wise Python checks (the documented UDF cost cliff) must
+    count identically to the vectorized path."""
+    df = spark.createDataFrame(
+        [(v,) for v in data],
+        T.StructType([T.StructField("c", T.IntegerType(), True)]),
+    )
+    schema = DataFrameSchema(
+        {"c": Column(checks=[
+            Check(lambda v, b=bound: v >= b, element_wise=True, error="e")
+        ], nullable=True)},
+        name="ew",
+    )
+    res = schema.validate_result(df)
+    got = sum(int(o.violations) for o in res.outcomes if o.check == "e")
+    want = sum(1 for v in data if v is not None and v < bound)
+    assert got == want
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.none() | st.lists(st.integers(-20, 20), max_size=5),
+        max_size=25,
+    ),
+    maxlen=st.integers(0, 5),
+)
+def test_array_size_check_counts(spark, rows, maxlen):
+    """Expression checks over array columns (higher-order functions in
+    the shared agg pass)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(v,) for v in rows],
+        T.StructType([T.StructField(
+            "c", T.ArrayType(T.IntegerType()), True)]),
+    )
+    schema = DataFrameSchema(
+        {"c": Column(checks=[
+            Check(lambda c: F.size(c) <= maxlen, error="sz")
+        ], nullable=True)},
+        name="arr",
+    )
+    res = schema.validate_result(df)
+    got = sum(int(o.violations) for o in res.outcomes if o.check == "sz")
+    want = sum(1 for v in rows if v is not None and len(v) > maxlen)
+    assert got == want
