@@ -204,6 +204,29 @@ def _run(ctx: _Ctx, cfg) -> ValidationResult:
     # expand components (regex) + presence
     expansion = _expand_components(ctx, df_columns)
 
+    # duplicated labels make any F.col(name) reference ambiguous — drop
+    # those columns from expression compilation and surface a schema
+    # error instead of letting Spark throw AMBIGUOUS_REFERENCE (the
+    # reference's check_column_names_are_unique is likewise driver-side
+    # and pre-empts data checks, backends/pyspark/container.py:562-605)
+    dup_labels = {c for c, n in Counter(df_columns).items() if n > 1}
+    if dup_labels:
+        for key, (comp, matched) in list(expansion.items()):
+            bad = [m for m in matched if m in dup_labels]
+            if bad:
+                ctx.outcome(
+                    comp.name, "column_label_ambiguous",
+                    SchemaErrorReason.DUPLICATE_COLUMN_LABELS,
+                    passed=False,
+                    message=(
+                        f"column(s) {bad} appear more than once in the "
+                        "dataframe; their checks were skipped"
+                    ),
+                )
+                expansion[key] = (
+                    comp, [m for m in matched if m not in dup_labels]
+                )
+
     if _schema_depth_on(cfg):
         _check_strict_and_ordered(ctx, df_columns, expansion)
 
@@ -408,16 +431,38 @@ def _apply_transforms(ctx: _Ctx, expansion: dict):
         for c in matched:
             declared[c] = comp
 
+    # duplicated labels cannot be referenced by name (AMBIGUOUS_REFERENCE)
+    # — their checks were already skipped upstream; rename them POSITIONALLY
+    # (toDF) to temporary unique names so the projection can carry them
+    # through (aliased back to their original label) while validation of
+    # the rest proceeds.  NB: df[i] is NOT positional in pyspark (it
+    # resolves df.columns[i] by name), hence toDF.
+    dup_labels = {c for c, n in Counter(df_columns).items() if n > 1}
+    dup_tmp: dict[int, str] = {}
+    if dup_labels:
+        tmp_names = []
+        for i, c in enumerate(df_columns):
+            if c in dup_labels:
+                dup_tmp[i] = f"__pandera_dup_{i}__"
+                tmp_names.append(dup_tmp[i])
+            else:
+                tmp_names.append(c)
+        df = df.toDF(*tmp_names)
+
+    cols_with_idx = list(enumerate(df_columns))
+
     # strict="filter": project extras away
     # (reference backends/pyspark/container.py:329-379)
     if schema.strict == "filter":
-        keep = [c for c in df_columns if c in declared]
-        df_columns = keep
+        cols_with_idx = [(i, c) for i, c in cols_with_idx if c in declared]
 
     select_cols: list[SparkCol] = []
     coerce_agg_cols: dict[str, str] = {}
 
-    for c in df_columns:
+    for i, c in cols_with_idx:
+        if c in dup_labels:
+            select_cols.append(F.col(dup_tmp[i]).alias(c))
+            continue
         comp = declared.get(c)
         expr = F.col(c)
         if comp is not None:

@@ -557,3 +557,57 @@ def test_is_monotonic_distributed_matches_inline(spark):
         return err.failure_cases_count
 
     assert violations(True) == violations(False) > 0
+
+
+def test_unique_column_names(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int").toDF("a", "a")
+    schema = DataFrameSchema(
+        {"a": Column(T.IntegerType())}, unique_column_names=True, name="u"
+    )
+    res = schema.validate_result(df)
+    assert any(
+        "duplicate" in str(e).lower() or "unique" in str(e).lower()
+        for e in res.errors
+    )
+    # without the flag: no crash (ambiguous references pre-empted), the
+    # duplicated column's checks are skipped with a schema error
+    schema2 = DataFrameSchema(
+        {"a": Column(T.IntegerType(), checks=[Check.ge(0)])}, name="u2"
+    )
+    res2 = schema2.validate_result(df)
+    assert any("ambiguous" in o.check for o in res2.outcomes if not o.passed)
+
+
+def test_required_false_optional_column(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    schema = DataFrameSchema(
+        {"a": Column(T.IntegerType()),
+         "opt": Column(T.StringType(), required=False,
+                       checks=[Check.str_length(1, 5)])},
+        name="req",
+    )
+    res = schema.validate_result(df)
+    assert not res.errors  # missing optional column is fine
+    # but when present, its checks run
+    df2 = spark.createDataFrame([(1, "toolongvalue")], "a int, opt string")
+    res2 = schema.validate_result(df2)
+    assert any("str_length" in o.check for o in res2.outcomes
+               if o.column == "opt" and not o.passed)
+
+
+def test_validate_head_and_sample_subset(spark):
+    # 100 rows, violations only in the tail: head-validation sees none
+    df = spark.range(0, 100).select(F.col("id").cast("int").alias("v"))
+    schema = DataFrameSchema(
+        {"v": Column(T.IntegerType(), checks=[Check.lt(50, error="l")])},
+        name="sub",
+    )
+    full = schema.validate_result(df)
+    assert sum(int(o.violations) for o in full.outcomes
+               if o.check == "l") == 50
+    head = schema.validate_result(df.orderBy("v"), head=10)
+    assert sum(int(o.violations) for o in head.outcomes
+               if o.check == "l") == 0
+    samp = schema.validate_result(df, sample=0.5, random_state=7)
+    got = sum(int(o.violations) for o in samp.outcomes if o.check == "l")
+    assert 0 < got < 50  # a proper subset of the violations
