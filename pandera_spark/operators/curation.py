@@ -156,20 +156,28 @@ def cdf_bins(
     w = Window.orderBy(F.col("__s").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    total = counts.agg(F.sum("__c")).first()[0]
-    binned = counts.withColumn("__cum", F.sum("__c").over(w)).select(
-        "__s",
-        F.least(
-            F.lit(n_bins),
-            (
-                F.floor(
-                    (F.col("__cum") - F.col("__c"))
-                    * n_bins
-                    / F.lit(total)
-                )
-                + 1
-            ).cast("int"),
-        ).alias(out_col),
+    # total row count as a frame over the SAME window sort (unbounded
+    # both ways) — no driver-side collect, the whole op stays one action
+    w_all = Window.orderBy(F.col("__s").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    binned = (
+        counts.withColumn("__cum", F.sum("__c").over(w))
+        .withColumn("__tot", F.sum("__c").over(w_all))
+        .select(
+            "__s",
+            F.least(
+                F.lit(n_bins),
+                (
+                    F.floor(
+                        (F.col("__cum") - F.col("__c"))
+                        * n_bins
+                        / F.col("__tot")
+                    )
+                    + 1
+                ).cast("int"),
+            ).alias(out_col),
+        )
     )
     return df.join(
         F.broadcast(binned), df[score_col] == binned["__s"], "inner"
