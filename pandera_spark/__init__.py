@@ -84,6 +84,7 @@ from .model import (
 )
 from .parsers import Parser
 from .report import ValidationResult
+from . import datasource  # noqa: F401  (format("pandera_synth") source)
 
 __version__ = "0.1.0"
 
