@@ -9,7 +9,8 @@ from pyspark.sql import SparkSession
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("spark-warehouse")
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("pandera-spark-tests")
@@ -17,6 +18,7 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.warehouse.dir", str(warehouse))
         .getOrCreate()
     )
     yield spark

@@ -953,3 +953,56 @@ def test_bins_exact_and_scalable_agree(spark):
     cb = cdf_bins(ties, "score", 4)
     per_score = cb.groupBy("score").agg(F.countDistinct("bin").alias("nb"))
     assert per_score.filter(F.col("nb") > 1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located validation (operators/bucketing.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_fk_and_duplicates_no_exchange(spark):
+    from pandera_spark.operators import bucketing as B
+    from pandera_spark.operators.relational import fk_violations
+
+    fact = spark.range(0, 5000).selectExpr("id % 300 as k", "id as payload")
+    dim = spark.range(0, 250).selectExpr("id as k", "concat('d', id) as nm")
+    B.write_bucketed(fact, "t_fact_b", "k", 4)
+    B.write_bucketed(dim, "t_dim_b", "k", 4)
+    try:
+        viol = B.bucketed_fk_violations(spark, "t_fact_b", "t_dim_b", "k")
+        # co-located: the validation join plans zero shuffles
+        assert not B.plan_has_exchange(viol), B.physical_plan(viol)
+        # same answer as the broadcast-anti-join operator on dataframes
+        expect = fk_violations(fact, "k", dim).count()
+        assert viol.count() == expect == 800  # keys 250..299, 16 rows each
+
+        dups = B.bucketed_duplicates(spark, "t_fact_b", "k")
+        assert not B.plan_has_exchange(dups), B.physical_plan(dups)
+        assert dups.count() == 300  # every key repeats
+
+        # control: the same merge join over unbucketed inputs shuffles
+        ctrl = (
+            spark.table("t_fact_b").repartition(4)
+            .join(spark.table("t_dim_b").repartition(4).select("k").hint("merge"),
+                  "k", "left_anti")
+        )
+        assert B.plan_has_exchange(ctrl)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fact_b")
+        spark.sql("DROP TABLE IF EXISTS t_dim_b")
+
+
+def test_bucketed_duplicates_ignores_null_keys(spark):
+    from pandera_spark.operators import bucketing as B
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "c"), (None, "d"), (2, "e")],
+        "k int, v string",
+    )
+    B.write_bucketed(df, "t_nulls_b", "k", 2)
+    try:
+        dups = B.bucketed_duplicates(spark, "t_nulls_b", "k")
+        rows = {(r["k"], r["n_duplicates"]) for r in dups.collect()}
+        assert rows == {(1, 2)}  # nulls are not duplicates of each other
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_nulls_b")
