@@ -1198,6 +1198,108 @@ GROUP BY bin
 """
 
 
+def q_defaults_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_missing_columns + set_defaults path (SURVEY §2.B): a declared
+    column absent from the data is inserted with its default, and null
+    values of a present column are filled.  Both are pure projections
+    (F.lit / F.coalesce) fused into the scan stage.  Oracle: literal +
+    COALESCE."""
+    df = _load(spark, sf_dir, "customer")
+    schema = DataFrameSchema(
+        {
+            "c_custkey": Column(T.LongType(), nullable=False),
+            "c_mktsegment": Column(
+                T.StringType(), nullable=True, default="UNKNOWN"
+            ),
+            "c_tier": Column(T.StringType(), default="std"),
+        },
+        name="defaults_customer",
+        add_missing_columns=True,
+    )
+    res = schema.validate_result(df)
+    return res.df.groupBy("c_tier", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+_DEFAULTS_ORACLE = """
+SELECT 'std' AS c_tier, COALESCE(c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer GROUP BY 1, 2
+"""
+
+
+def q_regex_cols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex column expansion (SURVEY §2.C, reference
+    backends/pandas/components.py:174-227): one Column component with
+    ``regex=True`` fans out to every matching column (the three *key
+    columns), all compiled into the same single agg pass.  Oracle: one
+    UNION ALL branch per matched column."""
+    df = _load(spark, sf_dir, "lineitem")
+    schema = DataFrameSchema(
+        {
+            r"l_.*key$": Column(
+                regex=True, checks=[Check.ge(1, error="key_ge_1")]
+            ),
+        },
+        name="regex_cols_lineitem",
+    )
+    res = schema.validate_result(df)
+    return (
+        res.report_df(spark)
+        .filter(F.col("category") == "DATA")
+        .select(
+            F.col("column").alias("col_name"),
+            F.col("check").alias("check_name"),
+            F.col("violations"),
+        )
+    )
+
+
+_REGEX_COLS_ORACLE = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, 'key_ge_1' AS check_name, "
+    f"CAST(COALESCE(SUM(CASE WHEN {c} IS NOT NULL AND NOT ({c} >= 1) "
+    f"THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations FROM lineitem"
+    for c in ("l_orderkey", "l_partkey", "l_suppkey")
+)
+
+
+def q_parser_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parser pre-check transform (SURVEY §2.F): normalize
+    o_orderpriority to its leading digit BEFORE checks run, then check
+    the parsed domain; return the parsed distribution from the
+    validated output frame.  Oracle: substr + GROUP BY."""
+    from pandera_spark import Parser
+
+    df = _load(spark, sf_dir, "orders")
+    schema = DataFrameSchema(
+        {
+            "o_orderpriority": Column(
+                T.StringType(),
+                parsers=[Parser(lambda c: F.substring(c, 1, 1))],
+                checks=[
+                    Check.isin(["1", "2", "3", "4", "5"],
+                               error="priority_digit")
+                ],
+            ),
+        },
+        name="parser_orders",
+    )
+    res = schema.validate_result(df)
+    return (
+        res.df.filter(F.col("o_orderpriority").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+_PARSER_ORACLE = """
+SELECT substr(o_orderpriority, 1, 1) AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -1252,6 +1354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings", EMBEDDINGS_CHECKS, ["vec_id", "embedding"],
             unique=["vec_id"],
         ),
+        "defaults_customer": q_defaults_customer,
+        "regex_cols_lineitem": q_regex_cols_lineitem,
+        "parser_orders": q_parser_orders,
     }
 
 
@@ -1509,4 +1614,7 @@ FROM ranked WHERE rank <= 5
             "embeddings", EMBEDDINGS_CHECKS, ["vec_id", "embedding"],
             unique=["vec_id"],
         ),
+        "defaults_customer": _DEFAULTS_ORACLE,
+        "regex_cols_lineitem": _REGEX_COLS_ORACLE,
+        "parser_orders": _PARSER_ORACLE,
     }
