@@ -669,3 +669,125 @@ def test_array_size_check_counts(spark, rows, maxlen):
     got = sum(int(o.violations) for o in res.outcomes if o.check == "sz")
     want = sum(1 for v in rows if v is not None and len(v) > maxlen)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# groupby checks (dict[group -> Series] contract) vs pure-Python replay
+# ---------------------------------------------------------------------------
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.none() | st.integers(-100, 100),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    bound=st.integers(-60, 60),
+)
+def test_groupby_check_parity(spark, rows, bound):
+    df = spark.createDataFrame(rows, "g string, v int")
+
+    def fn(groups):
+        return all((s >= bound).all() for s in groups.values())
+
+    schema = DataFrameSchema(
+        {"v": Column(checks=[Check(fn, groupby="g", error="gb")])},
+        name="gbz",
+    )
+    res = schema.validate_result(df)
+    outcome = next(o for o in res.outcomes if o.check == "gb")
+    # collect_list drops nulls, so the Series only sees non-null values
+    want = all(v >= bound for _, v in rows if v is not None)
+    assert outcome.passed == want
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(-100, 100),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    bound=st.integers(-60, 60),
+)
+def test_groupby_groups_filter(spark, rows, bound):
+    # only group "a" is inspected: violations in "b" must not fail it
+    df = spark.createDataFrame(rows, "g string, v int")
+
+    def fn(groups):
+        return all((s >= bound).all() for s in groups.values())
+
+    schema = DataFrameSchema(
+        {"v": Column(checks=[
+            Check(fn, groupby="g", groups=["a"], error="gba")
+        ])},
+        name="gbf",
+    )
+    res = schema.validate_result(df)
+    outcome = next(o for o in res.outcomes if o.check == "gba")
+    want = all(v >= bound for g, v in rows if g == "a")
+    assert outcome.passed == want
+
+
+# ---------------------------------------------------------------------------
+# Map-typed columns: nullable counting + deep dtype equality
+# ---------------------------------------------------------------------------
+
+
+@SET
+@given(
+    data=st.lists(
+        st.none()
+        | st.dictionaries(
+            st.sampled_from(["k1", "k2"]), st.integers(0, 9), max_size=2
+        ),
+        max_size=40,
+    )
+)
+def test_map_nullable_counts(spark, data):
+    df = spark.createDataFrame(
+        [(v,) for v in data],
+        T.StructType([
+            T.StructField(
+                "m", T.MapType(T.StringType(), T.IntegerType()), True
+            )
+        ]),
+    )
+    schema = DataFrameSchema(
+        {"m": Column(
+            T.MapType(T.StringType(), T.IntegerType()), nullable=False
+        )},
+        name="mapz",
+    )
+    res = schema.validate_result(df)
+    outcome = next(o for o in res.outcomes if "null" in o.check.lower())
+    want = sum(1 for v in data if v is None)
+    assert int(outcome.violations) == want
+    assert outcome.passed == (want == 0)
+
+
+def test_map_dtype_deep_equality(spark):
+    # value type Long != declared Integer: SCHEMA error, deep comparison
+    df = spark.createDataFrame(
+        [({"k": 1},)],
+        T.StructType([
+            T.StructField("m", T.MapType(T.StringType(), T.LongType()), True)
+        ]),
+    )
+    ok = DataFrameSchema(
+        {"m": Column(T.MapType(T.StringType(), T.LongType()))}, name="m1"
+    ).validate_result(df)
+    assert ok.passed
+    bad = DataFrameSchema(
+        {"m": Column(T.MapType(T.StringType(), T.IntegerType()))}, name="m2"
+    ).validate_result(df)
+    assert not bad.passed
+    assert any("dtype" in o.check.lower() for o in bad.outcomes
+               if not o.passed)
