@@ -1198,6 +1198,33 @@ GROUP BY bin
 """
 
 
+def q_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified downsampling (curation): keep
+    a key-pure fraction per language stratum.  Membership is a function
+    of doc_id, so the sample is stable across runs/retries/engines — the
+    oracle replays the exact md5-prefix bucket predicate."""
+    from pandera_spark.operators.curation import hash_stratified_sample
+
+    df = _load(spark, sf_dir, "documents")
+    out = hash_stratified_sample(
+        df, "lang", "doc_id", {"en": 0.5, "de": 0.25, "fr": 0.1}
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def _stratified_oracle() -> str:
+    bucket = _HEXFOLD.format(e="CAST(doc_id AS VARCHAR)") + " % 10000"
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE ({bucket}) < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                             WHEN 'fr' THEN 1000 ELSE 0 END
+GROUP BY lang
+"""
+
+
 def q_defaults_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """add_missing_columns + set_defaults path (SURVEY §2.B): a declared
     column absent from the data is inserted with its default, and null
@@ -1357,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "defaults_customer": q_defaults_customer,
         "regex_cols_lineitem": q_regex_cols_lineitem,
         "parser_orders": q_parser_orders,
+        "stratified_documents": q_stratified_documents,
     }
 
 
@@ -1617,4 +1645,5 @@ FROM ranked WHERE rank <= 5
         "defaults_customer": _DEFAULTS_ORACLE,
         "regex_cols_lineitem": _REGEX_COLS_ORACLE,
         "parser_orders": _PARSER_ORACLE,
+        "stratified_documents": _stratified_oracle(),
     }

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column as SparkCol, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import portable_hash28
@@ -37,6 +37,7 @@ from .dedup import portable_hash28
 __all__ = [
     "hash_split",
     "stratified_sample",
+    "hash_stratified_sample",
     "weighted_mix",
     "ntile_bins",
     "cdf_bins",
@@ -89,6 +90,36 @@ def stratified_sample(
     """Per-stratum Bernoulli sample (``sampleBy``): executor-side, no
     shuffle; strata absent from ``fractions`` are dropped (fraction 0)."""
     return df.sampleBy(strata_col, dict(fractions), seed=seed)
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: Mapping,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff
+    ``portable_hash28(key || salt) % 10000 < fraction[stratum] * 10000``.
+
+    Unlike :func:`stratified_sample` (RNG Bernoulli), membership is a pure
+    function of the key — stable across runs, retries, engines, and data
+    re-partitioning, so a downsampled corpus is reproducible and
+    versionable (same property as :func:`hash_split`).  Strata absent
+    from ``fractions`` are dropped.  Pure narrow filter at the scan — no
+    shuffle, and Parquet row-group pruning still applies to other
+    predicates."""
+    bucket = portable_hash28(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    ) % F.lit(_SPLIT_BUCKETS)
+    thresh: SparkCol = F.lit(0)
+    for name, frac in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == F.lit(name),
+            F.lit(int(round(frac * _SPLIT_BUCKETS))),
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)
 
 
 def weighted_mix(

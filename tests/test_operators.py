@@ -1006,3 +1006,27 @@ def test_bucketed_duplicates_ignores_null_keys(spark):
         assert rows == {(1, 2)}  # nulls are not duplicates of each other
     finally:
         spark.sql("DROP TABLE IF EXISTS t_nulls_b")
+
+
+def test_hash_stratified_sample_deterministic(spark):
+    from pandera_spark.operators.curation import hash_stratified_sample
+
+    df = spark.range(0, 2000).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' "
+        "ELSE 'c' END AS s"
+    )
+    fr = {"a": 0.5, "b": 0.1}
+    out1 = hash_stratified_sample(df, "s", "id", fr)
+    out2 = hash_stratified_sample(df.repartition(7), "s", "id", fr)
+    ids1 = {r["id"] for r in out1.collect()}
+    ids2 = {r["id"] for r in out2.collect()}
+    assert ids1 == ids2  # membership is a pure function of the key
+    per = {r["s"]: r["n"] for r in out1.groupBy("s")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "c" not in per  # absent stratum dropped
+    assert 0.4 < per["a"] / 667 < 0.6  # ~50% of stratum a
+    assert 0.03 < per["b"] / 667 < 0.2  # ~10% of stratum b
+    # salt draws an independent sample
+    ids3 = {r["id"] for r in
+            hash_stratified_sample(df, "s", "id", fr, salt="x").collect()}
+    assert ids3 != ids1
