@@ -1039,6 +1039,8 @@ def q_range_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = ev.filter(F.col("event_type") == "purchase")
     errors = ev.filter(F.col("event_type") == "error")
+    from pandera_spark.operators.temporal import _epoch_us
+
     out = banded_range_join(
         purchases, errors, left_on="ts", right_on="ts",
         band_seconds=600, by=["user_id"],
@@ -1046,7 +1048,7 @@ def q_range_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("event_id").alias("purchase_id"),
         F.col("event_id_r").alias("error_id"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias(
+        (_epoch_us(F.col("ts")) - _epoch_us(F.col("ts_r"))).alias(
             "delta_us"
         ),
     )
@@ -1059,6 +1061,42 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 JOIN (SELECT * FROM events WHERE event_type = 'error') r
   ON l.user_id = r.user_id
  AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 600 * 1000000
+"""
+
+
+def q_asof_tol_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance — regression guard for the
+    TIMESTAMP_NTZ epoch path (temporal.py tolerance branch, which r1
+    never exercised): purchases matched to the most recent signup no older
+    than 3 days; matches beyond tolerance are nulled and dropped by the
+    inner-flavor filter."""
+    from pandera_spark.operators.temporal import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    return asof_join(
+        purchases, signups, on="ts", by=["user_id"],
+        right_cols=["signup_event"], tolerance_seconds=3 * 86400,
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts_r").alias("signup_ts"),
+        F.col("signup_event_r").alias("signup_event"),
+    ).filter(F.col("signup_event").isNotNull())
+
+
+_ASOF_TOL_ORACLE = """
+SELECT event_id, user_id, signup_ts, signup_event FROM (
+  SELECT l.event_id, l.user_id, r.ts AS signup_ts,
+         r.event_id AS signup_event,
+         epoch_us(l.ts) - epoch_us(r.ts) AS d
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+) WHERE d <= 259200000000
 """
 
 
@@ -1372,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats_documents": q_media_stats_documents,
         "frame_samples_documents": q_frame_samples_documents,
         "asof_events": q_asof_events,
+        "asof_tol_events": q_asof_tol_events,
         "range_pairs_events": q_range_pairs_events,
         "rollup_events": q_rollup_events,
         "rollup_daily_events": q_rollup_daily_events,
@@ -1633,6 +1672,7 @@ FROM ranked WHERE rank <= 5
         "minhash_candidates_documents": _minhash_oracle(),
         "simhash_documents": _simhash_oracle(),
         "asof_events": _ASOF_ORACLE,
+        "asof_tol_events": _ASOF_TOL_ORACLE,
         "range_pairs_events": _RANGE_PAIRS_ORACLE,
         "rollup_events": _ROLLUP_ORACLE,
         "rollup_daily_events": _ROLLUP_DAILY_ORACLE,

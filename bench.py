@@ -19,6 +19,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def run_queries(spark, qs, sf_dir, runs):
+    """Best-of-N timing per query; a failing query is recorded in the
+    errors dict and never aborts the rest of the set."""
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in qs.items():
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()  # operator persists don't leak
+        if name not in errors:
+            timings[name] = round(best, 4)
+    return timings, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -52,31 +73,20 @@ def main() -> None:
     # best of N runs per query: absorbs shared-VM noise (observed ±20%
     # run-to-run on identical plans); N=2 keeps total wall bounded
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.count()
-            best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()  # operator persists don't leak
-        timings[name] = round(best, 4)
+    timings, errors = run_queries(spark, entrymod.queries(), sf_dir, runs)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_set_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": runs,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_set_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": runs,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -38,6 +38,19 @@ __all__ = [
 ]
 
 
+def _epoch_us(col: C) -> C:
+    """Microseconds-since-epoch that accepts TIMESTAMP *and* TIMESTAMP_NTZ.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ (the parquet nano-ts shim reads
+    event timestamps as NTZ), so cast first: a no-op for TIMESTAMP, and for
+    NTZ the session-timezone shift cancels in every use here — bucketing and
+    deltas compare two values shifted by the same offset.  Sessions should
+    pin ``spark.sql.session.timeZone=UTC`` so NTZ epoch values are also
+    absolute (and DST can't warp in-band distances).
+    """
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -108,9 +121,7 @@ def asof_join(
 
     if tolerance_seconds is not None:
         tol = int(tolerance_seconds * 1_000_000)
-        dt = F.unix_micros(F.col("__on")) - F.unix_micros(
-            F.col("__m.__ts")
-        )
+        dt = _epoch_us(F.col("__on")) - _epoch_us(F.col("__m.__ts"))
         if direction == "forward":
             dt = -dt
         matched = matched.withColumn(
@@ -148,8 +159,8 @@ def banded_range_join(
     by = list(by or [])
     band_us = int(band_seconds * 1_000_000)
 
-    lbucket = F.floor(F.unix_micros(F.col(left_on)) / F.lit(band_us))
-    rbucket = F.floor(F.unix_micros(F.col(right_on)) / F.lit(band_us))
+    lbucket = F.floor(_epoch_us(F.col(left_on)) / F.lit(band_us))
+    rbucket = F.floor(_epoch_us(F.col(right_on)) / F.lit(band_us))
 
     rename = {
         c: c + "_r"
@@ -161,14 +172,14 @@ def banded_range_join(
         *[F.col(c).alias(rename.get(c, c)) for c in right.columns
           if c not in by],
     ).withColumn("__b", rbucket if right_on not in rename
-                 else F.floor(F.unix_micros(F.col(rename[right_on]))
+                 else F.floor(_epoch_us(F.col(rename[right_on]))
                               / F.lit(band_us)))
     l = left.withColumn(
         "__b", F.explode(F.array(lbucket - 1, lbucket, lbucket + 1))
     )
     ron = rename.get(right_on, right_on)
     joined = l.join(r, [*by, "__b"]).drop("__b")
-    dt = F.unix_micros(F.col(left_on)) - F.unix_micros(F.col(ron))
+    dt = _epoch_us(F.col(left_on)) - _epoch_us(F.col(ron))
     return joined.filter(F.abs(dt) <= F.lit(band_us))
 
 

@@ -611,3 +611,18 @@ def test_validate_head_and_sample_subset(spark):
     samp = schema.validate_result(df, sample=0.5, random_state=7)
     got = sum(int(o.violations) for o in samp.outcomes if o.check == "l")
     assert 0 < got < 50  # a proper subset of the violations
+
+
+def test_bench_isolates_query_failures(spark, tmp_path):
+    """bench.py must record a broken query's error and keep timing the
+    rest — r1's bench artifact was zeroed by one crashing query."""
+    import bench
+
+    qs = {
+        "ok": lambda s, d: s.range(5),
+        "boom": lambda s, d: (_ for _ in ()).throw(ValueError("injected")),
+        "ok2": lambda s, d: s.range(3),
+    }
+    timings, errors = bench.run_queries(spark, qs, str(tmp_path), runs=1)
+    assert set(timings) == {"ok", "ok2"}
+    assert list(errors) == ["boom"] and "injected" in errors["boom"]

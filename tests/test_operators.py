@@ -877,6 +877,35 @@ def test_time_rollup_and_cascade(spark, ticks):
     assert drows[20] == (2, 9.0)
 
 
+def test_temporal_timestamp_ntz(spark, ticks):
+    """Regression: the sfX parquet nano-ts shim yields TIMESTAMP_NTZ, which
+    plain unix_micros rejects (r1's one red oracle row + crashed bench).
+    Every epoch-math path must accept NTZ input and agree with the
+    TIMESTAMP results."""
+    from pandera_spark.operators.temporal import asof_join, banded_range_join
+
+    ntz = ticks.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    assert str(ntz.schema["ts"].dataType) == "TimestampNTZType()"
+    trades = ntz.filter(F.col("kind") == "trade")
+    quotes = ntz.filter(F.col("kind") == "quote").select(
+        "user", "ts", F.col("id").alias("qid")
+    )
+
+    tol = asof_join(
+        trades, quotes, on="ts", by=["user"], right_cols=["qid"],
+        tolerance_seconds=60,
+    )
+    got = {r.id: r.qid_r for r in tol.collect()}
+    assert got[4] == 3 and got[5] is None
+
+    out = banded_range_join(
+        trades, ntz.filter(F.col("kind") == "quote"),
+        left_on="ts", right_on="ts", band_seconds=360, by=["user"],
+    )
+    pairs = {(r.id, r.id_r) for r in out.collect()}
+    assert (2, 1) in pairs and (2, 3) in pairs and (5, 3) not in pairs
+
+
 # ---------------------------------------------------------------------------
 # curation operators (splits, mixing, sampling, binning)
 
