@@ -1365,6 +1365,135 @@ FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.I/J/K contract queries: io round-trip, synthesis, decorators — these
+# tiers were pytest-only in r1; the driver gate couldn't see regressions
+# ---------------------------------------------------------------------------
+
+
+def q_yaml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema serialization round-trip (SURVEY §2.I, reference
+    io/pyspark_sql_io.py serialize/deserialize; behavior matched:
+    tests/io/test_pandas_io.py round-trip equality): the orders validation
+    schema goes to_yaml -> from_yaml -> validate.  The oracle is the plain
+    validate_orders oracle — a lossy round-trip (dropped check, mangled
+    error label, lost nullability) breaks the hash match."""
+    from pandera_spark.io import schema_from_yaml, schema_to_yaml
+
+    df = _load(spark, sf_dir, "orders")
+    schema = _validation_schema(ORDERS_CHECKS, ORDERS_NOT_NULL, "orders")
+    roundtripped = schema_from_yaml(schema_to_yaml(schema))
+    res = roundtripped.validate_result(df)
+    return (
+        res.report_df(spark)
+        .filter(F.col("category") == "DATA")
+        .select(
+            F.col("column").alias("col_name"),
+            F.col("check").alias("check_name"),
+            F.col("violations"),
+        )
+    )
+
+
+_SYNTH_SCHEMA = DataFrameSchema(
+    {
+        "uid": Column(
+            T.LongType(), nullable=False, unique=True,
+            checks=[Check.in_range(0, 10_000_000, error="uid_range")],
+        ),
+        "score": Column(
+            T.DoubleType(), nullable=False,
+            checks=[Check.in_range(0.0, 1.0, error="score_range")],
+        ),
+        "grade": Column(
+            T.StringType(), nullable=False,
+            checks=[Check.isin(["a", "b", "c"], error="grade_domain")],
+        ),
+        "n_items": Column(
+            T.IntegerType(), nullable=False,
+            checks=[Check.in_range(10, 99, error="n_items_range")],
+        ),
+    },
+    name="synth",
+)
+
+
+def q_synthesize_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesis loop (SURVEY §2.J, reference behavior:
+    tests/strategies/test_strategies.py generate-then-validate): generate
+    2000 conforming rows cluster-side via spark.range (no driver data) and
+    validate them with the same schema.  The invariants — row count, a
+    genuinely distinct unique column, zero violations — are data-independent,
+    so the oracle is a constant row; any generator/validator drift breaks
+    it."""
+    from pandera_spark.strategies import synthesize
+
+    df = synthesize(_SYNTH_SCHEMA, spark, rows=2000, seed=11)
+    res = _SYNTH_SCHEMA.validate_result(df)
+    viol = (
+        res.report_df(spark)
+        .agg(F.sum("violations").cast("long").alias("total_violations"))
+    )
+    stats = res.df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("uid").cast("long").alias("distinct_uid"),
+    )
+    return stats.crossJoin(viol)
+
+
+_SYNTH_ORACLE = """
+SELECT CAST(2000 AS BIGINT) AS n_rows, CAST(2000 AS BIGINT) AS distinct_uid,
+       CAST(0 AS BIGINT) AS total_violations
+"""
+
+
+def q_decorator_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorator pipeline (SURVEY §2.K, reference decorators.py
+    check_input/check_output/check_io): a check_io-wrapped transformation —
+    input frame validated against a column-presence/dtype schema, grouped
+    summary validated against an output schema with value checks — must be
+    transparent: the oracle is the undecorated GROUP BY."""
+    from pandera_spark.decorators import check_io
+
+    in_schema = DataFrameSchema(
+        {
+            "o_orderstatus": Column(T.StringType()),
+            "o_totalprice": Column(T.DoubleType()),
+        },
+        name="orders_in",
+    )
+    out_schema = DataFrameSchema(
+        {
+            "o_orderstatus": Column(T.StringType()),
+            "n_orders": Column(
+                T.LongType(), nullable=False,
+                checks=[Check.gt(0, error="n_orders_pos")],
+            ),
+            "sum_price": Column(
+                T.DoubleType(), nullable=False,
+                checks=[Check.gt(0.0, error="sum_price_pos")],
+            ),
+        },
+        name="orders_out",
+    )
+
+    @check_io(df=in_schema, out=out_schema)
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+
+    return summarize(_load(spark, sf_dir, "orders"))
+
+
+_DECORATOR_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -1424,6 +1553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_cols_lineitem": q_regex_cols_lineitem,
         "parser_orders": q_parser_orders,
         "stratified_documents": q_stratified_documents,
+        "yaml_roundtrip_orders": q_yaml_roundtrip_orders,
+        "synthesize_validate": q_synthesize_validate,
+        "decorator_orders": q_decorator_orders,
     }
 
 
@@ -1686,4 +1818,9 @@ FROM ranked WHERE rank <= 5
         "regex_cols_lineitem": _REGEX_COLS_ORACLE,
         "parser_orders": _PARSER_ORACLE,
         "stratified_documents": _stratified_oracle(),
+        "yaml_roundtrip_orders": _report_oracle(
+            "orders", ORDERS_CHECKS, ORDERS_NOT_NULL
+        ),
+        "synthesize_validate": _SYNTH_ORACLE,
+        "decorator_orders": _DECORATOR_ORACLE,
     }
