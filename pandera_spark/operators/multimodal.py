@@ -1,12 +1,13 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns
 with typed metadata.
 
-The Spark-side architecture is real and tested — schema conventions, Arrow
-batch shape, partition sizing, ``mapInPandas`` UDF signatures.  The actual
-codec step is STUBBED (this container ships no image/audio libraries): decode
-functions raise ``NotImplementedError`` unless ``deterministic_fake=True``,
-which produces seeded fake features so the pipeline shape can be exercised
-end-to-end.
+The Spark-side architecture — schema conventions, Arrow batch shape,
+partition sizing, ``mapInPandas`` UDF signatures — pairs with a REAL codec
+(:mod:`.codecs`): PNG/BMP/PPM decode from the stdlib, Pillow preferred when
+installed.  ``deterministic_fake=True`` keeps the seeded fake path for
+oracle replay and payloads that aren't actual images (the synthetic
+documents table); real video demux (pyav/ffmpeg) plugs into the same
+``mapInPandas`` shape — still images yield a single frame meanwhile.
 """
 
 from __future__ import annotations
@@ -72,13 +73,12 @@ def _fake_feature(payload: Optional[bytes], dim: int) -> list[float]:
     return out
 
 
-def decode_image(payload: bytes):  # pragma: no cover - real codec absent
-    """Real image decode — requires an image library not present in this
-    container.  Plug in PIL/cv2 here in a real deployment."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use image_features(..., deterministic_fake=True) for pipeline tests"
-    )
+def decode_image(payload: bytes):
+    """Real image decode: PNG / BMP / binary PPM-PGM via the stdlib
+    (Pillow used instead when importable) — see :mod:`.codecs`."""
+    from .codecs import decode_image as _decode
+
+    return _decode(payload)
 
 
 def image_features(
@@ -110,7 +110,35 @@ def image_features(
             out.append((h % 10007) / 10007.0)
         return out
 
+    def real_feature(arr, dim=dim):
+        # coarse grid of per-channel cell means: a deterministic, content-
+        # sensitive embedding stand-in computed from REAL decoded pixels
+        import numpy as np
+
+        a = arr.astype(np.float32) / 255.0
+        if a.ndim == 2:
+            a = a[:, :, None]
+        h, w, c = a.shape
+        g = max(1, int((dim / c) ** 0.5))
+        ys = np.linspace(0, h, g + 1, dtype=int)
+        xs = np.linspace(0, w, g + 1, dtype=int)
+        feats: list[float] = []
+        for yi in range(g):
+            for xi in range(g):
+                cell = a[ys[yi]:ys[yi + 1], xs[xi]:xs[xi + 1]]
+                if cell.size:
+                    feats.extend(float(v) for v in cell.mean(axis=(0, 1)))
+                else:
+                    feats.extend([0.0] * c)
+        feats = feats[:dim]
+        return feats + [0.0] * (dim - len(feats))
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not deterministic_fake:
+            from pandera_spark.operators.codecs import (
+                ImageDecodeError,
+                decode_image as _decode,
+            )
         for pdf in batches:
             feats, widths, heights = [], [], []
             for payload in pdf["payload"]:
@@ -123,7 +151,18 @@ def image_features(
                         len(payload) % 768 if payload is not None else None
                     )
                 else:
-                    decode_image(payload)  # raises NotImplementedError
+                    try:
+                        arr = _decode(payload)
+                    except ImageDecodeError:
+                        # corrupt/unsupported payloads surface as nulls, the
+                        # same row-preserving contract as coerce errors
+                        feats.append(None)
+                        widths.append(None)
+                        heights.append(None)
+                        continue
+                    feats.append(real_feature(arr))
+                    heights.append(int(arr.shape[0]))
+                    widths.append(int(arr.shape[1]))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -156,18 +195,34 @@ def sample_frames(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not deterministic_fake:
+            from pandera_spark.operators.codecs import (
+                ImageDecodeError,
+                decode_image as _decode,
+                encode_ppm,
+            )
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                if not deterministic_fake:
-                    decode_image(payload)
-                n = min(max_frames, max(1, len(payload) // every_nth))
-                for i in range(n):
-                    ids.append(mid)
-                    idxs.append(i)
-                    frames.append(bytes(payload[i::n][:64]))
+                if deterministic_fake:
+                    n = min(max_frames, max(1, len(payload) // every_nth))
+                    for i in range(n):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(bytes(payload[i::n][:64]))
+                    continue
+                # real path: a still image is a single frame; a video
+                # demuxer (pyav/ffmpeg) slots in here with every_nth /
+                # max_frames governing the frame stride, schema unchanged
+                try:
+                    arr = _decode(payload)
+                except ImageDecodeError:
+                    continue
+                ids.append(mid)
+                idxs.append(0)
+                frames.append(encode_ppm(arr))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame": frames}
             )
@@ -206,6 +261,14 @@ def resize_images(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not deterministic_fake:
+            import numpy as np
+
+            from pandera_spark.operators.codecs import (
+                ImageDecodeError,
+                decode_image as _decode,
+                encode_ppm,
+            )
         target = width * height
         for pdf in batches:
             payloads = []
@@ -213,10 +276,21 @@ def resize_images(
                 if payload is None:
                     payloads.append(None)
                     continue
-                if not deterministic_fake:
-                    decode_image(payload)  # raises NotImplementedError
-                step = max(1, len(payload) // target)
-                payloads.append(bytes(payload[::step][:target]))
+                if deterministic_fake:
+                    step = max(1, len(payload) // target)
+                    payloads.append(bytes(payload[::step][:target]))
+                    continue
+                # real path: nearest-neighbor resample, re-encoded as PPM
+                # so output payloads are themselves decode_image-able
+                try:
+                    arr = _decode(payload)
+                except ImageDecodeError:
+                    payloads.append(None)
+                    continue
+                h, w = arr.shape[:2]
+                yi = np.minimum((np.arange(height) * h) // height, h - 1)
+                xi = np.minimum((np.arange(width) * w) // width, w - 1)
+                payloads.append(encode_ppm(arr[yi][:, xi]))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
