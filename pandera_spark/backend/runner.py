@@ -771,7 +771,17 @@ def _compile_groupby_check(ctx: _Ctx, check: Check, colname: str) -> None:
     reference's contract) built from one groupBy+collect job.  Driver-side
     and bounded by the grouped data size — explicit opt-in (SURVEY.md §2
     hard part 5).
+
+    ``Check(..., distributed=True)`` switches to the 100 TB path: the fn
+    runs INSIDE executors via ``applyInPandas``, one group per call (the
+    dict it receives holds just that group), and per-group verdicts are
+    AND-combined by a tiny aggregate — the driver never sees group values.
+    Requires the fn to be per-group decomposable; cross-group comparisons
+    need the collect path.
     """
+    if check.distributed:
+        _compile_groupby_check_distributed(ctx, check, colname)
+        return
 
     def job(df: DataFrame):
         import pandas as pd
@@ -806,6 +816,75 @@ def _compile_groupby_check(ctx: _Ctx, check: Check, colname: str) -> None:
             SchemaErrorReason.SCHEMA_COMPONENT_CHECK,
             passed=ok or check.raise_warning,
             message="" if ok else f"groupby check '{check.error}' failed",
+        )
+
+    ctx.deferred.append(job)
+    if not ctx.agg_exprs:
+        ctx.agg_exprs.append(F.count(F.lit(1)).alias("__gb_anchor__"))
+
+
+def _compile_groupby_check_distributed(
+    ctx: _Ctx, check: Check, colname: str
+) -> None:
+    """Executor-side grouped check: ``applyInPandas`` evaluates the fn per
+    group (Arrow batches, no driver data movement); the only collected row
+    is the (n_failed, first_error) aggregate.  Shuffle is one hash
+    partition on the group key — the same single shuffle the collect path
+    pays, minus the driver funnel."""
+
+    def job(df: DataFrame):
+        from .._shipping import ensure_package_on_executors
+
+        ensure_package_on_executors(df.sparkSession)
+        gcols = (
+            [check.groupby]
+            if isinstance(check.groupby, str)
+            else list(check.groupby)
+        )
+        single = isinstance(check.groupby, str)
+        wanted = check._kwargs.get("groups")
+        wanted_set = set(wanted) if wanted else None
+        fn = check.check_fn
+
+        def eval_group(pdf):
+            import pandas as pd
+
+            key = tuple(pdf.iloc[0][c] for c in gcols)
+            k = key[0] if single else key
+            if wanted_set is not None and k not in wanted_set:
+                return pd.DataFrame({"passed": [True], "err": [None]})
+            # .dropna() mirrors the collect path's collect_list null drop
+            series = pdf[colname].dropna().reset_index(drop=True)
+            try:
+                ok = bool(fn({k: series}))
+                return pd.DataFrame({"passed": [ok], "err": [None]})
+            except Exception as exc:  # noqa: BLE001 - surfaced as outcome
+                return pd.DataFrame({"passed": [False], "err": [repr(exc)]})
+
+        verdicts = (
+            df.select(*gcols, colname)
+            .groupBy(*[F.col(c) for c in gcols])
+            .applyInPandas(eval_group, schema="passed boolean, err string")
+        )
+        row = verdicts.agg(
+            F.sum(F.when(~F.col("passed"), 1).otherwise(0)).alias("nfail"),
+            F.first("err", ignorenulls=True).alias("err"),
+        ).first()
+        nfail = int(row["nfail"] or 0)
+        if row["err"] is not None:
+            ctx.outcome(
+                colname, check.error, SchemaErrorReason.CHECK_ERROR,
+                passed=False,
+                message=f"groupby check raised: {row['err']}",
+            )
+            return
+        ctx.outcome(
+            colname, check.error,
+            SchemaErrorReason.SCHEMA_COMPONENT_CHECK,
+            passed=nfail == 0 or check.raise_warning,
+            violations=nfail,
+            message="" if nfail == 0 else
+            f"groupby check '{check.error}' failed for {nfail} groups",
         )
 
     ctx.deferred.append(job)
@@ -893,7 +972,96 @@ def _compile_hypothesis(ctx: _Ctx, check, colname: str) -> None:
         return
 
     # custom hypothesis: collect per-group samples (bounded by data size —
-    # explicit opt-in, reference api/hypotheses.py:39-99)
+    # explicit opt-in, reference api/hypotheses.py:39-99).  distributed=True
+    # ships the evaluation to ONE executor task instead (applyInPandas over
+    # a constant key): arbitrary test fns still see all samples at once,
+    # but the data moves executor->executor over Arrow, never to the
+    # driver — executor memory, not driver memory, bounds the group size.
+    if getattr(check, "distributed", False):
+
+        def job(df: DataFrame):
+            import pandas as pd
+
+            from .._shipping import ensure_package_on_executors
+
+            ensure_package_on_executors(df.sparkSession)
+            test, kw = check.test, check.test_kwargs
+            names = list(check.samples)
+            gb = check.groupby
+            if gb:
+                sub = df.select(
+                    F.col(gb).alias("__g"), col.alias("__v")
+                ).filter(col.isNotNull())
+                if names:
+                    sub = sub.filter(F.col("__g").isin(names))
+            else:
+                sub = df.select(
+                    F.lit("__all__").alias("__g"), col.alias("__v")
+                ).filter(col.isNotNull())
+
+            def run(pdf):
+                groups = {
+                    k: list(g["__v"]) for k, g in pdf.groupby("__g")
+                }
+                if gb:
+                    samples = [groups.get(s, []) for s in names] or list(
+                        groups.values()
+                    )
+                else:
+                    samples = [list(pdf["__v"])]
+                try:
+                    out = test(*samples, **kw)
+                except Exception as exc:  # noqa: BLE001
+                    return pd.DataFrame(
+                        {"stat": [None], "p": [None], "err": [repr(exc)]}
+                    )
+                if isinstance(out, tuple) and len(out) == 2:
+                    stat, p = float(out[0]), float(out[1])
+                else:
+                    stat, p = float(out), float("nan")
+                return pd.DataFrame(
+                    {"stat": [stat], "p": [p], "err": [None]}
+                )
+
+            row = (
+                sub.groupBy(F.lit(1).alias("__k"))
+                .applyInPandas(run, schema="stat double, p double, err string")
+                .first()
+            )
+            if row is None:
+                # zero input rows -> zero groups: replay the collect path's
+                # empty-samples behavior without touching the cluster
+                try:
+                    out = test(*([[] for _ in names] or [[]]), **kw)
+                    stat, p = (
+                        (float(out[0]), float(out[1]))
+                        if isinstance(out, tuple) and len(out) == 2
+                        else (float(out), float("nan"))
+                    )
+                    err = None
+                except Exception as exc:  # noqa: BLE001
+                    stat, p, err = None, None, repr(exc)
+            else:
+                stat, p, err = row["stat"], row["p"], row["err"]
+            if err is not None:
+                ctx.outcome(
+                    colname, check.error, SchemaErrorReason.CHECK_ERROR,
+                    passed=False,
+                    message=f"hypothesis test raised: {err}",
+                )
+                return
+            ok = check.decide(stat, p)
+            ctx.metrics[check.error] = {"stat": stat, "pvalue": p}
+            ctx.outcome(
+                colname, check.error, reason, passed=ok,
+                message="" if ok else f"hypothesis failed: stat={stat:.4f}",
+            )
+
+        ctx.deferred.append(job)
+        if not ctx.agg_exprs:
+            ctx.agg_exprs.append(F.count(F.lit(1)).alias("__hyp_anchor__"))
+        return
+
     def job(df: DataFrame):
         if check.groupby:
             rows = (

@@ -75,6 +75,7 @@ class Check:
         agg_kind: str | None = None,
         groupby: str | list[str] | None = None,
         determined_by_unique: bool = False,
+        distributed: bool = False,
         **kwargs: Any,
     ):
         self.check_fn = check_fn
@@ -93,6 +94,11 @@ class Check:
         # agg_kind: None = row predicate; "unique_values_eq" = needs collect_set
         self.agg_kind = agg_kind
         self.groupby = groupby
+        # distributed=True moves grouped-check / custom-hypothesis
+        # evaluation off the driver into executors (applyInPandas); the
+        # check fn must then be per-group decomposable (it sees one group
+        # per call, combined with AND) — see backend/runner.py
+        self.distributed = distributed
         # API parity with reference api/checks.py:118-123: a dedup-
         # before-check hint.  Accepted as metadata; the Spark engine's
         # single aggregated pass evaluates predicates inline, so a

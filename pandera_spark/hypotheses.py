@@ -155,6 +155,7 @@ class Hypothesis(Check):
         error: Optional[str] = None,
         agg_kind: Optional[str] = "hypothesis_custom",
         raise_warning: bool = False,
+        distributed: bool = False,
         **kwargs,
     ):
         if isinstance(relationship, str) and relationship not in RELATIONSHIPS:
@@ -169,6 +170,7 @@ class Hypothesis(Check):
             agg_kind=agg_kind,
             accepted_dtypes=NUMERIC_TYPES,
             raise_warning=raise_warning,
+            distributed=distributed,
             statistics=kwargs.pop("statistics", {}),
         )
         self.test = test

@@ -50,14 +50,28 @@ def brute_force_topk(
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
     k: int = 10,
+    max_query_rows: Optional[int] = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k for every query vector.
 
     Returns (query_id, neighbor_id, cosine_sim, rank).  The query side is
-    broadcast (queries are assumed small); ranking is a per-query window so
-    work parallelizes across queries.  Ties broken by neighbor id for
-    determinism.
+    broadcast — this is the EXACT BASELINE, O(|Q|x|C|): the small-queries
+    assumption is enforced, not just documented.  ``max_query_rows`` (None
+    disables) rejects oversized query sides with a pointer to the scale
+    paths (:func:`lsh_topk`, :mod:`.ann_ivf`); the probe is a
+    ``limit(n+1).count()`` — an early-exit scan, not a full count.
+    Ranking is a per-query window so work parallelizes across queries;
+    ties broken by neighbor id for determinism.
     """
+    if max_query_rows is not None:
+        probe = queries.limit(max_query_rows + 1).count()
+        if probe > max_query_rows:
+            raise ValueError(
+                f"brute_force_topk query side exceeds max_query_rows="
+                f"{max_query_rows}: the cross product is O(|Q|x|C|). Use "
+                "lsh_topk or ann_ivf.ivf_topk for large query sets, or "
+                "pass max_query_rows=None to force the exact baseline."
+            )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -86,6 +100,31 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _materialize(df: DataFrame, storage_level: Optional[str]) -> DataFrame:
+    """Optionally persist + eagerly materialize a reused intermediate.
+
+    At local/benchmark scale caching the banded corpus before a self-join
+    is a clear win (computed once, scanned twice); at 100 TB the cache may
+    not fit executor storage — pass ``storage_level=None`` to let Spark
+    recompute the lineage instead, or ``"DISK_ONLY"`` to spill.  Accepts
+    any ``pyspark.StorageLevel`` attribute name.
+    """
+    if storage_level is None:
+        return df
+    from pyspark import StorageLevel
+
+    try:
+        lvl = getattr(StorageLevel, storage_level.upper())
+    except AttributeError as exc:
+        raise ValueError(
+            f"unknown storage level {storage_level!r}; use a "
+            "pyspark.StorageLevel attribute name or None to disable"
+        ) from exc
+    df = df.persist(lvl)
+    df.count()  # eager: both join sides see the cache, not half a build
+    return df
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -188,6 +227,7 @@ def lsh_topk(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    corpus_storage: Optional[str] = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH banding.
 
@@ -210,12 +250,15 @@ def lsh_topk(
     qb = F.broadcast(
         _banded(queries, query_id_col, query_vec_col, "query", planes, bands)
     )
-    # corpus signatures computed once and kept (ids + vec refs + band keys)
-    cb = _banded(
-        _ensure_parallelism(corpus), id_col, vec_col, "neighbor", planes,
-        bands,
-    ).persist()
-    cb.count()  # eager materialization before the bucket join
+    # corpus signatures computed once and kept (ids + vec refs + band keys);
+    # corpus_storage=None skips the cache for corpora bigger than storage
+    cb = _materialize(
+        _banded(
+            _ensure_parallelism(corpus), id_col, vec_col, "neighbor",
+            planes, bands,
+        ),
+        corpus_storage,
+    )
     fm = _first_matching_band(
         F.col("query_sig"), F.col("neighbor_sig"), bands, rows_per_band, mask
     )
@@ -251,6 +294,7 @@ def embedding_near_dups(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    corpus_storage: Optional[str] = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
     via LSH candidate generation + exact verify.
@@ -264,11 +308,10 @@ def embedding_near_dups(
     planes = _hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
     mask = (1 << rows_per_band) - 1
-    banded = _banded(
-        _ensure_parallelism(df), id_col, vec_col, "v", planes, bands
+    banded = _materialize(
+        _banded(_ensure_parallelism(df), id_col, vec_col, "v", planes, bands),
+        corpus_storage,  # None -> recompute lineage on each join side
     )
-    banded = banded.persist()  # self-join input computed once
-    banded.count()  # eager materialization
     a, b = banded.alias("a"), banded.alias("b")
     fm = _first_matching_band(
         F.col("a.v_sig"), F.col("b.v_sig"), bands, rows_per_band, mask

@@ -694,15 +694,20 @@ def test_groupby_check_parity(spark, rows, bound):
     def fn(groups):
         return all((s >= bound).all() for s in groups.values())
 
-    schema = DataFrameSchema(
-        {"v": Column(checks=[Check(fn, groupby="g", error="gb")])},
-        name="gbz",
-    )
-    res = schema.validate_result(df)
-    outcome = next(o for o in res.outcomes if o.check == "gb")
     # collect_list drops nulls, so the Series only sees non-null values
     want = all(v >= bound for _, v in rows if v is not None)
-    assert outcome.passed == want
+    # BOTH execution paths must agree: driver-collect (reference contract)
+    # and executor-side applyInPandas (distributed=True)
+    for distributed in (False, True):
+        schema = DataFrameSchema(
+            {"v": Column(checks=[
+                Check(fn, groupby="g", error="gb", distributed=distributed)
+            ])},
+            name="gbz",
+        )
+        res = schema.validate_result(df)
+        outcome = next(o for o in res.outcomes if o.check == "gb")
+        assert outcome.passed == want, f"distributed={distributed}"
 
 
 @SET
@@ -724,16 +729,59 @@ def test_groupby_groups_filter(spark, rows, bound):
     def fn(groups):
         return all((s >= bound).all() for s in groups.values())
 
-    schema = DataFrameSchema(
-        {"v": Column(checks=[
-            Check(fn, groupby="g", groups=["a"], error="gba")
-        ])},
-        name="gbf",
-    )
-    res = schema.validate_result(df)
-    outcome = next(o for o in res.outcomes if o.check == "gba")
     want = all(v >= bound for g, v in rows if g == "a")
-    assert outcome.passed == want
+    for distributed in (False, True):
+        schema = DataFrameSchema(
+            {"v": Column(checks=[
+                Check(fn, groupby="g", groups=["a"], error="gba",
+                      distributed=distributed)
+            ])},
+            name="gbf",
+        )
+        res = schema.validate_result(df)
+        outcome = next(o for o in res.outcomes if o.check == "gba")
+        assert outcome.passed == want, f"distributed={distributed}"
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.floats(-50, 50, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda rs: {g for g, _ in rs} == {"x", "y"}),
+)
+def test_custom_hypothesis_two_paths(spark, rows):
+    """Custom hypothesis: driver-collect vs single-executor applyInPandas
+    must produce the identical statistic and verdict."""
+    from pandera_spark.hypotheses import Hypothesis
+
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    def mean_gap(s1, s2):
+        m1 = sum(s1) / len(s1) if s1 else 0.0
+        m2 = sum(s2) / len(s2) if s2 else 0.0
+        return m1 - m2
+
+    got = []
+    for distributed in (False, True):
+        schema = DataFrameSchema(
+            {"v": Column(checks=[
+                Hypothesis(
+                    test=mean_gap, samples=["x", "y"], groupby="g",
+                    relationship=lambda stat, p: abs(stat) < 1000,
+                    error="gap", distributed=distributed,
+                )
+            ])},
+            name="hyp2",
+        )
+        res = schema.validate_result(df)
+        outcome = next(o for o in res.outcomes if o.check == "gap")
+        got.append((outcome.passed, round(res.metrics["gap"]["stat"], 9)))
+    assert got[0] == got[1]
 
 
 # ---------------------------------------------------------------------------

@@ -202,6 +202,56 @@ def test_embedding_near_dups(spark):
     assert (1, 3) not in got
 
 
+def test_brute_force_topk_query_size_guard(spark, vectors):
+    from pandera_spark.operators.similarity import brute_force_topk
+
+    with pytest.raises(ValueError, match="lsh_topk"):
+        brute_force_topk(vectors, vectors, k=3, max_query_rows=5)
+    # explicit opt-out still runs the exact baseline
+    out = brute_force_topk(
+        vectors, vectors.limit(6), k=1, max_query_rows=None
+    ).collect()
+    assert len(out) == 6
+
+
+def test_lsh_materialization_configurable(spark, vectors):
+    """corpus_storage=None must skip the persist (no InMemoryRelation in
+    the plan) and still produce identical results; the default caches the
+    banded corpus so the self-join scans it instead of recomputing."""
+    from pandera_spark.operators.similarity import (
+        embedding_near_dups,
+        lsh_topk,
+    )
+
+    # earlier tests may have persisted an identical banded-corpus fragment;
+    # Spark's cache manager would substitute it into "uncached" plans
+    spark.catalog.clearCache()
+    q = vectors.filter(F.col("vec_id") == 0)
+    kw = dict(k=3, dim=4, n_planes=8, bands=8)
+    # uncached FIRST: once anything persists the banded corpus, Spark's
+    # cache manager substitutes the cached fragment into matching plans
+    uncached = lsh_topk(vectors, q, corpus_storage=None, **kw)
+    assert "InMemoryRelation" not in uncached._jdf.queryExecution().toString()
+    uncached_rows = uncached.collect()
+    cached = lsh_topk(vectors, q, **kw)
+    assert "InMemoryRelation" in cached._jdf.queryExecution().toString()
+    key = lambda rows: sorted((r.query_id, r.neighbor_id, r.rank)
+                              for r in rows)
+    assert key(cached.collect()) == key(uncached_rows)
+    spark.catalog.clearCache()
+
+    nd = embedding_near_dups(
+        vectors, threshold=0.99, dim=4, n_planes=8, bands=8,
+        corpus_storage=None,
+    )
+    assert "InMemoryRelation" not in nd._jdf.queryExecution().toString()
+    nd.collect()  # plan executes without the cache
+
+    with pytest.raises(ValueError, match="storage level"):
+        lsh_topk(vectors, q, corpus_storage="BANANA", **kw)
+    spark.catalog.clearCache()
+
+
 def test_multimodal_fake_pipeline(spark):
     from pandera_spark.operators.multimodal import (
         image_features,
