@@ -848,6 +848,40 @@ def q_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup end-to-end: LSH near-dup pairs -> connected components
+    (alternating large-star/small-star) -> (node, component-min) labels.
+    Pair lists over-keep (A~B, B~C is ONE cluster); this is the step that
+    turns pairs into canonical-document groups.  Oracle: recursive-CTE
+    reachability closure over the same pair graph."""
+    from pandera_spark.operators.clustering import connected_components
+    from pandera_spark.operators.similarity import embedding_near_dups
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = embedding_near_dups(
+        emb, threshold=0.35, dim=64, n_planes=16, bands=4
+    )
+    return connected_components(pairs)
+
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_neardup_oracle()}),
+ed AS (SELECT id_a AS u, id_b AS v FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT u, v FROM ed
+  UNION
+  SELECT r.n, ed.v FROM reach r JOIN ed ON ed.u = r.m
+)
+SELECT CAST(n AS BIGINT) AS node,
+       CAST(LEAST(MIN(m), n) AS BIGINT) AS component
+FROM reach GROUP BY n
+"""
+
+
 def q_media_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal payload-statistics pass (pre-decode validation): documents
     text re-encoded as opaque binary payloads with deterministic nulls, then
@@ -1536,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_embeddings": q_ivf_ann_embeddings,
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
         "neardup_embeddings": q_neardup_embeddings,
+        "dedup_clusters_embeddings": q_dedup_clusters_embeddings,
         "media_stats_documents": q_media_stats_documents,
         "frame_samples_documents": q_frame_samples_documents,
         "asof_events": q_asof_events,
@@ -1799,6 +1834,7 @@ FROM ranked WHERE rank <= 5
         "lang_id_documents": _lang_id_oracle(),
         "lsh_ann_embeddings": _lsh_ann_oracle(),
         "neardup_embeddings": _neardup_oracle(),
+        "dedup_clusters_embeddings": _clusters_oracle(),
         "media_stats_documents": _MEDIA_STATS_ORACLE,
         "frame_samples_documents": _FRAME_SAMPLES_ORACLE,
         "minhash_candidates_documents": _minhash_oracle(),

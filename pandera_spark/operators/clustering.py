@@ -1,0 +1,143 @@
+"""Connected components + dedup clustering over candidate-pair graphs.
+
+The last step of corpus-level near-dedup: MinHash/SimHash/embedding LSH
+produce *pairs*; groups of mutually-similar documents form components, and
+one canonical document per component is kept.  Pair lists alone over-keep
+(A~B, B~C but A!~C still means one cluster).
+
+``connected_components`` implements the alternating large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — the published standard for trillion-edge graphs): each round is
+two groupBy-min + join passes over the edge list, converging in
+O(log^2 n) rounds (2-3 for the short-diameter clusters dedup produces) to
+a star graph pointing every node at its component's minimum id.  No
+driver-side graph state — the only collected value per round is the
+1-row convergence fingerprint.  Lineage is truncated every round
+(localCheckpoint) so iteration count can't blow up the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(u,v) undirected -> edges (v, m(u)) for v > u, with
+    m(u) = min(neighbors(u) + {u}).  Output edges all point large -> small."""
+    nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        nbr.groupBy("u").agg(F.min("v").alias("__mv"))
+        .select("u", F.least(F.col("__mv"), F.col("u")).alias("m"))
+    )
+    return (
+        nbr.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Directed large->small edges: rewire every neighbor (and u itself)
+    to u's minimum neighbor."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(e: DataFrame):
+    """Order-insensitive edge-set fingerprint: one tiny agg row."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def _truncate(e: DataFrame) -> DataFrame:
+    """Cut lineage between rounds; falls back to a plain cache where
+    localCheckpoint is unavailable (Spark Connect)."""
+    try:
+        return e.localCheckpoint(eager=True)
+    except Exception:  # pragma: no cover - Connect fallback
+        e = e.persist()
+        e.count()
+        return e
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``, where
+    ``component`` is the minimum node id of its connected component.
+
+    Isolated nodes (absent from ``pairs``) are their own components by
+    definition — join the full corpus with ``coalesce(component, id)``
+    downstream; this operator never scans the corpus.
+    """
+    e = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    nodes = _truncate(nodes)
+
+    e = _truncate(e)
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _truncate(_small_star(_large_star(e)))
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged edge set is a star graph node -> component min; the
+    # groupBy-min is a no-op at fixpoint but keeps one row per node even
+    # if max_iter cut convergence short
+    stars = e.groupBy("u").agg(F.min("v").alias("__comp"))
+    return nodes.join(
+        stars.select(F.col("u").alias("node"), "__comp"),
+        "node",
+        "left",
+    ).select(
+        "node",
+        F.coalesce(F.col("__comp"), F.col("node")).alias("component"),
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster summary of a near-dup pair graph:
+    (component, n_members, keep_id) — ``keep_id`` is the canonical
+    (minimum-id) member; ``n_members - 1`` rows per cluster get dropped by
+    the downstream anti-join."""
+    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").alias("keep_id"),
+    )

@@ -1112,3 +1112,75 @@ def test_hash_stratified_sample_deterministic(spark):
     ids3 = {r["id"] for r in
             hash_stratified_sample(df, "s", "id", fr, salt="x").collect()}
     assert ids3 != ids1
+
+
+# ---------------------------------------------------------------------------
+# connected components / dedup clustering
+
+
+def _uf_components(n_nodes_edges):
+    """Pure-python union-find reference."""
+    edges = n_nodes_edges
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (3, 4)],                  # chain
+        [(10, 1), (10, 2), (10, 3)],               # star, hub is max
+        [(1, 2), (3, 4), (5, 6)],                  # three 2-clusters
+        [(1, 2), (2, 3), (3, 1), (7, 8)],          # cycle + pair
+        [(5, 5), (1, 2)],                          # self loop ignored
+        [(2, 1), (1, 2), (2, 1)],                  # duplicates both ways
+    ],
+)
+def test_connected_components_known_graphs(spark, edges):
+    from pandera_spark.operators.clustering import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component
+           for r in connected_components(df).collect()}
+    want = _uf_components([(a, b) for a, b in edges if a != b])
+    assert got == want
+
+
+def test_connected_components_random_parity(spark):
+    import random
+
+    from pandera_spark.operators.clustering import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(50)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.component
+               for r in connected_components(df).collect()}
+        assert got == _uf_components(edges), f"trial {trial}"
+
+
+def test_dedup_clusters_summary(spark):
+    from pandera_spark.operators.clustering import dedup_clusters
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 8)], "id_a long, id_b long"
+    )
+    out = {r.component: (r.n_members, r.keep_id)
+           for r in dedup_clusters(df).collect()}
+    assert out == {1: (3, 1), 8: (2, 8)}
