@@ -26,7 +26,11 @@ __all__ = ["connected_components", "dedup_clusters"]
 
 def _large_star(e: DataFrame) -> DataFrame:
     """(u,v) undirected -> edges (v, m(u)) for v > u, with
-    m(u) = min(neighbors(u) + {u}).  Output edges all point large -> small."""
+    m(u) = min(neighbors(u) + {u}).  Output edges all point large -> small.
+
+    No ``distinct()`` here: duplicate edges don't change any groupBy-min
+    downstream, and the following small-star dedups — one shuffle per
+    round instead of two."""
     nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (
         nbr.groupBy("u").agg(F.min("v").alias("__mv"))
@@ -37,7 +41,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -73,21 +76,47 @@ def _truncate(e: DataFrame) -> DataFrame:
         return e
 
 
+def _union_find(edges) -> dict:
+    """Driver-side union-find; roots are component minima."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     *,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``, where
     ``component`` is the minimum node id of its connected component.
 
-    Isolated nodes (absent from ``pairs``) are their own components by
-    definition — join the full corpus with ``coalesce(component, id)``
+    Adaptive execution: the deduped edge list is materialized and counted
+    once; at or below ``small_graph_threshold`` edges (a few MB) the
+    components are solved by a driver union-find — the pair graph of a
+    100 TB corpus is usually *tiny* relative to the corpus, and one bounded
+    collect beats 4-6 distributed iterations of pure scheduling overhead.
+    Above the threshold (billions of pairs), the alternating star rounds
+    run fully distributed; pass ``small_graph_threshold=0`` to force that
+    path.  Isolated nodes (absent from ``pairs``) are their own components
+    by definition — join the full corpus with ``coalesce(component, id)``
     downstream; this operator never scans the corpus.
     """
-    e = (
+    e = _truncate(
         pairs.select(
             F.col(src).cast("long").alias("u"),
             F.col(dst).cast("long").alias("v"),
@@ -95,17 +124,31 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    prev = _fingerprint(e)
+
+    if prev[0] <= small_graph_threshold:
+        comp = _union_find(
+            (r["u"], r["v"]) for r in e.toLocalIterator()
+        )
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            list(comp.items()), "node long, component long"
+        )
+
+    # derived from the TRUNCATED edges: the (possibly expensive) pair
+    # lineage — an LSH join upstream — executes exactly once
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
     )
-    nodes = _truncate(nodes)
-
-    e = _truncate(e)
-    prev = _fingerprint(e)
-    for _ in range(max_iter):
-        e = _truncate(_small_star(_large_star(e)))
+    for i in range(max_iter):
+        e = _small_star(_large_star(e))
+        # lineage only needs cutting every few rounds: the convergence
+        # fingerprint action materializes this round's shuffles, which
+        # the next round reuses
+        if (i + 1) % 3 == 0:
+            e = _truncate(e)
         cur = _fingerprint(e)
         if cur == prev:
             break

@@ -1152,10 +1152,13 @@ def test_connected_components_known_graphs(spark, edges):
     from pandera_spark.operators.clustering import connected_components
 
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r.node: r.component
-           for r in connected_components(df).collect()}
     want = _uf_components([(a, b) for a, b in edges if a != b])
-    assert got == want
+    # both execution paths: driver union-find and distributed star rounds
+    for thresh in (200_000, 0):
+        got = {r.node: r.component
+               for r in connected_components(
+                   df, small_graph_threshold=thresh).collect()}
+        assert got == want, f"threshold={thresh}"
 
 
 def test_connected_components_random_parity(spark):
@@ -1164,14 +1167,15 @@ def test_connected_components_random_parity(spark):
     from pandera_spark.operators.clustering import connected_components
 
     rng = random.Random(7)
-    for trial in range(3):
+    for trial, thresh in [(0, 200_000), (1, 0), (2, 200_000)]:
         edges = [
             (rng.randrange(60), rng.randrange(60)) for _ in range(50)
         ]
         edges = [(a, b) for a, b in edges if a != b]
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r.node: r.component
-               for r in connected_components(df).collect()}
+               for r in connected_components(
+                   df, small_graph_threshold=thresh).collect()}
         assert got == _uf_components(edges), f"trial {trial}"
 
 
