@@ -57,10 +57,17 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _fingerprint(e: DataFrame):
-    """Order-insensitive edge-set fingerprint: one tiny agg row."""
+    """Order-insensitive edge-set fingerprint: one tiny agg row.
+
+    ``bit_xor`` (not ``sum``) of the per-edge hashes: xor never overflows,
+    so the same plan runs under ``spark.sql.ansi.enabled=true`` (summing
+    uniformly-random 64-bit longs raises ARITHMETIC_OVERFLOW there).  The
+    edge set is distinct at every fingerprint site (the input is
+    ``.distinct()``-ed and ``_small_star`` ends in ``distinct()``), so xor
+    is collision-equivalent to a multiset hash here."""
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("u", "v")).alias("h"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h"),
     ).first()
     return (row["n"], row["h"])
 
@@ -115,7 +122,23 @@ def connected_components(
     path.  Isolated nodes (absent from ``pairs``) are their own components
     by definition — join the full corpus with ``coalesce(component, id)``
     downstream; this operator never scans the corpus.
+
+    Node ids must be integral (byte/short/int/long): a silent
+    ``cast("long")`` of string ids would null them out and return an
+    empty result, so non-integral id columns raise — hash string ids to
+    longs (e.g. ``xxhash64``) before calling.
     """
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for name in (src, dst):
+        dt = pairs.schema[name].dataType
+        if not isinstance(dt, integral):
+            raise TypeError(
+                f"connected_components: id column {name!r} has type "
+                f"{dt.simpleString()}; integral ids required — hash "
+                "string ids to longs (e.g. F.xxhash64) first"
+            )
     e = _truncate(
         pairs.select(
             F.col(src).cast("long").alias("u"),

@@ -16,15 +16,18 @@ from pyspark.sql import Column as C
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# large 64-bit odd multipliers for the minhash permutation family
-_MINHASH_SEED_A = 0x9E3779B97F4A7C15
+# deterministic seed for the permutation-constant generator
 _MINHASH_SEED_B = 0xC2B2AE3D27D4EB4F
-_MERSENNE = (1 << 61) - 1
 
-#: prime modulus of the *portable* permutation family (2^31 - 1).  The
-#: portable path keeps every intermediate < 2^63 so the identical
-#: arithmetic can be replayed by an ANSI SQL oracle (DuckDB) that errors
-#: on BIGINT overflow instead of wrapping like Spark longs do.
+#: prime modulus of the permutation family (2^31 - 1).  ALL hash
+#: arithmetic in this module keeps every intermediate < 2^63 — no silent
+#: long wraparound anywhere — so the same plans run under
+#: ``spark.sql.ansi.enabled=true`` (stock Spark 4, which raises
+#: ARITHMETIC_OVERFLOW instead of wrapping) and the ``portable=True``
+#: variants can additionally be replayed bit-exactly by an external ANSI
+#: SQL oracle (DuckDB).  Default vs portable differ only in the base
+#: hash: ``pmod(xxhash64, P)`` (JVM-cheap) vs a 28-bit md5 prefix
+#: (engine-independent).
 PORTABLE_P = (1 << 31) - 1
 
 
@@ -54,22 +57,13 @@ def portable_permutation_constants(
     return a, b
 
 
-def _signed64(x: int) -> int:
-    x &= (1 << 64) - 1
-    return x - (1 << 64) if x >= 1 << 63 else x
+def hash31(col: C) -> C:
+    """Non-negative 31-bit content hash: ``pmod(xxhash64(x), 2^31 - 1)``.
 
-
-def _permutation_constants(n: int) -> tuple[list[int], list[int]]:
-    """Deterministic (a, b) constants for n multiply-add permutations of the
-    64-bit hash space (a odd => ``a*h + b`` is a bijection mod 2^64).
-    Values are signed-64 so they are valid Spark long literals; long
-    arithmetic wraps (ANSI off), i.e. computes exactly mod 2^64."""
-    import random
-
-    rng = random.Random(_MINHASH_SEED_A ^ n)
-    a = [_signed64(rng.getrandbits(64) | 1) for _ in range(n)]
-    b = [_signed64(rng.getrandbits(64)) for _ in range(n)]
-    return a, b
+    The default base hash of the MinHash/SimHash family — one JVM
+    codegen'd xxhash64 per value, bounded to [0, 2^31-1) so every
+    downstream multiply-add stays below 2^63 under ANSI mode."""
+    return F.pmod(F.xxhash64(col), F.lit(PORTABLE_P))
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -198,20 +192,26 @@ def shingles(col: C, n: int = 3) -> C:
 
 
 def shingle_hashes(col: C, n: int = 3) -> C:
-    """64-bit hashes of word n-gram shingles, without materializing the
-    shingle strings: each word is hashed once (``xxhash64``), then the n
-    word-hashes are combined with odd-multiplier arithmetic (position-
-    sensitive, wraps mod 2^64).  ~n× fewer string hashes and no string
-    allocation vs hashing ``shingles()`` output."""
+    """31-bit hashes of word n-gram shingles, without materializing the
+    shingle strings: each word is hashed once (:func:`hash31`), then the
+    n word-hashes are combined position-sensitively with bounded
+    multipliers mod 2^31-1.  ~n× fewer string hashes and no string
+    allocation vs hashing ``shingles()`` output.
+
+    Overflow-safe by construction (ANSI-mode compatible): word hashes
+    < 2^31, multipliers < 2^28, so each product < 2^59 and an n-term sum
+    < 2^63 for n ≤ 15."""
+    if n > 15:
+        raise ValueError("shingle_hashes supports n <= 15")
     words = F.split(col, r"\s+")
-    wh = F.transform(words, lambda w: F.xxhash64(w))
+    wh = F.transform(words, hash31)
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    a, _ = _permutation_constants(max(n, 2))
+    a, _ = portable_permutation_constants(max(n, 2), bound=1 << 28)
     def combine(i: C) -> C:
         out = F.element_at(wh, i + 1) * F.lit(a[0])
         for j in range(1, n):
             out = out + F.element_at(wh, i + 1 + j) * F.lit(a[j % len(a)])
-        return out
+        return out % F.lit(PORTABLE_P)
     return F.transform(_index_range(k), combine)
 
 
@@ -266,15 +266,13 @@ def minhash_signatures(
         F.explode(F.array_distinct(sh)).alias("__h"),
     )
     # one string hash per word (shingle_hashes), then `num_hashes`
-    # multiply-add permutations (odd multiplier => bijection mod 2^64):
-    # ~10x cheaper than hashing the shingle string once per permutation
+    # multiply-add permutations mod 2^31-1: ~10x cheaper than hashing the
+    # shingle string once per permutation.  h < 2^31 and a < 2^31 keep
+    # every product < 2^62 — ANSI-safe in both the default and portable
+    # families (they share the constants; only the base hash differs)
     h = F.col("__h")
-    if portable:
-        a, b = portable_permutation_constants(num_hashes)
-        perm = lambda i: (h * F.lit(a[i]) + F.lit(b[i])) % F.lit(PORTABLE_P)
-    else:
-        a, b = _permutation_constants(num_hashes)
-        perm = lambda i: h * F.lit(a[i]) + F.lit(b[i])
+    a, b = portable_permutation_constants(num_hashes)
+    perm = lambda i: (h * F.lit(a[i]) + F.lit(b[i])) % F.lit(PORTABLE_P)
     mins = tokens.groupBy(id_col).agg(
         *[F.min(perm(i)).alias(f"__h{i}") for i in range(num_hashes)]
     )
@@ -293,6 +291,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     portable: bool = False,
+    storage_level: str | None = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -305,28 +304,30 @@ def minhash_lsh_candidates(
     :func:`minhash_signatures`); band keys stay below 2^63 by bounding the
     combine multipliers to 2^28 (sig < 2^31, so each product < 2^59 and a
     4-term sum < 2^61 — no overflow in an ANSI engine).
+
+    ``storage_level`` controls caching of the banded (id, band-keys) frame
+    that the self-join reads twice: any ``pyspark.StorageLevel`` name, or
+    ``None`` to skip the cache and let Spark recompute the signature
+    lineage per side — the right call when |corpus|×bands rows don't fit
+    executor storage at 100 TB (see ``similarity._materialize``).
     """
+    from pandera_spark.operators.similarity import _materialize
     rows = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n,
         portable=portable,
     ).select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig"))
     # band key = multiply-add combine of the band's signature longs (no
-    # string building; ~4 long ops per band, tiny codegen footprint)
-    if portable:
-        ca, cb = portable_permutation_constants(rows, bound=1 << 28)
-        def band_key(b: int) -> C:
-            out = F.lit(cb[0])
-            for r in range(rows):
-                out = out + F.col("__sig")[b * rows + r] * F.lit(ca[r])
-            return out % F.lit(PORTABLE_P)
-    else:
-        ca, cb = _permutation_constants(rows)
-        def band_key(b: int) -> C:
-            out = F.lit(cb[0])
-            for r in range(rows):
-                out = out + F.col("__sig")[b * rows + r] * F.lit(ca[r])
-            return out
+    # string building; ~4 long ops per band, tiny codegen footprint).
+    # sig values < 2^31 and multipliers < 2^28 keep every product < 2^59
+    # and the per-band sum < 2^63 — ANSI-safe, shared by both families
+    ca, cb = portable_permutation_constants(rows, bound=1 << 28)
+
+    def band_key(b: int) -> C:
+        out = F.lit(cb[0])
+        for r in range(rows):
+            out = out + F.col("__sig")[b * rows + r] * F.lit(ca[r])
+        return out % F.lit(PORTABLE_P)
     # carry ALL band keys (bands longs) so multi-band matches dedup by the
     # first-matching-band filter instead of a distinct() — the candidate
     # pair set never takes a second shuffle (on dup-heavy corpora pairs
@@ -341,10 +342,10 @@ def minhash_lsh_candidates(
     )
 
     # the self-join reads `banded` twice and Spark does not reuse the
-    # exchange across the two sides — persist the (id, band keys) frame
-    # (tiny: ids + band keys, never text) so signatures are computed once
-    banded = banded.persist()
-    banded.count()  # eager: populate the cache before the self-join plan runs
+    # exchange across the two sides — optionally persist the (id, band
+    # keys) frame (tiny: ids + band keys, never text) so signatures are
+    # computed once
+    banded = _materialize(banded, storage_level)
 
     fm = F.lit(-1)
     for b in range(bands - 1, -1, -1):
@@ -494,13 +495,19 @@ def simhashes(
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3,
     num_bits: int = 64, portable: bool = False,
+    storage_level: str | None = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
     Scale path: block on 4 16-bit chunks (pigeonhole — any pair within
     hamming distance 3 shares at least one exact chunk), join per chunk,
     verify with bit_count.  Avoids all-pairs entirely.
+
+    ``storage_level``: cache policy for the blocked self-join input —
+    any ``pyspark.StorageLevel`` name, or ``None`` to recompute lineage
+    instead of caching (see :func:`minhash_lsh_candidates`).
     """
+    from pandera_spark.operators.similarity import _materialize
     sh = simhashes(
         df, id_col, text_col, num_bits=num_bits, portable=portable
     ).select(
@@ -526,8 +533,7 @@ def simhash_near_dups(
             )
         ).alias("c"),
     ).select("__id", "__sh", "c.chunk", "c.ckey")
-    blocked = blocked.persist()  # self-join input computed once (see minhash)
-    blocked.count()  # eager materialization
+    blocked = _materialize(blocked, storage_level)
     a, b = blocked.alias("a"), blocked.alias("b")
 
     # first-matching-chunk filter replaces distinct(): both simhashes ride

@@ -43,7 +43,12 @@ def main(sf_dir: str) -> int:
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.ansi.enabled", "false")
+        # the driver's oracle harness runs stock Spark 4 => ANSI on;
+        # match it here so ANSI-sensitivity bugs surface locally
+        .config(
+            "spark.sql.ansi.enabled",
+            os.environ.get("SPARK_GRAFT_ANSI_CONF", "true"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
