@@ -19,14 +19,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# the LSH/clustering family shows the widest run-to-run variance (big
+# self-joins + persists on a shared VM): give it an extra run so a real
+# regression is distinguishable from ±20% noise
+HEAVY_QUERIES = {
+    "minhash_candidates_documents",
+    "simhash_documents",
+    "jaccard_pairs_documents",
+    "lsh_ann_embeddings",
+    "neardup_embeddings",
+    "dedup_clusters_embeddings",
+    "dedup_apply_documents",
+    "ivf_ann_embeddings",
+}
+
+
 def run_queries(spark, qs, sf_dir, runs):
     """Best-of-N timing per query; a failing query is recorded in the
     errors dict and never aborts the rest of the set."""
     timings: dict[str, float] = {}
+    run_counts: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name, fn in qs.items():
         best = float("inf")
-        for _ in range(runs):
+        n_runs = max(runs, 3) if name in HEAVY_QUERIES else runs
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).count()
@@ -37,7 +54,8 @@ def run_queries(spark, qs, sf_dir, runs):
             spark.catalog.clearCache()  # operator persists don't leak
         if name not in errors:
             timings[name] = round(best, 4)
-    return timings, errors
+            run_counts[name] = n_runs
+    return timings, run_counts, errors
 
 
 def main() -> None:
@@ -73,7 +91,9 @@ def main() -> None:
     # best of N runs per query: absorbs shared-VM noise (observed ±20%
     # run-to-run on identical plans); N=2 keeps total wall bounded
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings, errors = run_queries(spark, entrymod.queries(), sf_dir, runs)
+    timings, run_counts, errors = run_queries(
+        spark, entrymod.queries(), sf_dir, runs
+    )
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -83,6 +103,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
+        "run_counts": run_counts,
     }
     if errors:
         out["errors"] = errors
