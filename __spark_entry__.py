@@ -882,6 +882,49 @@ FROM reach GROUP BY n
 """
 
 
+def q_dedup_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline applied to the corpus: MinHash-LSH candidate
+    pairs -> connected components -> anti-join, keeping the minimum-id
+    member per cluster and every isolated document
+    (``coalesce(component, id)`` contract — isolated nodes are their own
+    components).  Oracle: recursive-CTE reachability closure over the
+    same pair graph + min-per-component anti-join."""
+    from pandera_spark.operators.clustering import apply_dedup
+    from pandera_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3,
+        portable=True,
+    )
+    return (
+        apply_dedup(docs, pairs, id_col="doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_apply_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+ed AS (SELECT id_a AS u, id_b AS v FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT u, v FROM ed
+  UNION
+  SELECT r.n, ed.v FROM reach r JOIN ed ON ed.u = r.m
+),
+comp AS (
+  SELECT n AS node, LEAST(MIN(m), n) AS component FROM reach GROUP BY n
+)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM comp c WHERE c.node = d.doc_id AND c.node <> c.component
+)
+ORDER BY doc_id
+"""
+
+
 def q_media_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal payload-statistics pass (pre-decode validation): documents
     text re-encoded as opaque binary payloads with deterministic nulls, then
@@ -1571,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
         "neardup_embeddings": q_neardup_embeddings,
         "dedup_clusters_embeddings": q_dedup_clusters_embeddings,
+        "dedup_apply_documents": q_dedup_apply_documents,
         "media_stats_documents": q_media_stats_documents,
         "frame_samples_documents": q_frame_samples_documents,
         "asof_events": q_asof_events,
@@ -1835,6 +1879,7 @@ FROM ranked WHERE rank <= 5
         "lsh_ann_embeddings": _lsh_ann_oracle(),
         "neardup_embeddings": _neardup_oracle(),
         "dedup_clusters_embeddings": _clusters_oracle(),
+        "dedup_apply_documents": _dedup_apply_oracle(),
         "media_stats_documents": _MEDIA_STATS_ORACLE,
         "frame_samples_documents": _FRAME_SAMPLES_ORACLE,
         "minhash_candidates_documents": _minhash_oracle(),

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "apply_dedup"]
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -207,3 +207,39 @@ def dedup_clusters(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").alias("keep_id"),
     )
+
+
+def apply_dedup(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """The final dedup step: keep one canonical document per near-dup
+    cluster, pass isolated documents through untouched.
+
+    pairs -> connected components -> drop every node that is not its
+    component's minimum id -> anti-join the corpus on the drop list.
+    Equivalent to keeping ``keep_id`` per :func:`dedup_clusters` cluster
+    plus every document absent from ``pairs`` (the
+    ``coalesce(component, id)`` contract: isolated nodes are their own
+    components and are never dropped — the corpus is only ever touched by
+    the single anti-join, the component computation runs on the tiny pair
+    graph).
+
+    Scale shape: the drop list is |non-canonical cluster members| rows.
+    For typical dup rates it's far smaller than the corpus and AQE turns
+    the anti-join into a broadcast join at runtime (no corpus shuffle);
+    for dup-heavy corpora where the list is genuinely big, a forced
+    broadcast would OOM the executors — so the choice is left to AQE.
+    """
+    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    # component ids ARE the per-component minimum node id, so the drop
+    # list is just the nodes that aren't their own component
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return corpus.join(drop, id_col, "left_anti")

@@ -1188,3 +1188,54 @@ def test_dedup_clusters_summary(spark):
     out = {r.component: (r.n_members, r.keep_id)
            for r in dedup_clusters(df).collect()}
     assert out == {1: (3, 1), 8: (2, 8)}
+
+
+def test_apply_dedup_keeps_canonical_and_isolated(spark):
+    from pandera_spark.operators.clustering import apply_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    # clusters {1,2,3} and {5,6}; 4, 7, 8 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in apply_dedup(corpus, pairs, id_col="doc_id").collect()
+    )
+    assert kept == [1, 4, 5, 7, 8]
+    # empty pair graph: everything passes through
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert apply_dedup(corpus, empty, id_col="doc_id").count() == 8
+
+
+def test_connected_components_rejects_string_ids(spark):
+    from pandera_spark.operators.clustering import connected_components
+
+    df = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with pytest.raises(TypeError, match="integral ids"):
+        connected_components(df)
+
+
+def test_lsh_dedup_no_persist_path_matches(spark, docs):
+    """storage_level=None (recompute lineage, no cache) must give the
+    identical candidate/pair sets as the default cached path."""
+    from pandera_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_dups,
+    )
+
+    mk = lambda **kw: sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            docs, "doc_id", "text", num_hashes=16, bands=4, **kw
+        ).collect()
+    )
+    assert mk(storage_level=None) == mk()
+    sk = lambda **kw: sorted(
+        (r.id_a, r.id_b)
+        for r in simhash_near_dups(
+            docs, "doc_id", "text", max_hamming=2, **kw
+        ).collect()
+    )
+    assert sk(storage_level=None) == sk()
