@@ -1030,9 +1030,14 @@ def _compile_hypothesis(ctx: _Ctx, check, colname: str) -> None:
             )
             if row is None:
                 # zero input rows -> zero groups: replay the collect path's
-                # empty-samples behavior without touching the cluster
+                # empty-samples behavior without touching the cluster.
+                # Mirror it exactly: with groupby set, one empty sample
+                # per named group (zero args when names is empty, matching
+                # `groups.values()` on an empty frame); without groupby, a
+                # single empty sample
                 try:
-                    out = test(*([[] for _ in names] or [[]]), **kw)
+                    samples = [[] for _ in names] if gb else [[]]
+                    out = test(*samples, **kw)
                     stat, p = (
                         (float(out[0]), float(out[1]))
                         if isinstance(out, tuple) and len(out) == 2

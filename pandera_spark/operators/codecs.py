@@ -42,9 +42,18 @@ def _pil_decode(payload: bytes):
         return None
     try:  # pragma: no cover
         img = Image.open(io.BytesIO(payload))
-        return np.asarray(img.convert("RGB") if img.mode == "P" else img)
-    except Exception as exc:  # noqa: BLE001 - fall through to pure decoder
-        raise ImageDecodeError(str(exc)) from exc
+        # normalize to the documented uint8 contract: palette and
+        # high-bit-depth modes (P, I, I;16, F, ...) convert to RGB/L
+        if img.mode not in ("L", "LA", "RGB", "RGBA"):
+            img = img.convert("RGB")
+        arr = np.asarray(img)
+        if arr.dtype != np.uint8:
+            arr = np.asarray(img.convert("RGB"))
+        return arr
+    except Exception:  # noqa: BLE001 - genuinely fall through
+        # a Pillow failure is not terminal: the pure decoder gets its
+        # shot, and ImageDecodeError is raised there if it also fails
+        return None
 
 
 # ---------------------------------------------------------------------------
@@ -54,6 +63,9 @@ def _pil_decode(payload: bytes):
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: cap on DECLARED decoded size (256 MiB ≈ a 9000x9000 RGBA frame):
+#: payloads are untrusted; anything larger is rejected before inflate
+_PNG_MAX_DECODED_BYTES = 1 << 28
 
 
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -122,8 +134,24 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ImageDecodeError("PNG missing IHDR/IDAT")
     channels = _PNG_CHANNELS[color_type]
     stride = width * channels
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    # decompression-bomb guard: the header can declare dims up to 2^31,
+    # so cap the *declared* decoded size BEFORE inflating and never
+    # inflate past it (a few-KB bomb otherwise expands to GiB inside
+    # every executor worker processing untrusted payloads)
+    expected = (stride + 1) * height
+    if expected == 0:
+        raise ImageDecodeError("PNG declares zero-sized image")
+    if expected > _PNG_MAX_DECODED_BYTES:
+        raise ImageDecodeError(
+            f"PNG declares {width}x{height}x{channels} "
+            f"({expected} bytes decoded) > cap {_PNG_MAX_DECODED_BYTES}"
+        )
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
+    # not d.eof catches BOTH a truncated stream (missing tail/checksum)
+    # and one that would inflate past `expected` (max_length stopped it
+    # before the end-of-stream marker); unused_data is trailing garbage
+    if len(raw) != expected or not d.eof or d.unused_data:
         raise ImageDecodeError("PNG pixel data size mismatch")
     px = _png_unfilter(raw, height, stride, channels)
     arr = px.reshape(height, width, channels)
@@ -210,12 +238,23 @@ def decode_image(payload: bytes) -> np.ndarray:
     via_pil = _pil_decode(payload)
     if via_pil is not None:  # pragma: no cover - Pillow absent here
         return via_pil
-    if payload[:8] == _PNG_MAGIC:
-        return _decode_png(payload)
-    if payload[:2] == b"BM":
-        return _decode_bmp(payload)
-    if payload[:2] in (b"P5", b"P6"):
-        return _decode_pnm(payload)
+    # malformed payloads with a valid magic surface low-level errors
+    # (struct.error on a truncated IHDR, zlib.error on corrupt IDAT,
+    # ValueError from np.frombuffer on missing pixel data, ...) — fold
+    # them all into ImageDecodeError so the multimodal operators' "corrupt
+    # payload -> null row" contract holds (truncated downloads are common
+    # in real corpora; one must never kill a whole mapInPandas job)
+    try:
+        if payload[:8] == _PNG_MAGIC:
+            return _decode_png(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            return _decode_pnm(payload)
+    except ImageDecodeError:
+        raise
+    except (struct.error, zlib.error, ValueError, IndexError) as exc:
+        raise ImageDecodeError(f"malformed image payload: {exc}") from exc
     raise ImageDecodeError(
         f"unrecognized image format (magic {payload[:4]!r}); "
         "supported without Pillow: PNG, BMP, PPM/PGM"
@@ -276,5 +315,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
     if dtype is None:
         raise ImageDecodeError(f"unsupported WAV sample width {width}")
-    arr = np.frombuffer(frames, dtype=dtype)
+    try:
+        arr = np.frombuffer(frames, dtype=dtype)
+    except ValueError as exc:  # truncated mid-sample
+        raise ImageDecodeError(f"WAV data truncated mid-sample: {exc}") from exc
+    if nch <= 0 or arr.size % nch:
+        raise ImageDecodeError(
+            f"WAV frame data ({arr.size} samples) not divisible into "
+            f"{nch} channels"
+        )
     return arr.reshape(-1, nch), rate

@@ -167,8 +167,90 @@ def test_decode_rejects_garbage(payload):
 def test_truncated_png_idat():
     img = _rand_img(8, 8, 3, seed=7)
     good = encode_png(img)
-    with pytest.raises((ImageDecodeError, zlib.error)):
+    with pytest.raises(ImageDecodeError):
         decode_image(good[:-20])
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        # truncated IHDR: struct.error inside the parser without the net
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", b"\x00\x00\x00\x08"),
+        # valid header, corrupt IDAT: zlib.error without the net
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", b"this is not zlib data")
+        + _png_chunk(b"IEND", b""),
+        # BMP header declaring 100x100 with no pixel data: ValueError from
+        # np.frombuffer without the net
+        b"BM" + bytes(8) + struct.pack("<I", 54) + struct.pack("<I", 40)
+        + struct.pack("<ii", 100, 100) + struct.pack("<HH", 1, 24)
+        + struct.pack("<I", 0) + bytes(20),
+    ],
+)
+def test_malformed_payloads_raise_decode_error_only(payload):
+    """Real-corpus truncated downloads must surface as ImageDecodeError —
+    anything else escapes the multimodal operators' except clause and
+    kills the whole mapInPandas job."""
+    with pytest.raises(ImageDecodeError):
+        decode_image(payload)
+
+
+def test_png_decompression_bomb_rejected_before_inflate():
+    """A few-KB payload declaring enormous dims must be rejected from the
+    header alone — never expanded executor-side."""
+    ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 6, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(1 << 16)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageDecodeError, match="cap"):
+        decode_image(bomb)
+
+
+def test_png_idat_longer_than_declared_rejected():
+    """IDAT inflating to more bytes than the header declares is malformed
+    (and a bomb vector): inflate stops at the declared size and errors."""
+    img = _rand_img(4, 4, 3, seed=3)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(4)) + bytes(64)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageDecodeError, match="mismatch"):
+        decode_image(payload)
+
+
+def test_wav_truncated_payloads():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(bytes(16))  # 4 full stereo int16 frames
+    good = buf.getvalue()
+    # data chunk still declares 16 bytes; reader gets what's there.
+    # one int16 sample missing -> odd sample count, not divisible by 2ch
+    with pytest.raises(ImageDecodeError, match="divisible"):
+        decode_wav(good[:-2])
+    # truncated mid-sample -> odd byte count for int16
+    with pytest.raises(ImageDecodeError):
+        decode_wav(good[:-1])
 
 
 # ---------------------------------------------------------------------------

@@ -784,6 +784,38 @@ def test_custom_hypothesis_two_paths(spark, rows):
     assert got[0] == got[1]
 
 
+def test_custom_hypothesis_empty_input_replay_parity(spark):
+    """Zero input rows: the distributed path's driver-side replay must
+    mirror the collect path exactly for every (groupby, samples) shape —
+    including groupby with NO named samples, where the test fn is called
+    with zero args (not one empty list)."""
+    from pandera_spark.hypotheses import Hypothesis
+
+    df = spark.createDataFrame([], "g string, v double")
+
+    def arity_probe(*samples):
+        # encode the call shape in the statistic so any divergence
+        # between the two paths is visible in the metrics
+        return float(len(samples) * 10 + sum(len(s) for s in samples))
+
+    for gb, names in [("g", ["x", "y"]), ("g", None), (None, None)]:
+        got = []
+        for distributed in (False, True):
+            schema = DataFrameSchema(
+                {"v": Column(checks=[
+                    Hypothesis(
+                        test=arity_probe, samples=names, groupby=gb,
+                        relationship=lambda stat, p: True,
+                        error="probe", distributed=distributed,
+                    )
+                ])},
+                name="hyp_empty",
+            )
+            res = schema.validate_result(df)
+            got.append(res.metrics["probe"]["stat"])
+        assert got[0] == got[1], f"gb={gb} names={names}: {got}"
+
+
 # ---------------------------------------------------------------------------
 # Map-typed columns: nullable counting + deep dtype equality
 # ---------------------------------------------------------------------------
