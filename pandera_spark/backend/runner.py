@@ -89,6 +89,10 @@ class _Ctx:
         # (column|None, label, violation_cond, n_failure_cases|None) for
         # on-demand failure-case extraction
         self.failure_specs: list[tuple] = []
+        # (key, violation_expr, colname, check) for window-based monotonic
+        # checks — folded into ONE shared finalizer job however many there
+        # are (windows can't ride the main agg pass)
+        self.mono_specs: list[tuple] = []
         self.metrics: dict = {}
 
     def outcome(
@@ -724,34 +728,43 @@ def _compile_is_monotonic(ctx: _Ctx, check: Check, colname: str) -> None:
         ok = col > prev if stats["strict"] else col >= prev
     viol = prev.isNotNull() & col.isNotNull() & ~ok
 
-    # windows can't go in agg directly: pre-aggregate per row then sum
-    key = f"__mono__{colname}__{len(ctx.agg_exprs)}"
-    # build as a separate tiny job at finalize time to keep the main agg
-    # window-free
-    df = ctx.df
-
-    def fin(row, key=key):
-        cnt = (
-            ctx.df.select(
-                F.when(viol, F.lit(1)).otherwise(F.lit(0)).alias("v")
+    # windows can't ride the main agg pass: they run in a separate
+    # finalize-time job.  ONE shared job serves every monotonic check on
+    # the schema — each contributes a when(viol) column to a single
+    # select + sum aggregate (different order_by columns become separate
+    # Window nodes in the same plan, still one action / one scan)
+    key = f"__mono__{colname}__{len(ctx.mono_specs)}"
+    if not ctx.mono_specs:
+        def fin_mono_shared(row):
+            specs = ctx.mono_specs
+            sel = ctx.df.select(
+                *[
+                    F.when(v, F.lit(1)).otherwise(F.lit(0)).alias(k)
+                    for k, v, _, _ in specs
+                ]
             )
-            .agg(F.sum("v").alias("v"))
-            .first()["v"]
-            or 0
-        )
-        ctx.outcome(
-            colname, check.error,
-            SchemaErrorReason.SCHEMA_COMPONENT_CHECK,
-            passed=cnt == 0, violations=int(cnt),
-            message="" if cnt == 0 else f"{cnt} monotonicity violations",
-        )
+            counts = sel.agg(
+                *[F.sum(k).alias(k) for k, _, _, _ in specs]
+            ).first()
+            for k, _, cname, chk in specs:
+                cnt = counts[k] or 0
+                ctx.outcome(
+                    cname, chk.error,
+                    SchemaErrorReason.SCHEMA_COMPONENT_CHECK,
+                    passed=cnt == 0, violations=int(cnt),
+                    message=(
+                        "" if cnt == 0
+                        else f"{cnt} monotonicity violations"
+                    ),
+                )
 
-    ctx.finalizers.append(fin)
-    if not ctx.agg_exprs:
-        # ensure the agg pass runs so finalizers execute
-        ctx.agg_exprs.append(
-            F.count(F.lit(1)).alias(f"__mono_anchor_{len(ctx.agg_exprs)}")
-        )
+        ctx.finalizers.append(fin_mono_shared)
+        if not ctx.agg_exprs:
+            # ensure the agg pass runs so finalizers execute
+            ctx.agg_exprs.append(
+                F.count(F.lit(1)).alias(f"__mono_anchor_{len(ctx.agg_exprs)}")
+            )
+    ctx.mono_specs.append((key, viol, colname, check))
 
 
 def _returns_spark_column(check: Check) -> bool:

@@ -559,6 +559,45 @@ def test_is_monotonic_distributed_matches_inline(spark):
     assert violations(True) == violations(False) > 0
 
 
+def test_multiple_monotonic_checks_share_one_job(spark):
+    """However many window-based monotonic checks a schema carries, they
+    fold into ONE finalizer job (each contributes a when(viol) column to
+    a single select+sum pass)."""
+    df = spark.createDataFrame(
+        [(i, float(i), float(100 - i), float(i if i != 25 else -1))
+         for i in range(50)],
+        "o int, a double, b double, c double",
+    )
+    one = DataFrameSchema(
+        {"a": Column(T.DoubleType(), Check.is_monotonic("o"))}, name="m1"
+    )
+    three = DataFrameSchema(
+        {
+            "a": Column(T.DoubleType(), Check.is_monotonic("o")),
+            "b": Column(
+                T.DoubleType(), Check.is_monotonic("o", decreasing=True)
+            ),
+            "c": Column(T.DoubleType(), Check.is_monotonic("o")),
+        },
+        name="m3",
+    )
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_for(schema):
+        schema.validate_result(df)  # warm
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        schema.validate_result(df)
+        return len(tracker.getJobIdsForGroup(None) or []) - before
+
+    j1, j3 = jobs_for(one), jobs_for(three)
+    assert j3 == j1, (j1, j3)
+    # and the folded job still reports each check independently
+    res = three.validate_result(df)
+    by_col = {o.column: o.passed for o in res.outcomes
+              if o.check.startswith("is_monotonic")}
+    assert by_col == {"a": True, "b": True, "c": False}
+
+
 def test_unique_column_names(spark):
     df = spark.createDataFrame([(1, 2)], "a int, b int").toDF("a", "a")
     schema = DataFrameSchema(
@@ -623,6 +662,9 @@ def test_bench_isolates_query_failures(spark, tmp_path):
         "boom": lambda s, d: (_ for _ in ()).throw(ValueError("injected")),
         "ok2": lambda s, d: s.range(3),
     }
-    timings, errors = bench.run_queries(spark, qs, str(tmp_path), runs=1)
+    timings, run_counts, errors = bench.run_queries(
+        spark, qs, str(tmp_path), runs=1
+    )
     assert set(timings) == {"ok", "ok2"}
+    assert run_counts == {"ok": 1, "ok2": 1}
     assert list(errors) == ["boom"] and "injected" in errors["boom"]
