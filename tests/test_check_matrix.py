@@ -205,3 +205,152 @@ def test_determined_by_unique_accepted():
     c = Check.gt(0, determined_by_unique=True)
     assert c.determined_by_unique is True
     assert Check.gt(0).determined_by_unique is False
+
+
+# ---------------------------------------------------------------------------
+# Full product matrix: every comparison/equality/membership check × every
+# dtype its gate accepts × pass/fail — generated the way the reference
+# parametrizes tests/pyspark/test_pyspark_check.py (:414, :682, :1305),
+# with exact single-violation report-shape assertions per case.
+# ---------------------------------------------------------------------------
+
+import decimal
+
+Dec = decimal.Decimal
+date = datetime.date
+
+# (label, dtype, lo < mid < hi sample values)
+NUM_KITS = [
+    ("byte", T.ByteType(), 1, 5, 9),
+    ("short", T.ShortType(), 1, 5, 9),
+    ("int", T.IntegerType(), 1, 5, 9),
+    ("long", T.LongType(), 1, 5, 9),
+    ("float", T.FloatType(), 1.0, 5.0, 9.0),
+    ("double", T.DoubleType(), 1.0, 5.0, 9.0),
+    ("decimal", T.DecimalType(10, 2), Dec("1.00"), Dec("5.00"), Dec("9.00")),
+]
+DATE_KITS = [
+    ("date", T.DateType(),
+     date(2024, 1, 1), date(2024, 6, 1), date(2024, 12, 31)),
+    ("ts", T.TimestampType(),
+     D(2024, 1, 1), D(2024, 6, 1), D(2024, 12, 31)),
+    ("ts_ntz", T.TimestampNTZType(),
+     D(2024, 1, 1), D(2024, 6, 1), D(2024, 12, 31)),
+]
+STR_KIT = [("str", T.StringType(), "a", "m", "z")]
+BIN_KIT = [("bin", T.BinaryType(), b"a", b"m", b"z")]
+BOOL_KIT = [("bool", T.BooleanType(), False, True, True)]
+
+CMP_KITS = NUM_KITS + DATE_KITS                       # gt/ge/lt/le/in_range
+EQ_KITS = CMP_KITS + STR_KIT + BIN_KIT + BOOL_KIT     # eq/ne
+SET_KITS = CMP_KITS + STR_KIT + BIN_KIT               # isin/notin
+
+
+def _product_cases():
+    cases = []
+    for lbl, dt, lo, mid, hi in EQ_KITS:
+        cases.append((f"eq_{lbl}", dt, lambda m=mid: Check.eq(m), mid, lo))
+        cases.append((f"ne_{lbl}", dt, lambda m=mid: Check.ne(m), lo, mid))
+    for lbl, dt, lo, mid, hi in CMP_KITS:
+        cases.append((f"gt_{lbl}", dt, lambda v=lo: Check.gt(v), mid, lo))
+        cases.append((f"ge_{lbl}", dt, lambda v=mid: Check.ge(v), mid, lo))
+        cases.append((f"lt_{lbl}", dt, lambda v=hi: Check.lt(v), mid, hi))
+        cases.append((f"le_{lbl}", dt, lambda v=mid: Check.le(v), mid, hi))
+        cases.append((
+            f"in_range_{lbl}", dt,
+            lambda a=lo, b=mid: Check.in_range(a, b), mid, hi,
+        ))
+        cases.append((
+            f"in_range_omin_{lbl}", dt,
+            lambda a=lo, b=hi: Check.in_range(a, b, include_min=False),
+            mid, lo,
+        ))
+        cases.append((
+            f"in_range_omax_{lbl}", dt,
+            lambda a=lo, b=hi: Check.in_range(a, b, include_max=False),
+            mid, hi,
+        ))
+    for lbl, dt, lo, mid, hi in SET_KITS:
+        cases.append((
+            f"isin_{lbl}", dt, lambda a=lo, b=mid: Check.isin([a, b]),
+            mid, hi,
+        ))
+        cases.append((
+            f"notin_{lbl}", dt, lambda v=hi: Check.notin([v]), mid, hi,
+        ))
+    return cases
+
+
+PRODUCT_CASES = _product_cases()
+
+
+@pytest.mark.parametrize(
+    "label,dtype,check_factory,ok,bad",
+    PRODUCT_CASES,
+    ids=[c[0] for c in PRODUCT_CASES],
+)
+def test_full_check_dtype_product(spark, label, dtype, check_factory,
+                                  ok, bad):
+    """Pass/fail frames per (check, dtype) with exact report shape: one
+    schema_component_check error, attributed to column 'v' and the right
+    check, one failure case; the clean frame validates with zero errors
+    and an explicit passing outcome."""
+    check = check_factory()
+    schema = DataFrameSchema({"v": Column(dtype, check)}, name=label)
+    st = T.StructType([T.StructField("v", dtype, True)])
+
+    clean = spark.createDataFrame([(ok,)], st)
+    res = schema.validate_result(clean)
+    assert not res.errors, (label, res.report)
+    ok_out = [o for o in res.outcomes if o.check == check.error]
+    assert len(ok_out) == 1 and ok_out[0].passed, (label, res.report)
+
+    dirty = spark.createDataFrame([(ok,), (bad,)], st)
+    res = schema.validate_result(dirty)
+    data_errs = [
+        e for e in res.errors
+        if e.reason_code.value == "schema_component_check"
+    ]
+    assert len(data_errs) == 1, (label, res.report)
+    assert data_errs[0].failure_cases_count == 1, (label, res.report)
+    bad_out = [o for o in res.outcomes if o.check == check.error]
+    assert len(bad_out) == 1, (label, res.report)
+    assert not bad_out[0].passed and bad_out[0].violations == 1
+    assert bad_out[0].column == "v"
+
+
+# null semantics per dtype family: default ignore_na=True counts nulls as
+# passing; ignore_na=False counts them as violations (reference
+# api/checks.py:80-82 + postprocess OR-null)
+NULL_CASES = [
+    (f"null_{lbl}", dt, (lambda v=mid: Check.eq(v)), mid)
+    for lbl, dt, lo, mid, hi in EQ_KITS
+]
+
+
+@pytest.mark.parametrize(
+    "label,dtype,check_factory,ok",
+    NULL_CASES,
+    ids=[c[0] for c in NULL_CASES],
+)
+def test_ignore_na_matrix(spark, label, dtype, check_factory, ok):
+    st = T.StructType([T.StructField("v", dtype, True)])
+    df = spark.createDataFrame([(ok,), (None,)], st)
+
+    res = DataFrameSchema(
+        {"v": Column(dtype, check_factory())}, name=label
+    ).validate_result(df)
+    assert not res.errors, (label, res.report)
+
+    strict_check = check_factory()
+    strict_check.ignore_na = False
+    res = DataFrameSchema(
+        {"v": Column(dtype, strict_check)}, name=label
+    ).validate_result(df)
+    errs = [
+        e for e in res.errors
+        if e.reason_code.value == "schema_component_check"
+    ]
+    assert len(errs) == 1 and errs[0].failure_cases_count == 1, (
+        label, res.report,
+    )
