@@ -882,6 +882,170 @@ FROM reach GROUP BY n
 """
 
 
+def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (duplicate
+    word/bigram fractions, top-bigram coverage) — explode + two-level
+    groupBy, n-gram strings never shuffle.  Full hash-parity oracle."""
+    from pandera_spark.operators.text import repetition_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return repetition_stats(docs, ngram_n=2)
+
+
+_REPETITION_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS tw,
+         string_split_regex(text, '\\s+') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(tw) END)::BIGINT
+      AS n_words,
+    CASE WHEN length(trim(text)) = 0 OR len(tw) = 0 THEN 0.0
+         ELSE ROUND(1.0 - len(list_distinct(tw))::DOUBLE / len(tw), 6)
+    END AS dup_word_frac,
+    [array_to_string(w[i:i+1], ' ')
+     for i in range(1, greatest(len(w) - 1, 0) + 1)] AS grams
+  FROM raw
+),
+pg AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS g FROM base)
+  GROUP BY doc_id, g
+),
+gs AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n_grams,
+         ROUND(1.0 - COUNT(*)::DOUBLE / SUM(c), 6) AS dup_gram_frac,
+         ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_gram_frac
+  FROM pg GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words, b.dup_word_frac,
+       COALESCE(gs.n_grams, 0) AS n_grams,
+       COALESCE(gs.dup_gram_frac, 0.0) AS dup_gram_frac,
+       COALESCE(gs.top_gram_frac, 0.0) AS top_gram_frac
+FROM base b LEFT JOIN gs USING (doc_id)
+"""
+
+
+def q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing end-to-end: deterministic email/IP/phone injection
+    into the corpus, per-type match totals, and the post-scrub residual
+    (must be zero) — pure regexp projections, no shuffle beyond the final
+    1-row aggregates."""
+    from pandera_spark.operators.text import PII_PATTERNS, pii_counts, pii_scrub
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                did.cast("string"), F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 13 == 0,
+            F.concat(
+                F.col("text"), F.lit(" from 10.1."),
+                (did % 250).cast("string"),
+                F.lit(".7 call 555-123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    totals = pii_counts(injected).agg(
+        F.sum("n_email").cast("long").alias("emails"),
+        F.sum("n_ipv4").cast("long").alias("ipv4s"),
+        F.sum("n_phone").cast("long").alias("phones"),
+    )
+    resid_expr = None
+    for k in PII_PATTERNS:
+        term = F.sum(f"n_{k}")
+        resid_expr = term if resid_expr is None else resid_expr + term
+    residual = pii_counts(pii_scrub(injected)).agg(
+        resid_expr.cast("long").alias("residual")
+    )
+    return totals.crossJoin(residual)
+
+
+def _pii_oracle() -> str:
+    from pandera_spark.operators.text import PII_PATTERNS
+
+    e, i, p = (PII_PATTERNS[k] for k in ("email", "ipv4", "phone"))
+    cnt = "len(regexp_extract_all(text, '{pat}'))"
+    scrub = (
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{e}', '[PII]', 'g'), '{i}', '[PII]', 'g'), '{p}', '[PII]', 'g')"
+    )
+    return f"""
+WITH inj AS (
+  SELECT CASE
+    WHEN doc_id % 11 = 0 THEN text || ' contact user' ||
+         CAST(doc_id AS VARCHAR) || '@example.com now'
+    WHEN doc_id % 13 = 0 THEN text || ' from 10.1.' ||
+         CAST(doc_id % 250 AS VARCHAR) || '.7 call 555-123-4567'
+    ELSE text END AS text
+  FROM documents
+),
+c AS (
+  SELECT SUM({cnt.format(pat=e)})::BIGINT AS emails,
+         SUM({cnt.format(pat=i)})::BIGINT AS ipv4s,
+         SUM({cnt.format(pat=p)})::BIGINT AS phones
+  FROM inj
+),
+s AS (SELECT {scrub} AS text FROM inj),
+r AS (
+  SELECT (SUM({cnt.format(pat=e)}) + SUM({cnt.format(pat=i)})
+          + SUM({cnt.format(pat=p)}))::BIGINT AS residual
+  FROM s
+)
+SELECT emails, ipv4s, phones, residual FROM c, r
+"""
+
+
+def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: docs (id >= 20) sharing >= 3
+    distinct word 5-grams with the simulated eval set (id < 20), via the
+    hashed-gram broadcast join.  Portable hash family — the DuckDB oracle
+    replays the exact pair set."""
+    from pandera_spark.operators.contamination import contamination_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return contamination_pairs(
+        corpus, bench, ngram_n=5, min_shared=3, portable=True
+    ).orderBy("doc_id", "bench_id")
+
+
+def _contamination_oracle() -> str:
+    gram = _HEXFOLD.format(e="array_to_string(w[i:i+4], ' ')")
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+),
+h AS (
+  SELECT doc_id, list_distinct([{gram}
+    for i in range(1, greatest(len(w) - 4, 0) + 1)]) AS hs
+  FROM w
+),
+cg AS (SELECT doc_id, unnest(hs) AS g FROM h WHERE doc_id >= 20),
+bg AS (SELECT doc_id AS bench_id, unnest(hs) AS g FROM h WHERE doc_id < 20)
+SELECT cg.doc_id, bg.bench_id, COUNT(*)::BIGINT AS n_shared
+FROM cg JOIN bg USING (g)
+GROUP BY cg.doc_id, bg.bench_id
+HAVING COUNT(*) >= 3
+ORDER BY doc_id, bench_id
+"""
+
+
 def q_dedup_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline applied to the corpus: MinHash-LSH candidate
     pairs -> connected components -> anti-join, keeping the minimum-id
@@ -1615,6 +1779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embeddings": q_neardup_embeddings,
         "dedup_clusters_embeddings": q_dedup_clusters_embeddings,
         "dedup_apply_documents": q_dedup_apply_documents,
+        "repetition_documents": q_repetition_documents,
+        "pii_documents": q_pii_documents,
+        "contamination_documents": q_contamination_documents,
         "media_stats_documents": q_media_stats_documents,
         "frame_samples_documents": q_frame_samples_documents,
         "asof_events": q_asof_events,
@@ -1880,6 +2047,9 @@ FROM ranked WHERE rank <= 5
         "neardup_embeddings": _neardup_oracle(),
         "dedup_clusters_embeddings": _clusters_oracle(),
         "dedup_apply_documents": _dedup_apply_oracle(),
+        "repetition_documents": _REPETITION_ORACLE,
+        "pii_documents": _pii_oracle(),
+        "contamination_documents": _contamination_oracle(),
         "media_stats_documents": _MEDIA_STATS_ORACLE,
         "frame_samples_documents": _FRAME_SAMPLES_ORACLE,
         "minhash_candidates_documents": _minhash_oracle(),

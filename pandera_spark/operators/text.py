@@ -116,6 +116,109 @@ def language_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals per document — the standard
+    pre-training quality gate for boilerplate/spam ("Scaling Language
+    Models" Rae et al. 2021 §A1.1 uses duplicate-line/-n-gram fractions).
+
+    Returns (id, n_words, dup_word_frac, n_grams, dup_gram_frac,
+    top_gram_frac):
+
+    - ``dup_word_frac`` = 1 - distinct/total words (pure array
+      expressions, no shuffle).
+    - ``dup_gram_frac`` / ``top_gram_frac`` over word ``ngram_n``-grams
+      via the scalable explode + two-level groupBy formulation: the
+      per-(doc, gram) count shuffles small (id, hash)-keyed rows with
+      map-side combine — n-gram strings never shuffle; docs with fewer
+      than ``ngram_n`` words report zero grams.
+    """
+    from .dedup import shingles
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(words)).cast("long").alias("n_words"),
+        F.when(
+            (F.length(F.trim(F.col(text_col))) == 0) | (F.size(words) == 0),
+            F.lit(0.0),
+        )
+        .otherwise(
+            1.0 - F.size(F.array_distinct(words)) / F.size(words)
+        )
+        .alias("dup_word_frac"),
+        shingles(F.col(text_col), ngram_n).alias("__grams"),
+    )
+    grams = base.select(
+        F.col(id_col), F.explode("__grams").alias("__gram")
+    ).select(F.col(id_col), F.xxhash64("__gram").alias("__g"))
+    per_gram = grams.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    gram_stats = per_gram.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_grams"),
+        (1.0 - F.count(F.lit(1)) / F.sum("__c")).alias("dup_gram_frac"),
+        (F.max("__c") / F.sum("__c")).alias("top_gram_frac"),
+    )
+    return base.drop("__grams").join(gram_stats, id_col, "left").select(
+        F.col(id_col),
+        "n_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        F.round(F.coalesce(F.col("dup_gram_frac"), F.lit(0.0)), 6).alias(
+            "dup_gram_frac"
+        ),
+        F.round(F.coalesce(F.col("top_gram_frac"), F.lit(0.0)), 6).alias(
+            "top_gram_frac"
+        ),
+    )
+
+
+#: PII patterns shared by counting and scrubbing — expressible identically
+#: in Java regex (Spark) and RE2 (DuckDB) so oracle replay is exact
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+}
+
+
+def pii_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII match counts: (id, n_email, n_ipv4, n_phone).
+    Pure ``regexp_count`` projections — JVM-side, no shuffle."""
+    col = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(col, F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+    )
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    replacement: str = "[PII]",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII in-place (chained ``regexp_replace`` — one projection,
+    no shuffle, order follows the patterns dict)."""
+    col = F.col(text_col)
+    for pat in (patterns or PII_PATTERNS).values():
+        col = F.regexp_replace(col, pat, replacement)
+    return df.withColumn(text_col, col)
+
+
 def fingerprint(col: C, *, normalize: bool = True) -> C:
     """Deterministic 64-bit document fingerprint.
 

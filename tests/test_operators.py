@@ -1217,6 +1217,102 @@ def test_connected_components_rejects_string_ids(spark):
         connected_components(df)
 
 
+def test_repetition_stats_known_values(spark):
+    from pandera_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat again"),
+            (2, "a b a b a b a b"),
+            (3, "all distinct words here now"),
+            (4, "x"),     # shorter than the n-gram width
+            (5, ""),      # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.n_words, r.dup_word_frac, r.n_grams, r.dup_gram_frac,
+            r.top_gram_frac,
+        )
+        for r in repetition_stats(df, ngram_n=2).collect()
+    }
+    # doc 1: 10 words, 6 distinct; 9 bigrams, 7 distinct, top "the cat" x2
+    assert got[1] == (10, 0.4, 9, 0.222222, 0.222222)
+    # doc 2: "a b" x4 + "b a" x3
+    assert got[2] == (8, 0.75, 7, 0.714286, 0.571429)
+    assert got[3] == (5, 0.0, 4, 0.0, 0.25)
+    assert got[4] == (1, 0.0, 0, 0.0, 0.0)
+    assert got[5] == (0, 0.0, 0, 0.0, 0.0)
+
+
+def test_pii_counts_and_scrub(spark):
+    from pandera_spark.operators.text import (
+        PII_PATTERNS,
+        pii_counts,
+        pii_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice@example.org or 10.0.0.1"),
+            (2, "call 555-123-4567 or 555 987 6543"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_email, r.n_ipv4, r.n_phone)
+        for r in pii_counts(df).collect()
+    }
+    assert got == {1: (1, 1, 0), 2: (0, 0, 2), 3: (0, 0, 0)}
+    scrubbed = pii_scrub(df)
+    texts = {r.doc_id: r.text for r in scrubbed.collect()}
+    assert texts[1] == "write to [PII] or [PII]"
+    assert texts[2] == "call [PII] or [PII]"
+    assert texts[3] == "clean text with no pii at all"
+    # post-scrub residual must be zero for every pattern
+    residual = pii_counts(scrubbed).agg(
+        *[F.sum(f"n_{k}").alias(k) for k in PII_PATTERNS]
+    ).first()
+    assert all((residual[k] or 0) == 0 for k in PII_PATTERNS)
+
+
+def test_contamination_pairs_and_decontaminate(spark):
+    from pandera_spark.operators.contamination import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "entirely unrelated content nothing shared with eval"),
+            (3, "the quick brown fox appears here too somehow"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    for portable in (False, True):
+        pairs = {
+            (r.doc_id, r.bench_id): r.n_shared
+            for r in contamination_pairs(
+                corpus, bench, ngram_n=3, min_shared=2, portable=portable
+            ).collect()
+        }
+        assert (1, 100) in pairs and pairs[(1, 100)] >= 6, pairs
+        assert all(doc != 2 for doc, _ in pairs)
+        kept = sorted(
+            r.doc_id for r in decontaminate(
+                corpus, bench, ngram_n=3, min_shared=2, portable=portable
+            ).collect()
+        )
+        assert 1 not in kept and 2 in kept
+
+
 def test_lsh_dedup_no_persist_path_matches(spark, docs):
     """storage_level=None (recompute lineage, no cache) must give the
     identical candidate/pair sets as the default cached path."""
