@@ -709,9 +709,11 @@ _HEXFOLD = (
 )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(source: str = "documents") -> str:
     """DuckDB replay of q_minhash_candidates_documents: same md5-prefix
-    hashes, same permutation constants, same banding."""
+    hashes, same permutation constants, same banding.  ``source`` lets
+    composite oracles (curation) run the pipeline over a filtered
+    corpus subquery."""
     from pandera_spark.operators.dedup import (
         PORTABLE_P,
         portable_permutation_constants,
@@ -734,7 +736,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM {source}
 ),
 h AS (
   SELECT doc_id, list_distinct([{shingle_hash}
@@ -1085,6 +1087,79 @@ SELECT d.doc_id FROM documents d
 WHERE NOT EXISTS (
   SELECT 1 FROM comp c WHERE c.node = d.doc_id AND c.node <> c.component
 )
+ORDER BY doc_id
+"""
+
+
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end curation pipeline in one query: quality
+    gate (token count >= 30) -> MinHash-LSH near-dup removal (pairs ->
+    connected components -> keep min-id member) -> benchmark
+    decontamination (eval set = docs with id < 20).  Oracle: the same
+    composition of the minhash replay, recursive-CTE closure, and hashed
+    5-gram contamination sweep."""
+    from pandera_spark.operators.curation import curate_corpus
+    from pandera_spark.operators.text import token_count
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    kept = curate_corpus(
+        corpus,
+        quality_predicate=token_count(F.col("text")) >= 30,
+        benchmark=bench,
+        num_hashes=32, bands=8, shingle_n=3,
+        decontam_ngram_n=5, decontam_min_shared=3,
+        portable=True,
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+def _curate_oracle() -> str:
+    corpus_src = (
+        "(SELECT * FROM documents WHERE doc_id >= 20 AND "
+        "len(string_split_regex(trim(text), '\\s+')) >= 30)"
+    )
+    gram = _HEXFOLD.format(e="array_to_string(w[i:i+4], ' ')")
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle(corpus_src)}),
+ed AS (SELECT id_a AS u, id_b AS v FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT u, v FROM ed
+  UNION
+  SELECT r.n, ed.v FROM reach r JOIN ed ON ed.u = r.m
+),
+comp AS (
+  SELECT n AS node, LEAST(MIN(m), n) AS component FROM reach GROUP BY n
+),
+dedup AS (
+  SELECT d.doc_id, d.text FROM {corpus_src} d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM comp c WHERE c.node = d.doc_id AND c.node <> c.component
+  )
+),
+hs AS (
+  SELECT doc_id, list_distinct([{gram}
+    for i in range(1, greatest(len(w) - 4, 0) + 1)]) AS hs
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM dedup)
+),
+bh AS (
+  SELECT doc_id AS bench_id, list_distinct([{gram}
+    for i in range(1, greatest(len(w) - 4, 0) + 1)]) AS hs
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+        FROM documents WHERE doc_id < 20)
+),
+cg AS (SELECT doc_id, unnest(hs) AS g FROM hs),
+bg AS (SELECT bench_id, unnest(hs) AS g FROM bh),
+contaminated AS (
+  SELECT cg.doc_id FROM cg JOIN bg USING (g)
+  GROUP BY cg.doc_id, bg.bench_id HAVING COUNT(*) >= 3
+)
+SELECT d.doc_id FROM dedup d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
 ORDER BY doc_id
 """
 
@@ -1782,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": q_repetition_documents,
         "pii_documents": q_pii_documents,
         "contamination_documents": q_contamination_documents,
+        "curate_documents": q_curate_documents,
         "media_stats_documents": q_media_stats_documents,
         "frame_samples_documents": q_frame_samples_documents,
         "asof_events": q_asof_events,
@@ -2050,6 +2126,7 @@ FROM ranked WHERE rank <= 5
         "repetition_documents": _REPETITION_ORACLE,
         "pii_documents": _pii_oracle(),
         "contamination_documents": _contamination_oracle(),
+        "curate_documents": _curate_oracle(),
         "media_stats_documents": _MEDIA_STATS_ORACLE,
         "frame_samples_documents": _FRAME_SAMPLES_ORACLE,
         "minhash_candidates_documents": _minhash_oracle(),

@@ -41,6 +41,7 @@ __all__ = [
     "weighted_mix",
     "ntile_bins",
     "cdf_bins",
+    "curate_corpus",
 ]
 
 _SPLIT_BUCKETS = 10_000
@@ -213,3 +214,62 @@ def cdf_bins(
     return df.join(
         F.broadcast(binned), df[score_col] == binned["__s"], "inner"
     ).drop("__s")
+
+
+def curate_corpus(
+    corpus,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_predicate=None,
+    benchmark=None,
+    bench_id_col: str = "bench_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    decontam_ngram_n: int = 5,
+    decontam_min_shared: int = 3,
+    portable: bool = False,
+    storage_level: str | None = "MEMORY_AND_DISK",
+):
+    """The standard corpus-curation pipeline as one composition:
+
+    quality filter -> MinHash-LSH near-dup removal (pairs -> connected
+    components -> keep the minimum-id member per cluster) -> benchmark
+    decontamination.  Returns the kept corpus with its original columns.
+
+    Each stage reuses the scale-shaped primitives
+    (:func:`~pandera_spark.operators.dedup.minhash_lsh_candidates`,
+    :func:`~pandera_spark.operators.clustering.apply_dedup`,
+    :func:`~pandera_spark.operators.contamination.decontaminate`), so
+    the corpus text never shuffles: the quality gate is a pushed-down
+    filter, dedup and decontamination each reduce to an id drop-list
+    anti-join.
+
+    ``quality_predicate``: a boolean ``Column`` (e.g.
+    ``text.token_count(F.col("text")) >= 30`` or a
+    ``text.quality_score`` threshold); ``None`` skips the gate.
+    ``benchmark``: eval-set DataFrame (``bench_id_col``, ``text_col``);
+    ``None`` skips decontamination.
+    """
+    from .clustering import apply_dedup
+    from .contamination import decontaminate
+    from .dedup import minhash_lsh_candidates
+
+    kept = corpus if quality_predicate is None else corpus.filter(
+        quality_predicate
+    )
+    pairs = minhash_lsh_candidates(
+        kept, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        portable=portable, storage_level=storage_level,
+    )
+    kept = apply_dedup(kept, pairs, id_col=id_col)
+    if benchmark is not None:
+        kept = decontaminate(
+            kept, benchmark,
+            id_col=id_col, bench_id_col=bench_id_col, text_col=text_col,
+            ngram_n=decontam_ngram_n, min_shared=decontam_min_shared,
+            portable=portable,
+        )
+    return kept

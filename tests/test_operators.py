@@ -1313,6 +1313,48 @@ def test_contamination_pairs_and_decontaminate(spark):
         assert 1 not in kept and 2 in kept
 
 
+def test_curate_corpus_composition(spark):
+    from pandera_spark.operators.curation import curate_corpus
+    from pandera_spark.operators.text import token_count
+
+    long_dup = "many words repeated here for a sufficiently long document"
+    corpus = spark.createDataFrame(
+        [
+            (20, long_dup),
+            (21, long_dup),                      # near-dup of 20 -> dropped
+            (22, "short"),                        # fails quality gate
+            (23, "the quick brown fox jumps over the lazy dog tonight"),
+            (24, "completely original text that survives every stage fine"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in curate_corpus(
+            corpus,
+            quality_predicate=token_count(F.col("text")) >= 5,
+            benchmark=bench,
+            num_hashes=16, bands=8, shingle_n=2,
+            decontam_ngram_n=3, decontam_min_shared=2,
+        ).collect()
+    )
+    # 20 kept (min id of the dup cluster), 21 deduped, 22 quality-gated,
+    # 23 contaminated by the bench doc, 24 untouched
+    assert kept == [20, 24]
+    # stages are skippable: no predicate, no benchmark -> dedup only
+    kept2 = sorted(
+        r.doc_id
+        for r in curate_corpus(
+            corpus, num_hashes=16, bands=8, shingle_n=2
+        ).collect()
+    )
+    assert 22 in kept2 and 23 in kept2 and 21 not in kept2
+
+
 def test_lsh_dedup_no_persist_path_matches(spark, docs):
     """storage_level=None (recompute lineage, no cache) must give the
     identical candidate/pair sets as the default cached path."""
