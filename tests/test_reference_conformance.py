@@ -215,12 +215,47 @@ def case_range_family():
     return rows, ddl, ref, ours
 
 
+def case_regex_columns():
+    rows = [(1, -5, -1)]
+    ddl = "m_a int, m_b int, other int"
+    ref, ours = _pair(
+        [("m_.*", pa.Column(T.IntegerType(), [pa.Check.gt(0)], regex=True))],
+        [("m_.*", Column(T.IntegerType(), [Check.gt(0)], regex=True))],
+    )
+    return rows, ddl, ref, ours
+
+
+def case_datetime_binary_bool():
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 6, 1), b"a", True),
+        (datetime.datetime(2020, 1, 1), b"z", False),
+    ]
+    ddl = "ts timestamp, b binary, flag boolean"
+    ref, ours = _pair(
+        [("ts", pa.Column(
+            T.TimestampType(),
+            [pa.Check.gt(datetime.datetime(2022, 1, 1))])),
+         ("b", pa.Column(T.BinaryType(), [pa.Check.isin([b"a", b"b"])])),
+         ("flag", pa.Column(T.BooleanType(), [pa.Check.eq(True)]))],
+        [("ts", Column(
+            T.TimestampType(),
+            [Check.gt(datetime.datetime(2022, 1, 1))])),
+         ("b", Column(T.BinaryType(), [Check.isin([b"a", b"b"])])),
+         ("flag", Column(T.BooleanType(), [Check.eq(True)]))],
+    )
+    return rows, ddl, ref, ours
+
+
 CASES = [
     case_clean,
     case_value_and_nulls,
     case_dtype_missing_extra_unique,
     case_string_family,
     case_range_family,
+    case_regex_columns,
+    case_datetime_binary_bool,
 ]
 
 
