@@ -1432,6 +1432,45 @@ def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (12h inactivity) per user via the native
+    ``session_window`` hash aggregate — no window sort; the islands SQL
+    oracle replays boundaries exactly (strictly-greater gap semantics,
+    adjacent sessions merge)."""
+    from pandera_spark.operators.temporal import session_stats
+
+    ev = _load(spark, sf_dir, "events")
+    return session_stats(
+        ev, by=["user_id"], ts_col="ts", gap="12 hours",
+        aggs={
+            "n_events": F.count(F.lit(1)).cast("long"),
+            "sum_value": F.round(F.sum("value"), 4).cast("double"),
+        },
+    )
+
+
+_SESSIONS_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL '12 hours'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '12 hours' AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(value), 4) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 _ROLLUP_ORACLE = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -1863,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "asof_tol_events": q_asof_tol_events,
         "range_pairs_events": q_range_pairs_events,
+        "sessions_events": q_sessions_events,
         "rollup_events": q_rollup_events,
         "rollup_daily_events": q_rollup_daily_events,
         "split_documents": q_split_documents,
@@ -2134,6 +2174,7 @@ FROM ranked WHERE rank <= 5
         "asof_events": _ASOF_ORACLE,
         "asof_tol_events": _ASOF_TOL_ORACLE,
         "range_pairs_events": _RANGE_PAIRS_ORACLE,
+        "sessions_events": _SESSIONS_ORACLE,
         "rollup_events": _ROLLUP_ORACLE,
         "rollup_daily_events": _ROLLUP_DAILY_ORACLE,
         "split_documents": _split_oracle(),

@@ -35,6 +35,8 @@ __all__ = [
     "banded_range_join",
     "time_rollup",
     "rollup_reaggregate",
+    "sessionize",
+    "session_stats",
 ]
 
 
@@ -181,6 +183,68 @@ def banded_range_join(
     joined = l.join(r, [*by, "__b"]).drop("__b")
     dt = _epoch_us(F.col(left_on)) - _epoch_us(F.col(ron))
     return joined.filter(F.abs(dt) <= F.lit(band_us))
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    by: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based session ids (the islands formulation): a new session
+    starts when the time since the previous event of the same key is
+    STRICTLY greater than ``gap_seconds`` — matching Spark's
+    ``session_window``, which merges adjacent sessions (an event landing
+    exactly on the previous session's end extends it).
+
+    ``session_col`` is a per-key 1-based ordinal.  ONE shuffle on the key
+    columns, then per-key sorted windows inside each partition — the
+    same scale shape as :func:`asof_join`.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col(ts_col).asc()
+    )
+    us = _epoch_us(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    brk = prev.isNull() | (us - prev > gap_seconds * 1_000_000)
+    run = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col(ts_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        session_col,
+        F.sum(F.when(brk, 1).otherwise(0)).over(run).cast("long"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    by: Sequence[str],
+    ts_col: str,
+    gap: str,
+    aggs: Mapping[str, C],
+) -> DataFrame:
+    """Per-session aggregates via the built-in ``session_window`` — the
+    native Spark expression of gap sessionization (hash aggregate with
+    session merge, no window sort; also valid under Structured Streaming
+    with a watermark, unlike the :func:`sessionize` window form).
+
+    Returns (by..., session_start, session_end, aggs...) where
+    ``session_end`` = last event + gap.  ``gap`` is a SQL interval
+    string like ``"30 minutes"``.
+    """
+    sw = F.session_window(F.col(ts_col).cast("timestamp"), gap)
+    out = df.groupBy(sw.alias("__sw"), *[F.col(c) for c in by]).agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+    return out.select(
+        *by,
+        F.col("__sw.start").alias("session_start"),
+        F.col("__sw.end").alias("session_end"),
+        *aggs.keys(),
+    )
 
 
 def time_rollup(

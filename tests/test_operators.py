@@ -930,6 +930,52 @@ def test_time_rollup_and_cascade(spark, ticks):
     assert drows[20] == (2, 9.0)
 
 
+def test_sessionize_matches_session_window(spark):
+    """The islands window formulation and Spark's native session_window
+    must agree on session boundaries — including the exact-gap boundary,
+    where session_window merges adjacent sessions."""
+    import datetime
+    import random
+
+    from pandera_spark.operators.temporal import session_stats, sessionize
+
+    D = datetime.datetime
+    rows = [
+        (1, D(2024, 1, 1, 0, 0, 0)),
+        (1, D(2024, 1, 1, 0, 10, 0)),
+        (1, D(2024, 1, 1, 0, 40, 0)),   # exactly gap after prev: merges
+        (1, D(2024, 1, 1, 2, 0, 0)),    # > gap: new session
+        (2, D(2024, 1, 1, 0, 0, 0)),
+    ]
+    rng = random.Random(11)
+    base = D(2024, 3, 1)
+    for _ in range(300):
+        rows.append(
+            (rng.randrange(3, 8),
+             base + datetime.timedelta(seconds=rng.randrange(0, 50_000)))
+        )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    ses = sessionize(df, by=["user_id"], ts_col="ts", gap_seconds=1800)
+    islands = (
+        ses.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"),
+             F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+    )
+    native = session_stats(
+        df, by=["user_id"], ts_col="ts", gap="30 minutes",
+        aggs={"n_events": F.count(F.lit(1)).cast("long")},
+    ).select("user_id", "session_start", "n_events")
+    a = sorted(map(tuple, islands.collect()))
+    b = sorted(map(tuple, native.collect()))
+    assert a == b
+    # the boundary case specifically: user 1 has 2 sessions, not 3
+    per_user = {r.user_id: r.n for r in islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per_user[1] == 2 and per_user[2] == 1
+
+
 def test_temporal_timestamp_ntz(spark, ticks):
     """Regression: the sfX parquet nano-ts shim yields TIMESTAMP_NTZ, which
     plain unix_micros rejects (r1's one red oracle row + crashed bench).
