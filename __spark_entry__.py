@@ -1432,6 +1432,33 @@ def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase salted aggregation (hot keys spread over
+    16 salt shards, then recombined).  The oracle is the PLAIN group-by —
+    proving the salted plan is result-identical, which is the operator's
+    whole contract."""
+    from pandera_spark.operators.skew import salted_agg
+
+    ev = _load(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["event_type"],
+        {"value": "sum", "event_id": "max"},
+        n_salt=16,
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 4).alias("sum_value_r"),
+        F.col("max_event_id"),
+    )
+
+
+_SALTED_AGG_ORACLE = """
+SELECT event_type, CAST(ROUND(SUM(value), 4) AS DOUBLE) AS sum_value_r,
+       MAX(event_id) AS max_event_id
+FROM events GROUP BY event_type
+"""
+
+
 def q_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization (12h inactivity) per user via the native
     ``session_window`` hash aggregate — no window sort; the islands SQL
@@ -1902,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "asof_tol_events": q_asof_tol_events,
         "range_pairs_events": q_range_pairs_events,
+        "salted_agg_events": q_salted_agg_events,
         "sessions_events": q_sessions_events,
         "rollup_events": q_rollup_events,
         "rollup_daily_events": q_rollup_daily_events,
@@ -2174,6 +2202,7 @@ FROM ranked WHERE rank <= 5
         "asof_events": _ASOF_ORACLE,
         "asof_tol_events": _ASOF_TOL_ORACLE,
         "range_pairs_events": _RANGE_PAIRS_ORACLE,
+        "salted_agg_events": _SALTED_AGG_ORACLE,
         "sessions_events": _SESSIONS_ORACLE,
         "rollup_events": _ROLLUP_ORACLE,
         "rollup_daily_events": _ROLLUP_DAILY_ORACLE,
