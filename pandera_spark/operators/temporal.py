@@ -235,7 +235,15 @@ def session_stats(
     ``session_end`` = last event + gap.  ``gap`` is a SQL interval
     string like ``"30 minutes"``.
     """
-    sw = F.session_window(F.col(ts_col).cast("timestamp"), gap)
+    from pyspark.sql import types as T
+
+    # cast only when needed (the parquet nano-ts shim yields NTZ): a
+    # cast on an already-TIMESTAMP column would sever the watermark the
+    # caller attached to it, breaking append-mode streaming
+    ts = F.col(ts_col)
+    if not isinstance(df.schema[ts_col].dataType, T.TimestampType):
+        ts = ts.cast("timestamp")
+    sw = F.session_window(ts, gap)
     out = df.groupBy(sw.alias("__sw"), *[F.col(c) for c in by]).agg(
         *[expr.alias(name) for name, expr in aggs.items()]
     )

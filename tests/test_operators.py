@@ -594,6 +594,48 @@ def test_windowed_violation_counts_batch_and_stream(spark, tmp_path):
     assert got and all(r.rows >= r.violations for r in got)
 
 
+def test_session_stats_streaming(spark, tmp_path):
+    """session_stats must run under Structured Streaming (the native
+    session_window aggregate is the streaming-valid formulation, unlike
+    the islands window)."""
+    import time
+
+    from pandera_spark.operators.temporal import session_stats
+
+    # bursty source: rate rows arrive continuously; keeping only the
+    # first half of each second creates >300ms inter-burst gaps, so
+    # sessions actually CLOSE (append mode only emits finalized sessions
+    # once the watermark passes session end)
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+        .filter(F.col("value") % 20 < 10)
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.lit(0).alias("user_id"),
+            F.lit(1.0).alias("value"),
+        )
+        .withWatermark("ts", "1 second")
+    )
+    agg = session_stats(
+        src, by=["user_id"], ts_col="ts", gap="300 milliseconds",
+        aggs={"n_events": F.count(F.lit(1)).cast("long")},
+    )
+    got = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _id: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "sess"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not got:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got and all(r.session_end > r.session_start for r in got)
+
+
 def test_duplicate_rows_modes(spark):
     from pandera_spark.operators.dedup import duplicate_rows
 
