@@ -871,3 +871,91 @@ def test_map_dtype_deep_equality(spark):
     assert not bad.passed
     assert any("dtype" in o.check.lower() for o in bad.outcomes
                if not o.passed)
+
+
+# ---------------------------------------------------------------------------
+# Curation text operators: Spark expressions vs pure-Python replay
+# ---------------------------------------------------------------------------
+
+_WORDS = st.lists(
+    st.sampled_from(["the", "cat", "sat", "mat", "a", "b", "xyz", "Zz9"]),
+    min_size=0, max_size=30,
+)
+
+
+def _py_repetition(text: str, n: int = 2):
+    """Independent Python replay of repetition_stats semantics."""
+    tw = [w for w in text.strip().split()] if text.strip() else []
+    # Spark split on \s+ of the raw text (shingles side, untrimmed)
+    raw_w = re.split(r"\s+", text) if text else [""]
+    n_words = len(tw) if text.strip() else 0
+    dup_word_frac = (
+        0.0 if n_words == 0 else 1.0 - len(set(tw)) / len(tw)
+    )
+    grams = [
+        " ".join(raw_w[i:i + n]) for i in range(max(len(raw_w) - n + 1, 0))
+    ]
+    n_grams = len(grams)
+    if n_grams == 0:
+        return n_words, round(dup_word_frac, 6), 0, 0.0, 0.0
+    from collections import Counter
+
+    c = Counter(grams)
+    dup_gram_frac = 1.0 - len(c) / n_grams
+    top_gram_frac = max(c.values()) / n_grams
+    return (
+        n_words, round(dup_word_frac, 6), n_grams,
+        round(dup_gram_frac, 6), round(top_gram_frac, 6),
+    )
+
+
+@SET
+@given(docs=st.lists(_WORDS, min_size=1, max_size=12))
+def test_repetition_stats_differential(spark, docs):
+    from pandera_spark.operators.text import repetition_stats
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_words, r.dup_word_frac, r.n_grams,
+            r.dup_gram_frac, r.top_gram_frac,
+        )
+        for r in repetition_stats(df, ngram_n=2).collect()
+    }
+    want = {i: _py_repetition(t) for i, t in rows}
+    assert got == want
+
+
+_PII_BITS = st.lists(
+    st.sampled_from([
+        "plain words here",
+        "bob@example.com",
+        "10.0.0.255",
+        "555-123-4567",
+        "not@an@email",
+        "1.2.3",
+        "999 888 7777",
+    ]),
+    min_size=0, max_size=6,
+)
+
+
+@SET
+@given(docs=st.lists(_PII_BITS, min_size=1, max_size=8))
+def test_pii_counts_differential(spark, docs):
+    from pandera_spark.operators.text import PII_PATTERNS, pii_counts
+
+    rows = [(i, " ".join(bits)) for i, bits in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_email, r.n_ipv4, r.n_phone)
+        for r in pii_counts(df).collect()
+    }
+    want = {
+        i: tuple(
+            len(re.findall(pat, t)) for pat in PII_PATTERNS.values()
+        )
+        for i, t in rows
+    }
+    assert got == want
