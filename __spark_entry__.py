@@ -850,6 +850,46 @@ def q_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outliers_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health screen: the 10 vectors least similar to the corpus
+    centroid (off-distribution/noise candidates).  Centroid = one agg
+    job (64 avg aggregates); scoring is a pure projection; top-k runs as
+    TakeOrdered.  Oracle: DuckDB unnest-with-ordinality centroid +
+    list_dot_product replay."""
+    from pandera_spark.operators.similarity import embedding_outliers
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_outliers(emb, dim=64)
+    return (
+        out.select("vec_id", F.round("centroid_sim", 6).alias("sim_r"))
+        .orderBy(F.col("sim_r").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_OUTLIERS_ORACLE = """
+WITH idx AS (SELECT unnest(range(1, 65)) AS pos),
+pos AS (
+  SELECT i.pos, AVG(CAST(e.embedding[i.pos] AS DOUBLE)) AS m
+  FROM embeddings e CROSS JOIN idx i
+  GROUP BY i.pos
+),
+c AS (SELECT list(m ORDER BY pos) AS cv FROM pos),
+s AS (
+  SELECT vec_id,
+         ROUND(
+           list_dot_product(CAST(embedding AS DOUBLE[]), cv)
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(cv, cv))), 6) AS sim_r
+  FROM embeddings, c
+)
+SELECT vec_id, sim_r FROM s ORDER BY sim_r ASC, vec_id ASC LIMIT 10
+"""
+
+
 def q_dedup_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus dedup end-to-end: LSH near-dup pairs -> connected components
     (alternating large-star/small-star) -> (node, component-min) labels.
@@ -1918,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_embeddings": q_ivf_ann_embeddings,
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
         "neardup_embeddings": q_neardup_embeddings,
+        "outliers_embeddings": q_outliers_embeddings,
         "dedup_clusters_embeddings": q_dedup_clusters_embeddings,
         "dedup_apply_documents": q_dedup_apply_documents,
         "repetition_documents": q_repetition_documents,
@@ -2189,6 +2230,7 @@ FROM ranked WHERE rank <= 5
         "lang_id_documents": _lang_id_oracle(),
         "lsh_ann_embeddings": _lsh_ann_oracle(),
         "neardup_embeddings": _neardup_oracle(),
+        "outliers_embeddings": _OUTLIERS_ORACLE,
         "dedup_clusters_embeddings": _clusters_oracle(),
         "dedup_apply_documents": _dedup_apply_oracle(),
         "repetition_documents": _REPETITION_ORACLE,

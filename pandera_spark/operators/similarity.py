@@ -334,3 +334,42 @@ def embedding_near_dups(
         )
     )
     return pairs.filter(F.col("cosine_sim") >= threshold)
+
+
+def centroid(
+    df: DataFrame, vec_col: str, *, dim: int
+) -> list[float]:
+    """Element-wise mean vector as a Python list (one agg job, ``dim``
+    ``avg`` aggregates with map-side partials; the only driver transfer
+    is the dim-length centroid itself — same bounded-collect shape as the
+    IVF centroid fit)."""
+    row = df.agg(
+        *[F.avg(F.col(vec_col)[i]).alias(f"c{i}") for i in range(dim)]
+    ).first()
+    return [float(row[f"c{i}"] or 0.0) for i in range(dim)]
+
+
+def embedding_outliers(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+) -> DataFrame:
+    """Corpus-health outlier scoring: cosine similarity of every vector
+    to the corpus centroid (low similarity = off-distribution — the
+    standard cheap screen for corrupt/noise embeddings before they feed
+    dedup or retrieval).
+
+    Returns (id, centroid_sim).  Two jobs: the centroid agg, then one
+    projection — the centroid ships as a literal array, nothing is
+    broadcast or shuffled.  Rank/threshold downstream (e.g.
+    ``orderBy('centroid_sim').limit(k)`` — Spark runs top-k as
+    TakeOrdered, never a global sort).
+    """
+    c = centroid(df, vec_col, dim=dim)
+    c_lit = F.array(*[F.lit(v) for v in c])
+    return df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), c_lit).alias("centroid_sim"),
+    )

@@ -1401,6 +1401,25 @@ def test_contamination_pairs_and_decontaminate(spark):
         assert 1 not in kept and 2 in kept
 
 
+def test_embedding_outliers(spark):
+    from pandera_spark.operators.similarity import (
+        centroid,
+        embedding_outliers,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [1.1, -0.1]),
+        (4, [-1.0, 0.0]),  # opposite of the cluster -> clear outlier
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c = centroid(df, "embedding", dim=2)
+    assert abs(c[0] - 0.5) < 1e-9 and abs(c[1] - 0.0) < 1e-9
+    sims = {r.vec_id: r.centroid_sim
+            for r in embedding_outliers(df, dim=2).collect()}
+    assert min(sims, key=sims.get) == 4
+    assert sims[4] < 0 < sims[1]
+
+
 def test_curate_corpus_composition(spark):
     from pandera_spark.operators.curation import curate_corpus
     from pandera_spark.operators.text import token_count
