@@ -231,6 +231,7 @@ def curate_corpus(
     decontam_min_shared: int = 3,
     portable: bool = False,
     storage_level: str | None = "MEMORY_AND_DISK",
+    corpus_storage_level: str | None = None,
 ):
     """The standard corpus-curation pipeline as one composition:
 
@@ -251,14 +252,24 @@ def curate_corpus(
     ``text.quality_score`` threshold); ``None`` skips the gate.
     ``benchmark``: eval-set DataFrame (``bench_id_col``, ``text_col``);
     ``None`` skips decontamination.
+
+    The filtered corpus is read by three stages (signature computation,
+    dedup anti-join, contamination grams).  ``corpus_storage_level``
+    optionally persists it between stages; the default ``None``
+    re-scans — columnar parquet scans with a pushed-down filter are
+    usually cheaper than caching a 100 TB corpus, so caching is the
+    opt-in, not the default (``storage_level`` is the separate knob for
+    the tiny banded LSH frame).
     """
     from .clustering import apply_dedup
     from .contamination import decontaminate
     from .dedup import minhash_lsh_candidates
+    from .similarity import _materialize
 
     kept = corpus if quality_predicate is None else corpus.filter(
         quality_predicate
     )
+    kept = _materialize(kept, corpus_storage_level)
     pairs = minhash_lsh_candidates(
         kept, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
