@@ -1916,6 +1916,201 @@ FROM orders GROUP BY 1
 """
 
 
+def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift screen (chi-square homogeneity + Jensen-Shannon
+    divergence) between two event slices — the corpus-health gate a
+    training pipeline runs between crawl snapshots.  One tag-union-agg
+    shuffle of O(categories) rows (operators/drift.py).  Beyond-reference:
+    the reference's two-sample tier compares means (pandera/api/
+    hypotheses.py), not whole distributions."""
+    from pandera_spark.operators.drift import category_drift
+
+    ev = _load(spark, sf_dir, "events")
+    return category_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "event_type",
+    )
+
+
+_DRIFT_EVENTS_ORACLE = """
+WITH counts AS (
+  SELECT event_type,
+         COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_b
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb
+  FROM counts
+), terms AS (
+  SELECT n_a, n_b,
+         (n_a - ta*(n_a+n_b)/(ta+tb))^2 / (ta*(n_a+n_b)/(ta+tb))
+       + (n_b - tb*(n_a+n_b)/(ta+tb))^2 / (tb*(n_a+n_b)/(ta+tb)) AS chi2_term,
+         (CASE WHEN n_a > 0 THEN (n_a/ta)
+               * ln((n_a/ta) / ((n_a/ta + n_b/tb)/2)) / 2 ELSE 0 END)
+       + (CASE WHEN n_b > 0 THEN (n_b/tb)
+               * ln((n_b/tb) / ((n_a/ta + n_b/tb)/2)) / 2 ELSE 0 END) AS js_term
+  FROM counts, tot
+)
+SELECT CAST(SUM(n_a) AS BIGINT) AS n_a, CAST(SUM(n_b) AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_categories,
+       CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+       SUM(chi2_term) AS chi2_stat, SUM(js_term) AS js_divergence
+FROM terms
+"""
+
+
+_PSI_EDGES = [100.0, 150.0, 200.0, 250.0, 300.0, 400.0]
+
+
+def q_psi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index decomposition of the document length
+    profile between two corpus halves (operators/drift.py): per-bin
+    fractions and PSI terms over explicit CASE-chain bin edges."""
+    from pandera_spark.operators.drift import psi_bins
+
+    docs = _load(spark, sf_dir, "documents")
+    return psi_bins(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        _PSI_EDGES,
+    )
+
+
+def _psi_oracle() -> str:
+    case = "CASE WHEN n_chars IS NULL THEN -1 " + " ".join(
+        f"WHEN n_chars < {e} THEN {i}" for i, e in enumerate(_PSI_EDGES)
+    ) + f" ELSE {len(_PSI_EDGES)} END"
+    return f"""
+WITH counts AS (
+  SELECT {case} AS bin,
+         COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_b
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb
+  FROM counts
+)
+SELECT CAST(bin AS INTEGER) AS bin, n_a, n_b,
+       GREATEST(n_a/ta, 1e-6) AS frac_a, GREATEST(n_b/tb, 1e-6) AS frac_b,
+       (GREATEST(n_a/ta, 1e-6) - GREATEST(n_b/tb, 1e-6))
+         * ln(GREATEST(n_a/ta, 1e-6)/GREATEST(n_b/tb, 1e-6)) AS psi_term
+FROM counts, tot
+"""
+
+
+def q_topk_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top-20 word bigrams with a total
+    deterministic order.  explode -> partial-agg groupBy ->
+    TakeOrderedAndProject (per-task k-row heap, k rows to the driver —
+    never a global sort).  operators/text.py:top_ngrams."""
+    from pandera_spark.operators.text import top_ngrams
+
+    return top_ngrams(
+        _load(spark, sf_dir, "documents"), "text", n=2, k=20
+    )
+
+
+_TOPK_BIGRAMS_ORACLE = """
+WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+idx AS (SELECT l, unnest(range(1, len(l))) AS i FROM toks WHERE len(l) >= 2),
+grams AS (SELECT l[i] || ' ' || l[i+1] AS gram FROM idx)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC LIMIT 20
+"""
+
+
+def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) for three numeric
+    columns in ONE agg job (inference.numeric_percentiles); matches the
+    ANSI percentile_cont definition DuckDB's quantile_cont implements."""
+    from pandera_spark.inference import numeric_percentiles
+
+    return numeric_percentiles(
+        _load(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
+_PERCENTILES_ORACLE = """
+SELECT 'l_quantity' AS col_name,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS p90,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.99) AS p99 FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5),
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9),
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+       quantile_cont(CAST(l_discount AS DOUBLE), 0.5),
+       quantile_cont(CAST(l_discount AS DOUBLE), 0.9),
+       quantile_cont(CAST(l_discount AS DOUBLE), 0.99) FROM lineitem
+"""
+
+
+def q_source_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard in one aggregation pass:
+    docs/chars/tokens, mean quality score, language spread
+    (operators/text.py:corpus_profile)."""
+    from pandera_spark.operators.text import corpus_profile
+
+    return corpus_profile(_load(spark, sf_dir, "documents"), "source")
+
+
+def _source_profile_oracle() -> str:
+    """SQL replica of corpus_profile: quality_score reconstructed
+    component-by-component (text.py:50-72), detect_language via the same
+    struct-argmax replay as _lang_id_oracle."""
+    from pandera_spark.operators.text import _LANG_MARKERS
+
+    stop_pat = r"(?i)\b(the|and|of|to|in|is|that|for|a|with)\b"
+    structs = []
+    for lang, words in _LANG_MARKERS.items():
+        if lang == "zh":
+            pat = "(" + "|".join(words) + ")"
+        else:
+            pat = r"(?i)\b(" + "|".join(words) + r")\b"
+        structs.append(
+            "{'score': len(regexp_extract_all(text, '" + pat + "')), "
+            "'lang': '" + lang + "'}"
+        )
+    best = "list_max([" + ", ".join(structs) + "])"
+    return f"""
+WITH base AS (
+  SELECT source,
+         CAST(LENGTH(text) AS DOUBLE) AS nc,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\\s+')) END
+              AS DOUBLE) AS nt,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS np,
+         CAST(len(regexp_extract_all(text, '{stop_pat}')) AS DOUBLE) AS ns,
+         CASE WHEN struct_extract({best}, 'score') > 0
+              THEN struct_extract({best}, 'lang') ELSE 'und' END AS pred
+  FROM documents
+), q AS (
+  SELECT source, nc, nt, pred,
+         (CASE WHEN nc >= 20 AND nc <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+       + (CASE WHEN nt > 0 AND nc/nt >= 2.0 AND nc/nt <= 12.0
+               THEN 1.0 ELSE 0.0 END) * 0.3
+       + (CASE WHEN (CASE WHEN nc > 0 THEN np/nc ELSE 1.0 END) <= 0.2
+               THEN 1.0 ELSE 0.0 END) * 0.2
+       + LEAST((CASE WHEN nt > 0 THEN ns/nt ELSE 0.0 END) * 4.0, 1.0) * 0.2
+         AS quality
+  FROM base
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS sum_chars,
+       CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality,
+       CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_langs
+FROM q GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -1987,6 +2182,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yaml_roundtrip_orders": q_yaml_roundtrip_orders,
         "synthesize_validate": q_synthesize_validate,
         "decorator_orders": q_decorator_orders,
+        "drift_events": q_drift_events,
+        "psi_documents": q_psi_documents,
+        "topk_bigrams_documents": q_topk_bigrams_documents,
+        "percentiles_lineitem": q_percentiles_lineitem,
+        "source_profile_documents": q_source_profile_documents,
     }
 
 
@@ -2263,4 +2463,9 @@ FROM ranked WHERE rank <= 5
         ),
         "synthesize_validate": _SYNTH_ORACLE,
         "decorator_orders": _DECORATOR_ORACLE,
+        "drift_events": _DRIFT_EVENTS_ORACLE,
+        "psi_documents": _psi_oracle(),
+        "topk_bigrams_documents": _TOPK_BIGRAMS_ORACLE,
+        "percentiles_lineitem": _PERCENTILES_ORACLE,
+        "source_profile_documents": _source_profile_oracle(),
     }

@@ -118,3 +118,48 @@ def profile(df: DataFrame) -> DataFrame:
         ]
     )
     return spark.createDataFrame(data, schema)
+
+
+def numeric_percentiles(
+    df: DataFrame,
+    cols: list[str],
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact interpolated percentiles for many columns in ONE job.
+
+    Long-format result: ``(col_name, p50, p90, ...)`` — one row per
+    input column (labels derived from ``probs``).  All percentile
+    arrays are computed in a single ``agg`` (Spark's exact
+    ``percentile``, linear interpolation at rank ``p*(n-1)`` — the
+    same definition as ANSI ``percentile_cont``/DuckDB
+    ``quantile_cont``), then the one-row result is exploded to long
+    format without touching the data again.
+
+    Exact percentile sorts each column's values within the aggregate
+    buffer: fine into the tens of millions of rows per column; at
+    true 100 TB scale swap in ``approx_percentile`` (t-digest sketch,
+    mergeable, bounded memory) — same call shape, bounded error.
+    """
+    labels = [
+        ("p" + f"{p * 100:g}".replace(".", "_")) for p in probs
+    ]
+    agg = df.agg(
+        *[
+            F.percentile(
+                F.col(c).cast("double"),
+                F.array(*[F.lit(float(p)) for p in probs]),
+            ).alias(c)
+            for c in cols
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("col_name"), F.col(c).alias("q"))
+            for c in cols
+        ]
+    )
+    exploded = agg.select(F.explode(pairs).alias("s"))
+    return exploded.select(
+        F.col("s.col_name").alias("col_name"),
+        *[F.col("s.q")[i].alias(lab) for i, lab in enumerate(labels)],
+    )

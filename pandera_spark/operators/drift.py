@@ -1,0 +1,222 @@
+"""Distribution-drift operators: PSI, chi-square, Jensen-Shannon.
+
+Beyond-reference family (the reference's closest surface is its
+two-sample hypothesis tier, reference pandera/api/hypotheses.py —
+which compares *means*; these compare whole *distributions*).  Drift
+screens are the standard corpus-health gate in front of a training
+run: did this crawl slice shift against the last one, did a quality
+filter change the length profile, did the label mix move.
+
+Design for 100 TB:
+- Every operator is **tag -> union -> one hash aggregation**: the two
+  input frames are projected to the single drift column plus a 0/1
+  side tag, unioned (narrow), and aggregated once on the (category |
+  bin) key.  Map-side partial aggregation collapses each scan to at
+  most one row per distinct key per task, so the only shuffle moves
+  ``O(distinct keys)`` rows regardless of input size.
+- The statistic itself is computed on the post-aggregation frame
+  (``O(categories)`` rows) with JVM built-ins — a broadcast of the
+  one-row totals, never a second pass over the data.
+- No UDFs, no collect: the result is a DataFrame the caller can join
+  into a monitoring sink.  The optional chi-square p-value
+  (Wilson-Hilferty normal approximation) is also a Column expression.
+- Binning for PSI is an explicit CASE chain over caller-supplied
+  edges: deterministic, engine-portable (an external SQL oracle can
+  replay it verbatim), and pushdown-friendly (the projection keeps
+  only the drift column, so Parquet reads one column per side).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column as C, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "category_counts",
+    "category_drift",
+    "psi_bins",
+    "psi",
+    "bin_column",
+]
+
+# Fraction floor used by PSI so empty bins contribute a finite term
+# (the conventional smoothing; see Yurdakul 2018 on PSI behaviour).
+PSI_EPS = 1e-6
+
+
+def _tagged_counts(
+    df_a: DataFrame, df_b: DataFrame, key: C, key_name: str
+) -> DataFrame:
+    """Project both sides to (key, side), union, and count per key in
+    ONE aggregation: ``(key, n_a, n_b)``.  The union is narrow; the
+    groupBy is the operator's only shuffle and moves one row per
+    distinct key per map task (partial agg)."""
+    a = df_a.select(key.alias(key_name), F.lit(0).alias("__side"))
+    b = df_b.select(key.alias(key_name), F.lit(1).alias("__side"))
+    return (
+        a.unionByName(b)
+        .groupBy(key_name)
+        .agg(
+            F.count(F.when(F.col("__side") == 0, 1)).alias("n_a"),
+            F.count(F.when(F.col("__side") == 1, 1)).alias("n_b"),
+        )
+    )
+
+
+def category_counts(
+    df_a: DataFrame, df_b: DataFrame, cat_col: str
+) -> DataFrame:
+    """Per-category counts on both sides: ``(cat_col, n_a, n_b)``.
+    Categories absent from one side appear with a zero count."""
+    return _tagged_counts(df_a, df_b, F.col(cat_col), cat_col)
+
+
+def _with_totals(counts: DataFrame) -> DataFrame:
+    """Attach side totals to every row via a broadcast of the one-row
+    totals aggregate (the counts frame is already O(categories))."""
+    totals = counts.agg(
+        F.sum("n_a").cast("double").alias("__tot_a"),
+        F.sum("n_b").cast("double").alias("__tot_b"),
+    )
+    return counts.crossJoin(F.broadcast(totals))
+
+
+def category_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cat_col: str,
+    *,
+    pvalue: bool = False,
+) -> DataFrame:
+    """One-row categorical drift summary between two frames.
+
+    Returns ``(n_a, n_b, n_categories, dof, chi2_stat,
+    js_divergence)`` — the chi-square homogeneity statistic over the
+    two-way (category x side) table and the Jensen-Shannon divergence
+    (natural log; 0 iff identical mixes, ln 2 max) between the two
+    category distributions.  With ``pvalue=True`` adds
+    ``chi2_pvalue`` via the Wilson-Hilferty cube-root normal
+    approximation with a rational Phi tail (Spark SQL has no erf
+    built-in), keeping the operator closed-form JVM-side; for exact
+    tails feed ``chi2_stat``/``dof`` to driver-side gamma helpers.
+
+    Both inputs must be non-empty (a zero side total makes the
+    statistic undefined).
+    """
+    cnt = _with_totals(category_counts(df_a, df_b, cat_col))
+    ca, cb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ta, tb = F.col("__tot_a"), F.col("__tot_b")
+    row_tot = ca + cb
+    grand = ta + tb
+    ea = ta * row_tot / grand
+    eb = tb * row_tot / grand
+    chi2_term = (ca - ea) ** 2 / ea + (cb - eb) ** 2 / eb
+    pa = ca / ta
+    pb = cb / tb
+    m = (pa + pb) / F.lit(2.0)
+    js_term = (
+        F.when(pa > 0, pa * F.log(pa / m) / F.lit(2.0)).otherwise(0.0)
+        + F.when(pb > 0, pb * F.log(pb / m) / F.lit(2.0)).otherwise(0.0)
+    )
+    out = cnt.agg(
+        F.sum("n_a").alias("n_a"),
+        F.sum("n_b").alias("n_b"),
+        F.count(F.lit(1)).alias("n_categories"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.sum(chi2_term).alias("chi2_stat"),
+        F.sum(js_term).alias("js_divergence"),
+    )
+    if pvalue:
+        k = F.col("dof").cast("double")
+        x = F.col("chi2_stat")
+        # Wilson-Hilferty: (x/k)^(1/3) ~ N(1 - 2/(9k), 2/(9k)), so the
+        # upper tail is Phi(-z); Phi via the Zelen-Severo rational
+        # approximation 26.2.17 (|err| < 7.5e-8) — Spark SQL has no erf
+        z = (F.pow(x / k, F.lit(1.0 / 3.0)) - (1 - 2 / (9 * k))) / F.sqrt(
+            2 / (9 * k)
+        )
+        out = out.withColumn(
+            "chi2_pvalue",
+            F.when(k <= 0, F.lit(None).cast("double")).otherwise(
+                _norm_sf(z)
+            ),
+        )
+    return out
+
+
+def _norm_sf(z: C) -> C:
+    """Standard-normal survival function ``1 - Phi(z)`` as a Column
+    (Zelen & Severo / Abramowitz-Stegun 26.2.17, |err| < 7.5e-8)."""
+    az = F.abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    poly = t * (
+        0.319381530
+        + t
+        * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+    )
+    upper = F.exp(-az * az / 2) / F.lit(2.5066282746310002) * poly
+    return F.when(z >= 0, upper).otherwise(1 - upper)
+
+
+def bin_column(col: C, edges: Sequence[float]) -> C:
+    """Map a numeric column to a 0-based bin id over ``edges``
+    (ascending): bin 0 = ``(-inf, edges[0])``, bin i =
+    ``[edges[i-1], edges[i])``, bin len(edges) = ``[edges[-1], inf)``.
+    Nulls land in bin -1.  A plain CASE chain — portable and
+    codegen-friendly."""
+    if not edges or list(edges) != sorted(edges):
+        raise ValueError("edges must be a non-empty ascending sequence")
+    expr = F.when(col.isNull(), F.lit(-1))
+    for i, e in enumerate(edges):
+        expr = expr.when(col < F.lit(e), F.lit(i))
+    return expr.otherwise(F.lit(len(edges))).cast("int")
+
+
+def psi_bins(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    edges: Sequence[float],
+    *,
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """Per-bin PSI decomposition: ``(bin, n_a, n_b, frac_a, frac_b,
+    psi_term)`` where ``psi_term = (fa - fb) * ln(fa / fb)`` with both
+    fractions floored at ``eps`` (finite contribution for empty bins).
+    Only bins observed on at least one side appear."""
+    cnt = _with_totals(
+        _tagged_counts(
+            df_a, df_b, bin_column(F.col(value_col), edges), "bin"
+        )
+    )
+    fa = F.greatest(F.col("n_a") / F.col("__tot_a"), F.lit(float(eps)))
+    fb = F.greatest(F.col("n_b") / F.col("__tot_b"), F.lit(float(eps)))
+    return cnt.select(
+        "bin",
+        "n_a",
+        "n_b",
+        fa.alias("frac_a"),
+        fb.alias("frac_b"),
+        ((fa - fb) * F.log(fa / fb)).alias("psi_term"),
+    )
+
+
+def psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    edges: Sequence[float],
+    *,
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """One-row Population Stability Index summary: ``(n_a, n_b,
+    n_bins, psi)``.  Rule of thumb: < 0.1 stable, 0.1-0.25 moderate
+    shift, > 0.25 significant shift."""
+    return psi_bins(df_a, df_b, value_col, edges, eps=eps).agg(
+        F.sum("n_a").alias("n_a"),
+        F.sum("n_b").alias("n_b"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("psi_term").alias("psi"),
+    )

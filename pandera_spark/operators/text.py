@@ -239,3 +239,76 @@ def document_fingerprints(df: DataFrame, text_col: str = "text",
     return df.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
     )
+
+
+def word_ngrams(col: C, n: int = 2, *, sep: str = " ") -> C:
+    """Array of word ``n``-grams from a single-space token split.
+
+    The split is a literal single space (not ``\\s+``) so an external
+    SQL engine can replay it verbatim (``string_split(text, ' ')``);
+    shorter-than-``n`` documents yield an empty array.  Pure
+    higher-order-function expression — grams are built JVM-side with
+    ``transform``/``slice``, no UDF, no shuffle."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.split(col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(sep, F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str = "text", *, n: int = 2
+) -> DataFrame:
+    """Corpus-wide n-gram occurrence counts: ``(gram, n_occurrences)``.
+
+    explode -> groupBy: the only shuffle carries one row per distinct
+    gram per map task (partial aggregation), never the exploded rows.
+    """
+    return (
+        df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", *, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Top-``k`` most frequent word n-grams with a total deterministic
+    order (count desc, gram asc).  ``orderBy().limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — each task keeps a k-row heap and the
+    driver merges k rows per task, so the global sort never
+    materializes (the heavy-hitter plan you want at 100 TB)."""
+    return ngram_counts(df, text_col, n=n).orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    ).limit(k)
+
+
+def corpus_profile(
+    df: DataFrame,
+    by: str = "source",
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus health profile in ONE aggregation pass:
+    ``(by, n_docs, sum_chars, sum_tokens, avg_quality, n_langs)``.
+
+    The standard curation dashboard (docs/tokens per source, mean
+    quality, language spread) — every metric folds into the same
+    groupBy, so a 100 TB corpus is profiled in a single shuffle of
+    one row per (task, group)."""
+    col = F.col(text_col)
+    return df.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.length(col).cast("long")), F.lit(0)).alias(
+            "sum_chars"
+        ),
+        F.coalesce(F.sum(token_count(col)), F.lit(0)).alias("sum_tokens"),
+        F.round(F.avg(quality_score(col)), 6).alias("avg_quality"),
+        F.countDistinct(detect_language(col)).alias("n_langs"),
+    )

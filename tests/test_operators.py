@@ -1484,3 +1484,245 @@ def test_lsh_dedup_no_persist_path_matches(spark, docs):
         ).collect()
     )
     assert sk(storage_level=None) == sk()
+
+
+# ---------------------------------------------------------------------------
+# drift operators
+
+
+def test_category_drift_identical_is_zero(spark):
+    from pandera_spark.operators.drift import category_drift
+
+    df = spark.createDataFrame(
+        [(i, "abc"[i % 3]) for i in range(60)], "id bigint, cat string"
+    )
+    row = category_drift(df, df, "cat").first()
+    assert row.n_a == 60 and row.n_b == 60
+    assert row.n_categories == 3 and row.dof == 2
+    assert abs(row.chi2_stat) < 1e-12
+    assert abs(row.js_divergence) < 1e-12
+
+
+def test_category_drift_known_chi2(spark):
+    from pandera_spark.operators.drift import category_drift
+
+    # 2x2 table: a = 30 x / 10 y, b = 10 x / 30 y
+    a = spark.createDataFrame(
+        [(i, "x" if i < 30 else "y") for i in range(40)], "id int, cat string"
+    )
+    b = spark.createDataFrame(
+        [(i, "x" if i < 10 else "y") for i in range(40)], "id int, cat string"
+    )
+    row = category_drift(a, b, "cat", pvalue=True).first()
+    # classic chi2 for [[30,10],[10,30]] = 80*(30*30-10*10)^2/(40*40*40*40)
+    assert abs(row.chi2_stat - 20.0) < 1e-9
+    assert row.dof == 1
+    # exact sf(20, 1) = 7.744e-6; Wilson-Hilferty is ~1e-2 relative here
+    assert 0 < row.chi2_pvalue < 1e-4
+    # disjoint support in the 2 categories is symmetric: JS > 0
+    assert row.js_divergence > 0.05
+
+
+def test_category_drift_category_absent_one_side(spark):
+    from pandera_spark.operators.drift import category_drift
+
+    a = spark.createDataFrame([(1, "x"), (2, "x")], "id int, cat string")
+    b = spark.createDataFrame([(1, "x"), (2, "z")], "id int, cat string")
+    row = category_drift(a, b, "cat").first()
+    assert row.n_categories == 2
+    # finite statistic even with a zero cell
+    assert row.chi2_stat == pytest.approx(
+        (2 - 1.5) ** 2 / 1.5 * 2 + (0 - 0.5) ** 2 / 0.5 + (1 - 0.5) ** 2 / 0.5
+    )
+
+
+def test_norm_sf_against_known_values(spark):
+    from pandera_spark.operators.drift import _norm_sf
+
+    df = spark.range(1).select(
+        _norm_sf(F.lit(0.0)).alias("z0"),
+        _norm_sf(F.lit(1.6448536269514722)).alias("z95"),
+        _norm_sf(F.lit(-1.6448536269514722)).alias("zm95"),
+    )
+    row = df.first()
+    assert row.z0 == pytest.approx(0.5, abs=1e-7)
+    assert row.z95 == pytest.approx(0.05, abs=1e-6)
+    assert row.zm95 == pytest.approx(0.95, abs=1e-6)
+
+
+def test_bin_column_edges_and_nulls(spark):
+    from pandera_spark.operators.drift import bin_column
+
+    df = spark.createDataFrame(
+        [(None,), (5.0,), (10.0,), (15.0,), (20.0,), (25.0,)],
+        "v double",
+    )
+    out = [
+        r.bin for r in df.select(bin_column(F.col("v"), [10, 20]).alias("bin"))
+        .collect()
+    ]
+    # null -> -1; 5 -> 0; 10,15 -> 1 (left-closed); 20,25 -> 2
+    assert out == [-1, 0, 1, 1, 2, 2]
+    with pytest.raises(ValueError):
+        bin_column(F.col("v"), [20, 10])
+    with pytest.raises(ValueError):
+        bin_column(F.col("v"), [])
+
+
+def test_psi_zero_for_identical_and_positive_for_shifted(spark):
+    from pandera_spark.operators.drift import psi
+
+    a = spark.range(1000).select((F.col("id") % 100).alias("v"))
+    b = spark.range(1000).select(((F.col("id") % 100) + 50).alias("v"))
+    edges = [25.0, 50.0, 75.0, 100.0, 125.0]
+    same = psi(a, a, "v", edges).first()
+    assert same.psi == pytest.approx(0.0, abs=1e-12)
+    shifted = psi(a, b, "v", edges).first()
+    assert shifted.psi > 0.25
+    assert shifted.n_a == 1000 and shifted.n_b == 1000
+
+
+def test_psi_bins_empty_bin_floored(spark):
+    from pandera_spark.operators.drift import psi_bins, PSI_EPS
+
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([(11.0,), (12.0,)], "v double")
+    rows = {r.bin: r for r in psi_bins(a, b, "v", [10.0]).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].frac_a == pytest.approx(1.0)
+    assert rows[0].frac_b == pytest.approx(PSI_EPS)
+    # per-bin terms are finite and symmetric across the two bins
+    assert rows[0].psi_term == pytest.approx(rows[1].psi_term)
+
+
+# ---------------------------------------------------------------------------
+# n-gram heavy hitters
+
+
+def test_word_ngrams_short_docs_empty(spark):
+    from pandera_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c",), ("one",), ("",)], "text string"
+    )
+    out = [
+        r.g for r in df.select(word_ngrams(F.col("text"), 2).alias("g"))
+        .collect()
+    ]
+    assert out[0] == ["a b", "b c"]
+    assert out[1] == []
+    assert out[2] == []
+
+
+def test_top_ngrams_deterministic_tiebreak(spark):
+    from pandera_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "a b"), (4, "c d")],
+        "doc_id bigint, text string",
+    )
+    rows = top_ngrams(df, "text", n=2, k=2).collect()
+    assert (rows[0].gram, rows[0].n_occurrences) == ("x y", 2)
+    # tie between "a b" and "c d" broken ascending
+    assert (rows[1].gram, rows[1].n_occurrences) == ("a b", 1)
+
+
+def test_top_ngrams_plan_is_take_ordered(spark):
+    from pandera_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    plan = top_ngrams(df, "text", n=2, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# percentile profiling
+
+
+def test_numeric_percentiles_known_values(spark):
+    from pandera_spark.inference import numeric_percentiles
+
+    df = spark.range(1, 101).select(
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") * 10).cast("double").alias("b"),
+    )
+    rows = {r.col_name: r for r in numeric_percentiles(df, ["a", "b"]).collect()}
+    # ranks: p*(n-1) 0-based over 1..100 => p50 = 50.5, p90 = 90.1
+    assert rows["a"].p50 == pytest.approx(50.5)
+    assert rows["a"].p90 == pytest.approx(90.1)
+    assert rows["b"].p50 == pytest.approx(505.0)
+    assert rows["b"].p99 == pytest.approx(rows["a"].p99 * 10)
+
+
+def test_numeric_percentiles_single_job(spark):
+    from pandera_spark.inference import numeric_percentiles
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("a"),
+        F.col("id").cast("double").alias("b"),
+        F.col("id").cast("double").alias("c"),
+    )
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    numeric_percentiles(df, ["a", "b", "c"]).collect()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 2  # one agg job (+ possible AQE follow-up)
+
+
+def test_corpus_profile_groups(spark, docs):
+    from pandera_spark.operators.text import corpus_profile
+
+    prof = {r[0]: r for r in corpus_profile(docs, "lang").collect()}
+    assert prof["en"].n_docs == 4
+    assert prof["de"].n_docs == 1
+    assert prof["en"].sum_tokens > 0
+    assert 0.0 <= prof["en"].avg_quality <= 1.0
+    assert prof["de"].n_langs == 1
+
+
+def test_streaming_dedup_cross_batch(spark, tmp_path):
+    """Duplicates arriving in a LATER micro-batch are suppressed by
+    dropDuplicatesWithinWatermark state (file source, one file per
+    batch, availableNow so the run is deterministic and bounded)."""
+    import json
+
+    from pandera_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": 1, "ts": "2024-01-01 00:00:01"},
+                {"k": 2, "ts": "2024-01-01 00:00:02"},
+            ]
+        )
+    )
+    (src / "b.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": 1, "ts": "2024-01-01 00:00:03"},  # cross-batch dup
+                {"k": 3, "ts": "2024-01-01 00:00:04"},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("k bigint, ts string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    dd = streaming_dedup(stream, ["k"], watermark_col="ts", delay="10 minutes")
+    got = []
+    q = (
+        dd.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.k for r in got) == [1, 2, 3]
