@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # self-joins + persists on a shared VM): give it an extra run so a real
 # regression is distinguishable from ±20% noise
 HEAVY_QUERIES = {
+    # exact-percentile merge is single-reducer: widest non-LSH variance
+    "percentiles_lineitem",
     "minhash_candidates_documents",
     "simhash_documents",
     "jaccard_pairs_documents",

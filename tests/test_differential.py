@@ -959,3 +959,97 @@ def test_pii_counts_differential(spark, docs):
         for i, t in rows
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# drift operators vs pure-Python reference
+
+
+_cats = st.lists(st.sampled_from("pqrs"), min_size=1, max_size=40)
+
+
+@SET
+@given(ca=_cats, cb=_cats)
+def test_category_drift_matches_python(spark, ca, cb):
+    import math
+
+    from pandera_spark.operators.drift import category_drift
+
+    a = spark.createDataFrame([(c,) for c in ca], "cat string")
+    b = spark.createDataFrame([(c,) for c in cb], "cat string")
+    row = category_drift(a, b, "cat").first()
+
+    cats = sorted(set(ca) | set(cb))
+    na, nb = len(ca), len(cb)
+    chi2 = 0.0
+    js = 0.0
+    for c in cats:
+        xa, xb = ca.count(c), cb.count(c)
+        ea = na * (xa + xb) / (na + nb)
+        eb = nb * (xa + xb) / (na + nb)
+        chi2 += (xa - ea) ** 2 / ea + (xb - eb) ** 2 / eb
+        pa, pb = xa / na, xb / nb
+        m = (pa + pb) / 2
+        if pa > 0:
+            js += pa * math.log(pa / m) / 2
+        if pb > 0:
+            js += pb * math.log(pb / m) / 2
+    assert row.n_a == na and row.n_b == nb
+    assert row.n_categories == len(cats)
+    assert row.chi2_stat == pytest.approx(chi2, abs=1e-9)
+    assert row.js_divergence == pytest.approx(js, abs=1e-12)
+
+
+_vals = st.lists(
+    st.none() | st.integers(0, 100), min_size=1, max_size=40
+).filter(lambda xs: any(v is not None for v in xs))
+
+
+@SET
+@given(va=_vals, vb=_vals, e1=st.integers(10, 50), span=st.integers(1, 40))
+def test_psi_matches_python(spark, va, vb, e1, span):
+    import math
+
+    from pandera_spark.operators.drift import psi, PSI_EPS
+
+    edges = [float(e1), float(e1 + span)]
+    a = spark.createDataFrame([(v,) for v in va], "v int")
+    b = spark.createDataFrame([(v,) for v in vb], "v int")
+    row = psi(a, b, "v", edges).first()
+
+    def binof(v):
+        if v is None:
+            return -1
+        for i, e in enumerate(edges):
+            if v < e:
+                return i
+        return len(edges)
+
+    bins = sorted({binof(v) for v in va} | {binof(v) for v in vb})
+    want = 0.0
+    for bn in bins:
+        fa = max(sum(1 for v in va if binof(v) == bn) / len(va), PSI_EPS)
+        fb = max(sum(1 for v in vb if binof(v) == bn) / len(vb), PSI_EPS)
+        want += (fa - fb) * math.log(fa / fb)
+    assert row.n_bins == len(bins)
+    assert row.psi == pytest.approx(want, abs=1e-9)
+
+
+@SET
+@given(
+    data=st.lists(
+        st.floats(-1e4, 1e4, allow_nan=False), min_size=2, max_size=50
+    ),
+    p=st.floats(0.01, 0.99),
+)
+def test_percentile_matches_python_interpolation(spark, data, p):
+    from pandera_spark.inference import numeric_percentiles
+
+    df = spark.createDataFrame([(v,) for v in data], "x double")
+    row = numeric_percentiles(df, ["x"], probs=(p,)).first()
+    xs = sorted(data)
+    rank = p * (len(xs) - 1)
+    lo, frac = int(rank), rank - int(rank)
+    want = xs[lo] if frac == 0 else xs[lo] * (1 - frac) + xs[lo + 1] * frac
+    got = row[1]
+    assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
