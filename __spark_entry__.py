@@ -2111,6 +2111,78 @@ FROM q GROUP BY source
 """
 
 
+def q_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two event
+    slices (operators/drift.py:ks_drift): tag-union-count per distinct
+    value, then a cumulative window over the aggregated (distinct-value)
+    frame — the ordered pass never touches row-grain data."""
+    from pandera_spark.operators.drift import ks_drift
+
+    ev = _load(spark, sf_dir, "events")
+    return ks_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+    )
+
+
+_KS_EVENTS_ORACLE = """
+WITH counts AS (
+  SELECT value AS v,
+         COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS ca,
+         COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS cb
+  FROM events WHERE value IS NOT NULL GROUP BY value
+), tot AS (
+  SELECT CAST(SUM(ca) AS DOUBLE) AS ta, CAST(SUM(cb) AS DOUBLE) AS tb
+  FROM counts
+), cum AS (
+  SELECT ta, tb,
+         ABS(SUM(ca) OVER (ORDER BY v) / ta
+           - SUM(cb) OVER (ORDER BY v) / tb) AS d
+  FROM counts, tot
+)
+SELECT CAST(MAX(ta) AS BIGINT) AS n_a, CAST(MAX(tb) AS BIGINT) AS n_b,
+       MAX(d) AS ks_stat
+FROM cum
+"""
+
+
+def q_groupwise_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level data quality: per-returnflag violation counts for
+    every row-resolvable lineitem check in ONE grouped aggregation
+    (backend/runner.py:groupwise_report) — the grouped analogue of the
+    validate_* single-pass report, reusing the same compiled predicates."""
+    schema = _validation_schema(
+        LINEITEM_CHECKS, LINEITEM_NOT_NULL, "lineitem"
+    )
+    return schema.groupwise_report(
+        _load(spark, sf_dir, "lineitem"), ["l_returnflag"]
+    )
+
+
+def _groupwise_oracle() -> str:
+    selects = []
+    for col, label, _chk, cond in LINEITEM_CHECKS:
+        selects.append(
+            f"SELECT l_returnflag, '{col}' AS col_name, "
+            f"'{label}' AS check, "
+            f"CAST(COALESCE(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END),0) "
+            f"AS BIGINT) AS violations, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_rows "
+            f"FROM lineitem GROUP BY l_returnflag"
+        )
+    for col in LINEITEM_NOT_NULL:
+        selects.append(
+            f"SELECT l_returnflag, '{col}' AS col_name, "
+            f"'not_nullable' AS check, "
+            f"CAST(COALESCE(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END),0)"
+            f" AS BIGINT) AS violations, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_rows "
+            f"FROM lineitem GROUP BY l_returnflag"
+        )
+    return " UNION ALL ".join(selects)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2187,6 +2259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_bigrams_documents": q_topk_bigrams_documents,
         "percentiles_lineitem": q_percentiles_lineitem,
         "source_profile_documents": q_source_profile_documents,
+        "ks_events": q_ks_events,
+        "groupwise_lineitem": q_groupwise_lineitem,
     }
 
 
@@ -2468,4 +2542,6 @@ FROM ranked WHERE rank <= 5
         "topk_bigrams_documents": _TOPK_BIGRAMS_ORACLE,
         "percentiles_lineitem": _PERCENTILES_ORACLE,
         "source_profile_documents": _source_profile_oracle(),
+        "ks_events": _KS_EVENTS_ORACLE,
+        "groupwise_lineitem": _groupwise_oracle(),
     }

@@ -169,6 +169,54 @@ def strip_hidden(df: DataFrame) -> DataFrame:
     return df.drop(*[c for c in df.columns if c.startswith(_ORIG_PREFIX)])
 
 
+def groupwise_report(
+    schema: "DataFrameSchema", df: DataFrame, by: list[str]
+) -> DataFrame:
+    """Per-group violation counts for every row-resolvable check, in ONE
+    grouped aggregation — segment-level data quality ("which source /
+    partition / day is dirty?"), the grouped analogue of the engine's
+    single-pass report.
+
+    Reuses the exact compiled violation predicates the validator runs
+    (``_Ctx.failure_specs``: column checks, not-nullable, dataframe-level
+    checks, coerce cast errors), so a group's counts always reconcile
+    with the global report.  Long-format result:
+    ``(*by, col_name, check, violations, n_rows)`` — one row per
+    (group, check).  The wide grouped agg shuffles one row per (task,
+    group) thanks to map-side partial aggregation; the explode to long
+    format happens on the already-aggregated frame (O(groups) rows).
+
+    Aggregate-shaped checks (unique, hypotheses, monotonic) are
+    whole-dataset properties and are not part of the per-group report.
+    """
+    ctx = _Ctx(schema, df, lazy=True)
+    expansion = _expand_components(ctx, list(df.columns))
+    transformed, coerce_agg_cols = _apply_transforms(ctx, expansion)
+    _compile_column_checks(ctx, transformed, expansion)
+    _compile_dataframe_checks(ctx, transformed)
+    _compile_coerce_errors(ctx, coerce_agg_cols)
+    specs = ctx.failure_specs
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for i, (_c, _label, cond, _n) in enumerate(specs):
+        aggs.append(_violation_count_expr(cond, f"__v{i}"))
+    agg = transformed.groupBy(*by).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(colname if colname is not None else "<df>").alias(
+                    "col_name"
+                ),
+                F.lit(label).alias("check"),
+                F.col(f"__v{i}").alias("violations"),
+            )
+            for i, (colname, label, _cond, _n) in enumerate(specs)
+        ]
+    )
+    return agg.select(
+        *by, F.col("__n_rows").alias("n_rows"), F.explode(pairs).alias("s")
+    ).select(*by, "s.col_name", "s.check", "s.violations", "n_rows")
+
+
 def row_pass_condition(
     schema: "DataFrameSchema", df: DataFrame
 ) -> tuple[DataFrame, SparkCol]:

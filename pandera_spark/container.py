@@ -136,6 +136,15 @@ class DataFrameSchema:
             self, df, head=head, sample=sample, random_state=random_state
         )
 
+    def groupwise_report(self, df: DataFrame, by: list[str]) -> DataFrame:
+        """Per-group violation counts for every row-resolvable check in
+        one grouped aggregation — ``(*by, col_name, check, violations,
+        n_rows)``.  See :func:`pandera_spark.backend.runner.
+        groupwise_report`."""
+        from .backend.runner import groupwise_report
+
+        return groupwise_report(self, df, by)
+
     def __call__(self, df: DataFrame, **kwargs) -> DataFrame:
         return self.validate(df, **kwargs)
 

@@ -1053,3 +1053,25 @@ def test_percentile_matches_python_interpolation(spark, data, p):
     want = xs[lo] if frac == 0 else xs[lo] * (1 - frac) + xs[lo + 1] * frac
     got = row[1]
     assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+@SET
+@given(va=_vals, vb=_vals)
+def test_ks_drift_matches_python(spark, va, vb):
+    from pandera_spark.operators.drift import ks_drift
+
+    a = spark.createDataFrame([(v,) for v in va], "v int")
+    b = spark.createDataFrame([(v,) for v in vb], "v int")
+    row = ks_drift(a, b, "v").first()
+    xa = sorted(v for v in va if v is not None)
+    xb = sorted(v for v in vb if v is not None)
+    pts = sorted(set(xa) | set(xb))
+    want = max(
+        abs(
+            sum(1 for v in xa if v <= p) / len(xa)
+            - sum(1 for v in xb if v <= p) / len(xb)
+        )
+        for p in pts
+    )
+    assert row.n_a == len(xa) and row.n_b == len(xb)
+    assert row.ks_stat == pytest.approx(want, abs=1e-12)

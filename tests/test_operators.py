@@ -1726,3 +1726,117 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(r.k for r in got) == [1, 2, 3]
+
+
+def test_ks_drift_identical_zero_and_disjoint_one(spark):
+    from pandera_spark.operators.drift import ks_drift
+
+    a = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    b = spark.range(100, 200).select(F.col("id").cast("double").alias("v"))
+    same = ks_drift(a, a, "v").first()
+    assert same.ks_stat == pytest.approx(0.0, abs=1e-12)
+    disjoint = ks_drift(a, b, "v", pvalue=True).first()
+    assert disjoint.ks_stat == pytest.approx(1.0)
+    assert disjoint.ks_pvalue == pytest.approx(0.0, abs=1e-12)
+    assert disjoint.n_a == 100 and disjoint.n_b == 100
+
+
+def test_ks_drift_known_value_and_nulls(spark):
+    from pandera_spark.operators.drift import ks_drift
+
+    # a = {1,2,3,4}, b = {3,4,5,6}: max CDF gap is 0.5 (at v=2)
+    a = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (None,)], "v double"
+    )
+    b = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "v double")
+    row = ks_drift(a, b, "v").first()
+    assert row.n_a == 4  # null excluded
+    assert row.ks_stat == pytest.approx(0.5)
+
+
+def test_ks_pvalue_matches_asymptotic_series(spark):
+    import math
+
+    from pandera_spark.operators.drift import ks_drift
+
+    a = spark.range(500).select((F.col("id") % 50).cast("double").alias("v"))
+    b = spark.range(500).select(((F.col("id") % 50) + 5).cast("double").alias("v"))
+    row = ks_drift(a, b, "v", pvalue=True).first()
+    ne = row.n_a * row.n_b / (row.n_a + row.n_b)
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * row.ks_stat
+    want = 2 * sum(
+        (-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+        for k in range(1, 101)
+    )
+    assert row.ks_pvalue == pytest.approx(min(1.0, max(0.0, want)), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# group-wise validation report
+
+
+@pytest.fixture(scope="module")
+def seg_df(spark):
+    rows = [
+        # (grp, x, s): grp a has 2 x-violations + 1 null; grp b clean
+        ("a", 5, "ok"), ("a", -1, "ok"), ("a", -2, "bad_longer"),
+        ("a", None, "ok"), ("b", 1, "ok"), ("b", 2, "ok"),
+    ]
+    return spark.createDataFrame(rows, "grp string, x int, s string")
+
+
+def test_groupwise_report_counts(spark, seg_df):
+    schema = DataFrameSchema(
+        {
+            "x": Column(
+                checks=[Check.ge(0, error="x_ge_0")], nullable=False
+            ),
+            "s": Column(checks=[Check.str_length(1, 5, error="s_len")]),
+        },
+        name="seg",
+    )
+    rep = schema.groupwise_report(seg_df, ["grp"])
+    rows = {(r.grp, r.col_name, r.check): r for r in rep.collect()}
+    assert rows[("a", "x", "x_ge_0")].violations == 2
+    assert rows[("a", "x", "not_nullable")].violations == 1
+    assert rows[("a", "s", "s_len")].violations == 1
+    assert rows[("a", "s", "s_len")].n_rows == 4
+    assert rows[("b", "x", "x_ge_0")].violations == 0
+    assert rows[("b", "s", "s_len")].n_rows == 2
+    # one row per (group, spec): 2 groups x 3 specs
+    assert len(rows) == 6
+
+
+def test_groupwise_report_reconciles_with_global(spark, seg_df):
+    """Sum of per-group violations == the global report's counts."""
+    schema = DataFrameSchema(
+        {"x": Column(checks=[Check.ge(0, error="x_ge_0")], nullable=False)},
+        name="seg",
+    )
+    rep = schema.groupwise_report(seg_df, ["grp"]).collect()
+    total = {
+        (r.col_name, r.check): 0 for r in rep
+    }
+    for r in rep:
+        total[(r.col_name, r.check)] += r.violations
+    res = schema.validate_result(seg_df)
+    glob = {
+        (o.column, o.check): int(o.violations)
+        for o in res.outcomes
+        if o.check in ("x_ge_0", "not_nullable")
+    }
+    assert total == glob
+
+
+def test_groupwise_report_single_shuffle_plan(spark, seg_df):
+    """The grouped report is ONE hash aggregation: exactly one Exchange
+    below the explode projection."""
+    schema = DataFrameSchema(
+        {"x": Column(checks=[Check.ge(0, error="x_ge_0")], nullable=False)},
+        name="seg",
+    )
+    plan = (
+        schema.groupwise_report(seg_df, ["grp"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
