@@ -1586,13 +1586,20 @@ EMBEDDINGS_CHECKS: list[tuple[str, str, Check, str]] = [
     ("vec_id", "vec_id_ge_0", Check.ge(0, error="vec_id_ge_0"),
      "vec_id IS NOT NULL AND NOT (vec_id >= 0)"),
     ("embedding", "dim_eq_64",
-     Check(lambda c: F.size(c) == 64, error="dim_eq_64"),
+     Check.array_size(64, error="dim_eq_64"),
      "embedding IS NOT NULL AND NOT (len(embedding) = 64)"),
     ("embedding", "no_null_elems",
-     Check(lambda c: ~F.exists(c, lambda x: x.isNull()),
-           error="no_null_elems"),
+     Check.array_no_nulls(error="no_null_elems"),
      "embedding IS NOT NULL AND "
      "len(list_filter(embedding, x -> x IS NULL)) > 0"),
+    ("embedding", "elems_in_pm1",
+     Check.array_forall_in_range(-1.0, 1.0, error="elems_in_pm1"),
+     "embedding IS NOT NULL AND NOT list_bool_and("
+     "[x IS NOT NULL AND x >= -1.0 AND x <= 1.0 FOR x IN embedding])"),
+    ("embedding", "elems_finite",
+     Check.array_finite(error="elems_finite"),
+     "embedding IS NOT NULL AND NOT list_bool_and("
+     "[x IS NOT NULL AND NOT isnan(x) AND NOT isinf(x) FOR x IN embedding])"),
     ("embedding", "norm_positive",
      Check(lambda c: F.aggregate(
          c, F.lit(0.0),

@@ -399,6 +399,107 @@ class Check:
         )
         return chk
 
+    # -- array-column checks (beyond-reference; the reference has no
+    # nested-type value checks — SURVEY §1.2).  All compile to Catalyst
+    # higher-order functions (forall/exists) and fold into the shared
+    # single-pass aggregation like any scalar check. ----------------------
+
+    @classmethod
+    def array_size(
+        cls,
+        *args,
+        min_value: int | None = None,
+        max_value: int | None = None,
+        exact_value: int | None = None,
+        **kwargs,
+    ) -> "Check":
+        """Array length check: ``array_size(n)`` exact, or
+        ``array_size(min_value=, max_value=)`` bounds."""
+        if len(args) == 1:
+            exact_value = args[0]
+        elif len(args) == 2:
+            min_value, max_value = args
+        elif len(args) > 2:
+            raise ValueError("array_size accepts at most 2 positional args")
+        if exact_value is not None:
+            return cls._builtin(
+                "array_size", f"array_size({exact_value})",
+                lambda c: F.size(c) == exact_value,
+                {"exact_value": exact_value}, (T.ArrayType,), kwargs,
+            )
+        if min_value is None and max_value is None:
+            raise ValueError(
+                "At least a minimum or a maximum need to be specified."
+            )
+
+        def fn(c: SparkCol) -> SparkCol:
+            ln = F.size(c)
+            if min_value is None:
+                return ln <= max_value
+            if max_value is None:
+                return ln >= min_value
+            return (ln >= min_value) & (ln <= max_value)
+
+        return cls._builtin(
+            "array_size", f"array_size({min_value}, {max_value})", fn,
+            {"min_value": min_value, "max_value": max_value},
+            (T.ArrayType,), kwargs,
+        )
+
+    @classmethod
+    def array_no_nulls(cls, **kwargs) -> "Check":
+        """No null elements inside the array."""
+        return cls._builtin(
+            "array_no_nulls", "array_no_nulls",
+            lambda c: ~F.exists(c, lambda x: x.isNull()),
+            {}, (T.ArrayType,), kwargs,
+        )
+
+    @classmethod
+    def array_forall_in_range(
+        cls, min_value, max_value, **kwargs
+    ) -> "Check":
+        """Every element non-null and within ``[min_value, max_value]``."""
+        return cls._builtin(
+            "array_forall_in_range",
+            f"array_forall_in_range({min_value}, {max_value})",
+            lambda c: F.forall(
+                c,
+                lambda x: x.isNotNull()
+                & (x >= F.lit(min_value))
+                & (x <= F.lit(max_value)),
+            ),
+            {"min_value": min_value, "max_value": max_value},
+            (T.ArrayType,), kwargs,
+        )
+
+    @classmethod
+    def array_finite(cls, **kwargs) -> "Check":
+        """Every element non-null and finite (no NaN / ±Inf) — the
+        embedding-column sanity gate."""
+        return cls._builtin(
+            "array_finite", "array_finite",
+            lambda c: F.forall(
+                c,
+                lambda x: x.isNotNull()
+                & ~F.isnan(x.cast("double"))
+                & (F.abs(x.cast("double")) != float("inf")),
+            ),
+            {}, (T.ArrayType,), kwargs,
+        )
+
+    @classmethod
+    def array_forall(cls, element_fn, **kwargs) -> "Check":
+        """Generic element-wise array check: ``element_fn`` maps one
+        element Column to a boolean Column, evaluated with ``forall``
+        (JVM higher-order function — not a Python UDF).  Label it with
+        ``error=``."""
+        return cls._builtin(
+            "array_forall", "array_forall",
+            lambda c: F.forall(c, element_fn),
+            {}, (T.ArrayType,), kwargs,
+        )
+
     # -- aliases (reference api/checks.py:1004-1051) --------------------------
     eq = equal_to
     ne = not_equal_to
@@ -434,4 +535,8 @@ BUILTIN_CHECK_NAMES = {
     "str_endswith": Check.str_endswith,
     "str_length": Check.str_length,
     "unique_values_eq": Check.unique_values_eq,
+    "array_size": Check.array_size,
+    "array_no_nulls": Check.array_no_nulls,
+    "array_forall_in_range": Check.array_forall_in_range,
+    "array_finite": Check.array_finite,
 }

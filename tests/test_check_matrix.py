@@ -354,3 +354,82 @@ def test_ignore_na_matrix(spark, label, dtype, check_factory, ok):
     assert len(errs) == 1 and errs[0].failure_cases_count == 1, (
         label, res.report,
     )
+
+
+# ---------------------------------------------------------------------------
+# array-column checks (beyond-reference: Catalyst higher-order functions)
+
+
+def _arr_counts(spark, data, check, elem=T.DoubleType()):
+    st = T.StructType([T.StructField("v", T.ArrayType(elem), True)])
+    df = spark.createDataFrame([(x,) for x in data], st)
+    res = DataFrameSchema(
+        {"v": Column(checks=[check])}, name="arr"
+    ).validate_result(df)
+    return {o.check: int(o.violations) for o in res.outcomes}
+
+
+def test_array_size_exact_and_bounds(spark):
+    data = [[1.0, 2.0], [1.0], [], None]
+    c = _arr_counts(spark, data, Check.array_size(2, error="sz"))
+    assert c["sz"] == 2  # [1.0] and [] violate; null ignored
+    c = _arr_counts(
+        spark, data, Check.array_size(min_value=1, max_value=2, error="b")
+    )
+    assert c["b"] == 1  # only []
+
+
+def test_array_no_nulls_and_forall_range(spark):
+    data = [[1.0, None], [0.5, 0.6], None, [2.0]]
+    c = _arr_counts(spark, data, Check.array_no_nulls(error="nn"))
+    assert c["nn"] == 1
+    c = _arr_counts(
+        spark, data, Check.array_forall_in_range(0.0, 1.0, error="rng")
+    )
+    # [1.0, None] has a null elem; [2.0] out of range
+    assert c["rng"] == 2
+
+
+def test_array_finite(spark):
+    data = [
+        [1.0, 2.0], [float("nan")], [float("inf")], [-float("inf"), 0.0],
+        None,
+    ]
+    c = _arr_counts(spark, data, Check.array_finite(error="fin"))
+    assert c["fin"] == 3
+
+
+def test_array_forall_custom_and_dtype_gating(spark):
+    from pyspark.sql import functions as F
+
+    data = [[2.0, 4.0], [2.0, 3.0], None]
+    c = _arr_counts(
+        spark, data,
+        Check.array_forall(lambda x: x % 2 == 0, error="even"),
+    )
+    assert c["even"] == 1
+    # gating: array checks reject scalar dtypes
+    st = T.StructType([T.StructField("v", T.DoubleType(), True)])
+    df = spark.createDataFrame([(1.0,)], st)
+    res = DataFrameSchema(
+        {"v": Column(checks=[Check.array_size(2, error="sz")])}, name="g"
+    ).validate_result(df)
+    assert any(
+        o.check == "sz" and not o.passed and "does not accept" in o.message
+        for o in res.outcomes
+    )
+
+
+def test_array_checks_via_field_kwargs(spark):
+    from pandera_spark import DataFrameModel, Field
+
+    class Vec(DataFrameModel):
+        v: T.ArrayType(T.DoubleType()) = Field(array_size=2)
+
+    st = T.StructType(
+        [T.StructField("v", T.ArrayType(T.DoubleType()), True)]
+    )
+    df = spark.createDataFrame([([1.0, 2.0],), ([1.0],)], st)
+    res = Vec.to_schema().validate_result(df)
+    bad = [o for o in res.outcomes if not o.passed]
+    assert len(bad) == 1 and bad[0].violations == 1
