@@ -2190,6 +2190,52 @@ def _groupwise_oracle() -> str:
     return " UNION ALL ".join(selects)
 
 
+def q_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly screen: hourly event-type rollup,
+    per (type, hour-of-day) mean/std baseline, |z| > 2 buckets flagged
+    (operators/temporal.py:rollup_anomalies).  The fact table is scanned
+    once; the baseline is a broadcast of O(types x 24) rows."""
+    from pandera_spark.operators.temporal import (
+        rollup_anomalies, time_rollup,
+    )
+
+    hourly = time_rollup(
+        _load(spark, sf_dir, "events"), "ts",
+        resolution="1 hour", keys=["event_type"],
+    )
+    return rollup_anomalies(
+        hourly, "n_events", keys=["event_type"], z_threshold=2.0
+    )
+
+
+_ANOMALIES_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM bucket_start) AS INT) AS season,
+         AVG(n_events) AS baseline_mean,
+         stddev_pop(n_events) AS baseline_std,
+         COUNT(*) AS cnt
+  FROM hourly GROUP BY 1, 2
+), scored AS (
+  SELECT h.bucket_start, h.event_type, b.season, h.n_events,
+         b.baseline_mean, b.baseline_std, b.cnt,
+         CASE WHEN b.baseline_std > 0
+              THEN (h.n_events - b.baseline_mean) / b.baseline_std
+              WHEN h.n_events <> b.baseline_mean THEN 'infinity'::DOUBLE
+              ELSE 0.0 END AS z
+  FROM hourly h JOIN base b
+    ON h.event_type = b.event_type
+   AND CAST(EXTRACT(hour FROM h.bucket_start) AS INT) = b.season
+)
+SELECT bucket_start, event_type, season, n_events,
+       baseline_mean, baseline_std, z
+FROM scored WHERE cnt > 1 AND ABS(z) > 2.0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2268,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_profile_documents": q_source_profile_documents,
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
+        "anomalies_events": q_anomalies_events,
     }
 
 
@@ -2551,4 +2598,5 @@ FROM ranked WHERE rank <= 5
         "source_profile_documents": _source_profile_oracle(),
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),
+        "anomalies_events": _ANOMALIES_ORACLE,
     }

@@ -314,3 +314,54 @@ def rollup_reaggregate(
             *[F.col(c) for c in (*sum_cols, *min_cols, *max_cols)],
         )
     )
+
+
+def rollup_anomalies(
+    rollup: DataFrame,
+    metric_col: str,
+    *,
+    bucket_col: str = "bucket_start",
+    keys: Sequence[str] = (),
+    season: C | None = None,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly screen over a rollup: flag buckets whose
+    metric deviates from the (keys x season) baseline by more than
+    ``z_threshold`` population standard deviations.
+
+    ``season`` defaults to hour-of-day (``F.hour(bucket_col)``) — the
+    standard daily-seasonality model for event streams; pass e.g.
+    ``F.dayofweek(...)`` for weekly patterns.  Output:
+    ``(bucket_start, *keys, season, <metric>, baseline_mean,
+    baseline_std, z)`` for anomalous buckets only.
+
+    Plan: one hash aggregate over the rollup (already O(buckets) rows)
+    builds the baseline, broadcast-joined back — the fact table is never
+    rescanned, the baseline frame is |keys| x |season values| rows.
+    Buckets whose baseline group has zero variance are only flagged when
+    they differ from a constant baseline (z is +/-inf); groups with a
+    single bucket are never flagged (std undefined => excluded).
+    """
+    season = season if season is not None else F.hour(F.col(bucket_col))
+    base = rollup.select(
+        *keys, season.alias("season"), F.col(metric_col).alias("__m")
+    ).groupBy(*keys, "season").agg(
+        F.avg("__m").alias("baseline_mean"),
+        F.stddev_pop("__m").alias("baseline_std"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    fact = rollup.withColumn("season", season)
+    joined = fact.join(F.broadcast(base), [*keys, "season"], "inner")
+    m = F.col(metric_col).cast("double")
+    z = F.when(
+        F.col("baseline_std") > 0,
+        (m - F.col("baseline_mean")) / F.col("baseline_std"),
+    ).otherwise(
+        F.when(m != F.col("baseline_mean"), F.lit(float("inf")))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        joined.withColumn("z", z)
+        .filter((F.col("__cnt") > 1) & (F.abs(F.col("z")) > z_threshold))
+        .drop("__cnt")
+    )

@@ -1840,3 +1840,59 @@ def test_groupwise_report_single_shuffle_plan(spark, seg_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_rollup_anomalies_flags_planted_spike(spark):
+    import datetime as dt
+
+    from pandera_spark.operators.temporal import (
+        rollup_anomalies, time_rollup,
+    )
+
+    # 10 days x hours {1, 2}: hour 1 always 5 events, hour 2 always 5
+    # events except day 9 where it spikes to 50
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        for hour in (1, 2):
+            n = 50 if (day == 9 and hour == 2) else 5
+            for _ in range(n):
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, hour, 30), "click")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string"
+    )
+    hourly = time_rollup(df, "ts", resolution="1 hour", keys=["event_type"])
+    out = rollup_anomalies(
+        hourly, "n_events", keys=["event_type"], z_threshold=2.0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.bucket_start == dt.datetime(2024, 1, 9, 2)
+    assert r.n_events == 50 and r.season == 2
+    assert r.z > 2.0
+
+
+def test_rollup_anomalies_constant_and_singleton_groups(spark):
+    import datetime as dt
+
+    from pandera_spark.operators.temporal import rollup_anomalies
+
+    rows = [
+        # constant baseline at hour 1 (std 0, every point on it): clean
+        (dt.datetime(2024, 1, 1, 1), "a", 7),
+        (dt.datetime(2024, 1, 2, 1), "a", 7),
+        (dt.datetime(2024, 1, 3, 1), "a", 7),
+        # singleton group (one bucket at hour 5): never flagged — a
+        # single observation has no baseline to deviate from
+        (dt.datetime(2024, 1, 1, 5), "a", 1000),
+    ]
+    hourly = spark.createDataFrame(
+        rows, "bucket_start timestamp, event_type string, n_events bigint"
+    )
+    out = rollup_anomalies(
+        hourly, "n_events", keys=["event_type"], z_threshold=2.0
+    ).collect()
+    assert out == []
