@@ -2236,6 +2236,53 @@ FROM scored WHERE cnt > 1 AND ABS(z) > 2.0
 """
 
 
+_PACK_BUDGET = 128
+
+
+def q_packed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of documents into 128-token context
+    windows (operators/packing.py): Arrow-batched per-bucket state
+    machine over (id, tokens) pairs only — text never reaches the
+    packer.  Oracle replays the identical greedy walk with a DuckDB
+    recursive CTE, so every pack assignment is value-checked."""
+    from pandera_spark.operators.packing import greedy_pack
+    from pandera_spark.operators.text import token_count
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "toks", token_count(F.col("text"))
+    )
+    return greedy_pack(
+        docs, "doc_id", "toks", _PACK_BUDGET, bucket=F.col("doc_id") % 8
+    )
+
+
+_PACKED_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id, doc_id % 8 AS bucket,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\\s+')) END
+              AS BIGINT) AS tokens
+  FROM documents
+), ordered AS (
+  SELECT id, bucket, tokens,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY id) AS rn
+  FROM toks
+), walk AS (
+  SELECT id, bucket, tokens, rn, CAST(0 AS BIGINT) AS pack,
+         tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.id, o.bucket, o.tokens, o.rn,
+         CASE WHEN w.fill + o.tokens <= {_PACK_BUDGET}
+              THEN w.pack ELSE w.pack + 1 END,
+         CASE WHEN w.fill + o.tokens <= {_PACK_BUDGET}
+              THEN w.fill + o.tokens ELSE o.tokens END
+  FROM walk w JOIN ordered o ON o.bucket = w.bucket AND o.rn = w.rn + 1
+)
+SELECT id, bucket, tokens, pack FROM walk
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2315,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
         "anomalies_events": q_anomalies_events,
+        "packed_documents": q_packed_documents,
     }
 
 
@@ -2599,4 +2647,5 @@ FROM ranked WHERE rank <= 5
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),
         "anomalies_events": _ANOMALIES_ORACLE,
+        "packed_documents": _PACKED_ORACLE,
     }

@@ -1896,3 +1896,79 @@ def test_rollup_anomalies_constant_and_singleton_groups(spark):
         hourly, "n_events", keys=["event_type"], z_threshold=2.0
     ).collect()
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def test_greedy_pack_known_sequence(spark):
+    from pandera_spark.operators.packing import greedy_pack
+
+    # one bucket, budget 10: [4,4,4] -> packs 0,0,1; then 12 (oversized)
+    # -> own pack 2; then 3,7 -> pack 3
+    rows = [(1, 4), (2, 4), (3, 4), (4, 12), (5, 3), (6, 7)]
+    df = spark.createDataFrame(rows, "id bigint, toks bigint")
+    out = {
+        r.id: r.pack
+        for r in greedy_pack(
+            df, "id", "toks", 10, bucket=F.lit(0)
+        ).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3, 6: 3}
+
+
+def test_greedy_pack_never_exceeds_budget_except_oversized(spark):
+    from pandera_spark.operators.packing import greedy_pack, pack_stats
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 37 + 1).alias("toks")
+    )
+    packed = greedy_pack(df, "id", "toks", 50, bucket=F.col("id") % 4)
+    st = pack_stats(packed, 50).collect()
+    assert all(r.pack_tokens <= 50 for r in st)  # no toks > budget here
+    # packing preserves every row exactly once
+    assert packed.count() == 200
+    assert packed.select("id").distinct().count() == 200
+
+
+def test_greedy_pack_matches_python_reference(spark):
+    import random
+
+    from pandera_spark.operators.packing import greedy_pack
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 80)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, toks bigint")
+    got = {
+        (r.bucket, r.id): r.pack
+        for r in greedy_pack(
+            df, "id", "toks", 64, bucket=F.col("id") % 5
+        ).collect()
+    }
+    want = {}
+    for b in range(5):
+        cur, fill = 0, 0
+        for i, t in [r for r in rows if r[0] % 5 == b]:
+            if fill > 0 and fill + t > 64:
+                cur, fill = cur + 1, 0
+            fill += t
+            want[(b, i)] = cur
+    assert got == want
+
+
+def test_chunk_pack_no_udf_and_straddle_semantics(spark):
+    from pandera_spark.operators.packing import chunk_pack
+
+    rows = [(1, 6), (2, 6), (3, 6)]
+    df = spark.createDataFrame(rows, "id bigint, toks bigint")
+    out = {
+        r.id: r.pack
+        for r in chunk_pack(df, "id", "toks", 10, bucket=F.lit(0)).collect()
+    }
+    # cum_before: 0, 6, 12 -> packs 0, 0, 1 (doc 2 straddles into pack 0)
+    assert out == {1: 0, 2: 0, 3: 1}
+    plan = chunk_pack(
+        df, "id", "toks", 10, bucket=F.lit(0)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
