@@ -2283,6 +2283,40 @@ SELECT id, bucket, tokens, pack FROM walk
 """
 
 
+def q_temperature_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) language rebalancing of the corpus
+    (operators/curation.py:temperature_sample): per-stratum rate
+    ``sqrt(c_min/c_s)``, membership by portable hash threshold — the
+    smallest language is kept whole, the largest downsampled toward
+    ``c^alpha`` proportions.  Returns per-language kept counts."""
+    from pandera_spark.operators.curation import temperature_sample
+
+    kept = temperature_sample(
+        _load(spark, sf_dir, "documents"), "lang", "doc_id", alpha=0.5
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
+def _temperature_oracle() -> str:
+    bucket = _HEXFOLD.format(e="CAST(doc_id AS VARCHAR)") + " % 10000"
+    return f"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), m AS (SELECT MIN(n) AS cmin FROM c),
+t AS (
+  SELECT lang, CAST(FLOOR(SQRT(CAST(cmin AS DOUBLE) / n) * 10000)
+               AS BIGINT) AS thresh
+  FROM c, m
+)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM documents d JOIN t ON d.lang = t.lang
+WHERE ({bucket}) < t.thresh
+GROUP BY d.lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2363,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupwise_lineitem": q_groupwise_lineitem,
         "anomalies_events": q_anomalies_events,
         "packed_documents": q_packed_documents,
+        "temperature_documents": q_temperature_documents,
     }
 
 
@@ -2648,4 +2683,5 @@ FROM ranked WHERE rank <= 5
         "groupwise_lineitem": _groupwise_oracle(),
         "anomalies_events": _ANOMALIES_ORACLE,
         "packed_documents": _PACKED_ORACLE,
+        "temperature_documents": _temperature_oracle(),
     }

@@ -42,6 +42,7 @@ __all__ = [
     "ntile_bins",
     "cdf_bins",
     "curate_corpus",
+    "temperature_sample",
 ]
 
 _SPLIT_BUCKETS = 10_000
@@ -284,3 +285,58 @@ def curate_corpus(
             portable=portable,
         )
     return kept
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    *,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source rebalancing: sample stratum ``s`` at rate
+    ``(c_min / c_s) ** (1 - alpha)`` so post-sampling sizes are
+    proportional to ``c_s ** alpha`` (the multinomial temperature
+    mixing used for multilingual / multi-source pre-training corpora;
+    ``alpha=1`` keeps everything, ``alpha=0`` equalizes strata).  The
+    smallest stratum is never downsampled.
+
+    Membership is a pure function of the key (portable md5-prefix hash
+    vs a per-stratum threshold), so the sample is rerun-stable,
+    engine-replayable, and leakage-free like :func:`hash_split`.  Plan:
+    one groupBy for stratum counts (O(strata) rows), broadcast of the
+    rate table, then a narrow filter at the scan — no row shuffle.
+
+    ``alpha=0.5`` computes the rate with ``sqrt`` (IEEE
+    correctly-rounded, so external SQL engines reproduce thresholds
+    bit-identically); other alphas use ``pow`` (engines may differ in
+    the last ulp — only relevant when a threshold lands exactly on a
+    bucket boundary).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__c"))
+    cmin = counts.agg(F.min("__c").alias("__cmin"))
+    ratio = F.col("__cmin") / F.col("__c")
+    rate = (
+        F.sqrt(ratio) if alpha == 0.5
+        else F.lit(1.0) if alpha == 1.0
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    thresholds = counts.crossJoin(F.broadcast(cmin)).select(
+        F.col(strata_col).alias("__strat"),
+        F.floor(rate * _SPLIT_BUCKETS).cast("long").alias("__thresh"),
+    )
+    bucket = portable_hash28(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    ) % F.lit(_SPLIT_BUCKETS)
+    return (
+        df.join(
+            F.broadcast(thresholds),
+            df[strata_col] == thresholds["__strat"],
+            "inner",
+        )
+        .filter(bucket < F.col("__thresh"))
+        .drop("__strat", "__thresh")
+    )

@@ -1972,3 +1972,39 @@ def test_chunk_pack_no_udf_and_straddle_semantics(spark):
         df, "id", "toks", 10, bucket=F.lit(0)
     )._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_temperature_sample_proportions_and_determinism(spark):
+    from pandera_spark.operators.curation import temperature_sample
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(900)]
+    df = spark.createDataFrame(rows, "id bigint, src string")
+    kept = temperature_sample(df, "src", "id", alpha=0.5)
+    counts = {r.src: r.c for r in kept.groupBy("src").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    # smallest stratum kept whole
+    assert counts["small"] == 100
+    # big stratum sampled at ~sqrt(100/800) = 0.354: hash-uniform so
+    # within a loose band
+    assert 220 <= counts["big"] <= 340
+    # deterministic: identical rerun, different with a different salt
+    again = {r.src: r.c for r in temperature_sample(
+        df, "src", "id", alpha=0.5).groupBy("src").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert again == counts
+    salted = temperature_sample(df, "src", "id", alpha=0.5, salt="x")
+    assert sorted(r.id for r in salted.collect()) != sorted(
+        r.id for r in kept.collect()
+    )
+
+
+def test_temperature_sample_alpha_bounds(spark):
+    from pandera_spark.operators.curation import temperature_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id bigint, src string"
+    )
+    # alpha=1: keep everything
+    assert temperature_sample(df, "src", "id", alpha=1.0).count() == 3
+    with pytest.raises(ValueError):
+        temperature_sample(df, "src", "id", alpha=1.5)
