@@ -2317,6 +2317,40 @@ GROUP BY d.lang
 """
 
 
+def q_hybrid_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid near-dup: text MinHash-LSH proposes candidate pairs,
+    embedding cosine confirms (operators/similarity.py:
+    verify_pairs_cosine).  Multi-modal duplicate detection in one plan —
+    the pair frame (tiny) probes the embedding table via two hash joins;
+    no broadcast of embeddings, no all-pairs anywhere."""
+    from pandera_spark.operators.dedup import minhash_lsh_candidates
+    from pandera_spark.operators.similarity import verify_pairs_cosine
+
+    docs = _load(spark, sf_dir, "documents")
+    embs = _load(spark, sf_dir, "embeddings")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3,
+        portable=True,
+    )
+    verified = verify_pairs_cosine(pairs, embs, threshold=0.05)
+    return verified.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+def _hybrid_neardup_oracle() -> str:
+    return f"""
+WITH cand AS ({_minhash_oracle()}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine_sim
+FROM cand c
+JOIN e ea ON ea.vec_id = c.id_a
+JOIN e eb ON eb.vec_id = c.id_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= 0.05
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2398,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomalies_events": q_anomalies_events,
         "packed_documents": q_packed_documents,
         "temperature_documents": q_temperature_documents,
+        "hybrid_neardup_documents": q_hybrid_neardup_documents,
     }
 
 
@@ -2684,4 +2719,5 @@ FROM ranked WHERE rank <= 5
         "anomalies_events": _ANOMALIES_ORACLE,
         "packed_documents": _PACKED_ORACLE,
         "temperature_documents": _temperature_oracle(),
+        "hybrid_neardup_documents": _hybrid_neardup_oracle(),
     }

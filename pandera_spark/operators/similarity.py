@@ -373,3 +373,45 @@ def embedding_outliers(
         F.col(id_col),
         cosine(F.col(vec_col), c_lit).alias("centroid_sim"),
     )
+
+
+def verify_pairs_cosine(
+    pairs: DataFrame,
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Attach embedding cosine similarity to candidate pairs and keep
+    those at or above ``threshold`` — the verification half of a hybrid
+    near-dup pipeline (text LSH proposes, embeddings confirm; each
+    modality catches duplicates the other misses).
+
+    Returns ``(id_a, id_b, cosine_sim)``.  Two hash joins keyed on the
+    id: the pair frame (candidates, tiny relative to the corpus) is the
+    probe side, the embedding table is joined by key — never broadcast,
+    never all-pairs.  The cosine is the same zip_with/aggregate
+    built-in expression as the rest of the family (no UDF).
+    """
+    ea = embeddings.select(
+        F.col(id_col).alias(id_a), F.col(vec_col).alias("__va")
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias(id_b), F.col(vec_col).alias("__vb")
+    )
+    sim = cosine(
+        F.col("__va").cast("array<double>"),
+        F.col("__vb").cast("array<double>"),
+    )
+    return (
+        pairs.select(id_a, id_b)
+        .join(ea, id_a)
+        .join(eb, id_b)
+        .select(
+            id_a, id_b, sim.alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= F.lit(float(threshold)))
+    )

@@ -2008,3 +2008,31 @@ def test_temperature_sample_alpha_bounds(spark):
     assert temperature_sample(df, "src", "id", alpha=1.0).count() == 3
     with pytest.raises(ValueError):
         temperature_sample(df, "src", "id", alpha=1.5)
+
+
+def test_verify_pairs_cosine_known_vectors(spark):
+    from pandera_spark.operators.similarity import verify_pairs_cosine
+
+    embs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),   # identical to 1
+            (3, [0.0, 1.0]),   # orthogonal to 1
+            (4, [-1.0, 0.0]),  # opposite of 1
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in verify_pairs_cosine(pairs, embs, threshold=-2.0).collect()
+    }
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert out[(1, 3)] == pytest.approx(0.0)
+    assert out[(1, 4)] == pytest.approx(-1.0)
+    # threshold filters
+    from pyspark.sql import functions as F  # noqa: F401
+    kept = verify_pairs_cosine(pairs, embs, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b) for r in kept] == [(1, 2)]
