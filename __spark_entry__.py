@@ -2351,6 +2351,59 @@ WHERE list_cosine_similarity(ea.v, eb.v) >= 0.05
 """
 
 
+def q_containment_pairs_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact word-set containment (|A∩B|/|A|, both directions) for query
+    docs vs the corpus — the doc-in-doc duplication signal symmetric
+    Jaccard under-scores (operators/dedup.py:ngram_containment_pairs is
+    the candidates-only hashed-shingle production form; this row checks
+    the same math on exact word sets, like the jaccard row)."""
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).alias("__w"),
+    )
+    a = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("id_a"), F.col("__w").alias("wa")
+    )
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("__w").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    cab = inter / F.size("wa")
+    cba = inter / F.size("wb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cab, 6).alias("containment_ab"),
+            F.round(cba, 6).alias("containment_ba"),
+        )
+        .filter(
+            (F.col("containment_ab") >= 0.3)
+            | (F.col("containment_ba") >= 0.3)
+        )
+    )
+
+
+_CONTAINMENT_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(text), '\\s+')) AS words
+  FROM documents
+), s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(len(list_intersect(a.words, b.words))::DOUBLE
+               / len(a.words), 6) AS containment_ab,
+         ROUND(len(list_intersect(a.words, b.words))::DOUBLE
+               / len(b.words), 6) AS containment_ba
+  FROM w a JOIN w b ON a.doc_id < 50 AND a.doc_id < b.doc_id
+)
+SELECT * FROM s
+WHERE containment_ab >= 0.3 OR containment_ba >= 0.3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2433,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_documents": q_packed_documents,
         "temperature_documents": q_temperature_documents,
         "hybrid_neardup_documents": q_hybrid_neardup_documents,
+        "containment_pairs_documents": q_containment_pairs_documents,
     }
 
 
@@ -2720,4 +2774,5 @@ FROM ranked WHERE rank <= 5
         "packed_documents": _PACKED_ORACLE,
         "temperature_documents": _temperature_oracle(),
         "hybrid_neardup_documents": _hybrid_neardup_oracle(),
+        "containment_pairs_documents": _CONTAINMENT_ORACLE,
     }

@@ -413,6 +413,53 @@ def ngram_jaccard_pairs(
     return joined.filter(F.col("jaccard") >= threshold)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    candidates: DataFrame | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric n-gram containment for candidate pairs:
+    ``containment(A in B) = |A ∩ B| / |A|`` — catches doc-in-doc
+    duplication (quotes, boilerplate wrappers, prepended headers) that
+    symmetric Jaccard under-scores when the containing document is much
+    longer.  Returns ``(id_a, id_b, containment_ab, containment_ba)``
+    with pairs kept when EITHER direction reaches ``threshold``.
+
+    Same shape as :func:`ngram_jaccard_pairs`: candidates-only (never
+    all-pairs), hashed-shingle arrays in the join, JVM built-ins.
+    """
+    if candidates is None:
+        candidates = minhash_lsh_candidates(df, id_col, text_col,
+                                            shingle_n=shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(
+            shingle_hashes(F.col(text_col), shingle_n)
+        ).alias("__sh"),
+    )
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = F.size(F.array_intersect("sa.__sh", "sb.__sh")).cast("double")
+    joined = (
+        candidates.join(a, F.col("id_a") == F.col("sa.__id"))
+        .join(b, F.col("id_b") == F.col("sb.__id"))
+        .select(
+            "id_a",
+            "id_b",
+            (inter / F.size("sa.__sh")).alias("containment_ab"),
+            (inter / F.size("sb.__sh")).alias("containment_ba"),
+        )
+    )
+    return joined.filter(
+        (F.col("containment_ab") >= threshold)
+        | (F.col("containment_ba") >= threshold)
+    )
+
+
 def _mask_lit(bit: int) -> C:
     """Signed-long literal with only ``bit`` set (bit 63 wraps negative)."""
     m = 1 << bit

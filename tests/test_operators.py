@@ -2036,3 +2036,30 @@ def test_verify_pairs_cosine_known_vectors(spark):
     from pyspark.sql import functions as F  # noqa: F401
     kept = verify_pairs_cosine(pairs, embs, threshold=0.5).collect()
     assert [(r.id_a, r.id_b) for r in kept] == [(1, 2)]
+
+
+def test_ngram_containment_doc_in_doc(spark):
+    from pandera_spark.operators.dedup import ngram_containment_pairs
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated words here now")],
+        "doc_id bigint, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", candidates=cands, shingle_n=3,
+            threshold=0.9,
+        ).collect()
+    }
+    # doc 1 fully contained in doc 2: containment_ab = 1.0, but the
+    # symmetric direction is small (2 is much longer)
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r.containment_ab == pytest.approx(1.0)
+    assert r.containment_ba < 0.2
