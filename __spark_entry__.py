@@ -2404,6 +2404,77 @@ WHERE containment_ab >= 0.3 OR containment_ba >= 0.3
 """
 
 
+_DRIFT_REPORT_EDGES = [50.0, 100.0, 200.0, 300.0]
+
+
+def q_drift_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table drift dashboard in ONE shuffle
+    (operators/drift.py:drift_report): event_type (categorical) and
+    value (binned) compared between the two event halves
+    simultaneously — per-column chi-square, JS divergence, and PSI from
+    a single melt -> union -> groupBy(col, key) aggregation."""
+    from pandera_spark.operators.drift import drift_report
+
+    ev = _load(spark, sf_dir, "events")
+    return drift_report(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        cat_cols=["event_type"],
+        binned_cols={"value": _DRIFT_REPORT_EDGES},
+    )
+
+
+def _drift_report_oracle() -> str:
+    bin_case = (
+        "CASE WHEN value IS NULL THEN -1 "
+        + " ".join(
+            f"WHEN value < {e} THEN {i}"
+            for i, e in enumerate(_DRIFT_REPORT_EDGES)
+        )
+        + f" ELSE {len(_DRIFT_REPORT_EDGES)} END"
+    )
+    return f"""
+WITH melted AS (
+  SELECT 'event_type' AS col_name,
+         COALESCE(event_type, chr(0) || 'null') AS key,
+         event_id % 2 AS side
+  FROM events
+  UNION ALL
+  SELECT 'value', CAST(({bin_case}) AS VARCHAR), event_id % 2 FROM events
+), counts AS (
+  SELECT col_name, key,
+         COUNT(CASE WHEN side = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN side = 1 THEN 1 END) AS n_b
+  FROM melted GROUP BY col_name, key
+), tot AS (
+  SELECT col_name, CAST(SUM(n_a) AS DOUBLE) AS ta,
+         CAST(SUM(n_b) AS DOUBLE) AS tb
+  FROM counts GROUP BY col_name
+), terms AS (
+  SELECT c.col_name, n_a, n_b,
+         (n_a - ta*(n_a+n_b)/(ta+tb))^2 / (ta*(n_a+n_b)/(ta+tb))
+       + (n_b - tb*(n_a+n_b)/(ta+tb))^2 / (tb*(n_a+n_b)/(ta+tb))
+         AS chi2_term,
+         (CASE WHEN n_a > 0 THEN (n_a/ta)
+               * ln((n_a/ta) / ((n_a/ta + n_b/tb)/2)) / 2 ELSE 0 END)
+       + (CASE WHEN n_b > 0 THEN (n_b/tb)
+               * ln((n_b/tb) / ((n_a/ta + n_b/tb)/2)) / 2 ELSE 0 END)
+         AS js_term,
+         (GREATEST(n_a/ta, 1e-6) - GREATEST(n_b/tb, 1e-6))
+           * ln(GREATEST(n_a/ta, 1e-6) / GREATEST(n_b/tb, 1e-6)) AS psi_term
+  FROM counts c JOIN tot ON c.col_name = tot.col_name
+)
+SELECT col_name, CAST(SUM(n_a) AS BIGINT) AS n_a,
+       CAST(SUM(n_b) AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       SUM(chi2_term) AS chi2_stat,
+       CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+       SUM(js_term) AS js_divergence,
+       SUM(psi_term) AS psi
+FROM terms GROUP BY col_name
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2487,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_documents": q_temperature_documents,
         "hybrid_neardup_documents": q_hybrid_neardup_documents,
         "containment_pairs_documents": q_containment_pairs_documents,
+        "drift_report_events": q_drift_report_events,
     }
 
 
@@ -2775,4 +2847,5 @@ FROM ranked WHERE rank <= 5
         "temperature_documents": _temperature_oracle(),
         "hybrid_neardup_documents": _hybrid_neardup_oracle(),
         "containment_pairs_documents": _CONTAINMENT_ORACLE,
+        "drift_report_events": _drift_report_oracle(),
     }

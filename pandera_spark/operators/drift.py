@@ -40,6 +40,7 @@ __all__ = [
     "psi",
     "bin_column",
     "ks_drift",
+    "drift_report",
 ]
 
 # Fraction floor used by PSI so empty bins contribute a finite term
@@ -289,3 +290,95 @@ def ks_drift(
             "ks_pvalue", F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2 * series))
         )
     return out
+
+
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    cat_cols: Sequence[str] = (),
+    binned_cols: "dict[str, Sequence[float]] | None" = None,
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """Whole-table drift dashboard with ONE row-grain shuffle: every
+    categorical column and every binned numeric column compared between
+    the two frames simultaneously.
+
+    Returns one row per column: ``(col_name, n_a, n_b, n_keys,
+    chi2_stat, dof, js_divergence, psi)``.
+
+    Each input row is melted to (col_name, key) entries — categorical
+    keys are the string value, numeric keys the bin id over the given
+    edges — then both sides union and aggregate by (col_name, key).
+    Partial aggregation keeps the row-grain shuffle at O(sum of distinct
+    keys per column) rows however many columns are monitored; every
+    later exchange (per-column totals, final statistics) moves only the
+    O(keys) aggregated frame.  The counts exchange is consumed twice
+    (per-key stats + totals) — Spark's exchange reuse collapses it to
+    one physical shuffle (asserted by the plan test).  Statistics match
+    :func:`category_drift` / :func:`psi` exactly.
+    """
+    binned = dict(binned_cols or {})
+    if not cat_cols and not binned:
+        raise ValueError("monitor at least one column")
+    for c, edges in binned.items():
+        if not edges or list(edges) != sorted(edges):
+            raise ValueError(f"edges for {c!r} must be ascending, non-empty")
+
+    def melt(df: DataFrame, side: int) -> DataFrame:
+        entries = [
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                .alias("key"),
+            )
+            for c in cat_cols
+        ] + [
+            F.struct(
+                F.lit(c).alias("col_name"),
+                bin_column(F.col(c), edges).cast("string").alias("key"),
+            )
+            for c, edges in binned.items()
+        ]
+        return df.select(
+            F.explode(F.array(*entries)).alias("e")
+        ).select("e.col_name", "e.key", F.lit(side).alias("__side"))
+
+    counts = (
+        melt(df_a, 0)
+        .unionByName(melt(df_b, 1))
+        .groupBy("col_name", "key")
+        .agg(
+            F.count(F.when(F.col("__side") == 0, 1)).alias("n_a"),
+            F.count(F.when(F.col("__side") == 1, 1)).alias("n_b"),
+        )
+    )
+    totals = counts.groupBy("col_name").agg(
+        F.sum("n_a").cast("double").alias("__tot_a"),
+        F.sum("n_b").cast("double").alias("__tot_b"),
+    )
+    cnt = counts.join(F.broadcast(totals), "col_name")
+    ca, cb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ta, tb = F.col("__tot_a"), F.col("__tot_b")
+    row_tot, grand = ca + cb, ta + tb
+    ea = ta * row_tot / grand
+    eb = tb * row_tot / grand
+    chi2_term = (ca - ea) ** 2 / ea + (cb - eb) ** 2 / eb
+    pa, pb = ca / ta, cb / tb
+    m = (pa + pb) / F.lit(2.0)
+    js_term = (
+        F.when(pa > 0, pa * F.log(pa / m) / F.lit(2.0)).otherwise(0.0)
+        + F.when(pb > 0, pb * F.log(pb / m) / F.lit(2.0)).otherwise(0.0)
+    )
+    fa = F.greatest(pa, F.lit(float(eps)))
+    fb = F.greatest(pb, F.lit(float(eps)))
+    psi_term = (fa - fb) * F.log(fa / fb)
+    return cnt.groupBy("col_name").agg(
+        F.sum("n_a").alias("n_a"),
+        F.sum("n_b").alias("n_b"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(chi2_term).alias("chi2_stat"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.sum(js_term).alias("js_divergence"),
+        F.sum(psi_term).alias("psi"),
+    )

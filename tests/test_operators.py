@@ -2063,3 +2063,54 @@ def test_ngram_containment_doc_in_doc(spark):
     r = out[(1, 2)]
     assert r.containment_ab == pytest.approx(1.0)
     assert r.containment_ba < 0.2
+
+
+def test_drift_report_matches_single_column_ops(spark):
+    """The one-shuffle multi-column report must agree with the
+    single-column operators on every statistic."""
+    from pandera_spark.operators.drift import (
+        category_drift, drift_report, psi,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "xyz"[i % 3], float(i % 10)) for i in range(120)],
+        "id bigint, cat string, v double",
+    )
+    a = df.filter(F.col("id") % 2 == 0)
+    b = df.filter(F.col("id") % 3 == 0)
+    edges = [3.0, 6.0]
+    rep = {
+        r.col_name: r
+        for r in drift_report(
+            a, b, cat_cols=["cat"], binned_cols={"v": edges}
+        ).collect()
+    }
+    cd = category_drift(a, b, "cat").first()
+    assert rep["cat"].chi2_stat == pytest.approx(cd.chi2_stat)
+    assert rep["cat"].js_divergence == pytest.approx(cd.js_divergence)
+    assert rep["cat"].n_keys == cd.n_categories
+    ps = psi(a, b, "v", edges).first()
+    assert rep["v"].psi == pytest.approx(ps.psi)
+    assert rep["v"].n_a == ps.n_a
+
+
+def test_drift_report_single_shuffle_and_null_keys(spark):
+    from pandera_spark.operators.drift import drift_report
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y"), (4, None)], "id bigint, cat string"
+    )
+    a = df.filter(F.col("id") <= 2)
+    b = df.filter(F.col("id") > 2)
+    rep = drift_report(a, b, cat_cols=["cat"]).collect()
+    # null is a first-class key: 3 keys total (x, y, null sentinel)
+    assert rep[0].n_keys == 3
+    # the counts exchange is consumed twice (per-key stats + totals);
+    # at runtime AQE reuses it, so the melted row-grain data is
+    # shuffled ONCE — assert the reuse actually happened
+    q = drift_report(a, b, cat_cols=["cat"])
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    with pytest.raises(ValueError):
+        drift_report(a, b)
