@@ -1075,3 +1075,35 @@ def test_ks_drift_matches_python(spark, va, vb):
     )
     assert row.n_a == len(xa) and row.n_b == len(xb)
     assert row.ks_stat == pytest.approx(want, abs=1e-12)
+
+
+@SET
+@given(
+    toks=st.lists(st.integers(1, 30), min_size=1, max_size=40),
+    budget=st.integers(5, 40),
+    nb=st.integers(1, 3),
+)
+def test_greedy_pack_fuzz_matches_python(spark, toks, budget, nb):
+    from pyspark.sql import functions as F
+
+    from pandera_spark.operators.packing import greedy_pack
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "id bigint, toks bigint")
+    got = {
+        (r.bucket, r.id): r.pack
+        for r in greedy_pack(
+            df, "id", "toks", budget, bucket=F.col("id") % nb
+        ).collect()
+    }
+    want = {}
+    for b in range(nb):
+        cur, fill = 0, 0
+        for i, t in rows:
+            if i % nb != b:
+                continue
+            if fill > 0 and fill + t > budget:
+                cur, fill = cur + 1, 0
+            fill += t
+            want[(b, i)] = cur
+    assert got == want

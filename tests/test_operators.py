@@ -2114,3 +2114,30 @@ def test_drift_report_single_shuffle_and_null_keys(spark):
     assert "ReusedExchange" in plan
     with pytest.raises(ValueError):
         drift_report(a, b)
+
+
+def test_partitioned_corpus_scan_prunes(spark, tmp_path):
+    """Validation/curation over a hive-partitioned corpus must reach the
+    scan with BOTH partition pruning (lang=) and a pushed data filter
+    (n_chars) — the layout a 100 TB corpus actually uses."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 else "de", 10 + i) for i in range(40)],
+        "doc_id bigint, text string, lang string, n_chars bigint",
+    )
+    path = str(tmp_path / "corpus")
+    docs.write.partitionBy("lang").parquet(path)
+    q = (
+        spark.read.parquet(path)
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 30))
+        .select("doc_id", "n_chars")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "n_chars" in pushed
+    # column pruning: text never read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema
+    assert q.count() == 10
