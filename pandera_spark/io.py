@@ -57,8 +57,13 @@ def _check_options(check: Check) -> dict:
 
 
 def _serialize_check(check: Check) -> tuple[str, Any] | None:
-    if check.name not in BUILTIN_CHECK_NAMES or not check.statistics:
+    if check.name not in BUILTIN_CHECK_NAMES:
         return None  # custom lambdas are not serializable (same as reference)
+    if not check.statistics:
+        # statistic-less builtins (array_no_nulls, array_finite):
+        # serialize as a bare `true` marker, or options-only dict
+        options = _check_options(check)
+        return check.name, ({"options": options} if options else True)
     stats = {k: _serialize_stat(v) for k, v in check.statistics.items()}
     options = _check_options(check)
     if len(stats) == 1:
@@ -131,7 +136,9 @@ def _deserialize_checks(checks: dict | None) -> list[Check]:
             options.pop("check_name", None)  # reference lookup key, not ours
             if set(stats) == {"value"}:
                 stats = stats["value"]  # single-stat-with-options shape
-        if isinstance(stats, dict):
+        if stats is True:  # statistic-less builtin marker
+            out.append(factory(**options))
+        elif isinstance(stats, dict):
             out.append(factory(**stats, **options))
         elif name in ("in_range", "between") and isinstance(stats, list):
             out.append(factory(*stats, **options))

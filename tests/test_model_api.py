@@ -492,3 +492,40 @@ def test_schema_transform_helpers(spark):
 
     with pytest.raises(pa.SchemaInitError):
         s.rename_columns({"zz": "y"})
+
+
+def test_yaml_roundtrip_array_checks(spark):
+    """Array-column builtins — including the statistic-less ones
+    (array_no_nulls / array_finite, serialized as a bare marker) —
+    must survive the yaml round-trip with identical semantics."""
+    from pyspark.sql import types as T
+
+    import pandera_spark as ps
+    from pandera_spark import Check, Column, DataFrameSchema
+
+    schema = DataFrameSchema(
+        {
+            "v": Column(
+                T.ArrayType(T.DoubleType()),
+                checks=[
+                    Check.array_size(3),
+                    Check.array_no_nulls(),
+                    Check.array_forall_in_range(-1.0, 1.0),
+                    Check.array_finite(),
+                ],
+            )
+        },
+        name="arr",
+    )
+    back = ps.schema_from_yaml(ps.schema_to_yaml(schema))
+    assert [c.name for c in back.columns["v"].checks] == [
+        "array_size", "array_no_nulls", "array_forall_in_range",
+        "array_finite",
+    ]
+    good = spark.createDataFrame([([0.1, 0.2, 0.3],)], "v array<double>")
+    assert not back.validate_result(good).errors
+    bad = spark.createDataFrame(
+        [([2.0, None, float("nan"), 0.0],)], "v array<double>"
+    )
+    errs = {e.check for e in back.validate_result(bad).errors}
+    assert len(errs) == 4  # every check fires
