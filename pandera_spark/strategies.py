@@ -54,10 +54,27 @@ class FieldConstraints:
     str_contains: Optional[str] = None
     str_len_min: Optional[int] = None
     str_len_max: Optional[int] = None
+    arr_size_min: Optional[int] = None
+    arr_size_max: Optional[int] = None
+    arr_elem_min: Any = None
+    arr_elem_max: Any = None
 
     def add_check(self, check: Check) -> None:
         s = check.statistics
         name = check.name
+        if name == "array_size":
+            if s.get("exact_value") is not None:
+                self.arr_size_min = self.arr_size_max = s["exact_value"]
+            else:
+                if s.get("min_value") is not None:
+                    self.arr_size_min = s["min_value"]
+                if s.get("max_value") is not None:
+                    self.arr_size_max = s["max_value"]
+            return
+        if name == "array_forall_in_range":
+            self.arr_elem_min = s["min_value"]
+            self.arr_elem_max = s["max_value"]
+            return
         if name in ("greater_than",):
             self._merge_min(s["min_value"], exclusive=True)
         elif name == "greater_than_or_equal_to":
@@ -250,9 +267,16 @@ def _gen_value(dtype: T.DataType, fc: FieldConstraints, rng: random.Random,
     if isinstance(dtype, T.BinaryType):
         return bytes(rng.getrandbits(8) for _ in range(8))
     if isinstance(dtype, T.ArrayType):
+        size = fc.arr_size_min if fc.arr_size_min is not None else 3
+        if fc.arr_size_max is not None:
+            size = min(size, fc.arr_size_max) if fc.arr_size_min is None \
+                else fc.arr_size_min
+        elem_fc = FieldConstraints(
+            min_value=fc.arr_elem_min, max_value=fc.arr_elem_max
+        )
         return [
-            _gen_value(dtype.elementType, FieldConstraints(), rng, row_idx, False)
-            for _ in range(3)
+            _gen_value(dtype.elementType, elem_fc, rng, row_idx, False)
+            for _ in range(size)
         ]
     return None
 
@@ -368,6 +392,38 @@ def synthesize(
             ).cast(dtype)
         elif isinstance(dtype, T.BooleanType):
             e = r > 0.5
+        elif isinstance(dtype, T.ArrayType) and isinstance(
+            dtype.elementType,
+            tuple(_INT_BOUNDS) + (T.DoubleType, T.FloatType),
+        ):
+            # arrays honoring array_size / array_forall_in_range: element
+            # (row, j) derives from pmod(xxhash64(id, j, seed)) — pure
+            # expression, deterministic, executor-side
+            size = fc.arr_size_min if fc.arr_size_min is not None else 3
+            lo = float(fc.arr_elem_min) if fc.arr_elem_min is not None else 0.0
+            hi = float(fc.arr_elem_max) if fc.arr_elem_max is not None else 1.0
+            span = hi - lo
+
+            def make_elem(_dt, _lo, _span, _i):
+                def elem(j):
+                    u = (
+                        F.pmod(
+                            F.xxhash64(F.col("id"), j, F.lit(seed + _i)),
+                            F.lit(1_000_000),
+                        ).cast("double")
+                        / 1_000_000.0
+                    )
+                    v = F.lit(_lo) + u * F.lit(_span)
+                    if isinstance(_dt, tuple(_INT_BOUNDS)):
+                        v = F.floor(v)
+                    return v.cast(_dt)
+
+                return elem
+
+            e = F.transform(
+                F.sequence(F.lit(1), F.lit(int(size))),
+                make_elem(dtype.elementType, lo, span, i),
+            ).cast(dtype)
         else:
             e = F.lit(None).cast(dtype)
         exprs.append(e.alias(col.name))

@@ -184,3 +184,36 @@ def test_property_roundtrip_random_bounds(spark):
         assert not res.errors, res.report
 
     run()
+
+
+def test_example_and_synthesize_array_columns(spark):
+    from pyspark.sql import types as T
+
+    from pandera_spark import Check, Column, DataFrameSchema
+    from pandera_spark.strategies import example, synthesize
+
+    schema = DataFrameSchema(
+        {
+            "vec": Column(
+                T.ArrayType(T.DoubleType()),
+                checks=[
+                    Check.array_size(5),
+                    Check.array_forall_in_range(-1.0, 1.0),
+                    Check.array_no_nulls(),
+                    Check.array_finite(),
+                ],
+                nullable=False,
+            ),
+            "tag": Column(T.StringType()),
+        },
+        name="vecs",
+    )
+    ex = example(schema, spark, size=4)
+    assert not schema.validate_result(ex).errors
+    syn = synthesize(schema, spark, rows=50)
+    assert syn.count() == 50
+    assert not schema.validate_result(syn).errors
+    # deterministic: same seed -> same data
+    a = synthesize(schema, spark, rows=5).collect()
+    b = synthesize(schema, spark, rows=5).collect()
+    assert a == b
