@@ -2475,6 +2475,39 @@ FROM terms GROUP BY col_name
 """
 
 
+def q_linededup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level segment dedup at word granularity
+    (operators/text.py:corpus_line_dedup with delimiter=' '): drop
+    tokens appearing in more than 390 distinct documents (corpus
+    boilerplate), reassemble docs in original token order."""
+    from pandera_spark.operators.text import corpus_line_dedup
+
+    return corpus_line_dedup(
+        _load(spark, sf_dir, "documents"),
+        "doc_id", "text", delimiter=" ", max_doc_frequency=390,
+        out_col="cleaned",
+    )
+
+
+_LINEDEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), lines AS (
+  SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l
+  FROM toks
+), flat AS (
+  SELECT doc_id, pos, l[pos] AS line FROM lines
+), freq AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS df FROM flat GROUP BY line
+), kept AS (
+  SELECT f.doc_id, f.pos, f.line FROM flat f JOIN freq USING (line)
+  WHERE freq.df <= 390
+)
+SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS cleaned
+FROM kept GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2559,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_neardup_documents": q_hybrid_neardup_documents,
         "containment_pairs_documents": q_containment_pairs_documents,
         "drift_report_events": q_drift_report_events,
+        "linededup_documents": q_linededup_documents,
     }
 
 
@@ -2848,4 +2882,5 @@ FROM ranked WHERE rank <= 5
         "hybrid_neardup_documents": _hybrid_neardup_oracle(),
         "containment_pairs_documents": _CONTAINMENT_ORACLE,
         "drift_report_events": _drift_report_oracle(),
+        "linededup_documents": _LINEDEDUP_ORACLE,
     }

@@ -312,3 +312,57 @@ def corpus_profile(
         F.round(F.avg(quality_score(col)), 6).alias("avg_quality"),
         F.countDistinct(detect_language(col)).alias("n_langs"),
     )
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    delimiter: str = "\n",
+    max_doc_frequency: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """C4-style corpus-level line deduplication: drop every line (text
+    segment between ``delimiter`` occurrences) that appears in more than
+    ``max_doc_frequency`` distinct documents, then reassemble each
+    document with its surviving lines in original order.
+
+    The classic boilerplate remover (nav bars, cookie banners, license
+    headers recur verbatim across a crawl).  With ``delimiter=' '`` it
+    degrades to corpus-frequency token filtering.
+
+    Returns ``(id_col, out_col)`` — documents whose every line was
+    removed disappear from the result (their cleaned text would be
+    empty).
+
+    Plan: posexplode lines -> groupBy(line) distinct-doc counts (the
+    line-frequency shuffle) -> join survivors back -> groupBy(id)
+    ordered reassembly (``array_sort`` over (pos, line) structs, JVM
+    built-ins).  Two shuffles over line-grain data — the inherent cost
+    of corpus-wide line frequency; both aggregate map-side first.
+    """
+    out_col = out_col or text_col
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias(
+            "__pos", "__line"
+        ),
+    )
+    freq = lines.groupBy("__line").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    kept = lines.join(freq, "__line").filter(
+        F.col("__df") <= F.lit(int(max_doc_frequency))
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+            delimiter,
+        ).alias(out_col)
+    )

@@ -2141,3 +2141,41 @@ def test_partitioned_corpus_scan_prunes(spark, tmp_path):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" not in read_schema
     assert q.count() == 10
+
+
+def test_corpus_line_dedup_removes_boilerplate(spark):
+    from pandera_spark.operators.text import corpus_line_dedup
+
+    banner = "accept our cookies"
+    rows = [
+        (1, f"{banner}\nunique content one\nmore text one"),
+        (2, f"{banner}\nunique content two"),
+        (3, f"{banner}\nunique content three"),
+        (4, banner),  # only the boilerplate line
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r.text
+        for r in corpus_line_dedup(df, max_doc_frequency=2).collect()
+    }
+    # the banner appears in 4 docs > 2 -> removed everywhere; order kept
+    assert out[1] == "unique content one\nmore text one"
+    assert out[2] == "unique content two"
+    assert out[3] == "unique content three"
+    # doc 4 lost every line -> absent
+    assert 4 not in out
+
+
+def test_corpus_line_dedup_keeps_rare_duplicates(spark):
+    from pandera_spark.operators.text import corpus_line_dedup
+
+    rows = [(1, "shared\nalpha"), (2, "shared\nbeta"), (3, "gamma")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r.text
+        for r in corpus_line_dedup(df, max_doc_frequency=2).collect()
+    }
+    # "shared" appears in exactly 2 docs == threshold -> kept
+    assert out[1] == "shared\nalpha"
+    assert out[2] == "shared\nbeta"
+    assert out[3] == "gamma"
