@@ -2508,6 +2508,113 @@ FROM kept GROUP BY doc_id
 """
 
 
+def q_markup_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-stripping round-trip proof (same inject -> scrub -> zero
+    residual pattern as the PII row): every 5th document is wrapped in
+    HTML tags + a trailing entity, strip_markup must restore the
+    original text byte-for-byte.  One row: doc counts + residuals."""
+    from pandera_spark.operators.text import strip_markup
+
+    docs = _load(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "dirty",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<p class="c1"><b>'), F.col("text"),
+                F.lit("</b>&nbsp;</p>"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    cleaned = injected.withColumn("clean", strip_markup(F.col("dirty")))
+    return cleaned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("doc_id") % 5 == 0, 1)).alias("n_injected"),
+        F.count(
+            F.when(F.col("dirty").rlike("<[^>]*>"), 1)
+        ).alias("n_dirty_with_tags"),
+        F.count(
+            F.when(F.col("clean") != F.col("text"), 1)
+        ).alias("n_not_restored"),
+    )
+
+
+_MARKUP_ORACLE = """
+WITH injected AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 5 = 0
+              THEN '<p class="c1"><b>' || text || '</b>&nbsp;</p>'
+              ELSE text END AS dirty
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, text, dirty,
+         TRIM(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(dirty, '<[^>]*>', ' ', 'g'),
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+           '\\s+', ' ', 'g')) AS clean
+  FROM injected
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN doc_id % 5 = 0 THEN 1 END) AS BIGINT)
+         AS n_injected,
+       CAST(COUNT(CASE WHEN regexp_matches(dirty, '<[^>]*>') THEN 1 END)
+         AS BIGINT) AS n_dirty_with_tags,
+       CAST(COUNT(CASE WHEN clean <> text THEN 1 END) AS BIGINT)
+         AS n_not_restored
+FROM cleaned
+"""
+
+
+def q_topquality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source curation cut: the 3 highest-quality
+    documents per source (quality desc, doc_id asc tie-break) via
+    operators/text.py:top_k_per_group — one shuffle on the group key."""
+    from pandera_spark.operators.text import quality_score, top_k_per_group
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "q", quality_score(F.col("text"))
+    )
+    return top_k_per_group(
+        docs, "source",
+        [F.col("q").desc(), F.col("doc_id").asc()], 3,
+    ).select("source", "doc_id", F.round("q", 6).alias("quality"))
+
+
+def _topquality_oracle() -> str:
+    stop_pat = r"(?i)\b(the|and|of|to|in|is|that|for|a|with)\b"
+    return f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(LENGTH(text) AS DOUBLE) AS nc,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\\s+')) END
+              AS DOUBLE) AS nt,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS np,
+         CAST(len(regexp_extract_all(text, '{stop_pat}')) AS DOUBLE) AS ns
+  FROM documents
+), q AS (
+  SELECT source, doc_id,
+         (CASE WHEN nc >= 20 AND nc <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+       + (CASE WHEN nt > 0 AND nc/nt >= 2.0 AND nc/nt <= 12.0
+               THEN 1.0 ELSE 0.0 END) * 0.3
+       + (CASE WHEN (CASE WHEN nc > 0 THEN np/nc ELSE 1.0 END) <= 0.2
+               THEN 1.0 ELSE 0.0 END) * 0.2
+       + LEAST((CASE WHEN nt > 0 THEN ns/nt ELSE 0.0 END) * 4.0, 1.0) * 0.2
+         AS quality
+  FROM base
+), ranked AS (
+  SELECT source, doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM q
+)
+SELECT source, doc_id, ROUND(quality, 6) AS quality
+FROM ranked WHERE rk <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2593,6 +2700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_documents": q_containment_pairs_documents,
         "drift_report_events": q_drift_report_events,
         "linededup_documents": q_linededup_documents,
+        "markup_scrub_documents": q_markup_scrub_documents,
+        "topquality_documents": q_topquality_documents,
     }
 
 
@@ -2883,4 +2992,6 @@ FROM ranked WHERE rank <= 5
         "containment_pairs_documents": _CONTAINMENT_ORACLE,
         "drift_report_events": _drift_report_oracle(),
         "linededup_documents": _LINEDEDUP_ORACLE,
+        "markup_scrub_documents": _MARKUP_ORACLE,
+        "topquality_documents": _topquality_oracle(),
     }

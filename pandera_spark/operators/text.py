@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column as C
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 # tiny per-language stopword marker lists for the n-gram heuristic language
 # identifier — public common words, 8 per language.
@@ -365,4 +366,42 @@ def corpus_line_dedup(
             ),
             delimiter,
         ).alias(out_col)
+    )
+
+
+_MARKUP_ENTITIES = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'",
+    "&nbsp;": " ",
+}
+
+
+def strip_markup(col: C) -> C:
+    """Remove HTML/XML markup from crawled text: drop tags, decode the
+    common entities, collapse whitespace.  Pure chained
+    ``regexp_replace`` — JVM, codegen, SQL-replayable."""
+    c = F.regexp_replace(col, r"<[^>]*>", " ")
+    for ent, rep in _MARKUP_ENTITIES.items():
+        c = F.regexp_replace(c, ent, rep)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    by: str,
+    order_exprs,
+    k: int,
+) -> DataFrame:
+    """Deterministic top-``k`` rows per group (e.g. the k
+    highest-quality documents per source) via a ranked window.
+
+    ``order_exprs`` must define a total order (add an id tie-break).
+    One shuffle on the group key; each group sorts in its partition —
+    for pathologically hot groups pre-filter with an approximate
+    per-group threshold first."""
+    w = Window.partitionBy(by).orderBy(*order_exprs)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )

@@ -2179,3 +2179,36 @@ def test_corpus_line_dedup_keeps_rare_duplicates(spark):
     assert out[1] == "shared\nalpha"
     assert out[2] == "shared\nbeta"
     assert out[3] == "gamma"
+
+
+def test_strip_markup_restores_clean_text(spark):
+    from pandera_spark.operators.text import strip_markup
+
+    df = spark.createDataFrame(
+        [
+            ("<html><body>hello <b>world</b></body></html>",),
+            ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y",),
+            ("already clean",),
+        ],
+        "t string",
+    )
+    out = [r.c for r in df.select(strip_markup(F.col("t")).alias("c")).collect()]
+    assert out[0] == "hello world"
+    assert out[1] == 'a & b <tag> "q" \'s\' x y'
+    assert out[2] == "already clean"
+
+
+def test_top_k_per_group_deterministic(spark):
+    from pandera_spark.operators.text import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.9), ("a", 2, 0.9), ("a", 3, 0.1),
+         ("b", 4, 0.5), ("b", 5, 0.7)],
+        "g string, id bigint, score double",
+    )
+    out = top_k_per_group(
+        df, "g", [F.col("score").desc(), F.col("id").asc()], 2
+    ).collect()
+    got = {(r.g, r.id) for r in out}
+    # tie at 0.9 broken by id asc: both kept (k=2); b keeps 5 then 4
+    assert got == {("a", 1), ("a", 2), ("b", 5), ("b", 4)}
