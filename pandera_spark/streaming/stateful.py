@@ -166,3 +166,78 @@ def stateful_violation_counts(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def streaming_category_drift(
+    stream_df: DataFrame,
+    baseline_counts: DataFrame,
+    cat_col: str,
+    *,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-window categorical drift of a stream against a static
+    baseline: chi-square homogeneity + Jensen-Shannon divergence,
+    emitted once per (window) as late data settles.
+
+    ``baseline_counts`` is a batch frame ``(cat_col, n_base)`` — the
+    reference mix (e.g. last week's distribution).  The stream is
+    windowed-aggregated per (window, category) — incremental state is
+    one count per live (window, category), bounded by the watermark —
+    then joined to the broadcast baseline and reduced to one row per
+    window.  All Column arithmetic; usable with append mode since the
+    window aggregate closes on watermark passage.
+    """
+    win = F.window(F.col(ts_col), window)
+    counts = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("__w"), F.col(cat_col))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    base = baseline_counts.select(
+        F.col(cat_col), F.col("n_base").cast("double").alias("n_base")
+    )
+    joined = counts.join(F.broadcast(base), cat_col, "inner")
+    ca = F.col("n_obs").cast("double")
+    cb = F.col("n_base")
+    ta = F.sum("n_obs").cast("double")
+    tb = F.sum("n_base")
+    # aggregate per window: totals via sums, chi2/js terms recomposed
+    # from sum-decomposable pieces (each term needs its window totals,
+    # so fold the per-category values into structs and finish with
+    # higher-order functions over the collected array)
+    per_win = joined.groupBy("__w").agg(
+        F.collect_list(F.struct(ca.alias("o"), cb.alias("b"))).alias("cells"),
+        ta.alias("tot_obs"),
+        tb.alias("tot_base"),
+    )
+    cells, to, tb2 = F.col("cells"), F.col("tot_obs"), F.col("tot_base")
+
+    def chi2_term(s):
+        row = s["o"] + s["b"]
+        eo = to * row / (to + tb2)
+        eb = tb2 * row / (to + tb2)
+        return (s["o"] - eo) ** 2 / eo + (s["b"] - eb) ** 2 / eb
+
+    def js_term(s):
+        pa = s["o"] / to
+        pb = s["b"] / tb2
+        m = (pa + pb) / 2
+        return (
+            F.when(pa > 0, pa * F.log(pa / m) / F.lit(2.0)).otherwise(0.0)
+            + F.when(pb > 0, pb * F.log(pb / m) / F.lit(2.0)).otherwise(0.0)
+        )
+
+    return per_win.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        to.cast("long").alias("n_obs"),
+        F.size(cells).alias("n_categories"),
+        F.aggregate(
+            F.transform(cells, chi2_term), F.lit(0.0), lambda a, v: a + v
+        ).alias("chi2_stat"),
+        F.aggregate(
+            F.transform(cells, js_term), F.lit(0.0), lambda a, v: a + v
+        ).alias("js_divergence"),
+    )

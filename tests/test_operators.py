@@ -2212,3 +2212,55 @@ def test_top_k_per_group_deterministic(spark):
     got = {(r.g, r.id) for r in out}
     # tie at 0.9 broken by id asc: both kept (k=2); b keeps 5 then 4
     assert got == {("a", 1), ("a", 2), ("b", 5), ("b", 4)}
+
+
+def test_streaming_category_drift_against_baseline(spark, tmp_path):
+    """Per-window drift of a stream vs a static baseline mix: balanced
+    window -> chi2 0; skewed window -> chi2 > 0.  Uses chained
+    windowed aggregations (Spark 3.4+ multiple stateful operators) in
+    append mode, availableNow for determinism."""
+    import json
+
+    from pandera_spark.streaming.stateful import streaming_category_drift
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = []
+    # minute 0: 30/30 split (matches baseline); minute 1: 50/10 skew
+    for i in range(60):
+        rows.append(
+            {"ts": f"2024-01-01 00:00:{i % 50 + 1:02d}", "cat": "xy"[i % 2]}
+        )
+    for i in range(60):
+        rows.append(
+            {"ts": f"2024-01-01 00:01:{i % 50 + 1:02d}",
+             "cat": "x" if i < 50 else "y"}
+        )
+    rows.append({"ts": "2024-01-01 00:10:00", "cat": "x"})  # advance wm
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts string, cat string").json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    base = spark.createDataFrame(
+        [("x", 30), ("y", 30)], "cat string, n_base long"
+    )
+    drift = streaming_category_drift(
+        stream, base, "cat", ts_col="ts",
+        window="1 minute", watermark="1 second",
+    )
+    got = []
+    q = (
+        drift.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by_start = {r.window_start.minute: r for r in got}
+    assert set(by_start) == {0, 1}
+    assert by_start[0].chi2_stat == pytest.approx(0.0, abs=1e-12)
+    assert by_start[1].chi2_stat > 5.0
+    assert by_start[1].js_divergence > 0.01
+    assert by_start[0].n_obs == 60 and by_start[1].n_obs == 60
