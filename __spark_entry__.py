@@ -2615,6 +2615,36 @@ FROM ranked WHERE rk <= 3
 """
 
 
+def q_incremental_dedup_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental-ingest dedup: docs with id >= 400 arrive as a new
+    batch and are checked against the banded signature index of the
+    first 400 (operators/dedup.py:incremental_minhash_candidates) —
+    new-vs-index plus new-vs-new bucket joins, the indexed corpus text
+    never rescanned.  Oracle: the full-corpus minhash replay restricted
+    to pairs touching a new doc (id_b >= 400 under id_a < id_b)."""
+    from pandera_spark.operators.dedup import (
+        banded_minhash_frame, incremental_minhash_candidates,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    kw = dict(num_hashes=32, bands=8, shingle_n=3, portable=True)
+    idx = banded_minhash_frame(
+        docs.filter(F.col("doc_id") < 400), "doc_id", "text", **kw
+    )
+    return incremental_minhash_candidates(
+        docs.filter(F.col("doc_id") >= 400), idx, "doc_id", "text", **kw
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    return (
+        "SELECT id_a, id_b FROM (" + _minhash_oracle() + ") "
+        "WHERE id_b >= 400"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2702,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linededup_documents": q_linededup_documents,
         "markup_scrub_documents": q_markup_scrub_documents,
         "topquality_documents": q_topquality_documents,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
     }
 
 
@@ -2994,4 +3025,5 @@ FROM ranked WHERE rank <= 5
         "linededup_documents": _LINEDEDUP_ORACLE,
         "markup_scrub_documents": _MARKUP_ORACLE,
         "topquality_documents": _topquality_oracle(),
+        "incremental_dedup_documents": _incremental_dedup_oracle(),
     }

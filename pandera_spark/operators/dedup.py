@@ -312,6 +312,33 @@ def minhash_lsh_candidates(
     executor storage at 100 TB (see ``similarity._materialize``).
     """
     from pandera_spark.operators.similarity import _materialize
+
+    banded = banded_minhash_frame(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, portable=portable,
+    )
+    # the self-join reads `banded` twice and Spark does not reuse the
+    # exchange across the two sides — optionally persist the (id, band
+    # keys) frame (tiny: ids + band keys, never text) so signatures are
+    # computed once
+    banded = _materialize(banded, storage_level)
+    return _first_match_pairs(banded, banded, bands)
+
+
+def banded_minhash_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """The LSH-ready banded signature frame: one row per (doc, band) —
+    ``(__id, __bkeys: array<long>, band, bhash)``.  This is the unit a
+    persistent dedup index stores (:func:`write_minhash_index`): ids +
+    band keys only, never text."""
     rows = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n,
@@ -332,7 +359,7 @@ def minhash_lsh_candidates(
     # first-matching-band filter instead of a distinct() — the candidate
     # pair set never takes a second shuffle (on dup-heavy corpora pairs
     # >> rows, so a pair-level shuffle is the expensive one)
-    banded = sigs.select(
+    return sigs.select(
         "__id",
         F.array(*[band_key(b) for b in range(bands)]).alias("__bkeys"),
     ).select(
@@ -341,33 +368,106 @@ def minhash_lsh_candidates(
         F.posexplode("__bkeys").alias("band", "bhash"),
     )
 
-    # the self-join reads `banded` twice and Spark does not reuse the
-    # exchange across the two sides — optionally persist the (id, band
-    # keys) frame (tiny: ids + band keys, never text) so signatures are
-    # computed once
-    banded = _materialize(banded, storage_level)
 
+def _first_match_pairs(
+    left: DataFrame, right: DataFrame, bands: int, *, ordered: bool = True
+) -> DataFrame:
+    """Join two banded frames on (band, bhash) and keep each colliding
+    pair exactly once via the first-matching-band filter.  ``ordered``
+    joins on ``a.__id < b.__id`` (self-join); False joins on ``!=`` and
+    orients output by least/greatest (cross-frame joins where id ranges
+    interleave)."""
     fm = F.lit(-1)
     for b in range(bands - 1, -1, -1):
         fm = F.when(
             F.col("a.__bkeys")[b] == F.col("b.__bkeys")[b], F.lit(b)
         ).otherwise(fm)
-
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .filter(F.col("a.band") == fm)
-        .select(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bhash") == F.col("b.bhash"))
+        & (
+            (F.col("a.__id") < F.col("b.__id"))
+            if ordered
+            else (F.col("a.__id") != F.col("b.__id"))
         )
     )
-    return pairs
+    out = (
+        left.alias("a")
+        .join(right.alias("b"), cond)
+        .filter(F.col("a.band") == fm)
+    )
+    if ordered:
+        return out.select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+    return out.select(
+        F.least("a.__id", "b.__id").alias("id_a"),
+        F.greatest("a.__id", "b.__id").alias("id_b"),
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    portable: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the banded signature index for incremental dedup: a
+    parquet of (id, band keys) rows, ~``bands`` rows × a few longs per
+    document — text never touches the index.  Append each ingested
+    batch (``mode="append"``) so tomorrow's crawl only ever joins
+    against signatures, never re-reads yesterday's corpus."""
+    banded_minhash_frame(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, portable=portable,
+    ).write.mode(mode).parquet(path)
+
+
+def incremental_minhash_candidates(
+    new_df: DataFrame,
+    index: "DataFrame | str",
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    portable: bool = False,
+    storage_level: str | None = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """Near-dup candidates for an INCREMENTAL batch: new-vs-index plus
+    new-vs-new, without touching the already-indexed corpus text.
+
+    ``index`` is a banded frame (:func:`banded_minhash_frame`) or a path
+    written by :func:`write_minhash_index` (same LSH parameters!).
+    Returns ``(id_a, id_b)``, each colliding pair once — exactly the
+    pairs the full-corpus run would emit that involve at least one new
+    document.  The daily-ingest shape at 100 TB: signature the new
+    batch (one scan of new text), two bucket joins against id+key
+    frames; yesterday's corpus is never rescanned.
+    """
+    from pandera_spark.operators.similarity import _materialize
+
+    if isinstance(index, str):
+        index = new_df.sparkSession.read.parquet(index)
+    new_banded = _materialize(
+        banded_minhash_frame(
+            new_df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, portable=portable,
+        ),
+        storage_level,
+    )
+    new_new = _first_match_pairs(new_banded, new_banded, bands)
+    new_old = _first_match_pairs(
+        new_banded, index, bands, ordered=False
+    )
+    return new_new.unionByName(new_old)
 
 
 def ngram_jaccard_pairs(

@@ -1107,3 +1107,34 @@ def test_greedy_pack_fuzz_matches_python(spark, toks, budget, nb):
             fill += t
             want[(b, i)] = cur
     assert got == want
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=6),
+        min_size=1, max_size=10,
+    ),
+    maxdf=st.integers(1, 4),
+)
+def test_corpus_line_dedup_fuzz_matches_python(spark, docs, maxdf):
+    from pandera_spark.operators.text import corpus_line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.text
+        for r in corpus_line_dedup(df, max_doc_frequency=maxdf).collect()
+    }
+    from collections import defaultdict
+
+    freq = defaultdict(set)
+    for i, lines in enumerate(docs):
+        for ln in lines:
+            freq[ln].add(i)
+    want = {}
+    for i, lines in enumerate(docs):
+        kept = [ln for ln in lines if len(freq[ln]) <= maxdf]
+        if kept:
+            want[i] = "\n".join(kept)
+    assert got == want

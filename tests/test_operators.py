@@ -2264,3 +2264,54 @@ def test_streaming_category_drift_against_baseline(spark, tmp_path):
     assert by_start[1].chi2_stat > 5.0
     assert by_start[1].js_divergence > 0.01
     assert by_start[0].n_obs == 60 and by_start[1].n_obs == 60
+
+
+def test_incremental_minhash_matches_full_run(spark, tmp_path):
+    """Index old docs once; candidates for a new batch must equal the
+    full-corpus LSH pairs restricted to pairs touching a new doc —
+    via both the DataFrame index and the parquet round-trip."""
+    from pandera_spark.operators.dedup import (
+        banded_minhash_frame,
+        incremental_minhash_candidates,
+        minhash_lsh_candidates,
+        write_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog wow"
+    rows = [
+        (1, base), (2, base),                       # old dup pair
+        (3, "completely different old content here friend"),
+        (10, base + " extra"),                      # new, near-dups 1/2
+        (11, base + " extra"),                      # new, dups 10
+        (12, "fresh unrelated new words entirely again today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kw = dict(num_hashes=32, bands=8, shingle_n=2, portable=True)
+    old = df.filter(F.col("doc_id") < 10)
+    new = df.filter(F.col("doc_id") >= 10)
+
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, "doc_id", "text", **kw).collect()
+    }
+    want = {(a, b) for a, b in full if a >= 10 or b >= 10}
+    assert (10, 11) in want  # sanity: new-vs-new dup present
+
+    idx = banded_minhash_frame(old, "doc_id", "text", **kw)
+    got = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_candidates(
+            new, idx, "doc_id", "text", **kw
+        ).collect()
+    }
+    assert got == want
+
+    path = str(tmp_path / "sigidx")
+    write_minhash_index(old, "doc_id", "text", path, **kw)
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_candidates(
+            new, path, "doc_id", "text", **kw
+        ).collect()
+    }
+    assert got2 == want
