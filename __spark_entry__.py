@@ -2645,6 +2645,119 @@ def _incremental_dedup_oracle() -> str:
     )
 
 
+def q_salted_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-dim equi-join (operators/skew.py:
+    salt_join_key): lineitem salted randomly, orders exploded across the
+    salt domain, joined on (orderkey, salt) — a hot orderkey spreads
+    over n_salt tasks.  Result must equal the plain join: per-orderstatus
+    revenue sums prove it against the unsalted oracle."""
+    from pandera_spark.operators.skew import salt_join_key
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    f, d, keys = salt_join_key(li, orders, "l_orderkey", n_salt=8)
+    return (
+        f.join(d, keys)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def q_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card (operators/text.py:corpus_card): corpus-level
+    health metrics in long format — counts, mean quality/tokens,
+    exact-duplicate rate, half-vs-half length PSI.  Two scans total."""
+    from pandera_spark.operators.text import corpus_card
+
+    return corpus_card(_load(spark, sf_dir, "documents"))
+
+
+def _card_oracle() -> str:
+    from pandera_spark.operators.text import _LANG_MARKERS
+
+    stop_pat = r"(?i)\b(the|and|of|to|in|is|that|for|a|with)\b"
+    structs = []
+    for lang, words in _LANG_MARKERS.items():
+        if lang == "zh":
+            pat = "(" + "|".join(words) + ")"
+        else:
+            pat = r"(?i)\b(" + "|".join(words) + r")\b"
+        structs.append(
+            "{'score': len(regexp_extract_all(text, '" + pat + "')), "
+            "'lang': '" + lang + "'}"
+        )
+    best = "list_max([" + ", ".join(structs) + "])"
+    psi_edges = [100.0, 150.0, 200.0, 250.0, 300.0, 400.0]
+    case = "CASE WHEN n_chars IS NULL THEN -1 " + " ".join(
+        f"WHEN n_chars < {e} THEN {i}" for i, e in enumerate(psi_edges)
+    ) + f" ELSE {len(psi_edges)} END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text, n_chars,
+         CAST(LENGTH(text) AS DOUBLE) AS nc,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\\s+')) END
+              AS DOUBLE) AS nt,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS np,
+         CAST(len(regexp_extract_all(text, '{stop_pat}')) AS DOUBLE) AS ns,
+         CASE WHEN struct_extract({best}, 'score') > 0
+              THEN struct_extract({best}, 'lang') ELSE 'und' END AS pred
+  FROM documents
+), q AS (
+  SELECT doc_id, source, text, n_chars, nt, pred,
+         (CASE WHEN nc >= 20 AND nc <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+       + (CASE WHEN nt > 0 AND nc/nt >= 2.0 AND nc/nt <= 12.0
+               THEN 1.0 ELSE 0.0 END) * 0.3
+       + (CASE WHEN (CASE WHEN nc > 0 THEN np/nc ELSE 1.0 END) <= 0.2
+               THEN 1.0 ELSE 0.0 END) * 0.2
+       + LEAST((CASE WHEN nt > 0 THEN ns/nt ELSE 0.0 END) * 4.0, 1.0) * 0.2
+         AS quality
+  FROM base
+), psi_counts AS (
+  SELECT {case} AS bin,
+         COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_b
+  FROM documents GROUP BY 1
+), psi_tot AS (
+  SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb
+  FROM psi_counts
+), psi_val AS (
+  SELECT SUM((GREATEST(n_a/ta, 1e-6) - GREATEST(n_b/tb, 1e-6))
+             * ln(GREATEST(n_a/ta, 1e-6) / GREATEST(n_b/tb, 1e-6))) AS v
+  FROM psi_counts, psi_tot
+)
+SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM q
+UNION ALL
+SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS DOUBLE) FROM q
+UNION ALL
+SELECT 'n_langs_pred', CAST(COUNT(DISTINCT pred) AS DOUBLE) FROM q
+UNION ALL
+SELECT 'mean_quality', ROUND(AVG(quality), 6) FROM q
+UNION ALL
+SELECT 'mean_tokens', ROUND(AVG(nt), 6) FROM q
+UNION ALL
+SELECT 'exact_dup_rate',
+       (COUNT(*) - COUNT(DISTINCT md5(text)))::DOUBLE / COUNT(*) FROM q
+UNION ALL
+SELECT 'psi_halves_length', ROUND(v, 6) FROM psi_val
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2733,6 +2846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_scrub_documents": q_markup_scrub_documents,
         "topquality_documents": q_topquality_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
+        "salted_join_lineitem": q_salted_join_lineitem,
+        "card_documents": q_card_documents,
     }
 
 
@@ -3026,4 +3141,6 @@ FROM ranked WHERE rank <= 5
         "markup_scrub_documents": _MARKUP_ORACLE,
         "topquality_documents": _topquality_oracle(),
         "incremental_dedup_documents": _incremental_dedup_oracle(),
+        "salted_join_lineitem": _SALTED_JOIN_ORACLE,
+        "card_documents": _card_oracle(),
     }

@@ -405,3 +405,56 @@ def top_k_per_group(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def corpus_card(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    source_col: str = "source",
+    psi_edges=(100.0, 150.0, 200.0, 250.0, 300.0, 400.0),
+) -> DataFrame:
+    """The dataset card: corpus-level health summary as one long-format
+    frame ``(metric, value)`` — doc/source/language counts, mean quality
+    and token stats, exact-duplicate rate, and the PSI of the length
+    profile between the two id-parity halves (self-drift sanity).
+
+    Every count/mean folds into ONE aggregation over the corpus; the
+    duplicate rate adds a hash-distinct inside the same agg; the PSI
+    half-vs-half screen reuses :func:`~pandera_spark.operators.drift.
+    psi` (one tag-union-agg of O(bins) rows).  Two scans total,
+    whatever the corpus size.
+    """
+    from .drift import psi
+
+    col = F.col(text_col)
+    base = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.countDistinct(source_col).cast("double").alias("n_sources"),
+        F.countDistinct(detect_language(col)).cast("double").alias(
+            "n_langs_pred"
+        ),
+        F.round(F.avg(quality_score(col)), 6).alias("mean_quality"),
+        F.round(F.avg(token_count(col)), 6).alias("mean_tokens"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct(F.md5(col)))
+            / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+    )
+    metrics = base.selectExpr(
+        "stack(6, 'n_docs', n_docs, 'n_sources', n_sources, "
+        "'n_langs_pred', n_langs_pred, 'mean_quality', mean_quality, "
+        "'mean_tokens', mean_tokens, 'exact_dup_rate', exact_dup_rate) "
+        "AS (metric, value)"
+    )
+    halves_psi = psi(
+        df.filter(F.col(id_col) % 2 == 0),
+        df.filter(F.col(id_col) % 2 == 1),
+        "n_chars" if "n_chars" in df.columns else id_col,
+        list(psi_edges),
+    ).select(
+        F.lit("psi_halves_length").alias("metric"),
+        F.round("psi", 6).alias("value"),
+    )
+    return metrics.unionByName(halves_psi)

@@ -2315,3 +2315,26 @@ def test_incremental_minhash_matches_full_run(spark, tmp_path):
         ).collect()
     }
     assert got2 == want
+
+
+def test_corpus_card_metrics(spark):
+    from pandera_spark.operators.text import corpus_card
+
+    rows = [
+        (1, "the quick brown fox jumps over something", "en", "s1", 41),
+        (2, "the quick brown fox jumps over something", "en", "s1", 41),
+        (3, "der schnelle braune fuchs springt nicht da", "de", "s2", 42),
+        (4, "une phrase pour les tests et la France", "fr", "s2", 38),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    card = {r.metric: r.value for r in corpus_card(df).collect()}
+    assert card["n_docs"] == 4.0
+    assert card["n_sources"] == 2.0
+    assert card["exact_dup_rate"] == pytest.approx(0.25)  # 1 dup of 4
+    assert card["n_langs_pred"] >= 2.0
+    assert 0.0 <= card["mean_quality"] <= 1.0
+    assert card["mean_tokens"] > 0
+    assert "psi_halves_length" in card
