@@ -343,12 +343,16 @@ def corpus_line_dedup(
     built-ins).  Two shuffles over line-grain data — the inherent cost
     of corpus-wide line frequency; both aggregate map-side first.
     """
+    import re as _re
+
     out_col = out_col or text_col
+    # F.split takes a REGEX: escape the literal delimiter so '.', '|'
+    # and friends split literally (reassembly below joins the literal)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias(
-            "__pos", "__line"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(delimiter), -1)
+        ).alias("__pos", "__line"),
     )
     freq = lines.groupBy("__line").agg(
         F.countDistinct(id_col).alias("__df")

@@ -2338,3 +2338,17 @@ def test_corpus_card_metrics(spark):
     assert 0.0 <= card["mean_quality"] <= 1.0
     assert card["mean_tokens"] > 0
     assert "psi_halves_length" in card
+
+
+def test_corpus_line_dedup_regex_special_delimiter(spark):
+    from pandera_spark.operators.text import corpus_line_dedup
+
+    rows = [(1, "a|b|common"), (2, "c|common"), (3, "common")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r.text
+        for r in corpus_line_dedup(
+            df, delimiter="|", max_doc_frequency=2
+        ).collect()
+    }
+    assert out == {1: "a|b", 2: "c"}
