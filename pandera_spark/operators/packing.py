@@ -37,6 +37,21 @@ from pyspark.sql import types as T
 __all__ = ["greedy_pack", "chunk_pack", "pack_stats"]
 
 
+def _require_numeric(df: DataFrame, *cols: str) -> None:
+    """Ids/token counts must be integral — a string id would cast to
+    null (legacy mode) or throw mid-job (ANSI); fail fast instead."""
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"column {c!r} must be an integral type for packing, "
+                f"got {dt.simpleString()}; hash non-numeric ids to longs "
+                "first (e.g. xxhash64)"
+            )
+
+
 _PACK_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
@@ -67,6 +82,7 @@ def greedy_pack(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    _require_numeric(df, id_col, token_col)
     slim = df.select(
         F.col(id_col).cast("long").alias("id"),
         bucket.cast("long").alias("bucket"),
@@ -104,6 +120,7 @@ def chunk_pack(
     pack may exceed the budget by (at most) one straddling document."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    _require_numeric(df, id_col, token_col)
     slim = df.select(
         F.col(id_col).cast("long").alias("id"),
         bucket.cast("long").alias("bucket"),

@@ -2352,3 +2352,13 @@ def test_corpus_line_dedup_regex_special_delimiter(spark):
         ).collect()
     }
     assert out == {1: "a|b", 2: "c"}
+
+
+def test_greedy_pack_rejects_string_ids(spark):
+    from pandera_spark.operators.packing import chunk_pack, greedy_pack
+
+    df = spark.createDataFrame([("a", 5)], "id string, toks bigint")
+    with pytest.raises(TypeError, match="integral"):
+        greedy_pack(df, "id", "toks", 10, bucket=F.lit(0))
+    with pytest.raises(TypeError, match="integral"):
+        chunk_pack(df, "id", "toks", 10, bucket=F.lit(0))
