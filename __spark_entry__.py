@@ -2758,6 +2758,44 @@ SELECT 'psi_halves_length', ROUND(v, 6) FROM psi_val
 """
 
 
+_SEARCH_TERMS = ["spark", "window", "dup"]
+
+
+def q_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword retrieval (operators/text.py:keyword_search):
+    whole-word term frequencies x corpus idf, top-10 by (score desc,
+    id asc) via TakeOrderedAndProject.  Two text scans total."""
+    from pandera_spark.operators.text import keyword_search
+
+    return keyword_search(
+        _load(spark, sf_dir, "documents"), _SEARCH_TERMS, k=10
+    )
+
+
+def _search_oracle() -> str:
+    tf = {
+        t: f"len(regexp_extract_all(text, '\\b{t}\\b'))"
+        for t in _SEARCH_TERMS
+    }
+    dfs = ", ".join(
+        f"COUNT(CASE WHEN {e} > 0 THEN 1 END) AS df{i}"
+        for i, e in enumerate(tf.values())
+    )
+    score = " + ".join(
+        f"CAST({e} AS DOUBLE) * (ln((n + 1)::DOUBLE / (df{i} + 1)) + 1)"
+        for i, e in enumerate(tf.values())
+    )
+    return f"""
+WITH stats AS (
+  SELECT COUNT(*) AS n, {dfs} FROM documents
+)
+SELECT doc_id, ROUND({score}, 6) AS score
+FROM documents, stats
+WHERE ROUND({score}, 6) > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2848,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "salted_join_lineitem": q_salted_join_lineitem,
         "card_documents": q_card_documents,
+        "search_documents": q_search_documents,
     }
 
 
@@ -3143,4 +3182,5 @@ FROM ranked WHERE rank <= 5
         "incremental_dedup_documents": _incremental_dedup_oracle(),
         "salted_join_lineitem": _SALTED_JOIN_ORACLE,
         "card_documents": _card_oracle(),
+        "search_documents": _search_oracle(),
     }

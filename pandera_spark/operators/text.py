@@ -462,3 +462,64 @@ def corpus_card(
         F.round("psi", 6).alias("value"),
     )
     return metrics.unionByName(halves_psi)
+
+
+def keyword_search(
+    df: DataFrame,
+    terms,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """TF-IDF keyword retrieval: score every document against a bag of
+    query terms and return the top-``k`` (score desc, id asc).
+
+    ``tf`` = per-document whole-word term counts (``regexp_count``,
+    JVM); ``idf = ln((N+1)/(df_t+1)) + 1`` with document frequencies
+    from ONE corpus aggregation; ``score = sum tf_t * idf_t``.  The idf
+    frame is one row (broadcast); ranking is ``TakeOrderedAndProject``
+    — per-task heaps, no global sort.  Two scans of the text column
+    total, independent of the number of query terms.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    terms = list(dict.fromkeys(terms))  # dedupe, keep order
+    col = F.col(text_col)
+
+    def tf(t):
+        import re as _re
+
+        # anchor with \b only where the term edge is a word character —
+        # \b after a non-word char (e.g. "c++") can never match there
+        pre = r"\b" if _re.match(r"\w", t[0]) else ""
+        post = r"\b" if _re.match(r"\w", t[-1]) else ""
+        return F.regexp_count(col, F.lit(pre + _re.escape(t) + post))
+
+    dfreq = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.count(F.when(tf(t) > 0, 1)).alias(f"__df{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    scored = df.crossJoin(F.broadcast(dfreq))
+    score = None
+    for i, t in enumerate(terms):
+        idf = (
+            F.log(
+                (F.col("__n") + 1).cast("double")
+                / (F.col(f"__df{i}") + 1)
+            )
+            + 1
+        )
+        part = tf(t).cast("double") * idf
+        score = part if score is None else score + part
+    return (
+        scored.select(
+            F.col(id_col), F.round(score, 6).alias("score")
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

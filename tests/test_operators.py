@@ -2362,3 +2362,38 @@ def test_greedy_pack_rejects_string_ids(spark):
         greedy_pack(df, "id", "toks", 10, bucket=F.lit(0))
     with pytest.raises(TypeError, match="integral"):
         chunk_pack(df, "id", "toks", 10, bucket=F.lit(0))
+
+
+def test_keyword_search_ranking(spark):
+    from pandera_spark.operators.text import keyword_search
+
+    rows = [
+        (1, "spark spark spark streaming"),
+        (2, "spark appears once here"),
+        (3, "nothing relevant at all"),
+        (4, "rare unicorn word"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = keyword_search(df, ["spark", "unicorn"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    # doc 3 matches nothing -> excluded
+    assert 3 not in ids and set(ids) == {1, 2, 4}
+    scores = {r.doc_id: r.score for r in out}
+    # unicorn is rarer (df=1) than spark (df=2): idf higher, so doc 4's
+    # single rare term outranks doc 2's single common term
+    assert scores[4] > scores[2]
+    # tf dominates within the same term: doc 1 >> doc 2
+    assert scores[1] > scores[2]
+    with pytest.raises(ValueError):
+        keyword_search(df, [])
+
+
+def test_keyword_search_escapes_regex_terms(spark):
+    from pandera_spark.operators.text import keyword_search
+
+    df = spark.createDataFrame(
+        [(1, "a c++ mention"), (2, "plain c here")],
+        "doc_id bigint, text string",
+    )
+    out = keyword_search(df, ["c++"], k=5).collect()
+    assert [r.doc_id for r in out] == [1]
