@@ -7,6 +7,8 @@ whole-stage codegen); nothing here drops to Python per row.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column as C
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -343,8 +345,6 @@ def corpus_line_dedup(
     built-ins).  Two shuffles over line-grain data — the inherent cost
     of corpus-wide line frequency; both aggregate map-side first.
     """
-    import re as _re
-
     out_col = out_col or text_col
     # F.split takes a REGEX: escape the literal delimiter so '.', '|'
     # and friends split literally (reassembly below joins the literal)
@@ -482,24 +482,27 @@ def keyword_search(
     — per-task heaps, no global sort.  Two scans of the text column
     total, independent of the number of query terms.
     """
-    if not terms:
-        raise ValueError("terms must be non-empty")
     terms = list(dict.fromkeys(terms))  # dedupe, keep order
+    if not terms or any(not t for t in terms):
+        raise ValueError("terms must be non-empty strings")
     col = F.col(text_col)
 
-    def tf(t):
-        import re as _re
-
+    def pattern(t):
         # anchor with \b only where the term edge is a word character —
         # \b after a non-word char (e.g. "c++") can never match there
         pre = r"\b" if _re.match(r"\w", t[0]) else ""
         post = r"\b" if _re.match(r"\w", t[-1]) else ""
-        return F.regexp_count(col, F.lit(pre + _re.escape(t) + post))
+        return pre + _re.escape(t) + post
+
+    def tf(t):
+        return F.regexp_count(col, F.lit(pattern(t)))
 
     dfreq = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
-            F.count(F.when(tf(t) > 0, 1)).alias(f"__df{i}")
+            # presence test only: rlike stops at the first match instead
+            # of tallying every occurrence like regexp_count would
+            F.count(F.when(col.rlike(pattern(t)), 1)).alias(f"__df{i}")
             for i, t in enumerate(terms)
         ],
     )
