@@ -2551,8 +2551,8 @@ WITH injected AS (
          TRIM(regexp_replace(
            replace(replace(replace(replace(replace(replace(
              regexp_replace(dirty, '<[^>]*>', ' ', 'g'),
-             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-             '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
            '\\s+', ' ', 'g')) AS clean
   FROM injected
 )
@@ -2703,8 +2703,9 @@ def _card_oracle() -> str:
         )
     best = "list_max([" + ", ".join(structs) + "])"
     psi_edges = [100.0, 150.0, 200.0, 250.0, 300.0, 400.0]
-    case = "CASE WHEN n_chars IS NULL THEN -1 " + " ".join(
-        f"WHEN n_chars < {e} THEN {i}" for i, e in enumerate(psi_edges)
+    # the card computes the length profile from the text itself
+    case = "CASE WHEN text IS NULL THEN -1 " + " ".join(
+        f"WHEN LENGTH(text) < {e} THEN {i}" for i, e in enumerate(psi_edges)
     ) + f" ELSE {len(psi_edges)} END"
     return f"""
 WITH base AS (

@@ -61,9 +61,11 @@ def _serialize_check(check: Check) -> tuple[str, Any] | None:
         return None  # custom lambdas are not serializable (same as reference)
     if not check.statistics:
         # statistic-less builtins (array_no_nulls, array_finite):
-        # serialize as a bare `true` marker, or options-only dict
+        # serialize as an (empty) options dict — NOT a bare scalar,
+        # which would collide with single-stat checks whose value is a
+        # boolean (e.g. equal_to(True) serializes to bare True)
         options = _check_options(check)
-        return check.name, ({"options": options} if options else True)
+        return check.name, ({"options": options} if options else {})
     stats = {k: _serialize_stat(v) for k, v in check.statistics.items()}
     options = _check_options(check)
     if len(stats) == 1:
@@ -136,9 +138,7 @@ def _deserialize_checks(checks: dict | None) -> list[Check]:
             options.pop("check_name", None)  # reference lookup key, not ours
             if set(stats) == {"value"}:
                 stats = stats["value"]  # single-stat-with-options shape
-        if stats is True:  # statistic-less builtin marker
-            out.append(factory(**options))
-        elif isinstance(stats, dict):
+        if isinstance(stats, dict):
             out.append(factory(**stats, **options))
         elif name in ("in_range", "between") and isinstance(stats, list):
             out.append(factory(*stats, **options))

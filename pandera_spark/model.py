@@ -24,6 +24,9 @@ from .container import DataFrameSchema
 from .errors import SchemaInitError
 from .parsers import Parser
 
+#: checks taking no statistic — dispatched from Field(...) as flags
+_FLAG_CHECKS = {"array_no_nulls", "array_finite"}
+
 _FIELD_KWARGS = {
     "nullable", "unique", "coerce", "required", "regex", "default",
     "alias", "title", "description", "metadata",
@@ -68,6 +71,10 @@ def Field(**kwargs: Any) -> FieldInfo:
                 value, (tuple, list)
             ):
                 checks.append(factory(*value))
+            elif value is True and key in _FLAG_CHECKS:
+                # statistic-less checks use the flag form, e.g.
+                # Field(array_no_nulls=True)
+                checks.append(factory())
             else:
                 checks.append(factory(value))
         else:

@@ -464,8 +464,17 @@ def incremental_minhash_candidates(
         storage_level,
     )
     new_new = _first_match_pairs(new_banded, new_banded, bands)
+    # a re-ingested document (same id in batch AND index — the
+    # append-mode daily workflow) would otherwise surface each of its
+    # pairs twice, once per join: drop its index rows, the new-vs-new
+    # join already covers it
+    old_only = index.join(
+        new_banded.select("__id").distinct(),
+        "__id",
+        "left_anti",
+    )
     new_old = _first_match_pairs(
-        new_banded, index, bands, ordered=False
+        new_banded, old_only, bands, ordered=False
     )
     return new_new.unionByName(new_old)
 

@@ -279,15 +279,20 @@ def ks_drift(
             (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * F.col("ks_stat")
         )
         # Kolmogorov Q(lam) = 2 * sum_{k>=1} (-1)^{k-1} exp(-2 k^2 lam^2);
-        # 12 terms are far below double precision for lam > 0.2, and the
-        # series is clamped into [0, 1]
+        # 12 terms are accurate for lam >= 0.2.  Below that the truncated
+        # alternating series is meaningless (at lam = 0 it telescopes to
+        # exactly 0 — the WRONG end: true Q(0) = 1), so small lam pins
+        # the p-value to 1 (Q(0.2) > 1 - 1e-76; no precision lost).
         series = None
         for k in range(1, 13):
             term = F.exp(-2.0 * (k * k) * lam * lam)
             term = term if k % 2 == 1 else -term
             series = term if series is None else series + term
         out = out.withColumn(
-            "ks_pvalue", F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2 * series))
+            "ks_pvalue",
+            F.when(lam < 0.2, F.lit(1.0)).otherwise(
+                F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2 * series))
+            ),
         )
     return out
 

@@ -52,6 +52,19 @@ def _require_numeric(df: DataFrame, *cols: str) -> None:
             )
 
 
+def _no_null(col_name: str) -> C:
+    """Executor-side null guard with a clear message (a null id/token
+    would otherwise surface as an opaque Arrow-worker crash in
+    greedy_pack and silently propagate null packs in chunk_pack)."""
+    c = F.col(col_name)
+    return F.when(
+        c.isNull(),
+        F.raise_error(
+            F.lit(f"packing requires non-null {col_name!r} values")
+        ).cast("long"),
+    ).otherwise(c.cast("long"))
+
+
 _PACK_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
@@ -84,9 +97,9 @@ def greedy_pack(
         raise ValueError("budget must be positive")
     _require_numeric(df, id_col, token_col)
     slim = df.select(
-        F.col(id_col).cast("long").alias("id"),
+        _no_null(id_col).alias("id"),
         bucket.cast("long").alias("bucket"),
-        F.col(token_col).cast("long").alias("tokens"),
+        _no_null(token_col).alias("tokens"),
     )
 
     def pack_group(pdf):
@@ -122,9 +135,9 @@ def chunk_pack(
         raise ValueError("budget must be positive")
     _require_numeric(df, id_col, token_col)
     slim = df.select(
-        F.col(id_col).cast("long").alias("id"),
+        _no_null(id_col).alias("id"),
         bucket.cast("long").alias("bucket"),
-        F.col(token_col).cast("long").alias("tokens"),
+        _no_null(token_col).alias("tokens"),
     )
     w = (
         Window.partitionBy("bucket")

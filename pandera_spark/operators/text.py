@@ -373,9 +373,12 @@ def corpus_line_dedup(
     )
 
 
+# &amp; is decoded LAST: decoding it first would double-decode nested
+# entities ("&amp;lt;" -- the author's escaped literal "&lt;" -- must
+# not become "<")
 _MARKUP_ENTITIES = {
-    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'",
-    "&nbsp;": " ",
+    "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'",
+    "&nbsp;": " ", "&amp;": "&",
 }
 
 
@@ -421,8 +424,9 @@ def corpus_card(
 ) -> DataFrame:
     """The dataset card: corpus-level health summary as one long-format
     frame ``(metric, value)`` — doc/source/language counts, mean quality
-    and token stats, exact-duplicate rate, and the PSI of the length
-    profile between the two id-parity halves (self-drift sanity).
+    and token stats, exact-duplicate rate, and the PSI of the text-length
+    profile (computed from ``text_col``) between the two id-parity
+    halves (self-drift sanity).
 
     Every count/mean folds into ONE aggregation over the corpus; the
     duplicate rate adds a hash-distinct inside the same agg; the PSI
@@ -452,10 +456,11 @@ def corpus_card(
         "'mean_tokens', mean_tokens, 'exact_dup_rate', exact_dup_rate) "
         "AS (metric, value)"
     )
+    with_len = df.withColumn("__len", F.length(col).cast("long"))
     halves_psi = psi(
-        df.filter(F.col(id_col) % 2 == 0),
-        df.filter(F.col(id_col) % 2 == 1),
-        "n_chars" if "n_chars" in df.columns else id_col,
+        with_len.filter(F.col(id_col) % 2 == 0),
+        with_len.filter(F.col(id_col) % 2 == 1),
+        "__len",
         list(psi_edges),
     ).select(
         F.lit("psi_halves_length").alias("metric"),

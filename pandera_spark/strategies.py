@@ -174,6 +174,15 @@ class FieldConstraints:
                 raise ConstraintConflictError("isin minus notin is empty")
 
 
+def _array_size_target(fc: FieldConstraints) -> int:
+    """Array length satisfying the merged size bounds (default 3)."""
+    if fc.arr_size_min is not None:
+        return fc.arr_size_min
+    if fc.arr_size_max is not None:
+        return min(3, fc.arr_size_max)
+    return 3
+
+
 def column_constraints(col: Column) -> FieldConstraints:
     fc = FieldConstraints()
     for check in col.checks:
@@ -267,10 +276,7 @@ def _gen_value(dtype: T.DataType, fc: FieldConstraints, rng: random.Random,
     if isinstance(dtype, T.BinaryType):
         return bytes(rng.getrandbits(8) for _ in range(8))
     if isinstance(dtype, T.ArrayType):
-        size = fc.arr_size_min if fc.arr_size_min is not None else 3
-        if fc.arr_size_max is not None:
-            size = min(size, fc.arr_size_max) if fc.arr_size_min is None \
-                else fc.arr_size_min
+        size = _array_size_target(fc)
         elem_fc = FieldConstraints(
             min_value=fc.arr_elem_min, max_value=fc.arr_elem_max
         )
@@ -399,7 +405,7 @@ def synthesize(
             # arrays honoring array_size / array_forall_in_range: element
             # (row, j) derives from pmod(xxhash64(id, j, seed)) — pure
             # expression, deterministic, executor-side
-            size = fc.arr_size_min if fc.arr_size_min is not None else 3
+            size = _array_size_target(fc)
             lo = float(fc.arr_elem_min) if fc.arr_elem_min is not None else 0.0
             hi = float(fc.arr_elem_max) if fc.arr_elem_max is not None else 1.0
             span = hi - lo
@@ -420,10 +426,14 @@ def synthesize(
 
                 return elem
 
-            e = F.transform(
-                F.sequence(F.lit(1), F.lit(int(size))),
-                make_elem(dtype.elementType, lo, span, i),
-            ).cast(dtype)
+            if size <= 0:
+                # sequence(1, 0) would yield the DESCENDING [1, 0]
+                e = F.array().cast(dtype)
+            else:
+                e = F.transform(
+                    F.sequence(F.lit(1), F.lit(int(size))),
+                    make_elem(dtype.elementType, lo, span, i),
+                ).cast(dtype)
         else:
             e = F.lit(None).cast(dtype)
         exprs.append(e.alias(col.name))

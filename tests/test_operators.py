@@ -2397,3 +2397,110 @@ def test_keyword_search_escapes_regex_terms(spark):
     )
     out = keyword_search(df, ["c++"], k=5).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+def test_strip_markup_nested_entities_not_double_decoded(spark):
+    from pandera_spark.operators.text import strip_markup
+
+    df = spark.createDataFrame([("write a &amp;lt; b",)], "t string")
+    out = df.select(strip_markup(F.col("t")).alias("c")).first().c
+    # the author escaped the literal string "&lt;" — it must survive
+    assert out == "write a &lt; b"
+
+
+def test_ks_pvalue_is_one_for_identical_distributions(spark):
+    from pandera_spark.operators.drift import ks_drift
+
+    a = spark.range(200).select((F.col("id") % 20).cast("double").alias("v"))
+    row = ks_drift(a, a, "v", pvalue=True).first()
+    assert row.ks_stat == pytest.approx(0.0, abs=1e-12)
+    assert row.ks_pvalue == pytest.approx(1.0)
+
+
+def test_incremental_minhash_reingested_doc_not_duplicated(spark):
+    from pandera_spark.operators.dedup import (
+        banded_minhash_frame, incremental_minhash_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog wow"
+    df = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id bigint, text string"
+    )
+    kw = dict(num_hashes=32, bands=8, shingle_n=2, portable=True)
+    # doc 2 is in the index AND re-arrives in the new batch
+    idx = banded_minhash_frame(df, "doc_id", "text", **kw)
+    new = df  # both docs re-ingested
+    pairs = incremental_minhash_candidates(
+        new, idx, "doc_id", "text", **kw
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]  # exactly once
+
+
+def test_greedy_pack_null_tokens_clear_error(spark):
+    from pandera_spark.operators.packing import greedy_pack
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None)], "id bigint, toks bigint"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        greedy_pack(df, "id", "toks", 10, bucket=F.lit(0)).collect()
+
+
+def test_synthesize_array_max_only_and_zero_size(spark):
+    from pyspark.sql import types as T
+
+    from pandera_spark import Check, Column, DataFrameSchema
+    from pandera_spark.strategies import example, synthesize
+
+    max_only = DataFrameSchema(
+        {"v": Column(T.ArrayType(T.DoubleType()),
+                     checks=[Check.array_size(min_value=None, max_value=2)])},
+        name="m",
+    )
+    assert not max_only.validate_result(
+        synthesize(max_only, spark, rows=10)
+    ).errors
+    assert not max_only.validate_result(example(max_only, spark, 4)).errors
+    zero = DataFrameSchema(
+        {"v": Column(T.ArrayType(T.DoubleType()),
+                     checks=[Check.array_size(0)])},
+        name="z",
+    )
+    assert not zero.validate_result(synthesize(zero, spark, rows=5)).errors
+
+
+def test_yaml_roundtrip_equal_to_true_boolean(spark):
+    """Regression: the statistic-less marker must not collide with
+    builtin checks whose single statistic is the boolean True."""
+    from pyspark.sql import types as T
+
+    import pandera_spark as ps
+    from pandera_spark import Check, Column, DataFrameSchema
+
+    schema = DataFrameSchema(
+        {"b": Column(T.BooleanType(), checks=[Check.equal_to(True)])},
+        name="bools",
+    )
+    back = ps.schema_from_yaml(ps.schema_to_yaml(schema))
+    df = spark.createDataFrame([(True,), (False,)], "b boolean")
+    res = back.validate_result(df)
+    [err] = res.errors
+    assert err.failure_cases_count == 1
+
+
+def test_field_flag_form_for_statless_array_checks(spark):
+    from pyspark.sql import types as T
+
+    from pandera_spark import DataFrameModel, Field
+
+    class M(DataFrameModel):
+        v: T.ArrayType(T.DoubleType()) = Field(
+            array_no_nulls=True, array_finite=True
+        )
+
+    df = spark.createDataFrame(
+        [([1.0, None],), ([1.0, 2.0],)], "v array<double>"
+    )
+    res = M.validate_result(df)
+    bad = [o for o in res.outcomes if not o.passed]
+    assert {o.check for o in bad} == {"array_no_nulls", "array_finite"}
