@@ -41,6 +41,7 @@ __all__ = [
     "bin_column",
     "ks_drift",
     "drift_report",
+    "chi2_js_terms",
 ]
 
 # Fraction floor used by PSI so empty bins contribute a finite term
@@ -85,6 +86,26 @@ def _with_totals(counts: DataFrame) -> DataFrame:
     return counts.crossJoin(F.broadcast(totals))
 
 
+def chi2_js_terms(ca: C, cb: C, ta: C, tb: C) -> "tuple[C, C]":
+    """Per-cell chi-square and Jensen-Shannon contributions for a
+    (2 x categories) homogeneity table: observed counts ``ca``/``cb``
+    with side totals ``ta``/``tb`` (all double Columns).  Shared by the
+    batch and streaming drift operators so the math exists once."""
+    row_tot = ca + cb
+    grand = ta + tb
+    ea = ta * row_tot / grand
+    eb = tb * row_tot / grand
+    chi2 = (ca - ea) ** 2 / ea + (cb - eb) ** 2 / eb
+    pa = ca / ta
+    pb = cb / tb
+    m = (pa + pb) / F.lit(2.0)
+    js = (
+        F.when(pa > 0, pa * F.log(pa / m) / F.lit(2.0)).otherwise(0.0)
+        + F.when(pb > 0, pb * F.log(pb / m) / F.lit(2.0)).otherwise(0.0)
+    )
+    return chi2, js
+
+
 def category_drift(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -108,19 +129,9 @@ def category_drift(
     statistic undefined).
     """
     cnt = _with_totals(category_counts(df_a, df_b, cat_col))
-    ca, cb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    ta, tb = F.col("__tot_a"), F.col("__tot_b")
-    row_tot = ca + cb
-    grand = ta + tb
-    ea = ta * row_tot / grand
-    eb = tb * row_tot / grand
-    chi2_term = (ca - ea) ** 2 / ea + (cb - eb) ** 2 / eb
-    pa = ca / ta
-    pb = cb / tb
-    m = (pa + pb) / F.lit(2.0)
-    js_term = (
-        F.when(pa > 0, pa * F.log(pa / m) / F.lit(2.0)).otherwise(0.0)
-        + F.when(pb > 0, pb * F.log(pb / m) / F.lit(2.0)).otherwise(0.0)
+    chi2_term, js_term = chi2_js_terms(
+        F.col("n_a").cast("double"), F.col("n_b").cast("double"),
+        F.col("__tot_a"), F.col("__tot_b"),
     )
     out = cnt.agg(
         F.sum("n_a").alias("n_a"),
@@ -365,18 +376,9 @@ def drift_report(
     cnt = counts.join(F.broadcast(totals), "col_name")
     ca, cb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     ta, tb = F.col("__tot_a"), F.col("__tot_b")
-    row_tot, grand = ca + cb, ta + tb
-    ea = ta * row_tot / grand
-    eb = tb * row_tot / grand
-    chi2_term = (ca - ea) ** 2 / ea + (cb - eb) ** 2 / eb
-    pa, pb = ca / ta, cb / tb
-    m = (pa + pb) / F.lit(2.0)
-    js_term = (
-        F.when(pa > 0, pa * F.log(pa / m) / F.lit(2.0)).otherwise(0.0)
-        + F.when(pb > 0, pb * F.log(pb / m) / F.lit(2.0)).otherwise(0.0)
-    )
-    fa = F.greatest(pa, F.lit(float(eps)))
-    fb = F.greatest(pb, F.lit(float(eps)))
+    chi2_term, js_term = chi2_js_terms(ca, cb, ta, tb)
+    fa = F.greatest(ca / ta, F.lit(float(eps)))
+    fb = F.greatest(cb / tb, F.lit(float(eps)))
     psi_term = (fa - fb) * F.log(fa / fb)
     return cnt.groupBy("col_name").agg(
         F.sum("n_a").alias("n_a"),

@@ -181,53 +181,75 @@ def streaming_category_drift(
     baseline: chi-square homogeneity + Jensen-Shannon divergence,
     emitted once per (window) as late data settles.
 
-    ``baseline_counts`` is a batch frame ``(cat_col, n_base)`` — the
-    reference mix (e.g. last week's distribution).  The stream is
-    windowed-aggregated per (window, category) — incremental state is
+    ``baseline_counts`` is a small static batch frame ``(cat_col,
+    n_base)`` — the reference mix (e.g. last week's distribution).  It
+    is collected ONCE at operator construction (tiny by definition) so
+    the window statistic can cover the full category union: categories
+    present in the stream but absent from the baseline (the strongest
+    drift signal — novel traffic) enter with a zero baseline count, and
+    baseline categories missing from a window enter with zero observed.
+
+    The stream is windowed-aggregated per (window, category) — state is
     one count per live (window, category), bounded by the watermark —
-    then joined to the broadcast baseline and reduced to one row per
-    window.  All Column arithmetic; usable with append mode since the
-    window aggregate closes on watermark passage.
+    then reduced to one row per window with the shared
+    :func:`~pandera_spark.operators.drift.chi2_js_terms` math applied
+    over the completed category cells (higher-order functions, no UDF).
+    Append mode: a window emits exactly once, when the watermark passes
+    its end.
     """
+    from ..operators.drift import chi2_js_terms
+
+    base_rows = [
+        (str(r[0]), float(r[1]))
+        for r in baseline_counts.select(cat_col, "n_base").collect()
+    ]
+    if not base_rows:
+        raise ValueError("baseline_counts must be non-empty")
+    tb_total = sum(n for _, n in base_rows)
+    base_map = F.map_from_arrays(
+        F.array(*[F.lit(c) for c, _ in base_rows]),
+        F.array(*[F.lit(n) for _, n in base_rows]),
+    )
+    base_cells = F.array(
+        *[
+            F.struct(F.lit(c).alias("cat"), F.lit(n).alias("b"))
+            for c, n in base_rows
+        ]
+    )
+
     win = F.window(F.col(ts_col), window)
     counts = (
         stream_df.withWatermark(ts_col, watermark)
-        .groupBy(win.alias("__w"), F.col(cat_col))
+        .groupBy(win.alias("__w"), F.col(cat_col).cast("string").alias("cat"))
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
-    base = baseline_counts.select(
-        F.col(cat_col), F.col("n_base").cast("double").alias("n_base")
+    per_win = counts.groupBy("__w").agg(
+        F.collect_list(
+            F.struct(F.col("cat"), F.col("n_obs").cast("double").alias("o"))
+        ).alias("obs"),
+        F.sum("n_obs").cast("double").alias("tot_obs"),
     )
-    joined = counts.join(F.broadcast(base), cat_col, "inner")
-    ca = F.col("n_obs").cast("double")
-    cb = F.col("n_base")
-    ta = F.sum("n_obs").cast("double")
-    tb = F.sum("n_base")
-    # aggregate per window: totals via sums, chi2/js terms recomposed
-    # from sum-decomposable pieces (each term needs its window totals,
-    # so fold the per-category values into structs and finish with
-    # higher-order functions over the collected array)
-    per_win = joined.groupBy("__w").agg(
-        F.collect_list(F.struct(ca.alias("o"), cb.alias("b"))).alias("cells"),
-        ta.alias("tot_obs"),
-        tb.alias("tot_base"),
+    obs = F.col("obs")
+    obs_cells = F.transform(
+        obs,
+        lambda s: F.struct(
+            s["o"].alias("o"),
+            F.coalesce(base_map[s["cat"]], F.lit(0.0)).alias("b"),
+        ),
     )
-    cells, to, tb2 = F.col("cells"), F.col("tot_obs"), F.col("tot_base")
+    obs_cats = F.transform(obs, lambda s: s["cat"])
+    miss_cells = F.transform(
+        F.filter(base_cells, lambda p: ~F.array_contains(obs_cats, p["cat"])),
+        lambda p: F.struct(F.lit(0.0).alias("o"), p["b"].alias("b")),
+    )
+    cells = F.concat(obs_cells, miss_cells)
+    to, tb = F.col("tot_obs"), F.lit(float(tb_total))
 
     def chi2_term(s):
-        row = s["o"] + s["b"]
-        eo = to * row / (to + tb2)
-        eb = tb2 * row / (to + tb2)
-        return (s["o"] - eo) ** 2 / eo + (s["b"] - eb) ** 2 / eb
+        return chi2_js_terms(s["o"], s["b"], to, tb)[0]
 
     def js_term(s):
-        pa = s["o"] / to
-        pb = s["b"] / tb2
-        m = (pa + pb) / 2
-        return (
-            F.when(pa > 0, pa * F.log(pa / m) / F.lit(2.0)).otherwise(0.0)
-            + F.when(pb > 0, pb * F.log(pb / m) / F.lit(2.0)).otherwise(0.0)
-        )
+        return chi2_js_terms(s["o"], s["b"], to, tb)[1]
 
     return per_win.select(
         F.col("__w.start").alias("window_start"),

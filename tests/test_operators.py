@@ -2504,3 +2504,47 @@ def test_field_flag_form_for_statless_array_checks(spark):
     res = M.validate_result(df)
     bad = [o for o in res.outcomes if not o.passed]
     assert {o.check for o in bad} == {"array_no_nulls", "array_finite"}
+
+
+def test_streaming_category_drift_sees_novel_category(spark, tmp_path):
+    """A category absent from the baseline must raise the statistic,
+    not silently disappear (review regression)."""
+    import json
+
+    from pandera_spark.streaming.stateful import streaming_category_drift
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"ts": f"2024-01-01 00:00:{i + 1:02d}", "cat": "x" if i < 30 else "z"}
+        for i in range(50)
+    ]
+    rows.append({"ts": "2024-01-01 00:10:00", "cat": "x"})
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts string, cat string").json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    base = spark.createDataFrame(
+        [("x", 30), ("y", 30)], "cat string, n_base long"
+    )
+    got = []
+    q = (
+        streaming_category_drift(
+            stream, base, "cat", ts_col="ts",
+            window="1 minute", watermark="1 second",
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    row = [r for r in got if r.window_start.minute == 0][0]
+    # all 50 observed rows counted (novel 'z' included), and the
+    # category union covers x, z (novel) AND y (baseline-only)
+    assert row.n_obs == 50
+    assert row.n_categories == 3
+    assert row.chi2_stat > 10.0
+    assert row.js_divergence > 0.05
