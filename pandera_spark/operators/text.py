@@ -431,8 +431,9 @@ def corpus_card(
     Every count/mean folds into ONE aggregation over the corpus; the
     duplicate rate adds a hash-distinct inside the same agg; the PSI
     half-vs-half screen reuses :func:`~pandera_spark.operators.drift.
-    psi` (one tag-union-agg of O(bins) rows).  Two scans total,
-    whatever the corpus size.
+    psi` (one tag-union-agg of O(bins) rows).  Three column-pruned
+    scans total (the base aggregation plus one per PSI half), whatever
+    the corpus size.
     """
     from .drift import psi
 
