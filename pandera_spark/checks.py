@@ -489,6 +489,73 @@ class Check:
         )
 
     @classmethod
+    def map_size(
+        cls,
+        *args,
+        min_value: int | None = None,
+        max_value: int | None = None,
+        exact_value: int | None = None,
+        **kwargs,
+    ) -> "Check":
+        """Map entry-count check (exact or bounded), mirroring
+        :meth:`array_size`."""
+        if len(args) == 1:
+            exact_value = args[0]
+        elif len(args) == 2:
+            min_value, max_value = args
+        elif len(args) > 2:
+            raise ValueError("map_size accepts at most 2 positional args")
+        if exact_value is not None:
+            return cls._builtin(
+                "map_size", f"map_size({exact_value})",
+                lambda c: F.size(c) == exact_value,
+                {"exact_value": exact_value}, (T.MapType,), kwargs,
+            )
+        if min_value is None and max_value is None:
+            raise ValueError(
+                "At least a minimum or a maximum need to be specified."
+            )
+
+        def fn(c: SparkCol) -> SparkCol:
+            ln = F.size(c)
+            if min_value is None:
+                return ln <= max_value
+            if max_value is None:
+                return ln >= min_value
+            return (ln >= min_value) & (ln <= max_value)
+
+        return cls._builtin(
+            "map_size", f"map_size({min_value}, {max_value})", fn,
+            {"min_value": min_value, "max_value": max_value},
+            (T.MapType,), kwargs,
+        )
+
+    @classmethod
+    def map_keys_isin(cls, allowed: Iterable, **kwargs) -> "Check":
+        """Every map key drawn from ``allowed`` (schema-on-read guard for
+        semi-structured property bags)."""
+        vals = sorted(set(allowed), key=repr)
+        return cls._builtin(
+            "map_keys_isin", f"map_keys_isin({vals!r})",
+            lambda c: F.forall(
+                F.map_keys(c),
+                lambda k: k.isin(*vals) if vals else F.lit(False),
+            ),
+            {"allowed": frozenset(vals)}, (T.MapType,), kwargs,
+        )
+
+    @classmethod
+    def map_values_forall(cls, element_fn, **kwargs) -> "Check":
+        """Generic per-value map check: ``element_fn`` maps one value
+        Column to a boolean, evaluated with ``forall`` over
+        ``map_values`` (JVM higher-order function)."""
+        return cls._builtin(
+            "map_values_forall", "map_values_forall",
+            lambda c: F.forall(F.map_values(c), element_fn),
+            {}, (T.MapType,), kwargs,
+        )
+
+    @classmethod
     def array_forall(cls, element_fn, **kwargs) -> "Check":
         """Generic element-wise array check: ``element_fn`` maps one
         element Column to a boolean Column, evaluated with ``forall``
@@ -539,4 +606,6 @@ BUILTIN_CHECK_NAMES = {
     "array_no_nulls": Check.array_no_nulls,
     "array_forall_in_range": Check.array_forall_in_range,
     "array_finite": Check.array_finite,
+    "map_size": Check.map_size,
+    "map_keys_isin": Check.map_keys_isin,
 }

@@ -433,3 +433,84 @@ def test_array_checks_via_field_kwargs(spark):
     res = Vec.to_schema().validate_result(df)
     bad = [o for o in res.outcomes if not o.passed]
     assert len(bad) == 1 and bad[0].violations == 1
+
+
+def _map_counts(spark, data, check):
+    st = T.StructType(
+        [T.StructField("v", T.MapType(T.StringType(), T.LongType()), True)]
+    )
+    df = spark.createDataFrame([(x,) for x in data], st)
+    res = DataFrameSchema(
+        {"v": Column(checks=[check])}, name="map"
+    ).validate_result(df)
+    return {o.check: int(o.violations) for o in res.outcomes}
+
+
+def test_map_size_and_keys(spark):
+    data = [{"a": 1, "b": 2}, {"a": 1}, {}, None]
+    c = _map_counts(spark, data, Check.map_size(2, error="sz"))
+    assert c["sz"] == 2  # one-entry and empty maps
+    c = _map_counts(
+        spark, data, Check.map_size(min_value=1, max_value=2, error="b")
+    )
+    assert c["b"] == 1  # only the empty map
+    c = _map_counts(
+        spark, data, Check.map_keys_isin(["a", "b"], error="keys")
+    )
+    assert c["keys"] == 0
+    c = _map_counts(spark, data, Check.map_keys_isin(["a"], error="k2"))
+    assert c["k2"] == 1  # {"a","b"} has a disallowed key
+
+
+def test_map_values_forall_and_dtype_gating(spark):
+    data = [{"a": 2, "b": 4}, {"a": 3}]
+    c = _map_counts(
+        spark, data, Check.map_values_forall(lambda v: v % 2 == 0, error="ev")
+    )
+    assert c["ev"] == 1
+    # gating: map checks reject non-map dtypes
+    df = spark.createDataFrame([(1.0,)], "v double")
+    res = DataFrameSchema(
+        {"v": Column(checks=[Check.map_size(2, error="sz")])}, name="g"
+    ).validate_result(df)
+    assert any(
+        o.check == "sz" and not o.passed and "does not accept" in o.message
+        for o in res.outcomes
+    )
+
+
+def test_struct_field_checks_via_dotted_path(spark):
+    """Value checks on nested struct fields via dotted column names —
+    F.col('s.x') resolves naturally, so the single-pass agg covers
+    nested projections too."""
+    st = T.StructType(
+        [
+            T.StructField(
+                "s",
+                T.StructType(
+                    [
+                        T.StructField("x", T.LongType(), True),
+                        T.StructField("y", T.StringType(), True),
+                    ]
+                ),
+                True,
+            )
+        ]
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([((5, "ok"),), ((-1, "bad"),)], st)
+    inner = df.select(
+        F.col("s.x").alias("sx"), F.col("s.y").alias("sy")
+    )
+    schema = DataFrameSchema(
+        {
+            "sx": Column(checks=[Check.ge(0, error="x_ge_0")]),
+            "sy": Column(checks=[Check.str_length(1, 3, error="y_len")]),
+        },
+        name="nested",
+    )
+    res = schema.validate_result(inner)
+    counts = {o.check: int(o.violations) for o in res.outcomes}
+    assert counts["x_ge_0"] == 1
+    assert counts["y_len"] == 0
