@@ -2797,6 +2797,52 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_props_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property-bag validation: parse events.props
+    (JSON) into map<string,bigint> and run the map-column checks
+    (map_size / map_keys_isin / map_values_forall — Catalyst
+    higher-order functions) in one agg pass; the threshold check is
+    deliberately tight so nonzero counts prove the counting path."""
+    from pandera_spark.checks import Check
+
+    ev = _load(spark, sf_dir, "events")
+    p = F.from_json(F.col("props"), "map<string,bigint>").alias("p")
+    d = ev.select(p)
+    checks = [
+        ("size_eq_1", Check.map_size(1)),
+        ("keys_only_k", Check.map_keys_isin(["k"])),
+        ("values_ge_50", Check.map_values_forall(lambda v: v >= 50)),
+    ]
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("p").isNull(), 1)).alias("n_unparsed"),
+        *[
+            F.count(
+                F.when(chk.violation_condition(F.col("p")), 1)
+            ).alias(label)
+            for label, chk in checks
+        ],
+    )
+
+
+_PROPS_MAP_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN props IS NULL OR NOT json_valid(props)
+                  THEN 1 END) AS BIGINT) AS n_unparsed,
+       CAST(COUNT(CASE WHEN props IS NOT NULL AND json_valid(props)
+                  AND len(json_keys(props)) <> 1 THEN 1 END) AS BIGINT)
+         AS size_eq_1,
+       CAST(COUNT(CASE WHEN props IS NOT NULL AND json_valid(props)
+                  AND EXISTS (SELECT 1 FROM unnest(json_keys(props)) t(x)
+                              WHERE x <> 'k') THEN 1 END) AS BIGINT)
+         AS keys_only_k,
+       CAST(COUNT(CASE WHEN props IS NOT NULL AND json_valid(props)
+                  AND NOT (json_extract(props, '$.k')::BIGINT >= 50)
+                  THEN 1 END) AS BIGINT) AS values_ge_50
+FROM events
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2888,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_lineitem": q_salted_join_lineitem,
         "card_documents": q_card_documents,
         "search_documents": q_search_documents,
+        "props_map_events": q_props_map_events,
     }
 
 
@@ -3184,4 +3231,5 @@ FROM ranked WHERE rank <= 5
         "salted_join_lineitem": _SALTED_JOIN_ORACLE,
         "card_documents": _card_oracle(),
         "search_documents": _search_oracle(),
+        "props_map_events": _PROPS_MAP_ORACLE,
     }
