@@ -529,3 +529,35 @@ def test_yaml_roundtrip_array_checks(spark):
     )
     errs = {e.check for e in back.validate_result(bad).errors}
     assert len(errs) == 4  # every check fires
+
+
+def test_yaml_roundtrip_map_checks(spark):
+    from pyspark.sql import types as T
+
+    import pandera_spark as ps
+    from pandera_spark import Check, Column, DataFrameSchema
+
+    schema = DataFrameSchema(
+        {
+            "m": Column(
+                T.MapType(T.StringType(), T.LongType()),
+                checks=[
+                    Check.map_size(min_value=1, max_value=2),
+                    Check.map_keys_isin(["a", "b"]),
+                ],
+            )
+        },
+        name="maps",
+    )
+    back = ps.schema_from_yaml(ps.schema_to_yaml(schema))
+    assert [c.name for c in back.columns["m"].checks] == [
+        "map_size", "map_keys_isin",
+    ]
+    st = T.StructType(
+        [T.StructField("m", T.MapType(T.StringType(), T.LongType()), True)]
+    )
+    good = spark.createDataFrame([({"a": 1},)], st)
+    assert not back.validate_result(good).errors
+    bad = spark.createDataFrame([({"a": 1, "z": 2, "q": 3},)], st)
+    errs = {e.check for e in back.validate_result(bad).errors}
+    assert len(errs) == 2  # size > 2 and disallowed keys
