@@ -6,3 +6,54 @@ analysis, and multimodal column plumbing — all expressed Spark-first
 (built-in functions in the hot path, Arrow-batched pandas UDFs where Python
 is genuinely required).
 """
+
+# convenience re-exports of the most-used operator entry points; each
+# submodule stays importable directly (pandera_spark.operators.dedup, ...)
+from .clustering import apply_dedup, connected_components, dedup_clusters
+from .contamination import contamination_pairs, decontaminate
+from .curation import (
+    curate_corpus,
+    hash_split,
+    hash_stratified_sample,
+    temperature_sample,
+    weighted_mix,
+)
+from .dedup import (
+    exact_dedup,
+    exact_dedup_stats,
+    incremental_minhash_candidates,
+    minhash_lsh_candidates,
+    ngram_containment_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    write_minhash_index,
+)
+from .drift import category_drift, drift_report, ks_drift, psi, psi_bins
+from .packing import chunk_pack, greedy_pack, pack_stats
+from .relational import fk_violations, isin_table, orphan_stats
+from .similarity import (
+    brute_force_topk,
+    embedding_near_dups,
+    lsh_topk,
+    verify_pairs_cosine,
+)
+from .temporal import (
+    asof_join,
+    banded_range_join,
+    rollup_anomalies,
+    session_stats,
+    time_rollup,
+)
+from .text import (
+    corpus_card,
+    corpus_line_dedup,
+    corpus_profile,
+    keyword_search,
+    language_id,
+    pii_scrub,
+    quality_score,
+    strip_markup,
+    token_count,
+    top_k_per_group,
+    top_ngrams,
+)
