@@ -36,7 +36,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: "list[str] | None" = None) -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("contract-check")
@@ -62,6 +62,12 @@ def main(sf_dir: str) -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in queries]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 1
+        queries = {n: queries[n] for n in only}
     failures = 0
     for name, fn in queries.items():
         sdf = fn(spark, sf_dir)
@@ -94,13 +100,24 @@ def main(sf_dir: str) -> int:
                 print(f"    spark-only: {sm}\n    duck-only:  {dm}")
         else:
             print(f"  {name}: OK ({len(spark_rows)} rows)")
-    # smoke entry()
-    edf = entrymod.entry(spark)
-    print(f"  entry(): {len(edf.collect())} rows, schema={sorted(edf.columns)}")
+    # smoke entry() (skipped when a subset was requested)
+    if not only:
+        edf = entrymod.entry(spark)
+        print(
+            f"  entry(): {len(edf.collect())} rows, "
+            f"schema={sorted(edf.columns)}"
+        )
     spark.stop()
     return failures
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(main(sf))
+    # usage: check_contract.py [sf_dir] [--only name1,name2]
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        args = args[:i] + args[i + 2:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    sys.exit(main(sf, only))
