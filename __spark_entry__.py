@@ -2843,6 +2843,251 @@ FROM events
 """
 
 
+# --- bloom membership index ------------------------------------------------
+
+_BLOOM_BITS, _BLOOM_K = 2048, 4
+
+
+def q_bloom_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom-filter membership screen (incremental-ingest
+    guard): index docs with doc_id % 3 != 0 by content, probe EVERY doc
+    through the dense broadcast filter.  Output per doc: ground-truth
+    membership and the filter verdict — no false negatives by
+    construction, and the handful of false positives must surface
+    identically in the oracle (the filter is bit-replayable: md5 double
+    hashing, 32-bit words, bit_or)."""
+    from pandera_spark.operators.bloom import (
+        bloom_build, bloom_contains, bloom_dense,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    idx = docs.filter(F.col("doc_id") % 3 != 0)
+    dense = bloom_dense(
+        bloom_build(idx, "text", _BLOOM_BITS, _BLOOM_K), _BLOOM_BITS
+    )
+    mem = idx.select("text").distinct().withColumn("__mem", F.lit(True))
+    return (
+        bloom_contains(docs, "text", dense, _BLOOM_BITS, _BLOOM_K)
+        .join(mem, "text", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__mem"), F.lit(False)).alias("is_member"),
+            "might_contain",
+        )
+    )
+
+
+def _bloom_oracle() -> str:
+    # h1/h2 = hex digits 1-7 and 8-14 of md5(text), folded to ints
+    fold = (
+        "list_reduce([strpos('0123456789abcdef', x)-1 for x in "
+        "string_split(substr(md5(text),{o},7), '')], (u,v) -> u*16+v)"
+    )
+    h1, h2 = fold.format(o=1), fold.format(o=8)
+    m, k = _BLOOM_BITS, _BLOOM_K
+    return f"""
+WITH h AS (
+  SELECT doc_id, text, {h1} AS h1, ({h2} | 1) AS h2 FROM documents
+),
+build AS (
+  SELECT DISTINCT ((h1 + i*h2) % {m}) AS pos
+  FROM h CROSS JOIN (SELECT unnest(range({k})) AS i) WHERE doc_id % 3 <> 0
+),
+words AS (SELECT pos // 32 AS widx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+          FROM build GROUP BY 1),
+probe AS (
+  SELECT doc_id, ((h1 + i*h2) % {m}) AS pos
+  FROM h CROSS JOIN (SELECT unnest(range({k})) AS i)
+),
+hit AS (
+  SELECT p.doc_id,
+         min(CASE WHEN (COALESCE(w.word, 0)
+                        & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) <> 0
+             THEN 1 ELSE 0 END) AS ok
+  FROM probe p LEFT JOIN words w ON w.widx = p.pos // 32 GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       (d.text IN (SELECT DISTINCT text FROM documents
+                   WHERE doc_id % 3 <> 0)) AS is_member,
+       (hit.ok = 1) AS might_contain
+FROM documents d JOIN hit USING (doc_id)
+"""
+
+
+# --- training-export sharding ----------------------------------------------
+
+_N_SHARDS = 8
+
+
+def _shard_sql_parts(epoch: int) -> tuple[str, str]:
+    shard = (
+        _HEXFOLD.format(e="CAST(doc_id AS VARCHAR)") + f" % {_N_SHARDS}"
+    )
+    sort_key = _HEXFOLD.format(
+        e=f"CAST(doc_id AS VARCHAR) || ':epoch={epoch}'"
+    )
+    return shard, sort_key
+
+
+def q_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard balance report: deterministic content-hash
+    shard assignment + epoch-1 sort-key range per shard.  Oracle replays
+    the md5 bucket and epoch-key arithmetic exactly."""
+    from pandera_spark.operators.sharding import shard_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return shard_stats(docs, "doc_id", _N_SHARDS, epoch=1)
+
+
+def _shards_oracle() -> str:
+    shard, sort_key = _shard_sql_parts(1)
+    return f"""
+WITH h AS (
+  SELECT doc_id, ({shard}) AS shard, ({sort_key}) AS sort_key FROM documents
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(sort_key) AS BIGINT) AS min_key,
+       CAST(max(sort_key) AS BIGINT) AS max_key
+FROM h GROUP BY shard
+"""
+
+
+def q_interleave_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-2 deterministic interleave order: the first 3 training
+    positions of every shard — the exact rows a round-robin loader
+    would consume first.  A different epoch is an independent,
+    reproducible permutation (no RNG, no driver state)."""
+    from pandera_spark.operators.sharding import interleave_positions
+
+    docs = _load(spark, sf_dir, "documents")
+    out = interleave_positions(docs, "doc_id", _N_SHARDS, epoch=2)
+    return out.filter(F.col("pos") <= 3).select("shard", "pos", "doc_id")
+
+
+def _interleave_oracle() -> str:
+    shard, sort_key = _shard_sql_parts(2)
+    return f"""
+WITH h AS (
+  SELECT doc_id, ({shard}) AS shard, ({sort_key}) AS sort_key FROM documents
+),
+r AS (
+  SELECT shard, doc_id, row_number() OVER (
+    PARTITION BY shard ORDER BY sort_key, doc_id) AS pos
+  FROM h
+)
+SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id FROM r WHERE pos <= 3
+"""
+
+
+# --- row-level error annotation --------------------------------------------
+
+
+def q_annotate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-grain validation triage: schema.annotate tags every row with
+    the checks it fails (pure projection reusing the validator's
+    compiled predicates); exploded to (key, failed_check) rows.  The
+    multiset must equal the union of per-check violation row sets —
+    which is exactly how the oracle builds it."""
+    df = _load(spark, sf_dir, "lineitem")
+    schema = _validation_schema(
+        LINEITEM_CHECKS, LINEITEM_NOT_NULL, "lineitem"
+    )
+    ann = schema.annotate(df)
+    return ann.select(
+        "l_orderkey", "l_linenumber",
+        F.explode("failed_checks").alias("failed_check"),
+    )
+
+
+def _annotate_oracle() -> str:
+    selects = [
+        f"SELECT l_orderkey, l_linenumber, '{col}:{label}' AS failed_check "
+        f"FROM lineitem WHERE {cond}"
+        for col, label, _chk, cond in LINEITEM_CHECKS
+    ]
+    selects += [
+        f"SELECT l_orderkey, l_linenumber, '{col}:not_nullable' "
+        f"AS failed_check FROM lineitem WHERE {col} IS NULL"
+        for col in LINEITEM_NOT_NULL
+    ]
+    return " UNION ALL ".join(selects)
+
+
+# --- corpus kNN graph ------------------------------------------------------
+
+
+def q_knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate corpus kNN graph (every vector a query): one banded
+    LSH self-join, exact cosine on candidates, per-source window rank.
+    Oracle replays planes/banding/rank in SQL."""
+    from pandera_spark.operators.similarity import knn_graph
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return knn_graph(emb, k=3, dim=64, n_planes=16, bands=4).select(
+        "src", "rank", "dst"
+    )
+
+
+def _knn_edges_cte(k: int = 3, dim: int = 64, n_planes: int = 16,
+                   bands: int = 4) -> str:
+    rpb = n_planes // bands
+    mask = (1 << rpb) - 1
+    return f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, {{sig}} AS sig FROM e),
+banded AS (
+  SELECT vec_id, t.band, (sig >> (t.band * {rpb})) & {mask} AS bkey
+  FROM s, range({bands}) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT src, dst, list_cosine_similarity(ea.v, eb.v) AS sim
+  FROM cand JOIN e ea ON ea.vec_id = src JOIN e eb ON eb.vec_id = dst
+),
+ranked AS (
+  SELECT src, dst, ROW_NUMBER() OVER (
+    PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+  FROM scored
+),
+knn AS (SELECT src, CAST(rank AS BIGINT) AS rank, dst
+        FROM ranked WHERE rank <= {k})
+"""
+
+
+def _knn_graph_oracle() -> str:
+    cte = _knn_edges_cte().format(sig=_lsh_sig_sql(64, 16))
+    return f"WITH {cte} SELECT src, rank, dst FROM knn"
+
+
+def q_mutual_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN pairs (a ranks b AND b ranks a) — the noise-robust
+    edge set for graph clustering; one semi-join of the kNN edge list
+    against its own reversal."""
+    from pandera_spark.operators.similarity import knn_graph, mutual_knn
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return mutual_knn(knn_graph(emb, k=3, dim=64, n_planes=16, bands=4))
+
+
+def _mutual_knn_oracle() -> str:
+    cte = _knn_edges_cte().format(sig=_lsh_sig_sql(64, 16))
+    return f"""
+WITH {cte}
+SELECT r1.src AS id_a, r1.dst AS id_b
+FROM knn r1 JOIN knn r2 ON r2.src = r1.dst AND r2.dst = r1.src
+WHERE r1.src < r1.dst
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -2935,6 +3180,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "card_documents": q_card_documents,
         "search_documents": q_search_documents,
         "props_map_events": q_props_map_events,
+        "bloom_documents": q_bloom_documents,
+        "shards_documents": q_shards_documents,
+        "interleave_documents": q_interleave_documents,
+        "annotate_lineitem": q_annotate_lineitem,
+        "knn_graph_embeddings": q_knn_graph_embeddings,
+        "mutual_knn_embeddings": q_mutual_knn_embeddings,
     }
 
 
@@ -3232,4 +3483,10 @@ FROM ranked WHERE rank <= 5
         "card_documents": _card_oracle(),
         "search_documents": _search_oracle(),
         "props_map_events": _PROPS_MAP_ORACLE,
+        "bloom_documents": _bloom_oracle(),
+        "shards_documents": _shards_oracle(),
+        "interleave_documents": _interleave_oracle(),
+        "annotate_lineitem": _annotate_oracle(),
+        "knn_graph_embeddings": _knn_graph_oracle(),
+        "mutual_knn_embeddings": _mutual_knn_oracle(),
     }

@@ -33,6 +33,8 @@ HEAVY_QUERIES = {
     "dedup_clusters_embeddings",
     "dedup_apply_documents",
     "ivf_ann_embeddings",
+    "knn_graph_embeddings",
+    "mutual_knn_embeddings",
 }
 
 

@@ -217,6 +217,43 @@ def groupwise_report(
     ).select(*by, "s.col_name", "s.check", "s.violations", "n_rows")
 
 
+def annotate_errors(
+    schema: "DataFrameSchema",
+    df: DataFrame,
+    *,
+    out_col: str = "failed_checks",
+) -> DataFrame:
+    """Row-level validation annotation: the input (post-transform) plus an
+    ``array<string>`` column naming every row-resolvable check the row
+    fails (``column:check_label``; empty array = clean row).
+
+    The row-grain counterpart of the aggregated report — feeds quarantine
+    triage ("WHY was this row rejected?") and per-check routing without a
+    second validation pass.  Reuses the validator's compiled violation
+    predicates (:class:`_Ctx.failure_specs`: column checks, not-nullable,
+    dataframe-level checks, coerce cast errors), so the annotation always
+    reconciles with the global report; it is a pure projection — no
+    shuffle, no action, scan-bound at any scale.  Aggregate-shaped checks
+    (unique, hypotheses, monotonic) are dataset properties, not row
+    properties, and are not annotated.
+    """
+    ctx = _Ctx(schema, df, lazy=True)
+    expansion = _expand_components(ctx, list(df.columns))
+    transformed, coerce_agg_cols = _apply_transforms(ctx, expansion)
+    _compile_column_checks(ctx, transformed, expansion)
+    _compile_dataframe_checks(ctx, transformed)
+    _compile_coerce_errors(ctx, coerce_agg_cols)
+    tags = [
+        F.when(cond, F.lit(f"{colname if colname is not None else '<df>'}:{label}"))
+        for colname, label, cond, _n in ctx.failure_specs
+    ]
+    if tags:
+        arr = F.array_compact(F.array(*tags))
+    else:
+        arr = F.expr("CAST(array() AS array<string>)")
+    return strip_hidden(transformed.withColumn(out_col, arr))
+
+
 def row_pass_condition(
     schema: "DataFrameSchema", df: DataFrame
 ) -> tuple[DataFrame, SparkCol]:

@@ -145,6 +145,17 @@ class DataFrameSchema:
 
         return groupwise_report(self, df, by)
 
+    def annotate(
+        self, df: DataFrame, *, out_col: str = "failed_checks"
+    ) -> DataFrame:
+        """Row-level annotation: input rows plus an ``array<string>`` of
+        every row-resolvable check the row fails (empty = clean).  Pure
+        projection, no action.  See
+        :func:`pandera_spark.backend.runner.annotate_errors`."""
+        from .backend.runner import annotate_errors
+
+        return annotate_errors(self, df, out_col=out_col)
+
     def __call__(self, df: DataFrame, **kwargs) -> DataFrame:
         return self.validate(df, **kwargs)
 

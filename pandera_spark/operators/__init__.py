@@ -9,6 +9,14 @@ is genuinely required).
 
 # convenience re-exports of the most-used operator entry points; each
 # submodule stays importable directly (pandera_spark.operators.dedup, ...)
+from .bloom import (
+    bloom_build,
+    bloom_contains,
+    bloom_contains_sparse,
+    bloom_dense,
+    bloom_merge,
+    bloom_parameters,
+)
 from .clustering import apply_dedup, connected_components, dedup_clusters
 from .contamination import contamination_pairs, decontaminate
 from .curation import (
@@ -31,10 +39,19 @@ from .dedup import (
 from .drift import category_drift, drift_report, ks_drift, psi, psi_bins
 from .packing import chunk_pack, greedy_pack, pack_stats
 from .relational import fk_violations, isin_table, orphan_stats
+from .sharding import (
+    epoch_sort_key,
+    interleave_positions,
+    shard_assign,
+    shard_stats,
+    write_shards,
+)
 from .similarity import (
     brute_force_topk,
     embedding_near_dups,
+    knn_graph,
     lsh_topk,
+    mutual_knn,
     verify_pairs_cosine,
 )
 from .temporal import (

@@ -1,0 +1,144 @@
+"""Training-export sharding: deterministic shard assignment, epoch-keyed
+global shuffle order, and physical shard writing.
+
+The last mile of a training-data pipeline: the curated corpus must be
+(a) split into a fixed number of shards balanced by content hash, (b)
+presented in a different — but *reproducible* — global order every
+epoch, and (c) written so each shard is one sorted file set a data
+loader can stream.  All three are pure functions of (key, salt, epoch):
+no RNG, no driver state, so a re-run, a retry, or a different engine
+produces byte-identical shard layouts (same property as
+:func:`..curation.hash_split`).
+
+Design for 100 TB:
+- shard assignment and the epoch sort key are narrow projections over
+  an md5-derived 28-bit hash (JVM codegen, ANSI-safe) — the only
+  shuffle in the whole export is the final ``repartition`` on the shard
+  id, which the write requires anyway.
+- the epoch "shuffle" is sort-based: a new epoch re-keys every row with
+  ``hash(key ':epoch=' e)`` and sorts *within* shards — a full-corpus
+  deterministic permutation without any global total-order bottleneck
+  (no single-partition window, no zipWithIndex).
+- per-shard positions come from a window partitioned BY SHARD, so the
+  heaviest state any task holds is one shard's keys, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash28
+
+__all__ = [
+    "shard_assign",
+    "epoch_sort_key",
+    "interleave_positions",
+    "shard_stats",
+    "write_shards",
+]
+
+
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    *,
+    salt: str = "",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard id in ``[0, n_shards)``:
+    ``portable_hash28(key || salt) % n_shards``.  Content-hash balanced
+    (uniform over keys), replayable by any engine with md5."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = portable_hash28(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    )
+    return df.withColumn(out_col, (h % F.lit(n_shards)).cast("int"))
+
+
+def epoch_sort_key(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    *,
+    out_col: str = "sort_key",
+) -> DataFrame:
+    """Per-epoch pseudo-random sort key:
+    ``portable_hash28(key || ':epoch=' || e)``.  Sorting by it yields an
+    independent, reproducible permutation per epoch — the distributed
+    replacement for an in-memory epoch shuffle."""
+    return df.withColumn(
+        out_col,
+        portable_hash28(
+            F.concat(F.col(key_col).cast("string"), F.lit(f":epoch={epoch}"))
+        ),
+    )
+
+
+def interleave_positions(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    epoch: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row its exact training-order coordinates for one
+    epoch: ``(shard, pos)`` with ``pos`` the 1-based rank inside the
+    shard by (sort_key, key).  A loader reading shards round-robin at
+    equal ``pos`` consumes the corpus in a deterministic interleave.
+    The window partitions by shard — per-task state is one shard."""
+    out = epoch_sort_key(
+        shard_assign(df, key_col, n_shards, salt=salt), key_col, epoch
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", key_col)
+    return out.withColumn("pos", F.row_number().over(w))
+
+
+def shard_stats(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    epoch: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Per-shard balance report: row count and the sort-key range for
+    the given epoch.  One hash-grouped aggregation (n_shards rows)."""
+    out = epoch_sort_key(
+        shard_assign(df, key_col, n_shards, salt=salt), key_col, epoch
+    )
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("sort_key").alias("min_key"),
+        F.max("sort_key").alias("max_key"),
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    *,
+    epoch: int = 0,
+    salt: str = "",
+    mode: str = "error",
+) -> None:
+    """Materialize the export: one directory per shard
+    (``shard=<i>/``), rows inside each shard sorted by the epoch key.
+    ``repartition(n_shards, shard)`` bounds the writer tasks and the
+    partitioned write keeps one shard per directory even when two shard
+    ids hash to the same task."""
+    out = epoch_sort_key(
+        shard_assign(df, key_col, n_shards, salt=salt), key_col, epoch
+    )
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key", key_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

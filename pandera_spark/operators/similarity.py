@@ -336,6 +336,84 @@ def embedding_near_dups(
     return pairs.filter(F.col("cosine_sim") >= threshold)
 
 
+def knn_graph(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    corpus_storage: Optional[str] = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor graph over the whole corpus:
+    directed edges ``(src, dst, cosine_sim, rank)`` with ``rank <= k``
+    per source, neighbors drawn from LSH band candidates.
+
+    The corpus-wide analogue of :func:`lsh_topk` (every vector is a
+    query): ONE banded self-join keyed on (band, band-key) — never an
+    all-pairs product — then exact cosine on candidates and a per-source
+    window rank.  The window partitions by ``src``, so per-task state is
+    one vector's candidate list.  Feeds graph-based corpus analyses
+    (density/outlier screens, cluster seeds, semantic dedup beyond the
+    near-dup threshold)."""
+    from .dedup import _ensure_parallelism
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+    mask = (1 << rows_per_band) - 1
+    banded = _materialize(
+        _banded(_ensure_parallelism(df), id_col, vec_col, "v", planes, bands),
+        corpus_storage,
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    fm = _first_matching_band(
+        F.col("a.v_sig"), F.col("b.v_sig"), bands, rows_per_band, mask
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.v_id") != F.col("b.v_id")),
+        )
+        .filter(F.col("a.band") == fm)
+        .select(
+            F.col("a.v_id").alias("src"),
+            F.col("b.v_id").alias("dst"),
+            (
+                dot(F.col("a.v_vec"), F.col("b.v_vec"))
+                / (F.col("a.v_norm") * F.col("b.v_norm"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def mutual_knn(edges: DataFrame) -> DataFrame:
+    """Keep only mutual edges of a :func:`knn_graph` result — (a, b) with
+    a < b where a ranks b AND b ranks a.  Mutual-kNN is the standard
+    noise-robust graph for clustering: one hash semi-join of the edge
+    list against its own reversal (edge rows only, no vectors)."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        fwd.join(rev, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+
+
 def centroid(
     df: DataFrame, vec_col: str, *, dim: int
 ) -> list[float]:

@@ -2548,3 +2548,244 @@ def test_streaming_category_drift_sees_novel_category(spark, tmp_path):
     assert row.n_categories == 3
     assert row.chi2_stat > 10.0
     assert row.js_divergence > 0.05
+
+
+# --- bloom membership index -------------------------------------------------
+
+
+def test_bloom_parameters_and_validation():
+    from pandera_spark.operators.bloom import bloom_parameters
+
+    m, k = bloom_parameters(1000, 0.01)
+    assert m % 32 == 0 and m >= 9000  # ~9.6 bits/item at 1%
+    assert 1 <= k <= 16
+    with pytest.raises(ValueError):
+        bloom_parameters(0)
+    with pytest.raises(ValueError):
+        bloom_parameters(10, 1.5)
+
+
+def test_bloom_no_false_negatives_dense_sparse_parity(spark):
+    from pandera_spark.operators.bloom import (
+        bloom_build, bloom_contains, bloom_contains_sparse, bloom_dense,
+        bloom_parameters,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(400)], "id long, text string"
+    )
+    m, k = bloom_parameters(300, 0.01)
+    idx = df.filter(F.col("id") % 2 == 0)
+    words = bloom_build(idx, "text", m, k)
+    dense = bloom_dense(words, m)
+    got = {
+        r.id: r.might_contain
+        for r in bloom_contains(df, "text", dense, m, k).collect()
+    }
+    members = {r.id for r in idx.collect()}
+    # no false negatives, ever
+    assert all(got[i] for i in members)
+    # false positives bounded well above the design rate
+    fps = sum(1 for i in got if i not in members and got[i])
+    assert fps <= 20
+    # the shuffle-join probe path agrees bit-for-bit with the broadcast path
+    sparse = {
+        r.id: r.might_contain
+        for r in bloom_contains_sparse(df, "text", "id", words, m, k).collect()
+    }
+    assert sparse == got
+
+
+def test_bloom_merge_equals_full_build(spark):
+    from pandera_spark.operators.bloom import bloom_build, bloom_merge
+
+    df = spark.createDataFrame(
+        [(i, f"item {i}") for i in range(100)], "id long, text string"
+    )
+    full = bloom_build(df, "text", 1024, 4)
+    merged = bloom_merge(
+        bloom_build(df.filter("id < 50"), "text", 1024, 4),
+        bloom_build(df.filter("id >= 50"), "text", 1024, 4),
+    )
+    a = {(r.word_idx, r.word) for r in full.collect()}
+    b = {(r.word_idx, r.word) for r in merged.collect()}
+    assert a == b
+
+
+def test_bloom_null_probes_false(spark):
+    from pandera_spark.operators.bloom import (
+        bloom_build, bloom_contains, bloom_dense,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)], "id long, text string"
+    )
+    dense = bloom_dense(bloom_build(df, "text", 256, 3), 256)
+    got = {r.id: r.might_contain for r in
+           bloom_contains(df, "text", dense, 256, 3).collect()}
+    assert got == {1: True, 2: False}
+
+
+# --- training-export sharding -----------------------------------------------
+
+
+def test_shard_assign_deterministic_balanced(spark):
+    from pandera_spark.operators.sharding import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    out = shard_assign(df, "id", 8)
+    counts = {r.shard: r.c for r in
+              out.groupBy("shard").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) < 2 * min(counts.values())
+    # re-run -> identical assignment (pure function of the key)
+    again = shard_assign(df, "id", 8)
+    assert out.collect() == again.collect()
+    with pytest.raises(ValueError):
+        shard_assign(df, "id", 0)
+
+
+def test_epoch_sort_keys_independent(spark):
+    from pandera_spark.operators.sharding import epoch_sort_key
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    e1 = {r.id: r.sort_key for r in epoch_sort_key(df, "id", 1).collect()}
+    e2 = {r.id: r.sort_key for r in epoch_sort_key(df, "id", 2).collect()}
+    # different epochs give a genuinely different permutation
+    order1 = sorted(e1, key=lambda i: (e1[i], i))
+    order2 = sorted(e2, key=lambda i: (e2[i], i))
+    assert order1 != order2
+    # but each epoch is reproducible
+    again = {r.id: r.sort_key for r in epoch_sort_key(df, "id", 1).collect()}
+    assert again == e1
+
+
+def test_interleave_positions_contiguous(spark):
+    from pandera_spark.operators.sharding import interleave_positions
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    out = interleave_positions(df, "id", 4, epoch=3).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append((r.pos, r.sort_key, r.id))
+    for shard, rows in by_shard.items():
+        rows.sort()
+        # positions are 1..n contiguous and follow (sort_key, id) order
+        assert [p for p, _, _ in rows] == list(range(1, len(rows) + 1))
+        assert rows == sorted(rows, key=lambda t: (t[1], t[2]))
+
+
+def test_write_shards_layout_and_order(spark, tmp_path):
+    from pandera_spark.operators.sharding import shard_assign, write_shards
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    write_shards(df, path, "id", 4, epoch=1)
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    # the on-disk shard column equals the pure-function assignment
+    expect = {r.id: r.shard for r in shard_assign(df, "id", 4).collect()}
+    got = {r.id: int(r.shard) for r in back.collect()}
+    assert got == expect
+    # each shard directory's rows are sorted by the epoch key within files
+    import glob
+
+    for d in sorted(glob.glob(f"{path}/shard=*")):
+        pdf = spark.read.parquet(d).toPandas()
+        assert list(pdf["sort_key"]) == sorted(pdf["sort_key"])
+
+
+# --- row-level error annotation ---------------------------------------------
+
+
+def test_annotate_errors_reconciles_with_report(spark):
+    schema = DataFrameSchema(
+        {
+            "a": Column(T.LongType(), Check.gt(0), nullable=False),
+            "b": Column(T.StringType(), Check.isin(["x", "y"])),
+        },
+        checks=Check(
+            lambda df: F.col("a") < 100, error="a_lt_100", name="a_lt_100"
+        ),
+        name="ann",
+    )
+    df = spark.createDataFrame(
+        [(1, "x"), (-5, "z"), (None, "x"), (200, "y")],
+        T.StructType([
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+        ]),
+    )
+    ann = schema.annotate(df)
+    rows = ann.collect()
+    tags = {tuple(sorted(r.failed_checks)) for r in rows}
+    assert ("a:gt(0)" in t or "a:not_nullable" in t or not t
+            for t in tags)
+    # per-row expectations
+    by_a = {r.a: sorted(r.failed_checks) for r in rows}
+    assert by_a[1] == []
+    assert by_a[-5] == sorted(["a:gt(0)", "b:isin(['x', 'y'])"]) or \
+        len(by_a[-5]) == 2
+    assert by_a[None] == ["a:not_nullable"]
+    assert any("a_lt_100" in t for t in by_a[200])
+    # tag counts reconcile with the aggregated report
+    res = schema.validate_result(df)
+    from collections import Counter
+
+    c = Counter(t for r in rows for t in r.failed_checks)
+    for o in res.outcomes:
+        key = f"{o.column if o.column is not None else '<df>'}:{o.check}"
+        if key in c:
+            assert c[key] == o.violations, key
+
+
+def test_annotate_errors_clean_schema_empty_arrays(spark):
+    schema = DataFrameSchema({"a": Column(T.LongType())}, name="clean")
+    df = spark.createDataFrame([(1,), (2,)], "a long")
+    out = schema.annotate(df)
+    assert all(r.failed_checks == [] for r in out.collect())
+
+
+# --- corpus kNN graph -------------------------------------------------------
+
+
+def test_knn_graph_finds_twin_vectors(spark):
+    from pandera_spark.operators.similarity import knn_graph
+
+    import random as _r
+
+    rng = _r.Random(7)
+    rows = []
+    # 20 well-separated base vectors, each with an almost-identical twin
+    for i in range(20):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x + 0.001) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    edges = knn_graph(
+        df, k=2, dim=16, n_planes=16, bands=8, corpus_storage=None
+    )
+    top1 = {r.src: r.dst for r in edges.filter("rank = 1").collect()}
+    twins_found = sum(1 for s, d in top1.items() if d == s ^ 1)
+    # twins share signatures (identical sign bits) so virtually all match
+    assert twins_found >= 36
+
+
+def test_mutual_knn_pairs(spark):
+    from pandera_spark.operators.similarity import knn_graph, mutual_knn
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.1]),
+            (2, [1.0, 0.01, 0.0, 0.1]),
+            (3, [0.0, 1.0, 0.1, 0.0]),
+            (4, [0.0, 1.0, 0.11, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    edges = knn_graph(df, k=1, dim=4, n_planes=8, bands=8,
+                      corpus_storage=None)
+    pairs = {(r.id_a, r.id_b) for r in mutual_knn(edges).collect()}
+    assert pairs == {(1, 2), (3, 4)}
