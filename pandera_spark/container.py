@@ -266,6 +266,43 @@ class DataFrameSchema:
         new.columns = {k: v for k, v in new.columns.items() if k in names}
         return new
 
+    @property
+    def dtypes(self) -> dict:
+        """Column name -> declared Spark dtype for non-regex columns
+        (reference api/dataframe/container.py:244-263; regex columns need
+        :meth:`get_dtypes` with a concrete dataframe)."""
+        import warnings
+
+        regex_cols = [n for n, c in self.columns.items() if c.regex]
+        if regex_cols:
+            warnings.warn(
+                "Schema has regex column names: "
+                f"{regex_cols}. Use get_dtypes(df) to resolve their "
+                "datatypes.",
+                UserWarning,
+            )
+        return {
+            n: c.dtype for n, c in self.columns.items() if not c.regex
+        }
+
+    def get_dtypes(self, df: DataFrame) -> dict:
+        """Like :attr:`dtypes` but expands regex columns against the
+        supplied dataframe (reference api/dataframe/container.py:277-300)."""
+        out: dict = {}
+        for _, comp in self.columns.items():
+            for name in comp.matching_columns(list(df.columns)):
+                out[name] = comp.dtype
+        return out
+
+    def get_metadata(self) -> Optional[dict]:
+        """Column- and schema-level metadata, keyed by schema name
+        (reference api/dataframe/container.py:265-275)."""
+        res: dict = {"columns": {}}
+        for k, comp in self.columns.items():
+            res["columns"][k] = comp.metadata
+        res["dataframe"] = self.metadata
+        return {self.name: res}
+
     def __repr__(self) -> str:
         return (
             f"<DataFrameSchema {self.name!r} columns={list(self.columns)} "

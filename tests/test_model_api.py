@@ -561,3 +561,38 @@ def test_yaml_roundtrip_map_checks(spark):
     bad = spark.createDataFrame([({"a": 1, "z": 2, "q": 3},)], st)
     errs = {e.check for e in back.validate_result(bad).errors}
     assert len(errs) == 2  # size > 2 and disallowed keys
+
+
+def test_container_dtypes_and_metadata(spark):
+    import warnings
+
+    import pyspark.sql.types as T
+
+    from pandera_spark import Check, Column, DataFrameSchema
+
+    schema = DataFrameSchema(
+        {
+            "a": Column(T.LongType(), metadata={"owner": "etl"}),
+            "b": Column(T.StringType()),
+            r"m_\d+": Column(T.DoubleType(), regex=True),
+        },
+        name="meta_schema",
+        metadata={"tier": "gold"},
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        d = schema.dtypes
+        assert any("regex" in str(x.message) for x in w)
+    assert d == {"a": T.LongType(), "b": T.StringType()}
+    df = spark.createDataFrame(
+        [(1, "x", 0.5, 0.7)], "a long, b string, m_1 double, m_2 double"
+    )
+    full = schema.get_dtypes(df)
+    assert full["m_1"] == T.DoubleType() and full["m_2"] == T.DoubleType()
+    meta = schema.get_metadata()
+    assert meta == {
+        "meta_schema": {
+            "columns": {"a": {"owner": "etl"}, "b": None, r"m_\d+": None},
+            "dataframe": {"tier": "gold"},
+        }
+    }
