@@ -3088,6 +3088,146 @@ WHERE r1.src < r1.dst
 """
 
 
+# --- document chunking -----------------------------------------------------
+
+
+def q_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping char-window chunking (size=200, overlap=40): one row
+    per chunk with the exact chunk text — the RAG/training
+    preprocessing explode, pure Column expressions.  Oracle replays the
+    identical window arithmetic with substr."""
+    from pandera_spark.operators.chunking import chunk_text
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_text(
+        docs, "doc_id", "text", size=200, overlap=40, unit="chars"
+    )
+
+
+_CHUNKS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, text,
+         CASE WHEN n <= 0 THEN 0
+              WHEN n <= 200 THEN 1
+              ELSE CAST(ceil((n - 200) / 160.0) AS INT) + 1 END AS n_chunks
+  FROM d
+),
+x AS (
+  SELECT doc_id, text, n_chunks, unnest(range(n_chunks)) AS i
+  FROM c WHERE n_chunks > 0
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       substr(text, CAST(i*160 + 1 AS INT), 200) AS chunk,
+       n_chunks
+FROM x
+"""
+
+
+def q_token_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (size=60 tokens, overlap=12): windows the
+    whitespace token sequence and rejoins — the unit a tokenizer-budget
+    pipeline uses.  Oracle: list slicing over the same token array."""
+    from pandera_spark.operators.chunking import chunk_text
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_text(
+        docs, "doc_id", "text", size=60, overlap=12, unit="tokens"
+    )
+
+
+_TOKEN_CHUNKS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         [x for x in string_split_regex(text, '\s+') if len(x) > 0] AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 0 THEN 0
+              WHEN len(toks) <= 60 THEN 1
+              ELSE CAST(ceil((len(toks) - 60) / 48.0) AS INT) + 1 END
+           AS n_chunks
+  FROM t
+),
+x AS (
+  SELECT doc_id, toks, n_chunks, unnest(range(n_chunks)) AS i
+  FROM c WHERE n_chunks > 0
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(toks[CAST(i*48 + 1 AS INT):CAST(i*48 + 60 AS INT)],
+                       ' ') AS chunk,
+       n_chunks
+FROM x
+"""
+
+
+# --- hashed linear model scoring -------------------------------------------
+
+_ML_BUCKETS = 4096
+
+
+def q_mlscore_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate plumbing: fasttext-style hashed linear
+    scorer evaluated in Catalyst HOFs.  keep is decided on the
+    pre-sigmoid margin (monotone-equivalent, immune to last-ulp exp
+    differences across engines); the sigmoid score is rounded to 6dp."""
+    from pandera_spark.operators.text import hashed_linear_score
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs, "text", n_buckets=_ML_BUCKETS)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0)
+    # margin = logit(score): recompute the mean weight for the keep flag
+    from pandera_spark.operators.dedup import portable_hash28
+
+    def weight(t):
+        b = F.pmod(portable_hash28(t), F.lit(_ML_BUCKETS))
+        return (
+            F.pmod(b * F.lit(2654435761), F.lit(1000003)).cast("double")
+            / F.lit(1000003.0)
+        ) - F.lit(0.5)
+
+    ws = F.transform(toks, weight)
+    margin = F.aggregate(ws, F.lit(0.0), lambda a, v: a + v) / F.size(ws)
+    return (
+        scored.filter(F.col("model_score").isNotNull())
+        .select(
+            "doc_id",
+            F.round("model_score", 6).alias("score_r"),
+            (margin >= 0.0).alias("keep"),
+        )
+    )
+
+
+def _mlscore_oracle() -> str:
+    tok_hash = _HEXFOLD.format(e="tk")
+    w = (
+        f"(((({tok_hash}) % {_ML_BUCKETS}) * 2654435761) % 1000003)"
+        " / 1000003.0 - 0.5"
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         [x for x in string_split_regex(text, '\s+') if len(x) > 0] AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (
+  SELECT doc_id, list_transform(toks, tk -> {w}) AS ws
+  FROM t WHERE len(toks) > 0
+),
+m AS (
+  SELECT doc_id, list_reduce(ws, (a, b) -> a + b) / len(ws) AS margin
+  FROM w
+)
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-margin)), 6) AS score_r,
+       (margin >= 0.0) AS keep
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -3186,6 +3326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotate_lineitem": q_annotate_lineitem,
         "knn_graph_embeddings": q_knn_graph_embeddings,
         "mutual_knn_embeddings": q_mutual_knn_embeddings,
+        "chunks_documents": q_chunks_documents,
+        "token_chunks_documents": q_token_chunks_documents,
+        "mlscore_documents": q_mlscore_documents,
     }
 
 
@@ -3489,4 +3632,7 @@ FROM ranked WHERE rank <= 5
         "annotate_lineitem": _annotate_oracle(),
         "knn_graph_embeddings": _knn_graph_oracle(),
         "mutual_knn_embeddings": _mutual_knn_oracle(),
+        "chunks_documents": _CHUNKS_ORACLE,
+        "token_chunks_documents": _TOKEN_CHUNKS_ORACLE,
+        "mlscore_documents": _mlscore_oracle(),
     }

@@ -17,6 +17,7 @@ from .bloom import (
     bloom_merge,
     bloom_parameters,
 )
+from .chunking import chunk_stats, chunk_text
 from .clustering import apply_dedup, connected_components, dedup_clusters
 from .contamination import contamination_pairs, decontaminate
 from .curation import (
@@ -65,6 +66,7 @@ from .text import (
     corpus_card,
     corpus_line_dedup,
     corpus_profile,
+    hashed_linear_score,
     keyword_search,
     language_id,
     pii_scrub,

@@ -532,3 +532,51 @@ def keyword_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_buckets: int = 1 << 20,
+    bias: float = 0.0,
+    out_col: str = "model_score",
+) -> DataFrame:
+    """Model-based quality scoring plumbing: a fasttext-style linear
+    classifier over hashed bag-of-words features, evaluated entirely in
+    Catalyst higher-order functions (zero UDF, zero shuffle).
+
+    ``score = sigmoid(bias + mean_t w[bucket(t)])`` with
+    ``bucket(t) = portable_hash28(t) % n_buckets``.  The per-bucket
+    weights here are a DETERMINISTIC hash-derived stand-in
+    (``(bucket * 2654435761 mod 1000003) / 1000003 - 0.5``) so the
+    whole pipeline — tokenize, feature-hash, score, threshold — is
+    reproducible and bit-replayable by an external SQL oracle; swap the
+    weight expression for a lookup against trained weights (broadcast
+    numpy array inside ``mapInPandas``) to productionize without
+    touching the surrounding plan.  All arithmetic bounded < 2^52 —
+    ANSI-safe.  Empty/null documents score null.
+    """
+    from .dedup import portable_hash28
+
+    if n_buckets <= 0 or n_buckets > (1 << 28):
+        raise ValueError(f"n_buckets must be in (0, 2^28], got {n_buckets}")
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+    def weight(t: C) -> C:
+        b = F.pmod(portable_hash28(t), F.lit(n_buckets))
+        return (
+            F.pmod(b * F.lit(2654435761), F.lit(1000003)).cast("double")
+            / F.lit(1000003.0)
+        ) - F.lit(0.5)
+
+    ws = F.transform(toks, weight)
+    n = F.size(ws)
+    mean = F.aggregate(ws, F.lit(0.0), lambda a, v: a + v) / n
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + mean)))
+    return df.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNotNull() & (n > 0), score),
+    )

@@ -2789,3 +2789,90 @@ def test_mutual_knn_pairs(spark):
                       corpus_storage=None)
     pairs = {(r.id_a, r.id_b) for r in mutual_knn(edges).collect()}
     assert pairs == {(1, 2), (3, 4)}
+
+
+# --- document chunking ------------------------------------------------------
+
+
+def test_chunk_text_char_layout(spark):
+    from pandera_spark.operators.chunking import chunk_text
+
+    text = "abcdefghijklmnopqrstuvwxyz"  # 26 chars
+    df = spark.createDataFrame([(1, text), (2, None), (3, "")],
+                               "doc_id long, text string")
+    out = chunk_text(df, "doc_id", "text", size=10, overlap=4)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    # step=6 -> chunks at 0,6,12,18: ceil((26-10)/6)+1 = 4
+    assert [r.doc_id for r in rows] == [1, 1, 1, 1]
+    assert [r.chunk for r in rows] == [
+        text[0:10], text[6:16], text[12:22], text[18:26]
+    ]
+    assert all(r.n_chunks == 4 for r in rows)
+    # overlap really overlaps
+    assert rows[0].chunk[-4:] == rows[1].chunk[:4]
+    # short doc -> one chunk, empty/null -> none
+    short = chunk_text(
+        spark.createDataFrame([(9, "hi")], "doc_id long, text string"),
+        "doc_id", "text", size=10, overlap=4,
+    ).collect()
+    assert len(short) == 1 and short[0].chunk == "hi"
+
+
+def test_chunk_text_tokens_and_validation(spark):
+    from pandera_spark.operators.chunking import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "t0  t1 t2\tt3\nt4 t5 t6")], "doc_id long, text string"
+    )
+    out = chunk_text(df, "doc_id", "text", size=4, overlap=1, unit="tokens")
+    rows = sorted(out.collect(), key=lambda r: r.chunk_idx)
+    # 7 tokens, step=3 -> chunks at 0,3: ceil((7-4)/3)+1 = 2
+    assert [r.chunk for r in rows] == ["t0 t1 t2 t3", "t3 t4 t5 t6"]
+    with pytest.raises(ValueError):
+        chunk_text(df, "doc_id", "text", size=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_text(df, "doc_id", "text", size=0, overlap=0)
+    with pytest.raises(ValueError):
+        chunk_text(df, "doc_id", "text", unit="bytes")
+
+
+def test_chunk_stats(spark):
+    from pandera_spark.operators.chunking import chunk_stats
+
+    df = spark.createDataFrame(
+        [(1, "a" * 26), (2, "b" * 5)], "doc_id long, text string"
+    )
+    row = chunk_stats(df, "doc_id", "text", size=10, overlap=4).first()
+    assert row.n_docs == 2 and row.n_chunks == 5
+    assert row.min_len == 5 and row.max_len == 10
+
+
+# --- hashed linear scorer ---------------------------------------------------
+
+
+def test_hashed_linear_score_deterministic_bounded(spark):
+    from pandera_spark.operators.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "spark engines process data"), (2, "spark engines process data"),
+         (3, "completely different words here now"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.model_score
+           for r in hashed_linear_score(df, "text").collect()}
+    assert out[1] == out[2]                      # pure function of text
+    assert out[1] != out[3]
+    assert 0.0 < out[1] < 1.0
+    assert out[4] is None and out[5] is None     # empty/null -> null
+    with pytest.raises(ValueError):
+        hashed_linear_score(df, "text", n_buckets=0)
+
+
+def test_hashed_linear_score_bias_shifts(spark):
+    from pandera_spark.operators.text import hashed_linear_score
+
+    df = spark.createDataFrame([(1, "one two three")],
+                               "doc_id long, text string")
+    lo = hashed_linear_score(df, "text", bias=-2.0).first().model_score
+    hi = hashed_linear_score(df, "text", bias=2.0).first().model_score
+    assert lo < hi
