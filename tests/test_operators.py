@@ -2876,3 +2876,74 @@ def test_hashed_linear_score_bias_shifts(spark):
     lo = hashed_linear_score(df, "text", bias=-2.0).first().model_score
     hi = hashed_linear_score(df, "text", bias=2.0).first().model_score
     assert lo < hi
+
+
+# --- streaming bloom novelty ------------------------------------------------
+
+
+def test_streaming_bloom_novelty_cross_batch(spark, tmp_path):
+    """Two micro-batches: content repeated from batch 1 is flagged in
+    batch 2; the appended index equals a one-shot build over the union;
+    a replayed batch (at-least-once retry) leaves the index unchanged."""
+    import json
+
+    from pandera_spark.operators.bloom import bloom_build
+    from pandera_spark.streaming.novelty import (
+        bloom_novelty_foreach_batch, compact_bloom_index,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(
+        json.dumps({"id": i, "text": t})
+        for i, t in [(1, "alpha"), (2, "beta")]
+    ))
+    (src / "b.json").write_text("\n".join(
+        json.dumps({"id": i, "text": t})
+        for i, t in [(3, "beta"), (4, "gamma")]
+    ))
+    idx = str(tmp_path / "bloom_index")
+    got: dict[int, list] = {}
+    fn = bloom_novelty_foreach_batch(
+        "text", idx, 1024, 4,
+        lambda df, bid: got.setdefault(bid, []).extend(df.collect()),
+    )
+    stream = spark.readStream.schema("id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert set(got) == {0, 1}
+    flags = {r.id: r.seen_before for b in got.values() for r in b}
+    assert flags[1] is False and flags[2] is False   # first batch: no index
+    assert flags[3] is True                           # 'beta' seen in batch 1
+    assert flags[4] is False                          # 'gamma' genuinely new
+    # folded index == one-shot build over everything that flowed through
+    all_docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "beta"), (4, "gamma")],
+        "id long, text string",
+    )
+    expect = {(r.word_idx, r.word)
+              for r in bloom_build(all_docs, "text", 1024, 4).collect()}
+    folded = {(r.word_idx, r.word)
+              for r in spark.read.parquet(idx).groupBy("word_idx")
+              .agg(F.bit_or("word").alias("word")).collect()}
+    assert folded == expect
+    # idempotent retry: re-process batch 0, index fold unchanged
+    fn(spark.createDataFrame([(1, "alpha"), (2, "beta")],
+                             "id long, text string"), 0)
+    refolded = {(r.word_idx, r.word)
+                for r in spark.read.parquet(idx).groupBy("word_idx")
+                .agg(F.bit_or("word").alias("word")).collect()}
+    assert refolded == expect
+    # compaction preserves the filter and bounds the file to one segment
+    n = compact_bloom_index(spark, idx)
+    assert n == len(expect)
+    compacted = {(r.word_idx, r.word)
+                 for r in spark.read.parquet(idx).collect()}
+    assert compacted == expect
