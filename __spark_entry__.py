@@ -3228,6 +3228,75 @@ FROM m
 """
 
 
+# --- winsorization + entropy profiling -------------------------------------
+
+_WINSOR_COLS = ["l_quantity", "l_extendedprice", "l_tax"]
+
+
+def q_winsorize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric tail report at exact p5/p95 for three columns from ONE
+    bounds aggregation + one counting pass (operators/numeric.py);
+    clip-side counts prove the bound comparisons.  Oracle:
+    quantile_cont replay."""
+    from pandera_spark.operators.numeric import winsorize_report
+
+    li = _load(spark, sf_dir, "lineitem")
+    rep = winsorize_report(li, _WINSOR_COLS, lower=0.05, upper=0.95)
+    return rep.select(
+        "col_name",
+        F.round("lo", 6).alias("lo_r"),
+        F.round("hi", 6).alias("hi_r"),
+        "n_below",
+        "n_above",
+    )
+
+
+def _winsorize_oracle() -> str:
+    parts = []
+    for c in _WINSOR_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+       ROUND(quantile_cont(CAST({c} AS DOUBLE), 0.05), 6) AS lo_r,
+       ROUND(quantile_cont(CAST({c} AS DOUBLE), 0.95), 6) AS hi_r,
+       CAST(COUNT(CASE WHEN CAST({c} AS DOUBLE) <
+         (SELECT quantile_cont(CAST({c} AS DOUBLE), 0.05) FROM lineitem)
+         THEN 1 END) AS BIGINT) AS n_below,
+       CAST(COUNT(CASE WHEN CAST({c} AS DOUBLE) >
+         (SELECT quantile_cont(CAST({c} AS DOUBLE), 0.95) FROM lineitem)
+         THEN 1 END) AS BIGINT) AS n_above
+FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+def q_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column diversity screen: Shannon entropy + cardinality of the
+    lang and source columns in ONE melt shuffle
+    (operators/drift.py:column_entropy)."""
+    from pandera_spark.operators.drift import column_entropy
+
+    docs = _load(spark, sf_dir, "documents")
+    out = column_entropy(docs, ["lang", "source"])
+    return out.select(
+        "col_name", "n_values", "n_distinct",
+        F.round("entropy", 6).alias("entropy_r"),
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH m AS (
+  SELECT 'lang' AS col_name, lang AS key FROM documents
+  WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT 'source', source FROM documents WHERE source IS NOT NULL
+),
+c AS (SELECT col_name, key, count(*) AS c FROM m GROUP BY 1, 2)
+SELECT col_name, CAST(sum(c) AS BIGINT) AS n_values,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       ROUND(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_r
+FROM c GROUP BY col_name
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -3329,6 +3398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_documents": q_chunks_documents,
         "token_chunks_documents": q_token_chunks_documents,
         "mlscore_documents": q_mlscore_documents,
+        "winsorize_lineitem": q_winsorize_lineitem,
+        "entropy_documents": q_entropy_documents,
     }
 
 
@@ -3635,4 +3706,6 @@ FROM ranked WHERE rank <= 5
         "chunks_documents": _CHUNKS_ORACLE,
         "token_chunks_documents": _TOKEN_CHUNKS_ORACLE,
         "mlscore_documents": _mlscore_oracle(),
+        "winsorize_lineitem": _winsorize_oracle(),
+        "entropy_documents": _ENTROPY_ORACLE,
     }

@@ -35,6 +35,8 @@ HEAVY_QUERIES = {
     "ivf_ann_embeddings",
     "knn_graph_embeddings",
     "mutual_knn_embeddings",
+    # exact-percentile bounds share the single-reducer merge variance
+    "winsorize_lineitem",
 }
 
 

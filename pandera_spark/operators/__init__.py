@@ -37,7 +37,15 @@ from .dedup import (
     simhash_near_dups,
     write_minhash_index,
 )
-from .drift import category_drift, drift_report, ks_drift, psi, psi_bins
+from .drift import (
+    category_drift,
+    column_entropy,
+    drift_report,
+    ks_drift,
+    psi,
+    psi_bins,
+)
+from .numeric import percentile_bounds, winsorize, winsorize_report
 from .packing import chunk_pack, greedy_pack, pack_stats
 from .relational import fk_violations, isin_table, orphan_stats
 from .sharding import (

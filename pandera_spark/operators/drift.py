@@ -389,3 +389,39 @@ def drift_report(
         F.sum(js_term).alias("js_divergence"),
         F.sum(psi_term).alias("psi"),
     )
+
+
+def column_entropy(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Shannon entropy (nats) + cardinality of many categorical columns
+    in ONE melt shuffle: ``(col_name, n_values, n_distinct, entropy)``.
+
+    The diversity screen of a corpus-health report ("did the source mix
+    collapse?", "is a column near-constant?").  Each row melts to
+    (col_name, value) entries; nulls are excluded (entropy of the
+    observed distribution).  Partial aggregation bounds the shuffle at
+    O(sum of per-column distinct values); ``entropy = ln n -
+    (sum c*ln c)/n`` finishes on the already-aggregated count frame.
+    """
+    if not cols:
+        raise ValueError("need at least one column")
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(c).cast("string").alias("key"),
+        )
+        for c in cols
+    ]
+    counts = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.col_name", "e.key")
+        .filter(F.col("key").isNotNull())
+        .groupBy("col_name", "key")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    s = F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+    return counts.groupBy("col_name").agg(
+        F.sum("c").cast("long").alias("n_values"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.when(n > 0, F.log(n) - s / n).otherwise(F.lit(0.0)).alias("entropy"),
+    )

@@ -1,0 +1,131 @@
+"""Numeric outlier handling: percentile bounds and winsorization.
+
+The standard numeric-hygiene pass before aggregate statistics or model
+features: clip (or flag) the tails at exact interpolated percentiles.
+
+Design for 100 TB:
+- ALL columns' bounds come from ONE aggregation job (``percentile`` with
+  an array of probabilities per column — same single-pass shape as
+  :func:`..inference.numeric_percentiles`); the bounds frame is one row
+  and is broadcast, so clipping is a pure projection.
+- exact ``percentile`` sorts each column's values inside the aggregate —
+  fine into the hundreds of millions; at true 100 TB scale pass
+  ``approx=True`` to use ``approx_percentile`` (t-digest sketch, fully
+  map-side mergeable) and trade exactness for a bounded-memory plan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["percentile_bounds", "winsorize", "winsorize_report"]
+
+
+def _bounds_agg(cols: Sequence[str], lower: float, upper: float,
+                approx: bool):
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower < upper <= 1, got {lower=} {upper=}"
+        )
+    fn = F.approx_percentile if approx else F.percentile
+    exprs = []
+    for c in cols:
+        q = fn(
+            F.col(c).cast("double"),
+            F.array(F.lit(float(lower)), F.lit(float(upper))),
+        )
+        exprs.append(q.getItem(0).alias(f"__lo_{c}"))
+        exprs.append(q.getItem(1).alias(f"__hi_{c}"))
+    return exprs
+
+
+def percentile_bounds(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """One-row frame of ``(__lo_<col>, __hi_<col>)`` per column — the
+    broadcastable clip bounds, from ONE aggregation job."""
+    return df.agg(*_bounds_agg(cols, lower, upper, approx))
+
+
+def winsorize(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """Clip every listed column into its [lower, upper] percentile range
+    (nulls pass through).  One bounds job + one broadcast, then a pure
+    projection — two scans total regardless of column count."""
+    bounds = F.broadcast(
+        percentile_bounds(df, cols, lower=lower, upper=upper, approx=approx)
+    )
+    out = df.crossJoin(bounds)
+    for c in cols:
+        clipped = F.least(
+            F.greatest(F.col(c).cast("double"), F.col(f"__lo_{c}")),
+            F.col(f"__hi_{c}"),
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(), clipped)
+        )
+    return out.drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+
+
+def winsorize_report(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """Long-format tail report per column: the bounds and how many rows
+    fall outside them — ``(col_name, lo, hi, n_below, n_above)``.
+    Bounds job + one counting pass."""
+    bounds = F.broadcast(
+        percentile_bounds(df, cols, lower=lower, upper=upper, approx=approx)
+    )
+    joined = df.crossJoin(bounds)
+    agg = joined.agg(
+        *[
+            e
+            for c in cols
+            for e in (
+                F.first(f"__lo_{c}").alias(f"__l_{c}"),
+                F.first(f"__hi_{c}").alias(f"__h_{c}"),
+                F.count(
+                    F.when(F.col(c).cast("double") < F.col(f"__lo_{c}"), 1)
+                ).alias(f"__b_{c}"),
+                F.count(
+                    F.when(F.col(c).cast("double") > F.col(f"__hi_{c}"), 1)
+                ).alias(f"__a_{c}"),
+            )
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__l_{c}").alias("lo"),
+                F.col(f"__h_{c}").alias("hi"),
+                F.col(f"__b_{c}").cast("long").alias("n_below"),
+                F.col(f"__a_{c}").cast("long").alias("n_above"),
+            )
+            for c in cols
+        ]
+    )
+    return agg.select(F.explode(rows).alias("s")).select(
+        "s.col_name", "s.lo", "s.hi", "s.n_below", "s.n_above"
+    )

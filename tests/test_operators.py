@@ -2947,3 +2947,69 @@ def test_streaming_bloom_novelty_cross_batch(spark, tmp_path):
     compacted = {(r.word_idx, r.word)
                  for r in spark.read.parquet(idx).collect()}
     assert compacted == expect
+
+
+# --- winsorization + entropy ------------------------------------------------
+
+
+def test_winsorize_clips_tails(spark):
+    from pandera_spark.operators.numeric import winsorize, winsorize_report
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)] + [(None,)], "v double"
+    )
+    out = winsorize(df, ["v"], lower=0.10, upper=0.90)
+    vals = [r.v for r in out.collect() if r.v is not None]
+    # p10 of 1..100 = 10.9, p90 = 90.1 (linear interpolation)
+    assert min(vals) == pytest.approx(10.9)
+    assert max(vals) == pytest.approx(90.1)
+    assert len(vals) == 100
+    assert out.filter(F.col("v").isNull()).count() == 1  # nulls untouched
+    rep = winsorize_report(df, ["v"], lower=0.10, upper=0.90).first()
+    assert rep.n_below == 10 and rep.n_above == 10
+    assert rep.lo == pytest.approx(10.9) and rep.hi == pytest.approx(90.1)
+    with pytest.raises(ValueError):
+        winsorize(df, ["v"], lower=0.9, upper=0.1)
+
+
+def test_winsorize_approx_mode(spark):
+    from pandera_spark.operators.numeric import winsorize_report
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+    rep = winsorize_report(df, ["v"], lower=0.05, upper=0.95,
+                           approx=True).first()
+    # sketch bounds are near-exact on a uniform ramp
+    assert rep.lo == pytest.approx(50.0, abs=5)
+    assert rep.hi == pytest.approx(950.0, abs=5)
+
+
+def test_column_entropy_known_values(spark):
+    import math
+
+    from pandera_spark.operators.drift import column_entropy
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"),
+         ("a", "x"), ("a", None)],
+        "u string, w string",
+    )
+    out = {r.col_name: r for r in column_entropy(df, ["u", "w"]).collect()}
+    # u: a=4, b=2 over 6
+    pu = [4 / 6, 2 / 6]
+    assert out["u"].entropy == pytest.approx(
+        -sum(p * math.log(p) for p in pu)
+    )
+    assert out["u"].n_values == 6 and out["u"].n_distinct == 2
+    # w: nulls excluded -> x=3, y=2 over 5
+    pw = [3 / 5, 2 / 5]
+    assert out["w"].entropy == pytest.approx(
+        -sum(p * math.log(p) for p in pw)
+    )
+    assert out["w"].n_values == 5
+    # constant column -> entropy 0
+    const = column_entropy(
+        spark.createDataFrame([("k",)] * 5, "u string"), ["u"]
+    ).first()
+    assert const.entropy == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        column_entropy(df, [])
