@@ -358,7 +358,13 @@ def knn_graph(
     window rank.  The window partitions by ``src``, so per-task state is
     one vector's candidate list.  Feeds graph-based corpus analyses
     (density/outlier screens, cluster seeds, semantic dedup beyond the
-    near-dup threshold)."""
+    near-dup threshold).
+
+    Sizing for scale: expected candidate pairs ≈ ``bands * n^2 /
+    2^(n_planes/bands)`` — pick the band width so a bucket holds a
+    bounded neighborhood (width ≈ log2(n / desired_bucket_size)); at
+    local test scale the cost is Catalyst compile of the plane literals,
+    not data (BASELINE.md §3.7)."""
     from .dedup import _ensure_parallelism
 
     planes = _hyperplanes(dim, n_planes, seed)
