@@ -3297,6 +3297,88 @@ FROM c GROUP BY col_name
 """
 
 
+# --- star-schema contract + corpus diff ------------------------------------
+
+_STAR_FKS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_star_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-warehouse referential contract: every FK of the TPC-H-ish
+    star checked in one unioned result — each FK a broadcast anti-join
+    of the fact against deduplicated dim keys (fact tables never
+    shuffle)."""
+    from pandera_spark.operators.relational import star_report
+
+    tables = {
+        t: _load(spark, sf_dir, t)
+        for t in ["lineitem", "orders", "part", "supplier", "customer",
+                  "nation", "region"]
+    }
+    return star_report(tables, _STAR_FKS)
+
+
+def _star_oracle() -> str:
+    parts = []
+    for fact, fkey, dim, dkey in _STAR_FKS:
+        parts.append(f"""
+SELECT '{fact}' AS fact, '{fkey}' AS fk_cols, '{dim}' AS dim,
+       CAST(COUNT(*) AS BIGINT) AS violations
+FROM {fact} f WHERE f.{fkey} IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{dkey} = f.{fkey})""")
+    return " UNION ALL ".join(parts)
+
+
+def q_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff: simulate a refresh (drop doc_id%5==0,
+    append '!' to text of doc_id%7==0) and audit it — added/removed/
+    changed/unchanged counts from a digest-only full-outer join."""
+    from pandera_spark.operators.curation import corpus_diff
+
+    docs = _load(spark, sf_dir, "documents")
+    new = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("!"))
+            ).otherwise(F.col("text")),
+        )
+    )
+    return corpus_diff(docs, new, "doc_id", "text")
+
+
+_DIFF_ORACLE = """
+WITH o AS (SELECT doc_id AS k, md5(text) AS h FROM documents
+           WHERE doc_id IS NOT NULL),
+n AS (
+  SELECT doc_id AS k,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END) AS h
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 5 <> 0
+),
+j AS (SELECT o.k AS ko, o.h AS ho, n.k AS kn, n.h AS hn
+      FROM o FULL OUTER JOIN n ON o.k = n.k)
+SELECT CAST(COUNT(CASE WHEN ho IS NOT NULL THEN 1 END) AS BIGINT) AS n_old,
+       CAST(COUNT(CASE WHEN hn IS NOT NULL THEN 1 END) AS BIGINT) AS n_new,
+       CAST(COUNT(CASE WHEN ho IS NULL AND hn IS NOT NULL THEN 1 END)
+         AS BIGINT) AS added,
+       CAST(COUNT(CASE WHEN hn IS NULL AND ho IS NOT NULL THEN 1 END)
+         AS BIGINT) AS removed,
+       CAST(COUNT(CASE WHEN ho IS NOT NULL AND hn IS NOT NULL AND ho <> hn
+         THEN 1 END) AS BIGINT) AS changed,
+       CAST(COUNT(CASE WHEN ho IS NOT NULL AND hn IS NOT NULL AND ho = hn
+         THEN 1 END) AS BIGINT) AS unchanged
+FROM j
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -3400,6 +3482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlscore_documents": q_mlscore_documents,
         "winsorize_lineitem": q_winsorize_lineitem,
         "entropy_documents": q_entropy_documents,
+        "star_report": q_star_report,
+        "diff_documents": q_diff_documents,
     }
 
 
@@ -3708,4 +3792,6 @@ FROM ranked WHERE rank <= 5
         "mlscore_documents": _mlscore_oracle(),
         "winsorize_lineitem": _winsorize_oracle(),
         "entropy_documents": _ENTROPY_ORACLE,
+        "star_report": _star_oracle(),
+        "diff_documents": _DIFF_ORACLE,
     }

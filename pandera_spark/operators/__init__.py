@@ -21,6 +21,7 @@ from .chunking import chunk_stats, chunk_text
 from .clustering import apply_dedup, connected_components, dedup_clusters
 from .contamination import contamination_pairs, decontaminate
 from .curation import (
+    corpus_diff,
     curate_corpus,
     hash_split,
     hash_stratified_sample,
@@ -47,7 +48,7 @@ from .drift import (
 )
 from .numeric import percentile_bounds, winsorize, winsorize_report
 from .packing import chunk_pack, greedy_pack, pack_stats
-from .relational import fk_violations, isin_table, orphan_stats
+from .relational import fk_violations, isin_table, orphan_stats, star_report
 from .sharding import (
     epoch_sort_key,
     interleave_positions,

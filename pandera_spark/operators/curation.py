@@ -340,3 +340,47 @@ def temperature_sample(
         .filter(bucket < F.col("__thresh"))
         .drop("__strat", "__thresh")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Audit two corpus versions in one row: ``(n_old, n_new, added,
+    removed, changed, unchanged)`` by key and content digest.
+
+    The ingest-pipeline regression check ("what did this refresh
+    actually do?").  Both sides project to ``(key, md5(content))``
+    before the full-outer join, so the shuffle carries 16-byte digests,
+    never documents.  Keys are assumed unique per version (dedupe
+    upstream if not); null keys are excluded on both sides."""
+    o = (
+        old.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("__k"),
+            F.md5(F.col(content_col).cast("string")).alias("__ho"),
+        )
+    )
+    n = (
+        new.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("__k"),
+            F.md5(F.col(content_col).cast("string")).alias("__hn"),
+        )
+    )
+    j = o.join(n, "__k", "full_outer")
+    ho, hn = F.col("__ho"), F.col("__hn")
+    return j.agg(
+        F.count(F.when(ho.isNotNull(), 1)).cast("long").alias("n_old"),
+        F.count(F.when(hn.isNotNull(), 1)).cast("long").alias("n_new"),
+        F.count(F.when(ho.isNull() & hn.isNotNull(), 1))
+        .cast("long").alias("added"),
+        F.count(F.when(hn.isNull() & ho.isNotNull(), 1))
+        .cast("long").alias("removed"),
+        F.count(F.when(ho.isNotNull() & hn.isNotNull() & (ho != hn), 1))
+        .cast("long").alias("changed"),
+        F.count(F.when(ho.isNotNull() & hn.isNotNull() & (ho == hn), 1))
+        .cast("long").alias("unchanged"),
+    )

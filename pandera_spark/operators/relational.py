@@ -110,3 +110,44 @@ def orphan_stats(
             F.when(~null_key & F.col(marker).isNull(), 1)
         ).cast("long").alias("orphan_rows"),
     )
+
+
+def star_report(
+    facts: "dict[str, DataFrame]",
+    fks: "list[tuple[str, Union[str, list[str]], str, Union[str, list[str]]]]",
+    *,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Whole-warehouse referential contract in one result: every declared
+    foreign key's violation count, long-format
+    ``(fact, fk_cols, dim, violations)``.
+
+    ``fks`` entries are ``(fact_name, fact_keys, dim_name, dim_keys)``
+    against the ``facts`` mapping.  Each FK compiles to the
+    :func:`fk_violations` anti-join (dims deduplicated to keys and
+    broadcast — the fact tables never shuffle); the per-FK one-row counts
+    union into a single frame, so Spark runs the independent anti-joins
+    as parallel stages of ONE job.  The multi-table generalization of
+    the reference's single-table validate."""
+    if not fks:
+        raise ValueError("declare at least one foreign key")
+    parts = []
+    for fact_name, fkeys, dim_name, dkeys in fks:
+        if fact_name not in facts or dim_name not in facts:
+            raise KeyError(f"unknown table in FK {fact_name}->{dim_name}")
+        cnt = fk_violation_count(
+            facts[fact_name], fkeys, facts[dim_name], dkeys,
+            broadcast=broadcast,
+        )
+        parts.append(
+            cnt.select(
+                F.lit(fact_name).alias("fact"),
+                F.lit(",".join(_cols(fkeys))).alias("fk_cols"),
+                F.lit(dim_name).alias("dim"),
+                F.col("violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -3013,3 +3013,45 @@ def test_column_entropy_known_values(spark):
     assert const.entropy == pytest.approx(0.0)
     with pytest.raises(ValueError):
         column_entropy(df, [])
+
+
+# --- star report + corpus diff ----------------------------------------------
+
+
+def test_star_report_counts_and_validation(spark):
+    from pandera_spark.operators.relational import star_report
+
+    orders = spark.createDataFrame([(1,), (2,)], "o_id long")
+    items = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12), (9, 13), (None, 14)],
+        "o_id long, item long",
+    )
+    users = spark.createDataFrame([(10,), (12,)], "u_id long")
+    rep = star_report(
+        {"items": items, "orders": orders, "users": users},
+        [("items", "o_id", "orders", "o_id"),
+         ("items", "item", "users", "u_id")],
+    )
+    got = {(r.fact, r.fk_cols, r.dim): r.violations for r in rep.collect()}
+    assert got[("items", "o_id", "orders")] == 1      # o_id=9; null exempt
+    assert got[("items", "item", "users")] == 3       # 11,13,14
+    with pytest.raises(ValueError):
+        star_report({"a": items}, [])
+    with pytest.raises(KeyError):
+        star_report({"a": items}, [("a", "o_id", "missing", "x")])
+
+
+def test_corpus_diff_categories(spark):
+    from pandera_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "x")],
+        "id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "id long, text string"
+    )
+    row = corpus_diff(old, new, "id", "text").first()
+    assert (row.n_old, row.n_new) == (3, 3)           # null key excluded
+    assert row.added == 1 and row.removed == 1
+    assert row.changed == 1 and row.unchanged == 1
