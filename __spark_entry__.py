@@ -3379,6 +3379,98 @@ FROM j
 """
 
 
+# --- correlation matrix + inverted-index retrieval --------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of every numeric-column pair in ONE agg job
+    (operators/numeric.py:correlation_matrix) — 6 pairs, one scan."""
+    from pandera_spark.operators.numeric import correlation_matrix
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = correlation_matrix(li, _CORR_COLS)
+    return out.select(
+        "col_a", "col_b", F.round("corr", 6).alias("corr_r")
+    )
+
+
+def _corr_oracle() -> str:
+    parts = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            parts.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"ROUND(corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 6) "
+                f"AS corr_r FROM lineitem"
+            )
+    return " UNION ALL ".join(parts)
+
+
+def q_index_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index TF-IDF retrieval: build the (term, doc, tf)
+    posting index once, then answer the query from the index alone —
+    the scale path when queries repeat (text.build_term_index /
+    index_search)."""
+    from pandera_spark.operators.text import build_term_index, index_search
+
+    docs = _load(spark, sf_dir, "documents")
+    index = build_term_index(docs, "doc_id", "text")
+    return index_search(
+        index, docs.count(), _SEARCH_TERMS, k=10
+    ).select("id", F.round("score", 6).alias("score_r"))
+
+
+def _index_search_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+WITH post AS (
+  SELECT t.term, doc_id AS id, CAST(count(*) AS BIGINT) AS tf
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+  WHERE len(t.term) >= 2
+  GROUP BY t.term, doc_id
+),
+hits AS (SELECT * FROM post WHERE term IN ({terms})),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM hits GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT id, SUM(tf * (ln((nd + 1) / (dft + 1)) + 1)) AS score
+  FROM hits JOIN dfreq USING (term), n
+  GROUP BY id
+)
+SELECT id, ROUND(score, 6) AS score_r
+FROM scored ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+
+def q_term_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list statistics for the query terms from the inverted
+    index — (term, n_docs, total_tf), text never rescanned."""
+    from pandera_spark.operators.text import build_term_index, term_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return term_stats(build_term_index(docs, "doc_id", "text"),
+                      _SEARCH_TERMS)
+
+
+def _term_stats_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+WITH post AS (
+  SELECT t.term, doc_id AS id, CAST(count(*) AS BIGINT) AS tf
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+  WHERE len(t.term) >= 2
+  GROUP BY t.term, doc_id
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tf) AS BIGINT) AS total_tf
+FROM post WHERE term IN ({terms}) GROUP BY term
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -3484,6 +3576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_documents": q_entropy_documents,
         "star_report": q_star_report,
         "diff_documents": q_diff_documents,
+        "corr_lineitem": q_corr_lineitem,
+        "index_search_documents": q_index_search_documents,
+        "term_stats_documents": q_term_stats_documents,
     }
 
 
@@ -3794,4 +3889,7 @@ FROM ranked WHERE rank <= 5
         "entropy_documents": _ENTROPY_ORACLE,
         "star_report": _star_oracle(),
         "diff_documents": _DIFF_ORACLE,
+        "corr_lineitem": _corr_oracle(),
+        "index_search_documents": _index_search_oracle(),
+        "term_stats_documents": _term_stats_oracle(),
     }

@@ -46,7 +46,12 @@ from .drift import (
     psi,
     psi_bins,
 )
-from .numeric import percentile_bounds, winsorize, winsorize_report
+from .numeric import (
+    correlation_matrix,
+    percentile_bounds,
+    winsorize,
+    winsorize_report,
+)
 from .packing import chunk_pack, greedy_pack, pack_stats
 from .relational import fk_violations, isin_table, orphan_stats, star_report
 from .sharding import (
@@ -72,10 +77,12 @@ from .temporal import (
     time_rollup,
 )
 from .text import (
+    build_term_index,
     corpus_card,
     corpus_line_dedup,
     corpus_profile,
     hashed_linear_score,
+    index_search,
     keyword_search,
     language_id,
     pii_scrub,

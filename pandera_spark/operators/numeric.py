@@ -21,7 +21,12 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["percentile_bounds", "winsorize", "winsorize_report"]
+__all__ = [
+    "percentile_bounds",
+    "winsorize",
+    "winsorize_report",
+    "correlation_matrix",
+]
 
 
 def _bounds_agg(cols: Sequence[str], lower: float, upper: float,
@@ -128,4 +133,49 @@ def winsorize_report(
     )
     return agg.select(F.explode(rows).alias("s")).select(
         "s.col_name", "s.lo", "s.hi", "s.n_below", "s.n_above"
+    )
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pearson correlation of every column pair in ONE aggregation job,
+    long-format ``(col_a, col_b, corr)`` with ``col_a < col_b``.
+
+    Computed as ``try_divide(covar_samp, stddev_samp * stddev_samp)``
+    (the (n-1) factors cancel — identical to Pearson ``corr``) because
+    the builtin ``corr`` raises DIVIDE_BY_ZERO on a zero-variance
+    column under ANSI mode; this form returns null there, matching SQL
+    ``corr`` semantics.  All are numerically-stable co-moment
+    aggregates merged map-side — ONE column-pruned scan however many
+    pairs.  The multicollinearity screen of a feature-quality report."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+
+    def pearson(a: str, b: str):
+        x, y = F.col(a).cast("double"), F.col(b).cast("double")
+        return F.try_divide(
+            F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y)
+        )
+
+    agg = df.agg(
+        *[
+            pearson(a, b).alias(f"__c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__c_{i}").alias("corr"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("s")).select(
+        "s.col_a", "s.col_b", "s.corr"
     )

@@ -580,3 +580,78 @@ def hashed_linear_score(
         out_col,
         F.when(F.col(text_col).isNotNull() & (n > 0), score),
     )
+
+
+def build_term_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_token_len: int = 2,
+) -> DataFrame:
+    """Inverted index: one posting row ``(term, id, tf)`` per distinct
+    lowercase alphanumeric token per document.
+
+    The scale path for repeated retrieval: :func:`keyword_search`
+    rescans every document per query; an index built ONCE turns each
+    query into a hash join on the term key (and is incrementally
+    maintainable — index new batches and union).  One explode + one
+    (term, id) groupBy whose shuffle carries tokens, never documents."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+        .filter(F.length("term") >= min_token_len)
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def term_stats(index: DataFrame, terms) -> DataFrame:
+    """Posting-list statistics for chosen terms from an existing index:
+    ``(term, n_docs, total_tf)``.  A filter + tiny groupBy on the index
+    — the corpus text is never touched."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    return (
+        index.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+    )
+
+
+def index_search(
+    index: DataFrame,
+    n_docs: int,
+    terms,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """TF-IDF retrieval from the inverted index: ``score = sum tf_t *
+    (ln((N+1)/(df_t+1)) + 1)`` over the query terms, top-``k`` by
+    (score desc, id asc).
+
+    Touches only the query terms' posting lists (filter pushes to the
+    index scan); document frequencies come from the same filtered
+    postings, broadcast back; ranking is TakeOrderedAndProject."""
+    terms = list(dict.fromkeys(terms))
+    if not terms or any(not t for t in terms):
+        raise ValueError("terms must be non-empty strings")
+    hits = index.filter(F.col("term").isin(terms))
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1) / (F.col("__df") + 1)) + 1
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .groupBy("id")
+        .agg(F.sum(F.col("tf") * idf).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+    )

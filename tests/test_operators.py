@@ -3055,3 +3055,52 @@ def test_corpus_diff_categories(spark):
     assert (row.n_old, row.n_new) == (3, 3)           # null key excluded
     assert row.added == 1 and row.removed == 1
     assert row.changed == 1 and row.unchanged == 1
+
+
+# --- correlation matrix + inverted index ------------------------------------
+
+
+def test_correlation_matrix_known_values(spark):
+    from pandera_spark.operators.numeric import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i), float(-i), 1.0) for i in range(1, 21)],
+        "a double, b double, c double, d double",
+    )
+    # d is constant -> corr undefined (null)
+    got = {(r.col_a, r.col_b): r.corr
+           for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert got[("a", "b")] == pytest.approx(1.0)
+    assert got[("a", "c")] == pytest.approx(-1.0)
+    assert got[("a", "d")] is None
+    assert len(got) == 6
+    with pytest.raises(ValueError):
+        correlation_matrix(df, ["a"])
+
+
+def test_term_index_and_search(spark):
+    from pandera_spark.operators.text import (
+        build_term_index, index_search, term_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Spark spark SPARK engine"),
+            (2, "spark data data"),
+            (3, "unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_term_index(df, "doc_id", "text")
+    post = {(r.term, r.id): r.tf for r in idx.collect()}
+    assert post[("spark", 1)] == 3          # case-folded
+    assert post[("spark", 2)] == 1
+    assert ("only", 3) in post and ("a", 1) not in post  # min_token_len
+    stats = {r.term: (r.n_docs, r.total_tf)
+             for r in term_stats(idx, ["spark", "data"]).collect()}
+    assert stats["spark"] == (2, 4) and stats["data"] == (1, 2)
+    hits = index_search(idx, 3, ["spark"], k=2).collect()
+    assert [r.id for r in hits] == [1, 2]   # tf order
+    assert hits[0].score > hits[1].score
+    with pytest.raises(ValueError):
+        index_search(idx, 3, [])
