@@ -1138,3 +1138,103 @@ def test_corpus_line_dedup_fuzz_matches_python(spark, docs, maxdf):
         if kept:
             want[i] = "\n".join(kept)
     assert got == want
+
+
+# --- bloom filter vs pure-Python replay --------------------------------------
+
+_bloom_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _py_bloom_positions(value: str, num_bits: int, k: int) -> list[int]:
+    import hashlib
+
+    digest = hashlib.md5(value.encode("utf-8")).hexdigest()
+    h1 = int(digest[0:7], 16)
+    h2 = int(digest[7:14], 16) | 1
+    return [(h1 + i * h2) % num_bits for i in range(k)]
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=_bloom_texts, probe=_bloom_texts)
+def test_bloom_matches_python_replay(spark, data, probe):
+    """The distributed filter's words and verdicts equal an independent
+    per-value Python evaluation of the same md5 double-hashing."""
+    from pandera_spark.operators.bloom import (
+        bloom_build, bloom_contains, bloom_dense,
+    )
+
+    num_bits, k = 512, 3
+    idx = spark.createDataFrame([(v,) for v in data], "text string")
+    words = {r.word_idx: r.word
+             for r in bloom_build(idx, "text", num_bits, k).collect()}
+    py_words: dict[int, int] = {}
+    for v in data:
+        for p in _py_bloom_positions(v, num_bits, k):
+            py_words[p // 32] = py_words.get(p // 32, 0) | (1 << (p % 32))
+    assert words == py_words
+    dense = bloom_dense(
+        bloom_build(idx, "text", num_bits, k), num_bits
+    )
+    probes = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(probe)], "i long, text string"
+    )
+    got = {r.i: r.might_contain
+           for r in bloom_contains(probes, "text", dense,
+                                   num_bits, k).collect()}
+    for i, v in enumerate(probe):
+        expect = all(
+            py_words.get(p // 32, 0) & (1 << (p % 32))
+            for p in _py_bloom_positions(v, num_bits, k)
+        )
+        assert got[i] == expect, (v, got[i], expect)
+
+
+# --- chunking vs pure-Python replay ------------------------------------------
+
+
+def _py_chunks(text: str, size: int, step: int) -> list[str]:
+    n = len(text)
+    if n == 0:
+        return []
+    if n <= size:
+        return [text]
+    import math
+
+    n_chunks = math.ceil((n - size) / step) + 1
+    return [text[i * step: i * step + size] for i in range(n_chunks)]
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(st.text(max_size=80), min_size=1, max_size=10),
+    size=st.integers(2, 30),
+    overlap=st.integers(0, 10),
+)
+def test_chunking_matches_python_replay(spark, texts, size, overlap):
+    from pandera_spark.operators.chunking import chunk_text
+
+    if overlap >= size:
+        overlap = size - 1
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = chunk_text(df, "doc_id", "text", size=size, overlap=overlap)
+    got: dict[int, list] = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+    for i, t in enumerate(texts):
+        expect = list(enumerate(_py_chunks(t, size, size - overlap)))
+        assert sorted(got.get(i, [])) == expect, (t, size, overlap)
