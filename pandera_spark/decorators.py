@@ -153,11 +153,15 @@ def check_types(fn=None, **validate_kwargs) -> Callable:
                 for pname, model in param_models.items():
                     if pname in bound.arguments:
                         bound.arguments[pname] = model.to_schema().validate(
-                            bound.arguments[pname], **validate_kwargs
+                            _apply_from_format(
+                                model, bound.arguments[pname]
+                            ),
+                            **validate_kwargs,
                         )
                 out = await f(*bound.args, **bound.kwargs)
                 if return_model is not None:
                     return_model.to_schema().validate(out, **validate_kwargs)
+                    out = _apply_to_format(return_model, out)
                 return out
 
             return awrapper
@@ -168,11 +172,13 @@ def check_types(fn=None, **validate_kwargs) -> Callable:
             for pname, model in param_models.items():
                 if pname in bound.arguments:
                     bound.arguments[pname] = model.to_schema().validate(
-                        bound.arguments[pname], **validate_kwargs
+                        _apply_from_format(model, bound.arguments[pname]),
+                        **validate_kwargs,
                     )
             out = f(*bound.args, **bound.kwargs)
             if return_model is not None:
                 return_model.to_schema().validate(out, **validate_kwargs)
+                out = _apply_to_format(return_model, out)
             return out
 
         return wrapper
@@ -180,6 +186,85 @@ def check_types(fn=None, **validate_kwargs) -> Callable:
     if fn is not None and callable(fn):
         return deco(fn)
     return deco
+
+
+_READ_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def _model_cfg(model, attr, default=None):
+    cfg = getattr(model, "Config", None)
+    return getattr(cfg, attr, default) if cfg is not None else default
+
+
+def _apply_from_format(model, value):
+    """Reference ``BaseModelConfig.from_format`` (model_config.py:43-49),
+    re-expressed Spark-first: when a ``DataFrame[Model]`` argument arrives
+    as a PATH string and the model declares ``from_format``, read it with
+    the model's own StructType (typed scan — no inference pass) before
+    validation.  A callable ``from_format`` receives the raw value."""
+    fmt = _model_cfg(model, "from_format")
+    if fmt is None or isinstance(value, DataFrame):
+        return value
+    if callable(fmt):
+        return fmt(value)
+    if not isinstance(value, str):
+        return value
+    fmt = str(fmt).lower()
+    if fmt not in _READ_FORMATS:
+        raise SchemaInitError(
+            f"unsupported from_format {fmt!r}: use one of "
+            f"{_READ_FORMATS} or a callable"
+        )
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise SchemaInitError(
+            "from_format conversion needs an active SparkSession"
+        )
+    kwargs = dict(_model_cfg(model, "from_format_kwargs") or {})
+    from . import sources
+
+    if fmt == "parquet":
+        return sources.read_parquet(spark, value, **kwargs)
+    if fmt == "csv":
+        return sources.read_csv(spark, value, model.to_schema(), **kwargs)
+    if fmt == "json":
+        return sources.read_json(spark, value, model.to_schema(), **kwargs)
+    return sources.read_orc(spark, value, model.to_schema(), **kwargs)
+
+
+def _apply_to_format(model, df):
+    """Reference ``BaseModelConfig.to_format`` (model_config.py:54-64):
+    after output validation, materialize the result.  Spark-first
+    reading of the contract: write to the ``to_format_buffer`` path in
+    the declared format (mode via ``to_format_kwargs['mode']``) and hand
+    the DataFrame back to the caller (a distributed result has no
+    in-memory serialized form to return).  A callable ``to_format``
+    receives the validated frame and its return value is passed
+    through."""
+    fmt = _model_cfg(model, "to_format")
+    if fmt is None:
+        return df
+    if callable(fmt):
+        return fmt(df)
+    fmt = str(fmt).lower()
+    if fmt not in _READ_FORMATS:
+        raise SchemaInitError(
+            f"unsupported to_format {fmt!r}: use one of "
+            f"{_READ_FORMATS} or a callable"
+        )
+    buffer = _model_cfg(model, "to_format_buffer")
+    if callable(buffer):
+        buffer = buffer()
+    if not buffer:
+        raise SchemaInitError(
+            "to_format needs to_format_buffer (the target path)"
+        )
+    kwargs = dict(_model_cfg(model, "to_format_kwargs") or {})
+    mode = kwargs.pop("mode", "error")
+    df.write.mode(mode).options(**kwargs).format(fmt).save(buffer)
+    return df
 
 
 def _extract_model(anno) -> Optional[type]:

@@ -596,3 +596,83 @@ def test_container_dtypes_and_metadata(spark):
             "dataframe": {"tier": "gold"},
         }
     }
+
+
+def test_check_types_from_format_path(spark, tmp_path):
+    """A DataFrame[Model] argument given as a PATH is read with the
+    model's declared StructType (reference model_config.py:43-49,
+    Spark-first: typed scan, no inference) and validated."""
+    import pyspark.sql.types as T
+
+    from pandera_spark import DataFrameModel, Field, check_types
+    from pandera_spark.typing import DataFrame as TDF
+
+    src = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, name string"
+    )
+    p = str(tmp_path / "in.parquet")
+    src.write.parquet(p)
+
+    class M(DataFrameModel):
+        id: T.LongType() = Field(gt=0)
+        name: T.StringType()
+
+        class Config:
+            from_format = "parquet"
+
+    @check_types
+    def total(df: TDF[M]) -> int:
+        return df.count()
+
+    assert total(p) == 2          # path in
+    assert total(src) == 2        # DataFrame still accepted
+
+    class MJson(M):
+        class Config:
+            from_format = "json"
+
+    jp = str(tmp_path / "in.json")
+    src.write.json(jp)
+
+    @check_types
+    def total_j(df: TDF[MJson]) -> int:
+        return df.drop("_corrupt_record").count()
+
+    assert total_j(jp) == 2
+
+    class MBad(M):
+        class Config:
+            from_format = "pickle"
+
+    @check_types
+    def total_b(df: TDF[MBad]) -> int:
+        return df.count()
+
+    import pandera_spark.errors as E
+
+    with pytest.raises(E.SchemaInitError):
+        total_b(p)
+
+
+def test_check_types_to_format_writes(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from pandera_spark import DataFrameModel, Field, check_types
+    from pandera_spark.typing import DataFrame as TDF
+
+    out_path = str(tmp_path / "out.parquet")
+
+    class M(DataFrameModel):
+        id: T.LongType() = Field(gt=0)
+
+        class Config:
+            to_format = "parquet"
+            to_format_buffer = out_path
+
+    @check_types
+    def make(n: int) -> TDF[M]:
+        return spark.range(1, n + 1).withColumnRenamed("id", "id")
+
+    res = make(5)
+    assert res.count() == 5                       # frame handed back
+    assert spark.read.parquet(out_path).count() == 5   # and materialized
