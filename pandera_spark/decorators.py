@@ -207,9 +207,25 @@ def _apply_from_format(model, value):
         return value
     if callable(fmt):
         return fmt(value)
+    fmt = str(fmt).lower()
+    if fmt == "dict":
+        # reference Format.dict (typing/formats.py): literal rows ->
+        # frame; Spark-natively a list of dicts/tuples typed by the
+        # model's StructType
+        if isinstance(value, (list, tuple)):
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise SchemaInitError(
+                    "from_format conversion needs an active SparkSession"
+                )
+            return spark.createDataFrame(
+                list(value), model.to_schema().to_structtype()
+            )
+        return value
     if not isinstance(value, str):
         return value
-    fmt = str(fmt).lower()
     if fmt not in _READ_FORMATS:
         raise SchemaInitError(
             f"unsupported from_format {fmt!r}: use one of "

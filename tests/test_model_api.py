@@ -676,3 +676,23 @@ def test_check_types_to_format_writes(spark, tmp_path):
     res = make(5)
     assert res.count() == 5                       # frame handed back
     assert spark.read.parquet(out_path).count() == 5   # and materialized
+
+
+def test_check_types_from_format_dict_rows(spark):
+    import pyspark.sql.types as T
+
+    from pandera_spark import DataFrameModel, Field, check_types
+    from pandera_spark.typing import DataFrame as TDF
+
+    class M(DataFrameModel):
+        id: T.LongType() = Field(gt=0)
+        name: T.StringType()
+
+        class Config:
+            from_format = "dict"
+
+    @check_types
+    def count(df: TDF[M]) -> int:
+        return df.count()
+
+    assert count([{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]) == 2
