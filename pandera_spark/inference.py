@@ -163,3 +163,84 @@ def numeric_percentiles(
         F.col("s.col_name").alias("col_name"),
         *[F.col("s.q")[i].alias(lab) for i, lab in enumerate(labels)],
     )
+
+
+def approx_profile(
+    df: DataFrame,
+    cols=None,
+    *,
+    rsd: float = 0.05,
+    probs: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based profiling for corpora where exact statistics are too
+    expensive: ONE aggregation job computes, per column, row/null
+    counts, HyperLogLog++ approximate distinct (``rsd`` relative
+    error), and — for numeric/date columns — min, max, mean and
+    t-digest ``approx_percentile`` values.
+
+    This is the 100 TB path of :func:`profile`: every sketch is
+    map-side mergeable (no single-reducer sort the exact ``percentile``
+    needs), so the job's combine tree stays balanced at any width.
+    Long-format result: ``(col_name, n_rows, n_nulls, approx_distinct,
+    min, max, mean, p<50>, ...)`` — non-numeric columns carry nulls in
+    the numeric slots.
+    """
+    fields = [
+        f for f in df.schema.fields if cols is None or f.name in (cols or [])
+    ]
+    if not fields:
+        raise ValueError("no columns to profile")
+    # date/timestamp columns get counts + distinct only (no double cast)
+    numeric = {
+        f.name for f in fields if isinstance(f.dataType, tuple(NUMERIC_TYPES))
+    }
+    aggs = []
+    for f in fields:
+        c, name = F.col(f.name), f.name
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{name}"),
+            F.count(F.when(c.isNull(), 1)).alias(f"__z_{name}"),
+            F.approx_count_distinct(c, rsd).alias(f"__d_{name}"),
+        ]
+        if name in numeric:
+            d = c.cast("double")
+            aggs += [
+                F.min(d).alias(f"__min_{name}"),
+                F.max(d).alias(f"__max_{name}"),
+                F.avg(d).alias(f"__avg_{name}"),
+                F.approx_percentile(
+                    d,
+                    F.array(*[F.lit(float(p)) for p in probs]),
+                    F.lit(accuracy),
+                ).alias(f"__p_{name}"),
+            ]
+    agg = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f.name).alias("col_name"),
+                F.col(f"__n_{f.name}").cast("long").alias("n_rows"),
+                F.col(f"__z_{f.name}").cast("long").alias("n_nulls"),
+                F.col(f"__d_{f.name}").cast("long").alias("approx_distinct"),
+                (F.col(f"__min_{f.name}") if f.name in numeric else null_d)
+                .alias("min"),
+                (F.col(f"__max_{f.name}") if f.name in numeric else null_d)
+                .alias("max"),
+                (F.col(f"__avg_{f.name}") if f.name in numeric else null_d)
+                .alias("mean"),
+                *[
+                    (
+                        F.col(f"__p_{f.name}").getItem(i)
+                        if f.name in numeric
+                        else null_d
+                    ).alias(f"p{int(p * 100)}")
+                    for i, p in enumerate(probs)
+                ],
+            )
+            for f in fields
+        ]
+    )
+    flat = agg.select(F.explode(rows).alias("s"))
+    return flat.select(*[f"s.{c}" for c in flat.select("s.*").columns])

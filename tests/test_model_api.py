@@ -696,3 +696,30 @@ def test_check_types_from_format_dict_rows(spark):
         return df.count()
 
     assert count([{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]) == 2
+
+
+def test_approx_profile_one_pass(spark):
+    import pyspark.sql.types as T
+
+    from pandera_spark.inference import approx_profile
+
+    df = spark.createDataFrame(
+        [(float(i), str(i % 3), None if i % 5 == 0 else i)
+         for i in range(100)],
+        T.StructType([
+            T.StructField("x", T.DoubleType(), True),
+            T.StructField("cat", T.StringType(), True),
+            T.StructField("z", T.LongType(), True),
+        ]),
+    )
+    out = {r.col_name: r for r in approx_profile(df).collect()}
+    assert out["x"].n_rows == 100 and out["x"].n_nulls == 0
+    assert out["x"].min == 0.0 and out["x"].max == 99.0
+    assert out["x"].mean == pytest.approx(49.5)
+    assert abs(out["x"].approx_distinct - 100) <= 10       # HLL rsd bound
+    assert out["x"].p50 == pytest.approx(49.5, abs=2)
+    assert out["cat"].approx_distinct == 3
+    assert out["cat"].min is None and out["cat"].p50 is None
+    assert out["z"].n_nulls == 20
+    with pytest.raises(ValueError):
+        approx_profile(df, ["nope"])
