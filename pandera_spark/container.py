@@ -174,6 +174,26 @@ class DataFrameSchema:
             ]
         )
 
+    @classmethod
+    def from_structtype(
+        cls, st: T.StructType, *, name: Optional[str] = None, **kwargs
+    ) -> "DataFrameSchema":
+        """Inverse of :meth:`to_structtype`: build a dtype+nullable-only
+        schema from a Spark StructType (e.g. a parquet footer read
+        driver-side — declare a contract from an existing dataset
+        without scanning it), ready for checks via
+        :meth:`update_column`."""
+        from .components import Column
+
+        return cls(
+            {
+                f.name: Column(f.dataType, nullable=f.nullable)
+                for f in st.fields
+            },
+            name=name,
+            **kwargs,
+        )
+
     def to_ddl(self) -> str:
         """Emit a DDL string (reference api/pyspark/container.py:186-195)."""
         return ", ".join(

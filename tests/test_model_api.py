@@ -723,3 +723,24 @@ def test_approx_profile_one_pass(spark):
     assert out["z"].n_nulls == 20
     with pytest.raises(ValueError):
         approx_profile(df, ["nope"])
+
+
+def test_from_structtype_roundtrip(spark):
+    import pyspark.sql.types as T
+
+    from pandera_spark import DataFrameSchema
+
+    st = T.StructType([
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.DecimalType(10, 2), True),
+        T.StructField("v", T.ArrayType(T.FloatType()), True),
+    ])
+    schema = DataFrameSchema.from_structtype(st, name="rt")
+    assert schema.to_structtype() == st
+    assert schema.columns["a"].nullable is False
+    # ready for checks via update_column
+    from pandera_spark import Check
+
+    s2 = schema.update_column("a", checks=[Check.gt(0)])
+    df = spark.createDataFrame([(1, None, None)], st)
+    assert not s2.validate_result(df).errors
