@@ -3471,6 +3471,57 @@ FROM post WHERE term IN ({terms}) GROUP BY term
 """
 
 
+# --- drift timeline ---------------------------------------------------------
+
+_PSI_TL_EDGES = [10.0, 25.0, 50.0, 75.0, 90.0]
+
+
+def q_psi_timeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring timeline: per-day PSI of events.value (binned on
+    explicit edges) vs the all-time distribution — one (period, bin)
+    aggregation, baseline derived from the same frame
+    (drift.psi_timeline)."""
+    from pandera_spark.operators.drift import psi_timeline
+
+    ev = _load(spark, sf_dir, "events")
+    out = psi_timeline(ev, "ts", "value", _PSI_TL_EDGES, grain="day")
+    return out.select(
+        "period", "n_rows", F.round("psi", 6).alias("psi_r")
+    )
+
+
+def _psi_timeline_oracle() -> str:
+    edges = _PSI_TL_EDGES
+    bin_case = "CASE WHEN value IS NULL THEN -1 " + " ".join(
+        f"WHEN value < {e} THEN {i}" for i, e in enumerate(edges)
+    ) + f" ELSE {len(edges)} END"
+    return f"""
+WITH c AS (
+  SELECT date_trunc('day', ts) AS period, {bin_case} AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+base AS (SELECT bin, sum(n) AS nb FROM c GROUP BY 1),
+tb AS (SELECT CAST(sum(nb) AS DOUBLE) AS tot_b FROM base),
+p AS (SELECT period, sum(n) AS tot_p FROM c GROUP BY 1),
+grid AS (SELECT p.period, p.tot_p, base.bin, base.nb FROM p CROSS JOIN base),
+j AS (
+  SELECT g.period, g.tot_p, g.nb, COALESCE(c.n, 0) AS n
+  FROM grid g LEFT JOIN c ON c.period = g.period AND c.bin = g.bin
+),
+t AS (
+  SELECT period, tot_p,
+         SUM((GREATEST(CAST(n AS DOUBLE) / CAST(tot_p AS DOUBLE), 1e-6)
+              - GREATEST(CAST(nb AS DOUBLE) / tot_b, 1e-6))
+             * ln(GREATEST(CAST(n AS DOUBLE) / CAST(tot_p AS DOUBLE), 1e-6)
+                  / GREATEST(CAST(nb AS DOUBLE) / tot_b, 1e-6))) AS psi
+  FROM j, tb GROUP BY 1, 2
+)
+SELECT period, CAST(tot_p AS BIGINT) AS n_rows, ROUND(psi, 6) AS psi_r
+FROM t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -3579,6 +3630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_lineitem": q_corr_lineitem,
         "index_search_documents": q_index_search_documents,
         "term_stats_documents": q_term_stats_documents,
+        "psi_timeline_events": q_psi_timeline_events,
     }
 
 
@@ -3892,4 +3944,5 @@ FROM ranked WHERE rank <= 5
         "corr_lineitem": _corr_oracle(),
         "index_search_documents": _index_search_oracle(),
         "term_stats_documents": _term_stats_oracle(),
+        "psi_timeline_events": _psi_timeline_oracle(),
     }

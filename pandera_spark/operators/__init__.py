@@ -45,6 +45,7 @@ from .drift import (
     ks_drift,
     psi,
     psi_bins,
+    psi_timeline,
 )
 from .numeric import (
     correlation_matrix,

@@ -425,3 +425,50 @@ def column_entropy(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_distinct"),
         F.when(n > 0, F.log(n) - s / n).otherwise(F.lit(0.0)).alias("entropy"),
     )
+
+
+def psi_timeline(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    edges: Sequence[float],
+    *,
+    grain: str = "day",
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """Drift timeline: per-period PSI of a binned numeric column against
+    the ALL-TIME distribution — ``(period, n_rows, psi)``, one row per
+    ``grain`` bucket.
+
+    ONE (period, bin) aggregation scans the fact table; the baseline,
+    the per-period totals, and the full period×bin grid (so bins a
+    period never hit still contribute their eps-floored term — exact
+    PSI, same convention as :func:`psi_bins`) all derive from that
+    O(periods × bins) aggregated frame.  The monitoring-dashboard
+    query: "which day did the value distribution move?"."""
+    b = bin_column(F.col(value_col), edges)
+    period = F.date_trunc(grain, F.col(ts_col))
+    counts = (
+        df.select(period.alias("period"), b.alias("bin"))
+        .groupBy("period", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = counts.groupBy("bin").agg(F.sum("n").alias("__nb"))
+    tot_b = base.agg(F.sum("__nb").cast("double").alias("__tot_b"))
+    per_p = counts.groupBy("period").agg(F.sum("n").alias("__tot_p"))
+    grid = per_p.crossJoin(F.broadcast(base)).crossJoin(F.broadcast(tot_b))
+    j = grid.join(counts, ["period", "bin"], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0))
+    )
+    fa = F.greatest(
+        F.col("n").cast("double") / F.col("__tot_p").cast("double"),
+        F.lit(float(eps)),
+    )
+    fb = F.greatest(
+        F.col("__nb").cast("double") / F.col("__tot_b"), F.lit(float(eps))
+    )
+    term = (fa - fb) * F.log(fa / fb)
+    return j.groupBy("period").agg(
+        F.first("__tot_p").cast("long").alias("n_rows"),
+        F.sum(term).alias("psi"),
+    )

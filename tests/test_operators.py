@@ -3104,3 +3104,30 @@ def test_term_index_and_search(spark):
     assert hits[0].score > hits[1].score
     with pytest.raises(ValueError):
         index_search(idx, 3, [])
+
+
+def test_psi_timeline_detects_shifted_day(spark):
+    """Two days matching the pooled mix -> tiny PSI; one skewed day ->
+    large PSI.  Periods with zero rows in a baseline bin still get the
+    eps-floored contribution (exact PSI, grid join)."""
+    import datetime as dt
+
+    from pandera_spark.operators.drift import psi_timeline
+
+    rows = []
+    # day 1 + day 2: uniform over bins; day 3: all mass in one bin
+    for d in (1, 2):
+        for i in range(60):
+            rows.append((dt.datetime(2024, 1, d, 3 + i % 12), float(i % 100)))
+    for i in range(60):
+        rows.append((dt.datetime(2024, 1, 3, 4), 5.0))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.period.day: r for r in psi_timeline(
+        df, "ts", "value", [25.0, 50.0, 75.0]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_rows == 60
+    # the pooled baseline contains the skewed day, so the clean days sit
+    # at a moderate, EQUAL offset; the skewed day stands far out
+    assert out[1].psi == pytest.approx(out[2].psi)
+    assert out[3].psi > 5 * out[1].psi
+    assert out[3].psi > 1.0
