@@ -3522,6 +3522,66 @@ FROM t
 """
 
 
+# --- funnel + retention -----------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase with greedy
+    earliest-match semantics (temporal.funnel): per-step converted-user
+    counts."""
+    from pandera_spark.operators.temporal import funnel
+
+    ev = _load(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "event_type", "ts", _FUNNEL_STEPS)
+
+
+def _funnel_oracle() -> str:
+    ctes = [
+        "s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1)"
+    ]
+    for i, s in enumerate(_FUNNEL_STEPS[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{i - 1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT {i} AS step, '{s}' AS step_name, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, s in enumerate(_FUNNEL_STEPS, start=1)
+    ]
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle over the first 7 day-offsets
+    (temporal.retention)."""
+    from pandera_spark.operators.temporal import retention
+
+    ev = _load(spark, sf_dir, "events")
+    return retention(ev, "user_id", "ts", max_offset=7)
+
+
+_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort
+  FROM events GROUP BY 1
+),
+a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+j AS (
+  SELECT a.user_id, f.cohort,
+         date_diff('day', f.cohort, a.d) AS day_offset
+  FROM a JOIN f ON a.user_id = f.user_id
+)
+SELECT cohort, CAST(day_offset AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM j WHERE day_offset <= 7 GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -3631,6 +3691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_documents": q_index_search_documents,
         "term_stats_documents": q_term_stats_documents,
         "psi_timeline_events": q_psi_timeline_events,
+        "funnel_events": q_funnel_events,
+        "retention_events": q_retention_events,
     }
 
 
@@ -3945,4 +4007,6 @@ FROM ranked WHERE rank <= 5
         "index_search_documents": _index_search_oracle(),
         "term_stats_documents": _term_stats_oracle(),
         "psi_timeline_events": _psi_timeline_oracle(),
+        "funnel_events": _funnel_oracle(),
+        "retention_events": _RETENTION_ORACLE,
     }

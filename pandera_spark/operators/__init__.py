@@ -73,6 +73,8 @@ from .similarity import (
 from .temporal import (
     asof_join,
     banded_range_join,
+    funnel,
+    retention,
     rollup_anomalies,
     session_stats,
     time_rollup,

@@ -365,3 +365,91 @@ def rollup_anomalies(
         .filter((F.col("__cnt") > 1) & (F.abs(F.col("z")) > z_threshold))
         .drop("__cnt")
     )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: "list[str]",
+) -> DataFrame:
+    """Ordered-funnel counts with greedy earliest-match semantics:
+    ``(step, step_name, n_users)`` — a user converts step ``i`` iff an
+    event of ``steps[i]`` occurs strictly AFTER their chosen (earliest)
+    time for step ``i-1``.
+
+    Per step: one filtered min-timestamp aggregation on the user grain
+    joined against the shrinking survivor frame — k steps cost k
+    user-grain shuffles over progressively smaller sides (AQE picks
+    broadcast once survivors fit).  No window over the whole event
+    stream, no event ordering materialized."""
+    if len(steps) < 1:
+        raise ValueError("need at least one step")
+    user, typ, ts = F.col(user_col), F.col(type_col), F.col(ts_col)
+    prev = (
+        df.filter(typ == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("__t"))
+    )
+    parts = [
+        prev.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(1).alias("step"),
+            F.lit(steps[0]).alias("step_name"),
+            "n_users",
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        prev = (
+            df.filter(typ == s)
+            .join(prev.select(user_col, "__t"), user_col)
+            .filter(ts > F.col("__t"))
+            .groupBy(user_col)
+            .agg(F.min(ts).alias("__t"))
+        )
+        parts.append(
+            prev.agg(
+                F.count(F.lit(1)).cast("long").alias("n_users")
+            ).select(
+                F.lit(i).alias("step"), F.lit(s).alias("step_name"),
+                "n_users",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    max_offset: int = 7,
+    grain: str = "day",
+) -> DataFrame:
+    """Cohort retention triangle: ``(cohort, day_offset, n_users)`` —
+    users grouped by their first-activity period, counted on each later
+    period they return (offset 0 = cohort size).
+
+    Two user-grain aggregations (first-activity + distinct active
+    periods) and one join; the counting groupBy runs on the already
+    deduplicated (user, period) frame.  The standard corpus/product
+    freshness dashboard."""
+    if max_offset < 0:
+        raise ValueError("max_offset must be >= 0")
+    period = F.date_trunc(grain, F.col(ts_col))
+    first = df.groupBy(user_col).agg(F.min(period).alias("cohort"))
+    active = df.select(
+        F.col(user_col), period.alias("__d")
+    ).distinct()
+    j = active.join(first, user_col).withColumn(
+        "day_offset",
+        F.datediff(F.col("__d"), F.col("cohort")).cast("int"),
+    )
+    return (
+        j.filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -3131,3 +3131,55 @@ def test_psi_timeline_detects_shifted_day(spark):
     assert out[1].psi == pytest.approx(out[2].psi)
     assert out[3].psi > 5 * out[1].psi
     assert out[3].psi > 1.0
+
+
+def test_funnel_greedy_ordering(spark):
+    import datetime as dt
+
+    from pandera_spark.operators.temporal import funnel
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, t, m):
+        return (u, T0 + dt.timedelta(minutes=m), t)
+
+    rows = [
+        # u1 converts fully in order
+        ev(1, "view", 0), ev(1, "click", 5), ev(1, "buy", 10),
+        # u2 clicks BEFORE viewing -> click doesn't count, no buy path
+        ev(2, "click", 0), ev(2, "view", 5), ev(2, "buy", 10),
+        # wait: u2's buy at 10 > view at 5 but there is no click after
+        # view -> u2 must NOT convert step 2 or 3
+        # u3 views only
+        ev(3, "view", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r.step: r.n_users
+           for r in funnel(df, "user_id", "event_type", "ts",
+                           ["view", "click", "buy"]).collect()}
+    assert out == {1: 3, 2: 1, 3: 1}
+    with pytest.raises(ValueError):
+        funnel(df, "user_id", "event_type", "ts", [])
+
+
+def test_retention_triangle(spark):
+    import datetime as dt
+
+    from pandera_spark.operators.temporal import retention
+
+    D = dt.datetime
+    rows = [
+        (1, D(2024, 1, 1, 9)), (1, D(2024, 1, 2, 10)), (1, D(2024, 1, 2, 20)),
+        (2, D(2024, 1, 1, 5)), (2, D(2024, 1, 4, 5)),
+        (3, D(2024, 1, 2, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort.day, r.day_offset): r.n_users
+           for r in retention(df, "user_id", "ts", max_offset=7).collect()}
+    assert out[(1, 0)] == 2        # u1, u2 cohort Jan 1
+    assert out[(1, 1)] == 1        # u1 back on day 2 (two events, one count)
+    assert out[(1, 3)] == 1        # u2 back on day 4
+    assert out[(2, 0)] == 1        # u3 cohort Jan 2
+    assert (2, 1) not in out
