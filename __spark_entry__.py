@@ -3582,6 +3582,54 @@ FROM j WHERE day_offset <= 7 GROUP BY 1, 2
 """
 
 
+# --- distribution matching --------------------------------------------------
+
+_MATCH_EDGES = [150.0, 250.0, 350.0, 450.0]
+_MATCH_REF_SOURCES = ("src0", "src1")
+
+
+def q_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling: thin the corpus so its length distribution
+    matches the src0+src1 reference profile — deterministic
+    hash-acceptance per bin (curation.distribution_match).  Output: the
+    exact surviving doc_ids."""
+    from pandera_spark.operators.curation import distribution_match
+
+    docs = _load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source").isin(*_MATCH_REF_SOURCES))
+    out = distribution_match(
+        docs, ref, "n_chars", _MATCH_EDGES, key_col="doc_id"
+    )
+    return out.select("doc_id")
+
+
+def _match_oracle() -> str:
+    bin_case = "CASE WHEN n_chars IS NULL THEN -1 " + " ".join(
+        f"WHEN n_chars < {e} THEN {i}" for i, e in enumerate(_MATCH_EDGES)
+    ) + f" ELSE {len(_MATCH_EDGES)} END"
+    srcs = ", ".join(f"'{s}'" for s in _MATCH_REF_SOURCES)
+    bucket = _HEXFOLD.format(e="CAST(doc_id AS VARCHAR)") + " % 10000"
+    return f"""
+WITH b AS (SELECT doc_id, source, {bin_case} AS bin FROM documents),
+hd AS (SELECT bin, count(*) AS n_df FROM b GROUP BY 1),
+hr AS (SELECT bin, count(*) AS n_ref FROM b
+       WHERE source IN ({srcs}) GROUP BY 1),
+tr AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS t FROM hr),
+cap AS (
+  SELECT hd.bin, CAST(n_df AS DOUBLE) AS n_df,
+         CAST(n_ref AS DOUBLE) / tr.t AS ref_frac
+  FROM hd JOIN hr ON hd.bin = hr.bin, tr
+),
+tm AS (SELECT min(n_df / ref_frac) AS t_match FROM cap),
+rates AS (
+  SELECT bin, LEAST(1.0, tm.t_match * ref_frac / n_df) AS rate
+  FROM cap, tm
+)
+SELECT doc_id FROM b JOIN rates ON b.bin = rates.bin
+WHERE ({bucket}) < CAST(rate * 10000 AS INT)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -3693,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_timeline_events": q_psi_timeline_events,
         "funnel_events": q_funnel_events,
         "retention_events": q_retention_events,
+        "match_documents": q_match_documents,
     }
 
 
@@ -4009,4 +4058,5 @@ FROM ranked WHERE rank <= 5
         "psi_timeline_events": _psi_timeline_oracle(),
         "funnel_events": _funnel_oracle(),
         "retention_events": _RETENTION_ORACLE,
+        "match_documents": _match_oracle(),
     }

@@ -22,6 +22,7 @@ from .clustering import apply_dedup, connected_components, dedup_clusters
 from .contamination import contamination_pairs, decontaminate
 from .curation import (
     corpus_diff,
+    distribution_match,
     curate_corpus,
     hash_split,
     hash_stratified_sample,

@@ -384,3 +384,77 @@ def corpus_diff(
         F.count(F.when(ho.isNotNull() & hn.isNotNull() & (ho == hn), 1))
         .cast("long").alias("unchanged"),
     )
+
+
+def distribution_match(
+    df: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    edges: Sequence[float],
+    *,
+    key_col: str,
+    ref_value_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically downsample ``df`` so ``value_col``'s binned
+    distribution matches a reference corpus — importance resampling by
+    bin with hash-based acceptance (e.g. match the length profile of a
+    curated high-quality subset).
+
+    The survivor set's bin fractions EQUAL the reference's (up to hash
+    granularity): the achievable total is bottlenecked by the scarcest
+    bin, ``T = min_b(n_df_b / ref_frac_b)``, and each bin accepts at
+    rate ``a_b = T * ref_frac_b / n_df_b`` — the scarcest bin passes
+    whole, every other bin thins proportionally.  A row survives iff
+    ``portable_hash28(key || salt) % 10000 < trunc(a_b * 10000)``;
+    bins the reference never hits are dropped.  Membership is a pure
+    function of (key, salt) — reproducible across runs and engines,
+    same property as :func:`hash_split`.  Cost: two tiny bin-histogram
+    aggregations broadcast back; the corpus itself is filtered at the
+    scan, never shuffled.  (Upsampling scarce bins would need
+    duplication — out of scope.)"""
+    from .drift import bin_column
+
+    rcol = ref_value_col or value_col
+    b_df = bin_column(F.col(value_col), edges)
+    b_ref = bin_column(F.col(rcol), edges)
+    h_df = (
+        df.select(b_df.alias("__bin"))
+        .groupBy("__bin").agg(F.count(F.lit(1)).alias("__n_df"))
+    )
+    h_ref = (
+        ref.select(b_ref.alias("__bin"))
+        .groupBy("__bin").agg(F.count(F.lit(1)).alias("__n_ref"))
+    )
+    tot_ref = h_ref.agg(F.sum("__n_ref").cast("double").alias("__t_ref"))
+    cap = (
+        h_df.join(h_ref, "__bin", "inner")  # ref-absent bins drop
+        .crossJoin(tot_ref)
+        .select(
+            "__bin",
+            F.col("__n_df").cast("double").alias("__n_df"),
+            (F.col("__n_ref").cast("double") / F.col("__t_ref"))
+            .alias("__ref_frac"),
+        )
+    )
+    # achievable matched total: bottlenecked by the scarcest bin
+    t_match = cap.agg(
+        F.min(F.col("__n_df") / F.col("__ref_frac")).alias("__t_match")
+    )
+    rates = cap.crossJoin(t_match).select(
+        "__bin",
+        F.least(
+            F.lit(1.0),
+            F.col("__t_match") * F.col("__ref_frac") / F.col("__n_df"),
+        ).alias("__rate"),
+    )
+    bucket = portable_hash28(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    ) % F.lit(_SPLIT_BUCKETS)
+    thresh = (F.col("__rate") * _SPLIT_BUCKETS).cast("int")
+    return (
+        df.withColumn("__bin", b_df)
+        .join(F.broadcast(rates), "__bin")
+        .filter(bucket < thresh)
+        .drop("__bin", "__rate")
+    )

@@ -3183,3 +3183,35 @@ def test_retention_triangle(spark):
     assert out[(1, 3)] == 1        # u2 back on day 4
     assert out[(2, 0)] == 1        # u3 cohort Jan 2
     assert (2, 1) not in out
+
+
+def test_distribution_match_converges_to_reference(spark):
+    """A corpus skewed 90/10 across two bins matched to a 50/50
+    reference: the over-represented bin thins to roughly the
+    under-represented bin's size; membership is deterministic."""
+    from pandera_spark.operators.curation import distribution_match
+
+    rows = [(i, 10.0 if i < 900 else 90.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    ref = spark.createDataFrame(
+        [(i, 10.0) for i in range(50)] + [(i, 90.0) for i in range(50)],
+        "id long, v double",
+    )
+    out = distribution_match(df, ref, "v", [50.0], key_col="id")
+    got = out.collect()
+    lo = sum(1 for r in got if r.v < 50)
+    hi = sum(1 for r in got if r.v >= 50)
+    assert hi == 100                    # under-represented bin kept whole
+    # over-represented bin thins to ~ its matched share (rate=1/9 of 900)
+    assert 70 <= lo <= 130
+    # deterministic re-run
+    again = {r.id for r in distribution_match(
+        df, ref, "v", [50.0], key_col="id").collect()}
+    assert again == {r.id for r in got}
+    # bins absent from the reference are dropped entirely
+    ref_lo_only = spark.createDataFrame(
+        [(i, 10.0) for i in range(50)], "id long, v double"
+    )
+    only_lo = distribution_match(df, ref_lo_only, "v", [50.0],
+                                 key_col="id").collect()
+    assert all(r.v < 50 for r in only_lo)
