@@ -3630,6 +3630,45 @@ WHERE ({bucket}) < CAST(rate * 10000 AS INT)
 """
 
 
+# --- skew screen ------------------------------------------------------------
+
+
+def q_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle hot-key screen (skew.skew_report): heaviest key and
+    its row share for the join/group columns of events, one melt
+    aggregation."""
+    from pandera_spark.operators.skew import skew_report
+
+    ev = _load(spark, sf_dir, "events")
+    out = skew_report(ev, ["event_type", "user_id"])
+    return out.select(
+        "col_name", "n_values", "n_distinct", "top_key", "top_count",
+        F.round("top_share", 6).alias("top_share_r"),
+    )
+
+
+def _skew_oracle() -> str:
+    return """
+WITH m AS (
+  SELECT 'event_type' AS col_name,
+         COALESCE(CAST(event_type AS VARCHAR), chr(0) || 'null') AS key
+  FROM events
+  UNION ALL
+  SELECT 'user_id',
+         COALESCE(CAST(user_id AS VARCHAR), chr(0) || 'null')
+  FROM events
+),
+c AS (SELECT col_name, key, count(*) AS c FROM m GROUP BY 1, 2)
+SELECT col_name, CAST(sum(c) AS BIGINT) AS n_values,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       struct_extract(max({'c': c, 'k': key}), 'k') AS top_key,
+       CAST(max(c) AS BIGINT) AS top_count,
+       ROUND(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+         AS top_share_r
+FROM c GROUP BY col_name
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": _report_query(
@@ -3742,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "retention_events": q_retention_events,
         "match_documents": q_match_documents,
+        "skew_events": q_skew_events,
     }
 
 
@@ -4059,4 +4099,5 @@ FROM ranked WHERE rank <= 5
         "funnel_events": _funnel_oracle(),
         "retention_events": _RETENTION_ORACLE,
         "match_documents": _match_oracle(),
+        "skew_events": _skew_oracle(),
     }

@@ -56,6 +56,7 @@ from .numeric import (
 )
 from .packing import chunk_pack, greedy_pack, pack_stats
 from .relational import fk_violations, isin_table, orphan_stats, star_report
+from .skew import skew_report
 from .sharding import (
     epoch_sort_key,
     interleave_positions,

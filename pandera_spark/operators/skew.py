@@ -94,3 +94,42 @@ def salt_join_key(
         F.explode(F.array(*[F.lit(i) for i in range(n_salt)])),
     )
     return f, d, [key, SALT]
+
+
+def skew_report(df: DataFrame, cols: "list[str]") -> DataFrame:
+    """Hot-key screen for many join/group columns in ONE melt shuffle:
+    ``(col_name, n_values, n_distinct, top_key, top_count, top_share)``.
+
+    ``top_share`` (heaviest key's fraction of rows) is the number that
+    decides whether a key needs salting or an AQE skew-join hint before
+    a 100 TB shuffle; run this BEFORE the expensive job.  One
+    (col, key) aggregation bounded by per-column cardinality; the
+    heaviest key is picked as ``max(struct(count, key))`` — a total
+    order, so ties resolve deterministically on any engine.  Nulls
+    count as a key (they hash-partition together too)."""
+    if not cols:
+        raise ValueError("need at least one column")
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            .alias("key"),
+        )
+        for c in cols
+    ]
+    counts = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.col_name", "e.key")
+        .groupBy("col_name", "key")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = F.max(F.struct(F.col("c"), F.col("key")))
+    return counts.groupBy("col_name").agg(
+        F.sum("c").cast("long").alias("n_values"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        top.getField("key").alias("top_key"),
+        top.getField("c").cast("long").alias("top_count"),
+        (
+            F.max(F.col("c")).cast("double") / F.sum("c").cast("double")
+        ).alias("top_share"),
+    )

@@ -3215,3 +3215,20 @@ def test_distribution_match_converges_to_reference(spark):
     only_lo = distribution_match(df, ref_lo_only, "v", [50.0],
                                  key_col="id").collect()
     assert all(r.v < 50 for r in only_lo)
+
+
+def test_skew_report_hot_key(spark):
+    from pandera_spark.operators.skew import skew_report
+
+    rows = [("hot", i % 7) for i in range(90)] + [
+        ("cold%d" % i, None) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, g long")
+    out = {r.col_name: r for r in skew_report(df, ["k", "g"]).collect()}
+    assert out["k"].top_key == "hot" and out["k"].top_count == 90
+    assert out["k"].top_share == pytest.approx(0.9)
+    assert out["k"].n_distinct == 11
+    # nulls count as a key (they co-partition too)
+    assert out["g"].n_values == 100 and out["g"].n_distinct == 8
+    with pytest.raises(ValueError):
+        skew_report(df, [])
