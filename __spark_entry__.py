@@ -3626,7 +3626,53 @@ rates AS (
   FROM cap, tm
 )
 SELECT doc_id FROM b JOIN rates ON b.bin = rates.bin
-WHERE ({bucket}) < CAST(rate * 10000 AS INT)
+WHERE ({bucket}) < CAST(trunc(rate * 10000) AS INT)
+"""
+
+
+# --- z-order layout key -----------------------------------------------------
+
+
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout key over (user_id, value) at 8 bits per
+    dimension (sharding.zorder_key): the multi-column data-skipping
+    sort key, bit-for-bit replayed by the oracle."""
+    from pandera_spark.operators.sharding import zorder_key
+
+    ev = _load(spark, sf_dir, "events")
+    return zorder_key(ev, ["user_id", "value"], bits=8).select(
+        "event_id", "zkey"
+    )
+
+
+def _zorder_oracle() -> str:
+    def cell(c):
+        return f"""
+CASE WHEN {c} IS NULL THEN 0
+     ELSE LEAST(GREATEST(CAST(trunc(
+         ((CAST({c} AS DOUBLE) - mn_{c}) * 255.0)
+         / (CASE WHEN mx_{c} > mn_{c} THEN mx_{c} - mn_{c} ELSE 1.0 END)
+       ) AS BIGINT), 0), 255) END"""
+
+    interleave = " | ".join(
+        f"((((cell_{c} >> {b}) & 1)) << {b * 2 + i})"
+        for b in range(8)
+        for i, c in enumerate(["user_id", "value"])
+    )
+    return f"""
+WITH bounds AS (
+  SELECT min(CAST(user_id AS DOUBLE)) AS mn_user_id,
+         max(CAST(user_id AS DOUBLE)) AS mx_user_id,
+         min(CAST(value AS DOUBLE)) AS mn_value,
+         max(CAST(value AS DOUBLE)) AS mx_value
+  FROM events
+),
+cells AS (
+  SELECT event_id, ({cell('user_id')}) AS cell_user_id,
+         ({cell('value')}) AS cell_value
+  FROM events, bounds
+)
+SELECT event_id, CAST({interleave} AS BIGINT) AS zkey FROM cells
 """
 
 
@@ -3782,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_events": q_retention_events,
         "match_documents": q_match_documents,
         "skew_events": q_skew_events,
+        "zorder_events": q_zorder_events,
     }
 
 
@@ -4100,4 +4147,5 @@ FROM ranked WHERE rank <= 5
         "retention_events": _RETENTION_ORACLE,
         "match_documents": _match_oracle(),
         "skew_events": _skew_oracle(),
+        "zorder_events": _zorder_oracle(),
     }

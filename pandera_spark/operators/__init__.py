@@ -63,6 +63,7 @@ from .sharding import (
     shard_assign,
     shard_stats,
     write_shards,
+    zorder_key,
 )
 from .similarity import (
     brute_force_topk,

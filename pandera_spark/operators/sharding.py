@@ -142,3 +142,62 @@ def write_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: "list[str]",
+    *,
+    bits: int = 16,
+    out_col: str = "zkey",
+) -> DataFrame:
+    """Morton (Z-order) interleave key over numeric columns — sort/range-
+    partition by it before writing and parquet min/max stats prune for
+    range predicates on EVERY keyed column, not just the leading one
+    (the lakehouse `OPTIMIZE ZORDER BY` layout technique).
+
+    Each column is scaled into ``[0, 2^bits)`` against its observed
+    min/max (ONE bounds aggregation, broadcast back — same two-scan
+    shape as winsorize), then bit-interleaved with pure shift/mask
+    expressions: ``k * bits`` must fit a long (<= 62).  Nulls scale to
+    0 (sort first).  The key is deterministic given the bounds;
+    persist/reuse bounds for stable incremental layouts."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("z-ordering needs at least two columns")
+    if not 1 <= bits * k <= 62:
+        raise ValueError(f"k*bits must be in [1, 62], got {k}x{bits}")
+    bounds = df.agg(
+        *[
+            e
+            for c in cols
+            for e in (
+                F.min(F.col(c).cast("double")).alias(f"__zmin_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__zmax_{c}"),
+            )
+        ]
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    top = float((1 << bits) - 1)
+    cells = []
+    for c in cols:
+        lo, hi = F.col(f"__zmin_{c}"), F.col(f"__zmax_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        scaled = (
+            (F.col(c).cast("double") - lo) * F.lit(top) / span
+        ).cast("long")
+        cells.append(
+            F.when(F.col(c).isNull(), F.lit(0).cast("long")).otherwise(
+                F.least(F.greatest(scaled, F.lit(0)), F.lit(int(top)))
+            )
+        )
+    zkey = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, cell in enumerate(cells):
+            bit = F.shiftright(cell, b).bitwiseAND(F.lit(1))
+            zkey = zkey.bitwiseOR(
+                F.shiftleft(bit, b * k + i)
+            )
+    return out.withColumn(out_col, zkey).drop(
+        *[f"__zmin_{c}" for c in cols], *[f"__zmax_{c}" for c in cols]
+    )

@@ -3232,3 +3232,30 @@ def test_skew_report_hot_key(spark):
     assert out["g"].n_values == 100 and out["g"].n_distinct == 8
     with pytest.raises(ValueError):
         skew_report(df, [])
+
+
+def test_zorder_key_locality_and_layout(spark):
+    from pandera_spark.operators.sharding import zorder_key
+
+    rows = [(i, float(x), float(y))
+            for i, (x, y) in enumerate((x, y)
+            for x in range(16) for y in range(16))]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {(int(r.x), int(r.y)): r.zkey
+           for r in zorder_key(df, ["x", "y"], bits=4).collect()}
+    # corners of the grid map to the morton extremes
+    assert out[(0, 0)] == 0
+    assert out[(15, 15)] == 255
+    # interleave: x contributes even bits, y odd bits
+    assert out[(15, 0)] == 0b01010101
+    assert out[(0, 15)] == 0b10101010
+    # locality: neighbors in (x, y) are near in zkey on average vs random
+    import statistics
+
+    deltas = [abs(out[(x, y)] - out[(x + 1, y)])
+              for x in range(15) for y in range(16)]
+    assert statistics.median(deltas) <= 16
+    with pytest.raises(ValueError):
+        zorder_key(df, ["x"])
+    with pytest.raises(ValueError):
+        zorder_key(df, ["x", "y"], bits=32)
