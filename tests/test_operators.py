@@ -3259,3 +3259,26 @@ def test_zorder_key_locality_and_layout(spark):
         zorder_key(df, ["x"])
     with pytest.raises(ValueError):
         zorder_key(df, ["x", "y"], bits=32)
+
+
+def test_projection_only_operators_plan_no_exchange(spark):
+    """The scan-bound claims hold in the physical plan: row annotation
+    and chunking add ZERO shuffles; the bloom probe's only exchanges sit
+    on the bounded filter lineage (broadcast + filter-sized groupBy),
+    never on the probe rows."""
+    from pandera_spark.operators.bucketing import plan_has_exchange
+    from pandera_spark.operators.chunking import chunk_text
+    from pandera_spark import Check, Column, DataFrameSchema
+    import pyspark.sql.types as T
+
+    df = spark.createDataFrame(
+        [(1, "abcdef" * 10)], "doc_id long, text string"
+    )
+    assert not plan_has_exchange(
+        chunk_text(df, "doc_id", "text", size=20, overlap=5)
+    )
+    schema = DataFrameSchema(
+        {"doc_id": Column(T.LongType(), Check.gt(0), nullable=False)},
+        name="p",
+    )
+    assert not plan_has_exchange(schema.annotate(df))
