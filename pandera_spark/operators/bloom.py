@@ -205,7 +205,10 @@ def bloom_contains_sparse(
     """Probe path for filters too big to broadcast: explode the k
     positions, shuffle-join on ``word_idx`` (8-byte keys), and AND the
     bit tests back per probe id.  Carries only ``(id, word_idx, mask)``
-    through the shuffle — the probed payload never moves."""
+    through the shuffle — the probed payload never moves.  ``id_col``
+    must functionally determine the probed value (the verdict is
+    aggregated per id); use the dense path when rows lack a usable
+    key."""
     _check_params(num_bits, k)
     probes = (
         df.select(id_col, F.col(col).alias("__val"))

@@ -412,7 +412,9 @@ def distribution_match(
     same property as :func:`hash_split`.  Cost: two tiny bin-histogram
     aggregations broadcast back; the corpus itself is filtered at the
     scan, never shuffled.  (Upsampling scarce bins would need
-    duplication — out of scope.)"""
+    duplication — out of scope.  If the reference has mass in a bin
+    ``df`` never hits, matching happens over the intersection of
+    occupied bins — exactness is per achievable support.)"""
     from .drift import bin_column
 
     rcol = ref_value_col or value_col

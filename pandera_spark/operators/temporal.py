@@ -436,7 +436,9 @@ def retention(
     Two user-grain aggregations (first-activity + distinct active
     periods) and one join; the counting groupBy runs on the already
     deduplicated (user, period) frame.  The standard corpus/product
-    freshness dashboard."""
+    freshness dashboard.  ``day_offset`` (and ``max_offset``) are
+    always measured in DAYS — with ``grain='week'`` offsets land on
+    multiples of 7."""
     if max_offset < 0:
         raise ValueError("max_offset must be >= 0")
     period = F.date_trunc(grain, F.col(ts_col))
