@@ -3630,6 +3630,33 @@ WHERE ({bucket}) < CAST(trunc(rate * 10000) AS INT)
 """
 
 
+# --- event transitions ------------------------------------------------------
+
+
+def q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event transition matrix per user stream
+    (temporal.event_transitions): one per-user window (lead over
+    (ts, event_id)) + an O(type²) counting agg."""
+    from pandera_spark.operators.temporal import event_transitions
+
+    ev = _load(spark, sf_dir, "events")
+    return event_transitions(
+        ev, "user_id", "event_type", "ts", tiebreak_cols=["event_id"]
+    )
+
+
+_TRANSITIONS_ORACLE = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
 # --- z-order layout key -----------------------------------------------------
 
 
@@ -3829,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_documents": q_match_documents,
         "skew_events": q_skew_events,
         "zorder_events": q_zorder_events,
+        "transitions_events": q_transitions_events,
     }
 
 
@@ -4148,4 +4176,5 @@ FROM ranked WHERE rank <= 5
         "match_documents": _match_oracle(),
         "skew_events": _skew_oracle(),
         "zorder_events": _zorder_oracle(),
+        "transitions_events": _TRANSITIONS_ORACLE,
     }

@@ -35,8 +35,12 @@ __all__ = [
     "banded_range_join",
     "time_rollup",
     "rollup_reaggregate",
+    "rollup_anomalies",
     "sessionize",
     "session_stats",
+    "funnel",
+    "retention",
+    "event_transitions",
 ]
 
 
@@ -454,4 +458,36 @@ def retention(
         j.filter(F.col("day_offset") <= max_offset)
         .groupBy("cohort", "day_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    *,
+    tiebreak_cols: "Sequence[str]" = (),
+) -> DataFrame:
+    """First-order transition matrix over per-user event streams:
+    ``(from_type, to_type, n)`` counting consecutive pairs — the
+    Markov view of behavioral flows (and, on document streams, of
+    section orderings).
+
+    One window partitioned BY USER (per-task state is a single user's
+    events) computes ``lead`` over (ts, *tiebreak) — pass tiebreak
+    columns (e.g. an event id) whenever timestamps can collide so the
+    ordering, and therefore the counts, are deterministic.  The
+    counting groupBy shuffles O(type²) aggregated rows."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    nxt = F.lead(F.col(type_col)).over(w)
+    return (
+        df.select(
+            F.col(type_col).alias("from_type"), nxt.alias("to_type")
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

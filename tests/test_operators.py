@@ -3282,3 +3282,24 @@ def test_projection_only_operators_plan_no_exchange(spark):
         name="p",
     )
     assert not plan_has_exchange(schema.annotate(df))
+
+
+def test_event_transitions_counts(spark):
+    import datetime as dt
+
+    from pandera_spark.operators.temporal import event_transitions
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, T0, "a"), (1, 2, T0 + dt.timedelta(seconds=1), "b"),
+        (1, 3, T0 + dt.timedelta(seconds=2), "a"),
+        (2, 4, T0, "a"), (2, 5, T0 + dt.timedelta(seconds=1), "b"),
+        (3, 6, T0, "a"),                       # lone event: no transition
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, et string"
+    )
+    got = {(r.from_type, r.to_type): r.n
+           for r in event_transitions(df, "user_id", "et", "ts",
+                                      tiebreak_cols=["event_id"]).collect()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
