@@ -1238,3 +1238,48 @@ def test_chunking_matches_python_replay(spark, texts, size, overlap):
     for i, t in enumerate(texts):
         expect = list(enumerate(_py_chunks(t, size, size - overlap)))
         assert sorted(got.get(i, [])) == expect, (t, size, overlap)
+
+
+# --- sharding vs pure-Python replay ------------------------------------------
+
+
+def _py_hash28(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:7], 16)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=40,
+                  unique=True),
+    n_shards=st.integers(1, 16),
+    epoch=st.integers(0, 5),
+)
+def test_sharding_matches_python_replay(spark, keys, n_shards, epoch):
+    """Shard ids, epoch sort keys, and interleave positions all equal an
+    independent Python evaluation of the md5 arithmetic."""
+    from pandera_spark.operators.sharding import (
+        interleave_positions, shard_assign,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "id long")
+    got = {r.id: (r.shard, r.sort_key, r.pos)
+           for r in interleave_positions(df, "id", n_shards,
+                                         epoch).collect()}
+    # python replay
+    shards = {k: _py_hash28(str(k)) % n_shards for k in keys}
+    sort_keys = {k: _py_hash28(f"{k}:epoch={epoch}") for k in keys}
+    by_shard: dict[int, list] = {}
+    for k in keys:
+        by_shard.setdefault(shards[k], []).append(k)
+    for s, ks in by_shard.items():
+        ks.sort(key=lambda k: (sort_keys[k], k))
+        for pos, k in enumerate(ks, start=1):
+            assert got[k] == (s, sort_keys[k], pos), k
+    # sanity: plain shard_assign agrees with the composed op
+    sa = {r.id: r.shard for r in shard_assign(df, "id", n_shards).collect()}
+    assert sa == shards
