@@ -22,8 +22,8 @@ from .clustering import apply_dedup, connected_components, dedup_clusters
 from .contamination import contamination_pairs, decontaminate
 from .curation import (
     corpus_diff,
-    distribution_match,
     curate_corpus,
+    distribution_match,
     hash_split,
     hash_stratified_sample,
     temperature_sample,
