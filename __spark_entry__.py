@@ -3630,6 +3630,49 @@ WHERE ({bucket}) < CAST(trunc(rate * 10000) AS INT)
 """
 
 
+# --- join cardinality contract ----------------------------------------------
+
+
+def q_join_card_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join multiplicity contract (relational.join_cardinality):
+    verify orders -> lineitem is really 1:N before joining.  The
+    driver's data injects duplicate order rows, so the contract
+    correctly reports ok=false with the dup-key count."""
+    from pandera_spark.operators.relational import join_cardinality
+
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    return join_cardinality(
+        orders, li, "o_orderkey", "l_orderkey", expect="1:N"
+    )
+
+
+_JOIN_CARD_ORACLE = """
+WITH lc AS (
+  SELECT o_orderkey AS k, count(*) AS c FROM orders
+  WHERE o_orderkey IS NOT NULL GROUP BY 1
+),
+ls AS (SELECT CAST(count(*) AS BIGINT) AS left_keys,
+              CAST(count(CASE WHEN c > 1 THEN 1 END) AS BIGINT)
+                AS left_dup_keys FROM lc),
+ln AS (SELECT CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+         AS left_null_rows FROM orders),
+rc AS (
+  SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+  WHERE l_orderkey IS NOT NULL GROUP BY 1
+),
+rs AS (SELECT CAST(count(*) AS BIGINT) AS right_keys,
+              CAST(count(CASE WHEN c > 1 THEN 1 END) AS BIGINT)
+                AS right_dup_keys FROM rc),
+rn AS (SELECT CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT)
+         AS right_null_rows FROM lineitem)
+SELECT left_keys, left_dup_keys, left_null_rows,
+       right_keys, right_dup_keys, right_null_rows,
+       (left_dup_keys = 0) AS ok
+FROM ls, ln, rs, rn
+"""
+
+
 # --- event transitions ------------------------------------------------------
 
 
@@ -3857,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_events": q_skew_events,
         "zorder_events": q_zorder_events,
         "transitions_events": q_transitions_events,
+        "join_card_lineitem": q_join_card_lineitem,
     }
 
 
@@ -4177,4 +4221,5 @@ FROM ranked WHERE rank <= 5
         "skew_events": _skew_oracle(),
         "zorder_events": _zorder_oracle(),
         "transitions_events": _TRANSITIONS_ORACLE,
+        "join_card_lineitem": _JOIN_CARD_ORACLE,
     }

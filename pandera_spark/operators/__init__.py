@@ -55,7 +55,13 @@ from .numeric import (
     winsorize_report,
 )
 from .packing import chunk_pack, greedy_pack, pack_stats
-from .relational import fk_violations, isin_table, orphan_stats, star_report
+from .relational import (
+    fk_violations,
+    isin_table,
+    join_cardinality,
+    orphan_stats,
+    star_report,
+)
 from .skew import skew_report
 from .sharding import (
     epoch_sort_key,

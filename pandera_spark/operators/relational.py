@@ -151,3 +151,65 @@ def star_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: Union[str, list[str]],
+    right_on: Union[str, list[str], None] = None,
+    *,
+    expect: str = "1:N",
+) -> DataFrame:
+    """Pre-join multiplicity contract: verify a planned join is really
+    1:1 / 1:N / N:1 BEFORE running it — the guard against silent
+    fan-out row explosions (the classic corrupted-aggregate bug).
+
+    One row: ``(left_keys, left_dup_keys, left_null_rows, right_keys,
+    right_dup_keys, right_null_rows, ok)`` where ``*_dup_keys`` counts
+    join keys appearing more than once on that side and ``ok`` applies
+    ``expect`` ('1:1' needs both sides unique, '1:N' a unique left,
+    'N:1' a unique right, 'N:M' always true).  Two key-grain
+    aggregations (map-side partial count), no join executed."""
+    if expect not in ("1:1", "1:N", "N:1", "N:M"):
+        raise ValueError(f"expect must be 1:1, 1:N, N:1 or N:M: {expect!r}")
+    lk = _cols(left_on)
+    rk = _cols(right_on) if right_on is not None else lk
+
+    def side(df: DataFrame, keys: list[str]):
+        null_cond = F.lit(False)
+        for k in keys:
+            null_cond = null_cond | F.col(k).isNull()
+        nulls = df.agg(
+            F.count(F.when(null_cond, 1)).cast("long").alias("nulls")
+        )
+        per_key = (
+            df.filter(~null_cond)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        stats = per_key.agg(
+            F.count(F.lit(1)).cast("long").alias("keys"),
+            F.count(F.when(F.col("c") > 1, 1)).cast("long").alias("dups"),
+        )
+        return stats.crossJoin(nulls)
+
+    l = side(left, lk).select(
+        F.col("keys").alias("left_keys"),
+        F.col("dups").alias("left_dup_keys"),
+        F.col("nulls").alias("left_null_rows"),
+    )
+    r = side(right, rk).select(
+        F.col("keys").alias("right_keys"),
+        F.col("dups").alias("right_dup_keys"),
+        F.col("nulls").alias("right_null_rows"),
+    )
+    out = l.crossJoin(r)
+    need_left = expect in ("1:1", "1:N")
+    need_right = expect in ("1:1", "N:1")
+    ok = F.lit(True)
+    if need_left:
+        ok = ok & (F.col("left_dup_keys") == 0)
+    if need_right:
+        ok = ok & (F.col("right_dup_keys") == 0)
+    return out.withColumn("ok", ok)

@@ -3303,3 +3303,24 @@ def test_event_transitions_counts(spark):
            for r in event_transitions(df, "user_id", "et", "ts",
                                       tiebreak_cols=["event_id"]).collect()}
     assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_join_cardinality_contract(spark):
+    from pandera_spark.operators.relational import join_cardinality
+
+    dim = spark.createDataFrame([(1,), (2,), (2,), (None,)], "k long")
+    fact = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    row = join_cardinality(dim, fact, "k", expect="1:N").first()
+    assert row.left_keys == 2 and row.left_dup_keys == 1
+    assert row.left_null_rows == 1
+    assert row.right_keys == 2 and row.right_dup_keys == 1
+    assert row.ok is False                      # left not unique
+    assert join_cardinality(dim, fact, "k",
+                            expect="N:M").first().ok is True
+    clean = spark.createDataFrame([(1,), (2,)], "k long")
+    assert join_cardinality(clean, fact, "k",
+                            expect="1:N").first().ok is True
+    assert join_cardinality(clean, fact, "k",
+                            expect="1:1").first().ok is False
+    with pytest.raises(ValueError):
+        join_cardinality(dim, fact, "k", expect="2:3")
