@@ -3630,6 +3630,73 @@ WHERE ({bucket}) < CAST(trunc(rate * 10000) AS INT)
 """
 
 
+# --- two-stage retrieval ----------------------------------------------------
+
+
+def q_rerank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (text.two_stage_search): inverted-index
+    candidates (top-50, no corpus scan) -> exact whole-word rescoring
+    on candidates only -> final top-10."""
+    from pandera_spark.operators.text import build_term_index, two_stage_search
+
+    docs = _load(spark, sf_dir, "documents")
+    index = build_term_index(docs, "doc_id", "text")
+    out = two_stage_search(
+        docs, index, docs.count(), _SEARCH_TERMS, k=10, k1=50
+    )
+    return out.select("id", F.round("score", 6).alias("score_r"))
+
+
+def _rerank_oracle() -> str:
+    import re as _re_mod
+
+    terms = _SEARCH_TERMS
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    score_terms = []
+    for t in terms:
+        pre = r"\b" if _re_mod.match(r"\w", t[0]) else ""
+        post = r"\b" if _re_mod.match(r"\w", t[-1]) else ""
+        pat = pre + _re_mod.escape(t) + post
+        score_terms.append(
+            "(CAST(len(regexp_extract_all(text, '" + pat + "')) AS DOUBLE)"
+            f" * (ln((nd + 1) / (COALESCE(df_{_safe(t)}, 0) + 1)) + 1))"
+        )
+    score = " + ".join(score_terms)
+    df_cols = ", ".join(
+        f"CAST(MAX(CASE WHEN term = '{t}' THEN dft END) AS DOUBLE)"
+        f" AS df_{_safe(t)}"
+        for t in terms
+    )
+    return f"""
+WITH post AS (
+  SELECT t.term, doc_id AS id, CAST(count(*) AS BIGINT) AS tf
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+  WHERE len(t.term) >= 2
+  GROUP BY t.term, doc_id
+),
+hits AS (SELECT * FROM post WHERE term IN ({term_list})),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM hits GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+stage1 AS (
+  SELECT id, SUM(tf * (ln((nd + 1) / (dft + 1)) + 1)) AS s1
+  FROM hits JOIN dfreq USING (term), n GROUP BY id
+),
+cand AS (SELECT id FROM stage1 ORDER BY s1 DESC, id ASC LIMIT 50),
+dfw AS (SELECT {df_cols} FROM dfreq),
+scored AS (
+  SELECT d.doc_id AS id, {score} AS score
+  FROM documents d JOIN cand ON cand.id = d.doc_id, dfw, n
+)
+SELECT id, ROUND(score, 6) AS score_r
+FROM scored ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+
+def _safe(t: str) -> str:
+    return "".join(ch if ch.isalnum() else "_" for ch in t)
+
+
 # --- join cardinality contract ----------------------------------------------
 
 
@@ -3901,6 +3968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "transitions_events": q_transitions_events,
         "join_card_lineitem": q_join_card_lineitem,
+        "rerank_documents": q_rerank_documents,
     }
 
 
@@ -4222,4 +4290,5 @@ FROM ranked WHERE rank <= 5
         "zorder_events": _zorder_oracle(),
         "transitions_events": _TRANSITIONS_ORACLE,
         "join_card_lineitem": _JOIN_CARD_ORACLE,
+        "rerank_documents": _rerank_oracle(),
     }

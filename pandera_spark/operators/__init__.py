@@ -96,6 +96,7 @@ from .text import (
     hashed_linear_score,
     index_search,
     keyword_search,
+    two_stage_search,
     language_id,
     pii_scrub,
     quality_score,

@@ -655,3 +655,75 @@ def index_search(
     return (
         scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
     )
+
+
+def two_stage_search(
+    df: DataFrame,
+    index: DataFrame,
+    n_docs: int,
+    terms,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: int = 50,
+) -> DataFrame:
+    """Two-stage retrieval: CHEAP first stage from the inverted index
+    (:func:`index_search` top-``k1`` — no corpus scan), then an exact
+    whole-word, case-sensitive rescoring pass over the CANDIDATE
+    documents only.
+
+    This is the scale pattern for any expensive reranker (exact
+    matching here; swap the stage-2 expression for a cross-encoder
+    `mapInPandas` without touching the plan shape): the heavy scorer
+    reads ``k1`` documents, never the corpus.  The candidate id set and
+    the per-term document frequencies are tiny broadcasts.
+
+    Returns the final top-``k``: ``(id, score)`` by (score desc, id).
+    """
+    terms = list(dict.fromkeys(terms))
+    if not terms or any(not t for t in terms):
+        raise ValueError("terms must be non-empty strings")
+    cand = index_search(index, n_docs, terms, k=k1).select("id")
+    dfreq = (
+        index.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    )
+    dfreq_wide = dfreq.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("__df"))),
+                F.lit(0.0),
+            ).alias(f"__df{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    sub = df.join(
+        F.broadcast(cand.select(F.col("id").alias(id_col))), id_col
+    ).crossJoin(F.broadcast(dfreq_wide))
+
+    def pattern(t):
+        pre = r"\b" if _re.match(r"\w", t[0]) else ""
+        post = r"\b" if _re.match(r"\w", t[-1]) else ""
+        return pre + _re.escape(t) + post
+
+    score = None
+    for i, t in enumerate(terms):
+        idf = (
+            F.log(
+                (F.lit(float(n_docs)) + 1) / (F.col(f"__df{i}") + 1)
+            )
+            + 1
+        )
+        term_score = (
+            F.regexp_count(F.col(text_col), F.lit(pattern(t))).cast("double")
+            * idf
+        )
+        score = term_score if score is None else score + term_score
+    scored = sub.select(
+        F.col(id_col).alias("id"), score.alias("score")
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    ).limit(k)

@@ -3324,3 +3324,28 @@ def test_join_cardinality_contract(spark):
                             expect="1:1").first().ok is False
     with pytest.raises(ValueError):
         join_cardinality(dim, fact, "k", expect="2:3")
+
+
+def test_two_stage_search_rerank(spark):
+    from pandera_spark.operators.text import build_term_index, two_stage_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "Spark spark spark"),          # high token tf, 1 exact "spark"x2? case-sensitive: "spark" twice
+            (2, "spark spark spark spark"),    # all exact
+            (3, "sparkle sparky sparks"),      # token 'sparkle' etc: no exact whole-word matches
+            (4, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_term_index(df, "doc_id", "text")
+    out = two_stage_search(df, idx, 4, ["spark"], k=3, k1=10).collect()
+    ids = [r.id for r in out]
+    # doc 2 has the most exact whole-word matches -> top
+    assert ids[0] == 2
+    # doc 3's subword variants score 0 exact, doc 4 never a candidate
+    by_id = {r.id: r.score for r in out}
+    assert by_id.get(3, 0.0) == 0.0 or 3 not in by_id
+    assert 4 not in by_id
+    with pytest.raises(ValueError):
+        two_stage_search(df, idx, 4, [])
