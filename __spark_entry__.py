@@ -3630,6 +3630,79 @@ WHERE ({bucket}) < CAST(trunc(rate * 10000) AS INT)
 """
 
 
+# --- gopher-style composite gate --------------------------------------------
+
+
+def q_gopher_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality gate (text.gopher_gate): per-doc
+    keep verdict + the exact failed-rule list, every rule in one pass.
+    Thresholds tuned so the synthetic corpus produces mixed verdicts."""
+    from pandera_spark.operators.text import gopher_gate
+
+    docs = _load(spark, sf_dir, "documents")
+    return gopher_gate(
+        docs, min_words=20, min_stop_hits=2,
+        max_dup_word_frac=0.6, max_dup_gram_frac=0.25,
+    )
+
+
+def _gopher_oracle() -> str:
+    stop_pat = r"(?i)\b(the|and|of|to|in|is|that|for|a|with)\b"
+    return rf"""
+WITH raw AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS tw,
+         string_split_regex(text, '\s+') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, text,
+    (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(tw) END)::BIGINT
+      AS n_words,
+    CASE WHEN length(trim(text)) = 0 OR len(tw) = 0 THEN 0.0
+         ELSE ROUND(1.0 - len(list_distinct(tw))::DOUBLE / len(tw), 6)
+    END AS dup_word_frac,
+    [array_to_string(w[i:i+1], ' ')
+     for i in range(1, greatest(len(w) - 1, 0) + 1)] AS grams
+  FROM raw
+),
+pg AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS g FROM base)
+  GROUP BY doc_id, g
+),
+gs AS (
+  SELECT doc_id,
+         ROUND(1.0 - COUNT(*)::DOUBLE / SUM(c), 6) AS dup_gram_frac
+  FROM pg GROUP BY doc_id
+),
+m AS (
+  SELECT b.doc_id, b.n_words, b.dup_word_frac,
+         COALESCE(gs.dup_gram_frac, 0.0) AS dup_gram_frac,
+         CAST(LENGTH(b.text) AS DOUBLE) AS nc,
+         CAST(b.n_words AS DOUBLE) AS nt,
+         CAST(len(regexp_extract_all(b.text, '[^\w\s]')) AS DOUBLE) AS np,
+         CAST(len(regexp_extract_all(b.text, '{stop_pat}')) AS DOUBLE) AS ns
+  FROM base b LEFT JOIN gs USING (doc_id)
+),
+v AS (
+  SELECT doc_id, concat_ws(',',
+    CASE WHEN NOT (n_words >= 20 AND n_words <= 100000)
+         THEN 'word_count' END,
+    CASE WHEN NOT (nt > 0 AND nc/nt >= 2.0 AND nc/nt <= 12.0)
+         THEN 'mean_word_len' END,
+    CASE WHEN NOT ((CASE WHEN nc > 0 THEN np/nc ELSE 1.0 END) <= 0.2)
+         THEN 'punct_ratio' END,
+    CASE WHEN NOT (ns >= 2) THEN 'stopword_hits' END,
+    CASE WHEN NOT (dup_word_frac <= 0.6) THEN 'dup_words' END,
+    CASE WHEN NOT (dup_gram_frac <= 0.25) THEN 'dup_ngrams' END
+  ) AS failed_rules
+  FROM m
+)
+SELECT doc_id, (failed_rules = '') AS keep, failed_rules FROM v
+"""
+
+
 # --- two-stage retrieval ----------------------------------------------------
 
 
@@ -3969,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions_events": q_transitions_events,
         "join_card_lineitem": q_join_card_lineitem,
         "rerank_documents": q_rerank_documents,
+        "gopher_documents": q_gopher_documents,
     }
 
 
@@ -4291,4 +4365,5 @@ FROM ranked WHERE rank <= 5
         "transitions_events": _TRANSITIONS_ORACLE,
         "join_card_lineitem": _JOIN_CARD_ORACLE,
         "rerank_documents": _rerank_oracle(),
+        "gopher_documents": _gopher_oracle(),
     }

@@ -93,6 +93,7 @@ from .text import (
     corpus_card,
     corpus_line_dedup,
     corpus_profile,
+    gopher_gate,
     hashed_linear_score,
     index_search,
     keyword_search,

@@ -727,3 +727,71 @@ def two_stage_search(
     return scored.orderBy(
         F.col("score").desc(), F.col("id").asc()
     ).limit(k)
+
+
+def gopher_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_punct_ratio: float = 0.2,
+    min_stop_hits: int = 2,
+    max_dup_word_frac: float = 0.3,
+    max_dup_gram_frac: float = 0.2,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Composite Gopher-style document gate (Rae et al. 2021 §A1.1
+    style): every rule evaluated per document in one pass, returning
+    ``(id, keep, failed_rules)`` with the rule names a document fails —
+    the corpus analogue of :func:`..backend.runner.annotate_errors`
+    ("WHY was this document dropped?", not just a keep bit).
+
+    Rules: word count bounds, mean word length bounds, punctuation
+    ratio, minimum stopword hits, duplicate-word fraction, duplicate
+    ``ngram_n``-gram fraction.  Everything except the n-gram fractions
+    is a pure projection; those come from :func:`repetition_stats`
+    (one id-keyed aggregation joined back).  Thresholds compare against
+    the ROUNDED (6dp) repetition fractions so verdicts are replayable
+    bit-exactly by an external SQL oracle."""
+    col = F.col(text_col)
+    rep = repetition_stats(df, id_col, text_col, ngram_n=ngram_n)
+    nc = F.length(col).cast("double")
+    nt = F.col("n_words").cast("double")
+    np_ = F.regexp_count(col, F.lit(r"[^\w\s]")).cast("double")
+    ns = F.regexp_count(
+        col, F.lit(r"(?i)\b(the|and|of|to|in|is|that|for|a|with)\b")
+    ).cast("double")
+    joined = df.select(id_col, text_col).join(rep, id_col)
+    rules = [
+        (
+            "word_count",
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words),
+        ),
+        (
+            # try_divide: ANSI mode raises DIVIDE_BY_ZERO on nt=0 even
+            # under a conjunction (no short-circuit in codegen); null
+            # comparisons collapse to false via the nt>0 conjunct
+            "mean_word_len",
+            (nt > 0)
+            & (F.try_divide(nc, nt) >= min_mean_word_len)
+            & (F.try_divide(nc, nt) <= max_mean_word_len),
+        ),
+        ("punct_ratio",
+         F.when(nc > 0, np_ / nc).otherwise(1.0) <= max_punct_ratio),
+        ("stopword_hits", ns >= min_stop_hits),
+        ("dup_words", F.col("dup_word_frac") <= max_dup_word_frac),
+        ("dup_ngrams", F.col("dup_gram_frac") <= max_dup_gram_frac),
+    ]
+    failed = F.concat_ws(
+        ",", *[F.when(~cond, F.lit(name)) for name, cond in rules]
+    )
+    return joined.select(
+        F.col(id_col),
+        (failed == "").alias("keep"),
+        failed.alias("failed_rules"),
+    )

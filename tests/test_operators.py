@@ -3349,3 +3349,27 @@ def test_two_stage_search_rerank(spark):
     assert 4 not in by_id
     with pytest.raises(ValueError):
         two_stage_search(df, idx, 4, [])
+
+
+def test_gopher_gate_rules(spark):
+    from pandera_spark.operators.text import gopher_gate
+
+    good = ("the cat and the dog went to the park in a big way for fun "
+            "and that is all there is to say about it today really")
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "word " * 30),                # repeated word -> dup rules
+            (3, "!!! ??? *** !!!"),           # punct + stopwords + words
+            (4, ""),                          # empty -> several rules
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_gate(
+        df, min_words=10, min_stop_hits=2,
+        max_dup_word_frac=0.5, max_dup_gram_frac=0.5).collect()}
+    assert out[1].keep is True and out[1].failed_rules == ""
+    assert "dup_words" in out[2].failed_rules
+    assert "punct_ratio" in out[3].failed_rules
+    assert "stopword_hits" in out[3].failed_rules
+    assert out[4].keep is False and "word_count" in out[4].failed_rules
