@@ -3630,6 +3630,58 @@ WHERE ({bucket}) < CAST(trunc(rate * 10000) AS INT)
 """
 
 
+# --- unigram-LM quality scoring ---------------------------------------------
+
+
+def q_lmscore_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering without an external LM
+    (text.unigram_model + lm_score): add-one-smoothed unigram model fit
+    on the src0+src1 reference slice, every document scored by mean
+    token log-prob via one broadcast model join."""
+    from pandera_spark.operators.text import lm_score, unigram_model
+
+    docs = _load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source").isin("src0", "src1"))
+    out = lm_score(docs, unigram_model(ref))
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("alp_r")
+    )
+
+
+_LMSCORE_ORACLE = """
+WITH model AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS n
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       AS t(term)
+  WHERE source IN ('src0', 'src1')
+  GROUP BY t.term
+),
+tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS N,
+         CAST(count(*) + 1 AS DOUBLE) AS V
+  FROM model
+),
+tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       AS t(term)
+),
+lp AS (
+  SELECT doc_id,
+         ln((CAST(COALESCE(m.n, 0) AS DOUBLE) + 1.0) / (tot.N + tot.V))
+           AS lp
+  FROM tok LEFT JOIN model m USING (term), tot
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(lp) / count(*) AS alp
+  FROM lp GROUP BY 1
+)
+SELECT d.doc_id, agg.n_tokens, ROUND(agg.alp, 6) AS alp_r
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 # --- gopher-style composite gate --------------------------------------------
 
 
@@ -4043,6 +4095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_card_lineitem": q_join_card_lineitem,
         "rerank_documents": q_rerank_documents,
         "gopher_documents": q_gopher_documents,
+        "lmscore_documents": q_lmscore_documents,
     }
 
 
@@ -4366,4 +4419,5 @@ FROM ranked WHERE rank <= 5
         "join_card_lineitem": _JOIN_CARD_ORACLE,
         "rerank_documents": _rerank_oracle(),
         "gopher_documents": _gopher_oracle(),
+        "lmscore_documents": _LMSCORE_ORACLE,
     }

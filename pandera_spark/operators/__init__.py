@@ -97,6 +97,7 @@ from .text import (
     hashed_linear_score,
     index_search,
     keyword_search,
+    lm_score,
     two_stage_search,
     language_id,
     pii_scrub,
@@ -105,4 +106,5 @@ from .text import (
     token_count,
     top_k_per_group,
     top_ngrams,
+    unigram_model,
 )

@@ -795,3 +795,72 @@ def gopher_gate(
         (failed == "").alias("keep"),
         failed.alias("failed_rules"),
     )
+
+
+def unigram_model(
+    ref: DataFrame,
+    text_col: str = "text",
+    *,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Fit a unigram language model on a reference corpus: one row per
+    token ``(term, n)`` (lowercase alphanumeric tokens).  The model
+    table is bounded by vocabulary size — persist it once and broadcast
+    into every scoring run."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    )
+    return (
+        ref.select(F.explode(toks).alias("term"))
+        .filter(F.length("term") >= min_token_len)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """CCNet-style LM quality scoring: per document the mean log
+    probability of its tokens under an add-one-smoothed unigram model
+    fit on a reference corpus — documents far from the reference
+    distribution (boilerplate, wrong language, noise) score low, the
+    classic perplexity filter re-expressed without an external LM.
+
+    ``log P(w) = ln((c(w) + 1) / (N + V))`` with ``N`` total reference
+    tokens and ``V`` the smoothing vocabulary (reference vocab + 1 for
+    unseen).  Plan: corpus explodes to (id, term), hash-joins the
+    BROADCAST model (vocab-bounded), one id-grain aggregation.  Returns
+    ``(id, n_tokens, avg_logprob)``; empty docs get null."""
+    totals = model.agg(
+        F.sum("n").cast("double").alias("__N"),
+        (F.count(F.lit(1)) + 1).cast("double").alias("__V"),
+    )
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    )
+    exploded = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.length("term") >= min_token_len)
+    )
+    scored = (
+        exploded.join(F.broadcast(model), "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("n"), F.lit(0)).cast("double") + 1.0)
+                / (F.col("__N") + F.col("__V"))
+            ).alias("__lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (F.sum("__lp") / F.count(F.lit(1))).alias("avg_logprob"),
+    )
+    return df.select(id_col).join(agg, id_col, "left")

@@ -3373,3 +3373,30 @@ def test_gopher_gate_rules(spark):
     assert "punct_ratio" in out[3].failed_rules
     assert "stopword_hits" in out[3].failed_rules
     assert out[4].keep is False and "word_count" in out[4].failed_rules
+
+
+def test_lm_score_reference_affinity(spark):
+    """Documents resembling the reference corpus score higher; unseen
+    vocabulary scores the smoothed floor; empty docs score null."""
+    from pandera_spark.operators.text import lm_score, unigram_model
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    model = unigram_model(ref)
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),       # in-distribution
+            (2, "zzz qqq xxx www"),           # fully out-of-vocabulary
+            (3, ""),                          # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_score(df, model).collect()}
+    assert out[1].avg_logprob > out[2].avg_logprob
+    assert out[3].avg_logprob is None and out[3].n_tokens is None
+    # OOV floor = ln(1 / (N + V)): N=45 tokens, V=8+1
+    import math
+
+    assert out[2].avg_logprob == pytest.approx(math.log(1 / (45 + 9)))
