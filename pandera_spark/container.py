@@ -323,6 +323,50 @@ class DataFrameSchema:
         res["dataframe"] = self.metadata
         return {self.name: res}
 
+    def compare(self, other: "DataFrameSchema") -> dict:
+        """Structural diff against another schema — the contract-review
+        view of an evolution: ``{added, removed, dtype_changed,
+        nullability_changed, checks_changed, settings_changed}``.
+        Driver-only (pure metadata); pairs with
+        :meth:`from_structtype` to diff a contract against a live
+        dataset's footer, or two inferred schemas across versions."""
+        mine, theirs = self.columns, other.columns
+        added = sorted(set(theirs) - set(mine))
+        removed = sorted(set(mine) - set(theirs))
+        dtype_changed = {}
+        nullability_changed = {}
+        checks_changed = {}
+        for name in sorted(set(mine) & set(theirs)):
+            a, b = mine[name], theirs[name]
+            if a.dtype != b.dtype:
+                dtype_changed[name] = (
+                    a.dtype.simpleString() if a.dtype is not None else None,
+                    b.dtype.simpleString() if b.dtype is not None else None,
+                )
+            if a.nullable != b.nullable:
+                nullability_changed[name] = (a.nullable, b.nullable)
+            ca = sorted(c.error for c in a.checks)
+            cb = sorted(c.error for c in b.checks)
+            if ca != cb:
+                checks_changed[name] = {
+                    "removed": sorted(set(ca) - set(cb)),
+                    "added": sorted(set(cb) - set(ca)),
+                }
+        settings_changed = {}
+        for attr in ("strict", "ordered", "unique", "coerce",
+                     "unique_column_names"):
+            va, vb = getattr(self, attr, None), getattr(other, attr, None)
+            if va != vb:
+                settings_changed[attr] = (va, vb)
+        return {
+            "added": added,
+            "removed": removed,
+            "dtype_changed": dtype_changed,
+            "nullability_changed": nullability_changed,
+            "checks_changed": checks_changed,
+            "settings_changed": settings_changed,
+        }
+
     def __repr__(self) -> str:
         return (
             f"<DataFrameSchema {self.name!r} columns={list(self.columns)} "

@@ -744,3 +744,39 @@ def test_from_structtype_roundtrip(spark):
     s2 = schema.update_column("a", checks=[Check.gt(0)])
     df = spark.createDataFrame([(1, None, None)], st)
     assert not s2.validate_result(df).errors
+
+
+def test_schema_compare_diff(spark):
+    import pyspark.sql.types as T
+
+    from pandera_spark import Check, Column, DataFrameSchema
+
+    a = DataFrameSchema(
+        {
+            "id": Column(T.LongType(), Check.gt(0), nullable=False),
+            "price": Column(T.DoubleType(), Check.ge(0.0)),
+            "old": Column(T.StringType()),
+        },
+        strict=True,
+        name="v1",
+    )
+    b = DataFrameSchema(
+        {
+            "id": Column(T.LongType(), [Check.gt(0), Check.lt(10**12)],
+                         nullable=False),
+            "price": Column(T.DecimalType(12, 2), Check.ge(0.0),
+                            nullable=False),
+            "new": Column(T.StringType()),
+        },
+        strict="filter",
+        name="v2",
+    )
+    d = a.compare(b)
+    assert d["added"] == ["new"] and d["removed"] == ["old"]
+    assert d["dtype_changed"]["price"] == ("double", "decimal(12,2)")
+    assert d["nullability_changed"]["price"] == (True, False)
+    assert d["checks_changed"]["id"]["added"] == ["less_than(1000000000000)"]
+    assert d["settings_changed"]["strict"] == (True, "filter")
+    # identity diff is empty everywhere
+    clean = a.compare(a)
+    assert all(not v for v in clean.values())
