@@ -514,3 +514,52 @@ def test_struct_field_checks_via_dotted_path(spark):
     counts = {o.check: int(o.violations) for o in res.outcomes}
     assert counts["x_ge_0"] == 1
     assert counts["y_len"] == 0
+
+
+# unique_values_eq across its gated dtypes (aggregate-shaped: the value
+# SET must equal the expectation; reference api/checks.py:731 gates to
+# numeric+date+str+binary)
+UVE_KITS = [
+    ("int", T.IntegerType(), [1, 2], 3),
+    ("long", T.LongType(), [1, 2], 3),
+    ("str", T.StringType(), ["a", "b"], "c"),
+    ("bin", T.BinaryType(), [b"a", b"b"], b"c"),
+    ("date", T.DateType(),
+     [datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)],
+     datetime.date(2024, 1, 3)),
+    ("ts", T.TimestampType(), [D(2024, 1, 1), D(2024, 1, 2)],
+     D(2024, 1, 3)),
+]
+
+
+@pytest.mark.parametrize(
+    "label,dtype,values,extra", UVE_KITS, ids=[k[0] for k in UVE_KITS]
+)
+def test_unique_values_eq_dtype_matrix(spark, label, dtype, values, extra):
+    st = T.StructType([T.StructField("v", dtype, True)])
+    check = Check.unique_values_eq(values)
+    schema = DataFrameSchema({"v": Column(dtype, check)}, name=label)
+    # exact set (with repeats) passes
+    clean = spark.createDataFrame([(v,) for v in values + [values[0]]], st)
+    res = schema.validate_result(clean)
+    assert not res.errors, res.report
+    # an extra value fails; a missing value also fails
+    for bad_data in ([*values, extra], values[:1]):
+        dirty = spark.createDataFrame([(v,) for v in bad_data], st)
+        res = schema.validate_result(dirty)
+        bad = [o for o in res.outcomes if not o.passed]
+        assert len(bad) == 1 and bad[0].check == check.error, (label, res.report)
+    # unsupported dtype is rejected at compile time
+    from pandera_spark.errors import SchemaError, SchemaInitError
+
+    arr_schema = DataFrameSchema(
+        {"v": Column(T.ArrayType(T.IntegerType()),
+                     Check.unique_values_eq([1]))},
+        name="gate",
+    )
+    adf = spark.createDataFrame(
+        [([1],)],
+        T.StructType([T.StructField("v", T.ArrayType(T.IntegerType()), True)]),
+    )
+    r = arr_schema.validate_result(adf)
+    assert any(not o.passed for o in r.outcomes)  # dtype-gate failure
