@@ -169,30 +169,27 @@ def join_cardinality(
     right_dup_keys, right_null_rows, ok)`` where ``*_dup_keys`` counts
     join keys appearing more than once on that side and ``ok`` applies
     ``expect`` ('1:1' needs both sides unique, '1:N' a unique left,
-    'N:1' a unique right, 'N:M' always true).  Two key-grain
-    aggregations (map-side partial count), no join executed."""
+    'N:1' a unique right, 'N:M' always true).  ONE key-grain
+    aggregation per side — null keys ride the same groupBy as their own
+    groups (map-side partial count), so each side is a single scan and
+    no join executes."""
     if expect not in ("1:1", "1:N", "N:1", "N:M"):
         raise ValueError(f"expect must be 1:1, 1:N, N:1 or N:M: {expect!r}")
     lk = _cols(left_on)
     rk = _cols(right_on) if right_on is not None else lk
 
     def side(df: DataFrame, keys: list[str]):
+        per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
         null_cond = F.lit(False)
         for k in keys:
             null_cond = null_cond | F.col(k).isNull()
-        nulls = df.agg(
-            F.count(F.when(null_cond, 1)).cast("long").alias("nulls")
+        return per_key.agg(
+            F.count(F.when(~null_cond, 1)).cast("long").alias("keys"),
+            F.count(F.when(~null_cond & (F.col("c") > 1), 1))
+            .cast("long").alias("dups"),
+            F.coalesce(F.sum(F.when(null_cond, F.col("c"))), F.lit(0))
+            .cast("long").alias("nulls"),
         )
-        per_key = (
-            df.filter(~null_cond)
-            .groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        stats = per_key.agg(
-            F.count(F.lit(1)).cast("long").alias("keys"),
-            F.count(F.when(F.col("c") > 1, 1)).cast("long").alias("dups"),
-        )
-        return stats.crossJoin(nulls)
 
     l = side(left, lk).select(
         F.col("keys").alias("left_keys"),
