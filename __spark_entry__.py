@@ -3630,6 +3630,51 @@ WHERE ({bucket}) < CAST(trunc(rate * 10000) AS INT)
 """
 
 
+# --- feature-hashed embeddings ----------------------------------------------
+
+_HE_DIM = 16
+
+
+def q_hashembed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free signed feature-hashing embeddings (text.hash_embed):
+    exact integer vectors, exploded to (doc_id, dim_idx, val) so every
+    component is value-checked against the md5 replay."""
+    from pandera_spark.operators.text import hash_embed
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = hash_embed(docs, dim=_HE_DIM)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "val")
+    )
+
+
+def _hashembed_oracle() -> str:
+    tok_hash = _HEXFOLD.format(e="t")
+    sign = (
+        "(list_reduce([strpos('0123456789abcdef', x)-1 for x in "
+        "string_split(substr(md5(t), 9, 1), '')], (u, v) -> u*16+v) % 2)"
+        " * 2 - 1"
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         COALESCE(regexp_extract_all(lower(text), '[a-z0-9]+'), []) AS toks
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         [list_sum([CASE WHEN ({tok_hash}) % {_HE_DIM} = d
+                         THEN {sign} ELSE 0 END
+                    for t in toks])
+          for d in range(0, {_HE_DIM})] AS vec
+  FROM tk
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS dim_idx,
+       CAST(COALESCE(vec[CAST(i AS INT)], 0) AS BIGINT) AS val
+FROM v CROSS JOIN (SELECT unnest(range(1, {_HE_DIM} + 1)) AS i)
+"""
+
+
 # --- unigram-LM quality scoring ---------------------------------------------
 
 
@@ -4096,6 +4141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_documents": q_rerank_documents,
         "gopher_documents": q_gopher_documents,
         "lmscore_documents": q_lmscore_documents,
+        "hashembed_documents": q_hashembed_documents,
     }
 
 
@@ -4420,4 +4466,5 @@ FROM ranked WHERE rank <= 5
         "rerank_documents": _rerank_oracle(),
         "gopher_documents": _gopher_oracle(),
         "lmscore_documents": _LMSCORE_ORACLE,
+        "hashembed_documents": _hashembed_oracle(),
     }

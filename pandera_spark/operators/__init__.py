@@ -94,6 +94,7 @@ from .text import (
     corpus_line_dedup,
     corpus_profile,
     gopher_gate,
+    hash_embed,
     hashed_linear_score,
     index_search,
     keyword_search,

@@ -864,3 +864,52 @@ def lm_score(
         (F.sum("__lp") / F.count(F.lit(1))).alias("avg_logprob"),
     )
     return df.select(id_col).join(agg, id_col, "left")
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    dim: int = 64,
+) -> DataFrame:
+    """Signed feature-hashing embedding (the "hashing trick",
+    Weinberger et al. 2009): every lowercase alphanumeric token adds
+    ±1 to ``bucket = portable_hash28(token) % dim`` (sign from an
+    independent md5 digit), yielding an EXACT integer vector per
+    document — model-free embeddings that feed the similarity/ANN
+    operators (cosine over ``array<long>`` casts cleanly) while being
+    bit-replayable by any engine with md5.
+
+    Zero shuffle, zero UDF: the vector is a ``transform(sequence(dim))``
+    of per-dimension HOF folds over the token array (O(dim × tokens)
+    cheap codegen ops per row).  Returns ``(id, embedding array<long>)``;
+    null text embeds to the zero vector."""
+    from .dedup import portable_hash28
+
+    if not 1 <= dim <= 4096:
+        raise ValueError(f"dim must be in [1, 4096], got {dim}")
+    toks = F.coalesce(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"),
+        F.expr("CAST(array() AS array<string>)"),
+    )
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d_col: F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.when(
+                F.pmod(portable_hash28(t), F.lit(dim)) == d_col,
+                F.pmod(
+                    F.conv(F.substring(F.md5(t), 9, 1), 16, 10)
+                    .cast("long"),
+                    F.lit(2),
+                )
+                * 2
+                - 1,
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    return df.select(F.col(id_col), vec.alias("embedding"))

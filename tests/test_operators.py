@@ -3400,3 +3400,38 @@ def test_lm_score_reference_affinity(spark):
     import math
 
     assert out[2].avg_logprob == pytest.approx(math.log(1 / (45 + 9)))
+
+
+def test_hash_embed_properties(spark):
+    from pandera_spark.operators.text import hash_embed
+    from pandera_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark engines process data fast"),
+            (2, "spark engines process data fast"),   # identical text
+            (3, "completely different words entirely here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.embedding for r in hash_embed(df, dim=32).collect()}
+    assert out[1] == out[2]                       # pure function of text
+    assert out[1] != out[3]
+    assert out[4] == [0] * 32                     # null -> zero vector
+    assert len(out[1]) == 32
+    # token count conservation: sum |v_i| <= n_tokens (equality unless
+    # collisions cancel)
+    assert sum(abs(x) for x in out[1]) <= 5
+    assert sum(abs(x) for x in out[1]) >= 1
+    # embeddings feed the similarity operators directly
+    emb = hash_embed(df.filter("text IS NOT NULL"), dim=32)
+    a = emb.filter("doc_id = 1").select(
+        F.col("embedding").cast("array<double>").alias("e1"))
+    b = emb.filter("doc_id = 3").select(
+        F.col("embedding").cast("array<double>").alias("e2"))
+    sim = a.crossJoin(b).select(
+        cosine(F.col("e1"), F.col("e2")).alias("s")).first().s
+    assert -1.0 <= sim <= 1.0
+    with pytest.raises(ValueError):
+        hash_embed(df, dim=0)
