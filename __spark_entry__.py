@@ -3675,6 +3675,77 @@ FROM v CROSS JOIN (SELECT unnest(range(1, {_HE_DIM} + 1)) AS i)
 """
 
 
+def q_semantic_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free semantic dedup END-TO-END: hash-embed the corpus
+    (exact integer vectors), LSH near-dup pairs over those vectors,
+    connected components, keep component minima — text in, kept doc_ids
+    out, every stage pure engine ops.  The oracle replays the entire
+    pipeline: embedding arithmetic, hyperplane signatures, banding,
+    cosine verify, recursive-CTE closure, anti-join."""
+    from pandera_spark.operators.clustering import apply_dedup
+    from pandera_spark.operators.similarity import embedding_near_dups
+    from pandera_spark.operators.text import hash_embed
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = hash_embed(docs, dim=_HE_DIM).select(
+        "doc_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = embedding_near_dups(
+        emb, id_col="doc_id", threshold=0.9, dim=_HE_DIM,
+        n_planes=16, bands=4,
+    ).select("id_a", "id_b")
+    kept = apply_dedup(docs, pairs, id_col="doc_id")
+    return kept.select("doc_id")
+
+
+def _semantic_dedup_oracle() -> str:
+    he = _hashembed_oracle()
+    sig = _lsh_sig_sql(_HE_DIM, 16)
+    rpb, mask = 16 // 4, (1 << 4) - 1
+    return f"""
+WITH RECURSIVE he AS ({he}),
+e AS (
+  SELECT doc_id AS vec_id,
+         list_transform(list(val ORDER BY dim_idx), x -> CAST(x AS DOUBLE))
+           AS v
+  FROM he GROUP BY doc_id
+),
+s AS (SELECT vec_id, {sig} AS sig FROM e),
+banded AS (
+  SELECT vec_id, t.band, (sig >> (t.band * {rpb})) & {mask} AS bkey
+  FROM s, range(4) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b
+  WHERE list_dot_product(ea.v, ea.v) > 0
+    AND list_dot_product(eb.v, eb.v) > 0
+    AND list_cosine_similarity(ea.v, eb.v) >= 0.9
+),
+ed AS (SELECT id_a AS u, id_b AS v FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT u, v FROM ed
+  UNION
+  SELECT r.n, ed.v FROM reach r JOIN ed ON ed.u = r.m
+),
+comp AS (
+  SELECT n AS node, LEAST(MIN(m), n) AS component
+  FROM reach GROUP BY n
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN comp ON comp.node = d.doc_id
+WHERE comp.node IS NULL OR comp.component = d.doc_id
+"""
+
+
 # --- unigram-LM quality scoring ---------------------------------------------
 
 
@@ -4142,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_documents": q_gopher_documents,
         "lmscore_documents": q_lmscore_documents,
         "hashembed_documents": q_hashembed_documents,
+        "semantic_dedup_documents": q_semantic_dedup_documents,
     }
 
 
@@ -4467,4 +4539,5 @@ FROM ranked WHERE rank <= 5
         "gopher_documents": _gopher_oracle(),
         "lmscore_documents": _LMSCORE_ORACLE,
         "hashembed_documents": _hashembed_oracle(),
+        "semantic_dedup_documents": _semantic_dedup_oracle(),
     }

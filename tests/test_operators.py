@@ -3435,3 +3435,30 @@ def test_hash_embed_properties(spark):
     assert -1.0 <= sim <= 1.0
     with pytest.raises(ValueError):
         hash_embed(df, dim=0)
+
+
+def test_semantic_dedup_pipeline(spark):
+    """hash_embed -> LSH near-dups -> components -> anti-join: identical
+    texts collapse to one kept doc, distinct texts all survive."""
+    from pandera_spark.operators.clustering import apply_dedup
+    from pandera_spark.operators.similarity import embedding_near_dups
+    from pandera_spark.operators.text import hash_embed
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in
+            range(3)] + [
+        (10, "an entirely different text about distributed engines"),
+        (11, "yet another unrelated document with its own words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hash_embed(df, dim=32).select(
+        "doc_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = embedding_near_dups(
+        emb, id_col="doc_id", threshold=0.95, dim=32, n_planes=16, bands=4,
+        corpus_storage=None,
+    ).select("id_a", "id_b")
+    kept = {r.doc_id for r in
+            apply_dedup(df, pairs, id_col="doc_id").collect()}
+    assert 0 in kept                 # canonical = min id of the clone set
+    assert not {1, 2} & kept         # clones dropped
+    assert {10, 11} <= kept          # distinct docs untouched
