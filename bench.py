@@ -37,6 +37,8 @@ HEAVY_QUERIES = {
     "mutual_knn_embeddings",
     # exact-percentile bounds share the single-reducer merge variance
     "winsorize_lineitem",
+    # LSH + clustering composite over hash embeddings
+    "semantic_dedup_documents",
 }
 
 
