@@ -3746,6 +3746,51 @@ WHERE comp.node IS NULL OR comp.component = d.doc_id
 """
 
 
+# --- observe() piggyback validation -----------------------------------------
+
+
+def q_observe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-extra-scan validation: violation counters attached via
+    df.observe materialize on the pipeline's OWN action (here a count)
+    — no second pass over the data (streaming/validation.py:
+    observed_validation).  Returns the observed metric map as rows."""
+    from pandera_spark.streaming.validation import observed_validation
+
+    df = _load(spark, sf_dir, "lineitem")
+    schema = _validation_schema(
+        LINEITEM_CHECKS, LINEITEM_NOT_NULL, "lineitem"
+    )
+    observed, obs = observed_validation(df, schema)
+    observed.count()  # the pipeline's action; metrics ride it
+    rows = sorted((k, int(v)) for k, v in obs.get.items())
+    return spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("metric", T.StringType(), False),
+            T.StructField("value", T.LongType(), False),
+        ]),
+    )
+
+
+def _observe_oracle() -> str:
+    selects = [
+        f"SELECT 'viol__{col}__{label}' AS metric, "
+        f"CAST(COALESCE(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END), 0) "
+        f"AS BIGINT) AS value FROM lineitem"
+        for col, label, _chk, cond in LINEITEM_CHECKS
+    ]
+    selects += [
+        f"SELECT 'nulls__{col}', "
+        f"CAST(COUNT(CASE WHEN {col} IS NULL THEN 1 END) AS BIGINT) "
+        f"FROM lineitem"
+        for col in LINEITEM_NOT_NULL
+    ]
+    selects.append(
+        "SELECT 'rows', CAST(COUNT(*) AS BIGINT) FROM lineitem"
+    )
+    return " UNION ALL ".join(selects)
+
+
 # --- unigram-LM quality scoring ---------------------------------------------
 
 
@@ -4214,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmscore_documents": q_lmscore_documents,
         "hashembed_documents": q_hashembed_documents,
         "semantic_dedup_documents": q_semantic_dedup_documents,
+        "observe_lineitem": q_observe_lineitem,
     }
 
 
@@ -4540,4 +4586,5 @@ FROM ranked WHERE rank <= 5
         "lmscore_documents": _LMSCORE_ORACLE,
         "hashembed_documents": _hashembed_oracle(),
         "semantic_dedup_documents": _semantic_dedup_oracle(),
+        "observe_lineitem": _observe_oracle(),
     }
