@@ -3746,6 +3746,36 @@ WHERE comp.node IS NULL OR comp.component = d.doc_id
 """
 
 
+# --- one-sample t-test ------------------------------------------------------
+
+
+def q_ttest1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample t statistic vs popmean=50 via one Spark aggregation
+    (hypothesis operator, SURVEY §2.E one_sample_ttest); oracle
+    computes the closed form in SQL."""
+    df = _load(spark, sf_dir, "events")
+    r = df.agg(
+        F.count("value").alias("n"),
+        F.avg("value").alias("m"),
+        F.stddev_samp("value").alias("s"),
+    ).first()
+    from pandera_spark.hypotheses import one_sample_t
+
+    stat, _p = one_sample_t(int(r.n), float(r.m), float(r.s), popmean=50.0)
+    return spark.createDataFrame(
+        [(round(stat, 6),)],
+        T.StructType([T.StructField("t_stat_r", T.DoubleType(), False)]),
+    )
+
+
+_TTEST1_ORACLE = """
+SELECT ROUND(
+  (AVG(value) - 50.0) / (STDDEV_SAMP(value) / SQRT(COUNT(value))), 6)
+  AS t_stat_r
+FROM events
+"""
+
+
 # --- observe() piggyback validation -----------------------------------------
 
 
@@ -4260,6 +4290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashembed_documents": q_hashembed_documents,
         "semantic_dedup_documents": q_semantic_dedup_documents,
         "observe_lineitem": q_observe_lineitem,
+        "ttest1_events": q_ttest1_events,
     }
 
 
@@ -4587,4 +4618,5 @@ FROM ranked WHERE rank <= 5
         "hashembed_documents": _hashembed_oracle(),
         "semantic_dedup_documents": _semantic_dedup_oracle(),
         "observe_lineitem": _observe_oracle(),
+        "ttest1_events": _TTEST1_ORACLE,
     }
