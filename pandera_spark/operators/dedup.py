@@ -90,8 +90,15 @@ def exact_dedup_stats(df: DataFrame, col: str) -> DataFrame:
 
     Returns one row: (n_docs, n_distinct, dup_rows).  Hash-first so the
     groupBy shuffles 128-bit digests instead of full documents.
+    String/binary payloads hash their raw bytes; a binary-to-string
+    cast would be lossy on invalid UTF-8 and could merge distinct
+    payloads into one digest.
     """
-    h = F.md5(F.col(col).cast("string"))
+    dt = df.schema[col].dataType
+    from pyspark.sql import types as _T
+
+    raw = isinstance(dt, (_T.StringType, _T.BinaryType))
+    h = F.md5(F.col(col) if raw else F.col(col).cast("string"))
     per_group = (
         df.select(h.alias("__h"))
         .groupBy("__h")

@@ -3462,3 +3462,19 @@ def test_semantic_dedup_pipeline(spark):
     assert 0 in kept                 # canonical = min id of the clone set
     assert not {1, 2} & kept         # clones dropped
     assert {10, 11} <= kept          # distinct docs untouched
+
+
+def test_exact_dedup_stats_binary_payloads(spark):
+    """Binary payloads hash raw bytes: two payloads that collide after a
+    lossy UTF-8 cast must still count as distinct."""
+    import pyspark.sql.types as T
+
+    from pandera_spark.operators.dedup import exact_dedup_stats
+
+    rows = [(bytes([0xC3, 0x28]),), (bytes([0xC3, 0x29]),),
+            (bytes([0xC3, 0x28]),)]
+    df = spark.createDataFrame(
+        rows, T.StructType([T.StructField("payload", T.BinaryType(), True)])
+    )
+    r = exact_dedup_stats(df, "payload").first()
+    assert r.n_docs == 3 and r.n_distinct == 2 and r.dup_rows == 2
