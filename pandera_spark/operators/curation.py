@@ -356,20 +356,21 @@ def corpus_diff(
     before the full-outer join, so the shuffle carries 16-byte digests,
     never documents.  Keys are assumed unique per version (dedupe
     upstream if not); null keys are excluded on both sides."""
-    o = (
-        old.filter(F.col(key_col).isNotNull())
-        .select(
-            F.col(key_col).alias("__k"),
-            F.md5(F.col(content_col).cast("string")).alias("__ho"),
+    from pyspark.sql import types as _T
+
+    def digest(df: DataFrame, alias: str):
+        # raw bytes for string/binary content: a binary-to-string cast is
+        # lossy on invalid UTF-8 and could equate distinct payloads
+        dt = df.schema[content_col].dataType
+        c = F.col(content_col)
+        if not isinstance(dt, (_T.StringType, _T.BinaryType)):
+            c = c.cast("string")
+        return df.filter(F.col(key_col).isNotNull()).select(
+            F.col(key_col).alias("__k"), F.md5(c).alias(alias)
         )
-    )
-    n = (
-        new.filter(F.col(key_col).isNotNull())
-        .select(
-            F.col(key_col).alias("__k"),
-            F.md5(F.col(content_col).cast("string")).alias("__hn"),
-        )
-    )
+
+    o = digest(old, "__ho")
+    n = digest(new, "__hn")
     j = o.join(n, "__k", "full_outer")
     ho, hn = F.col("__ho"), F.col("__hn")
     return j.agg(
