@@ -3746,6 +3746,44 @@ WHERE comp.node IS NULL OR comp.component = d.doc_id
 """
 
 
+# --- LSH recall evaluation --------------------------------------------------
+
+
+def q_lsh_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning harness (similarity.lsh_recall): recall of the banded
+    near-dup pipeline vs the exact O(n²) pair set on the sample-sized
+    corpus — the measurement that sizes (n_planes, bands) before a
+    production run."""
+    from pandera_spark.operators.similarity import lsh_recall
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return lsh_recall(
+        emb, threshold=0.35, dim=64, n_planes=16, bands=4
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+),
+lsh AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_lsh_pairs
+  FROM ({_neardup_oracle()})
+)
+SELECT n_exact_pairs, n_lsh_pairs,
+       CASE WHEN n_exact_pairs > 0
+            THEN ROUND(CAST(n_lsh_pairs AS DOUBLE)
+                       / CAST(n_exact_pairs AS DOUBLE), 6) END AS recall
+FROM exact, lsh
+"""
+
+
 # --- one-sample t-test ------------------------------------------------------
 
 
@@ -4291,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_documents": q_semantic_dedup_documents,
         "observe_lineitem": q_observe_lineitem,
         "ttest1_events": q_ttest1_events,
+        "lsh_recall_embeddings": q_lsh_recall_embeddings,
     }
 
 
@@ -4619,4 +4658,5 @@ FROM ranked WHERE rank <= 5
         "semantic_dedup_documents": _semantic_dedup_oracle(),
         "observe_lineitem": _observe_oracle(),
         "ttest1_events": _TTEST1_ORACLE,
+        "lsh_recall_embeddings": _lsh_recall_oracle(),
     }

@@ -75,6 +75,7 @@ from .similarity import (
     brute_force_topk,
     embedding_near_dups,
     knn_graph,
+    lsh_recall,
     lsh_topk,
     mutual_knn,
     verify_pairs_cosine,

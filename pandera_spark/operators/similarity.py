@@ -499,3 +499,73 @@ def verify_pairs_cosine(
         )
         .filter(F.col("cosine_sim") >= F.lit(float(threshold)))
     )
+
+
+def lsh_recall(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_rows: Optional[int] = 20_000,
+) -> DataFrame:
+    """Evaluation harness: recall of the banded-LSH near-dup pipeline
+    against the EXACT pair set on a bounded corpus (sample) — the
+    tuning loop for (n_planes, bands) before a production run.
+
+    Because :func:`embedding_near_dups` exact-verifies every candidate,
+    its pairs are a subset of the true pairs; recall is simply
+    ``|lsh| / |exact|``.  The exact side is an O(n²) guarded self-join
+    — run this on a SAMPLE (``max_rows`` rejects oversized inputs, None
+    disables); the measured recall transfers to the full corpus because
+    banding probability depends only on pair similarity.  One row:
+    ``(n_exact_pairs, n_lsh_pairs, recall)`` (recall null when no exact
+    pairs exist)."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"lsh_recall is O(n^2) exact: input has {n} rows > "
+                f"max_rows={max_rows}; evaluate on a sample "
+                "(df.sample or hash_stratified_sample) or raise max_rows"
+            )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    exact = (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            (
+                dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("__sim")
+        )
+        .filter(F.col("__sim") >= threshold)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+    )
+    lsh = embedding_near_dups(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        dim=dim, n_planes=n_planes, bands=bands, seed=seed,
+        corpus_storage=None,
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_lsh_pairs"))
+    return (
+        exact.crossJoin(lsh)
+        .withColumn(
+            "recall",
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                F.round(
+                    F.col("n_lsh_pairs").cast("double")
+                    / F.col("n_exact_pairs").cast("double"),
+                    6,
+                ),
+            ),
+        )
+    )

@@ -3478,3 +3478,25 @@ def test_exact_dedup_stats_binary_payloads(spark):
     )
     r = exact_dedup_stats(df, "payload").first()
     assert r.n_docs == 3 and r.n_distinct == 2 and r.dup_rows == 2
+
+
+def test_lsh_recall_harness(spark):
+    from pandera_spark.operators.similarity import lsh_recall
+
+    import random as _r
+
+    rng = _r.Random(3)
+    rows = []
+    for i in range(30):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x + 1e-4) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = lsh_recall(df, threshold=0.999, dim=16, n_planes=16, bands=8).first()
+    # twins are exact pairs; near-identical vectors share signatures so
+    # banding finds essentially all of them
+    assert r.n_exact_pairs >= 30
+    assert r.n_lsh_pairs <= r.n_exact_pairs      # verified subset
+    assert r.recall >= 0.9
+    with pytest.raises(ValueError):
+        lsh_recall(df, threshold=0.9, dim=16, max_rows=10)
