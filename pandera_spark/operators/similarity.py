@@ -511,11 +511,14 @@ def lsh_recall(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
-    max_rows: Optional[int] = 20_000,
+    max_rows: Optional[int] = 2_000,
 ) -> DataFrame:
     """Evaluation harness: recall of the banded-LSH near-dup pipeline
     against the EXACT pair set on a bounded corpus (sample) — the
     tuning loop for (n_planes, bands) before a production run.
+    The exact side's pairwise cosine runs in interpreted higher-order
+    functions (~10 µs/pair locally): the default cap of 2k rows ≈ 2M
+    pairs keeps it interactive; raise deliberately.
 
     Because :func:`embedding_near_dups` exact-verifies every candidate,
     its pairs are a subset of the true pairs; recall is simply
