@@ -55,6 +55,7 @@ from .numeric import (
     winsorize_report,
 )
 from .packing import chunk_pack, greedy_pack, pack_stats
+from .pipeline import prepare_training_corpus
 from .relational import (
     fk_violations,
     isin_table,

@@ -3500,3 +3500,39 @@ def test_lsh_recall_harness(spark):
     assert r.recall >= 0.9
     with pytest.raises(ValueError):
         lsh_recall(df, threshold=0.9, dim=16, max_rows=10)
+
+
+def test_prepare_training_corpus_end_to_end(spark):
+    from pandera_spark.operators.pipeline import prepare_training_corpus
+
+    good = ("the cat and the dog went to the park in a big way for fun "
+            "and that is all there is to say about it today really truly")
+    rows = (
+        [(i, good + f" alpha{i} beta{i} gamma{i} delta{i}") for i in range(3)]  # keepers
+        + [(10, good), (11, good)]                                # clones
+        + [(20, "!!! ??? ***")]                                   # fails gate
+        + [(21, "")]                                              # fails gate
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_training_corpus(
+        docs, min_words=10, dedup_threshold=0.999, embed_dim=32,
+        chunk_size=60, chunk_overlap=10, n_shards=4, epoch=1,
+    )
+    report = {r.stage: r.n_docs for r in out["report"].collect()}
+    assert report["input"] == 7
+    assert report["quality_gate"] == 5            # 20, 21 dropped
+    assert report["semantic_dedup"] == 4          # clone 11 dropped
+    kept = {r.doc_id for r in out["kept"].collect()}
+    assert kept == {0, 1, 2, 10}
+    chunks = out["chunks"].collect()
+    assert chunks and all(0 <= r.shard < 4 for r in chunks)
+    assert all(r.sort_key is not None for r in chunks)
+    # deterministic end-to-end: a rerun yields identical chunks
+    again = prepare_training_corpus(
+        docs, min_words=10, dedup_threshold=0.999, embed_dim=32,
+        chunk_size=60, chunk_overlap=10, n_shards=4, epoch=1,
+    )["chunks"].collect()
+    key = lambda r: (r.doc_id, r.chunk_idx)
+    assert sorted(chunks, key=key) == sorted(again, key=key)
+    with pytest.raises(ValueError):
+        prepare_training_corpus(docs, lm_reference=docs)
