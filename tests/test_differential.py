@@ -1283,3 +1283,84 @@ def test_sharding_matches_python_replay(spark, keys, n_shards, epoch):
     # sanity: plain shard_assign agrees with the composed op
     sa = {r.id: r.shard for r in shard_assign(df, "id", n_shards).collect()}
     assert sa == shards
+
+
+# --- funnel / retention / transitions vs pure-Python replay ------------------
+
+_events = st.lists(
+    st.tuples(
+        st.integers(1, 5),                      # user
+        st.integers(0, 50),                     # minute offset
+        st.sampled_from(["a", "b", "c"]),       # type
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_events)
+def test_funnel_matches_python_replay(spark, events):
+    import datetime as dt
+
+    from pandera_spark.operators.temporal import funnel
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, i, T0 + dt.timedelta(minutes=m), t)
+        for i, (u, m, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, et string"
+    )
+    got = {r.step: r.n_users
+           for r in funnel(df, "user_id", "et", "ts",
+                           ["a", "b", "c"]).collect()}
+    # python replay of greedy earliest-match semantics; ties broken by
+    # min over equal timestamps exactly as min(ts) does
+    by_user: dict[int, list] = {}
+    for u, m, t in events:
+        by_user.setdefault(u, []).append((m, t))
+    expect = {1: 0, 2: 0, 3: 0}
+    for u, evs in by_user.items():
+        prev_t = None
+        for step, name in enumerate(["a", "b", "c"], start=1):
+            times = [m for m, t in evs
+                     if t == name and (prev_t is None or m > prev_t)]
+            if not times:
+                break
+            prev_t = min(times)
+            expect[step] += 1
+    assert got == expect
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_events)
+def test_retention_matches_python_replay(spark, events):
+    import datetime as dt
+
+    from pandera_spark.operators.temporal import retention
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [(u, T0 + dt.timedelta(hours=m)) for u, m, _ in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort.day, r.day_offset): r.n_users
+           for r in retention(df, "user_id", "ts", max_offset=7).collect()}
+    days: dict[int, set] = {}
+    for u, m, _ in events:
+        days.setdefault(u, set()).add((T0 + dt.timedelta(hours=m)).day)
+    expect: dict[tuple, int] = {}
+    for u, ds in days.items():
+        cohort = min(ds)
+        for d in ds:
+            off = d - cohort
+            if off <= 7:
+                k = (cohort, off)
+                expect[k] = expect.get(k, 0) + 1
+    assert got == expect
