@@ -3746,6 +3746,91 @@ WHERE comp.node IS NULL OR comp.component = d.doc_id
 """
 
 
+# --- assembled pipeline attrition -------------------------------------------
+
+
+def q_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled prepare_training_corpus pipeline's attrition
+    report (input -> quality gate -> semantic dedup), oracle-replayed
+    end-to-end: gopher verdicts, hash embeddings, LSH pairs, connected
+    components, and the keep rule all compose in one SQL query."""
+    from pandera_spark.operators.pipeline import prepare_training_corpus
+
+    docs = _load(spark, sf_dir, "documents")
+    out = prepare_training_corpus(
+        docs,
+        min_words=20,
+        min_stop_hits=2,
+        gate_kwargs={"max_dup_word_frac": 0.6, "max_dup_gram_frac": 0.25},
+        dedup_threshold=0.9,
+        embed_dim=_HE_DIM,
+        n_planes=16,
+        bands=4,
+    )
+    return out["report"]
+
+
+def _pipeline_oracle() -> str:
+    gv = _gopher_oracle()
+    he_gated = _hashembed_oracle().replace("FROM documents", "FROM gated")
+    sig = _lsh_sig_sql(_HE_DIM, 16)
+    rpb, mask = 16 // 4, (1 << 4) - 1
+    return f"""
+WITH RECURSIVE
+gv AS (SELECT * FROM ({gv})),
+gated AS (
+  SELECT d.* FROM documents d JOIN gv ON gv.doc_id = d.doc_id AND gv.keep
+),
+he AS ({he_gated}),
+e AS (
+  SELECT doc_id AS vec_id,
+         list_transform(list(val ORDER BY dim_idx), x -> CAST(x AS DOUBLE))
+           AS v
+  FROM he GROUP BY doc_id
+),
+s AS (SELECT vec_id, {sig} AS sig FROM e),
+banded AS (
+  SELECT vec_id, t.band, (sig >> (t.band * {rpb})) & {mask} AS bkey
+  FROM s, range(4) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b
+  WHERE list_dot_product(ea.v, ea.v) > 0
+    AND list_dot_product(eb.v, eb.v) > 0
+    AND list_cosine_similarity(ea.v, eb.v) >= 0.9
+),
+ed AS (SELECT id_a AS u, id_b AS v FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT u, v FROM ed
+  UNION
+  SELECT r.n, ed.v FROM reach r JOIN ed ON ed.u = r.m
+),
+comp AS (
+  SELECT n AS node, LEAST(MIN(m), n) AS component
+  FROM reach GROUP BY n
+),
+kept AS (
+  SELECT d.doc_id FROM gated d
+  LEFT JOIN comp ON comp.node = d.doc_id
+  WHERE comp.node IS NULL OR comp.component = d.doc_id
+)
+SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL
+SELECT 'quality_gate', CAST(count(*) AS BIGINT) FROM gated
+UNION ALL
+SELECT 'semantic_dedup', CAST(count(*) AS BIGINT) FROM kept
+"""
+
+
 # --- LSH recall evaluation --------------------------------------------------
 
 
@@ -4339,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "observe_lineitem": q_observe_lineitem,
         "ttest1_events": q_ttest1_events,
         "lsh_recall_embeddings": q_lsh_recall_embeddings,
+        "pipeline_documents": q_pipeline_documents,
     }
 
 
@@ -4668,4 +4754,5 @@ FROM ranked WHERE rank <= 5
         "observe_lineitem": _observe_oracle(),
         "ttest1_events": _TTEST1_ORACLE,
         "lsh_recall_embeddings": _lsh_recall_oracle(),
+        "pipeline_documents": _pipeline_oracle(),
     }

@@ -48,6 +48,7 @@ def prepare_training_corpus(
     chunk_overlap: int = 128,
     n_shards: int = 64,
     epoch: int = 0,
+    gate_kwargs: Optional[dict] = None,
 ) -> dict:
     """Run the canonical preparation pipeline; returns
     ``{"kept", "chunks", "report"}``:
@@ -71,6 +72,7 @@ def prepare_training_corpus(
     gate = gopher_gate(
         docs, id_col, text_col,
         min_words=min_words, min_stop_hits=min_stop_hits,
+        **(gate_kwargs or {}),
     )
     gated = docs.join(
         gate.filter(F.col("keep")).select(id_col), id_col, "left_semi"
