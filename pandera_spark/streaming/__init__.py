@@ -1,4 +1,5 @@
 from .novelty import bloom_novelty_foreach_batch, compact_bloom_index
+from .stateful import streaming_quality_gate
 from .validation import validate_stream, observed_validation
 
 __all__ = [
@@ -6,4 +7,5 @@ __all__ = [
     "observed_validation",
     "bloom_novelty_foreach_batch",
     "compact_bloom_index",
+    "streaming_quality_gate",
 ]

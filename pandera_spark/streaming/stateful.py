@@ -263,3 +263,56 @@ def streaming_category_drift(
             F.transform(cells, js_term), F.lit(0.0), lambda a, v: a + v
         ).alias("js_divergence"),
     )
+
+
+def streaming_quality_gate(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_punct_ratio: float = 0.2,
+    min_stop_hits: int = 0,
+    out_col: str = "failed_rules",
+) -> DataFrame:
+    """Quality gating at INGEST time: the projection-only subset of
+    :func:`~pandera_spark.operators.text.gopher_gate` (word count, mean
+    word length, punctuation ratio, stopword hits) evaluated on a
+    structured stream — stateless, so it runs in ANY output mode with
+    no watermark and adds zero state-store pressure.  The
+    aggregation-shaped duplicate-fraction rules need per-document
+    n-gram counts and stay in the batch gate.
+
+    Adds ``keep`` + the failed-rule list per row (same tag vocabulary
+    as the batch gate, so downstream routing is shared).  Works on
+    batch frames too."""
+    col = F.col(text_col)
+    trimmed = F.trim(col)
+    nt = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("double")
+    nc = F.length(col).cast("double")
+    np_ = F.regexp_count(col, F.lit(r"[^\w\s]")).cast("double")
+    ns = F.regexp_count(
+        col, F.lit(r"(?i)\b(the|and|of|to|in|is|that|for|a|with)\b")
+    ).cast("double")
+    rules = [
+        ("word_count", (nt >= min_words) & (nt <= max_words)),
+        (
+            "mean_word_len",
+            (nt > 0)
+            & (F.try_divide(nc, nt) >= min_mean_word_len)
+            & (F.try_divide(nc, nt) <= max_mean_word_len),
+        ),
+        ("punct_ratio",
+         F.when(nc > 0, np_ / nc).otherwise(1.0) <= max_punct_ratio),
+        ("stopword_hits", ns >= min_stop_hits),
+    ]
+    failed = F.concat_ws(
+        ",", *[F.when(~cond, F.lit(name)) for name, cond in rules]
+    )
+    return stream_df.withColumn(out_col, failed).withColumn(
+        "keep", F.col(out_col) == ""
+    )

@@ -3536,3 +3536,38 @@ def test_prepare_training_corpus_end_to_end(spark):
     assert sorted(chunks, key=key) == sorted(again, key=key)
     with pytest.raises(ValueError):
         prepare_training_corpus(docs, lm_reference=docs)
+
+
+def test_streaming_quality_gate(spark, tmp_path):
+    import json
+
+    from pandera_spark.streaming.stateful import streaming_quality_gate
+
+    src = tmp_path / "in"
+    src.mkdir()
+    good = ("the cat and the dog went to the park in a big way for fun "
+            "and that is all there is")
+    (src / "a.json").write_text("\n".join(
+        json.dumps(r) for r in [
+            {"id": 1, "text": good},
+            {"id": 2, "text": "!!! ??? ***"},
+        ]
+    ))
+    stream = spark.readStream.schema("id long, text string").json(str(src))
+    gated = streaming_quality_gate(stream, min_words=10)
+    got = []
+    q = (
+        gated.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by_id = {r.id: r for r in got}
+    assert by_id[1].keep is True and by_id[1].failed_rules == ""
+    assert by_id[2].keep is False
+    assert "punct_ratio" in by_id[2].failed_rules
+    # batch frames accepted too
+    bdf = spark.createDataFrame([(3, good)], "id long, text string")
+    assert streaming_quality_gate(bdf, min_words=10).first().keep is True
