@@ -1364,3 +1364,35 @@ def test_retention_matches_python_replay(spark, events):
                 k = (cohort, off)
                 expect[k] = expect.get(k, 0) + 1
     assert got == expect
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_events)
+def test_transitions_match_python_replay(spark, events):
+    import datetime as dt
+
+    from pandera_spark.operators.temporal import event_transitions
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, i, T0 + dt.timedelta(minutes=m), t)
+        for i, (u, m, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, et string"
+    )
+    got = {(r.from_type, r.to_type): r.n
+           for r in event_transitions(df, "user_id", "et", "ts",
+                                      tiebreak_cols=["event_id"]).collect()}
+    by_user: dict[int, list] = {}
+    for i, (u, m, t) in enumerate(events):
+        by_user.setdefault(u, []).append((m, i, t))
+    expect: dict[tuple, int] = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            expect[(a, b)] = expect.get((a, b), 0) + 1
+    assert got == expect
