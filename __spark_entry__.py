@@ -3746,6 +3746,74 @@ WHERE comp.node IS NULL OR comp.component = d.doc_id
 """
 
 
+# --- sessionized funnel -----------------------------------------------------
+
+
+def q_session_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session conversion: sessionize (12h gap islands) then run
+    the ordered funnel keyed on (user, session) — a conversion only
+    counts when the whole path happens inside ONE session (the
+    product-analytics composite of two engine operators)."""
+    from pandera_spark.operators.temporal import funnel, sessionize
+
+    ev = _load(spark, sf_dir, "events")
+    s = sessionize(
+        ev, by=["user_id"], ts_col="ts", gap_seconds=12 * 3600
+    )
+    keyed = s.withColumn(
+        "__sk",
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.col("session_id").cast("string"),
+        ),
+    )
+    return funnel(keyed, "__sk", "event_type", "ts", _FUNNEL_STEPS)
+
+
+def _session_funnel_oracle() -> str:
+    ctes = [
+        "s1 AS (SELECT sk, min(ts) AS t FROM k "
+        f"WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1)"
+    ]
+    for i, s in enumerate(_FUNNEL_STEPS[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.sk, min(e.ts) AS t FROM k e "
+            f"JOIN s{i - 1} p ON e.sk = p.sk "
+            f"WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT {i} AS step, '{s}' AS step_name, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, s in enumerate(_FUNNEL_STEPS, start=1)
+    ]
+    return (
+        """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL '12 hours'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+k AS (
+  SELECT concat_ws(':', CAST(user_id AS VARCHAR),
+                   CAST(sid AS VARCHAR)) AS sk,
+         ts, event_type
+  FROM s
+), """
+        + ", ".join(ctes)
+        + " "
+        + " UNION ALL ".join(selects)
+    )
+
+
 # --- assembled pipeline attrition -------------------------------------------
 
 
@@ -4425,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttest1_events": q_ttest1_events,
         "lsh_recall_embeddings": q_lsh_recall_embeddings,
         "pipeline_documents": q_pipeline_documents,
+        "session_funnel_events": q_session_funnel_events,
     }
 
 
@@ -4755,4 +4824,5 @@ FROM ranked WHERE rank <= 5
         "ttest1_events": _TTEST1_ORACLE,
         "lsh_recall_embeddings": _lsh_recall_oracle(),
         "pipeline_documents": _pipeline_oracle(),
+        "session_funnel_events": _session_funnel_oracle(),
     }

@@ -3571,3 +3571,30 @@ def test_streaming_quality_gate(spark, tmp_path):
     # batch frames accepted too
     bdf = spark.createDataFrame([(3, good)], "id long, text string")
     assert streaming_quality_gate(bdf, min_words=10).first().keep is True
+
+
+def test_session_funnel_resets_across_sessions(spark):
+    """A path split across two sessions does NOT convert; within one
+    session it does."""
+    import datetime as dt
+
+    from pandera_spark.operators.temporal import funnel, sessionize
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, minutes, t):
+        return (u, T0 + dt.timedelta(minutes=minutes), t)
+
+    rows = [
+        ev(1, 0, "view"), ev(1, 5, "buy"),          # same session: converts
+        ev(2, 0, "view"), ev(2, 600, "buy"),        # >gap: buy in session 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    s = sessionize(df, by=["user_id"], ts_col="ts", gap_seconds=1800)
+    keyed = s.withColumn(
+        "__sk", F.concat_ws(":", F.col("user_id").cast("string"),
+                            F.col("session_id").cast("string")))
+    out = {r.step: r.n_users
+           for r in funnel(keyed, "__sk", "et", "ts",
+                           ["view", "buy"]).collect()}
+    assert out == {1: 2, 2: 1}          # u2's cross-session path broken
