@@ -323,3 +323,136 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.coalesce(F.sum(F.length("payload")), F.lit(0)).alias("total_bytes"),
         F.coalesce(F.max(F.length("payload")), F.lit(0)).alias("max_bytes"),
     )
+
+
+def perceptual_hash(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """64-bit perceptual dHash per image: decode (real codecs), average
+    to grayscale, nearest-neighbor downsample to 9×8, one bit per
+    adjacent-pixel brightness comparison — robust to re-encoding,
+    resizing, and small edits, the standard key for IMAGE near-dup
+    dedup.
+
+    Arrow-batched ``mapInPandas``; corrupt/undecodable payloads surface
+    as null hashes (row-preserving, same contract as
+    :func:`image_features`).  Output drops the payload — downstream
+    joins shuffle 8-byte hashes, never image bytes."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        from pandera_spark.operators.codecs import (
+            ImageDecodeError,
+            decode_image as _decode,
+        )
+
+        def dhash(arr) -> int:
+            a = arr.astype(np.float32)
+            if a.ndim == 3:
+                a = a.mean(axis=2)
+            h, w = a.shape
+            ys = (np.arange(8) * h) // 8
+            xs = (np.arange(9) * w) // 9
+            small = a[np.ix_(ys, xs)]
+            bits = (small[:, 1:] > small[:, :-1]).flatten()
+            out = 0
+            for i, b in enumerate(bits):
+                if b:
+                    out |= 1 << i
+            # keep within signed-long range for the Spark column
+            return out - (1 << 64) if out >= (1 << 63) else out
+
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    hashes.append(None)
+                    continue
+                try:
+                    hashes.append(dhash(_decode(bytes(payload))))
+                except ImageDecodeError:
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], hash_col: pd.array(hashes, dtype="Int64")}
+            )
+
+    from .._shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+    return media.select(id_col, payload_col).mapInPandas(
+        run,
+        schema=T.StructType([
+            T.StructField(id_col, media.schema[id_col].dataType, True),
+            T.StructField(hash_col, T.LongType(), True),
+        ]),
+    )
+
+
+def phash_near_dups(
+    hashed: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over perceptual
+    hashes: pigeonhole blocking (``max_hamming + 1`` bit-blocks — any
+    pair within distance shares at least one whole block) makes the
+    candidate join an equi-join on (block_idx, block_value), then the
+    exact distance verifies via ``bit_count(xor)``.  Same scale shape
+    as the SimHash text path: hashes shuffle, images never."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(f"max_hamming must be in [0, 31]: {max_hamming}")
+    nb = max_hamming + 1
+    width = (64 + nb - 1) // nb
+    mask = (1 << width) - 1
+    base = hashed.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    )
+    blocks = base.select(
+        "__id",
+        "__h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("bi"),
+                    F.shiftrightunsigned("__h", i * width)
+                    .bitwiseAND(F.lit(mask)).alias("bv"),
+                )
+                for i in range(nb)
+            ])
+        ).alias("b"),
+    ).select("__id", "__h", F.col("b.bi").alias("bi"),
+             F.col("b.bv").alias("bv"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    # first-matching-block dedup (same trick as the LSH band filter)
+    fm = F.lit(-1)
+    for i in range(nb - 1, -1, -1):
+        ba = F.shiftrightunsigned(F.col("a.__h"), i * width).bitwiseAND(
+            F.lit(mask)
+        )
+        bb = F.shiftrightunsigned(F.col("b.__h"), i * width).bitwiseAND(
+            F.lit(mask)
+        )
+        fm = F.when(ba == bb, F.lit(i)).otherwise(fm)
+    dist = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(F.col("a.bi") == fm)
+        .filter(dist <= max_hamming)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            dist.cast("int").alias("hamming"),
+        )
+    )

@@ -3598,3 +3598,47 @@ def test_session_funnel_resets_across_sessions(spark):
            for r in funnel(keyed, "__sk", "et", "ts",
                            ["view", "buy"]).collect()}
     assert out == {1: 2, 2: 1}          # u2's cross-session path broken
+
+
+def test_perceptual_hash_near_dups(spark):
+    """Real PNG payloads: a re-encoded near-identical image pairs with
+    the original; a different image doesn't; corrupt payloads yield
+    null hashes and never pair."""
+    import numpy as np
+
+    from pandera_spark.operators.codecs import encode_png
+    from pandera_spark.operators.multimodal import (
+        perceptual_hash, phash_near_dups,
+    )
+
+    rng = np.random.default_rng(11)
+    base = (rng.random((32, 36, 3)) * 255).astype(np.uint8)
+    tweaked = base.copy()
+    tweaked[0, 0] = 255 - tweaked[0, 0]          # one-pixel edit
+    other = (rng.random((32, 36, 3)) * 255).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png(base))),
+        (2, bytearray(encode_png(tweaked))),
+        (3, bytearray(encode_png(other))),
+        (4, bytearray(b"not an image")),
+        (5, None),
+    ]
+    import pyspark.sql.types as T
+
+    media = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("media_id", T.LongType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]),
+    )
+    hashed = perceptual_hash(media)
+    got = {r.media_id: r.phash for r in hashed.collect()}
+    assert got[1] == got[2] or bin(got[1] ^ got[2]).count("1") <= 8
+    assert got[4] is None and got[5] is None
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in phash_near_dups(hashed, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    with pytest.raises(ValueError):
+        phash_near_dups(hashed, max_hamming=64)
