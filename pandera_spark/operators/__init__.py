@@ -48,7 +48,7 @@ from .drift import (
     psi_bins,
     psi_timeline,
 )
-from .multimodal import perceptual_hash, phash_near_dups
+from .multimodal import audio_fingerprint, perceptual_hash, phash_near_dups
 from .numeric import (
     correlation_matrix,
     percentile_bounds,

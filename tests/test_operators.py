@@ -3642,3 +3642,55 @@ def test_perceptual_hash_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
     with pytest.raises(ValueError):
         phash_near_dups(hashed, max_hamming=64)
+
+
+def _wav_bytes(samples, rate=8000):
+    """Minimal PCM16 mono RIFF/WAVE payload."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    return hdr + fmt + data
+
+
+def test_audio_fingerprint_near_dups(spark):
+    import numpy as np
+
+    from pandera_spark.operators.multimodal import (
+        audio_fingerprint, phash_near_dups,
+    )
+    import pyspark.sql.types as T
+
+    rng = np.random.default_rng(5)
+    t = np.linspace(0, 1, 8000)
+    tone = (np.sin(2 * np.pi * 440 * t) * (1 + np.sin(2 * np.pi * 3 * t)))
+    a = (tone * 8000).astype(np.int16)
+    louder = (tone * 12000).astype(np.int16)        # gain change: same shape
+    noise = (rng.standard_normal(8000) * 8000).astype(np.int16)
+    rows = [
+        (1, bytearray(_wav_bytes(a))),
+        (2, bytearray(_wav_bytes(louder))),
+        (3, bytearray(_wav_bytes(noise))),
+        (4, bytearray(b"not audio")),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("media_id", T.LongType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]),
+    )
+    hashed = audio_fingerprint(media)
+    got = {r.media_id: r.afp for r in hashed.collect()}
+    assert got[4] is None
+    # gain-changed copy fingerprints identically (envelope SHAPE hash)
+    assert got[1] == got[2]
+    pairs = {(r.id_a, r.id_b)
+             for r in phash_near_dups(hashed, hash_col="afp",
+                                      max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
