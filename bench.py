@@ -39,6 +39,10 @@ HEAVY_QUERIES = {
     "winsorize_lineitem",
     # LSH + clustering composite over hash embeddings
     "semantic_dedup_documents",
+    # gate + embed + LSH + components composite
+    "pipeline_documents",
+    # guarded exact O(n^2) side
+    "lsh_recall_embeddings",
 }
 
 
