@@ -3746,6 +3746,59 @@ WHERE comp.node IS NULL OR comp.component = d.doc_id
 """
 
 
+# --- JSON-schema validation -------------------------------------------------
+
+
+def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured contract: Check.json_matches_schema on the props
+    column under deterministic corruption injection (event_id % 7 ->
+    non-JSON, % 11 -> a JSON array where an object is required); both
+    the map-schema path (null parse) and the struct-schema path
+    (corrupt-record column) must count identically."""
+    from pandera_spark.checks import Check as C2
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "props",
+        F.when(F.col("event_id") % 7 == 0, F.lit("not-json"))
+        .when(F.col("event_id") % 11 == 0, F.lit("[1]"))
+        .otherwise(F.col("props")),
+    )
+    checks = [
+        ("map_schema", C2.json_matches_schema("map<string,bigint>")),
+        ("struct_schema", C2.json_matches_schema("k BIGINT")),
+    ]
+    return ev.agg(
+        *[
+            F.count(
+                F.when(chk.violation_condition(F.col("props")), 1)
+            ).cast("long").alias(label)
+            for label, chk in checks
+        ]
+    )
+
+
+_JSON_EVENTS_ORACLE = """
+WITH p AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN 'not-json'
+              WHEN event_id % 11 = 0 THEN '[1]'
+              ELSE props END AS props
+  FROM events
+)
+, v AS (
+  -- nested CASE: json_type raises on malformed input, so it must only
+  -- run on documents json_valid already accepted (lazy branch eval)
+  SELECT CASE WHEN props IS NULL THEN 0
+              WHEN NOT json_valid(props) THEN 1
+              WHEN json_type(props) <> 'OBJECT' THEN 1
+              ELSE 0 END AS bad
+  FROM p
+)
+SELECT CAST(SUM(bad) AS BIGINT) AS map_schema,
+       CAST(SUM(bad) AS BIGINT) AS struct_schema
+FROM v
+"""
+
+
 # --- sessionized funnel -----------------------------------------------------
 
 
@@ -4494,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_embeddings": q_lsh_recall_embeddings,
         "pipeline_documents": q_pipeline_documents,
         "session_funnel_events": q_session_funnel_events,
+        "json_events": q_json_events,
     }
 
 
@@ -4825,4 +4879,5 @@ FROM ranked WHERE rank <= 5
         "lsh_recall_embeddings": _lsh_recall_oracle(),
         "pipeline_documents": _pipeline_oracle(),
         "session_funnel_events": _session_funnel_oracle(),
+        "json_events": _JSON_EVENTS_ORACLE,
     }

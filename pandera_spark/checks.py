@@ -545,6 +545,51 @@ class Check:
         )
 
     @classmethod
+    def json_matches_schema(cls, ddl_schema: str, **kwargs) -> "Check":
+        """Semi-structured validation: a string column must parse as
+        JSON conforming to the given DDL schema (e.g.
+        ``"map<string,bigint>"`` or ``"a INT, b STRING"``) —
+        For map/array schemas a malformed document parses to null; for
+        STRUCT schemas PERMISSIVE mode yields an all-null struct
+        instead, so the check plants a ``_corrupt_record`` column in
+        the parse schema and requires it null — both forms evaluate
+        JVM-side in the shared agg pass, no UDF.  Nulls pass per
+        ``ignore_na``, like every check."""
+        struct_schema = None
+        try:
+            parsed = T.StructType.fromDDL(ddl_schema)
+            if isinstance(parsed, T.StructType):
+                struct_schema = parsed
+        except Exception:
+            pass
+        if struct_schema is not None and not any(
+            f.name == "_corrupt_record" for f in struct_schema.fields
+        ):
+            aug = T.StructType(
+                [*struct_schema.fields,
+                 T.StructField("_corrupt_record", T.StringType(), True)]
+            )
+
+            def ok(c: SparkCol) -> SparkCol:
+                p = F.from_json(
+                    c, aug,
+                    {"columnNameOfCorruptRecord": "_corrupt_record"},
+                )
+                return p.isNotNull() & p.getField("_corrupt_record").isNull()
+
+        else:
+
+            def ok(c: SparkCol) -> SparkCol:
+                return F.from_json(c, ddl_schema).isNotNull()
+
+        return cls._builtin(
+            "json_matches_schema",
+            f"json_matches_schema({ddl_schema!r})",
+            ok,
+            {"ddl_schema": ddl_schema}, STRING_TYPES, kwargs,
+        )
+
+    @classmethod
     def map_values_forall(cls, element_fn, **kwargs) -> "Check":
         """Generic per-value map check: ``element_fn`` maps one value
         Column to a boolean, evaluated with ``forall`` over
@@ -607,5 +652,6 @@ BUILTIN_CHECK_NAMES = {
     "array_forall_in_range": Check.array_forall_in_range,
     "array_finite": Check.array_finite,
     "map_size": Check.map_size,
+    "json_matches_schema": Check.json_matches_schema,
     "map_keys_isin": Check.map_keys_isin,
 }

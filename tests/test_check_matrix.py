@@ -563,3 +563,43 @@ def test_unique_values_eq_dtype_matrix(spark, label, dtype, values, extra):
     )
     r = arr_schema.validate_result(adf)
     assert any(not o.passed for o in r.outcomes)  # dtype-gate failure
+
+
+def test_json_matches_schema_check(spark):
+    """Malformed or schema-violating JSON strings count as violations;
+    valid documents and nulls pass (ignore_na)."""
+    check = Check.json_matches_schema("map<string,bigint>")
+    schema = DataFrameSchema(
+        {"props": Column(T.StringType(), check)}, name="json"
+    )
+    df = spark.createDataFrame(
+        [('{"k": 1}',), ("not json",), ('[1,2]',), (None,)],
+        T.StructType([T.StructField("props", T.StringType(), True)]),
+    )
+    res = schema.validate_result(df)
+    bad = [o for o in res.outcomes if not o.passed]
+    assert len(bad) == 1 and bad[0].violations == 2, res.report
+    # struct DDL variant
+    s2 = DataFrameSchema(
+        {"props": Column(
+            T.StringType(), Check.json_matches_schema("a INT, b STRING"))},
+        name="json2",
+    )
+    df2 = spark.createDataFrame(
+        [('{"a": 1, "b": "x"}',), ("{",)],
+        T.StructType([T.StructField("props", T.StringType(), True)]),
+    )
+    r2 = s2.validate_result(df2)
+    assert [o.violations for o in r2.outcomes if not o.passed] == [1]
+    # dtype gate: rejected on non-string columns
+    s3 = DataFrameSchema(
+        {"v": Column(T.LongType(), Check.json_matches_schema("map<string,bigint>"))},
+        name="gate",
+    )
+    r3 = s3.validate_result(spark.createDataFrame([(1,)], "v long"))
+    assert any(not o.passed for o in r3.outcomes)
+    # yaml round-trip keeps the statistic
+    from pandera_spark.io import schema_from_yaml, schema_to_yaml
+
+    rt = schema_from_yaml(schema_to_yaml(schema))
+    assert rt.columns["props"].checks[0].error == check.error
