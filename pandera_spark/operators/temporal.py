@@ -377,11 +377,15 @@ def funnel(
     type_col: str,
     ts_col: str,
     steps: "list[str]",
+    *,
+    within_seconds: "float | None" = None,
 ) -> DataFrame:
     """Ordered-funnel counts with greedy earliest-match semantics:
     ``(step, step_name, n_users)`` — a user converts step ``i`` iff an
     event of ``steps[i]`` occurs strictly AFTER their chosen (earliest)
-    time for step ``i-1``.
+    time for step ``i-1``, and (with ``within_seconds``) no later than
+    that many seconds after their step-1 time — the standard
+    conversion-window constraint.
 
     Per step: one filtered min-timestamp aggregation on the user grain
     joined against the shrinking survivor frame — k steps cost k
@@ -395,6 +399,7 @@ def funnel(
         df.filter(typ == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts).alias("__t"))
+        .withColumn("__t0", F.col("__t"))
     )
     parts = [
         prev.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
@@ -404,12 +409,19 @@ def funnel(
         )
     ]
     for i, s in enumerate(steps[1:], start=2):
-        prev = (
+        cand = (
             df.filter(typ == s)
-            .join(prev.select(user_col, "__t"), user_col)
+            .join(prev.select(user_col, "__t", "__t0"), user_col)
             .filter(ts > F.col("__t"))
-            .groupBy(user_col)
-            .agg(F.min(ts).alias("__t"))
+        )
+        if within_seconds is not None:
+            budget_us = int(within_seconds * 1_000_000)
+            cand = cand.filter(
+                _epoch_us(ts) - _epoch_us(F.col("__t0"))
+                <= F.lit(budget_us)
+            )
+        prev = cand.groupBy(user_col).agg(
+            F.min(ts).alias("__t"), F.min("__t0").alias("__t0")
         )
         parts.append(
             prev.agg(

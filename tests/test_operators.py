@@ -3694,3 +3694,29 @@ def test_audio_fingerprint_near_dups(spark):
                                       max_hamming=6).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs
+
+
+def test_funnel_conversion_window(spark):
+    import datetime as dt
+
+    from pandera_spark.operators.temporal import funnel
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, minutes, t):
+        return (u, T0 + dt.timedelta(minutes=minutes), t)
+
+    rows = [
+        ev(1, 0, "view"), ev(1, 5, "buy"),       # within 10 min
+        ev(2, 0, "view"), ev(2, 30, "buy"),      # outside window
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    out = {r.step: r.n_users
+           for r in funnel(df, "user_id", "et", "ts", ["view", "buy"],
+                           within_seconds=600).collect()}
+    assert out == {1: 2, 2: 1}
+    # no window: both convert
+    out2 = {r.step: r.n_users
+            for r in funnel(df, "user_id", "et", "ts",
+                            ["view", "buy"]).collect()}
+    assert out2 == {1: 2, 2: 2}
