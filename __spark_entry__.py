@@ -3746,6 +3746,40 @@ WHERE comp.node IS NULL OR comp.component = d.doc_id
 """
 
 
+def q_funnel_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with a 6-hour conversion window: later steps only count
+    within the budget of the user's step-1 time (temporal.funnel
+    within_seconds)."""
+    from pandera_spark.operators.temporal import funnel
+
+    ev = _load(spark, sf_dir, "events")
+    return funnel(
+        ev, "user_id", "event_type", "ts", _FUNNEL_STEPS,
+        within_seconds=6 * 3600,
+    )
+
+
+def _funnel_window_oracle() -> str:
+    w_us = 6 * 3600
+    ctes = [
+        "s1 AS (SELECT user_id, min(ts) AS t, min(ts) AS t0 FROM events "
+        f"WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1)"
+    ]
+    for i, s in enumerate(_FUNNEL_STEPS[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t, min(p.t0) AS t0 "
+            f"FROM events e JOIN s{i - 1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{s}' AND e.ts > p.t "
+            f"AND date_diff('second', p.t0, e.ts) <= {w_us} GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT {i} AS step, '{s}' AS step_name, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, s in enumerate(_FUNNEL_STEPS, start=1)
+    ]
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
 # --- JSON-schema validation -------------------------------------------------
 
 
@@ -4548,6 +4582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_documents": q_pipeline_documents,
         "session_funnel_events": q_session_funnel_events,
         "json_events": q_json_events,
+        "funnel_window_events": q_funnel_window_events,
     }
 
 
@@ -4880,4 +4915,5 @@ FROM ranked WHERE rank <= 5
         "pipeline_documents": _pipeline_oracle(),
         "session_funnel_events": _session_funnel_oracle(),
         "json_events": _JSON_EVENTS_ORACLE,
+        "funnel_window_events": _funnel_window_oracle(),
     }
