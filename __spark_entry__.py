@@ -3780,6 +3780,45 @@ def _funnel_window_oracle() -> str:
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
 
 
+def q_datefmt_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stringly-typed date-feed contract: format o_orderdate as a
+    string with a wrong format injected on every 13th key, then
+    Check.str_parses_timestamp('yyyy-MM-dd') must count exactly the
+    injected rows (try_to_timestamp — ANSI-safe by construction)."""
+    from pandera_spark.checks import Check as C2
+
+    od = _load(spark, sf_dir, "orders").withColumn(
+        "od_str",
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.date_format("o_orderdate", "dd/MM/yyyy"),
+        ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")),
+    )
+    chk = C2.str_parses_timestamp("yyyy-MM-dd")
+    return od.agg(
+        F.count(
+            F.when(chk.violation_condition(F.col("od_str")), 1)
+        ).cast("long").alias("violations"),
+        F.count(F.when(F.col("od_str").isNotNull(), 1))
+        .cast("long").alias("n_strings"),
+    )
+
+
+_DATEFMT_ORACLE = """
+WITH p AS (
+  SELECT CASE WHEN o_orderkey % 13 = 0
+              THEN strftime(o_orderdate, '%d/%m/%Y')
+              ELSE strftime(o_orderdate, '%Y-%m-%d') END AS od_str
+  FROM orders
+)
+SELECT CAST(COUNT(CASE WHEN od_str IS NOT NULL
+           AND try_strptime(od_str, '%Y-%m-%d') IS NULL THEN 1 END)
+       AS BIGINT) AS violations,
+       CAST(COUNT(od_str) AS BIGINT) AS n_strings
+FROM p
+"""
+
+
 # --- JSON-schema validation -------------------------------------------------
 
 
@@ -4583,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_funnel_events": q_session_funnel_events,
         "json_events": q_json_events,
         "funnel_window_events": q_funnel_window_events,
+        "datefmt_orders": q_datefmt_orders,
     }
 
 
@@ -4916,4 +4956,5 @@ FROM ranked WHERE rank <= 5
         "session_funnel_events": _session_funnel_oracle(),
         "json_events": _JSON_EVENTS_ORACLE,
         "funnel_window_events": _funnel_window_oracle(),
+        "datefmt_orders": _DATEFMT_ORACLE,
     }

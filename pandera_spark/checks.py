@@ -590,6 +590,21 @@ class Check:
         )
 
     @classmethod
+    def str_parses_timestamp(cls, fmt: str, **kwargs) -> "Check":
+        """String column must parse as a timestamp under the given
+        Spark datetime pattern (e.g. ``"yyyy-MM-dd"``) —
+        ``try_to_timestamp`` yields null on failure under BOTH ANSI
+        modes, so the violation is a null parse; nulls pass per
+        ``ignore_na``.  The ingestion contract for stringly-typed date
+        feeds."""
+        return cls._builtin(
+            "str_parses_timestamp",
+            f"str_parses_timestamp({fmt!r})",
+            lambda c: F.try_to_timestamp(c, F.lit(fmt)).isNotNull(),
+            {"fmt": fmt}, STRING_TYPES, kwargs,
+        )
+
+    @classmethod
     def map_values_forall(cls, element_fn, **kwargs) -> "Check":
         """Generic per-value map check: ``element_fn`` maps one value
         Column to a boolean, evaluated with ``forall`` over
@@ -653,5 +668,6 @@ BUILTIN_CHECK_NAMES = {
     "array_finite": Check.array_finite,
     "map_size": Check.map_size,
     "json_matches_schema": Check.json_matches_schema,
+    "str_parses_timestamp": Check.str_parses_timestamp,
     "map_keys_isin": Check.map_keys_isin,
 }

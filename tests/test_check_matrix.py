@@ -603,3 +603,29 @@ def test_json_matches_schema_check(spark):
 
     rt = schema_from_yaml(schema_to_yaml(schema))
     assert rt.columns["props"].checks[0].error == check.error
+
+
+def test_str_parses_timestamp_check(spark):
+    check = Check.str_parses_timestamp("yyyy-MM-dd")
+    schema = DataFrameSchema(
+        {"d": Column(T.StringType(), check)}, name="fmt"
+    )
+    df = spark.createDataFrame(
+        [("2024-01-31",), ("31/01/2024",), ("not a date",), (None,)],
+        T.StructType([T.StructField("d", T.StringType(), True)]),
+    )
+    res = schema.validate_result(df)
+    bad = [o for o in res.outcomes if not o.passed]
+    assert len(bad) == 1 and bad[0].violations == 2, res.report
+    # round-trips through yaml
+    from pandera_spark.io import schema_from_yaml, schema_to_yaml
+
+    rt = schema_from_yaml(schema_to_yaml(schema))
+    assert rt.columns["d"].checks[0].error == check.error
+    # gated to strings
+    g = DataFrameSchema(
+        {"v": Column(T.LongType(), Check.str_parses_timestamp("yyyy"))},
+        name="g",
+    )
+    r = g.validate_result(spark.createDataFrame([(1,)], "v long"))
+    assert any(not o.passed for o in r.outcomes)
