@@ -3780,6 +3780,52 @@ def _funnel_window_oracle() -> str:
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
 
 
+def q_chunk_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-passage detection at SUB-document granularity: chunk the
+    corpus (same windows as chunks_documents), run portable MinHash-LSH
+    over the chunks, keep cross-document candidate pairs, count shared
+    chunks per doc pair — catches partial plagiarism/boilerplate that
+    whole-doc signatures dilute.  Composite ids = doc_id*1000 +
+    chunk_idx (chunk counts are bounded far below 1000 here)."""
+    from pandera_spark.operators.chunking import chunk_text
+    from pandera_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _load(spark, sf_dir, "documents")
+    chunks = chunk_text(docs, "doc_id", "text", size=200, overlap=40)
+    cdf = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("chunk").alias("text"),
+    )
+    pairs = minhash_lsh_candidates(
+        cdf, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3,
+        portable=True,
+    )
+    return (
+        pairs.filter(
+            F.expr("id_a DIV 1000") != F.expr("id_b DIV 1000")
+        )
+        .groupBy(
+            F.expr("id_a DIV 1000").alias("doc_a"),
+            F.expr("id_b DIV 1000").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_chunks"))
+    )
+
+
+def _chunk_neardup_oracle() -> str:
+    chunk_src = (
+        "(SELECT doc_id * 1000 + chunk_idx AS doc_id, chunk AS text "
+        f"FROM ({_CHUNKS_ORACLE}))"
+    )
+    return f"""
+SELECT id_a // 1000 AS doc_a, id_b // 1000 AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_chunks
+FROM ({_minhash_oracle(source=chunk_src)})
+WHERE id_a // 1000 <> id_b // 1000
+GROUP BY 1, 2
+"""
+
+
 def q_datefmt_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stringly-typed date-feed contract: format o_orderdate as a
     string with a wrong format injected on every 13th key, then
@@ -4623,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_events": q_json_events,
         "funnel_window_events": q_funnel_window_events,
         "datefmt_orders": q_datefmt_orders,
+        "chunk_neardup_documents": q_chunk_neardup_documents,
     }
 
 
@@ -4957,4 +5004,5 @@ FROM ranked WHERE rank <= 5
         "json_events": _JSON_EVENTS_ORACLE,
         "funnel_window_events": _funnel_window_oracle(),
         "datefmt_orders": _DATEFMT_ORACLE,
+        "chunk_neardup_documents": _chunk_neardup_oracle(),
     }
