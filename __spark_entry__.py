@@ -3780,6 +3780,89 @@ def _funnel_window_oracle() -> str:
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
 
 
+def q_retention_week_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (grain='week'): offsets land on
+    multiples of 7 days, capped at 28."""
+    from pandera_spark.operators.temporal import retention
+
+    ev = _load(spark, sf_dir, "events")
+    return retention(ev, "user_id", "ts", max_offset=28, grain="week")
+
+
+_RETENTION_WEEK_ORACLE = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+  FROM events GROUP BY 1
+),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS d FROM events),
+j AS (
+  SELECT a.user_id, f.cohort,
+         date_diff('day', f.cohort, a.d) AS day_offset
+  FROM a JOIN f ON a.user_id = f.user_id
+)
+SELECT cohort, CAST(day_offset AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM j WHERE day_offset <= 28 GROUP BY 1, 2
+"""
+
+
+def q_doc_knn_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-similarity graph WITHOUT a model: kNN over the signed
+    feature-hashing embeddings (k=3) — every edge derived from text
+    alone; the oracle composes the embedding replay into the
+    plane/banding/rank replay."""
+    from pandera_spark.operators.similarity import knn_graph
+    from pandera_spark.operators.text import hash_embed
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = hash_embed(docs, dim=_HE_DIM).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    return knn_graph(
+        emb, k=3, dim=_HE_DIM, n_planes=16, bands=4, corpus_storage=None
+    ).select("src", "rank", "dst")
+
+
+def _doc_knn_oracle() -> str:
+    he = _hashembed_oracle()
+    sig = _lsh_sig_sql(_HE_DIM, 16)
+    rpb, mask = 16 // 4, (1 << 4) - 1
+    return f"""
+WITH he AS ({he}),
+e AS (
+  SELECT doc_id AS vec_id,
+         list_transform(list(val ORDER BY dim_idx), x -> CAST(x AS DOUBLE))
+           AS v
+  FROM he GROUP BY doc_id
+),
+s AS (SELECT vec_id, {sig} AS sig FROM e),
+banded AS (
+  SELECT vec_id, t.band, (sig >> (t.band * {rpb})) & {mask} AS bkey
+  FROM s, range(4) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT src, dst,
+         CASE WHEN list_dot_product(ea.v, ea.v) > 0
+               AND list_dot_product(eb.v, eb.v) > 0
+              THEN list_cosine_similarity(ea.v, eb.v) END AS sim
+  FROM cand JOIN e ea ON ea.vec_id = src JOIN e eb ON eb.vec_id = dst
+),
+ranked AS (
+  SELECT src, dst, ROW_NUMBER() OVER (
+    PARTITION BY src ORDER BY sim DESC NULLS LAST, dst ASC) AS rank
+  FROM scored
+)
+SELECT src, CAST(rank AS BIGINT) AS rank, dst
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_chunk_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-passage detection at SUB-document granularity: chunk the
     corpus (same windows as chunks_documents), run portable MinHash-LSH
@@ -4670,6 +4753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_window_events": q_funnel_window_events,
         "datefmt_orders": q_datefmt_orders,
         "chunk_neardup_documents": q_chunk_neardup_documents,
+        "retention_week_events": q_retention_week_events,
+        "doc_knn_documents": q_doc_knn_documents,
     }
 
 
@@ -5005,4 +5090,6 @@ FROM ranked WHERE rank <= 5
         "funnel_window_events": _funnel_window_oracle(),
         "datefmt_orders": _DATEFMT_ORACLE,
         "chunk_neardup_documents": _chunk_neardup_oracle(),
+        "retention_week_events": _RETENTION_WEEK_ORACLE,
+        "doc_knn_documents": _doc_knn_oracle(),
     }
