@@ -3863,6 +3863,33 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_doc_mutual_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual semantic-similarity pairs of documents (a in b's top-3
+    AND b in a's) over the model-free hash embeddings — the
+    noise-robust edge set for corpus clustering."""
+    from pandera_spark.operators.similarity import knn_graph, mutual_knn
+    from pandera_spark.operators.text import hash_embed
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = hash_embed(docs, dim=_HE_DIM).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    edges = knn_graph(
+        emb, k=3, dim=_HE_DIM, n_planes=16, bands=4, corpus_storage=None
+    )
+    return mutual_knn(edges)
+
+
+def _doc_mutual_oracle() -> str:
+    return f"""
+WITH knn AS ({_doc_knn_oracle()})
+SELECT r1.src AS id_a, r1.dst AS id_b
+FROM knn r1 JOIN knn r2 ON r2.src = r1.dst AND r2.dst = r1.src
+WHERE r1.src < r1.dst
+"""
+
+
 def q_chunk_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-passage detection at SUB-document granularity: chunk the
     corpus (same windows as chunks_documents), run portable MinHash-LSH
@@ -4755,6 +4782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_neardup_documents": q_chunk_neardup_documents,
         "retention_week_events": q_retention_week_events,
         "doc_knn_documents": q_doc_knn_documents,
+        "doc_mutual_documents": q_doc_mutual_documents,
     }
 
 
@@ -5092,4 +5120,5 @@ FROM ranked WHERE rank <= 5
         "chunk_neardup_documents": _chunk_neardup_oracle(),
         "retention_week_events": _RETENTION_WEEK_ORACLE,
         "doc_knn_documents": _doc_knn_oracle(),
+        "doc_mutual_documents": _doc_mutual_oracle(),
     }
