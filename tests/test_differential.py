@@ -1396,3 +1396,46 @@ def test_transitions_match_python_replay(spark, events):
         for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
             expect[(a, b)] = expect.get((a, b), 0) + 1
     assert got == expect
+
+
+# --- z-order key vs pure-Python replay ---------------------------------------
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False)),
+        min_size=2, max_size=30, unique_by=lambda t: t,
+    ),
+    bits=st.sampled_from([4, 8, 16]),
+)
+def test_zorder_matches_python_replay(spark, rows, bits):
+    from pandera_spark.operators.sharding import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(rows)],
+        "id long, x double, y double",
+    )
+    got = {r.id: r.zkey for r in zorder_key(df, ["x", "y"],
+                                            bits=bits).collect()}
+    xs = [float(x) for x, _ in rows]
+    ys = [float(y) for _, y in rows]
+    top = float((1 << bits) - 1)
+
+    def cell(v, lo, hi):
+        span = (hi - lo) if hi > lo else 1.0
+        s = int((v - lo) * top / span)       # trunc, like cast long
+        return min(max(s, 0), int(top))
+
+    for i, (x, y) in enumerate(rows):
+        cx = cell(float(x), min(xs), max(xs))
+        cy = cell(float(y), min(ys), max(ys))
+        expect = 0
+        for b in range(bits):
+            expect |= ((cx >> b) & 1) << (2 * b)
+            expect |= ((cy >> b) & 1) << (2 * b + 1)
+        assert got[i] == expect, (i, x, y, bits)
