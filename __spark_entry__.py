@@ -3780,6 +3780,27 @@ def _funnel_window_oracle() -> str:
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
 
 
+def q_chunk_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking-configuration sizing summary (chunking.chunk_stats):
+    doc/chunk totals + chunk-length distribution for the
+    chunks_documents window settings."""
+    from pandera_spark.operators.chunking import chunk_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_stats(docs, "doc_id", "text", size=200, overlap=40)
+
+
+def _chunk_stats_oracle() -> str:
+    return f"""
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(min(length(chunk)) AS BIGINT) AS min_len,
+       CAST(max(length(chunk)) AS BIGINT) AS max_len,
+       ROUND(avg(length(chunk)), 6) AS avg_len
+FROM ({_CHUNKS_ORACLE})
+"""
+
+
 def q_retention_week_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention (grain='week'): offsets land on
     multiples of 7 days, capped at 28."""
@@ -4783,6 +4804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_week_events": q_retention_week_events,
         "doc_knn_documents": q_doc_knn_documents,
         "doc_mutual_documents": q_doc_mutual_documents,
+        "chunk_stats_documents": q_chunk_stats_documents,
     }
 
 
@@ -5121,4 +5143,5 @@ FROM ranked WHERE rank <= 5
         "retention_week_events": _RETENTION_WEEK_ORACLE,
         "doc_knn_documents": _doc_knn_oracle(),
         "doc_mutual_documents": _doc_mutual_oracle(),
+        "chunk_stats_documents": _chunk_stats_oracle(),
     }
