@@ -1,7 +1,9 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE compact JSON line (metric/value/sf/n_queries/errors only — must
+survive a ~4 KB tail capture; round 3's timings were lost because the
+120-entry per-query dict pushed the line to ~6.7 KB). The full per-query
+timings + run counts are written to BENCH_DETAIL.json next to this script.
 
 The headline metric is total wall time of the full query set — dominated by
 the single-pass lineitem validation (ONE agg job for ~24 checks + one
@@ -108,18 +110,43 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # full detail (per-query timings + run counts) goes to a file — the
+    # driver's stdout tail capture keeps only ~4 KB, so the one-liner below
+    # must stay compact (see module docstring)
+    detail = {
+        "metric": "total_query_set_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "runs_per_query": runs,
+        "queries": timings,
+        "run_counts": run_counts,
+        "errors": errors,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
     out = {
         "metric": "total_query_set_wall_time",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "runs_per_query": runs,
-        "run_counts": run_counts,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "detail": "BENCH_DETAIL.json",
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        # names only, capped — full messages live in the detail file
+        out["errors"] = sorted(errors)[:10]
+    line = json.dumps(out)
+    assert len(line) < 2048, f"bench one-liner too long: {len(line)}B"
+    print(line)
     spark.stop()
 
 

@@ -177,7 +177,8 @@ def approx_profile(
     expensive: ONE aggregation job computes, per column, row/null
     counts, HyperLogLog++ approximate distinct (``rsd`` relative
     error), and — for numeric/date columns — min, max, mean and
-    t-digest ``approx_percentile`` values.
+    t-digest ``approx_percentile`` values (date/timestamp columns are
+    epoch-seconds doubles in the stat slots).
 
     This is the 100 TB path of :func:`profile`: every sketch is
     map-side mergeable (no single-reducer sort the exact ``percentile``
@@ -191,10 +192,15 @@ def approx_profile(
     ]
     if not fields:
         raise ValueError("no columns to profile")
-    # date/timestamp columns get counts + distinct only (no double cast)
+    # date/timestamp columns participate via epoch-seconds cast (matching
+    # the exact profile()'s numeric+date min/max coverage)
     numeric = {
         f.name for f in fields if isinstance(f.dataType, tuple(NUMERIC_TYPES))
     }
+    dates = {
+        f.name for f in fields if isinstance(f.dataType, tuple(DATE_TYPES))
+    }
+    numeric |= dates
     aggs = []
     for f in fields:
         c, name = F.col(f.name), f.name
@@ -204,7 +210,13 @@ def approx_profile(
             F.approx_count_distinct(c, rsd).alias(f"__d_{name}"),
         ]
         if name in numeric:
-            d = c.cast("double")
+            # date -> timestamp -> double: epoch seconds (DateType has no
+            # direct double cast; TimestampType's double cast is epoch s)
+            d = (
+                c.cast("timestamp").cast("double")
+                if name in dates
+                else c.cast("double")
+            )
             aggs += [
                 F.min(d).alias(f"__min_{name}"),
                 F.max(d).alias(f"__max_{name}"),

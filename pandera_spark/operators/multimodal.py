@@ -409,8 +409,22 @@ def phash_near_dups(
     if not 0 <= max_hamming <= 31:
         raise ValueError(f"max_hamming must be in [0, 31]: {max_hamming}")
     nb = max_hamming + 1
-    width = (64 + nb - 1) // nb
-    mask = (1 << width) - 1
+    # variable-width DISJOINT blocks with boundaries (i*64)//nb — a fixed
+    # ceil(64/nb) width puts the last block's shift at >= 64 for many nb
+    # (incl. the default nb=9: block 8 at shift 64, which JVM long-shift
+    # semantics wrap to shift 0, aliasing block 0 and silently dropping
+    # pairs at exactly distance == max_hamming).  The floor-boundary split
+    # always covers all 64 bits exactly once, so the pigeonhole invariant
+    # (<= max_hamming differing bits across max_hamming+1 blocks => some
+    # block identical) genuinely holds.
+    bounds = [(i * 64) // nb for i in range(nb + 1)]
+
+    def _block(col: "F.Column", i: int) -> "F.Column":
+        lo, hi = bounds[i], bounds[i + 1]
+        return F.shiftrightunsigned(col, lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1)
+        )
+
     base = hashed.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
     )
@@ -421,8 +435,7 @@ def phash_near_dups(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("bi"),
-                    F.shiftrightunsigned("__h", i * width)
-                    .bitwiseAND(F.lit(mask)).alias("bv"),
+                    _block(F.col("__h"), i).alias("bv"),
                 )
                 for i in range(nb)
             ])
@@ -430,15 +443,12 @@ def phash_near_dups(
     ).select("__id", "__h", F.col("b.bi").alias("bi"),
              F.col("b.bv").alias("bv"))
     a, b = blocks.alias("a"), blocks.alias("b")
-    # first-matching-block dedup (same trick as the LSH band filter)
+    # first-matching-block dedup (same trick as the LSH band filter) —
+    # MUST use the same variable-width boundaries as the blocking above
     fm = F.lit(-1)
     for i in range(nb - 1, -1, -1):
-        ba = F.shiftrightunsigned(F.col("a.__h"), i * width).bitwiseAND(
-            F.lit(mask)
-        )
-        bb = F.shiftrightunsigned(F.col("b.__h"), i * width).bitwiseAND(
-            F.lit(mask)
-        )
+        ba = _block(F.col("a.__h"), i)
+        bb = _block(F.col("b.__h"), i)
         fm = F.when(ba == bb, F.lit(i)).otherwise(fm)
     dist = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
     return (

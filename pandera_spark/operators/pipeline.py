@@ -49,6 +49,7 @@ def prepare_training_corpus(
     n_shards: int = 64,
     epoch: int = 0,
     gate_kwargs: Optional[dict] = None,
+    stage_storage: Optional[str] = None,
 ) -> dict:
     """Run the canonical preparation pipeline; returns
     ``{"kept", "chunks", "report"}``:
@@ -60,11 +61,22 @@ def prepare_training_corpus(
       ``repartition(shard).sortWithinPartitions(...).write``;
     - ``report`` — one row per stage: ``(stage, n_docs)`` attrition
       counts (computed lazily; union of 1-row aggregations).
+
+    ``stage_storage`` (a ``pyspark.StorageLevel`` attribute name, e.g.
+    ``"MEMORY_AND_DISK"``, or None) persists the two reused stage
+    outputs — the gated corpus and the deduped survivors.  Without it,
+    each stage's lineage recomputes per consumer (the gate runs ~3×:
+    once under the embed→LSH→dedup chain, once under the chunker, once
+    for its report row), which at 100 TB means three full corpus reads
+    instead of one.  ``None`` keeps the pipeline fully lazy for cases
+    where executor storage can't hold a stage (same trade documented on
+    :func:`..similarity._materialize`); callers that persist should
+    ``unpersist()`` the returned frames when done.
     """
     from .chunking import chunk_text
     from .clustering import apply_dedup
     from .sharding import epoch_sort_key, shard_assign
-    from .similarity import embedding_near_dups
+    from .similarity import _materialize, embedding_near_dups
     from .text import gopher_gate, hash_embed, lm_score
 
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
@@ -77,6 +89,11 @@ def prepare_training_corpus(
     gated = docs.join(
         gate.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
+    if lm_reference is None:
+        # gated is scanned by the embed chain, the chunker, and its
+        # report row — persist it once here (with an LM filter the
+        # post-filter frame below is the reused one instead)
+        gated = _materialize(gated, stage_storage)
     stages.append(("quality_gate", gated))
 
     if lm_reference is not None:
@@ -97,6 +114,7 @@ def prepare_training_corpus(
             id_col,
             "left_semi",
         )
+        gated = _materialize(gated, stage_storage)
         stages.append(("lm_filter", gated))
 
     emb = hash_embed(gated, id_col, text_col, dim=embed_dim).select(
@@ -106,7 +124,9 @@ def prepare_training_corpus(
         emb, id_col=id_col, threshold=dedup_threshold, dim=embed_dim,
         n_planes=n_planes, bands=bands, corpus_storage=None,
     ).select("id_a", "id_b")
-    kept = apply_dedup(gated, pairs, id_col=id_col)
+    # kept feeds the chunker, the caller, and its own report row
+    kept = _materialize(apply_dedup(gated, pairs, id_col=id_col),
+                        stage_storage)
     stages.append(("semantic_dedup", kept))
 
     chunks = chunk_text(

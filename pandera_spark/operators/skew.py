@@ -106,22 +106,29 @@ def skew_report(df: DataFrame, cols: "list[str]") -> DataFrame:
     (col, key) aggregation bounded by per-column cardinality; the
     heaviest key is picked as ``max(struct(count, key))`` — a total
     order, so ties resolve deterministically on any engine.  Nulls
-    count as a key (they hash-partition together too)."""
+    count as a key (they hash-partition together too): the null key is
+    its OWN group — never folded into a sentinel string, so a genuine
+    ``"\\x00null"`` data value can no longer merge with the null
+    partition key and inflate its count.  Only for DISPLAY does the
+    null group surface as ``top_key = "\\x00null"`` (a null-safe label
+    keeps the tie-break total order identical across engines)."""
     if not cols:
         raise ValueError("need at least one column")
     entries = [
         F.struct(
             F.lit(c).alias("col_name"),
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-            .alias("key"),
+            F.col(c).cast("string").alias("key"),
         )
         for c in cols
     ]
     counts = (
+        # groupBy keeps null as its own group — the COUNT is per real
+        # partition key; the display label is applied after grouping
         df.select(F.explode(F.array(*entries)).alias("e"))
         .select("e.col_name", "e.key")
         .groupBy("col_name", "key")
         .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("key", F.coalesce(F.col("key"), F.lit("\x00null")))
     )
     top = F.max(F.struct(F.col("c"), F.col("key")))
     return counts.groupBy("col_name").agg(

@@ -670,8 +670,11 @@ def two_stage_search(
 ) -> DataFrame:
     """Two-stage retrieval: CHEAP first stage from the inverted index
     (:func:`index_search` top-``k1`` — no corpus scan), then an exact
-    whole-word, case-sensitive rescoring pass over the CANDIDATE
-    documents only.
+    whole-word rescoring pass over the CANDIDATE documents only.  Both
+    stages share the index's lowercase term normalization (stage 2
+    matches against ``lower(text_col)`` with lowercased patterns), so a
+    candidate retrieved via a case-folded posting can never rescore to
+    a spurious zero.
 
     This is the scale pattern for any expensive reranker (exact
     matching here; swap the stage-2 expression for a cross-encoder
@@ -706,8 +709,11 @@ def two_stage_search(
     def pattern(t):
         pre = r"\b" if _re.match(r"\w", t[0]) else ""
         post = r"\b" if _re.match(r"\w", t[-1]) else ""
-        return pre + _re.escape(t) + post
+        # stage-1 postings are lowercase tokens: lowercase the pattern and
+        # match against lower(text) so both stages share one normalization
+        return pre + _re.escape(t.lower()) + post
 
+    lowered = F.lower(F.col(text_col))
     score = None
     for i, t in enumerate(terms):
         idf = (
@@ -717,7 +723,7 @@ def two_stage_search(
             + 1
         )
         term_score = (
-            F.regexp_count(F.col(text_col), F.lit(pattern(t))).cast("double")
+            F.regexp_count(lowered, F.lit(pattern(t))).cast("double")
             * idf
         )
         score = term_score if score is None else score + term_score

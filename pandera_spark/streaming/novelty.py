@@ -92,13 +92,41 @@ def bloom_novelty_foreach_batch(
 def compact_bloom_index(spark, index_path: str) -> int:
     """Fold the appended segments into one: collect the bit_or'd words
     (bounded by ``num_bits/32`` rows — the FILTER size, independent of
-    how much data ever flowed through) and atomically overwrite.
-    Returns the compacted word count."""
-    words = _read_index(spark, index_path)
-    if words is None:
+    how much data ever flowed through), APPEND the folded segment, then
+    delete only the segment files that were folded.  Returns the
+    compacted word count.
+
+    Safe against a concurrently running stream: the set of input files
+    is captured FIRST, the fold reads exactly those files, and the
+    delete removes exactly those files — segments appended by
+    ``foreachBatch`` between capture and delete are untouched and stay
+    in the index.  Because the folded segment is appended before any
+    delete, a concurrent reader always sees a superset of the captured
+    bits (bit_or union makes the transient overlap harmless), never an
+    empty directory.  A crash between append and delete merely leaves
+    redundant segments for the next compaction — no bits are ever lost.
+    """
+    try:
+        seg = spark.read.parquet(index_path)
+    except AnalysisException:  # no index yet
         return 0
-    rows = words.collect()
+    files = seg.inputFiles()
+    if not files:
+        return 0
+    rows = (
+        spark.read.parquet(*files)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    )
     spark.createDataFrame(rows, "word_idx int, word long").coalesce(
         1
-    ).write.mode("overwrite").parquet(index_path)
+    ).write.mode("append").parquet(index_path)
+    # delete ONLY the folded inputs, via Hadoop FS (portable to HDFS/S3A)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for f in files:
+        path = jvm.org.apache.hadoop.fs.Path(f)
+        fs = path.getFileSystem(hconf)
+        fs.delete(path, False)
     return len(rows)

@@ -703,13 +703,20 @@ def test_approx_profile_one_pass(spark):
 
     from pandera_spark.inference import approx_profile
 
+    import datetime as dt
+
     df = spark.createDataFrame(
-        [(float(i), str(i % 3), None if i % 5 == 0 else i)
+        [(float(i), str(i % 3), None if i % 5 == 0 else i,
+          dt.date(2024, 1, 1) + dt.timedelta(days=i),
+          dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+          + dt.timedelta(seconds=i))
          for i in range(100)],
         T.StructType([
             T.StructField("x", T.DoubleType(), True),
             T.StructField("cat", T.StringType(), True),
             T.StructField("z", T.LongType(), True),
+            T.StructField("d", T.DateType(), True),
+            T.StructField("ts", T.TimestampType(), True),
         ]),
     )
     out = {r.col_name: r for r in approx_profile(df).collect()}
@@ -721,6 +728,14 @@ def test_approx_profile_one_pass(spark):
     assert out["cat"].approx_distinct == 3
     assert out["cat"].min is None and out["cat"].p50 is None
     assert out["z"].n_nulls == 20
+    # date/timestamp columns get epoch-seconds stats (not silent nulls)
+    epoch0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    assert out["d"].min == pytest.approx(epoch0)
+    assert out["d"].max == pytest.approx(epoch0 + 99 * 86400)
+    assert out["ts"].min == pytest.approx(epoch0)
+    assert out["ts"].max == pytest.approx(epoch0 + 99)
+    assert out["ts"].mean == pytest.approx(epoch0 + 49.5)
+    assert out["ts"].p50 == pytest.approx(epoch0 + 49.5, abs=2)
     with pytest.raises(ValueError):
         approx_profile(df, ["nope"])
 

@@ -2949,6 +2949,56 @@ def test_streaming_bloom_novelty_cross_batch(spark, tmp_path):
     assert compacted == expect
 
 
+def test_compact_bloom_index_concurrent_append_survives(spark, tmp_path):
+    """A segment appended by a concurrent foreachBatch between the
+    compactor's file-capture and its delete must survive: compaction
+    appends its fold FIRST and deletes only the files it actually read,
+    never the whole directory.  The race is injected deterministically
+    by patching DataFrame.inputFiles so the concurrent append lands the
+    instant the compactor has captured its input file list."""
+    import unittest.mock as mock
+
+    from pandera_spark.operators.bloom import bloom_build
+    from pandera_spark.streaming import novelty as nov
+
+    idx = str(tmp_path / "bloom_index")
+    d1 = spark.createDataFrame([(1, "alpha")], "id long, text string")
+    d2 = spark.createDataFrame([(2, "beta")], "id long, text string")
+    bloom_build(d1, "text", 1024, 4).write.mode("append").parquet(idx)
+
+    # patch the CONCRETE DataFrame class (pyspark 4 classic subclass
+    # overrides inputFiles, so patching the abstract base misses)
+    df_cls = type(spark.read.parquet(idx))
+    real_input_files = df_cls.inputFiles
+    state = {"injected": False}
+
+    def racy_input_files(self):
+        files = real_input_files(self)
+        if not state["injected"]:
+            state["injected"] = True
+            bloom_build(d2, "text", 1024, 4).write.mode("append").parquet(idx)
+        return files
+
+    with mock.patch.object(df_cls, "inputFiles", racy_input_files):
+        n = nov.compact_bloom_index(spark, idx)
+    assert state["injected"] and n > 0
+    # the concurrently-appended d2 segment must still be in the index
+    both = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id long, text string"
+    )
+    expect = {(r.word_idx, r.word)
+              for r in bloom_build(both, "text", 1024, 4).collect()}
+    got = {(r.word_idx, r.word)
+           for r in spark.read.parquet(idx).groupBy("word_idx")
+           .agg(F.bit_or("word").alias("word")).collect()}
+    assert got == expect
+    # a second (quiet) compaction folds everything down to one segment
+    nov.compact_bloom_index(spark, idx)
+    flat = {(r.word_idx, r.word)
+            for r in spark.read.parquet(idx).collect()}
+    assert flat == expect
+
+
 # --- winsorization + entropy ------------------------------------------------
 
 
@@ -3534,8 +3584,24 @@ def test_prepare_training_corpus_end_to_end(spark):
     )["chunks"].collect()
     key = lambda r: (r.doc_id, r.chunk_idx)
     assert sorted(chunks, key=key) == sorted(again, key=key)
+    # stage_storage persists reused stages without changing any result
+    cached = prepare_training_corpus(
+        docs, min_words=10, dedup_threshold=0.999, embed_dim=32,
+        chunk_size=60, chunk_overlap=10, n_shards=4, epoch=1,
+        stage_storage="MEMORY_AND_DISK",
+    )
+    assert {r.stage: r.n_docs for r in cached["report"].collect()} == report
+    assert {r.doc_id for r in cached["kept"].collect()} == kept
+    assert sorted(cached["chunks"].collect(), key=key) == sorted(
+        chunks, key=key
+    )
+    assert cached["kept"].storageLevel.useMemory  # knob actually persisted
+    spark.catalog.clearCache()
     with pytest.raises(ValueError):
         prepare_training_corpus(docs, lm_reference=docs)
+    with pytest.raises(ValueError):
+        prepare_training_corpus(docs, min_words=10, embed_dim=32,
+                                stage_storage="NOT_A_LEVEL")
 
 
 def test_streaming_quality_gate(spark, tmp_path):
@@ -3642,6 +3708,49 @@ def test_perceptual_hash_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
     with pytest.raises(ValueError):
         phash_near_dups(hashed, max_hamming=64)
+
+
+@pytest.mark.parametrize("max_hamming", [7, 8, 11, 16, 31])
+def test_phash_pigeonhole_boundary_distance(spark, max_hamming):
+    """Pigeonhole recall contract at EXACTLY distance == max_hamming with
+    one differing bit per block — the adversarial placement that fixed
+    ceil(64/nb)-width blocking silently missed for nb where
+    (nb-1)*ceil(64/nb) >= 64 (incl. the default max_hamming=8: block 8
+    landed at shift 64, which JVM long-shift wraps to 0)."""
+    import pyspark.sql.types as T
+
+    from pandera_spark.operators.multimodal import phash_near_dups
+
+    nb = max_hamming + 1
+    bounds = [(i * 64) // nb for i in range(nb + 1)]
+    h1 = 0
+    # flip the LOW bit of each of the first max_hamming blocks: exactly
+    # max_hamming differing bits, spread so only the last block matches
+    for i in range(max_hamming):
+        h1 |= 1 << bounds[i]
+    to_signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v  # noqa: E731
+    rows = [(1, to_signed(0)), (2, to_signed(h1))]
+    hashed = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("media_id", T.LongType(), True),
+            T.StructField("phash", T.LongType(), True),
+        ]),
+    )
+    got = phash_near_dups(hashed, max_hamming=max_hamming).collect()
+    # exactly ONE row (first-matching-block dedup) at the boundary distance
+    assert len(got) == 1
+    assert (got[0].id_a, got[0].id_b, got[0].hamming) == (1, 2, max_hamming)
+    # distance max_hamming+1 (flip one bit in the last block too) is OUT
+    h2 = h1 | (1 << bounds[max_hamming])
+    hashed2 = spark.createDataFrame(
+        [(1, to_signed(0)), (2, to_signed(h2))],
+        T.StructType([
+            T.StructField("media_id", T.LongType(), True),
+            T.StructField("phash", T.LongType(), True),
+        ]),
+    )
+    assert phash_near_dups(hashed2, max_hamming=max_hamming).count() == 0
 
 
 def _wav_bytes(samples, rate=8000):
