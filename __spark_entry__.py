@@ -3833,6 +3833,23 @@ FROM j WHERE day_offset <= 28 GROUP BY 1, 2
 """
 
 
+# banding for the doc-kNN family, sized per similarity.knn_band_plan's
+# rule (width = ceil(log2(n / 64))).  The DuckDB oracle replay inlines
+# plane literals for the sizes the driver verifies (n=500 at sf0.001,
+# n=5,000 at sf0.01 — both floor to 7-bit bands = 28 planes / 4 bands),
+# so _doc_knn_plan clamps n from below to keep those scales on the
+# oracle's plan; larger corpora (sf0.1 bench: n=50,000 -> 40 planes)
+# auto-widen per the rule.  r3 used a fixed 16/4 (4-bit keys -> 16
+# buckets -> ~6M candidate pairs at n=5,000); 7-bit keys cut that ~8x.
+_DOC_KNN_PLANES, _DOC_KNN_BANDS = 28, 4
+
+
+def _doc_knn_plan(n: int) -> "tuple[int, int]":
+    from pandera_spark.operators.similarity import knn_band_plan
+
+    return knn_band_plan(max(n, 5_000), bands=_DOC_KNN_BANDS)
+
+
 def q_doc_knn_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-similarity graph WITHOUT a model: kNN over the signed
     feature-hashing embeddings (k=3) — every edge derived from text
@@ -3842,19 +3859,22 @@ def q_doc_knn_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandera_spark.operators.text import hash_embed
 
     docs = _load(spark, sf_dir, "documents")
+    n_planes, bands = _doc_knn_plan(docs.count())
     emb = hash_embed(docs, dim=_HE_DIM).select(
         F.col("doc_id").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
     return knn_graph(
-        emb, k=3, dim=_HE_DIM, n_planes=16, bands=4, corpus_storage=None
+        emb, k=3, dim=_HE_DIM, n_planes=n_planes,
+        bands=bands, corpus_storage=None
     ).select("src", "rank", "dst")
 
 
 def _doc_knn_oracle() -> str:
     he = _hashembed_oracle()
-    sig = _lsh_sig_sql(_HE_DIM, 16)
-    rpb, mask = 16 // 4, (1 << 4) - 1
+    sig = _lsh_sig_sql(_HE_DIM, _DOC_KNN_PLANES)
+    rpb = _DOC_KNN_PLANES // _DOC_KNN_BANDS
+    mask = (1 << rpb) - 1
     return f"""
 WITH he AS ({he}),
 e AS (
@@ -3866,7 +3886,7 @@ e AS (
 s AS (SELECT vec_id, {sig} AS sig FROM e),
 banded AS (
   SELECT vec_id, t.band, (sig >> (t.band * {rpb})) & {mask} AS bkey
-  FROM s, range(4) AS t(band)
+  FROM s, range({_DOC_KNN_BANDS}) AS t(band)
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
@@ -3902,8 +3922,10 @@ def q_doc_mutual_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
+    n_planes, bands = _doc_knn_plan(docs.count())
     edges = knn_graph(
-        emb, k=3, dim=_HE_DIM, n_planes=16, bands=4, corpus_storage=None
+        emb, k=3, dim=_HE_DIM, n_planes=n_planes,
+        bands=bands, corpus_storage=None
     )
     return mutual_knn(edges)
 

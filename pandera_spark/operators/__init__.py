@@ -76,6 +76,7 @@ from .sharding import (
 from .similarity import (
     brute_force_topk,
     embedding_near_dups,
+    knn_band_plan,
     knn_graph,
     lsh_recall,
     lsh_topk,

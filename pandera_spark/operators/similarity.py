@@ -336,6 +336,34 @@ def embedding_near_dups(
     return pairs.filter(F.col("cosine_sim") >= threshold)
 
 
+def knn_band_plan(
+    n_rows: int,
+    *,
+    bands: int = 4,
+    target_bucket: int = 64,
+    max_planes: int = 56,
+) -> "tuple[int, int]":
+    """Size the LSH banding for :func:`knn_graph` from the corpus size:
+    returns ``(n_planes, bands)`` with band width = ceil(log2(n_rows /
+    target_bucket)) — the documented rule that keeps an expected bucket
+    at ~``target_bucket`` vectors, so candidate pairs stay ≈ ``bands *
+    n_rows * target_bucket / 2`` (linear in n at fixed bucket size)
+    instead of quadratic.
+
+    ``max_planes`` caps signature width (total planes ≤ 56 keeps the
+    packed signature well inside a signed long AND bounds the Catalyst
+    compile cost of the plane literals).  Pass the real/estimated corpus
+    row count — an approximation within 2× is fine, the width only
+    moves by one bit."""
+    import math
+
+    if n_rows < 1 or bands < 1:
+        raise ValueError("n_rows and bands must be positive")
+    width = max(1, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+    width = min(width, max(1, max_planes // bands))
+    return bands * width, bands
+
+
 def knn_graph(
     df: DataFrame,
     *,
@@ -362,9 +390,11 @@ def knn_graph(
 
     Sizing for scale: expected candidate pairs ≈ ``bands * n^2 /
     2^(n_planes/bands)`` — pick the band width so a bucket holds a
-    bounded neighborhood (width ≈ log2(n / desired_bucket_size)); at
-    local test scale the cost is Catalyst compile of the plane literals,
-    not data (BASELINE.md §3.7)."""
+    bounded neighborhood (width ≈ log2(n / desired_bucket_size));
+    :func:`knn_band_plan` computes (n_planes, bands) from the corpus
+    size by exactly that rule.  At local test scale the cost is
+    Catalyst compile of the plane literals, not data (BASELINE.md
+    §3.7)."""
     from .dedup import _ensure_parallelism
 
     planes = _hyperplanes(dim, n_planes, seed)

@@ -2773,6 +2773,25 @@ def test_knn_graph_finds_twin_vectors(spark):
     assert twins_found >= 36
 
 
+def test_knn_band_plan_sizing():
+    """Band width follows ceil(log2(n / target_bucket)), capped so the
+    packed signature stays in a signed long."""
+    from pandera_spark.operators.similarity import knn_band_plan
+
+    # the contract corpus: 5,000 docs, default bucket 64 -> 7-bit bands
+    assert knn_band_plan(5_000) == (28, 4)
+    assert knn_band_plan(500) == (12, 4)          # small corpus: 3 bits
+    assert knn_band_plan(50_000) == (40, 4)       # 10x data: +3-4 bits
+    assert knn_band_plan(10) == (4, 4)            # floor: 1-bit bands
+    # 100M rows: rule wants 21 bits but the cap bounds total planes
+    n_planes, bands = knn_band_plan(100_000_000)
+    assert n_planes <= 56 and n_planes % bands == 0
+    # bucket target scales the width down
+    assert knn_band_plan(5_000, target_bucket=1024)[0] < 28
+    with pytest.raises(ValueError):
+        knn_band_plan(0)
+
+
 def test_mutual_knn_pairs(spark):
     from pandera_spark.operators.similarity import knn_graph, mutual_knn
 
