@@ -629,3 +629,317 @@ def test_str_parses_timestamp_check(spark):
     )
     r = g.validate_result(spark.createDataFrame([(1,)], "v long"))
     assert any(not o.passed for o in r.outcomes)
+
+
+# ---------------------------------------------------------------------------
+# Gating product: every check family × every dtype its gate REJECTS ->
+# compile-time check_error (no Spark job over the data), mirroring the
+# reference's unsupported-datatype parametrization
+# (/root/reference/tests/pyspark/test_pyspark_check.py — each check class
+# carries pass/fail cases per accepted dtype AND rejection behavior
+# outside it via backends/pyspark/decorators.py:42-104).
+# ---------------------------------------------------------------------------
+
+_ARR = T.ArrayType(T.LongType())
+_MAP = T.MapType(T.StringType(), T.LongType())
+_STRUCT = T.StructType([T.StructField("x", T.LongType(), True)])
+
+# one representative value per dtype for the single-row probe frame
+_SAMPLES = {
+    "int": (T.IntegerType(), 1),
+    "long": (T.LongType(), 1),
+    "double": (T.DoubleType(), 1.0),
+    "decimal": (T.DecimalType(10, 2), Dec("1.00")),
+    "str": (T.StringType(), "a"),
+    "bin": (T.BinaryType(), b"a"),
+    "bool": (T.BooleanType(), True),
+    "date": (T.DateType(), date(2024, 1, 1)),
+    "ts": (T.TimestampType(), D(2024, 1, 1)),
+    "ts_ntz": (T.TimestampNTZType(), D(2024, 1, 1)),
+    "array": (_ARR, [1]),
+    "map": (_MAP, {"a": 1}),
+    "struct": (_STRUCT, (1,)),
+}
+
+_CHECK_FAMILIES = {
+    # family -> (factory, dtype labels the gate must REJECT)
+    "gt": (lambda: Check.gt(0),
+           ["str", "bin", "bool", "array", "map", "struct"]),
+    "ge": (lambda: Check.ge(0),
+           ["str", "bin", "bool", "array", "map", "struct"]),
+    "lt": (lambda: Check.lt(9),
+           ["str", "bin", "bool", "array", "map", "struct"]),
+    "le": (lambda: Check.le(9),
+           ["str", "bin", "bool", "array", "map", "struct"]),
+    "in_range": (lambda: Check.in_range(0, 9),
+                 ["str", "bin", "bool", "array", "map", "struct"]),
+    "eq": (lambda: Check.eq(1), ["array", "map", "struct"]),
+    "ne": (lambda: Check.ne(1), ["array", "map", "struct"]),
+    "isin": (lambda: Check.isin([1]), ["bool", "array", "map", "struct"]),
+    "notin": (lambda: Check.notin([1]), ["bool", "array", "map", "struct"]),
+    "str_matches": (lambda: Check.str_matches("a"),
+                    ["int", "double", "decimal", "date", "ts", "ts_ntz",
+                     "bin", "bool", "array", "map"]),
+    "str_contains": (lambda: Check.str_contains("a"),
+                     ["int", "double", "date", "ts", "bin", "bool",
+                      "array", "map"]),
+    "str_startswith": (lambda: Check.str_startswith("a"),
+                       ["int", "double", "date", "ts", "bin", "bool",
+                        "array", "map"]),
+    "str_endswith": (lambda: Check.str_endswith("a"),
+                     ["int", "double", "date", "ts", "bin", "bool",
+                      "array", "map"]),
+    "str_length": (lambda: Check.str_length(1),
+                   ["int", "double", "decimal", "date", "ts", "ts_ntz",
+                    "bin", "bool", "array", "map"]),
+    "unique_values_eq": (lambda: Check.unique_values_eq([1]),
+                         ["bool", "array", "map", "struct"]),
+}
+
+GATE_PRODUCT = [
+    (f"{fam}_rejects_{lbl}", factory, lbl)
+    for fam, (factory, rejected) in _CHECK_FAMILIES.items()
+    for lbl in rejected
+]
+
+
+@pytest.mark.parametrize(
+    "label,check_factory,dtype_label",
+    GATE_PRODUCT,
+    ids=[c[0] for c in GATE_PRODUCT],
+)
+def test_gating_product(spark, label, check_factory, dtype_label):
+    dtype, value = _SAMPLES[dtype_label]
+    schema = DataFrameSchema({"v": Column(dtype, check_factory())},
+                             name=label)
+    st = T.StructType([T.StructField("v", dtype, True)])
+    df = spark.createDataFrame([(value,)], st)
+    res = schema.validate_result(df)
+    assert any(
+        e.reason_code.value == "check_error" for e in res.errors
+    ), (label, res.report)
+    # the rejection is a compile/gate failure, never a data violation
+    assert not any(
+        e.reason_code.value == "schema_component_check" for e in res.errors
+    ), (label, res.report)
+
+
+# ---------------------------------------------------------------------------
+# String-family breadth: each string check × anchoring/unicode/empty/
+# multi-row cases with exact violation counts (reference
+# test_pyspark_check.py:1305+ parametrizes each str check over data
+# variations; semantics here: str_matches anchors at the START of the
+# value — reference api/checks.py:594 'the beginning of the string' —
+# str_contains matches anywhere, startswith/endswith are literal).
+# ---------------------------------------------------------------------------
+
+STR_BREADTH = [
+    # (label, check, rows, expected violation count)
+    ("matches_anchored_start", Check.str_matches(r"[A-Z]\d"),
+     ["A1", "xA1", "A1x", "a1"], 2),       # mid-string match ≠ match
+    ("matches_explicit_caret", Check.str_matches(r"^ab"),
+     ["abc", "zab"], 1),
+    ("matches_dollar_end", Check.str_matches(r"ab$"),
+     ["ab", "abx"], 1),
+    ("matches_unicode", Check.str_matches(r"héllo"),
+     ["héllo world", "hello"], 1),
+    ("matches_empty_pattern_all_pass", Check.str_matches(r""),
+     ["", "x"], 0),
+    ("matches_quantifier", Check.str_matches(r"a{2,}b?"),
+     ["aa", "aab", "ab"], 1),
+    ("contains_anywhere", Check.str_contains(r"\d"),
+     ["a1b", "1ab", "ab1", "abc"], 1),
+    ("contains_class", Check.str_contains(r"[xyz]{2}"),
+     ["axyb", "axb", "xy"], 1),
+    ("contains_literal_dot_needs_escape", Check.str_contains(r"a\.b"),
+     ["a.b", "axb"], 1),
+    ("contains_empty_string_row", Check.str_contains(r"a"),
+     ["", "a"], 1),                         # empty string genuinely fails
+    ("startswith_literal_not_regex", Check.str_startswith("a.b"),
+     ["a.bc", "axbc"], 1),                  # '.' is literal here
+    ("startswith_empty_prefix", Check.str_startswith(""),
+     ["", "x"], 0),
+    ("startswith_unicode", Check.str_startswith("héllo"),
+     ["héllo!", "hello!"], 1),
+    ("endswith_literal", Check.str_endswith("y.z"),
+     ["xy.z", "xyz"], 1),
+    ("endswith_unicode", Check.str_endswith("ño"),
+     ["año", "ano"], 1),
+    ("length_exact_counts_chars_not_bytes", Check.str_length(5),
+     ["héllo", "hello", "hell"], 1),        # é is ONE char
+    ("length_min_only", Check.str_length(min_value=2),
+     ["ab", "a", ""], 2),
+    ("length_max_only", Check.str_length(max_value=2),
+     ["ab", "abc", ""], 1),
+    ("length_range_boundaries_inclusive", Check.str_length(2, 4),
+     ["ab", "abcd", "a", "abcde"], 2),
+    ("length_zero_exact", Check.str_length(0),
+     ["", "a"], 1),
+]
+
+
+@pytest.mark.parametrize(
+    "label,check,rows,expected",
+    STR_BREADTH,
+    ids=[c[0] for c in STR_BREADTH],
+)
+def test_string_family_breadth(spark, label, check, rows, expected):
+    st = T.StructType([T.StructField("v", T.StringType(), True)])
+    df = spark.createDataFrame([(r,) for r in rows], st)
+    res = DataFrameSchema({"v": Column(T.StringType(), check)},
+                          name=label).validate_result(df)
+    out = [o for o in res.outcomes if o.check == check.error]
+    assert len(out) == 1, (label, res.report)
+    assert int(out[0].violations) == expected, (label, res.report)
+
+
+# ---------------------------------------------------------------------------
+# Timestamp resolution + boundary-inclusion corners
+# ---------------------------------------------------------------------------
+
+TS_MICRO = [
+    ("ts_gt_microsecond", T.TimestampType(), Check.gt(D(2024, 1, 1, 0, 0, 0, 500000)),
+     D(2024, 1, 1, 0, 0, 0, 500001), D(2024, 1, 1, 0, 0, 0, 500000)),
+    ("ts_ntz_lt_microsecond", T.TimestampNTZType(),
+     Check.lt(D(2024, 1, 1, 0, 0, 0, 2)),
+     D(2024, 1, 1, 0, 0, 0, 1), D(2024, 1, 1, 0, 0, 0, 2)),
+    ("ts_eq_microsecond", T.TimestampType(),
+     Check.eq(D(2024, 1, 1, 12, 30, 15, 123456)),
+     D(2024, 1, 1, 12, 30, 15, 123456), D(2024, 1, 1, 12, 30, 15, 123457)),
+    ("ts_ntz_isin", T.TimestampNTZType(),
+     Check.isin([D(2024, 1, 1), D(2024, 1, 2)]),
+     D(2024, 1, 1), D(2024, 1, 3)),
+    ("date_notin", T.DateType(), Check.notin([date(2024, 1, 1)]),
+     date(2024, 1, 2), date(2024, 1, 1)),
+]
+
+
+@pytest.mark.parametrize(
+    "label,dtype,check,ok,bad", TS_MICRO, ids=[c[0] for c in TS_MICRO]
+)
+def test_timestamp_resolution_corners(spark, label, dtype, check, ok, bad):
+    st = T.StructType([T.StructField("v", dtype, True)])
+    schema = DataFrameSchema({"v": Column(dtype, check)}, name=label)
+    assert not schema.validate_result(
+        spark.createDataFrame([(ok,)], st)
+    ).errors, label
+    res = schema.validate_result(spark.createDataFrame([(ok,), (bad,)], st))
+    errs = [e for e in res.errors
+            if e.reason_code.value == "schema_component_check"]
+    assert len(errs) == 1 and errs[0].failure_cases_count == 1, (
+        label, res.report,
+    )
+
+
+# in_range endpoint inclusion per dtype family: both endpoints PASS when
+# include_min/include_max default to True (reference api/checks.py:430)
+ENDPOINT_KITS = NUM_KITS + DATE_KITS
+
+
+@pytest.mark.parametrize(
+    "label,dtype,lo,mid,hi",
+    ENDPOINT_KITS,
+    ids=[f"in_range_endpoints_{k[0]}" for k in ENDPOINT_KITS],
+)
+def test_in_range_endpoints_inclusive(spark, label, dtype, lo, mid, hi):
+    st = T.StructType([T.StructField("v", dtype, True)])
+    df = spark.createDataFrame([(lo,), (mid,), (hi,)], st)
+    res = DataFrameSchema(
+        {"v": Column(dtype, Check.in_range(lo, hi))}, name=label
+    ).validate_result(df)
+    assert not res.errors, (label, res.report)
+    # and both-open drops exactly the two endpoints
+    res = DataFrameSchema(
+        {"v": Column(dtype, Check.in_range(
+            lo, hi, include_min=False, include_max=False))},
+        name=label,
+    ).validate_result(df)
+    errs = [e for e in res.errors
+            if e.reason_code.value == "schema_component_check"]
+    assert len(errs) == 1 and errs[0].failure_cases_count == 2, (
+        label, res.report,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map-dtype corners: non-string key types, value-type matrices, and the
+# empty-map vs null-map distinction
+# ---------------------------------------------------------------------------
+
+
+def test_map_long_keys_isin_and_size(spark):
+    mt = T.MapType(T.LongType(), T.StringType())
+    st = T.StructType([T.StructField("v", mt, True)])
+    df = spark.createDataFrame(
+        [({1: "a", 2: "b"},), ({3: "c"},), ({},), (None,)], st
+    )
+    res = DataFrameSchema(
+        {"v": Column(mt, [Check.map_keys_isin([1, 2], error="keys"),
+                          Check.map_size(min_value=1, error="nonempty")])},
+        name="map_long",
+    ).validate_result(df)
+    counts = {o.check: int(o.violations) for o in res.outcomes}
+    assert counts["keys"] == 1        # {3: 'c'} has a disallowed key
+    assert counts["nonempty"] == 1    # {} fails; null row ignored
+
+
+def test_map_double_values_forall(spark):
+    mt = T.MapType(T.StringType(), T.DoubleType())
+    st = T.StructType([T.StructField("v", mt, True)])
+    df = spark.createDataFrame(
+        [({"a": 0.5},), ({"a": 1.5},), ({"a": 0.1, "b": 2.0},), (None,)], st
+    )
+    res = DataFrameSchema(
+        {"v": Column(mt, [Check.map_values_forall(
+            lambda v: (v >= 0.0) & (v <= 1.0), error="unit")])},
+        name="map_double",
+    ).validate_result(df)
+    counts = {o.check: int(o.violations) for o in res.outcomes}
+    assert counts["unit"] == 2        # 1.5 and the 2.0 entry
+
+
+def test_map_key_dtype_deep_equality(spark):
+    declared = T.MapType(T.LongType(), T.StringType())
+    actual = T.MapType(T.IntegerType(), T.StringType())
+    schema = DataFrameSchema({"v": Column(declared)})
+    df = spark.createDataFrame(
+        [], T.StructType([T.StructField("v", actual, True)])
+    )
+    res = schema.validate_result(df)
+    assert any(e.reason_code.value == "wrong_dtype" for e in res.errors)
+
+
+def test_nested_array_of_array_deep_equality(spark):
+    declared = T.ArrayType(T.ArrayType(T.LongType()))
+    ok = T.ArrayType(T.ArrayType(T.LongType()))
+    bad = T.ArrayType(T.ArrayType(T.IntegerType()))
+    for actual, should_pass in [(ok, True), (bad, False)]:
+        res = DataFrameSchema({"v": Column(declared)}).validate_result(
+            spark.createDataFrame(
+                [], T.StructType([T.StructField("v", actual, True)])
+            )
+        )
+        dtype_errs = [e for e in res.errors
+                      if e.reason_code.value == "wrong_dtype"]
+        assert bool(dtype_errs) != should_pass
+
+
+# isin/notin null-in-list semantics: a null element in the allowed list
+# never makes null values pass/fail differently — null handling is owned
+# by ignore_na, not by SQL IN's three-valued logic
+def test_isin_null_semantics(spark):
+    st = T.StructType([T.StructField("v", T.IntegerType(), True)])
+    df = spark.createDataFrame([(1,), (2,), (None,)], st)
+    res = DataFrameSchema(
+        {"v": Column(T.IntegerType(), Check.isin([1]))}, name="isin_null"
+    ).validate_result(df)
+    errs = [e for e in res.errors
+            if e.reason_code.value == "schema_component_check"]
+    assert len(errs) == 1 and errs[0].failure_cases_count == 1  # only 2
+    # notin: null rows pass by default (ignore_na), never violate
+    res = DataFrameSchema(
+        {"v": Column(T.IntegerType(), Check.notin([2]))}, name="notin_null"
+    ).validate_result(df)
+    errs = [e for e in res.errors
+            if e.reason_code.value == "schema_component_check"]
+    assert len(errs) == 1 and errs[0].failure_cases_count == 1  # only 2
