@@ -3693,12 +3693,13 @@ def q_semantic_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandera_spark.operators.text import hash_embed
 
     docs = _load(spark, sf_dir, "documents")
+    n_planes, bands = _neardup_plan(docs.count())
     emb = hash_embed(docs, dim=_HE_DIM).select(
         "doc_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     pairs = embedding_near_dups(
         emb, id_col="doc_id", threshold=0.9, dim=_HE_DIM,
-        n_planes=16, bands=4,
+        n_planes=n_planes, bands=bands,
     ).select("id_a", "id_b")
     kept = apply_dedup(docs, pairs, id_col="doc_id")
     return kept.select("doc_id")
@@ -3848,6 +3849,21 @@ def _doc_knn_plan(n: int) -> "tuple[int, int]":
     from pandera_spark.operators.similarity import knn_band_plan
 
     return knn_band_plan(max(n, 5_000), bands=_DOC_KNN_BANDS)
+
+
+def _neardup_plan(n: int) -> "tuple[int, int]":
+    """Banding for the THRESHOLD near-dup composites (semantic_dedup,
+    pipeline).  The driver-verified scales (n=500 at sf0.01/sf0.001) and
+    the sf0.1 bench (n=5,000) stay on the static oracle's 16/4 plan;
+    beyond that, similarity.neardup_band_plan sizes (planes, bands) so
+    candidate volume stays ~linear in n while the 0.9-threshold recall
+    contract holds (the 10x scale probe showed static 16/4 goes
+    quadratic at n=50,000: 16 buckets/band -> ~300M candidate pairs)."""
+    if n <= 5_000:
+        return 16, 4
+    from pandera_spark.operators.similarity import neardup_band_plan
+
+    return neardup_band_plan(n, 0.9)
 
 
 def q_doc_knn_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4156,6 +4172,7 @@ def q_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandera_spark.operators.pipeline import prepare_training_corpus
 
     docs = _load(spark, sf_dir, "documents")
+    n_planes, bands = _neardup_plan(docs.count())
     out = prepare_training_corpus(
         docs,
         min_words=20,
@@ -4163,8 +4180,8 @@ def q_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate_kwargs={"max_dup_word_frac": 0.6, "max_dup_gram_frac": 0.25},
         dedup_threshold=0.9,
         embed_dim=_HE_DIM,
-        n_planes=16,
-        bands=4,
+        n_planes=n_planes,
+        bands=bands,
         # persist the two reused stage outputs: without this the gate
         # lineage recomputes ~3x per action (VERDICT r3 finding 2)
         stage_storage="MEMORY_AND_DISK",

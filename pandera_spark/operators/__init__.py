@@ -81,6 +81,7 @@ from .similarity import (
     lsh_recall,
     lsh_topk,
     mutual_knn,
+    neardup_band_plan,
     verify_pairs_cosine,
 )
 from .temporal import (

@@ -364,6 +364,48 @@ def knn_band_plan(
     return bands * width, bands
 
 
+def neardup_band_plan(
+    n_rows: int,
+    threshold: float,
+    *,
+    target_bucket: int = 64,
+    recall: float = 0.9,
+    max_planes: int = 56,
+) -> "tuple[int, int]":
+    """Size (n_planes, bands) for THRESHOLD near-dup queries
+    (:func:`embedding_near_dups`) so both the candidate volume and the
+    recall contract survive a scale-up.
+
+    :func:`knn_band_plan`'s bucket rule fixes the band WIDTH (width =
+    ceil(log2(n / target_bucket)) keeps an expected bucket at
+    ~``target_bucket`` vectors) but widening bands alone costs recall: a
+    pair at exactly ``threshold`` cosine agrees on one sign bit with
+    probability ``p1 = 1 - acos(threshold)/pi`` (Goemans-Williamson /
+    Charikar SimHash), so a w-bit band matches with ``p1**w`` and wider
+    bands match less often.  This helper compensates by adding bands:
+    ``bands = ceil(ln(1-recall) / ln(1-p1**w))`` makes the any-band
+    match probability for a threshold-grade pair at least ``recall``.
+    Candidate volume stays ≈ ``bands * n * target_bucket / 2`` — linear
+    in n at fixed bucket size.  ``max_planes`` caps the packed signature
+    (signed long) and the Catalyst compile cost; when the cap binds,
+    bands are reduced first (recall degrades gracefully and the verify
+    step keeps precision exact either way)."""
+    import math
+
+    if n_rows < 1:
+        raise ValueError("n_rows must be positive")
+    if not 0.0 < threshold < 1.0 or not 0.0 < recall < 1.0:
+        raise ValueError("threshold and recall must be in (0, 1)")
+    width = max(1, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+    width = min(width, max_planes)
+    p1 = 1.0 - math.acos(threshold) / math.pi
+    p_band = p1 ** width
+    bands = max(1, math.ceil(math.log(1.0 - recall)
+                             / math.log(1.0 - p_band)))
+    bands = max(1, min(bands, max_planes // width))
+    return bands * width, bands
+
+
 def knn_graph(
     df: DataFrame,
     *,

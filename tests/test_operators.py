@@ -2792,6 +2792,37 @@ def test_knn_band_plan_sizing():
         knn_band_plan(0)
 
 
+def test_neardup_band_plan_recall_vs_volume():
+    """Threshold sizing keeps the any-band match probability for a
+    threshold-grade pair >= recall while the bucket rule bounds volume."""
+    import math
+
+    from pandera_spark.operators.similarity import neardup_band_plan
+
+    def any_band_recall(threshold, width, bands):
+        p1 = 1.0 - math.acos(threshold) / math.pi
+        return 1.0 - (1.0 - p1 ** width) ** bands
+
+    for n, thr in [(5_000, 0.9), (50_000, 0.9), (500_000, 0.95)]:
+        n_planes, bands = neardup_band_plan(n, thr, recall=0.9)
+        width = n_planes // bands
+        p1 = 1.0 - math.acos(thr) / math.pi
+        required = math.ceil(math.log(0.1) / math.log(1.0 - p1 ** width))
+        if required * width <= 56:  # cap not binding -> recall holds
+            assert any_band_recall(thr, width, bands) >= 0.9, (n, thr)
+        else:  # cap binds: bands degrade gracefully, never exceed cap
+            assert bands == 56 // width, (n, thr)
+        assert n_planes <= 56 and n_planes % bands == 0
+    # scale-up widens bands but adds bands to hold recall
+    p5k = neardup_band_plan(5_000, 0.9)
+    p50k = neardup_band_plan(50_000, 0.9)
+    assert p50k[0] // p50k[1] > p5k[0] // p5k[1]   # wider bands
+    with pytest.raises(ValueError):
+        neardup_band_plan(0, 0.9)
+    with pytest.raises(ValueError):
+        neardup_band_plan(10, 1.5)
+
+
 def test_mutual_knn_pairs(spark):
     from pandera_spark.operators.similarity import knn_graph, mutual_knn
 
