@@ -4725,6 +4725,91 @@ FROM c GROUP BY col_name
 """
 
 
+# --- edit-distance candidate verification ------------------------------------
+
+
+def q_editdist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification (dedup.edit_distance_pairs):
+    MinHash-LSH candidates -> exact normalized Levenshtein <= 0.4 with
+    the threshold form bounding the DP per pair.  JVM built-in, no UDF;
+    runs on candidates only, never all-pairs."""
+    from pandera_spark.operators.dedup import (
+        edit_distance_pairs, minhash_lsh_candidates,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3,
+        portable=True,
+    )
+    out = edit_distance_pairs(
+        docs, "doc_id", "text", candidates=cand, max_norm_distance=0.4,
+    )
+    return out.select(
+        "id_a", "id_b", "edit_distance",
+        F.round("norm_distance", 6).alias("norm_dist_r"),
+    )
+
+
+def _editdist_oracle() -> str:
+    return f"""
+WITH cand AS ({_minhash_oracle()}),
+t AS (SELECT doc_id, substr(text, 1, 2000) AS t FROM documents),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS edit_distance,
+         CASE WHEN greatest(len(ta.t), len(tb.t)) = 0 THEN 0.0
+              ELSE levenshtein(ta.t, tb.t)
+                   / CAST(greatest(len(ta.t), len(tb.t)) AS DOUBLE)
+         END AS nd
+  FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
+)
+SELECT id_a, id_b, edit_distance, ROUND(nd, 6) AS norm_dist_r
+FROM scored WHERE nd <= 0.4
+"""
+
+
+# --- size-balanced sharding ---------------------------------------------------
+
+
+def q_balanced_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-balanced shard assignment (sharding.balanced_shards): snake
+    dealing over token counts sorted descending — shard TOTALS stay
+    within one max-cost row of each other, unlike hash sharding which
+    only balances row counts.  Contract returns the per-shard totals."""
+    from pandera_spark.operators.sharding import balanced_shards
+    from pandera_spark.operators.text import token_count
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "toks", token_count(F.col("text"))
+    )
+    out = balanced_shards(docs, "toks", 8)
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+    )
+
+
+_BALANCED_SHARDS_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id, toks,
+         ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id ASC) - 1 AS rk
+  FROM t
+)
+SELECT CAST(CASE WHEN rk % 16 < 8 THEN rk % 16 ELSE 15 - (rk % 16) END
+            AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens
+FROM r GROUP BY 1
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py, 120/120) but not driver-recorded.  Each
@@ -4902,6 +4987,8 @@ def _queries_unordered() -> dict[
         "doc_knn_documents": q_doc_knn_documents,
         "doc_mutual_documents": q_doc_mutual_documents,
         "chunk_stats_documents": q_chunk_stats_documents,
+        "editdist_documents": q_editdist_documents,
+        "balanced_shards_documents": q_balanced_shards_documents,
     }
 
 
@@ -5241,4 +5328,6 @@ FROM ranked WHERE rank <= 5
         "doc_knn_documents": _doc_knn_oracle(),
         "doc_mutual_documents": _doc_mutual_oracle(),
         "chunk_stats_documents": _chunk_stats_oracle(),
+        "editdist_documents": _editdist_oracle(),
+        "balanced_shards_documents": _BALANCED_SHARDS_ORACLE,
     }

@@ -30,6 +30,7 @@ from .curation import (
     weighted_mix,
 )
 from .dedup import (
+    edit_distance_pairs,
     exact_dedup,
     exact_dedup_stats,
     incremental_minhash_candidates,
@@ -66,6 +67,7 @@ from .relational import (
 )
 from .skew import skew_report
 from .sharding import (
+    balanced_shards,
     epoch_sort_key,
     interleave_positions,
     shard_assign,

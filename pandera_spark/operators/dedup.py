@@ -12,6 +12,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column as C
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -527,6 +529,69 @@ def ngram_jaccard_pairs(
         )
     )
     return joined.filter(F.col("jaccard") >= threshold)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    candidates: DataFrame | None = None,
+    shingle_n: int = 3,
+    max_norm_distance: float = 0.2,
+    max_chars: int = 2000,
+) -> DataFrame:
+    """Exact edit-distance verification for candidate pairs: keep pairs
+    whose normalized Levenshtein distance ``lev(a, b) / max(len(a),
+    len(b))`` is at most ``max_norm_distance``.
+
+    The character-level complement to :func:`ngram_jaccard_pairs`
+    (token-set overlap is blind to transpositions and small in-word
+    edits; edit distance is not).  ``F.levenshtein`` is a JVM built-in
+    — no UDF — but it is O(len_a * len_b) per pair, so two guards keep
+    the plan scale-safe: it only ever runs on CANDIDATE pairs (MinHash
+    LSH generated when ``candidates`` is None — never all-pairs), and
+    both sides are truncated to ``max_chars`` (Spark's own levenshtein
+    threshold form ``levenshtein(a, b, k)`` short-circuits the DP at
+    distance k, which the expression uses to bound per-pair work).
+
+    Output: ``(id_a, id_b, edit_distance, norm_distance)``.
+    """
+    if not 0.0 <= max_norm_distance <= 1.0:
+        raise ValueError(
+            f"max_norm_distance must be in [0, 1]: {max_norm_distance}"
+        )
+    if candidates is None:
+        candidates = minhash_lsh_candidates(df, id_col, text_col,
+                                            shingle_n=shingle_n)
+    txt = df.select(
+        F.col(id_col).alias("__id"),
+        F.substring(F.col(text_col), 1, max_chars).alias("__t"),
+    )
+    a, b = txt.alias("ea"), txt.alias("eb")
+    len_max = F.greatest(F.length("ea.__t"), F.length("eb.__t"))
+    # distance bound: beyond ceil(max_norm * max_chars) the pair is out
+    # anyway (norm uses len <= max_chars), so the threshold form can stop
+    # the DP early; the API needs a foldable int, hence the static bound
+    bound = int(math.ceil(max_chars * max_norm_distance))
+    dist = F.levenshtein(F.col("ea.__t"), F.col("eb.__t"), bound)
+    joined = (
+        candidates.join(a, F.col("id_a") == F.col("ea.__id"))
+        .join(b, F.col("id_b") == F.col("eb.__id"))
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("edit_distance"),
+            F.when(len_max == 0, F.lit(0.0))
+            .otherwise(dist / len_max)
+            .alias("norm_distance"),
+        )
+    )
+    # the threshold form returns -1 when the bound is exceeded
+    return joined.filter(
+        (F.col("edit_distance") >= 0)
+        & (F.col("norm_distance") <= max_norm_distance)
+    )
 
 
 def ngram_containment_pairs(

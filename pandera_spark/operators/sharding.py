@@ -58,6 +58,49 @@ def shard_assign(
     return df.withColumn(out_col, (h % F.lit(n_shards)).cast("int"))
 
 
+def balanced_shards(
+    df: DataFrame,
+    cost_col: str,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Size-balanced shard assignment by SNAKE (boustrophedon) order:
+    rows are ranked by cost descending (id ascending tie-break) and
+    dealt across shards forward then backward — rank r maps to shard
+    ``r % 2n < n ? r % 2n : 2n - 1 - r % 2n``.
+
+    Hash sharding (:func:`shard_assign`) balances ROW counts; when rows
+    carry wildly different costs (token counts — the usual case for
+    training shards), hash shards skew by total cost.  Snake dealing on
+    the sorted costs bounds the shard-total spread by one max-cost row
+    (the classic LPT-lite bound), with a CLOSED-FORM assignment any
+    engine can replay — no sequential state, unlike true LPT's
+    min-load-heap.  Cost: one global sort (rank window without a
+    partition key); at 100 TB rank the pre-aggregated (id, cost) pairs
+    — never the payload — then hash-join the assignment back, which is
+    exactly what this plan does (window over 2 columns, join on id).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    ranked = df.select(id_col, cost_col).withColumn(
+        "__r",
+        F.row_number().over(
+            Window.orderBy(F.col(cost_col).desc(), F.col(id_col).asc())
+        )
+        - 1,
+    )
+    m = F.col("__r") % F.lit(2 * n_shards)
+    snake = F.when(m < n_shards, m).otherwise(
+        F.lit(2 * n_shards - 1) - m
+    )
+    assign = ranked.select(
+        id_col, snake.cast("int").alias(out_col)
+    )
+    return df.join(assign, id_col)
+
+
 def epoch_sort_key(
     df: DataFrame,
     key_col: str,

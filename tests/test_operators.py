@@ -2645,6 +2645,66 @@ def test_shard_assign_deterministic_balanced(spark):
         shard_assign(df, "id", 0)
 
 
+def test_balanced_shards_cost_spread(spark):
+    """Snake dealing bounds the shard-total spread by one max-cost row;
+    hash sharding on the same skewed costs does not."""
+    from pandera_spark.operators.sharding import balanced_shards
+
+    # skewed costs: doc i costs i+1 tokens (triangular distribution)
+    rows = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, cost long")
+    out = balanced_shards(df, "cost", 8)
+    totals = {r.shard: r.s for r in
+              out.groupBy("shard").agg(F.sum("cost").alias("s")).collect()}
+    assert set(totals) == set(range(8))
+    assert max(totals.values()) - min(totals.values()) <= 200  # one max row
+    # every input row keeps exactly one assignment; columns preserved
+    assert out.count() == 200 and set(out.columns) == {
+        "doc_id", "cost", "shard"}
+    # deterministic replay
+    again = {(r.doc_id, r.shard) for r in
+             balanced_shards(df, "cost", 8).collect()}
+    assert again == {(r.doc_id, r.shard) for r in out.collect()}
+    with pytest.raises(ValueError):
+        balanced_shards(df, "cost", 0)
+
+
+def test_edit_distance_pairs_verify(spark):
+    """Candidate pairs verify by normalized Levenshtein: a one-edit
+    variant passes, an unrelated text fails, and the threshold form's
+    -1 early-exit never leaks through."""
+    from pandera_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "quack", 1)),     # one substitution
+        (3, "completely different content with other words " * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    got = {(r.id_a, r.id_b): (r.edit_distance, r.norm_distance)
+           for r in edit_distance_pairs(
+               docs, "doc_id", "text", candidates=cand,
+               max_norm_distance=0.2).collect()}
+    assert set(got) == {(1, 2)}
+    d, nd = got[(1, 2)]
+    assert d == 1 and 0 < nd < 0.05
+    # zero-length pair: norm distance 0, never a divide error
+    empt = spark.createDataFrame(
+        [(1, ""), (2, "")], "doc_id long, text string")
+    out = edit_distance_pairs(
+        empt, "doc_id", "text",
+        candidates=spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+    ).collect()
+    assert len(out) == 1 and out[0].norm_distance == 0.0
+    with pytest.raises(ValueError):
+        edit_distance_pairs(docs, "doc_id", "text",
+                            candidates=cand, max_norm_distance=2.0)
+
+
 def test_epoch_sort_keys_independent(spark):
     from pandera_spark.operators.sharding import epoch_sort_key
 
