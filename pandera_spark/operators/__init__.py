@@ -106,6 +106,8 @@ from .text import (
     index_search,
     keyword_search,
     lm_score,
+    nb_score,
+    nb_train,
     two_stage_search,
     language_id,
     pii_scrub,

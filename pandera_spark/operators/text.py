@@ -872,6 +872,143 @@ def lm_score(
     return df.select(id_col).join(agg, id_col, "left")
 
 
+def nb_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    *,
+    num_buckets: int = 1 << 16,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Train a hashed multinomial Naive Bayes text classifier as ONE
+    aggregation chain — the deterministic, engine-replayable analogue
+    of the fastText-style classifiers LLM pipelines use for quality /
+    language / domain filtering (trained here on any labeled column,
+    e.g. a curated-vs-crawl flag or ``lang``).
+
+    Tokens hash into ``num_buckets`` buckets via the portable md5 hash
+    (the hashing trick bounds the model at ``labels × buckets`` rows
+    regardless of vocabulary).  Returns one model DataFrame:
+
+    - ``(label, bucket >= 0, loglik)`` — add-``smoothing`` token
+      log-likelihood ``ln((c + a) / (total_label + a*B))``;
+    - ``(label, bucket = -1, loglik)`` — class prior ``ln(n_l / n)``;
+    - ``(label, bucket = -2, loglik)`` — the unseen-token default
+      ``ln(a / (total_label + a*B))`` (the c=0 case, factored out so
+      scoring's left join has a per-label fallback).
+
+    No driver state, no UDF, no iteration: NB's closed form is why it
+    fits the one-pass groupBy shape (reference has no classifier
+    surface; published basis: McCallum & Nigam 1998 multinomial NB,
+    Weinberger et al. 2009 feature hashing)."""
+    from .dedup import portable_hash28
+
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2: {num_buckets}")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0: {smoothing}")
+    a, B = float(smoothing), num_buckets
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    )
+    lab = F.col(label_col).cast("string").alias("label")
+    exploded = df.select(lab, F.explode(toks).alias("tok"))
+    counts = (
+        exploded.withColumn(
+            "bucket", F.pmod(portable_hash28(F.col("tok")), F.lit(B))
+        )
+        .groupBy("label", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    totals = counts.groupBy("label").agg(F.sum("c").alias("tot"))
+    tok_ll = counts.join(totals, "label").select(
+        "label",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.log((F.col("c") + a) / (F.col("tot") + a * B)).alias("loglik"),
+    )
+    n_docs = df.count()
+    priors = (
+        df.groupBy(lab)
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .select(
+            "label",
+            F.lit(-1).cast("long").alias("bucket"),
+            F.log(F.col("n") / F.lit(float(n_docs))).alias("loglik"),
+        )
+    )
+    defaults = totals.select(
+        "label",
+        F.lit(-2).cast("long").alias("bucket"),
+        F.log(F.lit(a) / (F.col("tot") + a * B)).alias("loglik"),
+    )
+    return tok_ll.unionByName(priors).unionByName(defaults)
+
+
+def nb_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_buckets: int = 1 << 16,
+) -> DataFrame:
+    """Score documents under a :func:`nb_train` model: per document and
+    label, ``prior + sum(token loglik)`` with the per-label default for
+    unseen buckets, then argmax.  ``num_buckets`` must match training.
+
+    Plan shape: corpus explodes to (id, bucket), crosses the tiny label
+    list (|labels| rows, broadcast), LEFT-joins the broadcast model with
+    the default as fallback, and one id-grain aggregation picks the
+    winner via ``max(struct(score, label))`` — a total order, so ties
+    resolve identically on any engine.  The model is labels×buckets
+    bounded; documents never shuffle, only (id, bucket) pairs do.
+
+    Returns ``(id, predicted, score)`` (score = the winning label's
+    joint log-likelihood; empty docs score on priors alone)."""
+    from .dedup import portable_hash28
+
+    priors = model.filter(F.col("bucket") == -1).select(
+        "label", F.col("loglik").alias("__prior")
+    )
+    defaults = model.filter(F.col("bucket") == -2).select(
+        "label", F.col("loglik").alias("__default")
+    )
+    tok_model = model.filter(F.col("bucket") >= 0)
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    ).withColumn(
+        "bucket", F.pmod(portable_hash28(F.col("tok")), F.lit(num_buckets))
+    ).drop("tok")
+    per_label = (
+        exploded.crossJoin(F.broadcast(defaults))
+        .join(F.broadcast(tok_model), ["label", "bucket"], "left")
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("loglik"), F.col("__default"))
+            ).alias("__toksum")
+        )
+    )
+    # empty docs have no token rows: rebuild the full (id, label) grid
+    # from the corpus x priors so they score on priors alone
+    grid = df.select(id_col).crossJoin(F.broadcast(priors))
+    scored = grid.join(per_label, [id_col, "label"], "left").select(
+        id_col,
+        "label",
+        (
+            F.col("__prior") + F.coalesce(F.col("__toksum"), F.lit(0.0))
+        ).alias("__score"),
+    )
+    top = F.max(F.struct(F.col("__score"), F.col("label")))
+    return scored.groupBy(id_col).agg(
+        top.getField("label").alias("predicted"),
+        top.getField("__score").alias("score"),
+    )
+
+
 def hash_embed(
     df: DataFrame,
     id_col: str = "doc_id",

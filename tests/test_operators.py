@@ -3535,6 +3535,44 @@ def test_gopher_gate_rules(spark):
     assert out[4].keep is False and "word_count" in out[4].failed_rules
 
 
+def test_nb_classifier_train_score(spark):
+    """Hashed NB classifier: clearly-separated classes predict
+    correctly on held-out docs; empty docs fall back to the prior
+    (majority class); train/score are deterministic replays."""
+    from pandera_spark.operators.text import nb_score, nb_train
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta alpha quality prose text", "good"))
+    for i in range(20, 30):
+        rows.append((i, "spam spam gamma delta junk junk", "bad"))
+    train = spark.createDataFrame(rows, "doc_id long, text string, y string")
+    model = nb_train(train, "y", "text", num_buckets=1024)
+    # model shape: priors + defaults for both classes, token rows bounded
+    kinds = {r.bucket for r in model.filter("bucket < 0").collect()}
+    assert kinds == {-1, -2}
+    held = spark.createDataFrame(
+        [(100, "alpha beta prose"), (101, "spam junk gamma"), (102, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.predicted
+           for r in nb_score(held, model, num_buckets=1024).collect()}
+    assert got[100] == "good" and got[101] == "bad"
+    assert got[102] == "good"            # empty doc -> majority prior
+    # deterministic: retrain + rescore gives identical output
+    again = {r.doc_id: (r.predicted, round(r.score, 9))
+             for r in nb_score(held, nb_train(
+                 train, "y", "text", num_buckets=1024),
+                 num_buckets=1024).collect()}
+    first = {r.doc_id: (r.predicted, round(r.score, 9))
+             for r in nb_score(held, model, num_buckets=1024).collect()}
+    assert again == first
+    with pytest.raises(ValueError):
+        nb_train(train, "y", "text", num_buckets=1)
+    with pytest.raises(ValueError):
+        nb_train(train, "y", "text", smoothing=0)
+
+
 def test_lm_score_reference_affinity(spark):
     """Documents resembling the reference corpus score higher; unseen
     vocabulary scores the smoothed floor; empty docs score null."""
