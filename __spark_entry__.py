@@ -4810,6 +4810,55 @@ FROM r GROUP BY 1
 """
 
 
+# --- near-dup-leakage-safe splitting -------------------------------------------
+
+
+def q_leakage_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split hardened against near-duplicate leakage
+    (curation.leakage_safe_split): MinHash-LSH pair graph -> connected
+    components -> every cluster splits as ONE unit keyed by its
+    canonical root; isolated docs key on their own id.  Oracle replays
+    the closure recursively and the md5 split thresholds exactly."""
+    from pandera_spark.operators.curation import leakage_safe_split
+    from pandera_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3,
+        portable=True,
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "split")
+
+
+def _leakage_split_oracle() -> str:
+    bucket = _HEXFOLD.format(e="CAST(k AS VARCHAR)") + " % 10000"
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+ed AS (SELECT id_a AS u, id_b AS v FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT u, v FROM ed
+  UNION
+  SELECT r.n, ed.v FROM reach r JOIN ed ON ed.u = r.m
+),
+comp AS (
+  SELECT n AS node, LEAST(MIN(m), n) AS component FROM reach GROUP BY n
+),
+skey AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS k
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id,
+       CASE WHEN ({bucket}) < 8000 THEN 'train'
+            WHEN ({bucket}) < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM skey
+"""
+
+
 # --- hashed Naive Bayes classifier --------------------------------------------
 
 _NB_BUCKETS = 4096
@@ -5066,6 +5115,7 @@ def _queries_unordered() -> dict[
         "editdist_documents": q_editdist_documents,
         "balanced_shards_documents": q_balanced_shards_documents,
         "nbclassify_documents": q_nbclassify_documents,
+        "leakage_split_documents": q_leakage_split_documents,
     }
 
 
@@ -5408,4 +5458,5 @@ FROM ranked WHERE rank <= 5
         "editdist_documents": _editdist_oracle(),
         "balanced_shards_documents": _BALANCED_SHARDS_ORACLE,
         "nbclassify_documents": _nbclassify_oracle(),
+        "leakage_split_documents": _leakage_split_oracle(),
     }

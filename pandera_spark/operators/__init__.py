@@ -26,6 +26,7 @@ from .curation import (
     distribution_match,
     hash_split,
     hash_stratified_sample,
+    leakage_safe_split,
     temperature_sample,
     weighted_mix,
 )

@@ -82,6 +82,46 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    fractions: Mapping[str, float],
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """:func:`hash_split` hardened against NEAR-DUPLICATE leakage: a
+    near-dup pair split across train and test silently contaminates the
+    eval set even after exact dedup.  Given the near-dup ``pairs``
+    (from any of the LSH operators), documents split by their connected
+    component's canonical root instead of their own id — an entire
+    cluster always lands in ONE split; isolated documents keep their
+    own id as the key (the ``coalesce(component, id)`` contract of
+    :func:`..clustering.connected_components`).
+
+    Scale shape: components run on the tiny pair graph, the corpus is
+    touched by one left join (component map is pair-graph bounded,
+    usually broadcastable) + the pure-projection split assignment."""
+    from .clustering import connected_components
+
+    comp = connected_components(pairs, src=src, dst=dst)
+    keyed = df.join(
+        F.broadcast(
+            comp.select(F.col("node").alias(id_col), "component")
+        ),
+        id_col,
+        "left",
+    ).withColumn(
+        "__skey", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    return hash_split(
+        keyed, "__skey", fractions, salt=salt, out_col=out_col
+    ).drop("__skey", "component")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

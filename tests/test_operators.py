@@ -3535,6 +3535,41 @@ def test_gopher_gate_rules(spark):
     assert out[4].keep is False and "word_count" in out[4].failed_rules
 
 
+def test_leakage_safe_split_clusters_together(spark):
+    """Near-dup clusters never straddle splits: every member of a
+    connected pair cluster gets the root's split; isolated docs match
+    plain hash_split on their own id."""
+    from pandera_spark.operators.curation import (
+        hash_split, leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # two clusters: {0,1,2} (chained) and {10, 11}; rest isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r.doc_id: r.split
+           for r in leakage_safe_split(docs, "doc_id", pairs, fr).collect()}
+    assert len(out) == 40
+    assert out[0] == out[1] == out[2]
+    assert out[10] == out[11]
+    # isolated docs: identical to the plain hash split on their own id
+    plain = {r.doc_id: r.split
+             for r in hash_split(docs, "doc_id", fr).collect()}
+    clustered = {0, 1, 2, 10, 11}
+    for i in set(out) - clustered:
+        assert out[i] == plain[i], i
+    # cluster members adopt the ROOT's plain split
+    assert out[0] == plain[0] and out[10] == plain[10]
+    # deterministic replay
+    again = {r.doc_id: r.split
+             for r in leakage_safe_split(docs, "doc_id", pairs, fr).collect()}
+    assert again == out
+
+
 def test_nb_classifier_train_score(spark):
     """Hashed NB classifier: clearly-separated classes predict
     correctly on held-out docs; empty docs fall back to the prior
