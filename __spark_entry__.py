@@ -4810,6 +4810,51 @@ FROM r GROUP BY 1
 """
 
 
+# --- BM25 retrieval -------------------------------------------------------------
+
+
+def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 from the inverted index (text.bm25_search):
+    saturation + length normalization over the same posting index the
+    TF-IDF path uses — document lengths derived from the index itself,
+    no corpus rescan.  Oracle replays idf/saturation/normalization
+    arithmetic exactly."""
+    from pandera_spark.operators.text import bm25_search, build_term_index
+
+    docs = _load(spark, sf_dir, "documents")
+    index = build_term_index(docs, "doc_id", "text")
+    out = bm25_search(index, docs.count(), _SEARCH_TERMS, k=10)
+    return out.select("id", F.round("score", 6).alias("score_r"))
+
+
+def _bm25_oracle() -> str:
+    term_list = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+WITH post AS (
+  SELECT t.term, doc_id AS id, CAST(count(*) AS BIGINT) AS tf
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+  WHERE len(t.term) >= 2
+  GROUP BY t.term, doc_id
+),
+dl AS (SELECT id, CAST(SUM(tf) AS DOUBLE) AS dl FROM post GROUP BY id),
+ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+hits AS (SELECT * FROM post WHERE term IN ({term_list})),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM hits GROUP BY 1),
+scored AS (
+  SELECT id,
+         SUM(ln(1.0 + (nd - dft + 0.5) / (dft + 0.5))
+             * tf * 2.2
+             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+  FROM hits JOIN dfreq USING (term) JOIN dl USING (id), ad, n
+  GROUP BY id
+)
+SELECT id, ROUND(score, 6) AS score_r
+FROM scored ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+
 # --- near-dup-leakage-safe splitting -------------------------------------------
 
 
@@ -5116,6 +5161,7 @@ def _queries_unordered() -> dict[
         "balanced_shards_documents": q_balanced_shards_documents,
         "nbclassify_documents": q_nbclassify_documents,
         "leakage_split_documents": q_leakage_split_documents,
+        "bm25_documents": q_bm25_documents,
     }
 
 
@@ -5459,4 +5505,5 @@ FROM ranked WHERE rank <= 5
         "balanced_shards_documents": _BALANCED_SHARDS_ORACLE,
         "nbclassify_documents": _nbclassify_oracle(),
         "leakage_split_documents": _leakage_split_oracle(),
+        "bm25_documents": _bm25_oracle(),
     }

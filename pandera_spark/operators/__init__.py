@@ -97,6 +97,7 @@ from .temporal import (
     time_rollup,
 )
 from .text import (
+    bm25_search,
     build_term_index,
     corpus_card,
     corpus_line_dedup,

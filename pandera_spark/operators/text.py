@@ -608,6 +608,60 @@ def build_term_index(
     )
 
 
+def bm25_search(
+    index: DataFrame,
+    n_docs: int,
+    terms,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval from the inverted index: per query term,
+    ``idf_t * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))`` with
+    the standard non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``;
+    top-``k`` by (score desc, id asc).
+
+    The saturation/length-normalized upgrade of :func:`index_search`
+    (raw TF-IDF over-rewards long repetitive documents — the exact kind
+    a crawl corpus is full of).  Document lengths ``dl`` come from the
+    index itself (sum of tf per id) so no corpus rescan: one filtered
+    posting read + one broadcast df-counts join + one id-grain length
+    join + TakeOrderedAndProject."""
+    terms = list(dict.fromkeys(terms))
+    if not terms or any(not t for t in terms):
+        raise ValueError("terms must be non-empty strings")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1: {k1}, {b}")
+    # document lengths from the index (token-occurrence totals per doc)
+    dl = index.groupBy("id").agg(F.sum("tf").cast("double").alias("__dl"))
+    avgdl = dl.agg(F.avg("__dl").alias("__avgdl"))
+    hits = index.filter(F.col("term").isin(terms))
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    n = float(n_docs)
+    idf = F.log(
+        1.0 + (F.lit(n) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                idf * tf * F.lit(float(k1) + 1.0) / (tf + norm)
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+
+
 def term_stats(index: DataFrame, terms) -> DataFrame:
     """Posting-list statistics for chosen terms from an existing index:
     ``(term, n_docs, total_tf)``.  A filter + tiny groupBy on the index

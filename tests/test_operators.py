@@ -3535,6 +3535,31 @@ def test_gopher_gate_rules(spark):
     assert out[4].keep is False and "word_count" in out[4].failed_rules
 
 
+def test_bm25_search_saturation_and_length_norm(spark):
+    """BM25 vs raw TF-IDF behaviors: term-frequency saturation (20
+    repeats is not 20x the score) and length normalization (same tf in
+    a shorter doc ranks higher)."""
+    from pandera_spark.operators.text import bm25_search, build_term_index
+
+    rows = [
+        (1, "spark " * 2 + "filler word " * 4),            # tf=2, short
+        (2, "spark " * 2 + "filler word " * 40),           # tf=2, long
+        (3, "spark " * 20 + "filler word " * 4),           # tf=20
+        (4, "nothing relevant here at all " * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_term_index(docs, "doc_id", "text")
+    got = {r.id: r.score
+           for r in bm25_search(index, 4, ["spark"], k=10).collect()}
+    assert set(got) == {1, 2, 3}                  # doc 4 never matches
+    assert got[1] > got[2]                        # shorter doc wins at eq tf
+    assert got[3] < 10 * got[1]                   # saturation, not linear
+    with pytest.raises(ValueError):
+        bm25_search(index, 4, [])
+    with pytest.raises(ValueError):
+        bm25_search(index, 4, ["spark"], b=2.0)
+
+
 def test_leakage_safe_split_clusters_together(spark):
     """Near-dup clusters never straddle splits: every member of a
     connected pair cluster gets the root's split; isolated docs match
