@@ -248,6 +248,71 @@ def case_datetime_binary_bool():
     return rows, ddl, ref, ours
 
 
+def case_decimal_and_float():
+    import decimal
+
+    rows = [(decimal.Decimal("5.00"), 0.5), (decimal.Decimal("15.00"), 2.5)]
+    ddl = "d decimal(10,2), f float"
+    ref, ours = _pair(
+        [("d", pa.Column(T.DecimalType(10, 2), [pa.Check.le(10)])),
+         ("f", pa.Column(T.FloatType(), [pa.Check.lt(1.0)]))],
+        [("d", Column(T.DecimalType(10, 2), [Check.le(10)])),
+         ("f", Column(T.FloatType(), [Check.lt(1.0)]))],
+    )
+    return rows, ddl, ref, ours
+
+
+def case_three_failure_kinds_at_once():
+    rows = [(1, None, "x"), (-9, None, "y")]
+    ddl = "k long, n string, w string"
+    ref, ours = _pair(
+        [("k", pa.Column(T.LongType(), [pa.Check.gt(0)])),
+         ("n", pa.Column(T.StringType(), nullable=False)),
+         ("w", pa.Column(T.LongType()))],       # dtype mismatch
+        [("k", Column(T.LongType(), [Check.gt(0)])),
+         ("n", Column(T.StringType(), nullable=False)),
+         ("w", Column(T.LongType()))],
+    )
+    return rows, ddl, ref, ours
+
+
+def case_empty_frame_with_dtype_mismatch():
+    rows = []
+    ddl = "k long, s string"
+    ref, ours = _pair(
+        [("k", pa.Column(T.LongType(), [pa.Check.gt(0)])),
+         ("s", pa.Column(T.DoubleType()))],     # dtype error even on empty
+        [("k", Column(T.LongType(), [Check.gt(0)])),
+         ("s", Column(T.DoubleType()))],
+    )
+    return rows, ddl, ref, ours
+
+
+def case_joint_unique_two_cols():
+    rows = [(1, "a"), (1, "a"), (1, "b")]
+    ddl = "k long, g string"
+    ref, ours = _pair(
+        [("k", pa.Column(T.LongType())),
+         ("g", pa.Column(T.StringType()))],
+        [("k", Column(T.LongType())),
+         ("g", Column(T.StringType()))],
+        unique=["k", "g"],
+    )
+    return rows, ddl, ref, ours
+
+
+def case_notin_and_ne():
+    rows = [(1, "ok"), (2, "banned")]
+    ddl = "k long, s string"
+    ref, ours = _pair(
+        [("k", pa.Column(T.LongType(), [pa.Check.ne(2)])),
+         ("s", pa.Column(T.StringType(), [pa.Check.notin(["banned"])]))],
+        [("k", Column(T.LongType(), [Check.ne(2)])),
+         ("s", Column(T.StringType(), [Check.notin(["banned"])]))],
+    )
+    return rows, ddl, ref, ours
+
+
 CASES = [
     case_clean,
     case_value_and_nulls,
@@ -256,6 +321,11 @@ CASES = [
     case_range_family,
     case_regex_columns,
     case_datetime_binary_bool,
+    case_decimal_and_float,
+    case_three_failure_kinds_at_once,
+    case_empty_frame_with_dtype_mismatch,
+    case_joint_unique_two_cols,
+    case_notin_and_ne,
 ]
 
 
