@@ -974,7 +974,20 @@ def nb_train(
         .groupBy("label", "bucket")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
-    totals = counts.groupBy("label").agg(F.sum("c").alias("tot"))
+    # totals over ALL labels, not just token-bearing ones: a class whose
+    # training docs have zero tokens still needs its tot=0 default row,
+    # else scoring falls back to prior-only for that class and it can
+    # win spuriously (found by the differential fuzz)
+    totals = (
+        df.select(lab)
+        .distinct()
+        .join(
+            counts.groupBy("label").agg(F.sum("c").alias("tot")),
+            "label",
+            "left",
+        )
+        .withColumn("tot", F.coalesce(F.col("tot"), F.lit(0.0)))
+    )
     tok_ll = counts.join(totals, "label").select(
         "label",
         F.col("bucket").cast("long").alias("bucket"),

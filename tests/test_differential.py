@@ -1439,3 +1439,92 @@ def test_zorder_matches_python_replay(spark, rows, bits):
             expect |= ((cx >> b) & 1) << (2 * b)
             expect |= ((cy >> b) & 1) << (2 * b + 1)
         assert got[i] == expect, (i, x, y, bits)
+
+
+# --- round-4 operators vs pure-Python replays -------------------------------
+
+
+@SET
+@given(
+    costs=st.lists(st.integers(0, 10_000), min_size=1, max_size=80),
+    n_shards=st.integers(1, 9),
+)
+def test_balanced_shards_matches_python_replay(spark, costs, n_shards):
+    """Snake assignment == an independent Python replay of the
+    rank -> fold formula, and the balance bound holds on every input."""
+    from pandera_spark.operators.sharding import balanced_shards
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(costs)], "doc_id long, cost long"
+    )
+    got = {r.doc_id: r.shard
+           for r in balanced_shards(df, "cost", n_shards).collect()}
+    order = sorted(range(len(costs)), key=lambda i: (-costs[i], i))
+    expect = {}
+    for rank, i in enumerate(order):
+        m = rank % (2 * n_shards)
+        expect[i] = m if m < n_shards else 2 * n_shards - 1 - m
+    assert got == expect
+    totals = [0] * n_shards
+    for i, c in enumerate(costs):
+        totals[got[i]] += c
+    if len(costs) >= n_shards:
+        assert max(totals) - min(totals) <= (max(costs) if costs else 0)
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.lists(st.sampled_from(["red", "blue", "green", "dot"]),
+                     min_size=0, max_size=12),
+        ),
+        min_size=2, max_size=30,
+    ).filter(lambda d: len({lbl for lbl, _ in d}) == 2),
+)
+def test_nb_classifier_matches_python_replay(spark, docs):
+    """nb_train + nb_score == an independent Python NB implementation
+    (same portable hashing, smoothing, priors, unseen defaults, and
+    (score, label) argmax tie-break)."""
+    import hashlib
+    import math
+
+    from pandera_spark.operators.text import nb_score, nb_train
+
+    B, a = 64, 1.0
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:7], 16) % B
+
+    train = spark.createDataFrame(
+        [(i, " ".join(toks), lbl) for i, (lbl, toks) in enumerate(docs)],
+        "doc_id long, text string, y string",
+    )
+    model = nb_train(train, "y", "text", num_buckets=B, smoothing=a)
+    got = {r.doc_id: (r.predicted, round(r.score, 6))
+           for r in nb_score(train, model, num_buckets=B).collect()}
+
+    # python replay
+    from collections import Counter, defaultdict
+    by_label_counts = defaultdict(Counter)
+    label_docs = Counter()
+    for lbl, toks in docs:
+        label_docs[lbl] += 1
+        for t in toks:
+            by_label_counts[lbl][bucket(t)] += 1
+    n = len(docs)
+    labels = sorted(label_docs)
+    for i, (_, toks) in enumerate(docs):
+        best = None
+        for lbl in labels:
+            tot = sum(by_label_counts[lbl].values())
+            s = math.log(label_docs[lbl] / n)
+            for t in toks:
+                c = by_label_counts[lbl][bucket(t)]
+                s += math.log((c + a) / (tot + a * B))
+            key = (s, lbl)
+            if best is None or key > best:
+                best = key
+        assert got[i][0] == best[1], (i, got[i], best)
+        assert got[i][1] == pytest.approx(round(best[0], 6), abs=1e-5), i
