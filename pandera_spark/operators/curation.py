@@ -92,6 +92,7 @@ def leakage_safe_split(
     dst: str = "id_b",
     salt: str = "",
     out_col: str = "split",
+    broadcast_components: bool = True,
 ) -> DataFrame:
     """:func:`hash_split` hardened against NEAR-DUPLICATE leakage: a
     near-dup pair split across train and test silently contaminates the
@@ -104,17 +105,18 @@ def leakage_safe_split(
 
     Scale shape: components run on the tiny pair graph, the corpus is
     touched by one left join (component map is pair-graph bounded,
-    usually broadcastable) + the pure-projection split assignment."""
+    usually broadcastable — pass ``broadcast_components=False`` when
+    the pair graph itself is huge and the map won't fit the broadcast
+    ceiling; the join falls back to a shuffle join on the id) + the
+    pure-projection split assignment."""
     from .clustering import connected_components
 
-    comp = connected_components(pairs, src=src, dst=dst)
-    keyed = df.join(
-        F.broadcast(
-            comp.select(F.col("node").alias(id_col), "component")
-        ),
-        id_col,
-        "left",
-    ).withColumn(
+    comp = connected_components(pairs, src=src, dst=dst).select(
+        F.col("node").alias(id_col), "component"
+    )
+    if broadcast_components:
+        comp = F.broadcast(comp)
+    keyed = df.join(comp, id_col, "left").withColumn(
         "__skey", F.coalesce(F.col("component"), F.col(id_col))
     )
     return hash_split(
