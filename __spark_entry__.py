@@ -4810,6 +4810,38 @@ FROM r GROUP BY 1
 """
 
 
+# --- strict="filter" projection ------------------------------------------------
+
+
+def q_strict_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``strict="filter"`` container semantics (reference
+    api/dataframe/container.py strict modes): validation DROPS columns
+    absent from the schema and returns the projected frame — the
+    column-pruning contract applied as an operator.  Oracle: the plain
+    projection."""
+    import pyspark.sql.types as T
+
+    from pandera_spark import Check, Column, DataFrameSchema
+
+    orders = _load(spark, sf_dir, "orders")
+    schema = DataFrameSchema(
+        {
+            "o_orderkey": Column(T.LongType(), Check.ge(0)),
+            "o_custkey": Column(T.LongType()),
+            "o_totalprice": Column(T.DoubleType()),
+        },
+        strict="filter",
+        name="orders_subset",
+    )
+    out = schema.validate(orders)
+    return out.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+_STRICT_FILTER_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+
 # --- BM25 retrieval -------------------------------------------------------------
 
 
@@ -5162,6 +5194,7 @@ def _queries_unordered() -> dict[
         "nbclassify_documents": q_nbclassify_documents,
         "leakage_split_documents": q_leakage_split_documents,
         "bm25_documents": q_bm25_documents,
+        "strict_filter_orders": q_strict_filter_orders,
     }
 
 
@@ -5506,4 +5539,5 @@ FROM ranked WHERE rank <= 5
         "nbclassify_documents": _nbclassify_oracle(),
         "leakage_split_documents": _leakage_split_oracle(),
         "bm25_documents": _bm25_oracle(),
+        "strict_filter_orders": _STRICT_FILTER_ORACLE,
     }

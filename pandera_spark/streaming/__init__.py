@@ -1,4 +1,9 @@
-from .novelty import bloom_novelty_foreach_batch, compact_bloom_index
+from .novelty import (
+    bloom_novelty_foreach_batch,
+    compact_bloom_index,
+    compact_minhash_index,
+    minhash_novelty_foreach_batch,
+)
 from .stateful import streaming_quality_gate
 from .validation import validate_stream, observed_validation
 
@@ -7,5 +12,7 @@ __all__ = [
     "observed_validation",
     "bloom_novelty_foreach_batch",
     "compact_bloom_index",
+    "compact_minhash_index",
+    "minhash_novelty_foreach_batch",
     "streaming_quality_gate",
 ]

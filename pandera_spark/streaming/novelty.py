@@ -37,7 +37,12 @@ from ..operators.bloom import (
     bloom_dense,
 )
 
-__all__ = ["bloom_novelty_foreach_batch", "compact_bloom_index"]
+__all__ = [
+    "bloom_novelty_foreach_batch",
+    "compact_bloom_index",
+    "compact_minhash_index",
+    "minhash_novelty_foreach_batch",
+]
 
 
 def _read_index(spark, index_path: str) -> Optional[DataFrame]:
@@ -130,3 +135,108 @@ def compact_bloom_index(spark, index_path: str) -> int:
         fs = path.getFileSystem(hconf)
         fs.delete(path, False)
     return len(rows)
+
+
+def minhash_novelty_foreach_batch(
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    sink: Callable[[DataFrame, int], None],
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    portable: bool = False,
+    out_col: str = "near_dup",
+    update_index: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """NEAR-duplicate novelty at ingest time — the MinHash analogue of
+    :func:`bloom_novelty_foreach_batch` (which only catches EXACT
+    content): each micro-batch is LSH-joined against the persisted
+    banded signature index plus itself, rows with any near-dup
+    candidate are flagged, and the batch's own signatures append.
+
+    ``stream.writeStream.foreachBatch(minhash_novelty_foreach_batch(...))``
+
+    Per batch: (1) load the signature index (id + band keys — text is
+    never indexed), (2) flag via
+    :func:`..operators.dedup.incremental_minhash_candidates`
+    (new-vs-index + new-vs-new; a batch row with a near-dup ANYWHERE —
+    earlier corpus or same batch — gets ``near_dup=True``; picking a
+    canonical keeper is downstream dedup's job), (3) append the batch's
+    signature rows.
+
+    At-least-once replay: the FLAGS are exact on replay (the candidate
+    join drops index rows whose id is in the current batch, so a
+    retried batch never pairs with its own earlier append; flags come
+    from a semi-join, so duplicate index rows from other batches cannot
+    duplicate output rows).  The index accrues duplicate signature rows
+    on retry — harmless for candidate generation, reclaimed by
+    :func:`compact_minhash_index`.
+    """
+    from ..operators.dedup import (
+        banded_minhash_frame,
+        incremental_minhash_candidates,
+        write_minhash_index,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException:  # first batch: empty index, same shape
+            index = banded_minhash_frame(
+                batch_df.limit(0), id_col, text_col,
+                num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+                portable=portable,
+            )
+        cand = incremental_minhash_candidates(
+            batch_df, index, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            portable=portable,
+        )
+        flagged_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionByName(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+            .withColumn(out_col, F.lit(True))
+        )
+        out = batch_df.join(flagged_ids, id_col, "left").withColumn(
+            out_col, F.coalesce(F.col(out_col), F.lit(False))
+        )
+        sink(out, batch_id)
+        if update_index:
+            write_minhash_index(
+                batch_df, id_col, text_col, index_path,
+                num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+                portable=portable, mode="append",
+            )
+
+    return process
+
+
+def compact_minhash_index(spark, index_path: str) -> int:
+    """Drop duplicate signature rows accrued by at-least-once replays:
+    capture the segment files, append the distinct fold, delete only
+    the captured files — the same concurrent-stream-safe
+    append-then-delete protocol as :func:`compact_bloom_index` (rows
+    appended between capture and delete survive; signature-row
+    duplication is harmless in the interim).  Returns the compacted row
+    count."""
+    try:
+        seg = spark.read.parquet(index_path)
+    except AnalysisException:
+        return 0
+    files = seg.inputFiles()
+    if not files:
+        return 0
+    folded = spark.read.parquet(*files).distinct()
+    folded.write.mode("append").parquet(index_path)
+    n = folded.count()
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for f in files:
+        path = jvm.org.apache.hadoop.fs.Path(f)
+        fs = path.getFileSystem(hconf)
+        fs.delete(path, False)
+    return n

@@ -3059,6 +3059,75 @@ def test_streaming_bloom_novelty_cross_batch(spark, tmp_path):
     assert compacted == expect
 
 
+def test_streaming_minhash_novelty_cross_batch(spark, tmp_path):
+    """Near-dup novelty across micro-batches: a near-duplicate of a
+    batch-1 document is flagged in batch 2; unrelated text is not; a
+    replayed batch (at-least-once retry) produces identical flags; and
+    compaction drops the duplicate signature rows the retry appended."""
+    import json
+
+    from pandera_spark.streaming.novelty import (
+        compact_minhash_index, minhash_novelty_foreach_batch,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    near = base.replace("lazy", "sleepy")
+    other = ("completely unrelated content about databases and "
+             "distributed query engines with many different words")
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(
+        json.dumps({"doc_id": i, "text": t})
+        for i, t in [(1, base), (2, other)]
+    ))
+    (src / "b.json").write_text("\n".join(
+        json.dumps({"doc_id": i, "text": t})
+        for i, t in [(3, near), (4, "something else entirely different "
+                                    "with zero overlap at all")]
+    ))
+    idx = str(tmp_path / "sig_index")
+    got: dict[int, list] = {}
+    fn = minhash_novelty_foreach_batch(
+        "doc_id", "text", idx,
+        lambda df, bid: got.setdefault(bid, []).extend(df.collect()),
+        num_hashes=32, bands=8,
+    )
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    flags = {r.doc_id: r.near_dup for b in got.values() for r in b}
+    assert flags[1] is False and flags[2] is False    # batch 1: all new
+    assert flags[3] is True                           # near-dup of doc 1
+    assert flags[4] is False
+    # at-least-once replay of batch 2: identical flags (the candidate
+    # join drops the batch's own earlier index append)
+    replay: list = []
+    fn2 = minhash_novelty_foreach_batch(
+        "doc_id", "text", idx,
+        lambda df, bid: replay.extend(df.collect()),
+        num_hashes=32, bands=8,
+    )
+    b2 = spark.createDataFrame(
+        [(3, near), (4, "something else entirely different with zero "
+                        "overlap at all")],
+        "doc_id long, text string",
+    )
+    fn2(b2, 1)
+    assert {r.doc_id: r.near_dup for r in replay} == {3: True, 4: False}
+    # compaction: distinct signature rows, duplicates from the replay gone
+    n = compact_minhash_index(spark, idx)
+    deduped = spark.read.parquet(idx)
+    assert deduped.count() == n == deduped.distinct().count()
+
+
 def test_compact_bloom_index_concurrent_append_survives(spark, tmp_path):
     """A segment appended by a concurrent foreachBatch between the
     compactor's file-capture and its delete must survive: compaction
