@@ -5022,7 +5022,11 @@ FROM top
 # skew_events, rerank_documents, pipeline_documents, doc_knn/doc_mutual).
 _R4_DRIVER_WINDOW = [
     "validate_lineitem",
-    # round-4-changed queries first
+    # round-4 NEW operators first (never certified anywhere)
+    "editdist_documents", "balanced_shards_documents",
+    "nbclassify_documents", "leakage_split_documents", "bm25_documents",
+    "strict_filter_orders",
+    # round-4-changed queries next
     "anomalies_events", "skew_events", "rerank_documents",
     "pipeline_documents", "doc_knn_documents", "doc_mutual_documents",
     # composites + operators never driver-certified
@@ -5039,9 +5043,7 @@ _R4_DRIVER_WINDOW = [
     "funnel_events", "retention_events", "transitions_events",
     "zorder_events", "join_card_lineitem", "star_report",
     "winsorize_lineitem", "entropy_documents", "corr_lineitem",
-    "index_search_documents", "term_stats_documents", "search_documents",
-    "match_documents", "diff_documents", "topquality_documents",
-    "bloom_documents", "stratified_documents",
+    "index_search_documents", "term_stats_documents",
 ]
 
 
