@@ -1,0 +1,119 @@
+"""Plan-shape regression guards over the contract queries.
+
+Automates the anti-pattern sweep the round reviews run by hand, as a
+cheap planning-only test (nothing executes):
+
+1. NO `CartesianProduct` anywhere — the all-pairs failure mode every
+   LSH/banding design here exists to avoid.  Today the whole 126-query
+   surface plans zero of them; any appearance is a regression.
+2. `BroadcastNestedLoopJoin` only on the explicit allowlist — every
+   entry is either a 1-row broadcast bounds/totals frame (`crossJoin`
+   against a single aggregated row) or a guarded exact baseline whose
+   quadratic side is capped by construction.  A BNLJ outside the list
+   means a join lost its equi-condition or broadcast hint.
+3. The FK/star checks must broadcast the deduped dim keys (a
+   sort-merge join there would shuffle the fact table).
+4. The flagship single-pass validate contains no join of any kind.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# 1-row broadcast bounds/totals/model frames, or guarded exact baselines
+ALLOWED_BNLJ = {
+    "ann_topk_embeddings",       # guarded brute-force baseline
+    "lsh_recall_embeddings",     # exact side capped/sampled
+    "jaccard_pairs_documents",   # minhash signature constants frame
+    "containment_pairs_documents",
+    "winsorize_lineitem",        # 1-row exact-percentile bounds
+    "drift_events", "ks_events", "psi_documents",
+    "psi_timeline_events",       # 1-row totals frames
+    "lmscore_documents",         # 1-row (N, V) totals
+    "match_documents",           # 1-row scarcest-bin bottleneck
+    "card_documents",            # 1-row corpus totals
+    "temperature_documents",     # 1-row stratum totals
+    "pii_documents",             # 1-row residual totals
+    "quarantine_counts_lineitem",
+    "bloom_documents",           # broadcast dense filter row
+    "zorder_events",             # 1-row min/max bounds
+    "join_card_lineitem",        # two 1-row multiplicity summaries
+    "search_documents", "rerank_documents",
+    "bm25_documents",            # 1-row idf/df/avgdl frames
+    "nbclassify_documents",      # tiny label-list cross
+    "synthesize_validate",       # 1-row synthesis bounds
+}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(_spark_base):
+    """Plan every contract query once (planning only, no execution)."""
+    _spark_base.conf.set("spark.sql.ansi.enabled", "false")
+    out = {}
+    for name, fn in entrymod.queries().items():
+        out[name] = _plan(fn(_spark_base, SF_DIR))
+    return out
+
+
+def test_no_cartesian_product_anywhere(plans):
+    bad = sorted(n for n, p in plans.items() if "CartesianProduct" in p)
+    assert not bad, f"cartesian product leaked into: {bad}"
+
+
+def test_bnlj_only_on_one_row_broadcast_patterns(plans):
+    bad = sorted(
+        n for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in ALLOWED_BNLJ
+    )
+    assert not bad, (
+        f"BroadcastNestedLoopJoin outside the 1-row-broadcast allowlist: "
+        f"{bad} — a join lost its equi-condition, or a new 1-row cross "
+        "needs an allowlist entry with a justification comment"
+    )
+
+
+def test_bnlj_allowlist_not_stale(plans):
+    stale = sorted(
+        n for n in ALLOWED_BNLJ
+        if n in plans and "BroadcastNestedLoopJoin" not in plans[n]
+    )
+    assert not stale, (
+        f"allowlist entries whose plans no longer cross-join: {stale} — "
+        "prune them so future regressions aren't hidden"
+    )
+
+
+def test_fk_checks_broadcast_the_dim_side(plans):
+    for name in ["fk_lineitem", "fk_supplier_region", "star_report"]:
+        assert "BroadcastHashJoin" in plans[name], name
+        assert "SortMergeJoin" not in plans[name], (
+            f"{name}: FK check fell back to a sort-merge join — the "
+            "fact table would shuffle; the deduped dim keys must "
+            "broadcast"
+        )
+
+
+def test_validate_plan_is_one_aggregate_no_join(plans):
+    plan = plans["validate_lineitem"]
+    for node in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"]:
+        assert node not in plan, (node, "validate_lineitem")
