@@ -4810,6 +4810,64 @@ FROM r GROUP BY 1
 """
 
 
+# --- bigram LM scoring -----------------------------------------------------------
+
+
+def q_bigram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM affinity scoring (text.bigram_model / bigram_score):
+    conditional P(w2|w1) with add-one smoothing, fit on the
+    deterministic 80% split and scoring the held-out 20% — the
+    conditional upgrade of the unigram lmscore row.  Oracle replays the
+    pair explosion, head marginals, and smoothing exactly."""
+    from pandera_spark.operators.text import bigram_model, bigram_score
+
+    docs = _load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    model = bigram_model(train)
+    out = bigram_score(held, model)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logprob", 6).alias("alp_r")
+    )
+
+
+_BIGRAM_ORACLE = """
+WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+tw AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM tr),
+m AS (
+  SELECT p['w1'] AS w1, p['w2'] AS w2, count(*) AS n
+  FROM (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+                       for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS p
+        FROM tw)
+  GROUP BY 1, 2
+),
+heads AS (SELECT w1, CAST(SUM(n) AS DOUBLE) AS h FROM m GROUP BY 1),
+vt AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS V FROM heads),
+sw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       FROM te),
+sp AS (
+  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2
+  FROM (SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+                               for i in range(1, greatest(len(w) - 1, 0) + 1)])
+               AS p
+        FROM sw)
+),
+sc AS (
+  SELECT doc_id,
+         ln((COALESCE(n, 0) + 1.0) / (COALESCE(h, 0.0) + V)) AS lp
+  FROM sp LEFT JOIN m USING (w1, w2) LEFT JOIN heads USING (w1), vt
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         ROUND(SUM(lp) / count(*), 6) AS alp_r
+  FROM sc GROUP BY 1
+)
+SELECT te.doc_id, agg.n_bigrams, agg.alp_r
+FROM te LEFT JOIN agg ON agg.doc_id = te.doc_id
+"""
+
+
 # --- strict="filter" projection ------------------------------------------------
 
 
@@ -5197,6 +5255,7 @@ def _queries_unordered() -> dict[
         "leakage_split_documents": q_leakage_split_documents,
         "bm25_documents": q_bm25_documents,
         "strict_filter_orders": q_strict_filter_orders,
+        "bigram_documents": q_bigram_documents,
     }
 
 
@@ -5542,4 +5601,5 @@ FROM ranked WHERE rank <= 5
         "leakage_split_documents": _leakage_split_oracle(),
         "bm25_documents": _bm25_oracle(),
         "strict_filter_orders": _STRICT_FILTER_ORACLE,
+        "bigram_documents": _BIGRAM_ORACLE,
     }

@@ -97,6 +97,8 @@ from .temporal import (
     time_rollup,
 )
 from .text import (
+    bigram_model,
+    bigram_score,
     bm25_search,
     build_term_index,
     corpus_card,

@@ -926,6 +926,95 @@ def lm_score(
     return df.select(id_col).join(agg, id_col, "left")
 
 
+def bigram_model(
+    ref: DataFrame,
+    text_col: str = "text",
+    *,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Fit a bigram language model on a reference corpus: one row per
+    adjacent token pair ``(w1, w2, n)`` (lowercase alphanumeric
+    tokens, within-document adjacency only).  The model table is
+    bounded by the observed bigram vocabulary — persist once, broadcast
+    into scoring runs; the conditional denominator (count of ``w1`` as
+    a bigram head) is derived inside :func:`bigram_score`, so this
+    frame is the whole model."""
+    toks = F.expr(
+        f"filter(regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0),"
+        f" t -> length(t) >= {int(min_token_len)})"
+    )
+    pairs = F.expr(
+        "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
+        " (t, i) -> struct(t AS w1, element_at(__toks, i + 2) AS w2))"
+    )
+    return (
+        ref.select(toks.alias("__toks"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def bigram_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Bigram-LM affinity scoring — the conditional upgrade of the
+    unigram :func:`lm_score` (CCNet uses an n-gram LM for exactly this
+    reason: "the the" and "of dog" have identical unigram mass but very
+    different English likelihoods).  Per document, the mean
+    ``ln P(w_i | w_{i-1})`` over its adjacent pairs with add-one
+    smoothing: ``P = (c(w1,w2) + 1) / (c(w1,·) + V)`` where ``c(w1,·)``
+    is ``w1``'s total as a bigram head in the reference and ``V`` the
+    smoothing vocabulary (distinct reference heads + 1).
+
+    Plan: corpus explodes to (id, w1, w2) adjacent pairs; the bigram
+    model AND its head-marginal (both vocab-bounded) broadcast; one
+    id-grain aggregation.  Returns ``(id, n_bigrams, avg_logprob)``;
+    docs with <2 tokens get null score."""
+    heads = model.groupBy("w1").agg(
+        F.sum("n").cast("double").alias("__h")
+    )
+    totals = heads.agg(
+        (F.count(F.lit(1)) + 1).cast("double").alias("__V")
+    )
+    toks = F.expr(
+        f"filter(regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0),"
+        f" t -> length(t) >= {int(min_token_len)})"
+    )
+    pairs = F.expr(
+        "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
+        " (t, i) -> struct(t AS w1, element_at(__toks, i + 2) AS w2))"
+    )
+    exploded = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(F.col(id_col), F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"))
+    )
+    scored = (
+        exploded.join(F.broadcast(model), ["w1", "w2"], "left")
+        .join(F.broadcast(heads), "w1", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("n"), F.lit(0)).cast("double") + 1.0)
+                / (F.coalesce(F.col("__h"), F.lit(0.0)) + F.col("__V"))
+            ).alias("__lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (F.sum("__lp") / F.count(F.lit(1))).alias("avg_logprob"),
+    )
+    return df.select(id_col).join(agg, id_col, "left")
+
+
 def nb_train(
     df: DataFrame,
     label_col: str,

@@ -3664,6 +3664,38 @@ def test_leakage_safe_split_clusters_together(spark):
     assert again == out
 
 
+def test_bigram_lm_scoring(spark):
+    """Bigram LM: in-distribution word ORDER scores higher than the
+    same words scrambled (exactly what the unigram model cannot see);
+    short docs get null; replay is deterministic."""
+    from pandera_spark.operators.text import bigram_model, bigram_score
+
+    ref_rows = [(i, "the cat sat on the mat and the dog ran away")
+                for i in range(10)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    model = bigram_model(ref)
+    m = {(r.w1, r.w2): r.n for r in model.collect()}
+    assert m[("the", "cat")] == 10 and ("cat", "the") not in m
+    held = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),       # in-distribution order
+            (2, "mat the on sat cat the"),       # same words, scrambled
+            (3, "single"),                       # <2 tokens -> null
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_score(held, model).collect()}
+    assert got[1].avg_logprob > got[2].avg_logprob
+    assert got[1].n_bigrams == 5 and got[2].n_bigrams == 5
+    assert got[3].avg_logprob is None and got[3].n_bigrams is None
+    again = {r.doc_id: (r.n_bigrams, round(r.avg_logprob, 9))
+             for r in bigram_score(held, model).collect()
+             if r.avg_logprob is not None}
+    first = {k: (v.n_bigrams, round(v.avg_logprob, 9))
+             for k, v in got.items() if v.avg_logprob is not None}
+    assert again == first
+
+
 def test_nb_classifier_train_score(spark):
     """Hashed NB classifier: clearly-separated classes predict
     correctly on held-out docs; empty docs fall back to the prior
