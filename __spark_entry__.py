@@ -5072,45 +5072,36 @@ FROM top
 
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
-# (scripts/check_contract.py, 120/120) but not driver-recorded.  Each
-# round this list rotates the driver's window onto the rows it has not
-# yet certified (VERDICT r3 item 6): r4 leads with validate_lineitem (the
-# flagship stays first), then 49 queries absent from CORRECTNESS_r03.json
-# — including everything this round touched (anomalies_events,
-# skew_events, rerank_documents, pipeline_documents, doc_knn/doc_mutual).
-_R4_DRIVER_WINDOW = [
+# (scripts/check_contract.py) but not driver-recorded.  Each round this
+# list rotates the driver's window onto the rows it has not yet certified
+# (VERDICT r3 item 6 / r4 item 3): r5 leads with validate_lineitem (the
+# flagship stays first), then the 21 rows never present in any
+# CORRECTNESS_r0*.json (completing cumulative driver certification at
+# 127/127), then queries whose implementation round 5 changed
+# (balanced_shards two-pass rank; percentile defaults), then new round-5
+# rows; any remaining slots fill from base order.
+_R5_DRIVER_WINDOW = [
     "validate_lineitem",
-    # round-4 NEW operators first (never certified anywhere)
-    "editdist_documents", "balanced_shards_documents",
-    "nbclassify_documents", "leakage_split_documents", "bm25_documents",
-    "strict_filter_orders",
-    # round-4-changed queries next
-    "anomalies_events", "skew_events", "rerank_documents",
-    "pipeline_documents", "doc_knn_documents", "doc_mutual_documents",
-    # composites + operators never driver-certified
-    "semantic_dedup_documents", "gopher_documents", "lmscore_documents",
-    "hashembed_documents", "mlscore_documents", "observe_lineitem",
-    "ttest1_events", "lsh_recall_embeddings", "session_funnel_events",
-    "json_events", "funnel_window_events", "datefmt_orders",
-    "chunk_neardup_documents", "retention_week_events",
-    "chunk_stats_documents", "knn_graph_embeddings",
-    "mutual_knn_embeddings", "incremental_dedup_documents",
-    "linededup_documents", "containment_pairs_documents",
-    "hybrid_neardup_documents", "drift_events", "psi_documents",
-    "ks_events", "drift_report_events", "psi_timeline_events",
-    "funnel_events", "retention_events", "transitions_events",
-    "zorder_events", "join_card_lineitem", "star_report",
-    "winsorize_lineitem", "entropy_documents", "corr_lineitem",
-    "index_search_documents", "term_stats_documents",
+    # never driver-certified (completes the rotation)
+    "topk_bigrams_documents", "percentiles_lineitem",
+    "source_profile_documents", "groupwise_lineitem", "packed_documents",
+    "temperature_documents", "markup_scrub_documents",
+    "topquality_documents", "salted_join_lineitem", "card_documents",
+    "search_documents", "props_map_events", "bloom_documents",
+    "shards_documents", "interleave_documents", "annotate_lineitem",
+    "chunks_documents", "token_chunks_documents", "diff_documents",
+    "match_documents", "bigram_documents",
+    # round-5-changed implementations (re-certify)
+    "balanced_shards_documents", "winsorize_lineitem",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_unordered()
-    missing = [k for k in _R4_DRIVER_WINDOW if k not in base]
+    missing = [k for k in _R5_DRIVER_WINDOW if k not in base]
     assert not missing, f"driver window names unknown queries: {missing}"
-    rest = [k for k in base if k not in set(_R4_DRIVER_WINDOW)]
-    return {k: base[k] for k in [*_R4_DRIVER_WINDOW, *rest]}
+    rest = [k for k in base if k not in set(_R5_DRIVER_WINDOW)]
+    return {k: base[k] for k in [*_R5_DRIVER_WINDOW, *rest]}
 
 
 def _queries_unordered() -> dict[

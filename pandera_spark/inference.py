@@ -124,34 +124,42 @@ def numeric_percentiles(
     df: DataFrame,
     cols: list[str],
     probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    *,
+    exact: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
-    """Exact interpolated percentiles for many columns in ONE job.
+    """Percentiles for many columns in ONE job.
 
     Long-format result: ``(col_name, p50, p90, ...)`` — one row per
     input column (labels derived from ``probs``).  All percentile
-    arrays are computed in a single ``agg`` (Spark's exact
-    ``percentile``, linear interpolation at rank ``p*(n-1)`` — the
-    same definition as ANSI ``percentile_cont``/DuckDB
-    ``quantile_cont``), then the one-row result is exploded to long
-    format without touching the data again.
+    arrays are computed in a single ``agg``, then the one-row result is
+    exploded to long format without touching the data again.
 
-    Exact percentile sorts each column's values within the aggregate
-    buffer: fine into the tens of millions of rows per column; at
-    true 100 TB scale swap in ``approx_percentile`` (t-digest sketch,
-    mergeable, bounded memory) — same call shape, bounded error.
+    The DEFAULT is ``approx_percentile`` — a Greenwald-Khanna sketch
+    whose partial buffers are bounded (O(accuracy·log n) entries) and
+    merge map-side, so the plan survives 100 TB; rank error is at most
+    ``n/accuracy``, and with ``accuracy >= n`` it is zero (the result
+    is exactly the value at the target rank — ANSI
+    ``percentile_disc``).  ``exact=True`` opts into Spark's exact
+    ``percentile`` (linear interpolation at rank ``p*(n-1)``, the ANSI
+    ``percentile_cont``/DuckDB ``quantile_cont`` definition) — that
+    aggregate buffers EVERY value per column in the final reducer, so
+    reserve it for frames that fit (tens of millions of rows).
     """
     labels = [
         ("p" + f"{p * 100:g}".replace(".", "_")) for p in probs
     ]
-    agg = df.agg(
-        *[
-            F.percentile(
-                F.col(c).cast("double"),
-                F.array(*[F.lit(float(p)) for p in probs]),
-            ).alias(c)
-            for c in cols
-        ]
-    )
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+
+    def q(c: str):
+        v = F.col(c).cast("double")
+        if exact:
+            return F.percentile(v, parr)
+        return F.approx_percentile(v, parr, F.lit(int(accuracy)))
+
+    agg = df.agg(*[q(c).alias(c) for c in cols])
     pairs = F.array(
         *[
             F.struct(F.lit(c).alias("col_name"), F.col(c).alias("q"))

@@ -1,17 +1,24 @@
 """Numeric outlier handling: percentile bounds and winsorization.
 
 The standard numeric-hygiene pass before aggregate statistics or model
-features: clip (or flag) the tails at exact interpolated percentiles.
+features: clip (or flag) the tails at percentile bounds.
 
 Design for 100 TB:
-- ALL columns' bounds come from ONE aggregation job (``percentile`` with
-  an array of probabilities per column — same single-pass shape as
-  :func:`..inference.numeric_percentiles`); the bounds frame is one row
-  and is broadcast, so clipping is a pure projection.
-- exact ``percentile`` sorts each column's values inside the aggregate —
-  fine into the hundreds of millions; at true 100 TB scale pass
-  ``approx=True`` to use ``approx_percentile`` (t-digest sketch, fully
-  map-side mergeable) and trade exactness for a bounded-memory plan.
+- ALL columns' bounds come from ONE aggregation job (a percentile
+  aggregate with an array of probabilities per column — same
+  single-pass shape as :func:`..inference.numeric_percentiles`); the
+  bounds frame is one row and is broadcast, so clipping is a pure
+  projection.
+- the DEFAULT path is ``approx_percentile`` (Greenwald-Khanna sketch:
+  bounded memory, fully map-side mergeable — rank error <=
+  n/``accuracy``), because exact ``percentile`` buffers EVERY value of
+  every column inside one final aggregate buffer: fine into the
+  hundreds of millions, a genuine single-reducer memory wall at 100 TB.
+  Pass ``exact=True`` to opt back into exact interpolated
+  (percentile_cont) bounds when the data fits.
+- with ``accuracy >= n`` the sketch's rank error is zero and the approx
+  bound is exactly the value at the target rank (ANSI
+  ``percentile_disc``) — what the contract oracle replays.
 """
 
 from __future__ import annotations
@@ -30,17 +37,21 @@ __all__ = [
 
 
 def _bounds_agg(cols: Sequence[str], lower: float, upper: float,
-                approx: bool):
+                exact: bool, accuracy: int):
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(
             f"need 0 <= lower < upper <= 1, got {lower=} {upper=}"
         )
-    fn = F.approx_percentile if approx else F.percentile
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    probs = F.array(F.lit(float(lower)), F.lit(float(upper)))
     exprs = []
     for c in cols:
-        q = fn(
-            F.col(c).cast("double"),
-            F.array(F.lit(float(lower)), F.lit(float(upper))),
+        v = F.col(c).cast("double")
+        q = (
+            F.percentile(v, probs)
+            if exact
+            else F.approx_percentile(v, probs, F.lit(int(accuracy)))
         )
         exprs.append(q.getItem(0).alias(f"__lo_{c}"))
         exprs.append(q.getItem(1).alias(f"__hi_{c}"))
@@ -53,11 +64,14 @@ def percentile_bounds(
     *,
     lower: float = 0.01,
     upper: float = 0.99,
-    approx: bool = False,
+    exact: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """One-row frame of ``(__lo_<col>, __hi_<col>)`` per column — the
-    broadcastable clip bounds, from ONE aggregation job."""
-    return df.agg(*_bounds_agg(cols, lower, upper, approx))
+    broadcastable clip bounds, from ONE aggregation job.  Default is the
+    mergeable bounded-memory sketch (rank error <= n/``accuracy``);
+    ``exact=True`` opts into exact interpolated percentiles."""
+    return df.agg(*_bounds_agg(cols, lower, upper, exact, accuracy))
 
 
 def winsorize(
@@ -66,13 +80,17 @@ def winsorize(
     *,
     lower: float = 0.01,
     upper: float = 0.99,
-    approx: bool = False,
+    exact: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Clip every listed column into its [lower, upper] percentile range
     (nulls pass through).  One bounds job + one broadcast, then a pure
     projection — two scans total regardless of column count."""
     bounds = F.broadcast(
-        percentile_bounds(df, cols, lower=lower, upper=upper, approx=approx)
+        percentile_bounds(
+            df, cols, lower=lower, upper=upper, exact=exact,
+            accuracy=accuracy,
+        )
     )
     out = df.crossJoin(bounds)
     for c in cols:
@@ -94,13 +112,17 @@ def winsorize_report(
     *,
     lower: float = 0.01,
     upper: float = 0.99,
-    approx: bool = False,
+    exact: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Long-format tail report per column: the bounds and how many rows
     fall outside them — ``(col_name, lo, hi, n_below, n_above)``.
     Bounds job + one counting pass."""
     bounds = F.broadcast(
-        percentile_bounds(df, cols, lower=lower, upper=upper, approx=approx)
+        percentile_bounds(
+            df, cols, lower=lower, upper=upper, exact=exact,
+            accuracy=accuracy,
+        )
     )
     joined = df.crossJoin(bounds)
     agg = joined.agg(

@@ -65,6 +65,7 @@ def balanced_shards(
     *,
     id_col: str = "doc_id",
     out_col: str = "shard",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Size-balanced shard assignment by SNAKE (boustrophedon) order:
     rows are ranked by cost descending (id ascending tie-break) and
@@ -77,19 +78,52 @@ def balanced_shards(
     the sorted costs bounds the shard-total spread by one max-cost row
     (the classic LPT-lite bound), with a CLOSED-FORM assignment any
     engine can replay — no sequential state, unlike true LPT's
-    min-load-heap.  Cost: one global sort (rank window without a
-    partition key); at 100 TB rank the pre-aggregated (id, cost) pairs
-    — never the payload — then hash-join the assignment back, which is
-    exactly what this plan does (window over 2 columns, join on id).
+    min-load-heap.
+
+    The global rank is the scalable two-pass formulation (the
+    :mod:`.ordered` idiom), never an un-partitioned window:
+    ``repartitionByRange(cost desc, id)`` makes partitions range-
+    disjoint, a window partitioned by ``spark_partition_id()`` ranks in
+    PARALLEL, and per-partition row counts (one #partitions-row
+    aggregate, cumulated by a window over that tiny frame) provide the
+    offsets — global rank = offset(pid) + local rank.  The rank is a
+    pure function of the (cost, id) total order, independent of where
+    the sampled range boundaries fall, so the assignment stays exactly
+    replayable by a plain global ``row_number`` oracle.  Only the
+    pre-aggregated (id, cost) pairs — never the payload — flow through
+    the rank; the assignment hash-joins back on id.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    ranked = df.select(id_col, cost_col).withColumn(
-        "__r",
-        F.row_number().over(
-            Window.orderBy(F.col(cost_col).desc(), F.col(id_col).asc())
-        )
-        - 1,
+    order = [F.col(cost_col).desc(), F.col(id_col).asc()]
+    # explicit partition count → REPARTITION_BY_NUM: AQE must preserve
+    # it exactly, so the rank branch and the counts branch (which reuse
+    # this one shuffle stage) always observe the SAME partition ids —
+    # a COL-origin exchange could be coalesced differently per reader
+    nparts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    parted = (
+        df.select(id_col, cost_col)
+        .repartitionByRange(nparts, *order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = parted.withColumn(
+        "__lr",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*order)),
+    )
+    counts = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # cumulative offsets over the #partitions-row counts frame: the one
+    # un-partitioned window here sorts partition COUNTS, not the corpus
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off"),
+    )
+    ranked = local.join(F.broadcast(offsets), "__pid").withColumn(
+        "__r", F.col("__off") + F.col("__lr") - 1
     )
     m = F.col("__r") % F.lit(2 * n_shards)
     snake = F.when(m < n_shards, m).otherwise(

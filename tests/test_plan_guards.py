@@ -54,6 +54,8 @@ ALLOWED_BNLJ = {
     "bm25_documents",            # 1-row idf/df/avgdl frames
     "nbclassify_documents",      # tiny label-list cross
     "synthesize_validate",       # 1-row synthesis bounds
+    "bigram_documents",          # 1-row smoothing-vocab totals
+                                 # (text.py bigram_score crossJoin(broadcast(totals)))
 }
 
 
@@ -110,6 +112,34 @@ def test_fk_checks_broadcast_the_dim_side(plans):
             "fact table would shuffle; the deduped dim keys must "
             "broadcast"
         )
+
+
+def test_balanced_shards_global_rank_is_range_partitioned(plans):
+    """balanced_shards must rank via repartitionByRange + per-partition
+    windows (the ordered.py two-pass idiom), never an un-partitioned
+    window sorting every (id, cost) pair in ONE task.  An un-partitioned
+    windowspec shows ONLY sort-ordered args (every arg carries ASC/DESC);
+    such a spec may order the tiny #partitions-row offsets frame
+    (``__pid``) but never the corpus cost column."""
+    import re
+
+    plan = plans["balanced_shards_documents"]
+    assert "rangepartitioning(toks" in plan, (
+        "balanced_shards lost its repartitionByRange(cost desc, id) — "
+        "the global rank is no longer range-partitioned"
+    )
+    for spec in re.findall(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+    ):
+        args = [a.strip() for a in spec.split(",") if a.strip()]
+        partitioned = any(
+            " ASC" not in a and " DESC" not in a for a in args
+        )
+        if not partitioned:
+            assert "toks" not in spec, (
+                "un-partitioned window orders the corpus cost column — "
+                f"single-task global sort regression: {spec}"
+            )
 
 
 def test_validate_plan_is_one_aggregate_no_join(plans):
