@@ -2031,13 +2031,17 @@ ORDER BY n_occurrences DESC, gram ASC LIMIT 20
 
 def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (p50/p90/p99) for three numeric
-    columns in ONE agg job (inference.numeric_percentiles); matches the
-    ANSI percentile_cont definition DuckDB's quantile_cont implements."""
+    columns in ONE agg job (inference.numeric_percentiles with
+    ``exact=True`` — the opt-in exact path; approx is the default and
+    has its own tolerance-oracled row, approx_percentiles_lineitem);
+    matches the ANSI percentile_cont definition DuckDB's quantile_cont
+    implements."""
     from pandera_spark.inference import numeric_percentiles
 
     return numeric_percentiles(
         _load(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount"],
+        exact=True,
     )
 
 
@@ -2057,6 +2061,95 @@ SELECT 'l_discount',
        quantile_cont(CAST(l_discount AS DOUBLE), 0.9),
        quantile_cont(CAST(l_discount AS DOUBLE), 0.99) FROM lineitem
 """
+
+
+_APPROX_PCT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_APPROX_PCT_PROBS = (0.5, 0.9, 0.99)
+_APPROX_PCT_ACC = 10000  # GK sketch accuracy: rank error <= n/accuracy
+# bracket probes at p -/+ 2/accuracy: twice the sketch's guaranteed rank
+# error, so percentile_disc(p-tol) <= sketch value <= percentile_disc(p+tol)
+# whenever n/accuracy >= 1 (n=60k at sf0.01)
+_APPROX_PCT_TOL = 2.0 / _APPROX_PCT_ACC
+
+
+def q_approx_percentiles_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Certifies the DEFAULT approx-percentile path against its own
+    semantics (operators/numeric.py design note): the Greenwald-Khanna
+    sketch returns an actual data value whose rank is within
+    n/accuracy of the target — never percentile_cont interpolation —
+    so the oracle brackets each sketch value between exact
+    ``percentile_disc`` probes at p -/+ 2/accuracy instead of
+    replaying quantile_cont.  One agg job computes the sketch AND the
+    bracket probes (exact disc probes are certification-only scale:
+    the production path is the sketch alone).  Output per (col, prob):
+    the engine-comparable bracket values plus the within-bracket
+    verdict; DuckDB recomputes the brackets with quantile_disc
+    (conventions verified identical) and asserts TRUE."""
+    from pandera_spark.inference import numeric_percentiles  # noqa: F401
+
+    li = _load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _APPROX_PCT_COLS:
+        v = F.col(c).cast("double")
+        aggs.append(
+            F.approx_percentile(
+                v,
+                F.array(*[F.lit(p) for p in _APPROX_PCT_PROBS]),
+                F.lit(_APPROX_PCT_ACC),
+            ).alias(f"__a_{c}")
+        )
+        for p in _APPROX_PCT_PROBS:
+            lo_p, hi_p = p - _APPROX_PCT_TOL, p + _APPROX_PCT_TOL
+            aggs.append(
+                F.expr(
+                    f"percentile_disc({lo_p!r}) WITHIN GROUP "
+                    f"(ORDER BY cast({c} as double))"
+                ).alias(f"__lo_{c}_{int(p * 100)}")
+            )
+            aggs.append(
+                F.expr(
+                    f"percentile_disc({hi_p!r}) WITHIN GROUP "
+                    f"(ORDER BY cast({c} as double))"
+                ).alias(f"__hi_{c}_{int(p * 100)}")
+            )
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.lit(f"p{int(p * 100)}").alias("prob"),
+                F.round(F.col(f"__lo_{c}_{int(p * 100)}"), 6).alias("lo_r"),
+                F.round(F.col(f"__hi_{c}_{int(p * 100)}"), 6).alias("hi_r"),
+                (
+                    (F.col(f"__a_{c}")[i]
+                     >= F.col(f"__lo_{c}_{int(p * 100)}"))
+                    & (F.col(f"__a_{c}")[i]
+                       <= F.col(f"__hi_{c}_{int(p * 100)}"))
+                ).alias("within_bracket"),
+            )
+            for c in _APPROX_PCT_COLS
+            for i, p in enumerate(_APPROX_PCT_PROBS)
+        ]
+    )
+    return one.select(F.explode(rows).alias("s")).select(
+        "s.col_name", "s.prob", "s.lo_r", "s.hi_r", "s.within_bracket"
+    )
+
+
+def _approx_percentiles_oracle() -> str:
+    parts = []
+    for c in _APPROX_PCT_COLS:
+        for p in _APPROX_PCT_PROBS:
+            lo_p, hi_p = p - _APPROX_PCT_TOL, p + _APPROX_PCT_TOL
+            parts.append(f"""
+SELECT '{c}' AS col_name, 'p{int(p * 100)}' AS prob,
+       ROUND(quantile_disc(CAST({c} AS DOUBLE), {lo_p!r}), 6) AS lo_r,
+       ROUND(quantile_disc(CAST({c} AS DOUBLE), {hi_p!r}), 6) AS hi_r,
+       TRUE AS within_bracket
+FROM lineitem""")
+    return " UNION ALL ".join(parts)
 
 
 def q_source_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3241,13 +3334,16 @@ _WINSOR_COLS = ["l_quantity", "l_extendedprice", "l_tax"]
 
 def q_winsorize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric tail report at exact p5/p95 for three columns from ONE
-    bounds aggregation + one counting pass (operators/numeric.py);
-    clip-side counts prove the bound comparisons.  Oracle:
-    quantile_cont replay."""
+    bounds aggregation + one counting pass (operators/numeric.py,
+    ``exact=True`` — required to match the interpolated quantile_cont
+    oracle; the approx default is covered by
+    approx_percentiles_lineitem's rank-tolerance oracle);
+    clip-side counts prove the bound comparisons."""
     from pandera_spark.operators.numeric import winsorize_report
 
     li = _load(spark, sf_dir, "lineitem")
-    rep = winsorize_report(li, _WINSOR_COLS, lower=0.05, upper=0.95)
+    rep = winsorize_report(li, _WINSOR_COLS, lower=0.05, upper=0.95,
+                           exact=True)
     return rep.select(
         "col_name",
         F.round("lo", 6).alias("lo_r"),
@@ -5073,35 +5169,29 @@ FROM top
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
-# list rotates the driver's window onto the rows it has not yet certified
-# (VERDICT r3 item 6 / r4 item 3): r5 leads with validate_lineitem (the
-# flagship stays first), then the 21 rows never present in any
-# CORRECTNESS_r0*.json (completing cumulative driver certification at
-# 127/127), then queries whose implementation round 5 changed
-# (balanced_shards two-pass rank; percentile defaults), then new round-5
-# rows; any remaining slots fill from base order.
-_R5_DRIVER_WINDOW = [
+# list rotates the driver's window onto the rows that most need
+# (re-)certification (VERDICT r3 item 6 / r4 item 3).  r6 leads with
+# validate_lineitem (the flagship stays first), then the two rows that
+# were RED in CORRECTNESS_r05 (percentiles_lineitem has never been green
+# in a driver round; winsorize_lineitem regressed in r5 — both now pass
+# exact=True to match their quantile_cont oracles), then the NEW
+# approx-default row with its rank-tolerance oracle; remaining slots
+# fill from base order (all already driver-certified at least once).
+_R6_DRIVER_WINDOW = [
     "validate_lineitem",
-    # never driver-certified (completes the rotation)
-    "topk_bigrams_documents", "percentiles_lineitem",
-    "source_profile_documents", "groupwise_lineitem", "packed_documents",
-    "temperature_documents", "markup_scrub_documents",
-    "topquality_documents", "salted_join_lineitem", "card_documents",
-    "search_documents", "props_map_events", "bloom_documents",
-    "shards_documents", "interleave_documents", "annotate_lineitem",
-    "chunks_documents", "token_chunks_documents", "diff_documents",
-    "match_documents", "bigram_documents",
-    # round-5-changed implementations (re-certify)
-    "balanced_shards_documents", "winsorize_lineitem",
+    # red in r5 — repaired this round (exact=True at the call sites)
+    "percentiles_lineitem", "winsorize_lineitem",
+    # new in r6: the approx default certified against its own semantics
+    "approx_percentiles_lineitem",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_unordered()
-    missing = [k for k in _R5_DRIVER_WINDOW if k not in base]
+    missing = [k for k in _R6_DRIVER_WINDOW if k not in base]
     assert not missing, f"driver window names unknown queries: {missing}"
-    rest = [k for k in base if k not in set(_R5_DRIVER_WINDOW)]
-    return {k: base[k] for k in [*_R5_DRIVER_WINDOW, *rest]}
+    rest = [k for k in base if k not in set(_R6_DRIVER_WINDOW)]
+    return {k: base[k] for k in [*_R6_DRIVER_WINDOW, *rest]}
 
 
 def _queries_unordered() -> dict[
@@ -5181,6 +5271,7 @@ def _queries_unordered() -> dict[
         "psi_documents": q_psi_documents,
         "topk_bigrams_documents": q_topk_bigrams_documents,
         "percentiles_lineitem": q_percentiles_lineitem,
+        "approx_percentiles_lineitem": q_approx_percentiles_lineitem,
         "source_profile_documents": q_source_profile_documents,
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
@@ -5527,6 +5618,7 @@ FROM ranked WHERE rank <= 5
         "psi_documents": _psi_oracle(),
         "topk_bigrams_documents": _TOPK_BIGRAMS_ORACLE,
         "percentiles_lineitem": _PERCENTILES_ORACLE,
+        "approx_percentiles_lineitem": _approx_percentiles_oracle(),
         "source_profile_documents": _source_profile_oracle(),
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),

@@ -137,10 +137,10 @@ def numeric_percentiles(
 
     The DEFAULT is ``approx_percentile`` — a Greenwald-Khanna sketch
     whose partial buffers are bounded (O(accuracy·log n) entries) and
-    merge map-side, so the plan survives 100 TB; rank error is at most
-    ``n/accuracy``, and with ``accuracy >= n`` it is zero (the result
-    is exactly the value at the target rank — ANSI
-    ``percentile_disc``).  ``exact=True`` opts into Spark's exact
+    merge map-side, so the plan survives 100 TB; the result is always
+    an ACTUAL data value (ANSI ``percentile_disc`` style, never
+    interpolated) whose rank error is at most ``n/accuracy`` (so with
+    ``accuracy >= n``, at most one rank).  ``exact=True`` opts into Spark's exact
     ``percentile`` (linear interpolation at rank ``p*(n-1)``, the ANSI
     ``percentile_cont``/DuckDB ``quantile_cont`` definition) — that
     aggregate buffers EVERY value per column in the final reducer, so

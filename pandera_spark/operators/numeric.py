@@ -16,17 +16,37 @@ Design for 100 TB:
   hundreds of millions, a genuine single-reducer memory wall at 100 TB.
   Pass ``exact=True`` to opt back into exact interpolated
   (percentile_cont) bounds when the data fits.
-- with ``accuracy >= n`` the sketch's rank error is zero and the approx
-  bound is exactly the value at the target rank (ANSI
-  ``percentile_disc``) — what the contract oracle replays.
+- approx semantics differ from exact: the sketch returns an ACTUAL data
+  value whose rank is within n/``accuracy`` of the target (ANSI
+  ``percentile_disc``-style), never an interpolated value, so it can
+  equal a ``percentile_cont`` replay only by coincidence.  Contract
+  queries pinning a ``quantile_cont`` oracle must pass ``exact=True``;
+  the approx path's own contract row
+  (``approx_percentiles_lineitem``) verifies the rank-error bound
+  instead.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+import warnings
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _resolve_exact(exact: bool, approx: Optional[bool]) -> bool:
+    """Honour the pre-r5 ``approx=`` keyword as a deprecated alias for
+    ``exact=not approx`` (the default flipped to approx in r5)."""
+    if approx is None:
+        return exact
+    warnings.warn(
+        "the approx= keyword is deprecated; approx is the default — "
+        "pass exact=True to opt into exact interpolated percentiles",
+        DeprecationWarning,
+        stacklevel=3,
+    )
+    return not approx
 
 __all__ = [
     "percentile_bounds",
@@ -66,11 +86,13 @@ def percentile_bounds(
     upper: float = 0.99,
     exact: bool = False,
     accuracy: int = 10000,
+    approx: Optional[bool] = None,
 ) -> DataFrame:
     """One-row frame of ``(__lo_<col>, __hi_<col>)`` per column — the
     broadcastable clip bounds, from ONE aggregation job.  Default is the
     mergeable bounded-memory sketch (rank error <= n/``accuracy``);
     ``exact=True`` opts into exact interpolated percentiles."""
+    exact = _resolve_exact(exact, approx)
     return df.agg(*_bounds_agg(cols, lower, upper, exact, accuracy))
 
 
@@ -82,10 +104,12 @@ def winsorize(
     upper: float = 0.99,
     exact: bool = False,
     accuracy: int = 10000,
+    approx: Optional[bool] = None,
 ) -> DataFrame:
     """Clip every listed column into its [lower, upper] percentile range
     (nulls pass through).  One bounds job + one broadcast, then a pure
     projection — two scans total regardless of column count."""
+    exact = _resolve_exact(exact, approx)
     bounds = F.broadcast(
         percentile_bounds(
             df, cols, lower=lower, upper=upper, exact=exact,
@@ -114,10 +138,12 @@ def winsorize_report(
     upper: float = 0.99,
     exact: bool = False,
     accuracy: int = 10000,
+    approx: Optional[bool] = None,
 ) -> DataFrame:
     """Long-format tail report per column: the bounds and how many rows
     fall outside them — ``(col_name, lo, hi, n_below, n_above)``.
     Bounds job + one counting pass."""
+    exact = _resolve_exact(exact, approx)
     bounds = F.broadcast(
         percentile_bounds(
             df, cols, lower=lower, upper=upper, exact=exact,

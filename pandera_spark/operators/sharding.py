@@ -100,14 +100,32 @@ def balanced_shards(
     # it exactly, so the rank branch and the counts branch (which reuse
     # this one shuffle stage) always observe the SAME partition ids —
     # a COL-origin exchange could be coalesced differently per reader
-    nparts = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    if num_partitions:
+        nparts = num_partitions
+    else:
+        # conf may be non-numeric ("auto" on some platforms)
+        try:
+            nparts = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                         "200")
+            )
+        except (TypeError, ValueError):
+            nparts = 200
     parted = (
         df.select(id_col, cost_col)
         .repartitionByRange(nparts, *order)
         .withColumn("__pid", F.spark_partition_id())
     )
+    # the rank branch and the counts branch below both consume `parted`;
+    # they must observe IDENTICAL range boundaries.  With
+    # spark.sql.exchange.reuse=true (the default) the planner reuses the
+    # one range exchange, making this structural; if reuse is disabled,
+    # pin the boundaries by materialising the partitioned frame once
+    reuse = str(
+        df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+    ).lower()
+    if reuse != "true":
+        parted = parted.localCheckpoint(eager=False)
     local = parted.withColumn(
         "__lr",
         F.row_number().over(Window.partitionBy("__pid").orderBy(*order)),

@@ -4,6 +4,8 @@ Mirrors the reference test strategy (SURVEY.md §5): tiny hand-built frames
 with explicit StructTypes, asserting the error-report shape.
 """
 
+import uuid
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -502,13 +504,20 @@ def test_job_count_independent_of_check_count(spark, products):
         },
         name="many",
     )
-    tracker = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
 
     def jobs_for(schema):
+        # scope counting to a private job group: counting EVERY job id
+        # in the session is load-order-flaky under a full parallel run
         schema.validate_result(products)  # warm
-        before = len(tracker.getJobIdsForGroup(None) or [])
-        schema.validate_result(products)
-        return len(tracker.getJobIdsForGroup(None) or []) - before
+        group = f"jobcount-{schema.name}-{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(group, "job-count invariance probe")
+        try:
+            schema.validate_result(products)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(group) or [])
 
     j_few, j_many = jobs_for(few), jobs_for(many)
     assert j_many == j_few, (j_few, j_many)

@@ -1046,13 +1046,43 @@ def test_percentile_matches_python_interpolation(spark, data, p):
     from pandera_spark.inference import numeric_percentiles
 
     df = spark.createDataFrame([(v,) for v in data], "x double")
-    row = numeric_percentiles(df, ["x"], probs=(p,)).first()
+    row = numeric_percentiles(df, ["x"], probs=(p,), exact=True).first()
     xs = sorted(data)
     rank = p * (len(xs) - 1)
     lo, frac = int(rank), rank - int(rank)
     want = xs[lo] if frac == 0 else xs[lo] * (1 - frac) + xs[lo + 1] * frac
     got = row[1]
     assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+@SET
+@given(
+    data=st.lists(
+        st.floats(-1e4, 1e4, allow_nan=False), min_size=2, max_size=50
+    ),
+    p=st.floats(0.01, 0.99),
+)
+def test_percentile_approx_default_is_data_value_in_rank_window(
+    spark, data, p
+):
+    """DEFAULT (sketch) path property: the result is an actual member of
+    the data (percentile_disc-style, no interpolation) and some rank it
+    occupies is within the guaranteed n/accuracy (+1 boundary slack) of
+    the target rank p*n."""
+    from pandera_spark.inference import numeric_percentiles
+
+    df = spark.createDataFrame([(v,) for v in data], "x double")
+    n = len(data)
+    row = numeric_percentiles(df, ["x"], probs=(p,), accuracy=n).first()
+    got = row[1]
+    xs = sorted(data)
+    assert got in xs
+    # got occupies 1-based ranks [n_lt+1, n_le]; that interval must
+    # touch [p*n - err, p*n + err] with err = n/accuracy (=1 here) + 1
+    n_le = sum(1 for v in xs if v <= got)
+    n_lt = sum(1 for v in xs if v < got)
+    err = n / n + 1.0
+    assert n_lt + 1 <= p * n + err and n_le >= p * n - err
 
 
 @SET

@@ -1646,12 +1646,49 @@ def test_numeric_percentiles_known_values(spark):
         F.col("id").cast("double").alias("a"),
         (F.col("id") * 10).cast("double").alias("b"),
     )
-    rows = {r.col_name: r for r in numeric_percentiles(df, ["a", "b"]).collect()}
-    # ranks: p*(n-1) 0-based over 1..100 => p50 = 50.5, p90 = 90.1
+    rows = {
+        r.col_name: r
+        for r in numeric_percentiles(df, ["a", "b"], exact=True).collect()
+    }
+    # exact path: interpolation at rank p*(n-1) 0-based over 1..100
     assert rows["a"].p50 == pytest.approx(50.5)
     assert rows["a"].p90 == pytest.approx(90.1)
     assert rows["b"].p50 == pytest.approx(505.0)
     assert rows["b"].p99 == pytest.approx(rows["a"].p99 * 10)
+
+
+def test_numeric_percentiles_approx_default_known_values(spark):
+    """The DEFAULT path is the GK sketch: with accuracy >= n the rank
+    error is zero and it returns the ACTUAL data value at the target
+    rank (percentile_disc semantics) — 50.0 on 1..100, never the
+    interpolated 50.5."""
+    from pandera_spark.inference import numeric_percentiles
+
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("a"))
+    rows = {
+        r.col_name: r
+        for r in numeric_percentiles(df, ["a"], accuracy=1000).collect()
+    }
+    assert rows["a"].p50 == pytest.approx(50.0)
+    assert rows["a"].p90 == pytest.approx(90.0)
+    assert rows["a"].p99 == pytest.approx(99.0)
+
+
+def test_numeric_percentiles_approx_rank_error_bound(spark):
+    """Sketch guarantee at accuracy < n: the returned value is a member
+    of the data whose rank is within n/accuracy of the target."""
+    from pandera_spark.inference import numeric_percentiles
+
+    n, acc = 5000, 100  # rank error bound: n/acc = 50
+    df = spark.range(1, n + 1).select(
+        F.col("id").cast("double").alias("a")
+    )
+    row = numeric_percentiles(
+        df, ["a"], probs=(0.5,), accuracy=acc
+    ).first()
+    got = row.p50
+    assert got == float(int(got))  # an actual data value, no interpolation
+    assert abs(got - 0.5 * n) <= n / acc + 1
 
 
 def test_numeric_percentiles_single_job(spark):
@@ -3187,14 +3224,15 @@ def test_winsorize_clips_tails(spark):
     df = spark.createDataFrame(
         [(float(i),) for i in range(1, 101)] + [(None,)], "v double"
     )
-    out = winsorize(df, ["v"], lower=0.10, upper=0.90)
+    out = winsorize(df, ["v"], lower=0.10, upper=0.90, exact=True)
     vals = [r.v for r in out.collect() if r.v is not None]
-    # p10 of 1..100 = 10.9, p90 = 90.1 (linear interpolation)
+    # exact path: p10 of 1..100 = 10.9, p90 = 90.1 (linear interpolation)
     assert min(vals) == pytest.approx(10.9)
     assert max(vals) == pytest.approx(90.1)
     assert len(vals) == 100
     assert out.filter(F.col("v").isNull()).count() == 1  # nulls untouched
-    rep = winsorize_report(df, ["v"], lower=0.10, upper=0.90).first()
+    rep = winsorize_report(df, ["v"], lower=0.10, upper=0.90,
+                           exact=True).first()
     assert rep.n_below == 10 and rep.n_above == 10
     assert rep.lo == pytest.approx(10.9) and rep.hi == pytest.approx(90.1)
     with pytest.raises(ValueError):
@@ -3205,11 +3243,19 @@ def test_winsorize_approx_mode(spark):
     from pandera_spark.operators.numeric import winsorize_report
 
     df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
-    rep = winsorize_report(df, ["v"], lower=0.05, upper=0.95,
-                           approx=True).first()
-    # sketch bounds are near-exact on a uniform ramp
+    rep = winsorize_report(df, ["v"], lower=0.05, upper=0.95).first()
+    # the default is the sketch; bounds are near-exact on a uniform ramp
     assert rep.lo == pytest.approx(50.0, abs=5)
     assert rep.hi == pytest.approx(950.0, abs=5)
+    # the pre-r5 approx= keyword survives as a deprecated alias
+    with pytest.warns(DeprecationWarning):
+        rep2 = winsorize_report(df, ["v"], lower=0.05, upper=0.95,
+                                approx=True).first()
+    assert rep2.lo == rep.lo and rep2.hi == rep.hi
+    with pytest.warns(DeprecationWarning):
+        rep3 = winsorize_report(df, ["v"], lower=0.05, upper=0.95,
+                                approx=False).first()
+    assert rep3.lo == pytest.approx(49.95) and rep3.hi == pytest.approx(949.05)
 
 
 def test_column_entropy_known_values(spark):

@@ -128,10 +128,30 @@ def test_balanced_shards_global_rank_is_range_partitioned(plans):
         "balanced_shards lost its repartitionByRange(cost desc, id) — "
         "the global rank is no longer range-partitioned"
     )
+    def _split_top_level(s: str) -> list[str]:
+        # split on commas at paren depth 0 only: nested calls inside a
+        # sort key (cast/coalesce/...) carry commas that a bare split
+        # would misread as extra (partition-looking) args
+        out, depth, cur = [], 0, []
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        tail = "".join(cur).strip()
+        if tail:
+            out.append(tail)
+        return out
+
     for spec in re.findall(
         r"windowspecdefinition\((.*?)specifiedwindowframe", plan
     ):
-        args = [a.strip() for a in spec.split(",") if a.strip()]
+        args = [a for a in _split_top_level(spec) if a]
         partitioned = any(
             " ASC" not in a and " DESC" not in a for a in args
         )
