@@ -27,6 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEAVY_QUERIES = {
     # exact-percentile merge is single-reducer: widest non-LSH variance
     "percentiles_lineitem",
+    "winsorize_lineitem",
+    # two-pass global rank: range-exchange sampling adds variance
+    "balanced_shards_documents",
     "minhash_candidates_documents",
     "simhash_documents",
     "jaccard_pairs_documents",

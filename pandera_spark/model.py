@@ -35,7 +35,15 @@ _FIELD_KWARGS = {
 
 class FieldInfo:
     """Metadata carrier produced by :func:`Field`
-    (reference api/dataframe/model_components.py:60-111)."""
+    (reference api/dataframe/model_components.py:60-111).
+
+    Also a descriptor: class-level access on a DataFrameModel resolves
+    to the COLUMN NAME string (``Lineitem.l_orderkey == "l_orderkey"``,
+    alias-aware) so models double as typo-safe column references in
+    expressions — the reference behavior its mypy plugin types as
+    ``str`` (reference mypy.py:set_field_type_to_str).  Schema
+    construction reads the raw FieldInfo via ``inspect.getattr_static``.
+    """
 
     def __init__(self, *, checks: list[Check], **kwargs: Any):
         self.checks = checks
@@ -49,6 +57,15 @@ class FieldInfo:
         self.title = kwargs.get("title")
         self.description = kwargs.get("description")
         self.metadata = kwargs.get("metadata")
+        self._field_name: Optional[str] = None
+
+    def __set_name__(self, owner, name: str) -> None:
+        self._field_name = name
+
+    def __get__(self, obj, objtype=None):
+        if self._field_name is None:
+            return self  # unbound (not assigned in a class body)
+        return self.alias or self._field_name
 
 
 def Field(**kwargs: Any) -> FieldInfo:
@@ -170,7 +187,12 @@ class DataFrameModel:
         try:
             hints = get_type_hints(cls)
         except Exception:
-            hints = dict(getattr(cls, "__annotations__", {}))
+            # dtype-alias annotations ("bigint") are not resolvable
+            # forward refs; collect raw annotations across the MRO
+            # (base first, like get_type_hints does)
+            hints = {}
+            for klass in reversed(cls.__mro__):
+                hints.update(getattr(klass, "__annotations__", {}))
 
         base_annotations = set(getattr(DataFrameModel, "__annotations__", {}))
         columns: dict[str, Column] = {}
@@ -179,8 +201,13 @@ class DataFrameModel:
                 continue
             if "ClassVar" in str(anno):
                 continue
-            field: Optional[FieldInfo] = getattr(cls, fname, None)
-            if field is not None and not isinstance(field, FieldInfo):
+            # static lookup: plain getattr would trigger the FieldInfo
+            # descriptor and hand back the column-name string
+            field_attr = inspect.getattr_static(cls, fname, None)
+            field: Optional[FieldInfo] = (
+                field_attr if isinstance(field_attr, FieldInfo) else None
+            )
+            if field_attr is not None and field is None:
                 continue  # plain class attr, not a field
             if isinstance(anno, str):
                 dtype_spec: Any = anno

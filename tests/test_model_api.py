@@ -795,3 +795,61 @@ def test_schema_compare_diff(spark):
     # identity diff is empty everywhere
     clean = a.compare(a)
     assert all(not v for v in clean.values())
+
+
+def test_model_field_attrs_resolve_to_column_names(spark):
+    """Class-level field access returns the column name (alias-aware):
+    the runtime counterpart of the mypy plugin typing fields as str
+    (reference mypy.py:set_field_type_to_str)."""
+    from pyspark.sql import functions as F
+
+    from pandera_spark import Check, DataFrameModel, Field
+
+    class M(DataFrameModel):
+        a: "bigint" = Field(gt=0, nullable=False)
+        renamed: "string" = Field(alias="b")
+
+    assert M.a == "a"
+    assert M.renamed == "b"  # alias wins
+    # usable directly in expressions
+    df = spark.createDataFrame([(1, "x")], "a bigint, b string")
+    assert df.select(F.col(M.a)).columns == ["a"]
+    # schema construction still sees the FieldInfo, not the string
+    sch = M.to_schema()
+    assert set(sch.columns) == {"a", "b"}
+    assert sch.columns["a"].checks and not sch.columns["a"].nullable
+
+
+def test_model_field_attrs_inherit(spark):
+    from pandera_spark import DataFrameModel, Field
+
+    class Base(DataFrameModel):
+        x: "int" = Field(ge=0)
+
+    class Child(Base):
+        y: "string" = Field()
+
+    assert Child.x == "x" and Child.y == "y"
+    assert set(Child.to_schema().columns) == {"x", "y"}
+
+
+def test_mypy_plugin_types_fields_as_str(tmp_path):
+    """End-to-end mypy run: reveal_type on a model field must be str.
+    Skips when mypy is absent (not shipped in this container — the
+    plugin is only ever imported BY mypy)."""
+    mypy_api = pytest.importorskip("mypy.api")
+
+    cfg = tmp_path / "mypy.ini"
+    cfg.write_text("[mypy]\nplugins = pandera_spark.mypy\n"
+                   "ignore_missing_imports = True\n")
+    src = tmp_path / "snippet.py"
+    src.write_text(
+        "from pandera_spark import DataFrameModel, Field\n"
+        "class M(DataFrameModel):\n"
+        "    a: 'bigint' = Field(gt=0)\n"
+        "reveal_type(M.a)\n"
+    )
+    out, _, _ = mypy_api.run(
+        ["--config-file", str(cfg), str(src)]
+    )
+    assert 'Revealed type is "builtins.str"' in out, out
