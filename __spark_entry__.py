@@ -3370,6 +3370,166 @@ FROM lineitem""")
     return " UNION ALL ".join(parts)
 
 
+# --- equi-depth sketch binning + embedding linear algebra -------------------
+
+
+def q_sketchbins_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartile binning of doc length (curriculum/PSI edges)
+    via operators/numeric.py:sketch_bins — interior edges from ONE
+    percentile agg broadcast into a pure bucketing projection (no
+    window, no per-score state; the continuous-score scale path next to
+    curation.ntile_bins/cdf_bins).  Contract uses exact=True edges so
+    DuckDB can replay them with quantile_cont; production default is
+    the mergeable GK sketch."""
+    from pandera_spark.operators.numeric import sketch_bins
+
+    docs = _load(spark, sf_dir, "documents")
+    b = sketch_bins(docs, "n_chars", 4, exact=True)
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("bin")
+    )
+
+
+_SKETCHBINS_ORACLE = """
+WITH e AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS e1,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.50) AS e2,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS e3
+  FROM documents
+),
+b AS (
+  SELECT n_chars,
+         1 + (CASE WHEN e1 < CAST(n_chars AS DOUBLE) THEN 1 ELSE 0 END)
+           + (CASE WHEN e2 < CAST(n_chars AS DOUBLE) THEN 1 ELSE 0 END)
+           + (CASE WHEN e3 < CAST(n_chars AS DOUBLE) THEN 1 ELSE 0 END)
+           AS bin
+  FROM documents, e
+)
+SELECT CAST(bin AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+_DIMSTAT_DIMS = list(range(8))
+_DIMCORR_PAIRS = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+
+
+def q_dimstats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std screen for the first 8 embedding
+    dimensions in ONE mergeable agg (operators/linalg.py:dim_stats) —
+    the drift dashboard for embedding corpora."""
+    from pandera_spark.operators.linalg import dim_stats
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = dim_stats(emb, "embedding", _DIMSTAT_DIMS)
+    return out.select(
+        "dim",
+        F.round("mean", 6).alias("mean_r"),
+        F.round("std", 6).alias("std_r"),
+    )
+
+
+def _dimstats_oracle() -> str:
+    parts = []
+    for i in _DIMSTAT_DIMS:
+        parts.append(f"""
+SELECT {i} AS dim,
+       ROUND(AVG(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS mean_r,
+       ROUND(STDDEV_SAMP(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS std_r
+FROM embeddings""")
+    return " UNION ALL ".join(parts)
+
+
+def q_dimcorr_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of embedding dimensions (the
+    multicollinearity screen that motivates whitening) in ONE agg —
+    ANSI-safe try_divide co-moment form
+    (operators/linalg.py:dim_corr)."""
+    from pandera_spark.operators.linalg import dim_corr
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = dim_corr(emb, "embedding", _DIMCORR_PAIRS)
+    return out.select(
+        "dim_a", "dim_b", F.round("corr", 6).alias("corr_r")
+    )
+
+
+def _dimcorr_oracle() -> str:
+    parts = []
+    for i, j in _DIMCORR_PAIRS:
+        parts.append(f"""
+SELECT {i} AS dim_a, {j} AS dim_b,
+       ROUND(CORR(CAST(embedding[{i + 1}] AS DOUBLE),
+                  CAST(embedding[{j + 1}] AS DOUBLE)), 6) AS corr_r
+FROM embeddings""")
+    return " UNION ALL ".join(parts)
+
+
+def q_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitening certified two ways (operators/linalg.py): the
+    eigenvalue TRACE identity (Σλ = Σ per-dim var_samp — replayed
+    exactly by DuckDB over all 64 dims) and the whitening property
+    (unit per-component variance, zero pairwise correlation among the
+    first 8 components — verified in ONE Spark agg over the projected
+    output; the oracle asserts the booleans).  Fit is two distributed
+    BLAS passes; only the 64x64 matrix reaches the driver; the
+    transform is a pure zip_with projection."""
+    from pandera_spark.operators.linalg import fit_pca, whiten
+
+    emb = _load(spark, sf_dir, "embeddings")
+    mean, lam, vecs = fit_pca(emb, "embedding", 64)
+    w = whiten(emb, "embedding", mean, lam, vecs)
+    var_checks = [
+        F.var_samp(F.col("white").getItem(k)).alias(f"__v_{k}")
+        for k in range(8)
+    ]
+    corr_checks = [
+        F.corr(
+            F.col("white").getItem(i), F.col("white").getItem(j)
+        ).alias(f"__c_{i}_{j}")
+        for i in range(4)
+        for j in range(i + 1, 4)
+    ]
+    agg = w.agg(F.count(F.lit(1)).alias("__n"), *var_checks, *corr_checks)
+    vars_unit = None
+    for k in range(8):
+        cond = F.abs(F.col(f"__v_{k}") - 1.0) < 1e-3
+        vars_unit = cond if vars_unit is None else (vars_unit & cond)
+    corrs_zero = None
+    for i in range(4):
+        for j in range(i + 1, 4):
+            cond = F.abs(F.col(f"__c_{i}_{j}")) < 1e-3
+            corrs_zero = (
+                cond if corrs_zero is None else (corrs_zero & cond)
+            )
+    return agg.select(
+        F.col("__n").cast("long").alias("n_rows"),
+        F.lit(round(float(lam.sum()), 6)).alias("trace_r"),
+        vars_unit.alias("vars_unit"),
+        corrs_zero.alias("corrs_zero"),
+    )
+
+
+def _whiten_oracle() -> str:
+    trace = " + ".join(
+        f"VAR_SAMP(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(64)
+    )
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND({trace}, 6) AS trace_r,
+       TRUE AS vars_unit, TRUE AS corrs_zero
+FROM embeddings
+"""
+
+
 def q_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column diversity screen: Shannon entropy + cardinality of the
     lang and source columns in ONE melt shuffle
@@ -5183,6 +5343,9 @@ _R6_DRIVER_WINDOW = [
     "percentiles_lineitem", "winsorize_lineitem",
     # new in r6: the approx default certified against its own semantics
     "approx_percentiles_lineitem",
+    # new in r6: sketch binning + embedding linear-algebra tier
+    "sketchbins_documents", "dimstats_embeddings",
+    "dimcorr_embeddings", "whiten_embeddings",
 ]
 
 
@@ -5272,6 +5435,10 @@ def _queries_unordered() -> dict[
         "topk_bigrams_documents": q_topk_bigrams_documents,
         "percentiles_lineitem": q_percentiles_lineitem,
         "approx_percentiles_lineitem": q_approx_percentiles_lineitem,
+        "sketchbins_documents": q_sketchbins_documents,
+        "dimstats_embeddings": q_dimstats_embeddings,
+        "dimcorr_embeddings": q_dimcorr_embeddings,
+        "whiten_embeddings": q_whiten_embeddings,
         "source_profile_documents": q_source_profile_documents,
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
@@ -5619,6 +5786,10 @@ FROM ranked WHERE rank <= 5
         "topk_bigrams_documents": _TOPK_BIGRAMS_ORACLE,
         "percentiles_lineitem": _PERCENTILES_ORACLE,
         "approx_percentiles_lineitem": _approx_percentiles_oracle(),
+        "sketchbins_documents": _SKETCHBINS_ORACLE,
+        "dimstats_embeddings": _dimstats_oracle(),
+        "dimcorr_embeddings": _dimcorr_oracle(),
+        "whiten_embeddings": _whiten_oracle(),
         "source_profile_documents": _source_profile_oracle(),
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),

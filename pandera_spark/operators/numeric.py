@@ -53,6 +53,7 @@ __all__ = [
     "winsorize",
     "winsorize_report",
     "correlation_matrix",
+    "sketch_bins",
 ]
 
 
@@ -226,4 +227,59 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
     return agg.select(F.explode(rows).alias("s")).select(
         "s.col_a", "s.col_b", "s.corr"
+    )
+
+
+def sketch_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    *,
+    exact: bool = False,
+    accuracy: int = 10000,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equi-depth bins for CONTINUOUS scores at scale — the third leg of
+    the binning family (``curation.ntile_bins``: exact but a global
+    single-task sort; ``curation.cdf_bins``: exact but aggregates one
+    row per DISTINCT score, fine only for low-cardinality scores).
+
+    Interior edges (quantiles at i/n_bins) come from ONE percentile
+    aggregate — the mergeable GK sketch by default (rank error ≤
+    n/``accuracy``, so bin POPULATIONS are off by at most that), the
+    exact interpolated path with ``exact=True`` — broadcast as a 1-row
+    frame; bin assignment is then a pure projection:
+    ``bin = 1 + #edges < x`` (ties with an edge go LEFT, nulls get a
+    null bin).  No window, no per-score state — survives any corpus
+    width.  The typical uses: perplexity/quality bucketing for
+    curriculum mixing, and equi-depth histogram edges for drift PSI.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    v = F.col(col).cast("double")
+    if probs:
+        parr = F.array(*[F.lit(p) for p in probs])
+        q = (
+            F.percentile(v, parr)
+            if exact
+            else F.approx_percentile(v, parr, F.lit(int(accuracy)))
+        )
+        edges = F.broadcast(df.agg(q.alias("__edges")))
+        binned = df.crossJoin(edges).withColumn(
+            out_col,
+            F.when(
+                v.isNotNull(),
+                F.lit(1)
+                + F.aggregate(
+                    F.col("__edges"),
+                    F.lit(0),
+                    lambda acc, e: acc
+                    + F.when(e < v, F.lit(1)).otherwise(F.lit(0)),
+                ),
+            ).cast("int"),
+        )
+        return binned.drop("__edges")
+    return df.withColumn(
+        out_col, F.when(v.isNotNull(), F.lit(1)).cast("int")
     )

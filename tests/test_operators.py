@@ -4184,3 +4184,94 @@ def test_funnel_conversion_window(spark):
             for r in funnel(df, "user_id", "et", "ts",
                             ["view", "buy"]).collect()}
     assert out2 == {1: 2, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# sketch binning + embedding linear algebra
+
+
+def test_sketch_bins_known_values(spark):
+    from pandera_spark.operators.numeric import sketch_bins
+
+    df = spark.range(1, 1001).select(F.col("id").cast("double").alias("v"))
+    out = sketch_bins(df, "v", 4, exact=True)
+    counts = {r.bin: r["count"] for r in out.groupBy("bin").count().collect()}
+    assert counts == {1: 250, 2: 250, 3: 250, 4: 250}
+    # the sketch default lands within its rank-error bound of equal depth
+    approx = sketch_bins(df, "v", 4)
+    ac = {r.bin: r["count"] for r in approx.groupBy("bin").count().collect()}
+    assert set(ac) == {1, 2, 3, 4}
+    assert all(abs(c - 250) <= 1000 / 10000 + 2 for c in ac.values())
+    # nulls get a null bin; n_bins=1 is the identity bucket
+    nl = spark.createDataFrame([(None,), (5.0,)], "v double")
+    rows = {r.v: r.bin for r in sketch_bins(nl, "v", 1).collect()}
+    assert rows[5.0] == 1 and rows[None] is None
+    with pytest.raises(ValueError):
+        sketch_bins(df, "v", 0)
+
+
+def test_sketch_bins_tie_goes_left(spark):
+    from pandera_spark.operators.numeric import sketch_bins
+
+    # edges of 1,2,3,4 at (1/2) exact = 2.5; all-tied values stay in
+    # ONE bin (bin = 1 + #edges strictly below the value)
+    df = spark.createDataFrame([(2.0,)] * 4 + [(3.0,)] * 4, "v double")
+    out = {r.v: r.bin for r in sketch_bins(df, "v", 2, exact=True).collect()}
+    assert out[2.0] == 1 and out[3.0] == 2
+
+
+def test_dim_stats_and_corr_known_values(spark):
+    from pandera_spark.operators.linalg import dim_corr, dim_stats
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0],), ([2.0, 4.0],), ([3.0, 6.0],)],
+        "e array<double>",
+    )
+    st = {r.dim: r for r in dim_stats(df, "e", [0, 1]).collect()}
+    assert st[0].mean == pytest.approx(2.0)
+    assert st[0].std == pytest.approx(1.0)
+    assert st[1].mean == pytest.approx(4.0)
+    c = dim_corr(df, "e", [(0, 1)]).first()
+    assert c.corr == pytest.approx(1.0)  # perfectly correlated
+    # zero-variance dim: ANSI-safe null, not DIVIDE_BY_ZERO
+    z = spark.createDataFrame(
+        [([1.0, 5.0],), ([2.0, 5.0],)], "e array<double>"
+    )
+    assert dim_corr(z, "e", [(0, 1)]).first().corr is None
+
+
+def test_whiten_identity_covariance(spark):
+    import numpy as np
+
+    from pandera_spark.operators.linalg import fit_pca, pca_transform, whiten
+
+    rng = np.random.default_rng(7)
+    # correlated 6-dim data
+    a = rng.normal(size=(400, 3))
+    x = np.hstack([a, a @ rng.normal(size=(3, 3)) + 0.1 * rng.normal(size=(400, 3))])
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in x], "e array<double>"
+    )
+    mean, lam, vecs = fit_pca(df, "e", 6)
+    assert lam.sum() == pytest.approx(np.trace(np.cov(x.T)), rel=1e-6)
+    w = whiten(df, "e", mean, lam, vecs)
+    xw = np.array([r.white for r in w.collect()])
+    cw = np.cov(xw.T)
+    assert np.allclose(np.diag(cw), 1.0, atol=1e-3)
+    off = cw - np.diag(np.diag(cw))
+    assert np.abs(off).max() < 1e-3
+    # top-k projection preserves the leading variance
+    p = pca_transform(df, "e", mean, vecs, k=2)
+    xp = np.array([r.pca for r in p.collect()])
+    assert np.var(xp[:, 0], ddof=1) == pytest.approx(lam[0], rel=1e-6)
+    # nulls pass through
+    nl = spark.createDataFrame([(None,)], "e array<double>")
+    assert whiten(nl, "e", mean, lam, vecs).first().white is None
+
+
+def test_fit_pca_dim_mismatch_raises(spark):
+    from pandera_spark.operators.linalg import fit_pca
+
+    df = spark.createDataFrame([([1.0, 2.0],)], "e array<double>")
+    with pytest.raises(ValueError):
+        fit_pca(df, "e", 3)

@@ -39,6 +39,7 @@ ALLOWED_BNLJ = {
     "jaccard_pairs_documents",   # minhash signature constants frame
     "containment_pairs_documents",
     "winsorize_lineitem",        # 1-row exact-percentile bounds
+    "sketchbins_documents",      # 1-row quantile-edges frame
     "drift_events", "ks_events", "psi_documents",
     "psi_timeline_events",       # 1-row totals frames
     "lmscore_documents",         # 1-row (N, V) totals
