@@ -2066,10 +2066,14 @@ SELECT 'l_discount',
 _APPROX_PCT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 _APPROX_PCT_PROBS = (0.5, 0.9, 0.99)
 _APPROX_PCT_ACC = 10000  # GK sketch accuracy: rank error <= n/accuracy
-# bracket probes at p -/+ 2/accuracy: twice the sketch's guaranteed rank
-# error, so percentile_disc(p-tol) <= sketch value <= percentile_disc(p+tol)
-# whenever n/accuracy >= 1 (n=60k at sf0.01)
-_APPROX_PCT_TOL = 2.0 / _APPROX_PCT_ACC
+# bracket probes at p -/+ 4/accuracy: the sketch value's rank is within
+# n/accuracy of target, and the INTERPOLATED percentile at p -/+ 4/accuracy
+# lies beyond that rank window whenever n/accuracy >= 2 (n=60k at sf0.01,
+# so the margin is ~18 ranks) — percentile_cont(p-tol) <= sketch value <=
+# percentile_cont(p+tol).  Cont probes (not disc) so ALL probes for a
+# column ride ONE percentile aggregate (an array of probabilities) instead
+# of 6 separate single-reducer disc aggregates.
+_APPROX_PCT_TOL = 4.0 / _APPROX_PCT_ACC
 
 
 def q_approx_percentiles_lineitem(
@@ -2078,18 +2082,24 @@ def q_approx_percentiles_lineitem(
     """Certifies the DEFAULT approx-percentile path against its own
     semantics (operators/numeric.py design note): the Greenwald-Khanna
     sketch returns an actual data value whose rank is within
-    n/accuracy of the target — never percentile_cont interpolation —
-    so the oracle brackets each sketch value between exact
-    ``percentile_disc`` probes at p -/+ 2/accuracy instead of
-    replaying quantile_cont.  One agg job computes the sketch AND the
-    bracket probes (exact disc probes are certification-only scale:
-    the production path is the sketch alone).  Output per (col, prob):
-    the engine-comparable bracket values plus the within-bracket
-    verdict; DuckDB recomputes the brackets with quantile_disc
-    (conventions verified identical) and asserts TRUE."""
+    n/accuracy of the target — never percentile_cont interpolation at
+    p itself — so the oracle brackets each sketch value between exact
+    interpolated probes at p -/+ 4/accuracy (beyond the rank-error
+    window, see _APPROX_PCT_TOL note) instead of replaying
+    quantile_cont(p).  One agg job computes the sketch AND all bracket
+    probes (one percentile array per column; the exact probes are
+    certification-only — the production path is the sketch alone).
+    Output per (col, prob): the engine-comparable bracket values plus
+    the within-bracket verdict; DuckDB recomputes the brackets with
+    quantile_cont and asserts TRUE."""
     from pandera_spark.inference import numeric_percentiles  # noqa: F401
 
     li = _load(spark, sf_dir, "lineitem")
+    probe_ps = [
+        p + s * _APPROX_PCT_TOL
+        for p in _APPROX_PCT_PROBS
+        for s in (-1, 1)
+    ]
     aggs = []
     for c in _APPROX_PCT_COLS:
         v = F.col(c).cast("double")
@@ -2100,33 +2110,23 @@ def q_approx_percentiles_lineitem(
                 F.lit(_APPROX_PCT_ACC),
             ).alias(f"__a_{c}")
         )
-        for p in _APPROX_PCT_PROBS:
-            lo_p, hi_p = p - _APPROX_PCT_TOL, p + _APPROX_PCT_TOL
-            aggs.append(
-                F.expr(
-                    f"percentile_disc({lo_p!r}) WITHIN GROUP "
-                    f"(ORDER BY cast({c} as double))"
-                ).alias(f"__lo_{c}_{int(p * 100)}")
-            )
-            aggs.append(
-                F.expr(
-                    f"percentile_disc({hi_p!r}) WITHIN GROUP "
-                    f"(ORDER BY cast({c} as double))"
-                ).alias(f"__hi_{c}_{int(p * 100)}")
-            )
+        aggs.append(
+            F.percentile(
+                v, F.array(*[F.lit(p) for p in probe_ps])
+            ).alias(f"__probe_{c}")
+        )
     one = li.agg(*aggs)
     rows = F.array(
         *[
             F.struct(
                 F.lit(c).alias("col_name"),
                 F.lit(f"p{int(p * 100)}").alias("prob"),
-                F.round(F.col(f"__lo_{c}_{int(p * 100)}"), 6).alias("lo_r"),
-                F.round(F.col(f"__hi_{c}_{int(p * 100)}"), 6).alias("hi_r"),
+                F.round(F.col(f"__probe_{c}")[2 * i], 6).alias("lo_r"),
+                F.round(F.col(f"__probe_{c}")[2 * i + 1], 6).alias("hi_r"),
                 (
-                    (F.col(f"__a_{c}")[i]
-                     >= F.col(f"__lo_{c}_{int(p * 100)}"))
+                    (F.col(f"__a_{c}")[i] >= F.col(f"__probe_{c}")[2 * i])
                     & (F.col(f"__a_{c}")[i]
-                       <= F.col(f"__hi_{c}_{int(p * 100)}"))
+                       <= F.col(f"__probe_{c}")[2 * i + 1])
                 ).alias("within_bracket"),
             )
             for c in _APPROX_PCT_COLS
@@ -2145,8 +2145,8 @@ def _approx_percentiles_oracle() -> str:
             lo_p, hi_p = p - _APPROX_PCT_TOL, p + _APPROX_PCT_TOL
             parts.append(f"""
 SELECT '{c}' AS col_name, 'p{int(p * 100)}' AS prob,
-       ROUND(quantile_disc(CAST({c} AS DOUBLE), {lo_p!r}), 6) AS lo_r,
-       ROUND(quantile_disc(CAST({c} AS DOUBLE), {hi_p!r}), 6) AS hi_r,
+       ROUND(quantile_cont(CAST({c} AS DOUBLE), {lo_p!r}), 6) AS lo_r,
+       ROUND(quantile_cont(CAST({c} AS DOUBLE), {hi_p!r}), 6) AS hi_r,
        TRUE AS within_bracket
 FROM lineitem""")
     return " UNION ALL ".join(parts)

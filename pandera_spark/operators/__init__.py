@@ -51,9 +51,11 @@ from .drift import (
     psi_timeline,
 )
 from .multimodal import audio_fingerprint, perceptual_hash, phash_near_dups
+from .linalg import dim_corr, dim_stats, fit_pca, pca_transform, whiten
 from .numeric import (
     correlation_matrix,
     percentile_bounds,
+    sketch_bins,
     winsorize,
     winsorize_report,
 )

@@ -232,12 +232,12 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 
 def sketch_bins(
     df: DataFrame,
-    col: str,
+    col: "str | Sequence[str]",
     n_bins: int,
     *,
     exact: bool = False,
     accuracy: int = 10000,
-    out_col: str = "bin",
+    out_col: Optional[str] = None,
 ) -> DataFrame:
     """Equi-depth bins for CONTINUOUS scores at scale — the third leg of
     the binning family (``curation.ntile_bins``: exact but a global
@@ -245,41 +245,71 @@ def sketch_bins(
     row per DISTINCT score, fine only for low-cardinality scores).
 
     Interior edges (quantiles at i/n_bins) come from ONE percentile
-    aggregate — the mergeable GK sketch by default (rank error ≤
-    n/``accuracy``, so bin POPULATIONS are off by at most that), the
-    exact interpolated path with ``exact=True`` — broadcast as a 1-row
-    frame; bin assignment is then a pure projection:
-    ``bin = 1 + #edges < x`` (ties with an edge go LEFT, nulls get a
-    null bin).  No window, no per-score state — survives any corpus
-    width.  The typical uses: perplexity/quality bucketing for
-    curriculum mixing, and equi-depth histogram edges for drift PSI.
+    aggregate — for EVERY listed column at once when ``col`` is a list
+    (the module's one-job-for-all-columns shape) — the mergeable GK
+    sketch by default (rank error ≤ n/``accuracy``, so bin POPULATIONS
+    are off by at most that), the exact interpolated path with
+    ``exact=True`` — broadcast as a 1-row frame; bin assignment is then
+    a pure projection: ``bin = 1 + #edges < x`` (ties with an edge go
+    LEFT, nulls get a null bin).  No window, no per-score state —
+    survives any corpus width.  The typical uses: perplexity/quality
+    bucketing for curriculum mixing, and equi-depth histogram edges for
+    drift PSI.
+
+    ``out_col`` names the single output column (default ``"bin"``) when
+    one column is binned; with several, outputs are ``<col>_bin`` and
+    ``out_col`` must stay None.
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    cols = [col] if isinstance(col, str) else list(col)
+    if len(cols) != 1 and out_col is not None:
+        raise ValueError("out_col only applies to single-column binning")
+    outs = (
+        [out_col or "bin"]
+        if len(cols) == 1
+        else [f"{c}_bin" for c in cols]
+    )
     probs = [i / n_bins for i in range(1, n_bins)]
-    v = F.col(col).cast("double")
-    if probs:
-        parr = F.array(*[F.lit(p) for p in probs])
-        q = (
+    if not probs:
+        for c, oc in zip(cols, outs):
+            df = df.withColumn(
+                oc,
+                F.when(F.col(c).isNotNull(), F.lit(1)).cast("int"),
+            )
+        return df
+    parr = F.array(*[F.lit(p) for p in probs])
+
+    def q(c: str):
+        v = F.col(c).cast("double")
+        return (
             F.percentile(v, parr)
             if exact
             else F.approx_percentile(v, parr, F.lit(int(accuracy)))
         )
-        edges = F.broadcast(df.agg(q.alias("__edges")))
-        binned = df.crossJoin(edges).withColumn(
-            out_col,
+
+    edges = F.broadcast(
+        df.agg(*[q(c).alias(f"__edges_{c}") for c in cols])
+    )
+
+    def _below(v):
+        # close over v: a default-arg lambda would change the arity
+        # pyspark infers for the HOF merge function
+        return lambda acc, e: acc + F.when(e < v, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+
+    binned = df.crossJoin(edges)
+    for c, oc in zip(cols, outs):
+        v = F.col(c).cast("double")
+        binned = binned.withColumn(
+            oc,
             F.when(
                 v.isNotNull(),
                 F.lit(1)
                 + F.aggregate(
-                    F.col("__edges"),
-                    F.lit(0),
-                    lambda acc, e: acc
-                    + F.when(e < v, F.lit(1)).otherwise(F.lit(0)),
+                    F.col(f"__edges_{c}"), F.lit(0), _below(v)
                 ),
             ).cast("int"),
         )
-        return binned.drop("__edges")
-    return df.withColumn(
-        out_col, F.when(v.isNotNull(), F.lit(1)).cast("int")
-    )
+    return binned.drop(*[f"__edges_{c}" for c in cols])

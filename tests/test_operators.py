@@ -4275,3 +4275,48 @@ def test_fit_pca_dim_mismatch_raises(spark):
     df = spark.createDataFrame([([1.0, 2.0],)], "e array<double>")
     with pytest.raises(ValueError):
         fit_pca(df, "e", 3)
+
+
+def test_sketch_bins_multi_column_one_agg(spark):
+    from pandera_spark.operators.numeric import sketch_bins
+
+    df = spark.range(1, 101).select(
+        F.col("id").cast("double").alias("a"),
+        (101 - F.col("id")).cast("double").alias("b"),
+    )
+    out = sketch_bins(df, ["a", "b"], 2, exact=True)
+    assert {"a_bin", "b_bin"} <= set(out.columns)
+    r = out.where(F.col("a") == 1.0).first()
+    assert r.a_bin == 1 and r.b_bin == 2  # b is the reverse ramp
+    # all edges come from ONE aggregate: exactly one Aggregate subtree
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate [") + plan.count("Aggregate\n") >= 1
+    with pytest.raises(ValueError):
+        sketch_bins(df, ["a", "b"], 2, out_col="bin")
+
+
+def test_whiten_feeds_knn_graph(spark):
+    """Composability: whitened embeddings flow straight into the banded
+    LSH kNN graph (the intended conditioning→ANN pipeline)."""
+    import numpy as np
+
+    from pandera_spark.operators.linalg import fit_pca, whiten
+    from pandera_spark.operators.similarity import knn_graph
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(120, 16))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "doc_id bigint, e array<double>",
+    )
+    w = whiten(df, "e", *fit_pca(df, "e", 16), out_col="white")
+    g = knn_graph(
+        w.select("doc_id", F.col("white").alias("embedding")),
+        k=3, id_col="doc_id", vec_col="embedding",
+    )
+    rows = g.collect()
+    assert rows, "kNN graph is empty"
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r[0], []).append(r)
+    assert max(len(v) for v in per_src.values()) <= 3
