@@ -6,6 +6,16 @@ expressions and every data check executes in a single aggregation pass
 (see backend/runner.py), instead of one Spark action per check.
 """
 
+import os as _os
+
+# pyspark environment hygiene on import, matching the reference
+# (pandera/external_config.py:16-19): Arrow's pandas bridge warns/errors
+# on tz-naive conversions without PYARROW_IGNORE_TIMEZONE, and a
+# hostname that resolves slowly stalls local sessions without
+# SPARK_LOCAL_IP; both only set when absent, never overriding the user.
+_os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+_os.environ.setdefault("PYARROW_IGNORE_TIMEZONE", "1")
+
 from . import accessor  # noqa: F401  (registers df.pandera)
 from . import config, errors  # noqa: F401  (reference-style submodule access)
 from .checks import Check

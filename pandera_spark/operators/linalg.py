@@ -153,27 +153,69 @@ def _project(
     out_col: str,
     mean,
     rows,  # (k, d) projection matrix as a numpy array
+    method: str = "arrow",
 ) -> DataFrame:
-    """``out = P @ (x - mean)`` as a pure Column projection: per output
-    component one zip_with dot product against a broadcast literal row,
-    with the constant ``P_k·mean`` folded into an offset."""
-    comps = []
-    for k in range(rows.shape[0]):
-        wk = rows[k]
-        offset = float(wk @ mean)
-        wk_lit = F.array(*[F.lit(float(w)) for w in wk])
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(col).cast("array<double>"), wk_lit,
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
+    """``out = P @ (x - mean)``.
+
+    ``method="arrow"`` (default): one Arrow-batched pandas UDF doing a
+    BLAS matmul per batch — measured ~19x faster than the expression
+    path at d=64 (BASELINE §3.17: 0.17 s vs 3.2 s per 50k-row pass),
+    because the O(d²)-per-row dot products are interpreted
+    (non-codegen) as HOF lambdas but a single ``(X-μ)Pᵀ`` in numpy.
+    ``method="expr"``: pure Column projection (zip_with dot per output
+    component, the ``P_k·mean`` constant folded into an offset) for
+    environments where Python workers are unavailable.
+    """
+    if method == "expr":
+        comps = []
+        for k in range(rows.shape[0]):
+            wk = rows[k]
+            offset = float(wk @ mean)
+            wk_lit = F.array(*[F.lit(float(w)) for w in wk])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(col).cast("array<double>"), wk_lit,
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            comps.append(dot - F.lit(offset))
+        return df.withColumn(
+            out_col,
+            F.when(F.col(col).isNotNull(), F.array(*comps)),
         )
-        comps.append(dot - F.lit(offset))
+    if method != "arrow":
+        raise ValueError(f"method must be 'arrow' or 'expr', got {method!r}")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        (np.asarray(rows, float), np.asarray(mean, float))
+    )
+
+    def _proj_fn(s):
+        p, mu = bc.value
+        m = s.notna().to_numpy()
+        out = np.empty(len(s), dtype=object)
+        out[:] = None
+        if m.any():
+            x = np.vstack(s.to_numpy()[m])
+            y = (x - mu) @ p.T
+            rows_obj = np.empty(y.shape[0], dtype=object)
+            rows_obj[:] = list(y)
+            out[m] = rows_obj
+        return pd.Series(out)
+
+    # real annotation objects: `from __future__ import annotations` would
+    # stringify inline hints, which pandas_udf's inference rejects
+    _proj_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _proj = pandas_udf(_proj_fn, "array<double>")
+
     return df.withColumn(
-        out_col,
-        F.when(F.col(col).isNotNull(), F.array(*comps)),
+        out_col, _proj(F.col(col).cast("array<double>"))
     )
 
 
@@ -185,6 +227,7 @@ def pca_transform(
     *,
     k: Optional[int] = None,
     out_col: str = "pca",
+    method: str = "arrow",
 ) -> DataFrame:
     """Project onto the top-``k`` principal components (all when k is
     None): ``out = V_kᵀ (x - mean)``.  Null embeddings yield null."""
@@ -192,7 +235,9 @@ def pca_transform(
 
     v = np.asarray(eigvecs, dtype=float)
     kk = v.shape[1] if k is None else int(k)
-    return _project(df, col, out_col, np.asarray(mean, float), v[:, :kk].T)
+    return _project(
+        df, col, out_col, np.asarray(mean, float), v[:, :kk].T, method
+    )
 
 
 def whiten(
@@ -205,6 +250,7 @@ def whiten(
     k: Optional[int] = None,
     eps: float = 1e-9,
     out_col: str = "white",
+    method: str = "arrow",
 ) -> DataFrame:
     """PCA-whitening: ``out = diag(1/sqrt(λ+eps)) V_kᵀ (x - mean)`` —
     unit variance, zero pairwise correlation (verified by the
@@ -216,4 +262,6 @@ def whiten(
     kk = v.shape[1] if k is None else int(k)
     scale = 1.0 / np.sqrt(lam[:kk] + eps)
     rows = scale[:, None] * v[:, :kk].T
-    return _project(df, col, out_col, np.asarray(mean, float), rows)
+    return _project(
+        df, col, out_col, np.asarray(mean, float), rows, method
+    )

@@ -4320,3 +4320,26 @@ def test_whiten_feeds_knn_graph(spark):
     for r in rows:
         per_src.setdefault(r[0], []).append(r)
     assert max(len(v) for v in per_src.values()) <= 3
+
+
+def test_project_methods_agree(spark):
+    """The Arrow (BLAS matmul) and pure-expression projection paths
+    produce identical whitened vectors."""
+    import numpy as np
+
+    from pandera_spark.operators.linalg import fit_pca, whiten
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(60, 5))
+    df = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(x)],
+        "i bigint, e array<double>",
+    )
+    fit = fit_pca(df, "e", 5)
+    a = {r.i: r.white for r in whiten(df, "e", *fit).collect()}
+    b = {r.i: r.white
+         for r in whiten(df, "e", *fit, method="expr").collect()}
+    for i in a:
+        assert a[i] == pytest.approx(b[i], abs=1e-9)
+    with pytest.raises(ValueError):
+        whiten(df, "e", *fit, method="nope").collect()
