@@ -3530,6 +3530,84 @@ FROM embeddings
 """
 
 
+_CENTROID_DIMS = list(range(4))
+
+
+def q_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroids of the embedding column
+    (operators/linalg.py:group_centroids) for the first 4 dims — the
+    class-conditional drift screen.  posexplode is map-side and the
+    partial agg collapses to labels×dims rows BEFORE the one shuffle;
+    wire volume is cardinality-bounded."""
+    from pandera_spark.operators.linalg import group_centroids
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = group_centroids(emb, "embedding", "label", dims=_CENTROID_DIMS)
+    return out.select(
+        "label", "dim",
+        F.col("n").cast("long").alias("n"),
+        F.round("mean", 6).alias("mean_r"),
+    )
+
+
+def _centroids_oracle() -> str:
+    parts = []
+    for i in _CENTROID_DIMS:
+        parts.append(f"""
+SELECT label, {i} AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS mean_r
+FROM embeddings GROUP BY label""")
+    return " UNION ALL ".join(parts)
+
+
+def q_separation_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-class separability: pairwise cosine + Euclidean distance
+    of per-label centroids (operators/linalg.py:centroid_separation) —
+    near-1 centroid cosine flags labels a classifier cannot separate.
+    The centroid frame is labels×d rows; the pair join is G² rows,
+    broadcast."""
+    from pandera_spark.operators.linalg import centroid_separation
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = centroid_separation(emb, "embedding", "label")
+    return out.select(
+        "group_a", "group_b",
+        F.round("cosine", 6).alias("cosine_r"),
+        F.round("distance", 6).alias("distance_r"),
+    )
+
+
+def _separation_oracle() -> str:
+    # replay: per-label centroid of every dim (unnest with ordinality),
+    # then pairwise cosine/distance over the label pairs
+    return """
+WITH ex AS (
+  -- parallel unnests of equal-length lists align positionally
+  SELECT label,
+         unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i, AVG(CAST(x AS DOUBLE)) AS m
+  FROM ex GROUP BY label, i
+),
+pairs AS (
+  SELECT a.label AS group_a, b.label AS group_b,
+         SUM(a.m * b.m) AS dot,
+         SQRT(SUM(a.m * a.m)) AS na,
+         SQRT(SUM(b.m * b.m)) AS nb,
+         SQRT(SUM((a.m - b.m) * (a.m - b.m))) AS dist
+  FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT group_a, group_b,
+       ROUND(dot / (na * nb), 6) AS cosine_r,
+       ROUND(dist, 6) AS distance_r
+FROM pairs
+"""
+
+
 def q_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column diversity screen: Shannon entropy + cardinality of the
     lang and source columns in ONE melt shuffle
@@ -5346,6 +5424,7 @@ _R6_DRIVER_WINDOW = [
     # new in r6: sketch binning + embedding linear-algebra tier
     "sketchbins_documents", "dimstats_embeddings",
     "dimcorr_embeddings", "whiten_embeddings",
+    "centroids_embeddings", "separation_embeddings",
 ]
 
 
@@ -5439,6 +5518,8 @@ def _queries_unordered() -> dict[
         "dimstats_embeddings": q_dimstats_embeddings,
         "dimcorr_embeddings": q_dimcorr_embeddings,
         "whiten_embeddings": q_whiten_embeddings,
+        "centroids_embeddings": q_centroids_embeddings,
+        "separation_embeddings": q_separation_embeddings,
         "source_profile_documents": q_source_profile_documents,
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
@@ -5790,6 +5871,8 @@ FROM ranked WHERE rank <= 5
         "dimstats_embeddings": _dimstats_oracle(),
         "dimcorr_embeddings": _dimcorr_oracle(),
         "whiten_embeddings": _whiten_oracle(),
+        "centroids_embeddings": _centroids_oracle(),
+        "separation_embeddings": _separation_oracle(),
         "source_profile_documents": _source_profile_oracle(),
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),

@@ -51,7 +51,15 @@ from .drift import (
     psi_timeline,
 )
 from .multimodal import audio_fingerprint, perceptual_hash, phash_near_dups
-from .linalg import dim_corr, dim_stats, fit_pca, pca_transform, whiten
+from .linalg import (
+    centroid_separation,
+    dim_corr,
+    dim_stats,
+    fit_pca,
+    group_centroids,
+    pca_transform,
+    whiten,
+)
 from .numeric import (
     correlation_matrix,
     percentile_bounds,

@@ -15,9 +15,10 @@ Design for 100 TB:
   map-side mergeable, never a per-pair codegen explosion).  Only the
   d×d matrix (64×64 here) ever reaches the driver; the
   eigendecomposition of a d×d matrix is trivial there.
-- *transform* broadcasts the (k×d) projection as literals and runs as a
-  pure Column projection (``zip_with`` dot products) — no UDF, no
-  shuffle, no state.  The whitened output feeds
+- *transform* broadcasts the (k×d) projection and applies it as ONE
+  Arrow-batched BLAS matmul per batch (default; ~21× the interpreted
+  HOF alternative, kept as ``method="expr"`` for Python-worker-free
+  clusters) — no shuffle, no state.  The whitened output feeds
   :mod:`.similarity` / :mod:`.ann_ivf` directly.
 - the report helpers (:func:`dim_stats`, :func:`dim_corr`) use plain
   mergeable SQL aggregates so they are exactly replayable by an ANSI
@@ -38,6 +39,8 @@ __all__ = [
     "fit_pca",
     "pca_transform",
     "whiten",
+    "group_centroids",
+    "centroid_separation",
 ]
 
 
@@ -264,4 +267,98 @@ def whiten(
     rows = scale[:, None] * v[:, :kk].T
     return _project(
         df, col, out_col, np.asarray(mean, float), rows, method
+    )
+
+
+def group_centroids(
+    df: DataFrame,
+    col: str,
+    by: str,
+    *,
+    dims: Optional[Sequence[int]] = None,
+) -> DataFrame:
+    """Per-group element-wise centroid of an array column, long-format
+    ``(group, dim, n, mean)`` — the class-conditional mean screen for
+    labeled embedding corpora (drifting/collapsed classes show up here
+    before they hurt a classifier).
+
+    Plan shape for 100 TB: ``posexplode`` is map-side; the partial
+    aggregate collapses each partition to (groups × d) rows BEFORE the
+    one shuffle, so wire volume is bounded by cardinality, never the
+    corpus.  ``dims`` restricts output (the explode is pruned by a
+    pushed ``pos`` filter); None emits all dimensions.
+    """
+    e = df.select(
+        F.col(by).alias("grp"),
+        F.posexplode(F.col(col).cast("array<double>")).alias("pos", "x"),
+    )
+    if dims is not None:
+        e = e.where(F.col("pos").isin([int(i) for i in dims]))
+    return (
+        e.groupBy("grp", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("x").alias("mean"))
+        .select(
+            F.col("grp").alias(by),
+            F.col("pos").alias("dim"),
+            "n",
+            "mean",
+        )
+    )
+
+
+def centroid_separation(df: DataFrame, col: str, by: str) -> DataFrame:
+    """Between-class separability screen: pairwise cosine similarity and
+    Euclidean distance of the per-group centroids, long-format
+    ``(group_a, group_b, cosine, distance)`` with ``group_a <
+    group_b``.  Near-1 cosine between two labels' centroids means the
+    classes are not separable in this embedding space.
+
+    The centroid frame is (groups × d) rows — aggregated as in
+    :func:`group_centroids`, then assembled to one array per group
+    (sorted by dim) and self-joined on ``group_a < group_b``; with G
+    groups that is a G²-row join of d-length arrays, trivially
+    broadcastable for any real label set.
+    """
+    cent = (
+        group_centroids(df, col, by)
+        .groupBy(by)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "mean"))
+                ),
+                lambda s: s.getField("mean"),
+            ).alias("__c")
+        )
+    )
+    a = cent.select(
+        F.col(by).alias("group_a"), F.col("__c").alias("__ca")
+    )
+    b = cent.select(
+        F.col(by).alias("group_b"), F.col("__c").alias("__cb")
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("group_a") < F.col("group_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("__ca", "__cb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, t: acc + t * t)
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("__ca", "__cb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.try_divide(dot, norm(F.col("__ca")) * norm(F.col("__cb")))
+        .alias("cosine"),
+        dist.alias("distance"),
     )

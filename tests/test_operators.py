@@ -4343,3 +4343,33 @@ def test_project_methods_agree(spark):
         assert a[i] == pytest.approx(b[i], abs=1e-9)
     with pytest.raises(ValueError):
         whiten(df, "e", *fit, method="nope").collect()
+
+
+def test_group_centroids_known_values(spark):
+    from pandera_spark.operators.linalg import (
+        centroid_separation,
+        group_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [3.0, 0.0]),
+         ("b", [0.0, 2.0]), ("b", [0.0, 4.0]),
+         ("c", [2.0, 0.0])],
+        "label string, e array<double>",
+    )
+    cent = {(r.label, r.dim): r for r in
+            group_centroids(df, "e", "label").collect()}
+    assert cent[("a", 0)].mean == pytest.approx(2.0)
+    assert cent[("a", 0)].n == 2
+    assert cent[("b", 1)].mean == pytest.approx(3.0)
+    # dims filter prunes output
+    only0 = group_centroids(df, "e", "label", dims=[0]).collect()
+    assert {r.dim for r in only0} == {0}
+    sep = {(r.group_a, r.group_b): r for r in
+           centroid_separation(df, "e", "label").collect()}
+    # a=(2,0), b=(0,3): orthogonal centroids
+    assert sep[("a", "b")].cosine == pytest.approx(0.0)
+    assert sep[("a", "b")].distance == pytest.approx((4 + 9) ** 0.5)
+    # a=(2,0), c=(2,0): identical centroids
+    assert sep[("a", "c")].cosine == pytest.approx(1.0)
+    assert sep[("a", "c")].distance == pytest.approx(0.0)

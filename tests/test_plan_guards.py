@@ -40,6 +40,8 @@ ALLOWED_BNLJ = {
     "containment_pairs_documents",
     "winsorize_lineitem",        # 1-row exact-percentile bounds
     "sketchbins_documents",      # 1-row quantile-edges frame
+    "separation_embeddings",     # G^2 label-pair cross on the tiny
+                                 # (labels x d) centroid frame, broadcast
     "drift_events", "ks_events", "psi_documents",
     "psi_timeline_events",       # 1-row totals frames
     "lmscore_documents",         # 1-row (N, V) totals
