@@ -3608,6 +3608,36 @@ FROM pairs
 """
 
 
+def q_maxpool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector pooling (operators/linalg.py:pool_embeddings, mode=max):
+    many vectors per key → one (chunk embeddings → document embedding;
+    here: per-label max-pool prototype).  Same cardinality-bounded
+    posexplode-collapse shape as group_centroids; the per-key array
+    reassembly sorts only the d-length struct list.  Output: first 4
+    pooled dims per label."""
+    from pandera_spark.operators.linalg import pool_embeddings
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = pool_embeddings(emb, "embedding", "label", mode="max")
+    return out.select(
+        "label",
+        *[
+            F.round(F.col("pooled")[i], 6).alias(f"d{i}_r")
+            for i in range(4)
+        ],
+    )
+
+
+_MAXPOOL_ORACLE = """
+SELECT label,
+       ROUND(MAX(CAST(embedding[1] AS DOUBLE)), 6) AS d0_r,
+       ROUND(MAX(CAST(embedding[2] AS DOUBLE)), 6) AS d1_r,
+       ROUND(MAX(CAST(embedding[3] AS DOUBLE)), 6) AS d2_r,
+       ROUND(MAX(CAST(embedding[4] AS DOUBLE)), 6) AS d3_r
+FROM embeddings GROUP BY label
+"""
+
+
 def q_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column diversity screen: Shannon entropy + cardinality of the
     lang and source columns in ONE melt shuffle
@@ -5425,6 +5455,7 @@ _R6_DRIVER_WINDOW = [
     "sketchbins_documents", "dimstats_embeddings",
     "dimcorr_embeddings", "whiten_embeddings",
     "centroids_embeddings", "separation_embeddings",
+    "maxpool_embeddings",
 ]
 
 
@@ -5520,6 +5551,7 @@ def _queries_unordered() -> dict[
         "whiten_embeddings": q_whiten_embeddings,
         "centroids_embeddings": q_centroids_embeddings,
         "separation_embeddings": q_separation_embeddings,
+        "maxpool_embeddings": q_maxpool_embeddings,
         "source_profile_documents": q_source_profile_documents,
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
@@ -5873,6 +5905,7 @@ FROM ranked WHERE rank <= 5
         "whiten_embeddings": _whiten_oracle(),
         "centroids_embeddings": _centroids_oracle(),
         "separation_embeddings": _separation_oracle(),
+        "maxpool_embeddings": _MAXPOOL_ORACLE,
         "source_profile_documents": _source_profile_oracle(),
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),

@@ -58,6 +58,7 @@ from .linalg import (
     fit_pca,
     group_centroids,
     pca_transform,
+    pool_embeddings,
     whiten,
 )
 from .numeric import (

@@ -41,6 +41,7 @@ __all__ = [
     "whiten",
     "group_centroids",
     "centroid_separation",
+    "pool_embeddings",
 ]
 
 
@@ -361,4 +362,43 @@ def centroid_separation(df: DataFrame, col: str, by: str) -> DataFrame:
         F.try_divide(dot, norm(F.col("__ca")) * norm(F.col("__cb")))
         .alias("cosine"),
         dist.alias("distance"),
+    )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    col: str,
+    by: str,
+    *,
+    mode: str = "mean",
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Pool many vectors per key into one — chunk embeddings → document
+    embedding (the RAG / doc-level-ANN bridge after
+    :mod:`.chunking` + embedding), or member vectors → cluster
+    prototype.  ``mode``: "mean" | "max" | "sum".
+
+    Same 100 TB shape as :func:`group_centroids`: map-side
+    ``posexplode`` + partial agg collapse to (keys × d) rows before the
+    single shuffle, then per-key reassembly (``array_sort`` on the
+    TINY d-length struct list, not a corpus sort).  Null vectors are
+    ignored; keys with only nulls drop out.
+    """
+    aggs = {"mean": F.avg, "max": F.max, "sum": F.sum}
+    if mode not in aggs:
+        raise ValueError(f"mode must be one of {sorted(aggs)}, got {mode!r}")
+    e = df.select(
+        F.col(by).alias("__k"),
+        F.posexplode(F.col(col).cast("array<double>")).alias("pos", "x"),
+    )
+    per_dim = e.groupBy("__k", "pos").agg(aggs[mode]("x").alias("v"))
+    return (
+        per_dim.groupBy("__k")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s.getField("v"),
+            ).alias(out_col)
+        )
+        .select(F.col("__k").alias(by), out_col)
     )

@@ -4373,3 +4373,25 @@ def test_group_centroids_known_values(spark):
     # a=(2,0), c=(2,0): identical centroids
     assert sep[("a", "c")].cosine == pytest.approx(1.0)
     assert sep[("a", "c")].distance == pytest.approx(0.0)
+
+
+def test_pool_embeddings_modes(spark):
+    from pandera_spark.operators.linalg import pool_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (1, [3.0, 20.0]), (2, [5.0, 5.0]),
+         (2, None)],
+        "doc bigint, e array<double>",
+    )
+    mean = {r.doc: r.pooled
+            for r in pool_embeddings(df, "e", "doc").collect()}
+    assert mean[1] == pytest.approx([2.0, 15.0])
+    assert mean[2] == pytest.approx([5.0, 5.0])  # null vector ignored
+    mx = {r.doc: r.pooled
+          for r in pool_embeddings(df, "e", "doc", mode="max").collect()}
+    assert mx[1] == pytest.approx([3.0, 20.0])
+    sm = {r.doc: r.pooled
+          for r in pool_embeddings(df, "e", "doc", mode="sum").collect()}
+    assert sm[1] == pytest.approx([4.0, 30.0])
+    with pytest.raises(ValueError):
+        pool_embeddings(df, "e", "doc", mode="median")
