@@ -3638,6 +3638,53 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_incremental_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-validation (pandera_spark/incremental.py): run the
+    per-file counter pass cold, run it AGAIN (the second pass lists
+    metadata only — zero new files, zero data scan), then produce the
+    whole-table report purely from the persisted state.  Certifies that
+    the per-file decomposition + state merge reconciles exactly with a
+    one-shot table validation (the SQL oracle replays every
+    row-resolvable check).  The 100 TB operational path: daily
+    re-validation scans only the new files."""
+    import tempfile
+
+    from pandera_spark.incremental import (
+        incremental_report,
+        validate_new_files,
+    )
+
+    schema = _validation_schema(
+        LINEITEM_CHECKS, LINEITEM_NOT_NULL, "lineitem", None
+    )
+    state = tempfile.mkdtemp(prefix="pandera_incr_") + "/state"
+    path = f"{sf_dir}/lineitem.parquet"
+    first = validate_new_files(schema, spark, path, state)
+    second = validate_new_files(schema, spark, path, state)
+    assert first["n_new"] >= 1 and second["n_new"] == 0, (first, second)
+    return incremental_report(spark, state).select(
+        "col_name",
+        F.col("check").alias("check_name"),
+        "violations",
+    )
+
+
+def _incremental_oracle() -> str:
+    selects = [
+        f"SELECT '{col}' AS col_name, '{label}' AS check_name, "
+        f"CAST(COALESCE(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END), 0) AS "
+        f"BIGINT) AS violations FROM lineitem"
+        for col, label, _chk, cond in LINEITEM_CHECKS
+    ]
+    selects += [
+        f"SELECT '{col}' AS col_name, 'not_nullable' AS check_name, "
+        f"CAST(COALESCE(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END), 0) "
+        f"AS BIGINT) AS violations FROM lineitem"
+        for col in LINEITEM_NOT_NULL
+    ]
+    return " UNION ALL ".join(selects)
+
+
 def q_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column diversity screen: Shannon entropy + cardinality of the
     lang and source columns in ONE melt shuffle
@@ -5455,7 +5502,7 @@ _R6_DRIVER_WINDOW = [
     "sketchbins_documents", "dimstats_embeddings",
     "dimcorr_embeddings", "whiten_embeddings",
     "centroids_embeddings", "separation_embeddings",
-    "maxpool_embeddings",
+    "maxpool_embeddings", "incremental_lineitem",
 ]
 
 
@@ -5552,6 +5599,7 @@ def _queries_unordered() -> dict[
         "centroids_embeddings": q_centroids_embeddings,
         "separation_embeddings": q_separation_embeddings,
         "maxpool_embeddings": q_maxpool_embeddings,
+        "incremental_lineitem": q_incremental_lineitem,
         "source_profile_documents": q_source_profile_documents,
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
@@ -5906,6 +5954,7 @@ FROM ranked WHERE rank <= 5
         "centroids_embeddings": _centroids_oracle(),
         "separation_embeddings": _separation_oracle(),
         "maxpool_embeddings": _MAXPOOL_ORACLE,
+        "incremental_lineitem": _incremental_oracle(),
         "source_profile_documents": _source_profile_oracle(),
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),

@@ -1,0 +1,99 @@
+"""Incremental re-validation: new-files-only scans + state merge."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandera_spark import Check, Column, DataFrameSchema
+from pandera_spark.incremental import (
+    incremental_report,
+    list_data_files,
+    seen_files,
+    validate_new_files,
+)
+
+
+@pytest.fixture
+def schema():
+    return DataFrameSchema(
+        {
+            "v": Column(T.LongType(), Check.ge(0), nullable=False),
+            "s": Column(T.StringType(), Check.str_length(1, 10)),
+        },
+        strict=False,
+    )
+
+
+def _write(spark, path, rows, nparts=2, mode="overwrite"):
+    spark.createDataFrame(rows, "v long, s string").repartition(
+        nparts
+    ).write.mode(mode).parquet(path)
+
+
+def test_incremental_validates_only_new_files(spark, tmp_path, schema):
+    data = str(tmp_path / "data")
+    state = str(tmp_path / "state")
+    _write(spark, data, [(1, "a"), (-2, "b"), (3, None)], nparts=2)
+
+    s1 = validate_new_files(schema, spark, data, state)
+    assert s1["n_new"] == s1["n_files"] >= 2 and s1["n_seen"] == 0
+    # idempotent second run: metadata only, nothing new
+    s2 = validate_new_files(schema, spark, data, state)
+    assert s2["n_new"] == 0 and s2["n_seen"] == s1["n_files"]
+
+    rep = {
+        (r.col_name, r.check): r.violations
+        for r in incremental_report(spark, state).collect()
+    }
+    assert rep[("v", "greater_than_or_equal_to(0)")] == 1
+    assert rep[("v", "not_nullable")] == 0
+    total_rows = {
+        r.n_rows
+        for r in incremental_report(spark, state).collect()
+    }
+    assert total_rows == {3}
+
+    # a new file arrives: only IT is validated
+    _write(spark, data, [(-5, "x")], nparts=1, mode="append")
+    s3 = validate_new_files(schema, spark, data, state)
+    assert s3["n_new"] == 1 and s3["n_seen"] == s1["n_files"]
+    rep2 = {
+        (r.col_name, r.check): r.violations
+        for r in incremental_report(spark, state).collect()
+    }
+    assert rep2[("v", "greater_than_or_equal_to(0)")] == 2
+
+    # report reconciles with a one-shot full validation
+    full = schema.validate_result(spark.read.parquet(data))
+    ge_err = [
+        e for e in full.errors
+        if "greater_than_or_equal" in (e.check or "")
+    ]
+    assert ge_err and ge_err[0].failure_cases_count == 2
+
+
+def test_incremental_retried_append_collapses(spark, tmp_path, schema):
+    data = str(tmp_path / "data")
+    state = str(tmp_path / "state")
+    _write(spark, data, [(-1, "a")], nparts=1)
+    validate_new_files(schema, spark, data, state)
+    # simulate a retried (duplicate) append of the same counters
+    dup = spark.read.parquet(state)
+    dup.write.mode("append").parquet(state)
+    rep = {
+        (r.col_name, r.check): (r.violations, r.n_rows)
+        for r in incremental_report(spark, state).collect()
+    }
+    assert rep[("v", "greater_than_or_equal_to(0)")] == (1, 1)
+
+
+def test_incremental_helpers(spark, tmp_path, schema):
+    data = str(tmp_path / "data")
+    state = str(tmp_path / "state")
+    _write(spark, data, [(1, "a")], nparts=1)
+    assert seen_files(spark, state) == set()  # no state yet
+    files = list_data_files(spark, data)
+    assert len(files) == 1 and files[0].endswith(".parquet")
+    validate_new_files(schema, spark, data, state, run_id="r1")
+    assert seen_files(spark, state) == set(files)
+    assert {r.run_id for r in spark.read.parquet(state).collect()} == {"r1"}
