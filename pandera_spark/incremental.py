@@ -40,6 +40,7 @@ __all__ = [
     "validate_new_files",
     "incremental_report",
     "seen_files",
+    "quality_ledger_foreach_batch",
 ]
 
 
@@ -129,3 +130,38 @@ def incremental_report(spark: SparkSession, state_path: str) -> DataFrame:
             F.sum("n_rows").cast("long").alias("n_rows"),
         )
     )
+
+
+def quality_ledger_foreach_batch(schema, state_path: str):
+    """Streaming counterpart: a ``foreachBatch`` function appending each
+    micro-batch's per-check violation counters to the SAME state shape
+    (``file = "batch:<id>"``), so :func:`incremental_report` answers
+    stream-lifetime quality with no replay.  Retried micro-batches
+    (at-least-once delivery) append identical counters under the same
+    key and collapse on read — the same idempotence protocol as the
+    batch path.
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(quality_ledger_foreach_batch(schema, path))
+             .start())
+    """
+    from .backend.runner import groupwise_report
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        counters = groupwise_report(
+            schema,
+            batch_df.withColumn("__file", F.lit(f"batch:{batch_id}")),
+            ["__file"],
+        ).select(
+            F.col("__file").alias("file"),
+            "col_name",
+            "check",
+            F.col("violations").cast("long").alias("violations"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.lit(None).cast("string").alias("run_id"),
+        )
+        counters.write.mode("append").parquet(state_path)
+
+    return process

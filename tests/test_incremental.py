@@ -97,3 +97,47 @@ def test_incremental_helpers(spark, tmp_path, schema):
     validate_new_files(schema, spark, data, state, run_id="r1")
     assert seen_files(spark, state) == set(files)
     assert {r.run_id for r in spark.read.parquet(state).collect()} == {"r1"}
+
+
+def test_streaming_quality_ledger(spark, tmp_path, schema):
+    """Two micro-batches append batch-keyed counters; the report sums
+    them; a replayed batch collapses on read."""
+    import json
+
+    from pandera_spark.incremental import (
+        incremental_report,
+        quality_ledger_foreach_batch,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(
+        json.dumps({"v": v, "s": s}) for v, s in [(1, "a"), (-2, "b")]
+    ))
+    (src / "b.json").write_text("\n".join(
+        json.dumps({"v": v, "s": s}) for v, s in [(-3, "c")]
+    ))
+    state = str(tmp_path / "ledger")
+    fn = quality_ledger_foreach_batch(schema, state)
+    stream = spark.readStream.schema("v long, s string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = stream.writeStream.foreachBatch(fn).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    rep = {
+        (r.col_name, r.check): (r.violations, r.n_rows)
+        for r in incremental_report(spark, state).collect()
+    }
+    assert rep[("v", "greater_than_or_equal_to(0)")] == (2, 3)
+    files = {r.file for r in spark.read.parquet(state).collect()}
+    assert files == {"batch:0", "batch:1"}
+    # at-least-once retry: replay batch 1's counters verbatim
+    batch1 = spark.read.parquet(state).where(F.col("file") == "batch:1")
+    batch1.write.mode("append").parquet(state)
+    rep2 = {
+        (r.col_name, r.check): (r.violations, r.n_rows)
+        for r in incremental_report(spark, state).collect()
+    }
+    assert rep2 == rep
