@@ -3685,6 +3685,72 @@ def _incremental_oracle() -> str:
     return " UNION ALL ".join(selects)
 
 
+_SAMPLE_FRACTION = 0.1
+_SAMPLE_Z = 1.959964
+
+
+def q_sample_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical validation (inference.validate_sample): every
+    row-resolvable check over a DETERMINISTIC 10% md5-hash sample, with
+    Wilson-CI violation-rate estimates — the screening pass when even
+    one full scan is too expensive.  The oracle replays the identical
+    hash membership (_HEXFOLD), counters, and interval arithmetic."""
+    from pandera_spark.inference import validate_sample
+
+    df = _load(spark, sf_dir, "lineitem")
+    schema = _validation_schema(
+        LINEITEM_CHECKS, LINEITEM_NOT_NULL, "lineitem", None
+    )
+    rep = validate_sample(
+        schema, df, ["l_orderkey", "l_linenumber"],
+        fraction=_SAMPLE_FRACTION, z=_SAMPLE_Z,
+    )
+    return rep.select(
+        "col_name",
+        F.col("check").alias("check_name"),
+        "sample_rows",
+        "violations",
+        F.round("ci_lo", 6).alias("ci_lo_r"),
+        F.round("ci_hi", 6).alias("ci_hi_r"),
+    )
+
+
+def _sample_validate_oracle() -> str:
+    threshold = int(_SAMPLE_FRACTION * (1 << 28))
+    key = _HEXFOLD.format(
+        e="concat_ws('|', CAST(l_orderkey AS VARCHAR), "
+          "CAST(l_linenumber AS VARCHAR))"
+    )
+    z, z2 = _SAMPLE_Z, _SAMPLE_Z * _SAMPLE_Z
+    rows = [
+        f"SELECT '{col}' AS col_name, '{label}' AS check_name, "
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE) AS v "
+        f"FROM s"
+        for col, label, _chk, cond in LINEITEM_CHECKS
+    ] + [
+        f"SELECT '{col}', 'not_nullable', "
+        f"CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) "
+        f"FROM s"
+        for col in LINEITEM_NOT_NULL
+    ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH s AS (SELECT * FROM lineitem WHERE {key} < {threshold}),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM s),
+c AS ({union})
+SELECT col_name, check_name,
+       CAST(n AS BIGINT) AS sample_rows,
+       CAST(v AS BIGINT) AS violations,
+       ROUND(GREATEST(0.0,
+         ((v/n) + {z2}/(2*n) - {z}*SQRT((v/n)*(1-(v/n))/n
+           + {z2}/(4*n*n))) / (1 + {z2}/n)), 6) AS ci_lo_r,
+       ROUND(LEAST(1.0,
+         ((v/n) + {z2}/(2*n) + {z}*SQRT((v/n)*(1-(v/n))/n
+           + {z2}/(4*n*n))) / (1 + {z2}/n)), 6) AS ci_hi_r
+FROM c, n
+"""
+
+
 def q_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column diversity screen: Shannon entropy + cardinality of the
     lang and source columns in ONE melt shuffle
@@ -5503,6 +5569,7 @@ _R6_DRIVER_WINDOW = [
     "dimcorr_embeddings", "whiten_embeddings",
     "centroids_embeddings", "separation_embeddings",
     "maxpool_embeddings", "incremental_lineitem",
+    "sample_validate_lineitem",
 ]
 
 
@@ -5600,6 +5667,7 @@ def _queries_unordered() -> dict[
         "separation_embeddings": q_separation_embeddings,
         "maxpool_embeddings": q_maxpool_embeddings,
         "incremental_lineitem": q_incremental_lineitem,
+        "sample_validate_lineitem": q_sample_validate_lineitem,
         "source_profile_documents": q_source_profile_documents,
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
@@ -5955,6 +6023,7 @@ FROM ranked WHERE rank <= 5
         "separation_embeddings": _separation_oracle(),
         "maxpool_embeddings": _MAXPOOL_ORACLE,
         "incremental_lineitem": _incremental_oracle(),
+        "sample_validate_lineitem": _sample_validate_oracle(),
         "source_profile_documents": _source_profile_oracle(),
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),

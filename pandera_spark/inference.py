@@ -264,3 +264,61 @@ def approx_profile(
     )
     flat = agg.select(F.explode(rows).alias("s"))
     return flat.select(*[f"s.{c}" for c in flat.select("s.*").columns])
+
+
+def validate_sample(
+    schema,
+    df: DataFrame,
+    key_cols: "list[str]",
+    *,
+    fraction: float = 0.01,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Statistical validation: run every row-resolvable check over a
+    DETERMINISTIC hash sample and report per-check violation-rate
+    estimates with Wilson score confidence intervals — the screening
+    pass when even one full scan of a 100 TB table is too expensive
+    (certify the sample; escalate to :func:`full validate
+    <..container.DataFrameSchema.validate>` or the incremental path
+    only when an interval crosses the budget).
+
+    Membership is the portable 28-bit md5 hash of the concatenated
+    ``key_cols`` (replayable by any engine, stable across runs and
+    partitionings — never ``df.sample``'s RNG); the sample's counters
+    come from the validator's ONE compiled aggregation pass; the CI
+    arithmetic is pure Column math on the O(checks)-row result.
+
+    Long-format result: ``(col_name, check, sample_rows, violations,
+    rate, ci_lo, ci_hi)``.
+    """
+    from .backend.runner import groupwise_report
+    from .operators.dedup import portable_hash28
+
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"need 0 < fraction <= 1, got {fraction}")
+    threshold = int(fraction * (1 << 28))
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    sample = df.where(portable_hash28(key) < F.lit(threshold))
+    rep = groupwise_report(
+        schema, sample.withColumn("__g", F.lit(1)), ["__g"]
+    )
+    n = F.col("n_rows").cast("double")
+    p = F.try_divide(F.col("violations").cast("double"), n)
+    z2 = float(z * z)
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = p + F.lit(z2) / (F.lit(2.0) * n)
+    half = F.lit(float(z)) * F.sqrt(
+        F.try_divide(p * (F.lit(1.0) - p), n)
+        + F.lit(z2) / (F.lit(4.0) * n * n)
+    )
+    return rep.select(
+        "col_name",
+        "check",
+        F.col("n_rows").cast("long").alias("sample_rows"),
+        F.col("violations").cast("long").alias("violations"),
+        p.alias("rate"),
+        F.greatest(F.lit(0.0), F.try_divide(center - half, denom))
+        .alias("ci_lo"),
+        F.least(F.lit(1.0), F.try_divide(center + half, denom))
+        .alias("ci_hi"),
+    )

@@ -141,3 +141,34 @@ def test_streaming_quality_ledger(spark, tmp_path, schema):
         for r in incremental_report(spark, state).collect()
     }
     assert rep2 == rep
+
+
+def test_validate_sample_statistics(spark, schema):
+    """Deterministic membership, exact sample counters, and a Wilson
+    interval that covers the true rate."""
+    from pandera_spark.inference import validate_sample
+
+    df = spark.createDataFrame(
+        [(i, "x" if i % 4 else None) for i in range(2000)]
+        + [(-j, "y") for j in range(1, 201)],  # 200 negative violations
+        "v long, s string",
+    )
+    rep = {
+        (r.col_name, r.check): r
+        for r in validate_sample(
+            schema, df, ["v"], fraction=0.5
+        ).collect()
+    }
+    ge = rep[("v", "greater_than_or_equal_to(0)")]
+    # ~half the rows sampled (hash uniformity), rate near 200/2200
+    assert 800 < ge.sample_rows < 1400
+    true_rate = 200 / 2200
+    assert ge.ci_lo <= true_rate <= ge.ci_hi
+    assert 0.0 <= ge.ci_lo < ge.ci_hi <= 1.0
+    assert ge.rate == pytest.approx(ge.violations / ge.sample_rows)
+    # determinism: identical membership across runs
+    rep2 = validate_sample(schema, df, ["v"], fraction=0.5).collect()
+    assert sorted((r.col_name, r.check, r.violations) for r in rep2) == \
+        sorted((k[0], k[1], v.violations) for k, v in rep.items())
+    with pytest.raises(ValueError):
+        validate_sample(schema, df, ["v"], fraction=0.0)
