@@ -41,6 +41,7 @@ __all__ = [
     "incremental_report",
     "seen_files",
     "quality_ledger_foreach_batch",
+    "validate_sample_files",
 ]
 
 
@@ -165,3 +166,52 @@ def quality_ledger_foreach_batch(schema, state_path: str):
         counters.write.mode("append").parquet(state_path)
 
     return process
+
+
+def validate_sample_files(
+    schema,
+    spark: SparkSession,
+    data_path: str,
+    *,
+    file_fraction: float = 0.1,
+    format: str = "parquet",
+    z: float = 1.959964,
+) -> DataFrame:
+    """File-level statistical screen: validate a DETERMINISTIC md5-hash
+    sample of the table's FILES — scan cost is truly proportional to
+    ``file_fraction`` (row-hash sampling still reads every row of the
+    files it filters; this tier never opens the unsampled files at
+    all).  Same output shape as
+    :func:`..inference.validate_sample` (Wilson intervals over the
+    sampled rows).
+
+    Caveat stated plainly: files are clusters, not random rows — the
+    interval is exact for the sampled rows but extrapolates to the
+    table only as far as files are exchangeable (e.g. hash-bucketed or
+    round-robin written).  For time-partitioned tables where new files
+    differ systematically, screen the NEW files instead
+    (:func:`validate_new_files`).
+    """
+    import hashlib
+
+    from .backend.runner import groupwise_report
+    from .inference import wilson_intervals
+
+    if not 0.0 < file_fraction <= 1.0:
+        raise ValueError(
+            f"need 0 < file_fraction <= 1, got {file_fraction}"
+        )
+    files = list_data_files(spark, data_path, format=format)
+    threshold = int(file_fraction * (1 << 28))
+    # the same 28-bit md5-prefix membership rule as the row-level path
+    # (operators.dedup.portable_hash28), computed driver-side over the
+    # file NAMES — O(files), no job
+    sampled = [
+        f for f in files
+        if int(hashlib.md5(f.encode()).hexdigest()[:7], 16) < threshold
+    ] or files[:1]  # degenerate tiny tables: keep at least one file
+    df = spark.read.format(format).load(sampled)
+    rep = groupwise_report(
+        schema, df.withColumn("__g", F.lit(1)), ["__g"]
+    )
+    return wilson_intervals(rep, z=z)

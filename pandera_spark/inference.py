@@ -266,6 +266,34 @@ def approx_profile(
     return flat.select(*[f"s.{c}" for c in flat.select("s.*").columns])
 
 
+def wilson_intervals(rep: DataFrame, *, z: float = 1.959964) -> DataFrame:
+    """Decorate a counter frame ``(col_name, check, violations,
+    n_rows)`` with the estimated violation rate and its Wilson score
+    interval — pure Column math over the O(checks)-row frame.  Output:
+    ``(col_name, check, sample_rows, violations, rate, ci_lo, ci_hi)``.
+    """
+    n = F.col("n_rows").cast("double")
+    p = F.try_divide(F.col("violations").cast("double"), n)
+    z2 = float(z * z)
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = p + F.lit(z2) / (F.lit(2.0) * n)
+    half = F.lit(float(z)) * F.sqrt(
+        F.try_divide(p * (F.lit(1.0) - p), n)
+        + F.lit(z2) / (F.lit(4.0) * n * n)
+    )
+    return rep.select(
+        "col_name",
+        "check",
+        F.col("n_rows").cast("long").alias("sample_rows"),
+        F.col("violations").cast("long").alias("violations"),
+        p.alias("rate"),
+        F.greatest(F.lit(0.0), F.try_divide(center - half, denom))
+        .alias("ci_lo"),
+        F.least(F.lit(1.0), F.try_divide(center + half, denom))
+        .alias("ci_hi"),
+    )
+
+
 def validate_sample(
     schema,
     df: DataFrame,
@@ -302,23 +330,4 @@ def validate_sample(
     rep = groupwise_report(
         schema, sample.withColumn("__g", F.lit(1)), ["__g"]
     )
-    n = F.col("n_rows").cast("double")
-    p = F.try_divide(F.col("violations").cast("double"), n)
-    z2 = float(z * z)
-    denom = F.lit(1.0) + F.lit(z2) / n
-    center = p + F.lit(z2) / (F.lit(2.0) * n)
-    half = F.lit(float(z)) * F.sqrt(
-        F.try_divide(p * (F.lit(1.0) - p), n)
-        + F.lit(z2) / (F.lit(4.0) * n * n)
-    )
-    return rep.select(
-        "col_name",
-        "check",
-        F.col("n_rows").cast("long").alias("sample_rows"),
-        F.col("violations").cast("long").alias("violations"),
-        p.alias("rate"),
-        F.greatest(F.lit(0.0), F.try_divide(center - half, denom))
-        .alias("ci_lo"),
-        F.least(F.lit(1.0), F.try_divide(center + half, denom))
-        .alias("ci_hi"),
-    )
+    return wilson_intervals(rep, z=z)

@@ -172,3 +172,41 @@ def test_validate_sample_statistics(spark, schema):
         sorted((k[0], k[1], v.violations) for k, v in rep.items())
     with pytest.raises(ValueError):
         validate_sample(schema, df, ["v"], fraction=0.0)
+
+
+def test_validate_sample_files(spark, tmp_path, schema):
+    from pandera_spark.incremental import (
+        list_data_files,
+        validate_sample_files,
+    )
+
+    data = str(tmp_path / "data")
+    # 20 files so a 0.5 hash-fraction picks a real subset
+    _write(spark, data,
+           [(i if i % 7 else -i, "a") for i in range(1, 400)], nparts=20)
+    rep = {
+        (r.col_name, r.check): r
+        for r in validate_sample_files(
+            schema, spark, data, file_fraction=0.5
+        ).collect()
+    }
+    ge = rep[("v", "greater_than_or_equal_to(0)")]
+    n_files = len(list_data_files(spark, data))
+    assert n_files == 20
+    assert 0 < ge.sample_rows < 399  # a strict subset of the rows
+    assert ge.ci_lo <= ge.rate <= ge.ci_hi
+    # deterministic across calls
+    rep2 = validate_sample_files(
+        schema, spark, data, file_fraction=0.5
+    ).collect()
+    assert {(r.col_name, r.check, r.violations, r.sample_rows)
+            for r in rep2} == {
+        (k[0], k[1], v.violations, v.sample_rows) for k, v in rep.items()
+    }
+    # degenerate fraction still validates at least one file
+    tiny = validate_sample_files(
+        schema, spark, data, file_fraction=1e-9
+    ).collect()
+    assert all(r.sample_rows > 0 for r in tiny)
+    with pytest.raises(ValueError):
+        validate_sample_files(schema, spark, data, file_fraction=0)
