@@ -212,9 +212,19 @@ def groupwise_report(
             for i, (colname, label, _cond, _n) in enumerate(specs)
         ]
     )
+    # reserved alias: a bare name like "s" would collide with a group
+    # column of the same name (ambiguous-reference on the second select)
     return agg.select(
-        *by, F.col("__n_rows").alias("n_rows"), F.explode(pairs).alias("s")
-    ).select(*by, "s.col_name", "s.check", "s.violations", "n_rows")
+        *by,
+        F.col("__n_rows").alias("n_rows"),
+        F.explode(pairs).alias("__pair"),
+    ).select(
+        *by,
+        "__pair.col_name",
+        "__pair.check",
+        "__pair.violations",
+        "n_rows",
+    )
 
 
 def annotate_errors(

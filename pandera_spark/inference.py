@@ -266,11 +266,17 @@ def approx_profile(
     return flat.select(*[f"s.{c}" for c in flat.select("s.*").columns])
 
 
-def wilson_intervals(rep: DataFrame, *, z: float = 1.959964) -> DataFrame:
+def wilson_intervals(
+    rep: DataFrame,
+    *,
+    z: float = 1.959964,
+    keep: "tuple[str, ...]" = (),
+) -> DataFrame:
     """Decorate a counter frame ``(col_name, check, violations,
     n_rows)`` with the estimated violation rate and its Wilson score
     interval — pure Column math over the O(checks)-row frame.  Output:
-    ``(col_name, check, sample_rows, violations, rate, ci_lo, ci_hi)``.
+    ``(*keep, col_name, check, sample_rows, violations, rate, ci_lo,
+    ci_hi)`` — ``keep`` carries extra group columns through.
     """
     n = F.col("n_rows").cast("double")
     p = F.try_divide(F.col("violations").cast("double"), n)
@@ -282,6 +288,7 @@ def wilson_intervals(rep: DataFrame, *, z: float = 1.959964) -> DataFrame:
         + F.lit(z2) / (F.lit(4.0) * n * n)
     )
     return rep.select(
+        *keep,
         "col_name",
         "check",
         F.col("n_rows").cast("long").alias("sample_rows"),
@@ -301,6 +308,7 @@ def validate_sample(
     *,
     fraction: float = 0.01,
     z: float = 1.959964,
+    by: "list[str] | None" = None,
 ) -> DataFrame:
     """Statistical validation: run every row-resolvable check over a
     DETERMINISTIC hash sample and report per-check violation-rate
@@ -317,7 +325,9 @@ def validate_sample(
     arithmetic is pure Column math on the O(checks)-row result.
 
     Long-format result: ``(col_name, check, sample_rows, violations,
-    rate, ci_lo, ci_hi)``.
+    rate, ci_lo, ci_hi)``; with ``by`` the result is per segment
+    (``(*by, ...)`` — which source / day / shard is dirty) from the
+    same single grouped aggregation.
     """
     from .backend.runner import groupwise_report
     from .operators.dedup import portable_hash28
@@ -327,6 +337,11 @@ def validate_sample(
     threshold = int(fraction * (1 << 28))
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
     sample = df.where(portable_hash28(key) < F.lit(threshold))
+    if by:
+        # per-segment screening (which source / day is dirty?) — same
+        # ONE grouped agg, one result row per (segment, check)
+        rep = groupwise_report(schema, sample, list(by))
+        return wilson_intervals(rep, z=z, keep=tuple(by))
     rep = groupwise_report(
         schema, sample.withColumn("__g", F.lit(1)), ["__g"]
     )

@@ -1558,3 +1558,65 @@ def test_nb_classifier_matches_python_replay(spark, docs):
                 best = key
         assert got[i][0] == best[1], (i, got[i], best)
         assert got[i][1] == pytest.approx(round(best[0], 6), abs=1e-5), i
+
+
+@SET
+@given(
+    data=st.lists(
+        st.floats(-1e4, 1e4, allow_nan=False), min_size=4, max_size=40
+    ),
+    k=st.integers(2, 6),
+)
+def test_sketch_bins_exact_matches_python(spark, data, k):
+    """Exact-edges sketch_bins replays as pure python: edges at
+    interpolated quantiles i/k, bin = 1 + #edges strictly below."""
+    from pandera_spark.operators.numeric import sketch_bins
+
+    df = spark.createDataFrame([(v,) for v in data], "x double")
+    got = {
+        r.x: r.bin
+        for r in sketch_bins(df, "x", k, exact=True).collect()
+    }
+    xs = sorted(data)
+    n = len(xs)
+
+    def q(p):
+        rank = p * (n - 1)
+        lo, frac = int(rank), rank - int(rank)
+        return xs[lo] if frac == 0 else (
+            xs[lo] * (1 - frac) + xs[lo + 1] * frac
+        )
+
+    edges = [q(i / k) for i in range(1, k)]
+    for v in data:
+        want = 1 + sum(1 for e in edges if e < v)
+        assert got[v] == want, (v, edges)
+
+
+@SET
+@given(
+    viol=st.integers(0, 50),
+    extra=st.integers(1, 50),
+    z=st.floats(0.5, 3.0),
+)
+def test_wilson_interval_matches_python(spark, viol, extra, z):
+    from pandera_spark.inference import wilson_intervals
+
+    n = viol + extra
+    rep = spark.createDataFrame(
+        [("c", "chk", viol, n)],
+        "col_name string, check string, violations long, n_rows long",
+    )
+    row = wilson_intervals(rep, z=z).first()
+    import math
+
+    p = viol / n
+    z2 = z * z
+    denom = 1 + z2 / n
+    center = p + z2 / (2 * n)
+    half = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    assert row.ci_lo == pytest.approx(
+        max(0.0, (center - half) / denom), abs=1e-12)
+    assert row.ci_hi == pytest.approx(
+        min(1.0, (center + half) / denom), abs=1e-12)
+    assert row.rate == pytest.approx(p)

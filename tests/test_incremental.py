@@ -210,3 +210,26 @@ def test_validate_sample_files(spark, tmp_path, schema):
     assert all(r.sample_rows > 0 for r in tiny)
     with pytest.raises(ValueError):
         validate_sample_files(schema, spark, data, file_fraction=0)
+
+
+def test_validate_sample_by_segment(spark, schema):
+    from pandera_spark.inference import validate_sample
+
+    df = spark.createDataFrame(
+        [(i, "good") for i in range(500)]
+        + [(-i, "bad") for i in range(1, 501)],
+        "v long, s string",
+    )
+    seg = {
+        (r.s, r.col_name, r.check): r
+        for r in validate_sample(
+            schema, df, ["v"], fraction=1.0, by=["s"]
+        ).collect()
+    }
+    good = seg[("good", "v", "greater_than_or_equal_to(0)")]
+    bad = seg[("bad", "v", "greater_than_or_equal_to(0)")]
+    assert good.violations == 0 and good.rate == 0.0
+    assert bad.violations == bad.sample_rows == 500
+    assert bad.rate == 1.0 and bad.ci_hi == 1.0
+    # segment rows partition the sample
+    assert good.sample_rows + bad.sample_rows == 1000
