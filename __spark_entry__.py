@@ -3751,6 +3751,100 @@ FROM c, n
 """
 
 
+def q_filestats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file min/max/null statistics index
+    (operators/filestats.py:file_stats) — the Iceberg/Delta-style
+    data-skipping manifest rebuilt over raw parquet: ONE mergeable
+    aggregation keyed by input_file_name(), after which range
+    predicates prune whole files from the index alone.  sf dirs are
+    single-file tables, so the oracle replays the one file's stats by
+    basename; multi-file pruning is pinned by the pytest suite."""
+    from pandera_spark.operators.filestats import file_stats
+
+    li = _load(spark, sf_dir, "lineitem")
+    st = file_stats(li, ["l_orderkey", "l_extendedprice"])
+    return st.select(
+        "file", "row_count",
+        "min_l_orderkey", "max_l_orderkey", "nulls_l_orderkey",
+        F.round("min_l_extendedprice", 2).alias("min_price_r"),
+        F.round("max_l_extendedprice", 2).alias("max_price_r"),
+        "nulls_l_extendedprice",
+    ).orderBy("file")
+
+
+_FILESTATS_ORACLE = """
+SELECT 'lineitem.parquet' AS file,
+       CAST(COUNT(*) AS BIGINT) AS row_count,
+       MIN(l_orderkey) AS min_l_orderkey,
+       MAX(l_orderkey) AS max_l_orderkey,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS nulls_l_orderkey,
+       ROUND(MIN(l_extendedprice), 2) AS min_price_r,
+       ROUND(MAX(l_extendedprice), 2) AS max_price_r,
+       CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS nulls_l_extendedprice
+FROM lineitem
+"""
+
+
+_HH_PHI = 0.03
+
+
+def q_heavyhitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token heavy hitters (operators/heavyhitters.py:heavy_hitters):
+    per-partition Misra-Gries summaries bound the memory, then an exact
+    second pass over candidate rows only — EXACT frequencies of every
+    token with corpus share > phi, without ever materializing the full
+    vocabulary map.  The oracle is the plain exact groupBy the sketch
+    provably reproduces (threshold compared in double on both sides)."""
+    from pandera_spark.operators.heavyhitters import heavy_hitters
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ", -1)).alias("token")
+    )
+    return heavy_hitters(toks, "token", _HH_PHI)
+
+
+_HEAVYHITTERS_ORACLE = f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t
+      WHERE token IS NOT NULL)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+       ROUND(COUNT(*) / (SELECT total FROM n), 6) AS share
+FROM t WHERE token IS NOT NULL
+GROUP BY token
+HAVING COUNT(*) > CAST({_HH_PHI} AS DOUBLE) * (SELECT total FROM n)
+ORDER BY freq DESC, token
+"""
+
+
+def q_intradedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-segment scrub
+    (operators/text.py:intra_doc_dedup, token granularity): keep each
+    document's FIRST occurrence of every repeated token, order
+    preserved — a pure higher-order-function projection (zero shuffle,
+    zero UDF; the complement of corpus_line_dedup's cross-document
+    pass).  DuckDB replays it with list_filter/list_position (1-based
+    lambda index vs Spark's 0-based)."""
+    from pandera_spark.operators.text import intra_doc_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return intra_doc_dedup(docs, delimiter=" ").orderBy("doc_id")
+
+
+_INTRADEDUP_ORACLE = """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       array_to_string(
+         list_filter(w, (x, i) -> list_position(w, x) = i), ' ') AS text,
+       CAST(len(w) AS INT) AS n_segments_before,
+       CAST(len(list_filter(w, (x, i) -> list_position(w, x) = i)) AS INT)
+         AS n_segments_after
+FROM s ORDER BY doc_id
+"""
+
+
 def q_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column diversity screen: Shannon entropy + cardinality of the
     lang and source columns in ONE melt shuffle
@@ -5570,6 +5664,10 @@ _R6_DRIVER_WINDOW = [
     "centroids_embeddings", "separation_embeddings",
     "maxpool_embeddings", "incremental_lineitem",
     "sample_validate_lineitem",
+    # new in r6 (late round): file-stats skipping index, Misra-Gries
+    # heavy hitters, intra-document segment dedup
+    "filestats_lineitem", "heavyhitters_documents",
+    "intradedup_documents",
 ]
 
 
@@ -5668,6 +5766,9 @@ def _queries_unordered() -> dict[
         "maxpool_embeddings": q_maxpool_embeddings,
         "incremental_lineitem": q_incremental_lineitem,
         "sample_validate_lineitem": q_sample_validate_lineitem,
+        "filestats_lineitem": q_filestats_lineitem,
+        "heavyhitters_documents": q_heavyhitters_documents,
+        "intradedup_documents": q_intradedup_documents,
         "source_profile_documents": q_source_profile_documents,
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
@@ -6024,6 +6125,9 @@ FROM ranked WHERE rank <= 5
         "maxpool_embeddings": _MAXPOOL_ORACLE,
         "incremental_lineitem": _incremental_oracle(),
         "sample_validate_lineitem": _sample_validate_oracle(),
+        "filestats_lineitem": _FILESTATS_ORACLE,
+        "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
+        "intradedup_documents": _INTRADEDUP_ORACLE,
         "source_profile_documents": _source_profile_oracle(),
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),

@@ -373,6 +373,54 @@ def corpus_line_dedup(
     )
 
 
+def intra_doc_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    delimiter: str = "\n",
+    out_col: str | None = None,
+    stats: bool = True,
+) -> DataFrame:
+    """WITHIN-document segment deduplication: keep only the FIRST
+    occurrence of each repeated line/segment inside a document,
+    preserving order.
+
+    The Gopher/C4 cleaning step that :func:`corpus_line_dedup` does NOT
+    cover: that one removes segments repeated ACROSS documents (two
+    shuffles, corpus-wide frequency); this one removes segments a single
+    document repeats internally (templated pages re-rendering the same
+    block, scraper loops, chat logs echoing the prompt).  With
+    ``delimiter=' '`` it scrubs immediate-and-distant repeated tokens.
+
+    Plan: split -> ``filter(toks, (x, i) -> array_position(toks, x) =
+    i+1)`` (first-occurrence test, 1-based) -> ``array_join``.  Pure
+    higher-order Column expressions: a PROJECTION — zero shuffle, zero
+    UDF, zero state, trivially correct at any scale because every row is
+    independent.  Per-row cost is O(segments^2) comparisons inside the
+    JVM; segments-per-doc is bounded by document size, not corpus size.
+
+    Output: ``id_col``, ``out_col`` (default: replaces ``text_col``),
+    plus ``n_segments_before`` / ``n_segments_after`` when ``stats``
+    (the attrition counters a curation report wants).
+    """
+    out_col = out_col or text_col
+    # bind to df[...] (expression id), NOT F.col(name): when out_col ==
+    # text_col, lateral column alias resolution would otherwise rebind
+    # the stats expressions to the freshly-aliased OUTPUT column
+    toks = F.split(df[text_col], _re.escape(delimiter), -1)
+    kept = F.filter(
+        toks, lambda x, i: F.array_position(toks, x) == i + F.lit(1)
+    )
+    cols = [F.col(id_col), F.array_join(kept, delimiter).alias(out_col)]
+    if stats:
+        cols += [
+            F.size(toks).alias("n_segments_before"),
+            F.size(kept).alias("n_segments_after"),
+        ]
+    return df.select(*cols)
+
+
 # &amp; is decoded LAST: decoding it first would double-decode nested
 # entities ("&amp;lt;" -- the author's escaped literal "&lt;" -- must
 # not become "<")

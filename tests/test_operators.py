@@ -4395,3 +4395,184 @@ def test_pool_embeddings_modes(spark):
     assert sm[1] == pytest.approx([4.0, 30.0])
     with pytest.raises(ValueError):
         pool_embeddings(df, "e", "doc", mode="median")
+
+
+# --- file-level stats index + metadata pruning (operators/filestats.py) ----
+
+
+@pytest.fixture(scope="module")
+def _pruned_dataset(spark, tmp_path_factory):
+    """A 3-file parquet dataset with disjoint key ranges per file plus
+    one all-null-value file."""
+    path = str(tmp_path_factory.mktemp("fsidx") / "data")
+    rows = [(i, float(i) if i < 30 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    # one file per 10-key range: repartitionByRange on 4 partitions
+    df.repartitionByRange(4, "k").write.parquet(path)
+    return path
+
+
+def test_file_stats_per_file_minmax_nulls(spark, _pruned_dataset):
+    from pandera_spark.operators.filestats import file_stats
+
+    df = spark.read.parquet(_pruned_dataset)
+    st = file_stats(df, ["k", "v"]).collect()
+    assert len(st) == 4
+    assert sum(r.row_count for r in st) == 40
+    # per-file spans are disjoint and tight
+    spans = sorted((r.min_k, r.max_k) for r in st)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # the all-null-v file reports NULL min/max and 10 nulls
+    null_file = [r for r in st if r.min_v is None]
+    assert len(null_file) == 1
+    assert null_file[0].nulls_v == 10
+    # full-URI mode keeps the directory prefix
+    uri = file_stats(df, ["k"], basename=False).collect()
+    assert all("/" in r.file for r in uri)
+
+
+def test_prune_files_overlap_and_allnull(spark, _pruned_dataset):
+    from pandera_spark.operators.filestats import file_stats, prune_files
+
+    st = file_stats(spark.read.parquet(_pruned_dataset), ["k", "v"])
+    # k in [12, 18]: exactly one file's span overlaps
+    assert prune_files(st, {"k": (12, 18)}).count() == 1
+    # half-open: k >= 25 touches two files
+    assert prune_files(st, {"k": (25, None)}).count() == 2
+    # all-null file can never match a range predicate on v
+    kept = prune_files(st, {"v": (0.0, 1e9)}).collect()
+    assert all(r.min_v is not None for r in kept)
+    # conjunction: k range selecting only the all-null file + v range
+    assert prune_files(st, {"k": (31, 39), "v": (0.0, 1e9)}).count() == 0
+
+
+def test_pruned_read_matches_full_scan(spark, _pruned_dataset):
+    from pandera_spark.operators.filestats import file_stats, pruned_read
+
+    full = spark.read.parquet(_pruned_dataset)
+    st = file_stats(full, ["k", "v"])
+    got = pruned_read(spark, _pruned_dataset, st, {"k": (5, 17)})
+    want = full.filter("k >= 5 and k <= 17")
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in want.collect())
+    # the pruned scan reads fewer files than exist
+    n_files = len({r.file for r in st.collect()})
+    read_files = got.select(F.input_file_name()).distinct().count()
+    assert read_files < n_files
+    # empty result keeps schema
+    empty = pruned_read(spark, _pruned_dataset, st, {"k": (1000, 2000)})
+    assert empty.columns == full.columns and empty.count() == 0
+
+
+def test_pruning_report_and_stats_roundtrip(spark, _pruned_dataset, tmp_path):
+    from pandera_spark.operators.filestats import (
+        file_stats, pruning_report, read_stats, write_stats)
+
+    st = file_stats(spark.read.parquet(_pruned_dataset), ["k"])
+    rep = pruning_report(st, {"k": (12, 18)}).first()
+    assert rep.files_total == 4 and rep.files_candidate == 1
+    assert rep.rows_total == 40 and rep.rows_candidate == 10
+    assert rep.row_skip_ratio == pytest.approx(0.75)
+    # nothing survives -> candidate counts are zero, ratio 1.0
+    rep0 = pruning_report(st, {"k": (999, None)}).first()
+    assert rep0.files_candidate == 0 and rep0.rows_candidate == 0
+    assert rep0.row_skip_ratio == pytest.approx(1.0)
+    out = str(tmp_path / "stats")
+    write_stats(st, out)
+    back = read_stats(spark, out)
+    assert sorted(back.columns) == sorted(st.columns)
+    assert back.count() == 4
+
+
+# --- heavy hitters (operators/heavyhitters.py) -----------------------------
+
+
+def test_misra_gries_candidate_superset_and_lower_bound(spark):
+    from pandera_spark.operators.heavyhitters import misra_gries_candidates
+
+    # one partition, known stream: a x 50, b x 30, c..j x 2 each
+    data = ["a"] * 50 + ["b"] * 30 + [c for c in "cdefghij" for _ in range(2)]
+    df = spark.createDataFrame([(x,) for x in data], "k string").coalesce(1)
+    k = 5
+    cand = {r.k: r.mg_count
+            for r in misra_gries_candidates(df, "k", counters=k).collect()}
+    n = len(data)
+    exact = {x: data.count(x) for x in set(data)}
+    # every key with freq > n/k survives; counts are lower bounds within W/k
+    for key, f in exact.items():
+        if f > n / k:
+            assert key in cand
+    for key, c in cand.items():
+        assert c <= exact[key]
+        assert c >= exact[key] - n / k
+    assert len(cand) <= k
+    # nulls ignored
+    dfn = spark.createDataFrame([("a",), (None,), ("a",)], "k string")
+    candn = misra_gries_candidates(dfn, "k", counters=4).collect()
+    assert {r.k for r in candn} == {"a"}
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    from pandera_spark.operators.heavyhitters import heavy_hitters
+
+    data = ["x"] * 40 + ["y"] * 25 + ["z"] * 5 + [f"t{i}" for i in range(30)]
+    df = spark.createDataFrame([(v,) for v in data], "k string")
+    phi = 0.10
+    got = {(r.k, r.freq) for r in heavy_hitters(df, "k", phi).collect()}
+    n = len(data)
+    want = {(x, data.count(x)) for x in set(data) if data.count(x) > phi * n}
+    assert got == want
+    # share column is freq/total
+    row = heavy_hitters(df, "k", phi).first()
+    assert row.share == pytest.approx(row.freq / n, abs=1e-6)
+    # explicit total skips the count job and changes the threshold base
+    got2 = heavy_hitters(df, "k", phi, total=n).collect()
+    assert {(r.k, r.freq) for r in got2} == want
+
+
+def test_heavy_hitters_validation(spark):
+    from pandera_spark.operators.heavyhitters import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", 0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", 1.5)
+    # counters too small for phi cannot guarantee the superset
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", 0.01, counters=10)
+
+
+# --- intra-document segment dedup (operators/text.py) ----------------------
+
+
+def test_intra_doc_dedup_first_occurrence_order(spark):
+    from pandera_spark.operators.text import intra_doc_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "x\nx\nx"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in intra_doc_dedup(df).collect()}
+    assert out[1].text == "a\nb\nc"
+    assert out[1].n_segments_before == 5 and out[1].n_segments_after == 3
+    assert out[2].text == "x"
+    # empty text: split yields one empty segment, kept as-is
+    assert out[3].text == "" and out[3].n_segments_after == 1
+
+
+def test_intra_doc_dedup_literal_delimiter_and_out_col(spark):
+    from pandera_spark.operators.text import intra_doc_dedup
+
+    # '.' must split literally, not as regex-any
+    df = spark.createDataFrame([(1, "ab.cd.ab.ef")],
+                               "doc_id bigint, text string")
+    out = intra_doc_dedup(df, delimiter=".", out_col="clean",
+                          stats=False).first()
+    assert out.clean == "ab.cd.ef"
+    assert "n_segments_before" not in out.asDict()
+    # token mode
+    df2 = spark.createDataFrame([(1, "w1 w2 w1 w1 w3 w2")],
+                                "doc_id bigint, text string")
+    assert intra_doc_dedup(df2, delimiter=" ").first().text == "w1 w2 w3"
