@@ -3845,6 +3845,54 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-sketch distinct counting
+    (operators/sketches.py): per-(event_type, day) HLL sketches of
+    user_id built in ONE mergeable agg, then rolled up to event_type by
+    unioning sketch BYTES — the never-rescan protocol for
+    COUNT(DISTINCT) over arbitrary ranges at 100 TB.  Certification
+    computes the exact distincts too (certification-only second agg, as
+    in approx_percentiles) and asserts the estimate lands within 5%
+    (standard error at lgk=12 is ~1.6%); DuckDB replays the exact
+    counts and the TRUE verdicts."""
+    from pandera_spark.operators.sketches import (
+        distinct_sketches,
+        rollup_estimates,
+    )
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    fine = distinct_sketches(ev, "user_id", ["event_type", "day"])
+    roll = rollup_estimates(fine, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.count(F.lit(1)).alias("n_rows_exact"),
+    )
+    return (
+        roll.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.col("n_rows_exact").alias("n_events"),
+            (
+                F.abs(F.col("distinct_est") - F.col("n_exact"))
+                <= 0.05 * F.greatest(F.col("n_exact"), F.lit(1))
+            ).alias("within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HLL_DISTINCT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column diversity screen: Shannon entropy + cardinality of the
     lang and source columns in ONE melt shuffle
@@ -5667,7 +5715,7 @@ _R6_DRIVER_WINDOW = [
     # new in r6 (late round): file-stats skipping index, Misra-Gries
     # heavy hitters, intra-document segment dedup
     "filestats_lineitem", "heavyhitters_documents",
-    "intradedup_documents",
+    "intradedup_documents", "hll_distinct_events",
 ]
 
 
@@ -5769,6 +5817,7 @@ def _queries_unordered() -> dict[
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
+        "hll_distinct_events": q_hll_distinct_events,
         "source_profile_documents": q_source_profile_documents,
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
@@ -6128,6 +6177,7 @@ FROM ranked WHERE rank <= 5
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,
+        "hll_distinct_events": _HLL_DISTINCT_ORACLE,
         "source_profile_documents": _source_profile_oracle(),
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),

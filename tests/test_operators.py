@@ -4576,3 +4576,58 @@ def test_intra_doc_dedup_literal_delimiter_and_out_col(spark):
     df2 = spark.createDataFrame([(1, "w1 w2 w1 w1 w3 w2")],
                                 "doc_id bigint, text string")
     assert intra_doc_dedup(df2, delimiter=" ").first().text == "w1 w2 w3"
+
+
+# --- persisted HLL distinct sketches (operators/sketches.py) ---------------
+
+
+def test_distinct_sketches_exact_for_small_cardinality(spark):
+    from pandera_spark.operators.sketches import (
+        distinct_sketches, rollup_estimates)
+
+    rows = [(g, i % m) for g, m in [("a", 20), ("b", 7)] for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, k bigint")
+    est = {r.g: r for r in rollup_estimates(
+        distinct_sketches(df, "k", "g"), "g").collect()}
+    # HLL is exact in sparse mode at tiny cardinalities
+    assert est["a"].distinct_est == 20 and est["a"].n_rows == 100
+    assert est["b"].distinct_est == 7 and est["b"].n_rows == 100
+
+
+def test_sketch_rollup_is_lossless_and_ignores_nulls(spark):
+    from pandera_spark.operators.sketches import (
+        distinct_sketches, merge_sketches, rollup_estimates)
+
+    # two fine segments share keys 0..9; union must not double count
+    rows = ([("d1", "x", i) for i in range(10)]
+            + [("d2", "x", i) for i in range(5, 15)]
+            + [("d1", "x", None)])
+    df = spark.createDataFrame(rows, "day string, t string, k bigint")
+    fine = distinct_sketches(df, "k", ["day", "t"])
+    assert fine.count() == 2
+    coarse = rollup_estimates(fine, "t").first()
+    assert coarse.distinct_est == 15  # |0..14|, null ignored
+    assert coarse.n_rows == 21
+    # global (no grouping) rollup
+    tot = rollup_estimates(fine).first()
+    assert tot.distinct_est == 15
+    # hierarchies compose: day+t -> t -> global gives the same answer
+    mid = merge_sketches(fine, "t")
+    assert rollup_estimates(mid).first().distinct_est == 15
+
+
+def test_sketch_error_bound_and_roundtrip(spark, tmp_path):
+    from pandera_spark.operators.sketches import (
+        distinct_sketches, read_sketches, rollup_estimates, write_sketches)
+
+    n = 50_000
+    df = spark.range(n).select(
+        (F.col("id") % 4).cast("string").alias("g"), F.col("id").alias("k"))
+    fine = distinct_sketches(df, "k", "g", lgk=12)
+    path = str(tmp_path / "sk")
+    write_sketches(fine, path)
+    back = read_sketches(spark, path)
+    est = rollup_estimates(back).first()
+    # standard error at lgk=12 is ~1.6%; 5% is a >3-sigma bound
+    assert abs(est.distinct_est - n) / n < 0.05
+    assert est.n_rows == n
