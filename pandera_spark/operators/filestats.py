@@ -53,6 +53,7 @@ __all__ = [
     "pruning_report",
     "write_stats",
     "read_stats",
+    "append_file_stats",
 ]
 
 
@@ -201,3 +202,41 @@ def write_stats(stats: DataFrame, path: str, *, mode: str = "overwrite") -> None
 
 def read_stats(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def append_file_stats(
+    spark: SparkSession,
+    data_path: str,
+    stats_path: str,
+    cols: Sequence[str],
+    *,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Incrementally extend the index: scan ONLY files not yet indexed.
+
+    Same new-files-only contract as ``incremental.validate_new_files``
+    (file identity = basename, matching :func:`file_stats`).  Each call
+    scans just the ingest delta and appends its rows; the returned
+    frame is the full up-to-date index.  Re-running after a partial
+    append re-lists and skips already-indexed files, so retries never
+    double-scan; a retry that died mid-write may leave a duplicate
+    file row — harmless for pruning (duplicate spans prune
+    identically), dedupe with ``dropDuplicates(["file"])`` if exact
+    ``pruning_report`` row counts matter.
+    """
+    from ..incremental import list_data_files
+
+    current = list_data_files(spark, data_path, format=fmt)
+    try:
+        seen = {
+            r.file
+            for r in read_stats(spark, stats_path)
+            .select(F.col("file")).distinct().collect()
+        }
+    except Exception:
+        seen = set()
+    new = [p for p in current if posixpath.basename(p) not in seen]
+    if new:
+        delta = file_stats(spark.read.format(fmt).load(new), cols)
+        delta.write.mode("append").parquet(stats_path)
+    return read_stats(spark, stats_path)

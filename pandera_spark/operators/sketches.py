@@ -44,6 +44,8 @@ __all__ = [
     "rollup_estimates",
     "write_sketches",
     "read_sketches",
+    "sketch_ledger_foreach_batch",
+    "ledger_estimates",
 ]
 
 _Cols = Union[str, Sequence[str]]
@@ -132,3 +134,61 @@ def write_sketches(
 
 def read_sketches(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def sketch_ledger_foreach_batch(
+    key_col: str,
+    by: Optional[_Cols],
+    state_path: str,
+    *,
+    lgk: int = 12,
+):
+    """Streaming counterpart (same protocol as
+    ``incremental.quality_ledger_foreach_batch``): each micro-batch
+    appends its per-group sketches under ``segment = "batch:<id>"``;
+    :func:`ledger_estimates` answers stream-lifetime distinct counts
+    with no replay.  At-least-once retries re-append the same segment
+    key; the read side collapses to one row per (segment, group) before
+    unioning, so duplicates cannot double-count (any one of the
+    duplicate sketches summarizes the same batch data).
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(
+                 sketch_ledger_foreach_batch("user_id", ["event_type"],
+                                             path))
+             .start())
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sk = distinct_sketches(batch_df, key_col, by, lgk=lgk)
+        sk.withColumn("segment", F.lit(f"batch:{batch_id}")).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return process
+
+
+def ledger_estimates(
+    spark: SparkSession,
+    state_path: str,
+    by: Optional[_Cols] = None,
+) -> DataFrame:
+    """Distinct-count estimates over everything the ledger has seen.
+
+    Collapses retried duplicate segments first (``max`` per (segment,
+    group) — duplicates sketch identical data), then unions across
+    segments; ``n_rows`` counts each batch exactly once."""
+    raw = read_sketches(spark, state_path)
+    # collapse at the BUILD grain (segment + every group column the
+    # ledger was written with), not the rollup grain — collapsing at a
+    # coarser grain would max() away sibling groups' sketches
+    build_grain = [
+        c for c in raw.columns if c not in ("sketch", "n_rows")
+    ]
+    collapsed = raw.groupBy(*build_grain).agg(
+        F.max("sketch").alias("sketch"),
+        F.max("n_rows").alias("n_rows"),
+    )
+    return rollup_estimates(collapsed, by)

@@ -4631,3 +4631,68 @@ def test_sketch_error_bound_and_roundtrip(spark, tmp_path):
     # standard error at lgk=12 is ~1.6%; 5% is a >3-sigma bound
     assert abs(est.distinct_est - n) / n < 0.05
     assert est.n_rows == n
+
+
+def test_sketch_ledger_append_and_retry_collapse(spark, tmp_path):
+    from pandera_spark.operators.sketches import (
+        ledger_estimates, sketch_ledger_foreach_batch)
+
+    path = str(tmp_path / "ledger")
+    process = sketch_ledger_foreach_batch("u", ["t"], path)
+    b0 = spark.createDataFrame(
+        [("click", i) for i in range(10)], "t string, u bigint")
+    b1 = spark.createDataFrame(
+        [("click", i) for i in range(5, 20)] + [("view", 99)],
+        "t string, u bigint")
+    process(b0, 0)
+    process(b1, 1)
+    process(b1, 1)  # at-least-once retry: same segment appended twice
+    est = {r.t: r for r in ledger_estimates(spark, path, ["t"]).collect()}
+    assert est["click"].distinct_est == 20  # |0..19| across batches
+    # retry must not double-count rows: 10 + 16
+    assert est["click"].n_rows + est["view"].n_rows == 26
+    assert est["view"].distinct_est == 1
+    # global estimate
+    tot = ledger_estimates(spark, path).first()
+    assert tot.distinct_est == 21
+
+
+def test_append_file_stats_scans_only_new_files(spark, tmp_path, monkeypatch):
+    import pandera_spark.operators.filestats as fs
+
+    data = str(tmp_path / "data")
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame([(i,) for i in range(10)], "k bigint") \
+        .coalesce(1).write.mode("append").parquet(data)
+    # first build indexes the initial file(s)
+    st1 = fs.append_file_stats(spark, data, idx, ["k"])
+    n1 = st1.count()
+    assert n1 >= 1 and st1.agg(F.sum("row_count")).first()[0] == 10
+
+    # second wave of files
+    spark.createDataFrame([(i,) for i in range(100, 120)], "k bigint") \
+        .coalesce(1).write.mode("append").parquet(data)
+
+    seen_paths = []
+    orig = fs.file_stats
+
+    def spying(df, cols, **kw):
+        seen_paths.extend(df.inputFiles())
+        return orig(df, cols, **kw)
+
+    monkeypatch.setattr(fs, "file_stats", spying)
+    st2 = fs.append_file_stats(spark, data, idx, ["k"])
+    # the delta scan touched only files NOT in the first index
+    first_files = {r.file for r in st1.collect()}
+    import posixpath
+    assert seen_paths, "second call should scan the new files"
+    assert all(posixpath.basename(p) not in first_files for p in seen_paths)
+    assert st2.agg(F.sum("row_count")).first()[0] == 30
+    # idempotent re-run: nothing new, no rescan, no duplicate rows
+    seen_paths.clear()
+    st3 = fs.append_file_stats(spark, data, idx, ["k"])
+    assert seen_paths == []
+    assert st3.count() == st2.count()
+    # index prunes correctly across waves
+    assert fs.prune_files(st3, {"k": (110, 115)}).count() >= 1
+    assert fs.prune_files(st3, {"k": (50, 60)}).count() == 0
