@@ -111,7 +111,13 @@ def skew_report(df: DataFrame, cols: "list[str]") -> DataFrame:
     ``"\\x00null"`` data value can no longer merge with the null
     partition key and inflate its count.  Only for DISPLAY does the
     null group surface as ``top_key = "\\x00null"`` (a null-safe label
-    keeps the tie-break total order identical across engines)."""
+    keeps the tie-break total order identical across engines).
+
+    The (col, key) aggregation assumes per-column cardinality is
+    bounded; when the key space grows with the data (tokens, URLs,
+    user ids), use ``operators.heavyhitters.heavy_hitters`` — bounded
+    memory regardless of cardinality, exact counts above a share
+    threshold."""
     if not cols:
         raise ValueError("need at least one column")
     entries = [

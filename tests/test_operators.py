@@ -4696,3 +4696,36 @@ def test_append_file_stats_scans_only_new_files(spark, tmp_path, monkeypatch):
     # index prunes correctly across waves
     assert fs.prune_files(st3, {"k": (110, 115)}).count() >= 1
     assert fs.prune_files(st3, {"k": (50, 60)}).count() == 0
+
+
+def test_zorder_layout_improves_file_skipping(spark, tmp_path):
+    """The DEPLOY.md claim wired end-to-end: writing in z-order makes
+    the file-stats spans narrow on BOTH keyed columns, so range
+    predicates on either column prune files that a layout sorted by
+    only one column cannot."""
+    from pandera_spark.operators.filestats import file_stats, pruning_report
+    from pandera_spark.operators.sharding import zorder_key
+
+    n, nfiles = 4000, 8
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.pmod(F.hash("id"), F.lit(64))).alias("y"),
+    )
+    base = str(tmp_path)
+    # layout A: sorted by x only — y spans stay full-width per file
+    (df.repartitionByRange(nfiles, "x")
+       .sortWithinPartitions("x").write.parquet(base + "/by_x"))
+    # layout B: z-ordered on (x, y)
+    z = zorder_key(df, ["x", "y"], bits=6)
+    (z.repartitionByRange(nfiles, "zkey")
+      .sortWithinPartitions("zkey").drop("zkey")
+      .write.parquet(base + "/by_z"))
+
+    pred = {"y": (0.0, 7.0)}  # narrow range on the NON-leading column
+    skip = {}
+    for name in ("by_x", "by_z"):
+        st = file_stats(spark.read.parquet(f"{base}/{name}"), ["x", "y"])
+        skip[name] = pruning_report(st, pred).first().row_skip_ratio
+    # x-sorted layout cannot skip on y at all; z-order must skip most
+    assert skip["by_x"] == pytest.approx(0.0)
+    assert skip["by_z"] > 0.5
