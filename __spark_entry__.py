@@ -3638,6 +3638,176 @@ FROM embeddings GROUP BY label
 """
 
 
+_KMEANS_K = 8
+_KMEANS_DIMS = 4
+
+
+def _kmeans_asg_cte() -> str:
+    """Shared oracle CTE: deterministic min-id seeding + nearest-centroid
+    assignment (ties -> lowest cluster id), replaying
+    operators/kmeans.py:seed_centroids(method="min_id") +
+    assign_clusters in ANSI SQL.  Distances compare in double; seed
+    vectors are distinct random points, so argmin gaps are far above
+    float noise (verified empirically at both certified SFs)."""
+    return f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+         FROM e ORDER BY vec_id LIMIT {_KMEANS_K}),
+d AS (SELECT e.vec_id, e.v, cent.cid, list_distance(e.v, cent.c) AS dist
+      FROM e CROSS JOIN cent),
+r AS (SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+      FROM d),
+asg AS (SELECT vec_id, v, cid FROM r WHERE rn = 1)
+"""
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of k-means (operators/kmeans.py) —
+    deterministic min-id seeds, Arrow BLAS nearest-centroid assignment
+    (no shuffle), then the cardinality-bounded centroid update
+    (group_centroids' posexplode-collapse: wire = k x d x partitions).
+    Output: per-cluster size + updated centroid means for the first 4
+    dims, plus a cross-check that the driver-loop API
+    (fit_kmeans(max_iter=1)) lands on the same centroids the
+    distributed aggregation emits.  The oracle replays seed -> assign ->
+    update in ANSI SQL."""
+    import numpy as np
+
+    from pandera_spark.operators.kmeans import (
+        assign_clusters,
+        fit_kmeans,
+        seed_centroids,
+    )
+    from pandera_spark.operators.linalg import group_centroids
+
+    emb = _load(spark, sf_dir, "embeddings")
+    c0 = seed_centroids(
+        emb, k=_KMEANS_K, method="min_id"
+    )
+    fit = fit_kmeans(emb, init=c0, max_iter=1, persist=False)
+    a = assign_clusters(emb, centroids=c0)
+    cent = group_centroids(
+        a, "embedding", "cluster_id", dims=range(_KMEANS_DIMS)
+    )
+    fit_rows = [
+        (int(c), int(dim), float(fit.centroids[c, dim]))
+        for c in range(_KMEANS_K)
+        for dim in range(_KMEANS_DIMS)
+        if np.isfinite(fit.centroids[c, dim])
+    ]
+    fit_df = spark.createDataFrame(
+        fit_rows, "cluster_id int, dim int, fit_mean double"
+    )
+    return (
+        cent.join(F.broadcast(fit_df), ["cluster_id", "dim"])
+        .select(
+            "cluster_id",
+            "dim",
+            F.col("n").cast("long").alias("n"),
+            F.round("mean", 6).alias("mean_r"),
+            (F.abs(F.col("mean") - F.col("fit_mean")) < F.lit(1e-9))
+            .alias("fit_agrees"),
+        )
+    )
+
+
+def _kmeans_oracle() -> str:
+    parts = []
+    for dim in range(_KMEANS_DIMS):
+        parts.append(f"""
+SELECT cid AS cluster_id, {dim} AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(v[{dim + 1}]), 6) AS mean_r,
+       TRUE AS fit_agrees
+FROM asg GROUP BY cid""")
+    body = " UNION ALL ".join(parts)
+    return f"WITH {_kmeans_asg_cte()} {body}"
+
+
+def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-local semantic dedup
+    (operators/kmeans.py:semdedup — Abbas et al. 2023): assign to the
+    min-id k-means seeds, then within each cluster mark row i a dup iff
+    some smaller-id row in the SAME cluster has cosine >= 0.35 — the
+    O(n^2/k) scale path for embedding near-dedup (the only shuffle is
+    the cluster-key applyInPandas; gram matrices are row-blocked).
+    Output: per-cluster total and dup counts.  Threshold margin to the
+    nearest pair cosine is ~8e-5 at the certified SFs — far above
+    cross-engine double noise.  The oracle replays the drop rule as an
+    EXISTS predicate."""
+    from pandera_spark.operators.kmeans import (
+        seed_centroids,
+        semdedup,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    c0 = seed_centroids(emb, k=_KMEANS_K, method="min_id")
+    sd = semdedup(emb, centroids=c0, threshold=0.35)
+    return sd.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup"),
+    )
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+WITH {_kmeans_asg_cte()},
+flags AS (
+  SELECT a1.cid,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM asg a2
+           WHERE a2.cid = a1.cid AND a2.vec_id < a1.vec_id
+             AND list_cosine_similarity(a1.v, a2.v) >= 0.35
+         ) THEN 1 ELSE 0 END AS isd
+  FROM asg a1
+)
+SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(isd) AS BIGINT) AS n_dup
+FROM flags GROUP BY cid
+"""
+
+
+def q_clustersample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced curation sampling
+    (operators/kmeans.py:cluster_sample): exactly 20 rows per k-means
+    cluster, chosen by the portable md5-prefix hash of vec_id —
+    deterministic, order-independent, engine-replayable.  The rank
+    window is per-cluster top-m (WindowGroupLimit: local top-m before
+    the shuffle — no full per-cluster sort).  Output: the sampled
+    (cluster_id, vec_id) pairs."""
+    from pandera_spark.operators.kmeans import (
+        assign_clusters,
+        cluster_sample,
+        seed_centroids,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    c0 = seed_centroids(emb, k=_KMEANS_K, method="min_id")
+    a = assign_clusters(emb, centroids=c0)
+    out = cluster_sample(a, key_col="vec_id", n_per_cluster=20)
+    return out.select(
+        "cluster_id", F.col("vec_id").cast("long").alias("vec_id")
+    )
+
+
+def _clustersample_oracle() -> str:
+    h = _HEXFOLD.format(e="CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH {_kmeans_asg_cte()},
+ranked AS (
+  SELECT cid, vec_id,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY {h}, vec_id) AS rn
+  FROM asg
+)
+SELECT cid AS cluster_id, CAST(vec_id AS BIGINT) AS vec_id
+FROM ranked WHERE rn <= 20
+"""
+
+
 def q_incremental_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-validation (pandera_spark/incremental.py): run the
     per-file counter pass cold, run it AGAIN (the second pass lists
@@ -5716,6 +5886,9 @@ _R6_DRIVER_WINDOW = [
     # heavy hitters, intra-document segment dedup
     "filestats_lineitem", "heavyhitters_documents",
     "intradedup_documents", "hll_distinct_events",
+    # new in r6 (late round): k-means clustering + SemDeDup curation
+    "kmeans_embeddings", "semdedup_embeddings",
+    "clustersample_embeddings",
 ]
 
 
@@ -5818,6 +5991,9 @@ def _queries_unordered() -> dict[
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
         "hll_distinct_events": q_hll_distinct_events,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "semdedup_embeddings": q_semdedup_embeddings,
+        "clustersample_embeddings": q_clustersample_embeddings,
         "source_profile_documents": q_source_profile_documents,
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
@@ -6178,6 +6354,9 @@ FROM ranked WHERE rank <= 5
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,
         "hll_distinct_events": _HLL_DISTINCT_ORACLE,
+        "kmeans_embeddings": _kmeans_oracle(),
+        "semdedup_embeddings": _semdedup_oracle(),
+        "clustersample_embeddings": _clustersample_oracle(),
         "source_profile_documents": _source_profile_oracle(),
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),

@@ -1,0 +1,237 @@
+"""K-means + cluster-based curation (operators/kmeans.py).
+
+Differential coverage: every distributed step is checked against a plain
+numpy re-implementation on the collected data — seeding, assignment
+(incl. tie-break), Lloyd updates, the semdedup drop rule, and the
+sampling rank.  Plus the scale guards: assignment plans with no shuffle,
+cluster caps fail fast, persistence toggles.
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandera_spark.operators.kmeans import (
+    KMeansFit,
+    assign_clusters,
+    cluster_sample,
+    fit_kmeans,
+    seed_centroids,
+    semdedup,
+)
+
+
+def _emb_df(spark, n=60, d=8, seed=7, nulls=()):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, d).round(3)
+    rows = [
+        (i, None if i in nulls else [float(v) for v in x[i]])
+        for i in range(n)
+    ]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        x,
+    )
+
+
+def _np_assign(x, cent):
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)
+
+
+def test_seed_centroids_min_id(spark):
+    df, x = _emb_df(spark)
+    c = seed_centroids(df, k=4, method="min_id")
+    assert c.shape == (4, 8)
+    assert np.allclose(c, x[:4])
+
+
+def test_seed_centroids_min_hash_deterministic_and_spread(spark):
+    df, x = _emb_df(spark)
+    c1 = seed_centroids(df, k=4)
+    c2 = seed_centroids(df, k=4)
+    assert np.allclose(c1, c2)
+    # a different salt draws a different seed set
+    c3 = seed_centroids(df, k=4, salt="b")
+    assert not np.allclose(c1, c3)
+    # min_hash must not simply take the first k ids
+    assert not np.allclose(c1, x[:4])
+
+
+def test_seed_centroids_ignores_nulls_and_checks_k(spark):
+    df, x = _emb_df(spark, nulls={0, 1})
+    c = seed_centroids(df, k=3, method="min_id")
+    assert np.allclose(c, x[2:5])
+    with pytest.raises(ValueError, match="at least k"):
+        seed_centroids(df, k=59, method="min_id")
+
+
+def test_assign_matches_numpy(spark):
+    df, x = _emb_df(spark)
+    cent = x[:5]
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["d"])
+        for r in assign_clusters(
+            df, centroids=cent, dist_col="d"
+        ).collect()
+    }
+    ref = _np_assign(x, cent)
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    for i in range(len(x)):
+        assert got[i][0] == ref[i]
+        assert got[i][1] == pytest.approx(
+            float(np.sqrt(d2[i, ref[i]])), rel=1e-9
+        )
+
+
+def test_assign_null_vector_and_tie_break(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None)],
+        "vec_id long, embedding array<double>",
+    )
+    # two identical centroids: tie must go to the LOWER cluster id
+    out = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(
+            df, centroids=np.array([[0.0, 1.0], [0.0, 1.0]])
+        ).collect()
+    }
+    assert out[0] == 0
+    assert out[1] is None
+
+
+def test_assign_plan_has_no_shuffle(spark):
+    df, x = _emb_df(spark)
+    plan = (
+        assign_clusters(df, centroids=x[:3])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_fit_kmeans_matches_numpy_lloyd(spark):
+    df, x = _emb_df(spark)
+    for iters in (1, 4):
+        fit = fit_kmeans(
+            df, k=5, max_iter=iters, seed_method="min_id", tol=0.0
+        )
+        cent = x[:5].copy()
+        asn = None
+        for _ in range(iters):
+            asn = _np_assign(x, cent)
+            for c in range(5):
+                if (asn == c).any():
+                    cent[c] = x[asn == c].mean(axis=0)
+        assert isinstance(fit, KMeansFit)
+        assert fit.n_iter == iters
+        assert np.allclose(fit.centroids, cent, atol=1e-12)
+        # sizes come from the LAST iteration's assignment (pre-update)
+        assert fit.sizes == [int((asn == c).sum()) for c in range(5)]
+        assert sum(fit.sizes) == len(x)
+
+
+def test_fit_kmeans_empty_cluster_keeps_centroid(spark):
+    # a far-away centroid captures nothing; it must survive unchanged
+    df, x = _emb_df(spark, n=20)
+    init = np.vstack([x[:2], np.full((1, 8), 1e6)])
+    fit = fit_kmeans(df, init=init, max_iter=2, tol=0.0, persist=False)
+    assert fit.sizes[2] == 0
+    assert np.allclose(fit.centroids[2], init[2])
+
+
+def test_fit_kmeans_tol_stops_early(spark):
+    df, _ = _emb_df(spark)
+    fit = fit_kmeans(df, k=4, max_iter=50, tol=1e-3)
+    assert fit.n_iter < 50
+    assert fit.shifts[-1] < 1e-3
+
+
+def test_fit_kmeans_arg_validation(spark):
+    df, x = _emb_df(spark)
+    with pytest.raises(ValueError, match="k= or init="):
+        fit_kmeans(df)
+    with pytest.raises(ValueError, match="init has"):
+        fit_kmeans(df, k=3, init=x[:4])
+    with pytest.raises(ValueError, match="min_hash"):
+        seed_centroids(df, k=2, method="bogus")
+    with pytest.raises(ValueError, match="matrix"):
+        assign_clusters(df, centroids=np.zeros(3))
+
+
+def _np_semdedup(x, cent, tau):
+    asn = _np_assign(x, cent)
+    nrm = x / np.maximum(np.linalg.norm(x, axis=1), 1e-300)[:, None]
+    dup = np.zeros(len(x), dtype=bool)
+    for c in range(len(cent)):
+        idx = np.where(asn == c)[0]  # ascending vec_id order
+        g = nrm[idx] @ nrm[idx].T
+        for r in range(1, len(idx)):
+            if (g[r, :r] >= tau).any():
+                dup[idx[r]] = True
+    return asn, dup
+
+
+def test_semdedup_matches_reference(spark):
+    df, x = _emb_df(spark, n=80)
+    cent = x[:4]
+    out = semdedup(
+        df, centroids=cent, threshold=0.6, block=7
+    ).collect()
+    asn, dup = _np_semdedup(x, cent, 0.6)
+    assert dup.any() and not dup.all()
+    for r in out:
+        assert r["cluster_id"] == asn[r["vec_id"]]
+        assert r["is_dup"] == bool(dup[r["vec_id"]])
+
+
+def test_semdedup_exact_duplicates_keep_smallest_id(spark):
+    v = [1.0, 2.0, 3.0]
+    df = spark.createDataFrame(
+        [(5, v), (3, v), (9, [-3.0, 1.0, 0.5]), (1, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["is_dup"] for r in semdedup(
+        df, centroids=np.array([v]), threshold=0.99
+    ).collect()}
+    assert out == {3: False, 5: True, 9: False, 1: False}
+
+
+def test_semdedup_cluster_cap_raises(spark):
+    df, x = _emb_df(spark, n=30)
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semdedup(
+            df, centroids=x[:1], threshold=0.9, max_cluster_rows=10
+        ).collect()
+
+
+def test_cluster_sample_exact_and_deterministic(spark):
+    df, x = _emb_df(spark, n=50)
+    a = assign_clusters(df, centroids=x[:3])
+    s1 = cluster_sample(a, key_col="vec_id", n_per_cluster=5)
+    sizes = {r["cluster_id"]: r["count"]
+             for r in s1.groupBy("cluster_id").count().collect()}
+    full = {r["cluster_id"]: r["count"]
+            for r in a.groupBy("cluster_id").count().collect()}
+    for c, n in full.items():
+        assert sizes[c] == min(5, n)
+    ids1 = {r["vec_id"] for r in s1.collect()}
+    ids2 = {r["vec_id"] for r in cluster_sample(
+        a, key_col="vec_id", n_per_cluster=5).collect()}
+    assert ids1 == ids2
+    ids3 = {r["vec_id"] for r in cluster_sample(
+        a, key_col="vec_id", n_per_cluster=5, salt="x").collect()}
+    assert ids3 != ids1
+
+
+def test_cluster_sample_pipeline_composes_with_semdedup(spark):
+    """The SemDeDup curation chain: fit -> dedup -> balanced sample."""
+    df, _ = _emb_df(spark, n=60)
+    fit = fit_kmeans(df, k=3, max_iter=2)
+    sd = semdedup(df, centroids=fit.centroids, threshold=0.6)
+    kept = sd.where(~F.col("is_dup"))
+    out = cluster_sample(kept, key_col="vec_id", n_per_cluster=4)
+    counts = [r["count"]
+              for r in out.groupBy("cluster_id").count().collect()]
+    assert all(c <= 4 for c in counts)
+    assert out.count() > 0
