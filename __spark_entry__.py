@@ -3808,6 +3808,76 @@ FROM ranked WHERE rn <= 20
 """
 
 
+def q_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank with dangling-mass redistribution
+    (operators/graph.py) over the customer→supplier link graph
+    (distinct pairs through the order book) — the centrality signal for
+    representative selection / authority weighting over curation
+    graphs.  Two power-iteration rounds; per round ONE node-key join +
+    ONE groupBy-sum (partitioning reused), dangling mass is a 1-row
+    scalar agg, ranks localCheckpoint-ed so lineage is flat in the
+    iteration count.  Output: every node's rank normalized to mean 1
+    (rank × N — keeps 6-dp resolution).  The oracle unrolls both
+    rounds, dangling term included, in ANSI SQL."""
+    from pandera_spark.operators.graph import pagerank
+
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(
+            li, orders["o_orderkey"] == li["l_orderkey"]
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=2)
+    n = F.lit(float(ranks.count()))
+    return ranks.select(
+        "node", F.round(F.col("rank") * n, 6).alias("rank_n")
+    )
+
+
+_PAGERANK_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS s,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT s AS node FROM edges UNION SELECT d FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY s),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+d0 AS (SELECT COALESCE(SUM(rank), 0) AS m FROM r0
+       WHERE node NOT IN (SELECT s FROM deg)),
+c0 AS (SELECT e.d AS node, SUM(r.rank / deg.deg) AS cin
+       FROM edges e JOIN r0 r ON r.node = e.s JOIN deg ON deg.s = e.s
+       GROUP BY e.d),
+r1 AS (SELECT nodes.node,
+              0.15 / (SELECT n FROM nn)
+              + 0.85 * (COALESCE(c0.cin, 0)
+                        + (SELECT m FROM d0) / (SELECT n FROM nn))
+              AS rank
+       FROM nodes LEFT JOIN c0 ON c0.node = nodes.node),
+d1 AS (SELECT COALESCE(SUM(rank), 0) AS m FROM r1
+       WHERE node NOT IN (SELECT s FROM deg)),
+c1 AS (SELECT e.d AS node, SUM(r.rank / deg.deg) AS cin
+       FROM edges e JOIN r1 r ON r.node = e.s JOIN deg ON deg.s = e.s
+       GROUP BY e.d),
+r2 AS (SELECT nodes.node,
+              0.15 / (SELECT n FROM nn)
+              + 0.85 * (COALESCE(c1.cin, 0)
+                        + (SELECT m FROM d1) / (SELECT n FROM nn))
+              AS rank
+       FROM nodes LEFT JOIN c1 ON c1.node = nodes.node)
+SELECT node, ROUND(rank * (SELECT n FROM nn), 6) AS rank_n FROM r2
+"""
+
+
 def q_incremental_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-validation (pandera_spark/incremental.py): run the
     per-file counter pass cold, run it AGAIN (the second pass lists
@@ -5888,7 +5958,7 @@ _R6_DRIVER_WINDOW = [
     "intradedup_documents", "hll_distinct_events",
     # new in r6 (late round): k-means clustering + SemDeDup curation
     "kmeans_embeddings", "semdedup_embeddings",
-    "clustersample_embeddings",
+    "clustersample_embeddings", "pagerank_orders",
 ]
 
 
@@ -5994,6 +6064,7 @@ def _queries_unordered() -> dict[
         "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
         "clustersample_embeddings": q_clustersample_embeddings,
+        "pagerank_orders": q_pagerank_orders,
         "source_profile_documents": q_source_profile_documents,
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
@@ -6357,6 +6428,7 @@ FROM ranked WHERE rank <= 5
         "kmeans_embeddings": _kmeans_oracle(),
         "semdedup_embeddings": _semdedup_oracle(),
         "clustersample_embeddings": _clustersample_oracle(),
+        "pagerank_orders": _PAGERANK_ORACLE,
         "source_profile_documents": _source_profile_oracle(),
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),
