@@ -3878,6 +3878,93 @@ SELECT node, ROUND(rank * (SELECT n FROM nn), 6) AS rank_n FROM r2
 """
 
 
+_RESEM_A = [f"src{i}" for i in range(10)]
+_RESEM_B = [f"src{i}" for i in range(5, 15)]
+
+
+def q_resemblance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Jaccard resemblance
+    (operators/dedup.py:corpus_resemblance — Broder '97): two
+    overlapping source slices of the documents table compared as whole
+    shingle sets — the new-crawl-vs-training-set overlap screen.  The
+    MinHash estimate is the 100 TB path (one min-agg per corpus, k
+    longs per partition on the wire); the exact distinct-hash-set
+    Jaccard is computed alongside for certification.  Every output is
+    a deterministic bit-replayable function of the text (portable
+    md5-prefix hash family) — the oracle reproduces the permutation
+    minima, the agreement count, and the exact set arithmetic."""
+    from pandera_spark.operators.dedup import corpus_resemblance
+
+    docs = _load(spark, sf_dir, "documents")
+    a = docs.where(F.col("source").isin(_RESEM_A))
+    b = docs.where(F.col("source").isin(_RESEM_B))
+    out = corpus_resemblance(
+        a, b, num_hashes=64, shingle_n=3, exact=True
+    )
+    return out.select(
+        "num_hashes",
+        "n_agree",
+        F.round("est", 6).alias("est_r"),
+        "n_inter",
+        "n_union",
+        F.round("j_exact", 6).alias("j_exact_r"),
+    )
+
+
+def _resemblance_oracle() -> str:
+    from pandera_spark.operators.dedup import (
+        PORTABLE_P,
+        portable_permutation_constants,
+    )
+
+    num_hashes, n = 64, 3
+    a, b = portable_permutation_constants(num_hashes)
+    shingle_hash = _HEXFOLD.format(
+        e=f"array_to_string(w[i:i+{n - 1}], ' ')"
+    )
+    in_a = ", ".join(f"'{s}'" for s in _RESEM_A)
+    in_b = ", ".join(f"'{s}'" for s in _RESEM_B)
+    mins = lambda tbl: ", ".join(  # noqa: E731
+        f"MIN((__h*{a[i]}+{b[i]})%{PORTABLE_P}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH w AS (
+  SELECT source, string_split_regex(text, '\\s+') AS w FROM documents
+  WHERE source IN ({in_a}) OR source IN ({in_b})
+),
+hs AS (
+  SELECT source, unnest(list_distinct([{shingle_hash}
+    for i in range(1, greatest(len(w)-{n - 1}, 0)+1)])) AS __h
+  FROM w
+),
+ha AS (SELECT DISTINCT __h FROM hs WHERE source IN ({in_a})),
+hb AS (SELECT DISTINCT __h FROM hs WHERE source IN ({in_b})),
+ma AS (SELECT {mins('ha')} FROM ha),
+mb AS (SELECT {mins('hb')} FROM hb),
+agree AS (SELECT ({agree}) AS n_agree FROM ma sa, mb sb),
+sets AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+         CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_inter
+  FROM (SELECT __h, (__h IN (SELECT __h FROM ha)) AS ina,
+               (__h IN (SELECT __h FROM hb)) AS inb
+        FROM (SELECT DISTINCT __h FROM hs))
+)
+SELECT {num_hashes} AS num_hashes,
+       CAST(agree.n_agree AS BIGINT) AS n_agree,
+       ROUND(agree.n_agree / {num_hashes}.0, 6) AS est_r,
+       sets.n_inter, sets.n_union,
+       ROUND(CAST(sets.n_inter AS DOUBLE) / sets.n_union, 6)
+         AS j_exact_r
+FROM agree, sets
+"""
+
+
 def q_incremental_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-validation (pandera_spark/incremental.py): run the
     per-file counter pass cold, run it AGAIN (the second pass lists
@@ -5959,6 +6046,7 @@ _R6_DRIVER_WINDOW = [
     # new in r6 (late round): k-means clustering + SemDeDup curation
     "kmeans_embeddings", "semdedup_embeddings",
     "clustersample_embeddings", "pagerank_orders",
+    "resemblance_documents",
 ]
 
 
@@ -6065,6 +6153,7 @@ def _queries_unordered() -> dict[
         "semdedup_embeddings": q_semdedup_embeddings,
         "clustersample_embeddings": q_clustersample_embeddings,
         "pagerank_orders": q_pagerank_orders,
+        "resemblance_documents": q_resemblance_documents,
         "source_profile_documents": q_source_profile_documents,
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
@@ -6429,6 +6518,7 @@ FROM ranked WHERE rank <= 5
         "semdedup_embeddings": _semdedup_oracle(),
         "clustersample_embeddings": _clustersample_oracle(),
         "pagerank_orders": _PAGERANK_ORACLE,
+        "resemblance_documents": _resemblance_oracle(),
         "source_profile_documents": _source_profile_oracle(),
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),

@@ -291,6 +291,129 @@ def minhash_signatures(
     )
 
 
+def corpus_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One-row CORPUS-level MinHash signature: per-permutation global
+    min over every shingle hash in the corpus (portable md5-prefix
+    family — oracle-replayable).  Treats the whole corpus as ONE
+    shingle set, so two corpora's signatures estimate their corpus
+    Jaccard resemblance (Broder '97) — see
+    :func:`corpus_resemblance`.
+
+    Plan: shingle explode is map-side, the global min agg partial-
+    combines to ``num_hashes`` longs per partition — at 100 TB the wire
+    carries k longs per partition, never shingles.
+    """
+    sh = F.transform(
+        shingles(F.col(text_col), shingle_n), portable_hash28
+    )
+    tokens = _ensure_parallelism(df).select(
+        F.explode(F.array_distinct(sh)).alias("__h")
+    )
+    h = F.col("__h")
+    a, b = portable_permutation_constants(num_hashes)
+    agg = tokens.agg(
+        *[
+            F.min((h * F.lit(a[i]) + F.lit(b[i])) % F.lit(PORTABLE_P))
+            .alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return agg.select(
+        F.array(
+            *[F.col(f"__m{i}") for i in range(num_hashes)]
+        ).alias("sig")
+    )
+
+
+def corpus_resemblance(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    exact: bool = False,
+) -> DataFrame:
+    """Corpus-level Jaccard resemblance of two corpora — the
+    dedup-drift / version-overlap screen ("how much of corpus B is already
+    in corpus A?" at the shingle-set grain, e.g. a new crawl vs the
+    training set).  One row out:
+
+    - ``n_agree`` / ``est`` — MinHash estimate: the fraction of the
+      ``num_hashes`` permutations whose corpus-wide minima agree
+      (unbiased for the Jaccard of the two shingle-hash sets, std err
+      ``sqrt(J(1-J)/k)``).  This is the 100 TB path: each side costs
+      one min-agg, k longs per partition on the wire.
+    - with ``exact=True``: ``n_inter`` / ``n_union`` / ``j_exact`` from
+      the distinct shingle-hash sets (one distinct + one groupBy over
+      hash values — bounded by the 2^28 hash space, but still a
+      distinct over corpus shingles; certification-grade, not the
+      default at scale).
+
+    Both paths are deterministic bit-replayable functions of the text
+    (portable hash family), so an external SQL engine reproduces every
+    output exactly — no tolerance verdicts needed.
+    """
+    sa = corpus_minhash(
+        a_df, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    ).select(F.col("sig").alias("__sa"))
+    sb = corpus_minhash(
+        b_df, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    ).select(F.col("sig").alias("__sb"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("__sa", "__sb", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    out = sa.crossJoin(sb).select(
+        F.lit(num_hashes).alias("num_hashes"),
+        agree.cast("long").alias("n_agree"),
+        (agree / F.lit(float(num_hashes))).alias("est"),
+    )
+    if not exact:
+        return out
+
+    def hash_set(df: DataFrame, flag: str) -> DataFrame:
+        sh = F.transform(
+            shingles(F.col(text_col), shingle_n), portable_hash28
+        )
+        return df.select(
+            F.explode(F.array_distinct(sh)).alias("__h")
+        ).distinct().select(
+            "__h",
+            F.lit(1 if flag == "a" else 0).alias("__a"),
+            F.lit(1 if flag == "b" else 0).alias("__b"),
+        )
+
+    both = (
+        hash_set(a_df, "a")
+        .union(hash_set(b_df, "b"))
+        .groupBy("__h")
+        .agg(F.max("__a").alias("__a"), F.max("__b").alias("__b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_union"),
+            F.sum(F.col("__a") * F.col("__b")).cast("long")
+            .alias("n_inter"),
+        )
+    )
+    return out.crossJoin(F.broadcast(both)).select(
+        "num_hashes",
+        "n_agree",
+        "est",
+        "n_inter",
+        "n_union",
+        F.try_divide(F.col("n_inter"), F.col("n_union"))
+        .alias("j_exact"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,

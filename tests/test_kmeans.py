@@ -235,3 +235,61 @@ def test_cluster_sample_pipeline_composes_with_semdedup(spark):
               for r in out.groupBy("cluster_id").count().collect()]
     assert all(c <= 4 for c in counts)
     assert out.count() > 0
+
+
+# --- corpus resemblance (operators/dedup.py) ---------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_corpus_resemblance_identical_and_disjoint(spark):
+    from pandera_spark.operators.dedup import corpus_resemblance
+
+    a = _docs(spark, [(1, "the quick brown fox jumps over dogs"),
+                      (2, "pack my box with five dozen jugs")])
+    same = corpus_resemblance(a, a, exact=True).first()
+    assert same["n_agree"] == same["num_hashes"] == 64
+    assert same["est"] == 1.0
+    assert same["j_exact"] == 1.0
+    assert same["n_inter"] == same["n_union"]
+
+    b = _docs(spark, [(3, "zx qv wk jn pb tm rd lg hc fs yw ae")])
+    dis = corpus_resemblance(a, b, exact=True).first()
+    assert dis["n_inter"] == 0
+    assert dis["j_exact"] == 0.0
+    assert dis["n_agree"] == 0
+
+
+def test_corpus_resemblance_subset_and_symmetry(spark):
+    from pandera_spark.operators.dedup import corpus_resemblance
+
+    small = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    big = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta"),
+                        (2, "eta theta iota kappa lambda mu nu xi")])
+    ab = corpus_resemblance(small, big, exact=True).first()
+    # A ⊂ B  ->  J = |A| / |B| over the distinct shingle-hash sets
+    assert ab["n_inter"] == 4  # 6 words, 3-shingles -> 4 shingles
+    assert ab["j_exact"] == pytest.approx(
+        ab["n_inter"] / ab["n_union"])
+    ba = corpus_resemblance(big, small, exact=True).first()
+    assert ba["n_inter"] == ab["n_inter"]
+    assert ba["n_agree"] == ab["n_agree"]
+
+
+def test_corpus_minhash_is_min_over_union(spark):
+    """Corpus signature = element-wise min of per-doc signatures (the
+    mergeability property that makes the estimate corpus-level)."""
+    from pandera_spark.operators.dedup import (
+        corpus_minhash, minhash_signatures)
+
+    docs = _docs(spark, [(1, "one two three four five six"),
+                         (2, "six seven eight nine ten eleven"),
+                         (3, "a b c d e f g h")])
+    corpus = corpus_minhash(docs, num_hashes=16).first()["sig"]
+    per_doc = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=16, portable=True
+    ).collect()
+    mins = [min(r["sig"][i] for r in per_doc) for i in range(16)]
+    assert list(corpus) == mins
