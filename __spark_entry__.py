@@ -3965,6 +3965,31 @@ FROM agree, sets
 """
 
 
+def q_uniformsample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global EXACT-n deterministic uniform sample
+    (operators/curation.py:uniform_sample): the 100 documents with the
+    smallest portable md5-prefix hash of doc_id — the count-budgeted
+    companion to hash_split's rate-based membership.  Plan:
+    TakeOrderedAndProject (per-partition local top-n, no global sort).
+    Order-independent and engine-replayable; oracle = ORDER BY the same
+    hash LIMIT n."""
+    from pandera_spark.operators.curation import uniform_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    out = uniform_sample(docs, "doc_id", 100)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def _uniformsample_oracle() -> str:
+    h = _HEXFOLD.format(e="CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM documents ORDER BY {h}, doc_id LIMIT 100
+"""
+
+
 def q_incremental_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-validation (pandera_spark/incremental.py): run the
     per-file counter pass cold, run it AGAIN (the second pass lists
@@ -6046,7 +6071,7 @@ _R6_DRIVER_WINDOW = [
     # new in r6 (late round): k-means clustering + SemDeDup curation
     "kmeans_embeddings", "semdedup_embeddings",
     "clustersample_embeddings", "pagerank_orders",
-    "resemblance_documents",
+    "resemblance_documents", "uniformsample_documents",
 ]
 
 
@@ -6154,6 +6179,7 @@ def _queries_unordered() -> dict[
         "clustersample_embeddings": q_clustersample_embeddings,
         "pagerank_orders": q_pagerank_orders,
         "resemblance_documents": q_resemblance_documents,
+        "uniformsample_documents": q_uniformsample_documents,
         "source_profile_documents": q_source_profile_documents,
         "ks_events": q_ks_events,
         "groupwise_lineitem": q_groupwise_lineitem,
@@ -6519,6 +6545,7 @@ FROM ranked WHERE rank <= 5
         "clustersample_embeddings": _clustersample_oracle(),
         "pagerank_orders": _PAGERANK_ORACLE,
         "resemblance_documents": _resemblance_oracle(),
+        "uniformsample_documents": _uniformsample_oracle(),
         "source_profile_documents": _source_profile_oracle(),
         "ks_events": _KS_EVENTS_ORACLE,
         "groupwise_lineitem": _groupwise_oracle(),

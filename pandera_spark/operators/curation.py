@@ -43,6 +43,7 @@ __all__ = [
     "cdf_bins",
     "curate_corpus",
     "temperature_sample",
+    "uniform_sample",
 ]
 
 _SPLIT_BUCKETS = 10_000
@@ -327,6 +328,38 @@ def curate_corpus(
             portable=portable,
         )
     return kept
+
+
+def uniform_sample(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global EXACT-``n`` uniform sample: the n rows whose
+    portable md5-prefix hash of ``key || salt`` (ties: key) is smallest.
+    Order-independent, engine-replayable (ORDER BY the same hash in
+    SQL), repeatable forever for a given salt; change ``salt`` for an
+    independent redraw.  The complement of :func:`hash_split`'s
+    fraction-based membership when a budget is a COUNT, not a rate.
+
+    Plan: TakeOrderedAndProject — every partition keeps its local top-n
+    by hash, only k×n candidate rows merge; no global sort.  Sized for
+    n up to the low millions (the merged result lands in one place —
+    for larger budgets use :func:`hash_split` with ``n/N`` fractions).
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    h = portable_hash28(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    )
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", key_col)
+        .limit(int(n))
+        .drop("__h")
+    )
 
 
 def temperature_sample(

@@ -293,3 +293,25 @@ def test_corpus_minhash_is_min_over_union(spark):
     ).collect()
     mins = [min(r["sig"][i] for r in per_doc) for i in range(16)]
     assert list(corpus) == mins
+
+
+def test_uniform_sample_exact_deterministic_and_plan(spark):
+    from pandera_spark.operators.curation import uniform_sample
+
+    df = _docs(spark, [(i, f"doc {i}") for i in range(200)])
+    s1 = uniform_sample(df, "doc_id", 25)
+    assert s1.count() == 25
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    ids2 = {r["doc_id"]
+            for r in uniform_sample(df, "doc_id", 25).collect()}
+    assert ids1 == ids2
+    ids3 = {r["doc_id"]
+            for r in uniform_sample(df, "doc_id", 25, salt="z").collect()}
+    assert ids3 != ids1
+    # n >= corpus keeps everything; bad n rejected
+    assert uniform_sample(df, "doc_id", 500).count() == 200
+    with pytest.raises(ValueError, match="positive"):
+        uniform_sample(df, "doc_id", 0)
+    # scale guard: TakeOrdered, not a global sort
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
