@@ -92,6 +92,44 @@ def ivf_fit(
     return centroids
 
 
+def ivf_fit_distributed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    n_iter: int = 10,
+    tol: float = 1e-4,
+) -> np.ndarray:
+    """Full-corpus spherical k-means via the distributed Lloyd loop
+    (:func:`..kmeans.fit_kmeans`) — the upgrade over :func:`ivf_fit`'s
+    bounded driver sample when the corpus is too skewed for a 10k-row
+    sample to place centroids well.  Rows are L2-normalized in-plan
+    (pure Column expression) so Euclidean Lloyd == spherical k-means;
+    per iteration the corpus contributes k × d × partitions wire rows
+    and nothing reaches the driver but the k×d matrix.  Deterministic
+    (min-hash seeding, no RNG).  Returns unit-norm centroids."""
+    from .kmeans import fit_kmeans
+    from .similarity import l2_norm
+
+    normed = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("__n"),
+    )
+    unit = normed.where(F.col("__n") > 0).select(
+        F.col(id_col),
+        F.transform(
+            F.col("__v"), lambda x: x / F.col("__n")
+        ).alias("__unit"),
+    )
+    fit = fit_kmeans(
+        unit, vec_col="__unit", id_col=id_col,
+        k=n_centroids, max_iter=n_iter, tol=tol,
+    )
+    return _normalize(np.asarray(fit.centroids, dtype=float))
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str,

