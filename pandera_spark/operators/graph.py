@@ -13,8 +13,8 @@ Scale design (100 TB edges):
   ONE groupBy-sum — both shuffle on the node key, so consecutive
   rounds reuse the same hash partitioning.  The rank frame is N rows
   (nodes, not edges).
-- The only driver values are true scalars: the dangling-rank mass and
-  the optional L1 delta (1-row aggs) — never node or edge data.
+- Nothing reaches the driver but the optional 1-row L1 delta; the
+  dangling-rank mass stays in-plan as a broadcast 1-row frame.
 - Lineage is cut every round (``localCheckpoint``) exactly like
   :mod:`.clustering`'s connected components, so the plan stays flat for
   any iteration count.
@@ -83,6 +83,7 @@ def pagerank(
     damping: float = 0.85,
     tol: Optional[float] = None,
     checkpoint: bool = True,
+    broadcast_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Standard damped PageRank with dangling-mass redistribution:
 
@@ -90,39 +91,65 @@ def pagerank(
 
     starting uniform at ``1/N``; ranks sum to 1 every round.  Returns
     ``(node, rank)``.  ``tol`` (optional) stops early when the L1 change
-    drops below it.  Each round is one join + one groupBy-sum on the
-    node key (the partitioning Catalyst reuses round-to-round), the
-    dangling mass is a 1-row agg scalar, and the N-row rank frame is
-    localCheckpoint-ed so lineage never grows with ``iters``.
-    Deduplicate edge rows first if multi-edges should not weigh double.
+    drops below it (costs one extra 1-row action per round).
+
+    Physical shape per round: one ranks⋈edges join + one groupBy-sum on
+    the node key (the partitioning Catalyst reuses round-to-round); the
+    dangling mass folds into the plan as a broadcast 1-row frame, so a
+    round is ONE action.  With ``checkpoint=True`` (default) the graph
+    structure (nodes, degrees, degree-annotated edges) is materialized
+    once up front — otherwise every round would re-derive the upstream
+    edge plan (often an expensive join) from scratch — and the N-row
+    rank frame is localCheckpoint-ed per round so lineage never grows
+    with ``iters``.  When the node count is at most ``broadcast_nodes``
+    the rank frame is explicitly broadcast into the edge join —
+    checkpointed frames lose size statistics, so without the hint Spark
+    shuffle-joins the whole edge list against an N-row frame every
+    round; above the threshold the joins fall back to consistent
+    node-key shuffles (the billions-of-nodes regime).  Deduplicate edge
+    rows first if multi-edges should not weigh double.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
     ).where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+    if checkpoint:
+        # materialize the (possibly expensive) upstream edge plan
+        # ONCE; everything below derives from the cached edge list
+        e = e.localCheckpoint(eager=True)
     nodes = node_frame(e, src="__s", dst="__d")
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    # out-edges annotated with the sender's degree, computed once
+    e_deg = e.join(deg, "__s")
+    if checkpoint:
+        # cheap actions over the cached edges — keeps every loop round
+        # from re-deriving them
+        nodes = nodes.localCheckpoint(eager=True)
+        deg = deg.localCheckpoint(eager=True)
+        e_deg = e_deg.localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.select(
             "node", F.lit(0.0).alias("rank")
         )
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
-    # out-edges annotated with the sender's degree, computed once
-    e_deg = e.join(deg, "__s")
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     if checkpoint:
         ranks = ranks.localCheckpoint(eager=True)
     base = (1.0 - damping) / n
+    small = n <= int(broadcast_nodes)
     for _ in range(int(iters)):
-        # scalar: total rank parked on nodes with no out-edges
-        dangling = (
+        r_side = F.broadcast(ranks) if small else ranks
+        # dangling rank mass folded into the plan as a broadcast 1-row
+        # frame — no extra driver action per round
+        dang = (
             ranks.join(deg, ranks["node"] == deg["__s"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
         )
         contrib = (
-            ranks.join(e_deg, ranks["node"] == e_deg["__s"])
+            r_side.join(e_deg, ranks["node"] == e_deg["__s"])
             .select(
                 F.col("__d").alias("node"),
                 (F.col("rank") / F.col("__deg")).alias("__c"),
@@ -131,7 +158,12 @@ def pagerank(
             .agg(F.sum("__c").alias("__in"))
         )
         new = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(
+                F.broadcast(contrib) if small else contrib,
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
@@ -139,7 +171,7 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce("__in", F.lit(0.0))
-                        + F.lit(dangling / n)
+                        + F.col("__dm") / F.lit(float(n))
                     )
                 ).alias("rank"),
             )

@@ -58,6 +58,7 @@ ALLOWED_BNLJ = {
     "nbclassify_documents",      # tiny label-list cross
     "synthesize_validate",       # 1-row synthesis bounds
     "bigram_documents",          # 1-row smoothing-vocab totals
+    "resemblance_documents",     # two 1-row corpus-signature frames
                                  # (text.py bigram_score crossJoin(broadcast(totals)))
 }
 
