@@ -3990,6 +3990,95 @@ FROM documents ORDER BY {h}, doc_id LIMIT 100
 """
 
 
+_MAD_K = 3.5 * 1.4826
+
+
+def q_madoutliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier screen
+    (operators/numeric.py:mad_outlier_report): median ± 3.5·1.4826·MAD
+    fences (Iglewicz-Hoaglin modified z-score) — immune to the outliers
+    themselves, unlike mean/stddev fences.  Three mergeable agg jobs
+    for ALL columns at once; exact interpolated quantiles here so the
+    oracle replays quantile_cont bit-for-bit (fence margins to the
+    nearest data value are ≥7e-3 at the certified SFs — far above
+    cross-engine double noise).  The sketch default swaps both
+    quantile passes to GK, same plan shape."""
+    from pandera_spark.operators.numeric import mad_outlier_report
+
+    ev = _load(spark, sf_dir, "events")
+    return mad_outlier_report(
+        ev, ["value", "user_id"], exact=True
+    )
+
+
+def _madoutliers_oracle() -> str:
+    parts = []
+    for c in ["value", "user_id"]:
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT(CAST({c} AS DOUBLE)) AS BIGINT) AS n_nonnull,
+       ROUND((SELECT quantile_cont(CAST({c} AS DOUBLE), 0.5)
+              FROM events), 6) AS median_r,
+       ROUND((SELECT quantile_cont(ABS(CAST({c} AS DOUBLE) -
+                (SELECT quantile_cont(CAST({c} AS DOUBLE), 0.5)
+                 FROM events)), 0.5) FROM events), 6) AS mad_r,
+       CAST(COALESCE(SUM(CASE WHEN CAST({c} AS DOUBLE) <
+         (SELECT quantile_cont(CAST({c} AS DOUBLE), 0.5) FROM events)
+         - {_MAD_K!r} * (SELECT quantile_cont(ABS(CAST({c} AS DOUBLE) -
+             (SELECT quantile_cont(CAST({c} AS DOUBLE), 0.5)
+              FROM events)), 0.5) FROM events)
+         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_low,
+       CAST(COALESCE(SUM(CASE WHEN CAST({c} AS DOUBLE) >
+         (SELECT quantile_cont(CAST({c} AS DOUBLE), 0.5) FROM events)
+         + {_MAD_K!r} * (SELECT quantile_cont(ABS(CAST({c} AS DOUBLE) -
+             (SELECT quantile_cont(CAST({c} AS DOUBLE), 0.5)
+              FROM events)), 0.5) FROM events)
+         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_high
+FROM events""")
+    return " UNION ALL ".join(parts)
+
+
+_CKEY_COMBOS = [
+    ["o_orderkey"],
+    ["o_custkey"],
+    ["o_orderkey", "o_custkey"],
+]
+
+
+def q_candidatekeys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery (inference.candidate_keys): exact
+    distinct counts + all-non-null counts for several column combos in
+    ONE aggregation (Spark's Expand plans the n distincts together),
+    with an is_key verdict per combo — the profiling step that proposes
+    unique= constraints and vets join keys before they fan out.  The
+    approx lane (HLL, no Expand) is the 100 TB screening mode, pytest-
+    covered.  Oracle replays Spark's count_distinct null semantics
+    (rows with ANY null combo column are skipped) explicitly."""
+    from pandera_spark.inference import candidate_keys
+
+    orders = _load(spark, sf_dir, "orders")
+    return candidate_keys(orders, _CKEY_COMBOS)
+
+
+def _candidatekeys_oracle() -> str:
+    parts = []
+    for combo in _CKEY_COMBOS:
+        name = ",".join(combo)
+        nn = " AND ".join(f"{c} IS NOT NULL" for c in combo)
+        tup = ", ".join(combo)
+        parts.append(f"""
+SELECT '{name}' AS combo,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN {nn} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT CASE WHEN {nn} THEN ({tup}) END)
+            AS BIGINT) AS n_distinct,
+       COUNT(DISTINCT CASE WHEN {nn} THEN ({tup}) END) = COUNT(*)
+         AS is_key
+FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
 def q_incremental_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-validation (pandera_spark/incremental.py): run the
     per-file counter pass cold, run it AGAIN (the second pass lists
@@ -6072,6 +6161,9 @@ _R6_DRIVER_WINDOW = [
     "kmeans_embeddings", "semdedup_embeddings",
     "clustersample_embeddings", "pagerank_orders",
     "resemblance_documents", "uniformsample_documents",
+    # new in r6 (late round): robust MAD outlier fences, candidate-key
+    # discovery
+    "madoutliers_events", "candidatekeys_orders",
 ]
 
 
@@ -6170,6 +6262,8 @@ def _queries_unordered() -> dict[
         "maxpool_embeddings": q_maxpool_embeddings,
         "incremental_lineitem": q_incremental_lineitem,
         "sample_validate_lineitem": q_sample_validate_lineitem,
+        "madoutliers_events": q_madoutliers_events,
+        "candidatekeys_orders": q_candidatekeys_orders,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -6536,6 +6630,8 @@ FROM ranked WHERE rank <= 5
         "maxpool_embeddings": _MAXPOOL_ORACLE,
         "incremental_lineitem": _incremental_oracle(),
         "sample_validate_lineitem": _sample_validate_oracle(),
+        "madoutliers_events": _madoutliers_oracle(),
+        "candidatekeys_orders": _candidatekeys_oracle(),
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

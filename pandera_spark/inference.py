@@ -346,3 +346,65 @@ def validate_sample(
         schema, sample.withColumn("__g", F.lit(1)), ["__g"]
     )
     return wilson_intervals(rep, z=z)
+
+
+def candidate_keys(
+    df: DataFrame,
+    combos: "Sequence[Sequence[str]]",
+    *,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Candidate-key / uniqueness discovery: for each column combo,
+    total rows, rows where every combo column is non-null, the distinct
+    combo count, and an ``is_key`` verdict (distinct == total — i.e.
+    unique AND fully non-null).  The profiling step that proposes
+    ``unique=`` constraints for :func:`infer_schema` and validates
+    assumed join keys before they silently fan out.
+
+    One aggregation job for ALL combos.  ``exact=True`` (default) uses
+    ``count_distinct`` — note Spark plans n exact distincts in one agg
+    via Expand (input amplified ×(n+1) pre-shuffle); fine for a
+    handful of combos.  ``exact=False`` switches to HLL
+    ``approx_count_distinct(rsd)`` — single pass, no Expand, the
+    screening mode for wide combo lists at 100 TB (a combo can then
+    only be REFUTED as a key, not confirmed; verdicts compare against
+    the exact row counts so near-keys may flip either way within the
+    sketch error).
+    """
+    combos = [list(c) for c in combos]
+    if not combos or any(not c for c in combos):
+        raise ValueError("combos must be non-empty lists of columns")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, combo in enumerate(combos):
+        fields = [F.col(c) for c in combo]
+        nn = None
+        for c in combo:
+            cond = F.col(c).isNotNull()
+            nn = cond if nn is None else (nn & cond)
+        aggs.append(F.sum(nn.cast("long")).alias(f"__nn{i}"))
+        if exact:
+            aggs.append(F.count_distinct(*fields).alias(f"__d{i}"))
+        else:
+            aggs.append(
+                F.approx_count_distinct(
+                    F.struct(*fields), rsd
+                ).alias(f"__d{i}")
+            )
+    agg = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(",".join(c)).alias("combo"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__nn{i}").cast("long").alias("n_nonnull"),
+                F.col(f"__d{i}").cast("long").alias("n_distinct"),
+                (F.col(f"__d{i}") == F.col("__n")).alias("is_key"),
+            )
+            for i, c in enumerate(combos)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("s")).select(
+        "s.combo", "s.n_rows", "s.n_nonnull", "s.n_distinct",
+        "s.is_key",
+    )

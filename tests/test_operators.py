@@ -4729,3 +4729,107 @@ def test_zorder_layout_improves_file_skipping(spark, tmp_path):
     # x-sorted layout cannot skip on y at all; z-order must skip most
     assert skip["by_x"] == pytest.approx(0.0)
     assert skip["by_z"] > 0.5
+
+
+# --- MAD outlier report ----------------------------------------------------
+
+
+def test_mad_outlier_known_values(spark):
+    from pandera_spark.operators.numeric import mad_outlier_report
+
+    # 0..100 (median 50, MAD 26 once the two planted outliers join the
+    # deviation pool) plus one far outlier on each side
+    vals = [float(i) for i in range(101)] + [10000.0, -10000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = mad_outlier_report(df, ["v"], exact=True).first()
+    assert r.col_name == "v"
+    assert r.n_nonnull == 103
+    assert r.median_r == pytest.approx(50.0)
+    assert r.mad_r == pytest.approx(26.0)
+    # fences: 50 +/- 3.5*1.4826*26 = 50 +/- 134.9 -> only the planted pair
+    assert r.n_low == 1 and r.n_high == 1
+    # approx default: n=103 << accuracy -> sketch is rank-exact, and the
+    # odd-n median IS a data value, so both lanes agree bit-for-bit
+    ra = mad_outlier_report(df, ["v"]).first()
+    assert (ra.median_r, ra.mad_r, ra.n_low, ra.n_high) == (
+        r.median_r, r.mad_r, r.n_low, r.n_high
+    )
+
+
+def test_mad_outlier_null_column_and_errors(spark):
+    from pandera_spark.operators.numeric import mad_outlier_report
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 300.0)],
+        "a double, b double",
+    )
+    rows = {r.col_name: r for r in
+            mad_outlier_report(df, ["a", "b"], exact=True).collect()}
+    assert rows["a"].n_nonnull == 0
+    assert rows["a"].median_r is None and rows["a"].mad_r is None
+    assert rows["a"].n_low == 0 and rows["a"].n_high == 0
+    # b: median 2, MAD 1, fences 2 +/- 5.19 -> 300 is high
+    assert rows["b"].n_high == 1 and rows["b"].n_low == 0
+    with pytest.raises(ValueError):
+        mad_outlier_report(df, [])
+    with pytest.raises(ValueError):
+        mad_outlier_report(df, ["b"], accuracy=0)
+
+
+# --- candidate-key discovery -----------------------------------------------
+
+
+def test_candidate_keys_verdicts(spark):
+    from pandera_spark.inference import candidate_keys
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 10), (4, None, 20)],
+        "pk int, grp string, val int",
+    )
+    out = {r.combo: r for r in candidate_keys(
+        df, [["pk"], ["grp"], ["val"], ["grp", "val"]]
+    ).collect()}
+    assert out["pk"].is_key and out["pk"].n_distinct == 4
+    assert out["pk"].n_rows == 4 and out["pk"].n_nonnull == 4
+    # grp has a null AND dups: distinct skips the null row
+    assert out["grp"].n_nonnull == 3 and out["grp"].n_distinct == 2
+    assert not out["grp"].is_key
+    assert not out["val"].is_key
+    # jointly distinct on non-null rows, but the null row sinks the verdict
+    assert out["grp,val"].n_distinct == 3
+    assert out["grp,val"].n_nonnull == 3
+    assert not out["grp,val"].is_key
+
+
+def test_candidate_keys_approx_lane_and_errors(spark):
+    from pandera_spark.inference import candidate_keys
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(1000)], "pk int, mod int"
+    )
+    out = {r.combo: r for r in candidate_keys(
+        df, [["pk"], ["mod"]], exact=False, rsd=0.02
+    ).collect()}
+    # HLL at rsd=0.02: mod's 7 distinct is far from 1000 -> refuted
+    assert not out["mod"].is_key
+    assert abs(out["pk"].n_distinct - 1000) <= 0.1 * 1000
+    with pytest.raises(ValueError):
+        candidate_keys(df, [])
+    with pytest.raises(ValueError):
+        candidate_keys(df, [["pk"], []])
+
+
+def test_candidate_keys_single_agg_plan(spark):
+    """ALL combos resolve in ONE aggregation: Spark plans the n exact
+    distincts together via a single Expand (input ×(n+1) pre-shuffle),
+    not one scan per combo — no joins, no repeated scans."""
+    from pandera_spark.inference import candidate_keys
+
+    df = spark.createDataFrame([(i, i) for i in range(100)], "a int, b int")
+    plan = candidate_keys(
+        df, [["a"], ["b"], ["a", "b"]]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert "Join" not in plan and plan.count("Scan") == 1
+    # one distinct-agg shuffle + the final single-partition merge
+    assert plan.count("Exchange") == 2
