@@ -916,3 +916,211 @@ def simhash_near_dups(
         )
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# --- exact substring (repeated k-gram span) dedup ---------------------------
+
+
+def _token_grams(
+    df: DataFrame, id_col: str, text_col: str, k: int, token_pattern: str,
+    hash_grams: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(positions, base): positions = one row per token ``k``-gram with
+    its 1-based start position; base = one row per doc with its token
+    count.  The positions frame carries an 8-byte gram hash by default
+    (``hash_grams=False`` keeps the gram string — bit-exact replayable
+    by a SQL oracle, at the cost of shuffling k-token strings)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(token_pattern), 0
+    )
+    t = df.select(F.col(id_col).alias("__id"), toks.alias("__w"))
+    base = t.select("__id", F.size("__w").alias("__n_tokens"))
+    n_grams = F.size("__w") - F.lit(k - 1)
+    # sequence(1, n) descends when n < 1 — guard short docs to an empty list
+    idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram_str = lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, k))  # noqa: E731
+    gram = (
+        (lambda i: F.xxhash64(gram_str(i))) if hash_grams else gram_str
+    )
+    pos = t.select(
+        "__id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(i.alias("pos"), gram(i).alias("g")),
+            )
+        ).alias("p"),
+    ).select("__id", F.col("p.pos").alias("__pos"), F.col("p.g").alias("__g"))
+    return pos, base
+
+
+def _dup_positions(
+    pos: DataFrame, k: int, min_count: int, keep: str
+) -> DataFrame:
+    """Positions whose k-gram repeats >= min_count times corpus-wide.
+
+    ``keep="none"`` marks EVERY occurrence (report mode: how much of
+    each doc is corpus-duplicated text); ``keep="first"`` spares the
+    globally first occurrence (lowest (doc, pos)) so one copy of each
+    repeated span survives a strip (Lee et al. 2022 exact-substring
+    semantics).  Uses a mergeable count+min aggregation and a hash join
+    back — NOT a window over the gram key, whose per-key sort would
+    straggle on mega-hot grams at 100 TB.
+    """
+    if keep not in ("none", "first"):
+        raise ValueError(f'keep must be "none" or "first", got {keep!r}')
+    stats = (
+        pos.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct("__id", "__pos")).alias("__first"),
+        )
+        .filter(F.col("__cnt") >= min_count)
+    )
+    dup = pos.join(stats, "__g")
+    if keep == "first":
+        dup = dup.filter(
+            F.struct("__id", "__pos") != F.col("__first")
+        )
+    return dup.select("__id", "__pos")
+
+
+def _merge_spans(dup: DataFrame, k: int) -> DataFrame:
+    """Merge per-doc duplicated k-gram positions into maximal spans
+    (gaps-and-islands): positions p, p' belong to one span when their
+    [p, p+k-1] coverage intervals overlap or touch (p' - p <= k).
+    Window is per-doc (bounded by doc length) — never global."""
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("__id").orderBy("__pos")
+    brk = F.when(
+        F.col("__pos") - F.lag("__pos").over(wdoc) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = dup.withColumn("__brk", brk).withColumn(
+        "__island", F.sum("__brk").over(wdoc)
+    )
+    return isl.groupBy("__id", "__island").agg(
+        F.min("__pos").alias("span_start"),
+        (F.max("__pos") + F.lit(k - 1)).alias("span_end"),
+    )
+
+
+def repeated_span_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_count: int = 2,
+    keep: str = "none",
+    token_pattern: str = "[a-z0-9]+",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Per-doc exact-substring duplication report: how many maximal
+    spans of >= ``k`` consecutive tokens also appear elsewhere in the
+    corpus (>= ``min_count`` occurrences total), and what fraction of
+    the doc's tokens they cover.
+
+    The span-level member of the dedup family (doc-level:
+    :func:`exact_dedup_stats`; line-level: ``text.line_dedup``;
+    chunk-level: ``chunking.shared_passages``) — the screen behind
+    "dedup training data at the substring level" (Lee et al. 2022,
+    arXiv:2107.06499; reference has no counterpart).
+
+    Returns ``(id_col, n_tokens, n_spans, dup_tokens, dup_frac)``.
+
+    Design for 100 TB:
+    - only ``(doc, pos, gram-hash)`` triples shuffle — text never does;
+    - the gram-frequency pass is a map-side-combinable count+min agg
+      (hot grams combine per-partition; no per-key window sort);
+    - span merging windows per doc, bounded by doc length.
+    """
+    pos, base = _token_grams(df, id_col, text_col, k, token_pattern,
+                             hash_grams)
+    dup = _dup_positions(pos, k, min_count, keep)
+    spans = _merge_spans(dup, k)
+    rep = spans.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "dup_tokens"
+        ),
+    )
+    out = base.join(rep, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("__n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0))
+        .cast("long")
+        .alias("dup_tokens"),
+        (
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.greatest(F.col("__n_tokens"), F.lit(1)).cast("double")
+        ).alias("dup_frac"),
+    )
+    return out
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_count: int = 2,
+    keep: str = "first",
+    token_pattern: str = "[a-z0-9]+",
+    hash_grams: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove corpus-repeated token spans from each document, keeping
+    (by default) the globally first occurrence of every repeated
+    substring — exact-substring training-data dedup (Lee et al. 2022).
+
+    Rebuilds ``out_col`` (default: replaces ``text_col``) from the
+    tokens NOT covered by any duplicated span.  Tokenization is
+    destructive (case/punctuation normalised) — this is a corpus-prep
+    operator, not a lossless editor.
+
+    The doc's span list rides a per-doc array (bounded by len/k), so
+    the strip itself is a pure projection: no UDF, no extra shuffle
+    beyond :func:`repeated_span_report`'s.
+    """
+    out_col = out_col or text_col
+    pos, _ = _token_grams(df, id_col, text_col, k, token_pattern,
+                          hash_grams)
+    dup = _dup_positions(pos, k, min_count, keep)
+    spans = _merge_spans(dup, k)
+    per_doc = spans.groupBy("__id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(token_pattern), 0
+    )
+    covered = lambda p: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (p >= s.span_start) & (p <= s.span_end),
+    )
+    joined = df.join(
+        per_doc, df[id_col] == per_doc["__id"], "left"
+    )
+    kept = F.when(F.col("__spans").isNull(), toks).otherwise(
+        F.transform(
+            F.filter(
+                F.transform(
+                    toks,
+                    lambda tok, i: F.struct(
+                        tok.alias("tok"), (i + 1).alias("pos")
+                    ),
+                ),
+                lambda p: ~covered(p.pos),
+            ),
+            lambda p: p.tok,
+        )
+    )
+    return joined.withColumn(out_col, F.concat_ws(" ", kept)).drop(
+        "__id", "__spans"
+    )

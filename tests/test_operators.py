@@ -4833,3 +4833,135 @@ def test_candidate_keys_single_agg_plan(spark):
     assert "Join" not in plan and plan.count("Scan") == 1
     # one distinct-agg shuffle + the final single-partition merge
     assert plan.count("Exchange") == 2
+
+
+# --- exact substring (repeated-span) dedup -----------------------------------
+
+
+def _span_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta unique tail"),
+            (2, "prefix alpha beta gamma delta epsilon zeta eta theta more"),
+            (3, "totally different content with no overlap at all here now"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_repeated_span_report_known_values(spark):
+    from pandera_spark.operators.dedup import repeated_span_report
+
+    out = {
+        r.doc_id: r
+        for r in repeated_span_report(
+            _span_corpus(spark), "doc_id", "text", k=8
+        ).collect()
+    }
+    # docs 1 and 2 share the 8-token run; doc 3 is clean
+    assert out[1].n_spans == 1 and out[1].dup_tokens == 8
+    assert out[2].n_spans == 1 and out[2].dup_tokens == 8
+    assert out[3].n_spans == 0 and out[3].dup_tokens == 0
+    assert out[1].n_tokens == 10
+    assert abs(out[1].dup_frac - 0.8) < 1e-12
+
+
+def test_repeated_span_self_repetition_merges_to_one_span(spark):
+    from pandera_spark.operators.dedup import repeated_span_report
+
+    # 12 identical tokens: grams at pos 1..5 all repeat, and their
+    # coverage intervals overlap -> ONE maximal span covering all 12
+    df = spark.createDataFrame(
+        [(1, " ".join(["x"] * 12))], "doc_id int, text string"
+    )
+    row = repeated_span_report(df, "doc_id", "text", k=8).collect()[0]
+    assert row.n_spans == 1
+    assert row.dup_tokens == 12
+    assert row.dup_frac == 1.0
+
+
+def test_repeated_span_short_docs_are_clean(spark):
+    from pandera_spark.operators.dedup import repeated_span_report
+
+    # both docs are shorter than k: no grams at all (and no
+    # sequence(1,0) descending-range blowup), report is all zeros
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id int, text string"
+    )
+    rows = repeated_span_report(df, "doc_id", "text", k=8).collect()
+    assert all(r.n_spans == 0 and r.dup_tokens == 0 for r in rows)
+    assert all(r.n_tokens == 3 for r in rows)
+
+
+def test_repeated_span_min_count_threshold(spark):
+    from pandera_spark.operators.dedup import repeated_span_report
+
+    out = {
+        r.doc_id: r
+        for r in repeated_span_report(
+            _span_corpus(spark), "doc_id", "text", k=8, min_count=3
+        ).collect()
+    }
+    # the shared run occurs only twice corpus-wide -> below min_count=3
+    assert all(r.n_spans == 0 for r in out.values())
+
+
+def test_repeated_span_hash_and_string_grams_agree(spark):
+    from pandera_spark.operators.dedup import repeated_span_report
+
+    df = _span_corpus(spark)
+    a = sorted(
+        repeated_span_report(
+            df, "doc_id", "text", k=8, hash_grams=True
+        ).collect()
+    )
+    b = sorted(
+        repeated_span_report(
+            df, "doc_id", "text", k=8, hash_grams=False
+        ).collect()
+    )
+    assert a == b
+
+
+def test_strip_repeated_spans_keeps_first_occurrence(spark):
+    from pandera_spark.operators.dedup import strip_repeated_spans
+
+    out = {
+        r.doc_id: r.text
+        for r in strip_repeated_spans(
+            _span_corpus(spark), "doc_id", "text", k=8, keep="first"
+        ).collect()
+    }
+    # doc 1 holds the globally first occurrence -> untouched;
+    # doc 2 loses the shared run but keeps its unique flanks
+    assert out[1] == (
+        "alpha beta gamma delta epsilon zeta eta theta unique tail"
+    )
+    assert out[2] == "prefix more"
+    assert out[3] == (
+        "totally different content with no overlap at all here now"
+    )
+
+
+def test_strip_repeated_spans_keep_none_strips_all_copies(spark):
+    from pandera_spark.operators.dedup import strip_repeated_spans
+
+    out = {
+        r.doc_id: r.text
+        for r in strip_repeated_spans(
+            _span_corpus(spark), "doc_id", "text", k=8, keep="none",
+            out_col="clean",
+        ).select("doc_id", F.col("clean").alias("text")).collect()
+    }
+    assert out[1] == "unique tail"
+    assert out[2] == "prefix more"
+
+
+def test_repeated_span_rejects_bad_args(spark):
+    from pandera_spark.operators.dedup import repeated_span_report
+
+    df = _span_corpus(spark)
+    with pytest.raises(ValueError):
+        repeated_span_report(df, "doc_id", "text", k=0)
+    with pytest.raises(ValueError):
+        repeated_span_report(df, "doc_id", "text", keep="last")
