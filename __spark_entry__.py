@@ -6199,6 +6199,78 @@ FROM base b LEFT JOIN rep USING (doc_id)
 """
 
 
+# --- trailing time-window features (rolling stats + EWMA) --------------------
+
+
+def q_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 2-day window statistics for every event
+    (temporal.rolling_stats): ONE shuffle on user_id, then a
+    microsecond-epoch RANGE-frame window per key — the "activity in the
+    last N hours" feature primitive.  The frame is a time range (ties
+    all in-frame), so no tiebreak is needed for determinism; the oracle
+    replays the identical RANGE window over epoch_us."""
+    from pandera_spark.operators.temporal import rolling_stats
+
+    ev = _load(spark, sf_dir, "events")
+    r = rolling_stats(
+        ev, "ts", "value", keys=["user_id"],
+        window_seconds=2 * 86400,
+        stats=("count", "mean", "min", "max", "sum"),
+    )
+    return r.select(
+        "event_id", "user_id", "roll_count",
+        F.round("roll_mean", 6).alias("roll_mean_r"),
+        "roll_min", "roll_max",
+        F.round("roll_sum", 6).alias("roll_sum_r"),
+    )
+
+
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+  CAST(count(value) OVER w AS BIGINT) AS roll_count,
+  ROUND(avg(value) OVER w, 6) AS roll_mean_r,
+  min(value) OVER w AS roll_min,
+  max(value) OVER w AS roll_max,
+  ROUND(sum(value) OVER w, 6) AS roll_sum_r
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 172800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated normalized EWMA of value per user stream
+    (temporal.ewma, alpha=0.3, last 64 events): bounded collect_list
+    window + ONE Catalyst Horner fold ``acc*(1-a)+x`` — zero UDF, and
+    the left-to-right double arithmetic is bit-replayed by the oracle's
+    identical list_reduce fold (same order, same doubles)."""
+    from pandera_spark.operators.temporal import ewma
+
+    ev = _load(spark, sf_dir, "events")
+    e = ewma(
+        ev, "ts", "value", keys=["user_id"], alpha=0.3,
+        span_rows=64, tiebreak_cols=["event_id"],
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.round("ewma", 6).alias("ewma_r"),
+    )
+
+
+_EWMA_ORACLE = """
+WITH s AS (
+  SELECT event_id, user_id,
+    list(CAST(value AS DOUBLE)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS xs
+  FROM events)
+SELECT event_id, user_id,
+  ROUND(list_reduce(list_prepend(0.0, xs), (acc, x) -> acc * 0.7 + x)
+        / ((1.0 - pow(0.7, len(xs))) / 0.3), 6) AS ewma_r
+FROM s
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -6235,6 +6307,8 @@ _R6_DRIVER_WINDOW = [
     "madoutliers_events", "candidatekeys_orders",
     # new in r6 (late round): exact-substring (repeated-span) dedup
     "repeated_spans_documents",
+    # new in r6 (late round): trailing-window features
+    "rolling_events", "ewma_events",
 ]
 
 
@@ -6336,6 +6410,8 @@ def _queries_unordered() -> dict[
         "madoutliers_events": q_madoutliers_events,
         "candidatekeys_orders": q_candidatekeys_orders,
         "repeated_spans_documents": q_repeated_spans_documents,
+        "rolling_events": q_rolling_events,
+        "ewma_events": q_ewma_events,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -6705,6 +6781,8 @@ FROM ranked WHERE rank <= 5
         "madoutliers_events": _madoutliers_oracle(),
         "candidatekeys_orders": _candidatekeys_oracle(),
         "repeated_spans_documents": _REPEATED_SPANS_ORACLE,
+        "rolling_events": _ROLLING_ORACLE,
+        "ewma_events": _EWMA_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

@@ -41,6 +41,8 @@ __all__ = [
     "funnel",
     "retention",
     "event_transitions",
+    "rolling_stats",
+    "ewma",
 ]
 
 
@@ -503,3 +505,97 @@ def event_transitions(
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    keys: Sequence[str],
+    window_seconds: int,
+    stats: Sequence[str] = ("count", "mean", "min", "max", "sum"),
+) -> DataFrame:
+    """Per-key trailing time-window statistics: for every event, the
+    aggregate of ``value_col`` over the preceding ``window_seconds`` of
+    the SAME key's events (inclusive of the current row) — the
+    feature-engineering primitive behind "activity in the last 24 h"
+    style signals.
+
+    ONE shuffle partitioned by ``keys``; inside each partition a
+    range-frame window over microsecond epochs (``RANGE BETWEEN w
+    PRECEDING AND CURRENT ROW``) — per-task state is one key's events, so
+    the plan parallelizes across keys at any corpus size.  The frame is a
+    time RANGE, not ROWS: simultaneous events are all in-frame regardless
+    of tie order, which keeps results deterministic without a tiebreak.
+    Skew bound: the hottest key's events must sort in one task — screen
+    with ``skew.skew_report`` before running on power-law keys.
+    """
+    span_us = int(window_seconds) * 1_000_000
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(_epoch_us(F.col(ts_col)))
+        .rangeBetween(-span_us, 0)
+    )
+    v = F.col(value_col)
+    exprs = {
+        "count": F.count(v),
+        "mean": F.avg(v),
+        "min": F.min(v),
+        "max": F.max(v),
+        "sum": F.sum(v),
+        "stddev": F.stddev_samp(v),
+    }
+    unknown = [s for s in stats if s not in exprs]
+    if unknown:
+        raise ValueError(f"unknown rolling stats: {unknown}")
+    out = df
+    for s in stats:
+        col = exprs[s].over(w)
+        if s == "count":
+            col = col.cast("long")
+        out = out.withColumn(f"roll_{s}", col)
+    return out
+
+
+def ewma(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    keys: Sequence[str],
+    alpha: float = 0.3,
+    span_rows: int = 64,
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Truncated, normalized exponentially-weighted moving average per
+    key: ``y_t = sum_j (1-a)^j x_{t-j} / sum_j (1-a)^j`` over the last
+    ``span_rows`` events (pandas ``ewm(adjust=True)`` semantics, window
+    truncated where the dropped tail weight is (1-a)^span_rows — 4e-10
+    at the defaults).
+
+    Plan: one shuffle on ``keys``; a ROWS-frame window collects the
+    trailing value list (bounded at span_rows elements, so per-row state
+    is O(span_rows) no matter how long the stream is), then a single
+    Horner fold ``acc*(1-a) + x`` over the ascending list — a pure
+    Catalyst higher-order function, zero UDF.  The fold is
+    left-to-right double arithmetic, so any engine replaying the same
+    order reproduces it bit-for-bit.  Order inside a key is (ts,
+    *tiebreak): pass a tiebreak (event id) when timestamps collide or
+    the fold order — hence the result — is nondeterministic.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    q = 1.0 - alpha
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+        .rowsBetween(-(span_rows - 1), 0)
+    )
+    xs = F.collect_list(F.col(value_col).cast("double")).over(w)
+    num = F.aggregate(
+        xs, F.lit(0.0), lambda acc, x: acc * F.lit(q) + x
+    )
+    den = (F.lit(1.0) - F.pow(F.lit(q), F.size(xs))) / F.lit(alpha)
+    return df.withColumn(out_col, num / den)

@@ -4965,3 +4965,138 @@ def test_repeated_span_rejects_bad_args(spark):
         repeated_span_report(df, "doc_id", "text", k=0)
     with pytest.raises(ValueError):
         repeated_span_report(df, "doc_id", "text", keep="last")
+
+
+# --- rolling_stats / ewma (trailing-window features) --------------------------
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_rolling_stats_known_values(spark):
+    from pandera_spark.operators.temporal import rolling_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "u", _ts("2024-01-01T00:00:00"), 10.0),
+            (2, "u", _ts("2024-01-01T00:30:00"), 20.0),
+            (3, "u", _ts("2024-01-01T02:00:00"), 30.0),
+            (4, "v", _ts("2024-01-01T00:00:00"), 5.0),
+        ],
+        "id int, k string, ts timestamp, v double",
+    )
+    out = {
+        r["id"]: r
+        for r in rolling_stats(
+            df, "ts", "v", keys=["k"], window_seconds=3600
+        ).collect()
+    }
+    # id=2: window [23:30, 00:30] includes id=1 and id=2
+    assert out[2]["roll_count"] == 2
+    assert out[2]["roll_mean"] == 15.0
+    assert out[2]["roll_sum"] == 30.0
+    # id=3: 02:00 window [01:00, 02:00] includes only itself
+    assert out[3]["roll_count"] == 1
+    assert out[3]["roll_min"] == 30.0
+    # other key unaffected
+    assert out[4]["roll_count"] == 1
+
+
+def test_rolling_stats_range_frame_includes_ties(spark):
+    from pandera_spark.operators.temporal import rolling_stats
+
+    t = _ts("2024-01-01T00:00:00")
+    df = spark.createDataFrame(
+        [(1, "u", t, 1.0), (2, "u", t, 2.0)],
+        "id int, k string, ts timestamp, v double",
+    )
+    out = rolling_stats(
+        df, "ts", "v", keys=["k"], window_seconds=60
+    ).collect()
+    # RANGE frame: simultaneous events are both in-frame for both rows
+    assert all(r["roll_count"] == 2 and r["roll_sum"] == 3.0 for r in out)
+
+
+def test_rolling_stats_rejects_unknown_stat(spark):
+    from pandera_spark.operators.temporal import rolling_stats
+
+    df = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T00:00:00"), 1.0)],
+        "id int, k string, ts timestamp, v double",
+    )
+    with pytest.raises(ValueError, match="unknown rolling"):
+        rolling_stats(
+            df, "ts", "v", keys=["k"], window_seconds=60,
+            stats=("median",),
+        )
+
+
+def test_ewma_constant_series_is_constant(spark):
+    from pandera_spark.operators.temporal import ewma
+
+    rows = [
+        (i, "u", _ts(f"2024-01-01T00:0{i}:00"), 7.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, k string, ts timestamp, v double"
+    )
+    out = ewma(df, "ts", "v", keys=["k"], alpha=0.4).collect()
+    # normalized (adjust=True) EWMA of a constant series is the constant
+    assert all(abs(r["ewma"] - 7.0) < 1e-12 for r in out)
+
+
+def test_ewma_known_values(spark):
+    from pandera_spark.operators.temporal import ewma
+
+    df = spark.createDataFrame(
+        [
+            (1, "u", _ts("2024-01-01T00:00:00"), 1.0),
+            (2, "u", _ts("2024-01-01T00:01:00"), 2.0),
+            (3, "u", _ts("2024-01-01T00:02:00"), 3.0),
+        ],
+        "id int, k string, ts timestamp, v double",
+    )
+    out = {
+        r["id"]: r["ewma"]
+        for r in ewma(df, "ts", "v", keys=["k"], alpha=0.5).collect()
+    }
+    assert abs(out[1] - 1.0) < 1e-12
+    # y2 = (2 + 0.5*1) / (1 + 0.5)
+    assert abs(out[2] - 2.5 / 1.5) < 1e-12
+    # y3 = (3 + 0.5*2 + 0.25*1) / (1 + 0.5 + 0.25)
+    assert abs(out[3] - 4.25 / 1.75) < 1e-12
+
+
+def test_ewma_truncates_at_span_rows(spark):
+    from pandera_spark.operators.temporal import ewma
+
+    rows = [
+        (i, "u", _ts(f"2024-01-01T0{i // 60}:{i % 60:02d}:00"), float(i))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, k string, ts timestamp, v double"
+    )
+    out = {
+        r["id"]: r["ewma"]
+        for r in ewma(
+            df, "ts", "v", keys=["k"], alpha=0.5, span_rows=2
+        ).collect()
+    }
+    # span_rows=2: only the current + previous value contribute
+    # y5 = (5 + 0.5*4) / 1.5
+    assert abs(out[5] - 7.0 / 1.5) < 1e-12
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    from pandera_spark.operators.temporal import ewma
+
+    df = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T00:00:00"), 1.0)],
+        "id int, k string, ts timestamp, v double",
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, "ts", "v", keys=["k"], alpha=1.0)
