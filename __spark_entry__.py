@@ -6271,6 +6271,79 @@ FROM s
 """
 
 
+def q_latest_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user (cdc.latest_state): the CDC/changelog
+    state-reconstruction primitive as ONE max_by aggregation — map-side
+    partial keeps one candidate row per user per task, so only winners
+    shuffle (a window plan would shuffle the full history).  Total order
+    per key: (ts, event_id).  The oracle replays the same total order
+    with a row_number window (fine at oracle scale)."""
+    from pandera_spark.operators.cdc import latest_state
+
+    ev = _load(spark, sf_dir, "events")
+    out = latest_state(
+        ev.select("event_id", "ts", "user_id", "event_type", "value"),
+        ["user_id"], "ts", tiebreak=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+_LATEST_STATE_ORACLE = """
+SELECT user_id, event_id, ts, event_type, value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a synthetic insert/update/delete changelog to orders
+    (cdc.apply_cdc): keys %100==0 are deleted, %100==50 are repriced
+    at a newer version — union + one max_by aggregate + filter, NO
+    join against the snapshot (no skew-prone key join; one candidate
+    row per key per task crosses the wire).  Output is the per-status
+    rollup of the merged state; the oracle computes the same final
+    state closed-form."""
+    from pandera_spark.operators.cdc import apply_cdc
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.withColumn("v", F.lit(0))
+    key = F.col("o_orderkey")
+    changes = (
+        orders.where((key % 100 == 0) | (key % 100 == 50))
+        .withColumn("v", F.lit(1))
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 100 == 50, F.col("o_totalprice") * 1.1)
+            .otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "op", F.when(key % 100 == 0, F.lit("D")).otherwise(F.lit("U"))
+        )
+    )
+    merged = apply_cdc(base, changes, ["o_orderkey"], "v")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price_r"),
+    )
+
+
+_CDC_ORACLE = """
+SELECT o_orderstatus,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  ROUND(SUM(CASE WHEN o_orderkey % 100 = 50
+                 THEN o_totalprice * 1.1 ELSE o_totalprice END), 2)
+    AS sum_price_r
+FROM orders
+WHERE o_orderkey % 100 <> 0
+GROUP BY o_orderstatus
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -6309,6 +6382,8 @@ _R6_DRIVER_WINDOW = [
     "repeated_spans_documents",
     # new in r6 (late round): trailing-window features
     "rolling_events", "ewma_events",
+    # new in r6 (late round): CDC state reconstruction
+    "latest_state_events", "cdc_orders",
 ]
 
 
@@ -6412,6 +6487,8 @@ def _queries_unordered() -> dict[
         "repeated_spans_documents": q_repeated_spans_documents,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
+        "latest_state_events": q_latest_state_events,
+        "cdc_orders": q_cdc_orders,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -6783,6 +6860,8 @@ FROM ranked WHERE rank <= 5
         "repeated_spans_documents": _REPEATED_SPANS_ORACLE,
         "rolling_events": _ROLLING_ORACLE,
         "ewma_events": _EWMA_ORACLE,
+        "latest_state_events": _LATEST_STATE_ORACLE,
+        "cdc_orders": _CDC_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

@@ -17,6 +17,7 @@ from .bloom import (
     bloom_merge,
     bloom_parameters,
 )
+from .cdc import apply_cdc, latest_state, merge_upsert
 from .chunking import chunk_stats, chunk_text
 from .clustering import apply_dedup, connected_components, dedup_clusters
 from .contamination import contamination_pairs, decontaminate
