@@ -6344,6 +6344,107 @@ GROUP BY o_orderstatus
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding column
+    (quantize.quantize_embeddings): per-vector max-abs scale, codes in
+    [-127,127] — a PURE PROJECTION (no agg, no shuffle, stateless per
+    row, so it runs in a streaming ingest).  The row emits the scale
+    and three integer moments of the code vector (sum, L1, self-dot),
+    which pin every code up to permutation; the oracle replays the
+    identical floor(x/scale*127+0.5) arithmetic on DOUBLE lists."""
+    from pandera_spark.operators.quantize import quantize_embeddings
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding", keep_vec=False)
+    qc = F.col("q")
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("scale_r"),
+        F.aggregate(qc, F.lit(0).cast("long"), lambda a, v: a + v)
+        .alias("q_sum"),
+        F.aggregate(
+            qc, F.lit(0).cast("long"), lambda a, v: a + F.abs(v)
+        ).alias("q_l1"),
+        F.aggregate(
+            qc, F.lit(0).cast("long"), lambda a, v: a + (v * v).cast("long")
+        ).alias("q_self"),
+    )
+
+
+_QUANTIZE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS scale FROM e
+), q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5)
+                                               AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+  FROM s
+)
+SELECT vec_id, ROUND(scale, 6) AS scale_r,
+  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_self
+FROM q
+"""
+
+
+def q_qann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-domain cosine top-5 (quantize.quantized_topk): ranking
+    runs on int8 codes (integer multiply-add fold; 4× less scan
+    bandwidth than float) — scales cancel in cosine so qcos is exactly
+    the cosine of the code vectors, and every intermediate (code dots
+    and norms ≤ 127²·64 « 2^53) is integer-exact in BOTH engines, so
+    the oracle's double replay is bit-identical."""
+    from pandera_spark.operators.quantize import quantized_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = quantized_topk(emb, [0, 1, 2, 3, 4], k=5)
+    return out.select(
+        "query_id", "rank", "neighbor_id",
+        F.round("qcos", 6).alias("qcos_r"),
+    )
+
+
+_QANN_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS scale FROM e
+), q AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> floor(x / scale * 127 + 0.5))
+              ELSE list_transform(v, x -> 0.0) END AS qv
+  FROM s
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.qv, b.qv) AS idot,
+         list_dot_product(a.qv, a.qv) AS n2a,
+         list_dot_product(b.qv, b.qv) AS n2b
+  FROM q a JOIN q b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN n2a > 0 AND n2b > 0
+              THEN idot / sqrt(n2a) / sqrt(n2b) ELSE 0.0 END AS qcos
+  FROM pairs
+), ranked AS (
+  SELECT query_id, neighbor_id, qcos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qcos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       ROUND(qcos, 6) AS qcos_r
+FROM ranked WHERE rank <= 5
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -6384,6 +6485,8 @@ _R6_DRIVER_WINDOW = [
     "rolling_events", "ewma_events",
     # new in r6 (late round): CDC state reconstruction
     "latest_state_events", "cdc_orders",
+    # new in r6 (late round): int8 scalar quantization tier
+    "quantize_embeddings", "qann_embeddings",
 ]
 
 
@@ -6489,6 +6592,8 @@ def _queries_unordered() -> dict[
         "ewma_events": q_ewma_events,
         "latest_state_events": q_latest_state_events,
         "cdc_orders": q_cdc_orders,
+        "quantize_embeddings": q_quantize_embeddings,
+        "qann_embeddings": q_qann_embeddings,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -6862,6 +6967,8 @@ FROM ranked WHERE rank <= 5
         "ewma_events": _EWMA_ORACLE,
         "latest_state_events": _LATEST_STATE_ORACLE,
         "cdc_orders": _CDC_ORACLE,
+        "quantize_embeddings": _QUANTIZE_ORACLE,
+        "qann_embeddings": _QANN_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

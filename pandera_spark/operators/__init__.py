@@ -70,6 +70,12 @@ from .numeric import (
     winsorize_report,
 )
 from .packing import chunk_pack, greedy_pack, pack_stats
+from .quantize import (
+    quantization_error_report,
+    quantize_embeddings,
+    quantized_dot,
+    quantized_topk,
+)
 from .pipeline import prepare_training_corpus
 from .relational import (
     fk_violations,
