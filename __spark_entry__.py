@@ -6445,6 +6445,58 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_bpe_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates (tokenize.word_counts →
+    bpe_pair_counts): the aggregation core of distributed BPE training.
+    The corpus collapses to a word-frequency table in ONE scan (Heaps'
+    law bounds it by vocabulary, not corpus bytes); adjacent char-pair
+    counts are a projection + explode + one groupBy over THAT table,
+    and top-20 is TakeOrderedAndProject (per-partition top-k, no global
+    sort).  Deterministic tie-break (count desc, pair asc) is replayed
+    by the oracle."""
+    from pandera_spark.operators.tokenize import bpe_pair_counts, word_counts
+
+    docs = _load(spark, sf_dir, "documents")
+    words = word_counts(docs, "text").select(
+        "word", "n", F.split("word", "").alias("syms")
+    )
+    pc = bpe_pair_counts(words)
+    return (
+        pc.orderBy(
+            F.desc("pair_count"), F.asc("left"), F.asc("right")
+        )
+        .limit(20)
+        .select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            "pair_count",
+        )
+    )
+
+
+_BPE_PAIRS_ORACLE = r"""
+WITH words AS (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE length(w) > 0 GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS l,
+         substr(w, CAST(i AS INT) + 1, 1) AS r, n
+  FROM (
+    SELECT w, n, unnest(generate_series(1, length(w) - 1)) AS i
+    FROM words WHERE length(w) >= 2
+  )
+)
+SELECT l AS left_sym, r AS right_sym,
+       CAST(SUM(n) AS BIGINT) AS pair_count
+FROM pairs GROUP BY l, r
+ORDER BY pair_count DESC, left_sym ASC, right_sym ASC
+LIMIT 20
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -6487,6 +6539,8 @@ _R6_DRIVER_WINDOW = [
     "latest_state_events", "cdc_orders",
     # new in r6 (late round): int8 scalar quantization tier
     "quantize_embeddings", "qann_embeddings",
+    # new in r6 (late round): distributed BPE tokenizer training
+    "bpe_pairs_documents",
 ]
 
 
@@ -6594,6 +6648,7 @@ def _queries_unordered() -> dict[
         "cdc_orders": q_cdc_orders,
         "quantize_embeddings": q_quantize_embeddings,
         "qann_embeddings": q_qann_embeddings,
+        "bpe_pairs_documents": q_bpe_pairs_documents,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -6969,6 +7024,7 @@ FROM ranked WHERE rank <= 5
         "cdc_orders": _CDC_ORACLE,
         "quantize_embeddings": _QUANTIZE_ORACLE,
         "qann_embeddings": _QANN_ORACLE,
+        "bpe_pairs_documents": _BPE_PAIRS_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

@@ -105,6 +105,7 @@ from .similarity import (
     neardup_band_plan,
     verify_pairs_cosine,
 )
+from .tokenize import bpe_encode, bpe_pair_counts, bpe_train, word_counts
 from .temporal import (
     asof_join,
     banded_range_join,
