@@ -6497,6 +6497,105 @@ LIMIT 20
 """
 
 
+_DSIR_B, _DSIR_A = 512, 0.5
+
+
+def q_dsir_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (dsir.dsir_scores) of every document
+    against the English subset as the target distribution: hashed-token
+    bucket counts (explode collapsed map-side to ≤B rows/task), a
+    broadcast B-double log-ratio array, then scoring as a PURE
+    PROJECTION fold.  Per-token terms are sorted before summation so
+    the double arithmetic is order-canonical — the oracle replays the
+    identical md5-prefix buckets, add-α smoothing, and sorted fold."""
+    from pandera_spark.operators.dsir import dsir_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    s = dsir_scores(
+        docs, target, buckets=_DSIR_B, alpha=_DSIR_A, portable=True
+    )
+    return s.select(
+        "doc_id", "n_toks", F.round("dsir_score", 6).alias("score_r")
+    )
+
+
+def _dsir_common_sql() -> str:
+    h28 = _HEXFOLD.format(e="t")
+    return f"""
+toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents WHERE text IS NOT NULL
+), tb AS (
+  SELECT doc_id, lang, ({h28}) % {_DSIR_B} AS b FROM toks
+), rc AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+tc AS (SELECT b, count(*) AS c FROM tb WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM tb) AS rn,
+               (SELECT count(*) FROM tb WHERE lang = 'en') AS tn),
+terms AS (
+  SELECT tb.doc_id,
+         ln((COALESCE(tc.c, 0) + {_DSIR_A}) / (tot.tn + {_DSIR_A * _DSIR_B}))
+       - ln((COALESCE(rc.c, 0) + {_DSIR_A}) / (tot.rn + {_DSIR_A * _DSIR_B}))
+         AS term
+  FROM tb LEFT JOIN rc USING(b) LEFT JOIN tc USING(b), tot
+), sums AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list(term ORDER BY term)),
+                     (a, x) -> a + x) AS s,
+         count(*) AS nt
+  FROM terms GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id, CAST(COALESCE(sums.nt, 0) AS BIGINT) AS n_toks,
+         COALESCE(sums.s, 0.0) AS s
+  FROM documents d LEFT JOIN sums USING (doc_id)
+)"""
+
+
+_DSIR_SCORES_ORACLE = f"""
+WITH {_dsir_common_sql()}
+SELECT doc_id, n_toks, ROUND(s, 6) AS score_r FROM scored
+"""
+
+
+def q_dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-30 DSIR resample (dsir.dsir_resample k-path):
+    importance resampling without replacement with DETERMINISTIC
+    Gumbel noise seeded from the portable content hash of doc_id —
+    reproducible across runs and engines, certified by replaying
+    u = (h28(id)+1)/(2^28+1), g = -ln(-ln(u)) in SQL.  Top-k compiles
+    to TakeOrderedAndProject (no global sort)."""
+    from pandera_spark.operators.dsir import dsir_resample
+
+    docs = _load(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    top = dsir_resample(
+        docs, target, k=30, buckets=_DSIR_B, alpha=_DSIR_A, portable=True
+    )
+    return top.select(
+        "doc_id", "sel_rank", F.round("sel_score", 6).alias("sel_score_r")
+    )
+
+
+_DSIR_SAMPLE_ORACLE = f"""
+WITH {_dsir_common_sql()},
+sel AS (
+  SELECT doc_id, s
+    + (- ln(- ln((({_HEXFOLD.format(e="CAST(doc_id AS VARCHAR)")}) + 1)
+                 / {float((1 << 28) + 1)!r})))
+    AS sel_score
+  FROM scored
+), ranked AS (
+  SELECT doc_id, sel_score,
+         row_number() OVER (ORDER BY sel_score DESC, doc_id ASC) AS r
+  FROM sel
+)
+SELECT doc_id, CAST(r AS INT) AS sel_rank,
+       ROUND(sel_score, 6) AS sel_score_r
+FROM ranked WHERE r <= 30
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -6541,6 +6640,8 @@ _R6_DRIVER_WINDOW = [
     "quantize_embeddings", "qann_embeddings",
     # new in r6 (late round): distributed BPE tokenizer training
     "bpe_pairs_documents",
+    # new in r6 (late round): DSIR importance resampling
+    "dsir_scores_documents", "dsir_sample_documents",
 ]
 
 
@@ -6649,6 +6750,8 @@ def _queries_unordered() -> dict[
         "quantize_embeddings": q_quantize_embeddings,
         "qann_embeddings": q_qann_embeddings,
         "bpe_pairs_documents": q_bpe_pairs_documents,
+        "dsir_scores_documents": q_dsir_scores_documents,
+        "dsir_sample_documents": q_dsir_sample_documents,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -7025,6 +7128,8 @@ FROM ranked WHERE rank <= 5
         "quantize_embeddings": _QUANTIZE_ORACLE,
         "qann_embeddings": _QANN_ORACLE,
         "bpe_pairs_documents": _BPE_PAIRS_ORACLE,
+        "dsir_scores_documents": _DSIR_SCORES_ORACLE,
+        "dsir_sample_documents": _DSIR_SAMPLE_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

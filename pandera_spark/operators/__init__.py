@@ -42,6 +42,7 @@ from .dedup import (
     simhash_near_dups,
     write_minhash_index,
 )
+from .dsir import bucket_distribution, dsir_resample, dsir_scores, gumbel_topk
 from .drift import (
     category_drift,
     column_entropy,
