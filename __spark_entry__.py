@@ -6497,6 +6497,29 @@ LIMIT 20
 """
 
 
+def q_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + whitespace collapse
+    (text.normalize_text): the canonicalization pass that makes
+    byte-different/visually-identical strings equal before any
+    dedup/count.  NFC runs in an Arrow-batched pandas UDF (stdlib
+    unicodedata — a pure map, pipelines with the scan, no shuffle);
+    whitespace stays JVM-side.  The oracle replays it with DuckDB's
+    utf8proc ``nfc_normalize`` — both follow the same Unicode tables
+    (cross-engine agreement probed in tests/test_normalize.py)."""
+    from pandera_spark.operators.text import normalize_text
+
+    docs = _load(spark, sf_dir, "documents")
+    out = normalize_text(docs, "text")
+    return out.select("doc_id", F.md5("text").alias("fp"))
+
+
+_NORMALIZE_ORACLE = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
 _DSIR_B, _DSIR_A = 512, 0.5
 
 
@@ -6642,6 +6665,8 @@ _R6_DRIVER_WINDOW = [
     "bpe_pairs_documents",
     # new in r6 (late round): DSIR importance resampling
     "dsir_scores_documents", "dsir_sample_documents",
+    # new in r6 (late round): unicode canonicalization
+    "normalize_documents",
 ]
 
 
@@ -6752,6 +6777,7 @@ def _queries_unordered() -> dict[
         "bpe_pairs_documents": q_bpe_pairs_documents,
         "dsir_scores_documents": q_dsir_scores_documents,
         "dsir_sample_documents": q_dsir_sample_documents,
+        "normalize_documents": q_normalize_documents,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -7130,6 +7156,7 @@ FROM ranked WHERE rank <= 5
         "bpe_pairs_documents": _BPE_PAIRS_ORACLE,
         "dsir_scores_documents": _DSIR_SCORES_ORACLE,
         "dsir_sample_documents": _DSIR_SAMPLE_ORACLE,
+        "normalize_documents": _NORMALIZE_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

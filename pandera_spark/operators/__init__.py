@@ -134,6 +134,7 @@ from .text import (
     nb_train,
     two_stage_search,
     language_id,
+    normalize_text,
     pii_scrub,
     quality_score,
     strip_markup,

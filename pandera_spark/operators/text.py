@@ -1278,3 +1278,71 @@ def hash_embed(
         ),
     )
     return df.select(F.col(id_col), vec.alias("embedding"))
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: "str | None" = None,
+    form: str = "NFC",
+    strip_accents: bool = False,
+    collapse_ws: bool = True,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Unicode-normalize a text column: canonical form (``NFC`` default,
+    any of NFC/NFD/NFKC/NFKD), optional accent stripping (NFD +
+    combining-mark removal), whitespace collapse, lowercasing.
+
+    The web is full of visually-identical strings that differ in bytes
+    (precomposed é vs e+combining-acute, ligatures, fullwidth forms) —
+    every exact/MinHash dedup and every token count silently treats
+    them as distinct until this pass runs.  Spark has no unicode
+    normalizer builtin, so the normalization core is an Arrow-batched
+    pandas UDF (vectorized transfer; stdlib ``unicodedata``, no model,
+    no state — a pure map, so it pipelines with the scan and never
+    shuffles).  Whitespace/lowercase stay JVM-side Column expressions.
+    DuckDB's ``nfc_normalize``/``strip_accents`` replay NFC and
+    accent-strip bit-identically (probed: both utf8proc/CPython follow
+    the same Unicode tables), which is what the contract oracle uses.
+
+    ``out_col=None`` normalizes in place.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    dest = out_col or text_col
+
+    def _norm_fn(s):
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            if strip_accents:
+                y = "".join(
+                    ch
+                    for ch in unicodedata.normalize("NFD", y)
+                    if not unicodedata.combining(ch)
+                )
+                # re-canonicalize after mark removal
+                y = unicodedata.normalize(form, y)
+            return y
+
+        return s.map(one)
+
+    # annotation-free + explicit returnType: `from __future__ import
+    # annotations` stringifies hints, which pandas_udf can't infer
+    _norm = pandas_udf(_norm_fn, "string")
+
+    out = df.withColumn(dest, _norm(F.col(text_col)))
+    col = F.col(dest)
+    if lowercase:
+        col = F.lower(col)
+    if collapse_ws:
+        # collapse BEFORE trim: Spark trim strips only U+0020, so a
+        # trailing tab/newline must first become a plain space
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return out.withColumn(dest, col)
