@@ -6497,6 +6497,50 @@ LIMIT 20
 """
 
 
+def q_fuzzy_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (linkage.fuzzy_join): match a mistyped catalog
+    (every 10th part name with one deterministically-positioned char
+    deleted) against the master within edit distance 1.  Candidates
+    come from the prefix-filtered q-gram equi-join (k·q+1 RAREST grams
+    per string — a PROVABLE candidate superset, no cross product);
+    verification is JVM levenshtein(a,b,k) bounded DP on distinct
+    pairs.  The oracle is the BRUTE-FORCE edit-distance join, so a
+    green row certifies zero false negatives of the whole blocking
+    pipeline."""
+    from pandera_spark.operators.linkage import fuzzy_join
+
+    part = _load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    key, name = F.col("p_partkey"), F.col("p_name")
+    pos = F.pmod(key, F.length(name)) + 1
+    dirty = part.where(key % 10 == 0).select(
+        (key + 1000000).alias("id"),
+        F.concat(
+            F.substring(name, F.lit(1), pos - 1),
+            F.substring(name, pos + 1, F.lit(1000000)),
+        ).alias("name"),
+    )
+    out = fuzzy_join(
+        part.withColumnRenamed("p_partkey", "id")
+        .withColumnRenamed("p_name", "name"),
+        dirty, "name", max_dist=1, q=3,
+        id_col_a="id", id_col_b="id",
+    )
+    return out.select("id_a", "id_b", "dist")
+
+
+_FUZZY_ORACLE = """
+WITH dirty AS (
+  SELECT p_partkey + 1000000 AS id_b,
+         substr(p_name, 1, (p_partkey % length(p_name)))
+         || substr(p_name, (p_partkey % length(p_name)) + 2) AS name
+  FROM part WHERE p_partkey % 10 = 0
+)
+SELECT p.p_partkey AS id_a, d.id_b,
+       CAST(levenshtein(p.p_name, d.name) AS INT) AS dist
+FROM part p JOIN dirty d ON levenshtein(p.p_name, d.name) <= 1
+"""
+
+
 def q_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization + whitespace collapse
     (text.normalize_text): the canonicalization pass that makes
@@ -6667,6 +6711,8 @@ _R6_DRIVER_WINDOW = [
     "dsir_scores_documents", "dsir_sample_documents",
     # new in r6 (late round): unicode canonicalization
     "normalize_documents",
+    # new in r6 (late round): cross-table fuzzy entity resolution
+    "fuzzy_part",
 ]
 
 
@@ -6778,6 +6824,7 @@ def _queries_unordered() -> dict[
         "dsir_scores_documents": q_dsir_scores_documents,
         "dsir_sample_documents": q_dsir_sample_documents,
         "normalize_documents": q_normalize_documents,
+        "fuzzy_part": q_fuzzy_part,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -7157,6 +7204,7 @@ FROM ranked WHERE rank <= 5
         "dsir_scores_documents": _DSIR_SCORES_ORACLE,
         "dsir_sample_documents": _DSIR_SAMPLE_ORACLE,
         "normalize_documents": _NORMALIZE_ORACLE,
+        "fuzzy_part": _FUZZY_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

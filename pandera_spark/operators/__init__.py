@@ -52,6 +52,7 @@ from .drift import (
     psi_bins,
     psi_timeline,
 )
+from .linkage import fuzzy_join
 from .multimodal import audio_fingerprint, perceptual_hash, phash_near_dups
 from .linalg import (
     centroid_separation,

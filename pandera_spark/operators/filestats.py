@@ -43,7 +43,7 @@ from __future__ import annotations
 import posixpath
 from typing import Dict, Optional, Sequence, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -54,6 +54,7 @@ __all__ = [
     "write_stats",
     "read_stats",
     "append_file_stats",
+    "compaction_plan",
 ]
 
 
@@ -240,3 +241,52 @@ def append_file_stats(
         delta = file_stats(spark.read.format(fmt).load(new), cols)
         delta.write.mode("append").parquet(stats_path)
     return read_stats(spark, stats_path)
+
+
+def compaction_plan(
+    stats: DataFrame,
+    *,
+    target_rows: int,
+    small_frac: float = 0.75,
+    file_col: str = "file",
+    rows_col: str = "row_count",
+) -> DataFrame:
+    """Plan small-file compaction (Delta/Iceberg ``OPTIMIZE``-style bin
+    packing) from the stats index — METADATA ONLY, no data scan.
+
+    Files with ``row_count >= small_frac * target_rows`` are already
+    healthy: they pass through with ``group_id`` null.  Small files are
+    packed in FILE-NAME ORDER (preserving any clustering/z-order
+    locality the writer established — the reason OPTIMIZE does not
+    re-sort) by sequential fill: each file joins the group at
+    ``floor(rows_before_it / target_rows)``, so every group holds
+    ~``target_rows`` rows (a group may overshoot by at most one file —
+    the standard no-split compromise).
+
+    The plan runs a window over the STATS table — one row per FILE, a
+    table that is ~millions of rows when the data is 100 TB, so the
+    single-partition cumulative sum is bounded by the file count, never
+    the data.  Output: ``(file, row_count, is_small, group_id)``;
+    execute it by reading each group's files and rewriting them as one.
+    """
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+    if not 0.0 < small_frac <= 1.0:
+        raise ValueError(f"small_frac must be in (0,1], got {small_frac}")
+    cut = float(small_frac) * target_rows
+    small = F.col(rows_col) < F.lit(cut)
+    w = (
+        Window.orderBy(F.col(file_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows_before = F.coalesce(
+        F.sum(F.when(small, F.col(rows_col))).over(w), F.lit(0)
+    )
+    return stats.select(
+        F.col(file_col),
+        F.col(rows_col),
+        small.alias("is_small"),
+        F.when(
+            small, F.floor(rows_before / F.lit(float(target_rows)))
+        ).cast("int").alias("group_id"),
+    )
