@@ -5100,3 +5100,62 @@ def test_ewma_rejects_bad_alpha(spark):
     )
     with pytest.raises(ValueError, match="alpha"):
         ewma(df, "ts", "v", keys=["k"], alpha=1.0)
+
+
+def test_compaction_plan_packs_small_files(spark):
+    from pandera_spark.operators.filestats import compaction_plan
+
+    stats = spark.createDataFrame(
+        [
+            ("f01", 100), ("f02", 300), ("f03", 900),  # f03 healthy
+            ("f04", 250), ("f05", 100), ("f06", 450),
+        ],
+        "file string, row_count long",
+    )
+    plan = compaction_plan(stats, target_rows=500, small_frac=0.75)
+    rows = {r.file: (r.is_small, r.group_id) for r in plan.collect()}
+    # healthy files (>= 0.75 * target) pass through ungrouped
+    assert rows["f03"] == (False, None)
+    assert rows["f06"] == (False, None)
+    # sequential fill in file-name order over the small ones:
+    # f01(100)@0, f02(300)@100, f04(250)@400, f05(100)@750
+    assert rows["f01"] == (True, 0)
+    assert rows["f02"] == (True, 0)
+    assert rows["f04"] == (True, 0)
+    assert rows["f05"] == (True, 1)
+
+
+def test_compaction_plan_group_totals_near_target(spark):
+    from pandera_spark.operators.filestats import compaction_plan
+    from pyspark.sql import functions as F
+
+    stats = spark.createDataFrame(
+        [(f"f{i:03d}", 37 + (i * 13) % 150) for i in range(200)],
+        "file string, row_count long",
+    )
+    plan = compaction_plan(stats, target_rows=1000)
+    totals = (
+        plan.where(F.col("is_small"))
+        .groupBy("group_id")
+        .agg(F.sum("row_count").alias("t"))
+        .collect()
+    )
+    # every group except possibly the last holds >= target - max_file
+    # and every group overshoots by at most one file
+    by_gid = sorted((r.group_id, r.t) for r in totals)
+    for gid, t in by_gid[:-1]:
+        assert t >= 1000 - 200
+    for gid, t in by_gid:
+        assert t <= 1000 + 200
+
+
+def test_compaction_plan_validation(spark):
+    import pytest as _pytest
+
+    from pandera_spark.operators.filestats import compaction_plan
+
+    stats = spark.createDataFrame([("f", 1)], "file string, row_count long")
+    with _pytest.raises(ValueError, match="target_rows"):
+        compaction_plan(stats, target_rows=0)
+    with _pytest.raises(ValueError, match="small_frac"):
+        compaction_plan(stats, target_rows=10, small_frac=0.0)
