@@ -6541,6 +6541,77 @@ FROM part p JOIN dirty d ON levenshtein(p.p_name, d.name) <= 1
 """
 
 
+def q_compaction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (filestats.compaction_plan) over the
+    per-source footprint of the documents corpus (each source standing
+    in for a data file): METADATA-ONLY sequential-fill bin packing in
+    name order — healthy inputs pass through ungrouped, small ones join
+    group floor(rows_before/target).  The window runs over one row per
+    FILE (bounded by file count, never data); the oracle replays the
+    identical exclusive-prefix-sum grouping."""
+    from pandera_spark.operators.filestats import compaction_plan
+
+    docs = _load(spark, sf_dir, "documents")
+    stats = docs.groupBy(F.col("source").alias("file")).agg(
+        F.count("*").alias("row_count")
+    )
+    return compaction_plan(stats, target_rows=60, small_frac=0.75)
+
+
+_COMPACTION_ORACLE = """
+WITH stats AS (
+  SELECT source AS file, CAST(count(*) AS BIGINT) AS row_count
+  FROM documents GROUP BY source
+), marked AS (
+  SELECT file, row_count, row_count < 45.0 AS is_small FROM stats
+), filled AS (
+  SELECT file, row_count, is_small,
+    COALESCE(SUM(CASE WHEN is_small THEN row_count END) OVER (
+      ORDER BY file ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS before_rows
+  FROM marked
+)
+SELECT file, row_count, is_small,
+  CASE WHEN is_small
+       THEN CAST(floor(before_rows / 60.0) AS INT) END AS group_id
+FROM filled
+"""
+
+
+def q_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user silence detection (temporal.gap_report): consecutive-
+    event gaps over 3 days — the missing-data screen row validation
+    can't see.  One shuffle on user_id + a LAG window in microsecond
+    epoch; the oracle replays the identical lag arithmetic."""
+    from pandera_spark.operators.temporal import gap_report
+
+    ev = _load(spark, sf_dir, "events")
+    g = gap_report(
+        ev, "ts", keys=["user_id"], min_gap_seconds=3 * 86400,
+        tiebreak_cols=["event_id"],
+    )
+    return g.select(
+        "user_id", "gap_start", "gap_end",
+        F.round("gap_seconds", 6).alias("gap_s"),
+    )
+
+
+_GAPS_ORACLE = """
+WITH lagged AS (
+  SELECT user_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS gap_start,
+         ts AS gap_end
+  FROM events
+)
+SELECT user_id, gap_start, gap_end,
+       ROUND((epoch_us(gap_end) - epoch_us(gap_start)) / 1e6, 6) AS gap_s
+FROM lagged
+WHERE gap_start IS NOT NULL
+  AND (epoch_us(gap_end) - epoch_us(gap_start)) / 1e6 > 259200.0
+"""
+
+
 def q_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization + whitespace collapse
     (text.normalize_text): the canonicalization pass that makes
@@ -6713,6 +6784,10 @@ _R6_DRIVER_WINDOW = [
     "normalize_documents",
     # new in r6 (late round): cross-table fuzzy entity resolution
     "fuzzy_part",
+    # new in r6 (late round): metadata-only compaction planning
+    "compaction_documents",
+    # new in r6 (late round): time-series silence detection
+    "gaps_events",
 ]
 
 
@@ -6825,6 +6900,8 @@ def _queries_unordered() -> dict[
         "dsir_sample_documents": q_dsir_sample_documents,
         "normalize_documents": q_normalize_documents,
         "fuzzy_part": q_fuzzy_part,
+        "compaction_documents": q_compaction_documents,
+        "gaps_events": q_gaps_events,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -7205,6 +7282,8 @@ FROM ranked WHERE rank <= 5
         "dsir_sample_documents": _DSIR_SAMPLE_ORACLE,
         "normalize_documents": _NORMALIZE_ORACLE,
         "fuzzy_part": _FUZZY_ORACLE,
+        "compaction_documents": _COMPACTION_ORACLE,
+        "gaps_events": _GAPS_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

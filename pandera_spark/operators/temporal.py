@@ -43,6 +43,7 @@ __all__ = [
     "event_transitions",
     "rolling_stats",
     "ewma",
+    "gap_report",
 ]
 
 
@@ -599,3 +600,46 @@ def ewma(
     )
     den = (F.lit(1.0) - F.pow(F.lit(q), F.size(xs))) / F.lit(alpha)
     return df.withColumn(out_col, num / den)
+
+
+def gap_report(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    keys: Optional[Sequence[str]] = None,
+    min_gap_seconds: float = 3600.0,
+    tiebreak_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Silence detection: intervals between CONSECUTIVE events of a key
+    stream longer than ``min_gap_seconds`` — the "sensor went dark" /
+    "feed stopped" screen that row-level validation cannot see (every
+    individual row is valid; the problem is what is missing between
+    them).
+
+    One shuffle on the keys, a LAG window per key (microsecond-epoch
+    arithmetic, so sub-second gaps resolve exactly), then a filter —
+    the same plan shape as :func:`rolling_stats`.  Output: the key
+    columns + ``(gap_start, gap_end, gap_seconds)``, one row per
+    offending gap.  Keyless (whole-table) form with ``keys=None`` uses
+    a single ordered stream — fine for rollup grains, not for raw
+    100 TB streams (document the key!).
+    """
+    keys = list(keys or [])
+    order = [F.col(ts_col), *[F.col(c) for c in (tiebreak_cols or [])]]
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+        if keys
+        else Window.orderBy(*order)
+    )
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap_us = _epoch_us(F.col(ts_col)) - _epoch_us(prev)
+    out = df.select(
+        *[F.col(k) for k in keys],
+        prev.alias("gap_start"),
+        F.col(ts_col).alias("gap_end"),
+        (gap_us.cast("double") / F.lit(1e6)).alias("gap_seconds"),
+    )
+    return out.where(
+        F.col("gap_start").isNotNull()
+        & (F.col("gap_seconds") > F.lit(float(min_gap_seconds)))
+    )

@@ -5159,3 +5159,33 @@ def test_compaction_plan_validation(spark):
         compaction_plan(stats, target_rows=0)
     with _pytest.raises(ValueError, match="small_frac"):
         compaction_plan(stats, target_rows=10, small_frac=0.0)
+
+
+def test_gap_report_finds_silences(spark):
+    from pandera_spark.operators.temporal import gap_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),   # 30m ok
+            (1, "2024-01-01 03:00:00"),   # 2.5h gap
+            (2, "2024-01-01 00:00:00"),
+            (2, "2024-01-03 00:00:00"),   # 48h gap
+        ],
+        "user_id int, ts string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    gaps = gap_report(df, "ts", keys=["user_id"], min_gap_seconds=3600)
+    rows = {(r.user_id, r.gap_seconds) for r in gaps.collect()}
+    assert rows == {(1, 9000.0), (2, 172800.0)}
+
+
+def test_gap_report_keyless_and_boundary(spark):
+    from pandera_spark.operators.temporal import gap_report
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-01 01:00:00",)],
+        "ts string",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts")
+    # gap == threshold is NOT a violation (strict >)
+    assert gap_report(df, "ts", min_gap_seconds=3600).count() == 0
+    assert gap_report(df, "ts", min_gap_seconds=3599).count() == 1
