@@ -4,6 +4,11 @@ from .novelty import (
     compact_minhash_index,
     minhash_novelty_foreach_batch,
 )
+from .cdc import (
+    cdc_upsert_foreach_batch,
+    compact_cdc_state,
+    read_cdc_state,
+)
 from .stateful import streaming_quality_gate
 from .validation import validate_stream, observed_validation
 
@@ -15,4 +20,7 @@ __all__ = [
     "compact_minhash_index",
     "minhash_novelty_foreach_batch",
     "streaming_quality_gate",
+    "cdc_upsert_foreach_batch",
+    "read_cdc_state",
+    "compact_cdc_state",
 ]
