@@ -60,6 +60,10 @@ ALLOWED_BNLJ = {
     "bigram_documents",          # 1-row smoothing-vocab totals
     "resemblance_documents",     # two 1-row corpus-signature frames
                                  # (text.py bigram_score crossJoin(broadcast(totals)))
+    "dsir_scores_documents",     # 1-row broadcast log-ratio model array
+    "dsir_sample_documents",     # same model row (+1-row threshold in frac path)
+    "qann_embeddings",           # guarded brute-force baseline: broadcast
+                                 # query side capped by max_queries
 }
 
 
