@@ -6639,6 +6639,49 @@ FROM documents
 """
 
 
+def q_grouped_percentiles_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-segment percentile profile (numeric.grouped_percentiles):
+    quartiles of quantity and price per returnflag from ONE grouped
+    aggregation (one shuffle on the key, however many cols × probs).
+    Exact lane (`exact=True`) so the quantile_cont oracle replays the
+    interpolation; the GK-sketch default is the 100 TB lane (per-group
+    mergeable sketches), certified separately by the approx tolerance
+    pattern of approx_percentiles_lineitem."""
+    from pandera_spark.operators.numeric import grouped_percentiles
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = grouped_percentiles(
+        li, ["l_quantity", "l_extendedprice"], ["l_returnflag"],
+        probs=(0.25, 0.5, 0.75), exact=True,
+    )
+    return out.select(
+        "l_returnflag", "col_name", "p",
+        F.round("value", 6).alias("value_r"),
+    )
+
+
+_GROUPED_PCT_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag,
+    quantile_cont(CAST(l_quantity AS DOUBLE), [0.25, 0.5, 0.75]) AS q1,
+    quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.25, 0.5, 0.75]) AS q2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'l_quantity' AS col_name, 0.25 AS p,
+       ROUND(q1[1], 6) AS value_r FROM g
+UNION ALL SELECT l_returnflag, 'l_quantity', 0.5, ROUND(q1[2], 6) FROM g
+UNION ALL SELECT l_returnflag, 'l_quantity', 0.75, ROUND(q1[3], 6) FROM g
+UNION ALL SELECT l_returnflag, 'l_extendedprice', 0.25,
+       ROUND(q2[1], 6) FROM g
+UNION ALL SELECT l_returnflag, 'l_extendedprice', 0.5,
+       ROUND(q2[2], 6) FROM g
+UNION ALL SELECT l_returnflag, 'l_extendedprice', 0.75,
+       ROUND(q2[3], 6) FROM g
+"""
+
+
 _DSIR_B, _DSIR_A = 512, 0.5
 
 
@@ -6792,6 +6835,8 @@ _R6_DRIVER_WINDOW = [
     "compaction_documents",
     # new in r6 (late round): time-series silence detection
     "gaps_events",
+    # new in r6 (late round): per-segment percentile profile
+    "grouped_percentiles_lineitem",
 ]
 
 
@@ -6906,6 +6951,7 @@ def _queries_unordered() -> dict[
         "fuzzy_part": q_fuzzy_part,
         "compaction_documents": q_compaction_documents,
         "gaps_events": q_gaps_events,
+        "grouped_percentiles_lineitem": q_grouped_percentiles_lineitem,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -7288,6 +7334,7 @@ FROM ranked WHERE rank <= 5
         "fuzzy_part": _FUZZY_ORACLE,
         "compaction_documents": _COMPACTION_ORACLE,
         "gaps_events": _GAPS_ORACLE,
+        "grouped_percentiles_lineitem": _GROUPED_PCT_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

@@ -66,6 +66,7 @@ from .linalg import (
 )
 from .numeric import (
     correlation_matrix,
+    grouped_percentiles,
     percentile_bounds,
     sketch_bins,
     winsorize,

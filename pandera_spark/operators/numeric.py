@@ -52,6 +52,7 @@ __all__ = [
     "percentile_bounds",
     "winsorize",
     "winsorize_report",
+    "grouped_percentiles",
     "correlation_matrix",
     "sketch_bins",
     "mad_outlier_report",
@@ -412,3 +413,57 @@ def mad_outlier_report(
         "s.col_name", "s.n_nonnull", "s.median_r", "s.mad_r",
         "s.n_low", "s.n_high",
     )
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str],
+    *,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-SEGMENT percentile profile: every column × probability for
+    every group in ONE grouped aggregation — the segmented twin of
+    :func:`..inference.numeric_percentiles` (global) for "does the
+    p99 differ by region/source/day?" questions.
+
+    Long format: ``(by..., col_name, p, value)``.  Same engine rules
+    as the module: mergeable GK sketch by default (per-group state is
+    one sketch per column — map-side combinable, so skewed group sizes
+    spill, not OOM), ``exact=True`` for interpolated percentile_cont
+    semantics (the oracle-replayable lane; buffers each group-column's
+    values in the final aggregate — fine to ~1e8 rows per group).
+    One shuffle on the group keys regardless of |cols| × |probs|.
+    """
+    cols, by, probs = list(cols), list(by), [float(p) for p in probs]
+    if not cols or not by:
+        raise ValueError("need at least one value column and one key")
+    if not all(0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(f"probabilities must be in [0,1], got {probs}")
+    parr = F.array(*[F.lit(p) for p in probs])
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        q = (
+            F.percentile(v, parr)
+            if exact
+            else F.approx_percentile(v, parr, F.lit(int(accuracy)))
+        )
+        aggs.append(q.alias(f"__q_{c}"))
+    g = df.groupBy(*[F.col(k) for k in by]).agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.lit(p).alias("p"),
+                F.col(f"__q_{c}").getItem(i).alias("value"),
+            )
+            for c in cols
+            for i, p in enumerate(probs)
+        ]
+    )
+    return g.select(
+        *[F.col(k) for k in by], F.explode(rows).alias("s")
+    ).select(*by, "s.col_name", "s.p", "s.value")
