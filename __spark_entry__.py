@@ -6682,6 +6682,101 @@ UNION ALL SELECT l_returnflag, 'l_extendedprice', 0.75,
 """
 
 
+def q_auc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a toy filter (evalmetrics.binary_auc: does text
+    length predict lang='en'?) — tie-corrected rank AUC computed on
+    the DISTINCT-SCORE grain: one tag-count shuffle collapses the
+    corpus to one row per distinct score, the cumulative window runs
+    over that bounded frame (the ks_drift pattern).  The oracle
+    replays the identical average-rank arithmetic."""
+    from pandera_spark.operators.evalmetrics import binary_auc
+
+    docs = _load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    scored = docs.select(
+        F.length("text").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    out = binary_auc(scored, "score", "label")
+    return out.select(
+        "n_pos", "n_neg", F.round("auc", 6).alias("auc_r")
+    )
+
+
+_AUC_ORACLE = """
+WITH base AS (
+  SELECT CAST(length(text) AS DOUBLE) AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+), per AS (
+  SELECT v, SUM(y) AS p, SUM(1 - y) AS n FROM base GROUP BY v
+), cum AS (
+  SELECT v, p, n,
+         SUM(p + n) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+  FROM per
+), agg AS (
+  SELECT SUM(p) AS P, SUM(n) AS N,
+         SUM((cum_all - (p + n - 1) / 2.0) * p) AS rank_sum
+  FROM cum
+)
+SELECT CAST(P AS BIGINT) AS n_pos, CAST(N AS BIGINT) AS n_neg,
+       ROUND((rank_sum - P * (P + 1) / 2.0) / (P * N), 6) AS auc_r
+FROM agg
+"""
+
+
+def q_confusion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep (evalmetrics.confusion_report: value as a
+    purchase predictor at three operating points) — every threshold is
+    a conditional count inside ONE aggregation, so the corpus scans
+    once however many points are probed; precision/recall/F1 as
+    ANSI-safe try_divide expressions."""
+    from pandera_spark.operators.evalmetrics import confusion_report
+
+    ev = _load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    out = confusion_report(scored, "score", "label", [10.0, 50.0, 100.0])
+    return out.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.round("precision", 6).alias("precision_r"),
+        F.round("recall", 6).alias("recall_r"),
+        F.round("f1", 6).alias("f1_r"),
+    )
+
+
+def _confusion_oracle() -> str:
+    arms = []
+    for t in (10.0, 50.0, 100.0):
+        arms.append(f"""
+SELECT {t!r} AS threshold,
+  CAST(SUM(CASE WHEN s >= {t!r} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN s >= {t!r} AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(SUM(CASE WHEN s <  {t!r} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(SUM(CASE WHEN s <  {t!r} AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM base""")
+    return (
+        "WITH base AS (SELECT value AS s, CASE WHEN event_type = "
+        "'purchase' THEN 1 ELSE 0 END AS y FROM events WHERE value IS "
+        "NOT NULL AND event_type IS NOT NULL), c AS ("
+        + " UNION ALL ".join(arms)
+        + """)
+SELECT threshold, tp, fp, fn, tn,
+  ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision_r,
+  ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall_r,
+  ROUND(2 * (CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0))
+          * (CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0))
+        / NULLIF((CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0))
+               + (CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0)), 0), 6)
+    AS f1_r
+FROM c"""
+    )
+
+
 _DSIR_B, _DSIR_A = 512, 0.5
 
 
@@ -6837,6 +6932,8 @@ _R6_DRIVER_WINDOW = [
     "gaps_events",
     # new in r6 (late round): per-segment percentile profile
     "grouped_percentiles_lineitem",
+    # new in r6 (late round): filter-model evaluation metrics
+    "auc_documents", "confusion_events",
 ]
 
 
@@ -6952,6 +7049,8 @@ def _queries_unordered() -> dict[
         "compaction_documents": q_compaction_documents,
         "gaps_events": q_gaps_events,
         "grouped_percentiles_lineitem": q_grouped_percentiles_lineitem,
+        "auc_documents": q_auc_documents,
+        "confusion_events": q_confusion_events,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -7335,6 +7434,8 @@ FROM ranked WHERE rank <= 5
         "compaction_documents": _COMPACTION_ORACLE,
         "gaps_events": _GAPS_ORACLE,
         "grouped_percentiles_lineitem": _GROUPED_PCT_ORACLE,
+        "auc_documents": _AUC_ORACLE,
+        "confusion_events": _confusion_oracle(),
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

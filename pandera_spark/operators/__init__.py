@@ -43,6 +43,7 @@ from .dedup import (
     write_minhash_index,
 )
 from .dsir import bucket_distribution, dsir_resample, dsir_scores, gumbel_topk
+from .evalmetrics import binary_auc, calibration_bins, confusion_report
 from .drift import (
     category_drift,
     column_entropy,

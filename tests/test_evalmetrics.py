@@ -1,0 +1,100 @@
+"""Binary-model evaluation metrics (operators/evalmetrics.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_spark.operators.evalmetrics import (
+    binary_auc,
+    calibration_bins,
+    confusion_report,
+)
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "score double, label int")
+
+
+def _sk_auc(rows):
+    # pure-python tie-corrected rank AUC (sklearn-equivalent)
+    pairs = sorted((s, y) for s, y in rows if s is not None and y is not None)
+    n = len(pairs)
+    ranks = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pairs[j][0] == pairs[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for t in range(i, j):
+            ranks[t] = avg
+        i = j
+    P = sum(y for _, y in pairs)
+    N = n - P
+    if P == 0 or N == 0:
+        return None
+    rank_sum = sum(ranks[t] for t, (_, y) in enumerate(pairs) if y == 1)
+    return (rank_sum - P * (P + 1) / 2.0) / (P * N)
+
+
+def test_auc_perfect_and_random(spark):
+    perfect = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    r = binary_auc(_scored(spark, perfect), "score", "label").first()
+    assert r.auc == pytest.approx(1.0)
+    assert (r.n_pos, r.n_neg) == (50, 50)
+    inverted = [(float(i), 0 if i >= 50 else 1) for i in range(100)]
+    r2 = binary_auc(_scored(spark, inverted), "score", "label").first()
+    assert r2.auc == pytest.approx(0.0)
+
+
+def test_auc_with_ties_matches_reference(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (round(rng.random(), 1), rng.randint(0, 1)) for _ in range(300)
+    ]  # heavy ties from 1-dp rounding
+    got = binary_auc(_scored(spark, rows), "score", "label").first().auc
+    assert got == pytest.approx(_sk_auc(rows), rel=1e-12)
+
+
+def test_auc_degenerate_single_class(spark):
+    rows = [(0.3, 1), (0.7, 1)]
+    assert binary_auc(_scored(spark, rows), "score", "label").first().auc is None
+
+
+def test_confusion_report_counts(spark):
+    rows = [(0.9, 1), (0.8, 0), (0.4, 1), (0.1, 0)]
+    rep = {
+        r.threshold: (r.tp, r.fp, r.fn, r.tn, r.precision, r.recall)
+        for r in confusion_report(
+            _scored(spark, rows), "score", "label", [0.5]
+        ).collect()
+    }
+    tp, fp, fn, tn, prec, rec = rep[0.5]
+    assert (tp, fp, fn, tn) == (1, 1, 1, 1)
+    assert prec == pytest.approx(0.5) and rec == pytest.approx(0.5)
+
+
+def test_confusion_single_pass_plan(spark):
+    rows = [(0.9, 1), (0.1, 0)]
+    df = confusion_report(
+        _scored(spark, rows), "score", "label", [0.1, 0.5, 0.9]
+    )
+    raw = df._jdf.queryExecution().executedPlan().toString()
+    assert raw.count("Exchange") == 1  # one single-row agg shuffle
+    with pytest.raises(ValueError, match="threshold"):
+        confusion_report(_scored(spark, rows), "score", "label", [])
+
+
+def test_calibration_bins(spark):
+    rows = [(0.05, 0), (0.15, 0), (0.95, 1), (0.85, 1), (1.0, 1)]
+    out = {
+        r.bin: (r.n, r.pos_rate)
+        for r in calibration_bins(
+            _scored(spark, rows), "score", "label", n_bins=10
+        ).collect()
+    }
+    assert out[0] == (1, 0.0)
+    assert out[1] == (1, 0.0)
+    assert out[8] == (1, 1.0)
+    assert out[9] == (2, 1.0)  # score 1.0 clamps into last bin
