@@ -6777,6 +6777,66 @@ FROM c"""
     )
 
 
+def q_kanon_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen (privacy.k_anonymity_report) over the
+    (nation, market segment) quasi-identifier: min group size IS the
+    table's anonymity; risky_* locate the re-identifiable tail.  One
+    grouped agg (map-side collapsed to distinct combos) + a one-row
+    summary — nothing row-grain crosses the second shuffle."""
+    from pandera_spark.operators.privacy import k_anonymity_report
+
+    c = _load(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment"], k=30
+    )
+
+
+_KANON_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n) AS BIGINT) AS min_group_n,
+       CAST(COALESCE(SUM(CASE WHEN n < 30 THEN 1 END), 0) AS BIGINT)
+         AS risky_groups,
+       CAST(COALESCE(SUM(CASE WHEN n < 30 THEN n END), 0) AS BIGINT)
+         AS risky_rows,
+       CAST(30 AS INT) AS k
+FROM g
+"""
+
+
+def q_ldiv_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity screen (privacy.l_diversity_report): do
+    market segments vary within each nation's customer block?  Exact
+    per-group distinct in the same single grouped aggregation; weak
+    groups are where a k-anonymous block still leaks the sensitive
+    value."""
+    from pandera_spark.operators.privacy import l_diversity_report
+
+    c = _load(spark, sf_dir, "customer")
+    return l_diversity_report(c, ["c_nationkey"], "c_mktsegment", l=5)
+
+
+_LDIV_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, count(*) AS n,
+         count(DISTINCT c_mktsegment) AS d
+  FROM customer GROUP BY c_nationkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(MIN(d) AS BIGINT) AS min_distinct,
+       CAST(COALESCE(SUM(CASE WHEN d < 5 THEN 1 END), 0) AS BIGINT)
+         AS weak_groups,
+       CAST(COALESCE(SUM(CASE WHEN d < 5 THEN n END), 0) AS BIGINT)
+         AS weak_rows,
+       CAST(5 AS INT) AS l
+FROM g
+"""
+
+
 _DSIR_B, _DSIR_A = 512, 0.5
 
 
@@ -6934,6 +6994,8 @@ _R6_DRIVER_WINDOW = [
     "grouped_percentiles_lineitem",
     # new in r6 (late round): filter-model evaluation metrics
     "auc_documents", "confusion_events",
+    # new in r6 (late round): privacy screens
+    "kanon_customer", "ldiv_customer",
 ]
 
 
@@ -7051,6 +7113,8 @@ def _queries_unordered() -> dict[
         "grouped_percentiles_lineitem": q_grouped_percentiles_lineitem,
         "auc_documents": q_auc_documents,
         "confusion_events": q_confusion_events,
+        "kanon_customer": q_kanon_customer,
+        "ldiv_customer": q_ldiv_customer,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -7436,6 +7500,8 @@ FROM ranked WHERE rank <= 5
         "grouped_percentiles_lineitem": _GROUPED_PCT_ORACLE,
         "auc_documents": _AUC_ORACLE,
         "confusion_events": _confusion_oracle(),
+        "kanon_customer": _KANON_ORACLE,
+        "ldiv_customer": _LDIV_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

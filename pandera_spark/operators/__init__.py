@@ -74,6 +74,7 @@ from .numeric import (
     winsorize_report,
 )
 from .packing import chunk_pack, greedy_pack, pack_stats
+from .privacy import k_anonymity_report, l_diversity_report, risky_groups
 from .quantize import (
     quantization_error_report,
     quantize_embeddings,
