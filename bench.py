@@ -48,6 +48,10 @@ HEAVY_QUERIES = {
     "pipeline_documents",
     # guarded exact O(n^2) side
     "lsh_recall_embeddings",
+    # prefix-filtered gram join: candidate volume is workload-sensitive
+    "fuzzy_part",
+    # 3 md5 corpus passes + Gumbel top-k
+    "dsir_sample_documents",
 }
 
 
