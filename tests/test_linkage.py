@@ -133,3 +133,25 @@ def test_fuzzy_join_arg_validation(spark):
         fuzzy_join(a, a, "name", max_dist=-1)
     with pytest.raises(ValueError, match="q must"):
         fuzzy_join(a, a, "name", q=1)
+
+
+def test_fuzzy_join_empty_and_unicode_strings(spark):
+    a = spark.createDataFrame(
+        [(1, ""), (2, "é"), (3, "münchen")], "id int, name string"
+    )
+    b = spark.createDataFrame(
+        [(10, "x"), (11, "e"), (12, "munchen"), (13, "")],
+        "id int, name string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_join(a, b, "name", max_dist=1, q=3).collect()
+    }
+    # every pair within distance 1: "" matches all len<=1 strings,
+    # "é" matches "x"/"e" (substitution) and "" (deletion),
+    # "münchen"<->"munchen" is one substitution
+    assert got == {
+        (1, 10), (1, 11), (1, 13),
+        (2, 10), (2, 11), (2, 13),
+        (3, 12),
+    }

@@ -168,3 +168,16 @@ def test_bpe_differential_random_corpus(spark, seed):
         [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
     )
     assert bpe_train(df, "text", n_merges=10) == _py_bpe(texts, 10)
+
+
+def test_bpe_unicode_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "héé héé héé"), (1, ""), (2, None), (3, "  ")],
+        "doc_id int, text string",
+    )
+    merges = bpe_train(df, "text", n_merges=3)
+    # (h,é) and (é,é) tie at 3; the lexicographically smaller label wins
+    assert merges[0] == (1, "h", "é", 3)
+    enc = bpe_encode(df, merges, "text")
+    toks = {r.doc_id: r.tokens for r in enc.collect()}
+    assert toks[1] == [] and toks[3] == []
