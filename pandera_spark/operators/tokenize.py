@@ -52,6 +52,8 @@ __all__ = [
     "bpe_pair_counts",
     "bpe_train",
     "bpe_encode",
+    "save_merges",
+    "load_merges",
 ]
 
 
@@ -233,3 +235,25 @@ def bpe_encode(
         if checkpoint_every and i % checkpoint_every == 0:
             out = out.localCheckpoint(eager=False)
     return out.withColumn(out_col, F.flatten(F.col("__ws"))).drop("__ws")
+
+
+def save_merges(
+    spark, merges: "Sequence[Tuple[int, str, str, int]]", path: str,
+    *, mode: str = "overwrite",
+) -> None:
+    """Persist a learned merge list as parquet — train once on the big
+    cluster, encode anywhere (`bpe_encode(df, load_merges(spark, p))`).
+    Schema: (rank int, left string, right string, pair_count long)."""
+    spark.createDataFrame(
+        [(int(r), l, rt, int(c)) for r, l, rt, c in merges],
+        "rank int, left string, right string, pair_count long",
+    ).coalesce(1).write.mode(mode).parquet(path)
+
+
+def load_merges(spark, path: str) -> List[Tuple[int, str, str, int]]:
+    """Load a merge list saved by :func:`save_merges`, in rank order."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [
+        (int(r["rank"]), r["left"], r["right"], int(r["pair_count"]))
+        for r in rows
+    ]

@@ -181,3 +181,20 @@ def test_bpe_unicode_and_empty_docs(spark):
     enc = bpe_encode(df, merges, "text")
     toks = {r.doc_id: r.tokens for r in enc.collect()}
     assert toks[1] == [] and toks[3] == []
+
+
+def test_merge_list_roundtrip(spark, tmp_path):
+    from pandera_spark.operators.tokenize import load_merges, save_merges
+
+    merges = bpe_train(_corpus(spark), "text", n_merges=5)
+    path = str(tmp_path / "merges")
+    save_merges(spark, merges, path)
+    assert load_merges(spark, path) == merges
+    # encoding with the loaded list is identical
+    a = bpe_encode(_corpus(spark), merges, "text").collect()
+    b = bpe_encode(
+        _corpus(spark), load_merges(spark, path), "text"
+    ).collect()
+    assert sorted(map(tuple, (r.tokens for r in a))) == sorted(
+        map(tuple, (r.tokens for r in b))
+    )
