@@ -147,12 +147,12 @@ def assign_clusters(
             cross = x @ cm.T
             d2 = c_sq[None, :] - 2.0 * cross
             best = np.argmin(d2, axis=1)
-            x_sq = (x * x).sum(axis=1)
-            bd = np.sqrt(
-                np.maximum(
-                    d2[np.arange(len(best)), best] + x_sq, 0.0
-                )
-            )
+            # the expanded form is fine for the ARGMIN but loses exact
+            # cancellation (BLAS summation order) when x ≈ c — report
+            # the distance from the stable direct form against the one
+            # winning centroid (O(n·d), noise next to the matmul)
+            diff = x - cm[best]
+            bd = np.sqrt((diff * diff).sum(axis=1))
             cid[m] = [int(b) for b in best]
             dist[m] = [float(v) for v in bd]
         return pd.DataFrame({"cluster_id": cid, "dist": dist})
