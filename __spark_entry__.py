@@ -6837,6 +6837,115 @@ FROM g
 """
 
 
+def q_readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch readability features (text.readability): sentence/word/
+    syllable counts + reading-ease and grade-level scores as PURE
+    Column expressions (regexp_count + try_divide, zero UDF, zero
+    shuffle — pipelines with the scan).  The oracle replays the vowel-
+    group syllable estimator and the published Flesch coefficients."""
+    from pandera_spark.operators.text import readability
+
+    docs = _load(spark, sf_dir, "documents")
+    out = readability(docs)
+    return out.select(
+        "doc_id", "n_sentences", "n_words", "n_syllables",
+        F.round("flesch_reading_ease", 6).alias("ease_r"),
+        F.round("flesch_kincaid_grade", 6).alias("grade_r"),
+    )
+
+
+_READABILITY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS w,
+    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s0,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy0
+  FROM documents
+), m AS (
+  SELECT doc_id, text, w,
+         CAST(s0 AS DOUBLE) AS s,
+         CAST(GREATEST(sy0, w) AS DOUBLE) AS sy,
+         CAST(w AS DOUBLE) AS wd
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL
+       WHEN w = 0 THEN 0 ELSE CAST(s AS BIGINT) END AS n_sentences,
+  CASE WHEN text IS NULL THEN NULL ELSE CAST(w AS BIGINT) END AS n_words,
+  CASE WHEN text IS NULL THEN NULL
+       WHEN w = 0 THEN 0 ELSE CAST(sy AS BIGINT) END AS n_syllables,
+  CASE WHEN text IS NULL OR w = 0 THEN NULL
+       ELSE ROUND(206.835 - 1.015 * (wd / s) - 84.6 * (sy / wd), 6)
+  END AS ease_r,
+  CASE WHEN text IS NULL OR w = 0 THEN NULL
+       ELSE ROUND(0.39 * (wd / s) + 11.8 * (sy / wd) - 15.59, 6)
+  END AS grade_r
+FROM m
+"""
+
+
+def q_standardize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust feature scaling (numeric.standardize, method='robust',
+    exact lane): (x − median)/IQR for two columns from ONE bounds agg
+    + a broadcast projection.  The exact interpolated quantiles are
+    bit-identical cross-engine, so every scaled value replays — the
+    oracle re-scales in SQL and reconciles the per-column summary
+    (count / min / max / |z|>3 tail)."""
+    from pandera_spark.operators.numeric import standardize
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = standardize(
+        li, ["l_quantity", "l_extendedprice"],
+        method="robust", exact=True,
+    )
+    rows = []
+    for c in ["l_quantity", "l_extendedprice"]:
+        s = F.col(f"{c}_std")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.count(s).cast("long").alias("n"),
+                F.round(F.min(s), 6).alias("min_r"),
+                F.round(F.max(s), 6).alias("max_r"),
+                F.sum((F.abs(s) > 3).cast("long")).alias("n_tail"),
+            ).alias(f"__r_{c}")
+        )
+    agg = out.agg(*rows)
+    arr = F.array(*[F.col(f"__r_{c}")
+                    for c in ["l_quantity", "l_extendedprice"]])
+    return agg.select(F.explode(arr).alias("s")).select(
+        "s.col_name", "s.n", "s.min_r", "s.max_r", "s.n_tail"
+    )
+
+
+_STANDARDIZE_ORACLE = """
+WITH b AS (
+  SELECT quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS m1,
+         quantile_cont(CAST(l_quantity AS DOUBLE), 0.75)
+           - quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS i1,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS m2,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75)
+           - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS i2
+  FROM lineitem
+), s AS (
+  SELECT (CAST(l_quantity AS DOUBLE) - b.m1) / b.i1 AS s1,
+         (CAST(l_extendedprice AS DOUBLE) - b.m2) / b.i2 AS s2
+  FROM lineitem, b
+)
+SELECT 'l_quantity' AS col_name, CAST(count(s1) AS BIGINT) AS n,
+       ROUND(MIN(s1), 6) AS min_r, ROUND(MAX(s1), 6) AS max_r,
+       CAST(COALESCE(SUM(CASE WHEN abs(s1) > 3 THEN 1 END), 0) AS BIGINT)
+         AS n_tail
+FROM s
+UNION ALL
+SELECT 'l_extendedprice', CAST(count(s2) AS BIGINT),
+       ROUND(MIN(s2), 6), ROUND(MAX(s2), 6),
+       CAST(COALESCE(SUM(CASE WHEN abs(s2) > 3 THEN 1 END), 0) AS BIGINT)
+FROM s
+"""
+
+
 _DSIR_B, _DSIR_A = 512, 0.5
 
 
@@ -6996,6 +7105,10 @@ _R6_DRIVER_WINDOW = [
     "auc_documents", "confusion_events",
     # new in r6 (late round): privacy screens
     "kanon_customer", "ldiv_customer",
+    # new in r6 (late round): readability features
+    "readability_documents",
+    # new in r6 (late round): robust feature scaling
+    "standardize_lineitem",
 ]
 
 
@@ -7115,6 +7228,8 @@ def _queries_unordered() -> dict[
         "confusion_events": q_confusion_events,
         "kanon_customer": q_kanon_customer,
         "ldiv_customer": q_ldiv_customer,
+        "readability_documents": q_readability_documents,
+        "standardize_lineitem": q_standardize_lineitem,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -7502,6 +7617,8 @@ FROM ranked WHERE rank <= 5
         "confusion_events": _confusion_oracle(),
         "kanon_customer": _KANON_ORACLE,
         "ldiv_customer": _LDIV_ORACLE,
+        "readability_documents": _READABILITY_ORACLE,
+        "standardize_lineitem": _STANDARDIZE_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

@@ -68,6 +68,7 @@ from .linalg import (
 from .numeric import (
     correlation_matrix,
     grouped_percentiles,
+    standardize,
     percentile_bounds,
     sketch_bins,
     winsorize,
@@ -141,6 +142,7 @@ from .text import (
     normalize_text,
     pii_scrub,
     quality_score,
+    readability,
     strip_markup,
     token_count,
     top_k_per_group,

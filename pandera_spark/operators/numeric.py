@@ -53,6 +53,7 @@ __all__ = [
     "winsorize",
     "winsorize_report",
     "grouped_percentiles",
+    "standardize",
     "correlation_matrix",
     "sketch_bins",
     "mad_outlier_report",
@@ -467,3 +468,66 @@ def grouped_percentiles(
     return g.select(
         *[F.col(k) for k in by], F.explode(rows).alias("s")
     ).select(*by, "s.col_name", "s.p", "s.value")
+
+
+def standardize(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    method: str = "zscore",
+    exact: bool = False,
+    accuracy: int = 10000,
+    suffix: str = "_std",
+) -> DataFrame:
+    """Feature scaling: ``zscore`` ((x−mean)/stddev_samp), ``robust``
+    ((x−median)/IQR — outlier-immune), or ``minmax`` ((x−min)/(max−min)
+    into [0,1]).  The module's standard shape: ALL columns' statistics
+    from ONE aggregation job, broadcast as a 1-row frame, then a pure
+    projection — two scans total regardless of column count.  The
+    robust quantiles use the mergeable GK sketch by default
+    (``exact=True`` for the interpolated oracle-replayable lane).
+    Zero-spread columns (std/IQR/range = 0) scale to null rather than
+    ±inf; nulls pass through.  Scaled columns are added as
+    ``<col><suffix>``.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("need at least one column")
+    if method not in ("zscore", "robust", "minmax"):
+        raise ValueError(f"unknown method {method!r}")
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        if method == "zscore":
+            aggs += [
+                F.avg(v).alias(f"__c_{c}"),
+                F.stddev_samp(v).alias(f"__s_{c}"),
+            ]
+        elif method == "minmax":
+            aggs += [
+                F.min(v).alias(f"__c_{c}"),
+                (F.max(v) - F.min(v)).alias(f"__s_{c}"),
+            ]
+        else:
+            probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            q = (
+                F.percentile(v, probs)
+                if exact
+                else F.approx_percentile(v, probs, F.lit(int(accuracy)))
+            )
+            aggs += [
+                q.getItem(1).alias(f"__c_{c}"),
+                (q.getItem(2) - q.getItem(0)).alias(f"__s_{c}"),
+            ]
+    stats = F.broadcast(df.agg(*aggs))
+    out = df.crossJoin(stats)
+    for c in cols:
+        v = F.col(c).cast("double")
+        scaled = F.when(
+            F.col(f"__s_{c}") > 0,
+            (v - F.col(f"__c_{c}")) / F.col(f"__s_{c}"),
+        )
+        out = out.withColumn(f"{c}{suffix}", scaled)
+    return out.drop(
+        *[f"__c_{c}" for c in cols], *[f"__s_{c}" for c in cols]
+    )

@@ -1346,3 +1346,53 @@ def normalize_text(
         # trailing tab/newline must first become a plain space
         col = F.trim(F.regexp_replace(col, r"\s+", " "))
     return out.withColumn(dest, col)
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    prefix: str = "",
+) -> DataFrame:
+    """Flesch readability features per document: ``n_sentences``,
+    ``n_words``, ``n_syllables`` (vowel-group approximation — the
+    standard dictionary-free estimator), ``flesch_reading_ease`` and
+    ``flesch_kincaid_grade``.
+
+    The classic curriculum/quality features (too-hard and too-trivial
+    text both correlate with low training value).  All pure Column
+    expressions — regexp_count/try_divide, zero UDF, zero shuffle, so
+    the pass pipelines with the scan at any scale.  Sentences are
+    ``[.!?]+`` runs (min 1 when any word exists); syllables are
+    ``[aeiouy]+`` groups in lowercased words.  Null text yields null
+    features; wordless text yields 0 counts and null scores.
+    """
+    col = F.col(text_col)
+    words = token_count(col).cast("double")
+    sents = F.greatest(
+        F.regexp_count(col, F.lit(r"[.!?]+")).cast("double"), F.lit(1.0)
+    )
+    sylls = F.greatest(
+        F.regexp_count(F.lower(col), F.lit(r"[aeiouy]+")).cast("double"),
+        words,  # every word has >= 1 syllable
+    )
+    wps = F.try_divide(words, sents)
+    spw = F.try_divide(sylls, words)
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = (
+        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    )
+    has = col.isNotNull()
+    nonzero = words > 0
+    p = prefix
+    return df.withColumns({
+        f"{p}n_sentences": F.when(has & nonzero, sents).when(
+            has, F.lit(0.0)
+        ).cast("long"),
+        f"{p}n_words": F.when(has, words).cast("long"),
+        f"{p}n_syllables": F.when(has & nonzero, sylls).when(
+            has, F.lit(0.0)
+        ).cast("long"),
+        f"{p}flesch_reading_ease": F.when(has & nonzero, ease),
+        f"{p}flesch_kincaid_grade": F.when(has & nonzero, grade),
+    })

@@ -48,3 +48,43 @@ def test_long_format_shape_and_validation(spark):
         grouped_percentiles(_df(spark), [], ["g"])
     with pytest.raises(ValueError, match="probabilities"):
         grouped_percentiles(_df(spark), ["v"], ["g"], probs=(1.5,))
+
+
+def test_standardize_zscore_properties(spark):
+    from pandera_spark.operators.numeric import standardize
+
+    df = _df(spark)
+    out = standardize(df, ["v"], method="zscore")
+    chk = out.agg(
+        F.round(F.avg("v_std"), 9).alias("m"),
+        F.round(F.stddev_samp("v_std"), 9).alias("s"),
+    ).first()
+    assert chk.m == pytest.approx(0.0, abs=1e-9)
+    assert chk.s == pytest.approx(1.0, abs=1e-9)
+
+
+def test_standardize_minmax_and_robust(spark):
+    from pandera_spark.operators.numeric import standardize
+
+    df = _df(spark)
+    mm = standardize(df, ["v"], method="minmax").agg(
+        F.min("v_std"), F.max("v_std")
+    ).first()
+    assert (mm[0], mm[1]) == (0.0, 1.0)
+    rb = standardize(df, ["v"], method="robust", exact=True)
+    med = rb.where(F.col("g") == "a").agg(
+        F.percentile(F.col("v_std"), F.lit(0.5))
+    ).first()[0]
+    assert med is not None  # scaled, non-degenerate
+
+
+def test_standardize_zero_spread_and_nulls(spark):
+    from pandera_spark.operators.numeric import standardize
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("a", None)], "g string, v double"
+    )
+    rows = standardize(df, ["v"], method="zscore").select("v_std").collect()
+    assert all(r.v_std is None for r in rows)
+    with pytest.raises(ValueError, match="unknown method"):
+        standardize(df, ["v"], method="nope")

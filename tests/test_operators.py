@@ -5189,3 +5189,40 @@ def test_gap_report_keyless_and_boundary(spark):
     # gap == threshold is NOT a violation (strict >)
     assert gap_report(df, "ts", min_gap_seconds=3600).count() == 0
     assert gap_report(df, "ts", min_gap_seconds=3599).count() == 1
+
+
+def test_readability_known_values(spark):
+    from pandera_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [
+            (0, "The cat sat. The dog ran!"),
+            (1, None),
+            (2, ""),
+            (3, "no terminal punctuation here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in readability(df).collect()}
+    r0 = out[0]
+    assert (r0.n_sentences, r0.n_words) == (2, 6)
+    # syllables: the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6
+    assert r0.n_syllables == 6
+    wps, spw = 6 / 2, 6 / 6
+    assert r0.flesch_reading_ease == pytest.approx(
+        206.835 - 1.015 * wps - 84.6 * spw
+    )
+    assert r0.flesch_kincaid_grade == pytest.approx(
+        0.39 * wps + 11.8 * spw - 15.59
+    )
+    assert out[1].n_words is None and out[1].flesch_reading_ease is None
+    assert out[2].n_words == 0 and out[2].flesch_reading_ease is None
+    assert out[3].n_sentences == 1  # min one sentence when words exist
+
+
+def test_readability_is_pure_projection(spark):
+    from pandera_spark.operators.text import readability
+
+    df = spark.createDataFrame([(0, "a b.")], "doc_id int, text string")
+    raw = readability(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in raw
