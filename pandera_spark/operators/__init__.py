@@ -107,6 +107,7 @@ from .similarity import (
     knn_graph,
     lsh_recall,
     lsh_topk,
+    mmr_rerank,
     mutual_knn,
     neardup_band_plan,
     verify_pairs_cosine,

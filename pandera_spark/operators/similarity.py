@@ -644,3 +644,85 @@ def lsh_recall(
             ),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+    k: int = 10,
+    lam: float = 0.7,
+    max_candidates: int = 10_000,
+):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick k items maximizing ``lam·relevance −
+    (1−lam)·max_cosine(selected)`` — the diversity-aware final cut
+    after any retrieval/curation scorer (two_stage_search, DSIR,
+    quality top-k), so the k survivors aren't k near-copies of the
+    best hit.
+
+    MMR is inherently SEQUENTIAL in k (each pick changes the next
+    penalty), so it runs on the driver over the already-small candidate
+    frame — the same bounded-collect contract as k-means seeding; the
+    ``max_candidates`` guard enforces it (rerank a top-N result, not a
+    corpus).  Deterministic: ties break to the smallest id.  Returns a
+    DataFrame ``(id, mmr_rank, mmr_score)``.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0,1], got {lam}")
+    rows = (
+        candidates.select(
+            F.col(id_col).alias("i"),
+            F.col(score_col).cast("double").alias("s"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .where(F.col("s").isNotNull() & F.col("v").isNotNull())
+        .limit(max_candidates + 1)
+        .collect()
+    )
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"candidate set exceeds max_candidates={max_candidates}; "
+            "MMR reranks a top-N result, not a corpus"
+        )
+    spark = candidates.sparkSession
+    out_schema = (
+        f"{id_col} {candidates.schema[id_col].dataType.simpleString()}, "
+        "mmr_rank int, mmr_score double"
+    )
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    ids = [r["i"] for r in rows]
+    scores = np.array([r["s"] for r in rows])
+    x = np.vstack([r["v"] for r in rows])
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0.0] = 1.0
+    xh = x / norms[:, None]
+    sim = xh @ xh.T
+    n = len(ids)
+    selected: "list[int]" = []
+    max_sim = np.zeros(n)
+    picked = np.zeros(n, dtype=bool)
+    result = []
+    for rank in range(1, min(k, n) + 1):
+        penalty = max_sim if selected else np.zeros(n)
+        mmr = lam * scores - (1.0 - lam) * penalty
+        mmr_masked = np.where(picked, -np.inf, mmr)
+        best_val = mmr_masked.max()
+        # smallest id among the (near-)exact ties
+        tied = [
+            j for j in range(n)
+            if not picked[j] and mmr_masked[j] == best_val
+        ]
+        j = min(tied, key=lambda t: ids[t])
+        picked[j] = True
+        selected.append(j)
+        max_sim = np.maximum(max_sim, sim[:, j])
+        result.append((ids[j], rank, float(mmr[j])))
+    return spark.createDataFrame(result, out_schema)

@@ -5226,3 +5226,74 @@ def test_readability_is_pure_projection(spark):
     df = spark.createDataFrame([(0, "a b.")], "doc_id int, text string")
     raw = readability(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in raw
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    from pandera_spark.operators.similarity import mmr_rerank
+
+    # three near-identical high scorers + one distinct mid scorer:
+    # pure top-k takes the three clones; MMR must interleave the
+    # distinct vector at rank 2
+    df = spark.createDataFrame(
+        [
+            (0, 1.00, [1.0, 0.0]),
+            (1, 0.99, [1.0, 0.001]),
+            (2, 0.98, [1.0, 0.002]),
+            (3, 0.60, [0.0, 1.0]),
+        ],
+        "vec_id int, score double, embedding array<double>",
+    )
+    got = [
+        (r.vec_id, r.mmr_rank)
+        for r in mmr_rerank(df, k=3, lam=0.5)
+        .orderBy("mmr_rank").collect()
+    ]
+    assert [v for v, _ in got] == [0, 3, 1]
+
+
+def test_mmr_rerank_matches_numpy_replay(spark):
+    import numpy as np
+    from pandera_spark.operators.similarity import mmr_rerank
+
+    rng = np.random.RandomState(3)
+    n, d, k, lam = 30, 6, 8, 0.7
+    x = rng.randn(n, d)
+    scores = rng.rand(n)
+    df = spark.createDataFrame(
+        [(i, float(scores[i]), [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id int, score double, embedding array<double>",
+    )
+    got = [
+        r.vec_id
+        for r in mmr_rerank(df, k=k, lam=lam).orderBy("mmr_rank").collect()
+    ]
+    xh = x / np.linalg.norm(x, axis=1)[:, None]
+    sim = xh @ xh.T
+    picked, max_sim, ref = set(), np.zeros(n), []
+    for _ in range(k):
+        best, bv = None, -np.inf
+        for j in range(n):
+            if j in picked:
+                continue
+            v = lam * scores[j] - (1 - lam) * (max_sim[j] if picked else 0)
+            if v > bv or (v == bv and j < best):
+                best, bv = j, v
+        picked.add(best)
+        ref.append(best)
+        max_sim = np.maximum(max_sim, sim[:, best])
+    assert got == ref
+
+
+def test_mmr_rerank_guards(spark):
+    from pandera_spark.operators.similarity import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(i, 1.0, [1.0, 0.0]) for i in range(20)],
+        "vec_id int, score double, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="max_candidates"):
+        mmr_rerank(df, k=2, max_candidates=10)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, k=2, lam=1.5)
+    empty = df.where("vec_id < 0")
+    assert mmr_rerank(empty, k=3).count() == 0
