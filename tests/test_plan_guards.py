@@ -64,6 +64,7 @@ ALLOWED_BNLJ = {
     "dsir_sample_documents",     # same model row (+1-row threshold in frac path)
     "qann_embeddings",           # guarded brute-force baseline: broadcast
                                  # query side capped by max_queries
+    "standardize_lineitem",      # 1-row median/IQR bounds frame
 }
 
 
