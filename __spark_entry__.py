@@ -6946,6 +6946,129 @@ FROM s
 """
 
 
+def q_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity (text.vocab_richness): type-token
+    ratio + hapax fraction as pure array expressions — the sort-based
+    O(n log n) hapax count (a token is a singleton iff it differs from
+    both sorted neighbours), zero shuffle.  Oracle replays with nested
+    list lambdas (quadratic is fine at oracle scale)."""
+    from pandera_spark.operators.text import vocab_richness
+
+    docs = _load(spark, sf_dir, "documents")
+    out = vocab_richness(docs)
+    return out.select(
+        "doc_id", "n_tokens", "n_types",
+        F.round("ttr", 6).alias("ttr_r"),
+        F.round("hapax_frac", 6).alias("hapax_r"),
+    )
+
+
+_VOCAB_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                x -> len(x) > 0) AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, text, words, len(words) AS nt,
+         list_distinct(words) AS types
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL ELSE CAST(nt AS BIGINT) END AS n_tokens,
+  CASE WHEN text IS NULL THEN NULL
+       ELSE CAST(len(types) AS BIGINT) END AS n_types,
+  CASE WHEN text IS NULL OR nt = 0 THEN NULL
+       ELSE ROUND(CAST(len(types) AS DOUBLE) / nt, 6) END AS ttr_r,
+  CASE WHEN text IS NULL OR len(types) = 0 THEN NULL
+       ELSE ROUND(CAST(len(list_filter(types,
+              t -> len(list_filter(words, x -> x = t)) = 1)) AS DOUBLE)
+            / len(types), 6) END AS hapax_r
+FROM m
+"""
+
+
+def q_vocabstats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary summary (text.corpus_vocab_stats): V(N) and
+    the hapax tail in one explode → word-grain groupBy (map-side
+    collapsed) → one summary agg — the numbers that size BPE word
+    tables and hash-embed collision math."""
+    from pandera_spark.operators.text import corpus_vocab_stats
+
+    return corpus_vocab_stats(_load(spark, sf_dir, "documents"))
+
+
+_VOCABSTATS_ORACLE = r"""
+WITH wc AS (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE len(w) > 0 GROUP BY w
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(COALESCE(SUM(CASE WHEN n = 1 THEN 1 END), 0) AS BIGINT)
+         AS n_hapax,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN n = 1 THEN 1 END), 0) AS DOUBLE)
+             / count(*), 6) AS hapax_frac_r
+FROM wc
+"""
+
+
+def q_calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (evalmetrics.calibration_bins) for a
+    deterministic toy scorer (n_chars mod 1000 / 1000 → [0,1)) against
+    lang='en': one groupBy on the arithmetic bin id — no quantile
+    pass.  Bin membership is integer-exact in both engines."""
+    from pandera_spark.operators.evalmetrics import calibration_bins
+
+    docs = _load(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    scored = docs.select(
+        (F.pmod(F.col("n_chars"), F.lit(1000)) / 1000.0).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    out = calibration_bins(scored, "score", "label", n_bins=10)
+    return out.select(
+        "bin", "n",
+        F.round("avg_score", 6).alias("avg_score_r"),
+        F.round("pos_rate", 6).alias("pos_rate_r"),
+    )
+
+
+_CALIBRATION_ORACLE = """
+WITH s AS (
+  SELECT (n_chars % 1000) / 1000.0 AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+)
+SELECT CAST(LEAST(floor(score / 0.1), 9) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(AVG(score), 6) AS avg_score_r,
+       ROUND(AVG(CAST(y AS DOUBLE)), 6) AS pos_rate_r
+FROM s GROUP BY 1
+"""
+
+
+def q_riskygroups_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-anonymity WORKLIST (privacy.risky_groups): every
+    (nation, segment) combination below k=12 with its size — the rows
+    a generalization/suppression pass must touch.  Output bounded by
+    the rare-combination count."""
+    from pandera_spark.operators.privacy import risky_groups
+
+    c = _load(spark, sf_dir, "customer")
+    return risky_groups(c, ["c_nationkey", "c_mktsegment"], k=12)
+
+
+_RISKY_ORACLE = """
+SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_n
+FROM customer GROUP BY c_nationkey, c_mktsegment
+HAVING count(*) < 12
+"""
+
+
 _DSIR_B, _DSIR_A = 512, 0.5
 
 
@@ -7109,6 +7232,9 @@ _R6_DRIVER_WINDOW = [
     "readability_documents",
     # new in r6 (late round): robust feature scaling
     "standardize_lineitem",
+    # new in r6 (late round): lexical diversity, calibration, worklist
+    "vocab_documents", "vocabstats_documents",
+    "calibration_documents", "riskygroups_customer",
 ]
 
 
@@ -7230,6 +7356,10 @@ def _queries_unordered() -> dict[
         "ldiv_customer": q_ldiv_customer,
         "readability_documents": q_readability_documents,
         "standardize_lineitem": q_standardize_lineitem,
+        "vocab_documents": q_vocab_documents,
+        "vocabstats_documents": q_vocabstats_documents,
+        "calibration_documents": q_calibration_documents,
+        "riskygroups_customer": q_riskygroups_customer,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -7619,6 +7749,10 @@ FROM ranked WHERE rank <= 5
         "ldiv_customer": _LDIV_ORACLE,
         "readability_documents": _READABILITY_ORACLE,
         "standardize_lineitem": _STANDARDIZE_ORACLE,
+        "vocab_documents": _VOCAB_ORACLE,
+        "vocabstats_documents": _VOCABSTATS_ORACLE,
+        "calibration_documents": _CALIBRATION_ORACLE,
+        "riskygroups_customer": _RISKY_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

@@ -149,4 +149,6 @@ from .text import (
     top_k_per_group,
     top_ngrams,
     unigram_model,
+    vocab_richness,
+    corpus_vocab_stats,
 )

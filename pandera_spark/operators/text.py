@@ -1396,3 +1396,82 @@ def readability(
         f"{p}flesch_reading_ease": F.when(has & nonzero, ease),
         f"{p}flesch_kincaid_grade": F.when(has & nonzero, grade),
     })
+
+
+def vocab_richness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document lexical-diversity features: ``n_tokens``,
+    ``n_types`` (distinct words), ``ttr`` (type-token ratio) and
+    ``hapax_frac`` (words occurring exactly once / types) — low
+    diversity flags boilerplate and template spam; implausibly high
+    flags word-salad.  Pure array expressions over the whitespace
+    token array (distinct + a frequency fold), zero shuffle.
+    """
+    col = F.col(text_col)
+    words = F.filter(
+        F.split(F.trim(F.lower(col)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    n_tok = F.size(words)
+    types = F.array_distinct(words)
+    n_typ = F.size(types)
+    # hapax count in O(n log n) per doc: sort the tokens, then a token
+    # is a singleton iff it differs from BOTH neighbours (the naive
+    # per-type recount is O(types × tokens) — quadratic on long docs)
+    srt = F.array_sort(words)
+    n = F.size(srt)
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.expr("CAST(array() AS array<int>)")
+    )
+    flags = F.transform(
+        idx,
+        lambda i: (
+            F.when(i == 1, F.lit(True)).otherwise(
+                F.element_at(srt, i) != F.element_at(srt, i - 1)
+            )
+            & F.when(i == n, F.lit(True)).otherwise(
+                F.element_at(srt, i) != F.element_at(srt, i + 1)
+            )
+        ).cast("int"),
+    )
+    hapax = F.aggregate(flags, F.lit(0), lambda a, x: a + x)
+    has = col.isNotNull()
+    return df.select(
+        F.col(id_col),
+        F.when(has, n_tok).cast("long").alias("n_tokens"),
+        F.when(has, n_typ).cast("long").alias("n_types"),
+        F.when(has & (n_tok > 0), n_typ / n_tok).alias("ttr"),
+        F.when(has & (n_typ > 0), hapax / n_typ).alias("hapax_frac"),
+    )
+
+
+def corpus_vocab_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level vocabulary summary in one row: total tokens,
+    distinct words (the Heaps-law 'V(N)' that sizes BPE word tables
+    and hash-embed collision math), and the hapax count/fraction
+    (singleton words — the long tail that dominates V).  One explode →
+    word-grain groupBy (map-side collapsed) → one summary agg."""
+    wc = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    return wc.agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("n") == 1).cast("long")).alias("n_hapax"),
+        F.round(
+            F.sum((F.col("n") == 1).cast("long")) / F.count("*"), 6
+        ).alias("hapax_frac_r"),
+    )

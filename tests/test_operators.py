@@ -5297,3 +5297,36 @@ def test_mmr_rerank_guards(spark):
         mmr_rerank(df, k=2, lam=1.5)
     empty = df.where("vec_id < 0")
     assert mmr_rerank(empty, k=3).count() == 0
+
+
+def test_vocab_richness_known_values(spark):
+    from pandera_spark.operators.text import vocab_richness
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog and a bird"),
+            (1, None),
+            (2, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in vocab_richness(df).collect()}
+    r0 = out[0]
+    # tokens: the,cat,and,the,dog,and,a,bird -> 8; types: 6
+    assert (r0.n_tokens, r0.n_types) == (8, 6)
+    assert r0.ttr == pytest.approx(6 / 8)
+    # hapax: cat,dog,a,bird (4 of 6 types)
+    assert r0.hapax_frac == pytest.approx(4 / 6)
+    assert out[1].n_tokens is None
+    assert out[2].n_tokens == 0 and out[2].ttr is None
+
+
+def test_corpus_vocab_stats(spark):
+    from pandera_spark.operators.text import corpus_vocab_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c"), (2, None)], "doc_id int, text string"
+    )
+    r = corpus_vocab_stats(df).first()
+    assert (r.n_tokens, r.n_types, r.n_hapax) == (5, 3, 1)  # only 'c'
+    assert r.hapax_frac_r == pytest.approx(1 / 3, abs=1e-6)
