@@ -7069,6 +7069,99 @@ HAVING count(*) < 12
 """
 
 
+def q_dupmatrix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (dedup.cross_source_dup_matrix):
+    which sources share content — digest-first (documents never
+    shuffle), per-source DISTINCT collapses before the digest-keyed
+    self-join so popular content cannot quadratic (join-key
+    multiplicity is bounded by the source count); the diagonal counts
+    within-source duplication.  The provenance view behind canonical-
+    source selection.  The synthetic corpus has no natural cross-source
+    copies, so every 5th document is re-tagged into a 'mirror' source
+    first (the usual deterministic-injection pattern) — the matrix must
+    recover exactly that mirror structure."""
+    from pandera_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    mirror = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "source", F.lit("mirror")
+    )
+    return cross_source_dup_matrix(
+        docs.unionByName(mirror), "text", "source"
+    )
+
+
+_DUPMATRIX_ORACLE = """
+WITH aug AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 5 = 0
+), sd AS (
+  SELECT DISTINCT source AS s, md5(text) AS h FROM aug
+  WHERE text IS NOT NULL AND source IS NOT NULL
+), off AS (
+  SELECT a.s AS src_a, b.s AS src_b,
+         CAST(count(*) AS BIGINT) AS shared_contents
+  FROM sd a JOIN sd b USING (h) WHERE a.s < b.s GROUP BY a.s, b.s
+), diag AS (
+  SELECT src_a, src_a AS src_b,
+         CAST(count(*) AS BIGINT) AS shared_contents
+  FROM (
+    SELECT source AS src_a, md5(text) AS h, count(*) AS c
+    FROM aug WHERE text IS NOT NULL AND source IS NOT NULL
+    GROUP BY source, md5(text) HAVING count(*) > 1
+  ) GROUP BY src_a
+)
+SELECT * FROM off UNION ALL SELECT * FROM diag
+"""
+
+
+def q_trimmedmean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed means (numeric.trimmed_mean, exact lane): the robust
+    location estimate for two columns from ONE bounds agg + ONE
+    conditional-average pass; the oracle replays the interpolated
+    quantile band and the in-band average."""
+    from pandera_spark.operators.numeric import trimmed_mean
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = trimmed_mean(
+        li, ["l_quantity", "l_extendedprice"],
+        lower=0.05, upper=0.95, exact=True,
+    )
+    return out.select(
+        "col_name", "n_kept", "n_dropped",
+        F.round("tmean", 6).alias("tmean_r"),
+    )
+
+
+_TRIMMEDMEAN_ORACLE = """
+WITH b AS (
+  SELECT quantile_cont(CAST(l_quantity AS DOUBLE), 0.05) AS lo1,
+         quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS hi1,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo2,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi2
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_name,
+  CAST(COUNT(CASE WHEN v BETWEEN lo1 AND hi1 THEN 1 END) AS BIGINT)
+    AS n_kept,
+  CAST(COUNT(CASE WHEN v IS NOT NULL
+                   AND NOT v BETWEEN lo1 AND hi1 THEN 1 END) AS BIGINT)
+    AS n_dropped,
+  ROUND(AVG(CASE WHEN v BETWEEN lo1 AND hi1 THEN v END), 6) AS tmean_r
+FROM (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem), b
+UNION ALL
+SELECT 'l_extendedprice',
+  CAST(COUNT(CASE WHEN v BETWEEN lo2 AND hi2 THEN 1 END) AS BIGINT),
+  CAST(COUNT(CASE WHEN v IS NOT NULL
+                   AND NOT v BETWEEN lo2 AND hi2 THEN 1 END) AS BIGINT),
+  ROUND(AVG(CASE WHEN v BETWEEN lo2 AND hi2 THEN v END), 6)
+FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem), b
+"""
+
+
 _DSIR_B, _DSIR_A = 512, 0.5
 
 
@@ -7235,6 +7328,8 @@ _R6_DRIVER_WINDOW = [
     # new in r6 (late round): lexical diversity, calibration, worklist
     "vocab_documents", "vocabstats_documents",
     "calibration_documents", "riskygroups_customer",
+    # new in r6 (late round): dup provenance, trimmed means
+    "dupmatrix_documents", "trimmedmean_lineitem",
 ]
 
 
@@ -7360,6 +7455,8 @@ def _queries_unordered() -> dict[
         "vocabstats_documents": q_vocabstats_documents,
         "calibration_documents": q_calibration_documents,
         "riskygroups_customer": q_riskygroups_customer,
+        "dupmatrix_documents": q_dupmatrix_documents,
+        "trimmedmean_lineitem": q_trimmedmean_lineitem,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -7753,6 +7850,8 @@ FROM ranked WHERE rank <= 5
         "vocabstats_documents": _VOCABSTATS_ORACLE,
         "calibration_documents": _CALIBRATION_ORACLE,
         "riskygroups_customer": _RISKY_ORACLE,
+        "dupmatrix_documents": _DUPMATRIX_ORACLE,
+        "trimmedmean_lineitem": _TRIMMEDMEAN_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

@@ -37,6 +37,7 @@ from .dedup import (
     exact_dedup_stats,
     incremental_minhash_candidates,
     minhash_lsh_candidates,
+    cross_source_dup_matrix,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_near_dups,
@@ -69,6 +70,7 @@ from .numeric import (
     correlation_matrix,
     grouped_percentiles,
     standardize,
+    trimmed_mean,
     percentile_bounds,
     sketch_bins,
     winsorize,

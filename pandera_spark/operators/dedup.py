@@ -1124,3 +1124,57 @@ def strip_repeated_spans(
     return joined.withColumn(out_col, F.concat_ws(" ", kept)).drop(
         "__id", "__spans"
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    content_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """WHO duplicates WHOM: for every (unordered) source pair, how many
+    distinct contents appear in BOTH — the provenance matrix that tells
+    a curation pass whether duplication is mirror-site structure
+    (concentrated pairs) or organic (diffuse), and which source to keep
+    as canonical.  Includes the diagonal (content duplicated WITHIN a
+    source).
+
+    Plan: hash-first digest per (source, content) pair — documents
+    never shuffle — then distinct (source, digest), then a digest-keyed
+    self-join restricted to ``src_a <= src_b``.  The join key is the
+    digest, whose per-key multiplicity is bounded by the SOURCE COUNT
+    (each side is distinct per source), so the join cannot quadratic on
+    popular content the way a row-grain self-join would.  Output is at
+    most |sources|² rows.
+
+    Returns ``(src_a, src_b, shared_contents)``.
+    """
+    h = F.md5(F.col(content_col))
+    sd = (
+        df.where(
+            F.col(content_col).isNotNull() & F.col(source_col).isNotNull()
+        )
+        .select(F.col(source_col).alias("s"), h.alias("__h"))
+        .distinct()
+    )
+    a = sd.select(F.col("s").alias("src_a"), "__h")
+    b = sd.select(F.col("s").alias("src_b"), "__h")
+    pairs = a.join(b, "__h").where(F.col("src_a") <= F.col("src_b"))
+    # diagonal semantics: (s, s) counts contents present in s that are
+    # duplicated ANYWHERE in s — recompute separately from row counts
+    diag = (
+        df.where(
+            F.col(content_col).isNotNull() & F.col(source_col).isNotNull()
+        )
+        .groupBy(F.col(source_col).alias("src_a"), h.alias("__h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .groupBy("src_a")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_contents"))
+        .select("src_a", F.col("src_a").alias("src_b"), "shared_contents")
+    )
+    off = (
+        pairs.where(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_contents"))
+    )
+    return off.unionByName(diag)

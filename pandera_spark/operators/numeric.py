@@ -54,6 +54,7 @@ __all__ = [
     "winsorize_report",
     "grouped_percentiles",
     "standardize",
+    "trimmed_mean",
     "correlation_matrix",
     "sketch_bins",
     "mad_outlier_report",
@@ -530,4 +531,60 @@ def standardize(
         out = out.withColumn(f"{c}{suffix}", scaled)
     return out.drop(
         *[f"__c_{c}" for c in cols], *[f"__s_{c}" for c in cols]
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Trimmed mean per column: the mean of values INSIDE the
+    [lower, upper] percentile band — the robust location estimate that,
+    unlike winsorize, drops the tails instead of clipping them.  Long
+    format ``(col_name, n_kept, n_dropped, tmean)``.
+
+    Module shape: ONE bounds aggregation for every column (mergeable
+    sketch by default, ``exact=True`` for the oracle-replayable
+    interpolated lane), broadcast, then ONE conditional-average pass —
+    two scans regardless of column count.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("need at least one column")
+    bounds = F.broadcast(
+        percentile_bounds(
+            df, cols, lower=lower, upper=upper, exact=exact,
+            accuracy=accuracy,
+        )
+    )
+    joined = df.crossJoin(bounds)
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        inside = (v >= F.col(f"__lo_{c}")) & (v <= F.col(f"__hi_{c}"))
+        aggs += [
+            F.count(F.when(inside, 1)).cast("long").alias(f"__k_{c}"),
+            F.count(F.when(v.isNotNull() & ~inside, 1))
+            .cast("long").alias(f"__d_{c}"),
+            F.avg(F.when(inside, v)).alias(f"__m_{c}"),
+        ]
+    g = joined.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__k_{c}").alias("n_kept"),
+                F.col(f"__d_{c}").alias("n_dropped"),
+                F.col(f"__m_{c}").alias("tmean"),
+            )
+            for c in cols
+        ]
+    )
+    return g.select(F.explode(rows).alias("s")).select(
+        "s.col_name", "s.n_kept", "s.n_dropped", "s.tmean"
     )

@@ -88,3 +88,20 @@ def test_standardize_zero_spread_and_nulls(spark):
     assert all(r.v_std is None for r in rows)
     with pytest.raises(ValueError, match="unknown method"):
         standardize(df, ["v"], method="nope")
+
+
+def test_trimmed_mean_known_values(spark):
+    from pandera_spark.operators.numeric import trimmed_mean
+
+    # 1..100 plus two wild outliers; 5-95% band keeps the middle
+    rows = [("a", float(i)) for i in range(1, 101)] + [
+        ("a", 1e9), ("a", 2e9), ("a", None)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = trimmed_mean(df, ["v"], lower=0.05, upper=0.95, exact=True).first()
+    assert r.col_name == "v"
+    assert r.n_kept + r.n_dropped == 102  # nulls in neither bucket
+    assert abs(r.tmean - 50.5) < 3  # outliers gone
+    # plain mean would be dominated by the 1e9 outliers
+    plain = df.agg(F.avg("v")).first()[0]
+    assert plain > 1e7  # dominated by the outliers

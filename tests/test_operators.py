@@ -5330,3 +5330,36 @@ def test_corpus_vocab_stats(spark):
     r = corpus_vocab_stats(df).first()
     assert (r.n_tokens, r.n_types, r.n_hapax) == (5, 3, 1)  # only 'c'
     assert r.hapax_frac_r == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_cross_source_dup_matrix(spark):
+    from pandera_spark.operators.dedup import cross_source_dup_matrix
+
+    df = spark.createDataFrame(
+        [
+            ("A", "x"), ("A", "x"),       # within-A dup of x
+            ("A", "y"), ("B", "y"),       # A-B share y
+            ("B", "z"), ("C", "z"),       # B-C share z
+            ("C", "w"),                   # unique
+            ("C", None), (None, "x"),     # nulls ignored
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r.src_a, r.src_b): r.shared_contents
+        for r in cross_source_dup_matrix(df).collect()
+    }
+    assert got == {("A", "A"): 1, ("A", "B"): 1, ("B", "C"): 1}
+
+
+def test_cross_source_dup_matrix_no_row_grain_join(spark):
+    from pandera_spark.operators.dedup import cross_source_dup_matrix
+
+    df = spark.createDataFrame(
+        [("A", "x")] * 50 + [("B", "x")] * 50, "source string, text string"
+    )
+    out = cross_source_dup_matrix(df)
+    rows = {(r.src_a, r.src_b): r.shared_contents for r in out.collect()}
+    # 100 rows of identical content still produce exactly these pairs:
+    # per-source distinct collapses BEFORE the join
+    assert rows == {("A", "A"): 1, ("B", "B"): 1, ("A", "B"): 1}
