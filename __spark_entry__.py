@@ -7162,6 +7162,39 @@ FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem), b
 """
 
 
+def q_zipf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (text.zipf_fit): least-squares
+    ln(freq)~ln(rank) over the Heaps-bounded word table — natural
+    corpora sit near slope −1; templated/generated text bends the
+    curve.  Rank window runs on the DISTINCT-WORD grain; the regression
+    is one closed-form co-moment aggregate."""
+    from pandera_spark.operators.text import zipf_fit
+
+    return zipf_fit(_load(spark, sf_dir, "documents"))
+
+
+_ZIPF_ORACLE = r"""
+WITH wc AS (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE len(w) > 0 GROUP BY w
+), rk AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, w ASC) AS DOUBLE))
+           AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM wc
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+  ROUND(covar_pop(x, y) / var_pop(x), 6) AS slope_r,
+  ROUND(AVG(y) - (covar_pop(x, y) / var_pop(x)) * AVG(x), 6)
+    AS intercept_r,
+  ROUND(covar_pop(x, y) * covar_pop(x, y)
+        / (var_pop(x) * var_pop(y)), 6) AS r2_r
+FROM rk
+"""
+
+
 _DSIR_B, _DSIR_A = 512, 0.5
 
 
@@ -7330,6 +7363,8 @@ _R6_DRIVER_WINDOW = [
     "calibration_documents", "riskygroups_customer",
     # new in r6 (late round): dup provenance, trimmed means
     "dupmatrix_documents", "trimmedmean_lineitem",
+    # new in r6 (late round): zipf rank-frequency fit
+    "zipf_documents",
 ]
 
 
@@ -7457,6 +7492,7 @@ def _queries_unordered() -> dict[
         "riskygroups_customer": q_riskygroups_customer,
         "dupmatrix_documents": q_dupmatrix_documents,
         "trimmedmean_lineitem": q_trimmedmean_lineitem,
+        "zipf_documents": q_zipf_documents,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -7852,6 +7888,7 @@ FROM ranked WHERE rank <= 5
         "riskygroups_customer": _RISKY_ORACLE,
         "dupmatrix_documents": _DUPMATRIX_ORACLE,
         "trimmedmean_lineitem": _TRIMMEDMEAN_ORACLE,
+        "zipf_documents": _ZIPF_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

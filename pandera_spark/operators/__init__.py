@@ -153,4 +153,5 @@ from .text import (
     unigram_model,
     vocab_richness,
     corpus_vocab_stats,
+    zipf_fit,
 )

@@ -1475,3 +1475,69 @@ def corpus_vocab_stats(
             F.sum((F.col("n") == 1).cast("long")) / F.count("*"), 6
         ).alias("hapax_frac_r"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    max_rank: "int | None" = None,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus word table: least-squares
+    slope/intercept of ``ln(freq) ~ ln(rank)`` — natural corpora sit
+    near slope −1; generated/templated text and heavy boilerplate bend
+    the curve (slope drifting toward 0 = suspiciously uniform; « −1 =
+    a few tokens dominating).  One row: ``(n_types, slope_r,
+    intercept_r, r2_r)``.
+
+    Ranks come from a window over the DISTINCT-WORD grain (the
+    vocabulary, Heaps-bounded — never corpus rows; the ks_drift
+    pattern), ties broken by word for determinism; the regression is a
+    closed-form co-moment aggregate.  ``max_rank`` fits only the head
+    (the tail's hapax plateau biases the slope; 10_000 is a common
+    cut).
+    """
+    wc = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("n"), F.asc("w"))
+    )
+    ranked = wc.select(
+        F.log(rk.cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    if max_rank is not None:
+        ranked = wc.select(
+            rk.alias("r"), F.col("n")
+        ).where(F.col("r") <= int(max_rank)).select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.covar_pop("x", "y").alias("cxy"),
+        F.var_pop("x").alias("vx"),
+        F.var_pop("y").alias("vy"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+    )
+    slope = F.try_divide(F.col("cxy"), F.col("vx"))
+    intercept = F.col("my") - slope * F.col("mx")
+    r2 = F.try_divide(
+        F.col("cxy") * F.col("cxy"), F.col("vx") * F.col("vy")
+    )
+    return agg.select(
+        "n_types",
+        F.round(slope, 6).alias("slope_r"),
+        F.round(intercept, 6).alias("intercept_r"),
+        F.round(r2, 6).alias("r2_r"),
+    )

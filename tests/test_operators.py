@@ -5363,3 +5363,30 @@ def test_cross_source_dup_matrix_no_row_grain_join(spark):
     # 100 rows of identical content still produce exactly these pairs:
     # per-source distinct collapses BEFORE the join
     assert rows == {("A", "A"): 1, ("B", "B"): 1, ("A", "B"): 1}
+
+
+def test_zipf_fit_recovers_powerlaw(spark):
+    from pandera_spark.operators.text import zipf_fit
+
+    # synthesize a corpus whose word w_r appears round(1000/r) times:
+    # slope must come out near -1
+    rows = []
+    for r in range(1, 51):
+        rows.extend([(f"w{r:03d}",)] * max(1, round(1000 / r)))
+    df = spark.createDataFrame(
+        [(" ".join(w for (w,) in rows),)], "text string"
+    )
+    fit = zipf_fit(df).first()
+    assert fit.n_types == 50
+    assert -1.1 < fit.slope_r < -0.9
+    assert fit.r2_r > 0.99
+
+
+def test_zipf_fit_uniform_corpus_slope_zero(spark):
+    from pandera_spark.operators.text import zipf_fit
+
+    df = spark.createDataFrame(
+        [(" ".join(f"t{i}" for i in range(100)),)], "text string"
+    )
+    fit = zipf_fit(df).first()
+    assert fit.slope_r == 0.0  # every freq identical
