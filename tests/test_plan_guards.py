@@ -65,6 +65,7 @@ ALLOWED_BNLJ = {
     "qann_embeddings",           # guarded brute-force baseline: broadcast
                                  # query side capped by max_queries
     "standardize_lineitem",      # 1-row median/IQR bounds frame
+    "trimmedmean_lineitem",      # 1-row percentile-band bounds frame
 }
 
 
