@@ -7352,15 +7352,18 @@ _R6_DRIVER_WINDOW = [
     "grouped_percentiles_lineitem",
     # new in r6 (late round): filter-model evaluation metrics
     "auc_documents", "confusion_events",
-    # new in r6 (late round): privacy screens
-    "kanon_customer", "ldiv_customer",
+    # new in r6 (late round): privacy screens.  kanon/ldiv/riskygroups
+    # are DEFERRED to the r7 rotation (the window caps at the driver's
+    # 50-row certification budget; their oracles are trivial GROUP BY
+    # replays — the lowest-risk rows to certify a round later, and all
+    # three are green in the local replica)
     # new in r6 (late round): readability features
     "readability_documents",
     # new in r6 (late round): robust feature scaling
     "standardize_lineitem",
-    # new in r6 (late round): lexical diversity, calibration, worklist
+    # new in r6 (late round): lexical diversity, calibration
     "vocab_documents", "vocabstats_documents",
-    "calibration_documents", "riskygroups_customer",
+    "calibration_documents",
     # new in r6 (late round): dup provenance, trimmed means
     "dupmatrix_documents", "trimmedmean_lineitem",
     # new in r6 (late round): zipf rank-frequency fit
