@@ -98,9 +98,12 @@ def plan_report(df: DataFrame) -> dict:
         "broadcast_nested_loop_joins": plan.count(
             "BroadcastNestedLoopJoin"
         ),
-        "exchanges": len(
-            re.findall(r"\bExchange\b|\bAQEShuffleRead\b", raw)
-        ),
+        # shuffle count = Exchange nodes only.  Under AQE an executed
+        # plan stacks AQEShuffleRead on top of each Exchange — counting
+        # both would double every shuffle and spuriously trip
+        # max_exchanges bounds.  (\bExchange\b does not match
+        # BroadcastExchange: no word boundary inside the token.)
+        "exchanges": len(re.findall(r"\bExchange\b", raw)),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "unpartitioned_windows": unpartitioned_windows(raw),

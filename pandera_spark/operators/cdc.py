@@ -110,15 +110,34 @@ def merge_upsert(
     aggregate — cheaper than the join-based MERGE when the change batch
     is not tiny, and identical in result.  Changed rows must carry an
     order value >= the base row's to win, which CDC version columns do
-    by construction.
+    by construction; on an EXACT tie of the full ordering struct the
+    change wins (source precedence via a trailing ``__src`` tiebreaker,
+    the same rule as :func:`apply_cdc` — a change that reuses the
+    base's version is an update, not a no-op).
     """
     if set(base.columns) != set(changes.columns):
         raise ValueError(
             "base/changes schemas differ: "
             f"{sorted(set(base.columns) ^ set(changes.columns))}"
         )
-    unioned = base.unionByName(changes)
-    return latest_state(unioned, keys, order_by, tiebreak=tiebreak)
+    data_cols = base.columns
+    tagged_base = base.select(
+        *[F.col(c) for c in data_cols], F.lit(0).alias("__src")
+    )
+    tagged_changes = changes.select(
+        *[F.col(c) for c in data_cols], F.lit(1).alias("__src")
+    )
+    order_cols = (
+        [order_by] if isinstance(order_by, str) else list(order_by)
+    ) + list(tiebreak or [])
+    if not order_cols:
+        raise ValueError("need at least one ordering column")
+    merged = _latest_rows(
+        tagged_base.unionByName(tagged_changes),
+        list(keys),
+        order_cols + ["__src"],
+    )
+    return merged.drop("__src")
 
 
 def apply_cdc(

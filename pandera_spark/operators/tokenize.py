@@ -161,9 +161,13 @@ def bpe_train(
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    words = _symbolize(
+    # keep the persisted frame in its own name: `words` is rebound to
+    # derived frames each merge round, so unpersisting `words` would
+    # no-op and leak the cached word table for the session's lifetime
+    base_words = _symbolize(
         word_counts(df, text_col, lowercase=lowercase)
     ).persist()
+    words = base_words
     try:
         merges: List[Tuple[int, str, str, int]] = []
         for rank in range(1, n_merges + 1):
@@ -189,7 +193,7 @@ def bpe_train(
                 words = words.localCheckpoint(eager=True)
         return merges
     finally:
-        words.unpersist()
+        base_words.unpersist()
 
 
 def bpe_encode(

@@ -64,7 +64,9 @@ def cdc_upsert_foreach_batch(
     """``foreachBatch`` writer: append each micro-batch's per-key
     winners to the state.  ``op_col`` (if the feed carries one) rides
     along so deletes become tombstones; without it every row is an
-    upsert.
+    upsert.  Passing ``op_col`` asserts the feed's contract: each
+    micro-batch must actually carry that column (fail the batch at the
+    writer, not silently at read time when tombstones never filter).
 
     Usage::
 
@@ -76,6 +78,11 @@ def cdc_upsert_foreach_batch(
     key_list, ords = list(keys), _order_cols(order_by, tiebreak)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if op_col is not None and op_col not in batch_df.columns:
+            raise ValueError(
+                f"micro-batch {batch_id} is missing op column "
+                f"{op_col!r}; columns: {batch_df.columns}"
+            )
         winners = _latest_rows(batch_df, key_list, ords)
         winners.write.mode("append").parquet(state_path)
 
@@ -135,7 +142,12 @@ def compact_cdc_state(
         captured, list(keys), _order_cols(order_by, tiebreak)
     )
     if op_col and op_col in folded.columns:
-        folded = folded.where(F.col(op_col) != F.lit(delete_op))
+        # null-safe, matching read_cdc_state: a null op means upsert
+        # (live row) — `!= delete_op` alone is NULL there and would
+        # silently compact live rows away
+        folded = folded.where(
+            F.coalesce(F.col(op_col) != F.lit(delete_op), F.lit(True))
+        )
     folded.write.mode("append").parquet(state_path)
     n = folded.count()
     jvm = spark._jvm

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from pandera_spark.audit import (
     assert_plan,
+    physical_plan,
     plan_report,
     recommended_conf,
     unpartitioned_windows,
@@ -112,3 +113,17 @@ def test_recommended_conf_arithmetic(spark):
     assert int(small["spark.sql.shuffle.partitions"]) == 64
     with pytest.raises(ValueError):
         recommended_conf(input_bytes=-1, total_cores=1)
+
+
+def test_exchanges_not_double_counted_under_aqe(spark):
+    # an executed AQE plan carries AQEShuffleRead readers on top of each
+    # Exchange; the shuffle count must stay 1 per shuffle, not 2
+    df = _df(spark).groupBy("k").agg(F.sum("v").alias("s"))
+    df.collect()  # finalize the adaptive plan
+    raw = physical_plan(df, formatted=False)
+    rep = plan_report(df)
+    n_exchange = raw.count("Exchange hashpartitioning")
+    assert n_exchange >= 1
+    assert rep["exchanges"] == n_exchange
+    if "AQEShuffleRead" in raw:
+        assert rep["exchanges"] < n_exchange + raw.count("AQEShuffleRead")

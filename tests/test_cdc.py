@@ -116,3 +116,19 @@ def test_apply_cdc_requires_op_column(spark):
     changes = spark.createDataFrame([(1, 1)], "k int, v int")
     with pytest.raises(ValueError, match="op column"):
         apply_cdc(base, changes, ["k"], "v")
+
+
+def test_merge_upsert_change_wins_exact_order_tie(spark):
+    # SCD-1: a change reusing the base row's version is an update and
+    # must win deterministically (source precedence, as in apply_cdc)
+    base = spark.createDataFrame(
+        [(1, 5, "stale")], "k int, v int, payload string"
+    )
+    changes = spark.createDataFrame(
+        [(1, 5, "fresh")], "k int, v int, payload string"
+    )
+    out = merge_upsert(base, changes, ["k"], "v")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].payload == "fresh"
+    assert out.columns == ["k", "v", "payload"]  # __src dropped

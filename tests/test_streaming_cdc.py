@@ -96,3 +96,39 @@ def test_cdc_stream_with_real_stream(spark, tmp_path):
     # latest v per key is the max observed value for that residue class
     for k, v in rows.items():
         assert v % 5 == k
+
+
+def test_cdc_stream_null_op_rows_survive_compaction(spark, tmp_path):
+    # delete-only feeds mark tombstones with op and leave op NULL on
+    # upserts; compaction must keep the null-op (live) rows, matching
+    # read_cdc_state's null-safe filter
+    path = str(tmp_path / "state")
+    proc = cdc_upsert_foreach_batch(path, ["k"], "v", op_col="op")
+    b0 = spark.createDataFrame(
+        [(1, 1, "a1", None), (2, 1, "b1", None), (3, 1, "c1", None)],
+        "k int, v int, p string, op string",
+    )
+    proc(b0, 0)
+    b1 = spark.createDataFrame(
+        [(2, 2, "x", "D"), (1, 2, "a2", None)],
+        "k int, v int, p string, op string",
+    )
+    proc(b1, 1)
+    before = _state(spark, path)
+    assert before == {1: (2, "a2"), 3: (1, "c1")}
+    n = compact_cdc_state(
+        spark, path, ["k"], "v", tiebreak=["p"], op_col="op"
+    )
+    assert n == 2  # both live null-op rows kept, tombstone dropped
+    assert _state(spark, path) == before
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_cdc_stream_writer_requires_declared_op_col(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "state")
+    proc = cdc_upsert_foreach_batch(path, ["k"], "v", op_col="op")
+    batch = spark.createDataFrame([(1, 1)], "k int, v int")
+    with pytest.raises(ValueError, match="missing op column"):
+        proc(batch, 0)

@@ -198,3 +198,16 @@ def test_merge_list_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, (r.tokens for r in a))) == sorted(
         map(tuple, (r.tokens for r in b))
     )
+
+
+def test_bpe_train_unpersists_word_table(spark):
+    # bpe_train rebinds its working frame per merge round; the PERSISTED
+    # base word table must still be released on exit
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [("low lower lowest",), ("low low newer",)], "text string"
+    )
+    bpe_train(df, n_merges=3, min_pair_count=2)
+    after = sc._jsc.getPersistentRDDs().size()
+    assert after <= before
