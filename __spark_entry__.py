@@ -7294,89 +7294,439 @@ FROM ranked WHERE r <= 30
 """
 
 
+# ---------------------------------------------------------------------------
+# r7: statistical screens (operators/stats.py) — trend, correlation,
+# independence, mutual information, variance decomposition
+# ---------------------------------------------------------------------------
+
+_EPOCH_2024 = 1704067200  # 2024-01-01 00:00:00 UTC, the events corpus start
+
+
+def q_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of value over time
+    (operators/stats.py:group_trend — Spark regr_* aggregates, ONE hash
+    aggregate; the shuffle carries five regression moments per group
+    per task).  x = days since 2024-01-01 at floor-second resolution,
+    which the oracle replays as floor(epoch(ts))."""
+    from pandera_spark.operators.stats import group_trend
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "__days",
+        (F.unix_timestamp("ts") - F.lit(_EPOCH_2024)) / F.lit(86400.0),
+    )
+    out = group_trend(ev, "value", "__days", by="event_type")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("slope", 6).alias("slope_r"),
+        F.round("intercept", 6).alias("intercept_r"),
+        F.round("r2", 6).alias("r2_r"),
+    )
+
+
+_TREND_ORACLE = f"""
+SELECT event_type,
+       CAST(regr_count(value, d) AS BIGINT) AS n,
+       ROUND(regr_slope(value, d), 6) AS slope_r,
+       ROUND(regr_intercept(value, d), 6) AS intercept_r,
+       ROUND(regr_r2(value, d), 6) AS r2_r
+FROM (SELECT event_type, value,
+             (FLOOR(epoch(ts)) - {_EPOCH_2024}) / 86400.0 AS d
+      FROM events)
+GROUP BY event_type
+"""
+
+_CORRPAIR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def q_corrpairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of three numeric columns per
+    return flag in ONE aggregation (operators/stats.py:corr_pairs; the
+    long-format unpivot runs on the already-aggregated frame)."""
+    from pandera_spark.operators.stats import corr_pairs
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = corr_pairs(li, _CORRPAIR_COLS, by="l_returnflag")
+    return out.select(
+        "l_returnflag", "col_a", "col_b",
+        F.col("n").cast("long").alias("n"),
+        F.round("corr", 6).alias("corr_r"),
+    )
+
+
+def _corrpairs_oracle() -> str:
+    parts = []
+    cols = _CORRPAIR_COLS
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            parts.append(f"""
+SELECT l_returnflag, '{a}' AS col_a, '{b}' AS col_b,
+       CAST(COUNT(*) FILTER (WHERE {a} IS NOT NULL AND {b} IS NOT NULL)
+            AS BIGINT) AS n,
+       ROUND(CORR({a}, {b}), 6) AS corr_r
+FROM lineitem GROUP BY l_returnflag""")
+    return " UNION ALL ".join(parts)
+
+
+# Zelen-Severo Phi replay (drift._norm_sf digit for digit): the oracle
+# computes the same closed form, so the p-value is hash-comparable
+_NORM_SF_SQL = (
+    "(CASE WHEN {z} >= 0 THEN {u} ELSE 1 - {u} END)"
+)
+
+
+def _norm_sf_sql(z: str) -> str:
+    az = f"ABS({z})"
+    t = f"(1.0 / (1.0 + 0.2316419 * {az}))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * "
+        f"(1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    u = f"(EXP(-{az} * {az} / 2) / 2.5066282746310002 * {poly})"
+    return _NORM_SF_SQL.format(z=z, u=u)
+
+
+def q_chi2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of lang x source
+    (operators/stats.py:chi2_independence): contingency cells from ONE
+    groupBy over the data, marginals re-aggregated from the cells and
+    broadcast back — the data is scanned once and the algebraic
+    identity n*sum(c^2/(ra*cb)) - n avoids a second pass."""
+    from pandera_spark.operators.stats import chi2_independence
+
+    docs = _load(spark, sf_dir, "documents")
+    out = chi2_independence(docs, "lang", "source", pvalue=True)
+    return out.select(
+        "n", "n_a", "n_b", "dof",
+        F.round("chi2_stat", 6).alias("chi2_r"),
+        F.round("cramers_v", 6).alias("v_r"),
+        F.round("chi2_pvalue", 6).alias("p_r"),
+    )
+
+
+def _chi2_oracle() -> str:
+    z = (
+        "((POW(chi2 / dofd, 1.0/3.0) - (1 - 2 / (9 * dofd)))"
+        " / SQRT(2 / (9 * dofd)))"
+    )
+    return f"""
+WITH cells AS (
+  SELECT lang AS a, source AS b, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+), ma AS (SELECT a, SUM(c) AS ra FROM cells GROUP BY a),
+   mb AS (SELECT b, SUM(c) AS cb FROM cells GROUP BY b),
+   j AS (
+  SELECT cells.c, ma.ra, mb.cb
+  FROM cells
+  JOIN ma ON cells.a IS NOT DISTINCT FROM ma.a
+  JOIN mb ON cells.b IS NOT DISTINCT FROM mb.b
+), base AS (
+  SELECT (SELECT SUM(c) FROM cells) AS n,
+         (SELECT COUNT(*) FROM ma) AS n_a,
+         (SELECT COUNT(*) FROM mb) AS n_b,
+         (SELECT SUM(POW(CAST(c AS DOUBLE), 2) / (ra * cb)) FROM j) AS s
+), stat AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+         CAST((n_a - 1) * (n_b - 1) AS DOUBLE) AS dofd,
+         GREATEST(0.0, n * s - n) AS chi2
+  FROM base
+)
+SELECT n, n_a, n_b, dof,
+       ROUND(chi2, 6) AS chi2_r,
+       ROUND(SQRT(chi2 / (n * LEAST(n_a - 1, n_b - 1))), 6) AS v_r,
+       ROUND(CASE WHEN dof <= 0 THEN NULL
+                  ELSE {_norm_sf_sql(z)} END, 6) AS p_r
+FROM stat
+"""
+
+
+def q_mi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information / entropies of lang x source
+    (operators/stats.py:mutual_info): the marginal-collapse identity
+    makes MI, H(A), H(B), NMI fall out of ONE aggregation over a tagged
+    union of three tiny counted frames — zero joins."""
+    from pandera_spark.operators.stats import mutual_info
+
+    docs = _load(spark, sf_dir, "documents")
+    out = mutual_info(docs, "lang", "source")
+    return out.select(
+        "n",
+        F.round("mi", 6).alias("mi_r"),
+        F.round("h_a", 6).alias("ha_r"),
+        F.round("h_b", 6).alias("hb_r"),
+        F.round("nmi", 6).alias("nmi_r"),
+    )
+
+
+_MI_ORACLE = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM documents GROUP BY 1, 2
+), base AS (
+  SELECT (SELECT SUM(c) FROM cells) AS n,
+         (SELECT SUM(c * LN(c)) FROM cells) AS sab,
+         (SELECT SUM(c * LN(c))
+          FROM (SELECT SUM(c) AS c FROM cells GROUP BY a)) AS sa,
+         (SELECT SUM(c * LN(c))
+          FROM (SELECT SUM(c) AS c FROM cells GROUP BY b)) AS sb
+), m AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         (sab - sa - sb) / n + LN(n) AS mi,
+         LN(n) - sa / n AS h_a,
+         LN(n) - sb / n AS h_b
+  FROM base
+)
+SELECT n, ROUND(mi, 6) AS mi_r, ROUND(h_a, 6) AS ha_r,
+       ROUND(h_b, 6) AS hb_r,
+       ROUND(CASE WHEN SQRT(h_a * h_b) > 0
+                  THEN mi / SQRT(h_a * h_b) END, 6) AS nmi_r
+FROM m
+"""
+
+
+def q_anova_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of l_extendedprice across return flags
+    (operators/stats.py:anova_f): per-group stable moments (count, avg,
+    var_samp) in one data shuffle, then the k-row decomposition.  Sums
+    of squares are reported in millions at 3dp — the million-scale unit
+    keeps the hash compare inside both engines' summation-order noise."""
+    from pandera_spark.operators.stats import anova_f
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = anova_f(li, "l_extendedprice", by="l_returnflag")
+    return out.select(
+        "k", "n", "df_between", "df_within",
+        F.round(F.col("ss_between") / 1e6, 3).alias("ssb_m"),
+        F.round(F.col("ss_within") / 1e6, 3).alias("ssw_m"),
+        F.round("f_stat", 6).alias("f_r"),
+    )
+
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS ng,
+         AVG(l_extendedprice) AS m,
+         VAR_SAMP(l_extendedprice) AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+  GROUP BY l_returnflag
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(ng) AS BIGINT) AS n,
+         SUM(ng * m) AS sy,
+         SUM(ng * m * m) AS smm,
+         SUM((ng - 1) * COALESCE(v, 0.0)) AS ssw
+  FROM g
+), d AS (
+  SELECT k, n,
+         GREATEST(0.0, smm - sy * sy / CAST(n AS DOUBLE)) AS ssb,
+         ssw, k - 1 AS df_between, n - k AS df_within
+  FROM t
+)
+SELECT k, n, df_between, df_within,
+       ROUND(ssb / 1e6, 3) AS ssb_m,
+       ROUND(ssw / 1e6, 3) AS ssw_m,
+       ROUND(CASE WHEN df_between > 0 AND df_within > 0 AND ssw > 0
+                  THEN (ssb / df_between) / (ssw / df_within) END,
+             6) AS f_r
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# r7: operational monitoring (operators/monitoring.py) + fact-vs-rollup
+# reconciliation (operators/relational.py:reconcile_aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness vs a fixed as_of instant
+    (operators/monitoring.py:freshness — ONE aggregation; explicit
+    as_of keeps the report deterministic)."""
+    from pandera_spark.operators.monitoring import freshness
+
+    ev = _load(spark, sf_dir, "events")
+    out = freshness(
+        ev, "ts", by="event_type",
+        as_of="2024-02-01 00:00:00", max_lag_seconds=48 * 3600,
+    )
+    return out.select("event_type", "n", "max_ts", "lag_seconds", "stale")
+
+
+_FRESHNESS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(ts) AS BIGINT) AS n,
+       MAX(ts) AS max_ts,
+       CAST(FLOOR(epoch(TIMESTAMP '2024-02-01 00:00:00'))
+            - FLOOR(epoch(MAX(ts))) AS BIGINT) AS lag_seconds,
+       (FLOOR(epoch(TIMESTAMP '2024-02-01 00:00:00'))
+        - FLOOR(epoch(MAX(ts)))) > 172800 AS stale
+FROM events GROUP BY event_type
+"""
+
+_COMPLETENESS_COLS = ["user_id", "value", "props"]
+
+
+def q_completeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily completeness matrix for three columns
+    (operators/monitoring.py:completeness — columns melt BEFORE the
+    single aggregation, so one shuffle covers the whole matrix)."""
+    from pandera_spark.operators.monitoring import completeness
+
+    ev = _load(spark, sf_dir, "events")
+    out = completeness(
+        ev, _COMPLETENESS_COLS, bucket="day", ts_col="ts"
+    )
+    return out.select(
+        "bucket", "column", "n", "n_null",
+        F.round("null_frac", 6).alias("null_frac_r"),
+        "n_distinct",
+    )
+
+
+def _completeness_oracle() -> str:
+    parts = []
+    for c in _COMPLETENESS_COLS:
+        parts.append(f"""
+SELECT date_trunc('day', ts) AS bucket, '{c}' AS "column",
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       ROUND((COUNT(*) - COUNT({c})) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS null_frac_r,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM events GROUP BY date_trunc('day', ts)""")
+    return " UNION ALL ".join(parts)
+
+
+def q_seasonal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonal anomaly screen on hourly event counts
+    (operators/monitoring.py:seasonal_baseline — two reduced-frame
+    aggregations + one broadcast join of the <=168-row baseline; the
+    day slot is floor(epoch/86400) mod 7, convention-free)."""
+    from pandera_spark.operators.monitoring import seasonal_baseline
+
+    ev = _load(spark, sf_dir, "events")
+    out = seasonal_baseline(ev, "ts", min_sigma=2.0)
+    return out.select(
+        "bucket_ts", "day_slot", "hod", "metric",
+        F.round("base_mean", 6).alias("mean_r"),
+        F.round("base_std", 6).alias("std_r"),
+        F.round("z", 6).alias("z_r"),
+        "is_anomaly",
+    )
+
+
+_SEASONAL_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts,
+         CAST(CAST(FLOOR(epoch(date_trunc('hour', ts)) / 86400)
+                   AS BIGINT) % 7 AS INT) AS day_slot,
+         CAST(hour(ts) AS INT) AS hod,
+         CAST(COUNT(*) AS DOUBLE) AS metric
+  FROM events GROUP BY 1, 2, 3
+), base AS (
+  SELECT day_slot, hod,
+         AVG(metric) AS base_mean, STDDEV_SAMP(metric) AS base_std
+  FROM hourly GROUP BY day_slot, hod
+), j AS (
+  SELECT h.*, b.base_mean, b.base_std,
+         CASE WHEN b.base_std > 0
+              THEN (h.metric - b.base_mean) / b.base_std END AS z
+  FROM hourly h JOIN base b USING (day_slot, hod)
+)
+SELECT bucket_ts, day_slot, hod, metric,
+       ROUND(base_mean, 6) AS mean_r,
+       ROUND(base_std, 6) AS std_r,
+       ROUND(z, 6) AS z_r,
+       CASE WHEN z IS NULL THEN NULL ELSE ABS(z) >= 2.0 END AS is_anomaly
+FROM j
+"""
+
+
+def q_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-header total vs line-detail rollup per order status
+    (operators/relational.py:reconcile_aggregate — child aggregates
+    before the join, so line rows never reach it)."""
+    from pandera_spark.operators.relational import reconcile_aggregate
+
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    gross = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    )
+    out = reconcile_aggregate(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        li, "l_orderkey", "o_totalprice", gross,
+        by="o_orderstatus", tol_rel=0.05,
+    )
+    return out.select(
+        "o_orderstatus", "n_parents", "n_missing_child", "n_violations",
+        F.round("max_abs_diff", 4).alias("maxdiff_r"),
+        F.round("mean_diff", 4).alias("meandiff_r"),
+    )
+
+
+_RECONCILE_ORACLE = """
+WITH cs AS (
+  SELECT l_orderkey,
+         SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS child_sum
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderstatus, o.o_totalprice, cs.child_sum,
+         o.o_totalprice - cs.child_sum AS diff,
+         cs.l_orderkey IS NULL AS missing,
+         CASE WHEN cs.l_orderkey IS NULL THEN TRUE
+              ELSE ABS(o.o_totalprice - cs.child_sum)
+                   > 0.05 * ABS(o.o_totalprice) END AS violated
+  FROM orders o LEFT JOIN cs ON o.o_orderkey = cs.l_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_parents,
+       CAST(SUM(CASE WHEN missing THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_child,
+       CAST(SUM(CASE WHEN violated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       ROUND(MAX(ABS(diff)), 4) AS maxdiff_r,
+       ROUND(AVG(diff), 4) AS meandiff_r
+FROM j GROUP BY o_orderstatus
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
 # list rotates the driver's window onto the rows that most need
-# (re-)certification (VERDICT r3 item 6 / r4 item 3).  r6 leads with
-# validate_lineitem (the flagship stays first), then the two rows that
-# were RED in CORRECTNESS_r05 (percentiles_lineitem has never been green
-# in a driver round; winsorize_lineitem regressed in r5 — both now pass
-# exact=True to match their quantile_cont oracles), then the NEW
-# approx-default row with its rank-tolerance oracle; remaining slots
-# fill from base order (all already driver-certified at least once).
-_R6_DRIVER_WINDOW = [
+# (re-)certification (VERDICT r3 item 6 / r4 item 3).  r7 leads with
+# validate_lineitem (the flagship stays first), then the three privacy
+# rows deferred from r6's capped window (the only queries never
+# driver-certified entering this round), then every row NEW in r7;
+# remaining slots fill from base order (all already driver-certified
+# at least once, CORRECTNESS_r01–r06 cumulative).
+_R7_DRIVER_WINDOW = [
     "validate_lineitem",
-    # red in r5 — repaired this round (exact=True at the call sites)
-    "percentiles_lineitem", "winsorize_lineitem",
-    # new in r6: the approx default certified against its own semantics
-    "approx_percentiles_lineitem",
-    # new in r6: sketch binning + embedding linear-algebra tier
-    "sketchbins_documents", "dimstats_embeddings",
-    "dimcorr_embeddings", "whiten_embeddings",
-    "centroids_embeddings", "separation_embeddings",
-    "maxpool_embeddings", "incremental_lineitem",
-    "sample_validate_lineitem",
-    # new in r6 (late round): file-stats skipping index, Misra-Gries
-    # heavy hitters, intra-document segment dedup
-    "filestats_lineitem", "heavyhitters_documents",
-    "intradedup_documents", "hll_distinct_events",
-    # new in r6 (late round): k-means clustering + SemDeDup curation
-    "kmeans_embeddings", "semdedup_embeddings",
-    "clustersample_embeddings", "pagerank_orders",
-    "resemblance_documents", "uniformsample_documents",
-    # new in r6 (late round): robust MAD outlier fences, candidate-key
-    # discovery
-    "madoutliers_events", "candidatekeys_orders",
-    # new in r6 (late round): exact-substring (repeated-span) dedup
-    "repeated_spans_documents",
-    # new in r6 (late round): trailing-window features
-    "rolling_events", "ewma_events",
-    # new in r6 (late round): CDC state reconstruction
-    "latest_state_events", "cdc_orders",
-    # new in r6 (late round): int8 scalar quantization tier
-    "quantize_embeddings", "qann_embeddings",
-    # new in r6 (late round): distributed BPE tokenizer training
-    "bpe_pairs_documents",
-    # new in r6 (late round): DSIR importance resampling
-    "dsir_scores_documents", "dsir_sample_documents",
-    # new in r6 (late round): unicode canonicalization
-    "normalize_documents",
-    # new in r6 (late round): cross-table fuzzy entity resolution
-    "fuzzy_part",
-    # new in r6 (late round): metadata-only compaction planning
-    "compaction_documents",
-    # new in r6 (late round): time-series silence detection
-    "gaps_events",
-    # new in r6 (late round): per-segment percentile profile
-    "grouped_percentiles_lineitem",
-    # new in r6 (late round): filter-model evaluation metrics
-    "auc_documents", "confusion_events",
-    # new in r6 (late round): privacy screens.  kanon/ldiv/riskygroups
-    # are DEFERRED to the r7 rotation (the window caps at the driver's
-    # 50-row certification budget; their oracles are trivial GROUP BY
-    # replays — the lowest-risk rows to certify a round later, and all
-    # three are green in the local replica)
-    # new in r6 (late round): readability features
-    "readability_documents",
-    # new in r6 (late round): robust feature scaling
-    "standardize_lineitem",
-    # new in r6 (late round): lexical diversity, calibration
-    "vocab_documents", "vocabstats_documents",
-    "calibration_documents",
-    # new in r6 (late round): dup provenance, trimmed means
-    "dupmatrix_documents", "trimmedmean_lineitem",
-    # new in r6 (late round): zipf rank-frequency fit
-    "zipf_documents",
+    # deferred from r6 (window capped at 50): privacy screens — the only
+    # three rows never driver-certified entering r7
+    "kanon_customer", "ldiv_customer", "riskygroups_customer",
+    # new in r7: statistical screens (operators/stats.py)
+    "trend_events", "corrpairs_lineitem", "chi2_documents",
+    "mi_documents", "anova_lineitem",
+    # new in r7: operational monitoring + reconciliation
+    "freshness_events", "completeness_events", "seasonal_events",
+    "reconcile_orders",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_unordered()
-    missing = [k for k in _R6_DRIVER_WINDOW if k not in base]
+    missing = [k for k in _R7_DRIVER_WINDOW if k not in base]
     assert not missing, f"driver window names unknown queries: {missing}"
-    rest = [k for k in base if k not in set(_R6_DRIVER_WINDOW)]
-    return {k: base[k] for k in [*_R6_DRIVER_WINDOW, *rest]}
+    rest = [k for k in base if k not in set(_R7_DRIVER_WINDOW)]
+    return {k: base[k] for k in [*_R7_DRIVER_WINDOW, *rest]}
 
 
 def _queries_unordered() -> dict[
@@ -7496,6 +7846,15 @@ def _queries_unordered() -> dict[
         "dupmatrix_documents": q_dupmatrix_documents,
         "trimmedmean_lineitem": q_trimmedmean_lineitem,
         "zipf_documents": q_zipf_documents,
+        "trend_events": q_trend_events,
+        "corrpairs_lineitem": q_corrpairs_lineitem,
+        "chi2_documents": q_chi2_documents,
+        "mi_documents": q_mi_documents,
+        "anova_lineitem": q_anova_lineitem,
+        "freshness_events": q_freshness_events,
+        "completeness_events": q_completeness_events,
+        "seasonal_events": q_seasonal_events,
+        "reconcile_orders": q_reconcile_orders,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -7892,6 +8251,15 @@ FROM ranked WHERE rank <= 5
         "dupmatrix_documents": _DUPMATRIX_ORACLE,
         "trimmedmean_lineitem": _TRIMMEDMEAN_ORACLE,
         "zipf_documents": _ZIPF_ORACLE,
+        "trend_events": _TREND_ORACLE,
+        "corrpairs_lineitem": _corrpairs_oracle(),
+        "chi2_documents": _chi2_oracle(),
+        "mi_documents": _MI_ORACLE,
+        "anova_lineitem": _ANOVA_ORACLE,
+        "freshness_events": _FRESHNESS_ORACLE,
+        "completeness_events": _completeness_oracle(),
+        "seasonal_events": _SEASONAL_ORACLE,
+        "reconcile_orders": _RECONCILE_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

@@ -1,0 +1,185 @@
+"""Operational table monitoring: freshness, completeness, seasonal
+baselines — the screens a data platform runs on every landed partition
+before letting downstream training jobs consume it.
+
+All three are deterministic (no ``now()``/RNG — freshness takes an
+explicit ``as_of``) and single-data-scan:
+
+- :func:`freshness` — per-group max event time vs a reference instant,
+  staleness flag.  ONE aggregation; the shuffle carries one (max_ts,
+  count) pair per group per task.
+- :func:`completeness` — null fraction / distinct count per column
+  (optionally per time bucket), long format.  Columns are melted
+  BEFORE aggregation so one shuffle covers every column; the melted
+  width-multiplier is removed by map-side partial aggregation, and the
+  distinct leg shuffles only distinct (bucket, column, value) triples.
+- :func:`seasonal_baseline` — hour-of-week baseline (mean/σ over the
+  observed weeks) vs each hourly bucket; z-score anomaly flags.  Two
+  aggregations over already-reduced frames plus one broadcast join of
+  the ≤168-row baseline.  The day slot is ``floor(epoch/86400) mod 7``
+  — pure arithmetic, so any SQL engine replays it without day-of-week
+  convention drift (session timezone must be UTC, as recommended_conf
+  pins).
+
+Reference parity: pandera has no monitoring tier (it validates frames
+synchronously); this is the beyond-reference operational layer next to
+``incremental.py``'s new-files-only re-validation.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["freshness", "completeness", "seasonal_baseline"]
+
+
+def freshness(
+    df: DataFrame,
+    ts_col: str,
+    by: Union[str, Sequence[str], None] = None,
+    *,
+    as_of: Union[str, datetime.datetime],
+    max_lag_seconds: Optional[int] = None,
+) -> DataFrame:
+    """Per-group data freshness relative to ``as_of``.
+
+    Output: ``by..., n, max_ts, lag_seconds`` (+ ``stale`` when
+    ``max_lag_seconds`` is given).  ``as_of`` is an explicit instant
+    (ISO string or datetime) so reports are reproducible; pass your
+    scheduler's logical run time, not wall clock.  ``lag_seconds`` is
+    floor-second (``unix_timestamp`` resolution); a group whose max ts
+    is AFTER as_of reports a negative lag rather than clamping — that
+    is a real signal (late-arriving future timestamps).
+    """
+    keys = (
+        [] if by is None else [by] if isinstance(by, str) else list(by)
+    )
+    aggs = [
+        F.count(F.col(ts_col)).cast("long").alias("n"),
+        F.max(F.col(ts_col)).alias("max_ts"),
+    ]
+    out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    ref = F.lit(as_of).cast("timestamp")
+    out = out.withColumn(
+        "lag_seconds",
+        (F.unix_timestamp(ref) - F.unix_timestamp("max_ts")).cast("long"),
+    )
+    if max_lag_seconds is not None:
+        out = out.withColumn(
+            "stale", F.col("lag_seconds") > F.lit(int(max_lag_seconds))
+        )
+    return out
+
+
+def completeness(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    *,
+    bucket: Optional[str] = None,
+    ts_col: Optional[str] = None,
+) -> DataFrame:
+    """Null-fraction / distinct-count matrix, long format.
+
+    Output: ``[bucket,] column, n, n_null, null_frac, n_distinct`` —
+    one row per column (per time bucket when ``bucket`` ∈ {'day',
+    'week', 'month', 'hour'} and ``ts_col`` are given).  Values are
+    compared as their string form for the distinct count (one uniform
+    melted type; exact, not a sketch).
+    """
+    names = list(cols) if cols is not None else [
+        c for c in df.columns if c != ts_col
+    ]
+    if not names:
+        raise ValueError("no columns to profile")
+    if (bucket is None) != (ts_col is None):
+        raise ValueError("bucket and ts_col go together")
+    melted = df.select(
+        *(
+            [F.date_trunc(bucket, F.col(ts_col)).alias("bucket")]
+            if bucket
+            else []
+        ),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("string").alias("v"),
+                )
+                for c in names
+            ])
+        ).alias("__m"),
+    ).select(*((["bucket"] if bucket else []) + ["__m.*"]))
+    keys = (["bucket"] if bucket else []) + ["column"]
+    return (
+        melted.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("v").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_null"),
+            F.countDistinct("v").cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "null_frac",
+            F.col("n_null") / F.col("n").cast("double"),
+        )
+        .select(*keys, "n", "n_null", "null_frac", "n_distinct")
+    )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    value: Optional[str] = None,
+    min_sigma: float = 2.0,
+) -> DataFrame:
+    """Hour-of-week seasonal anomaly screen.
+
+    Buckets rows by hour, computes the per-(day-slot, hour-of-day)
+    baseline mean/σ of the hourly metric (row count, or ``sum(value)``
+    when ``value`` is given) across the observed weeks, and z-scores
+    each bucket against its slot's baseline.  Output: ``bucket_ts,
+    day_slot, hod, metric, base_mean, base_std, z, is_anomaly`` —
+    ``z`` is null for slots observed only once (σ undefined) or with
+    zero variance; ``day_slot`` is ``floor(epoch/86400) mod 7`` (0 =
+    1970-01-01's weekday, Thursday), convention-free arithmetic.
+    """
+    metric = (
+        F.count(F.lit(1)).cast("double")
+        if value is None
+        else F.sum(F.col(value).cast("double"))
+    )
+    hourly = (
+        df.select(F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"))
+        if value is None
+        else df.select(
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
+            F.col(value),
+        )
+    ).groupBy("bucket_ts").agg(metric.alias("metric")).withColumn(
+        "day_slot",
+        F.pmod(
+            F.floor(F.unix_timestamp("bucket_ts") / 86400), F.lit(7)
+        ).cast("int"),
+    ).withColumn("hod", F.hour("bucket_ts"))
+    base = hourly.groupBy("day_slot", "hod").agg(
+        F.avg("metric").alias("base_mean"),
+        F.stddev_samp("metric").alias("base_std"),
+    )
+    joined = hourly.join(F.broadcast(base), ["day_slot", "hod"])
+    z = F.when(
+        F.col("base_std") > 0,
+        (F.col("metric") - F.col("base_mean")) / F.col("base_std"),
+    )
+    return joined.select(
+        "bucket_ts", "day_slot", "hod", "metric",
+        "base_mean", "base_std",
+        z.alias("z"),
+        F.when(z.isNotNull(), F.abs(z) >= F.lit(float(min_sigma)))
+        .alias("is_anomaly"),
+    )

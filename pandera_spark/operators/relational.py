@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Optional, Union
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -210,3 +210,54 @@ def join_cardinality(
     if need_right:
         ok = ok & (F.col("right_dup_keys") == 0)
     return out.withColumn("ok", ok)
+
+
+def reconcile_aggregate(
+    parent: DataFrame,
+    child: DataFrame,
+    keys: Union[str, list[str]],
+    parent_col: str,
+    child_expr: Column,
+    *,
+    by: Union[str, list[str], None] = None,
+    tol_abs: float = 0.0,
+    tol_rel: float = 0.0,
+) -> DataFrame:
+    """Fact-vs-rollup reconciliation: does each parent row's stored
+    aggregate (``parent_col``) equal the sum of ``child_expr`` over its
+    child rows, within ``tol_abs + tol_rel * |parent value|``?  The
+    classic warehouse consistency contract (order header total vs line
+    detail), grouped by ``by`` for the report.
+
+    Output, one row per ``by`` group (or one row total): ``n_parents,
+    n_missing_child, n_violations, max_abs_diff, mean_diff``.  Parents
+    with NO child rows count in ``n_missing_child`` and as violations
+    (their stored aggregate is unbacked) but not in the diff moments.
+
+    Plan: the child aggregates FIRST on the join keys (map-side partial
+    combine — child rows never reach the join), then ONE equi-join
+    parent<-child_sums on the same keys (co-partitioned shuffle, AQE
+    will broadcast the aggregated side when it is small), then one
+    final aggregation.  No window, no second scan of either table.
+    """
+    key_list = _cols(keys)
+    group = [] if by is None else _cols(by)
+    child_sums = child.groupBy(*[F.col(k) for k in key_list]).agg(
+        F.sum(child_expr).alias("__child_sum")
+    )
+    joined = parent.join(child_sums, on=key_list, how="left")
+    pv = F.col(parent_col).cast("double")
+    diff = pv - F.col("__child_sum")
+    missing = F.col("__child_sum").isNull()
+    bound = F.lit(float(tol_abs)) + F.lit(float(tol_rel)) * F.abs(pv)
+    violated = F.when(missing, F.lit(True)).otherwise(F.abs(diff) > bound)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_parents"),
+        F.sum(missing.cast("long")).cast("long").alias("n_missing_child"),
+        F.sum(violated.cast("long")).cast("long").alias("n_violations"),
+        F.max(F.abs(diff)).alias("max_abs_diff"),
+        F.avg(diff).alias("mean_diff"),
+    ]
+    return (
+        joined.groupBy(*group).agg(*aggs) if group else joined.agg(*aggs)
+    )

@@ -1,0 +1,325 @@
+"""Statistical screens: trend fits, correlation matrices, independence
+tests, one-way ANOVA — the feature-selection / data-understanding pass
+a training-data pipeline runs before deciding what to keep.
+
+Every statistic here is an exact closed form over ONE contingency /
+moment aggregation, never a sample:
+
+- :func:`group_trend` — per-group simple linear regression (slope,
+  intercept, R²) via Spark's ``regr_*`` aggregates.  One hash
+  aggregate with map-side partial combine; at 100 TB the shuffle
+  carries five moments per group per task, never rows.
+- :func:`corr_pairs` — named-column Pearson correlations, all pairs in
+  ONE aggregation (optionally per group).
+- :func:`chi2_independence` — χ² test of independence between two
+  categorical columns.  Contingency cells are one ``groupBy(a, b)``
+  over the data (shuffle bounded by |A|×|B| cells per task, not rows);
+  marginals come from the CELLS, and the χ² algebraic identity
+  ``χ² = n·Σ c²/(rₐ·c_b) − n`` needs only broadcast equi-joins of the
+  tiny marginal frames — no second data scan, no cross join.
+- :func:`mutual_info` — mutual information + entropies between two
+  categoricals from the same contingency shape.  Uses the marginal
+  collapse ``Σ_cells c·ln rₐ = Σ_a rₐ·ln rₐ`` so MI, H(A), H(B) and
+  NMI all fall out of ONE final aggregation over a union of the three
+  counted frames — zero joins.
+- :func:`anova_f` — one-way ANOVA F statistic from per-group
+  (n, mean, M2) moments; two aggregations, both over already-reduced
+  frames.
+
+P-values use the same closed forms as ``operators/drift.py`` (Wilson-
+Hilferty χ² → normal, Zelen-Severo Φ) so they stay pure Column
+expressions — no scipy, and the SQL oracle can replay them digit for
+digit.
+
+Reference parity: pandera's ``Hypothesis`` tier exposes scipy-backed
+two-sample tests (reference ``pandera/api/hypotheses.py``,
+``pandera/backends/pandas/hypotheses.py``); this module is the
+beyond-reference batch-analytics extension of that tier for columns of
+ONE frame (independence, trend, variance decomposition), built
+expression-first so it distributes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .drift import _norm_sf
+
+__all__ = [
+    "group_trend",
+    "corr_pairs",
+    "chi2_independence",
+    "mutual_info",
+    "anova_f",
+]
+
+
+def _by(by: Union[str, Sequence[str], None]) -> list:
+    if by is None:
+        return []
+    return [by] if isinstance(by, str) else list(by)
+
+
+def group_trend(
+    df: DataFrame,
+    y: str,
+    x: str,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Per-group simple linear regression of ``y`` on ``x``.
+
+    Output: ``by... , n, slope, intercept, r2, x_mean, y_mean`` — one
+    row per group.  ``regr_*`` aggregates skip rows where either side
+    is null (SQL standard), so ``n`` is the regression count, not the
+    group size.  Both columns must be numeric; convert timestamps
+    first (e.g. ``unix_timestamp(ts) / 86400.0`` for a per-day slope).
+    """
+    yc = F.col(y).cast("double")
+    xc = F.col(x).cast("double")
+    aggs = [
+        F.regr_count(yc, xc).alias("n"),
+        F.regr_slope(yc, xc).alias("slope"),
+        F.regr_intercept(yc, xc).alias("intercept"),
+        F.regr_r2(yc, xc).alias("r2"),
+        F.regr_avgx(yc, xc).alias("x_mean"),
+        F.regr_avgy(yc, xc).alias("y_mean"),
+    ]
+    keys = _by(by)
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def corr_pairs(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Union[str, Sequence[str], None] = None,
+    *,
+    pairs: Optional[Sequence[Tuple[str, str]]] = None,
+) -> DataFrame:
+    """Pearson correlation for every pair of ``cols`` (or the explicit
+    ``pairs``) in ONE aggregation, optionally per group.
+
+    Output is long format: ``by..., col_a, col_b, n, corr`` — one row
+    per pair per group, built by unpivoting the single wide aggregate
+    row (the unpivot runs on the already-aggregated frame, so it is
+    free at scale).  ``n`` counts rows where both sides are non-null.
+    """
+    cols = list(cols)
+    want = list(pairs) if pairs is not None else [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    if not want:
+        raise ValueError("need at least one column pair")
+    aggs = []
+    for a, b in want:
+        ac, bc = F.col(a).cast("double"), F.col(b).cast("double")
+        both = F.when(ac.isNotNull() & bc.isNotNull(), F.lit(1))
+        aggs.append(F.corr(ac, bc).alias(f"__c_{a}__{b}"))
+        aggs.append(F.count(both).alias(f"__n_{a}__{b}"))
+    keys = _by(by)
+    wide = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__n_{a}__{b}").cast("long").alias("n"),
+            F.col(f"__c_{a}__{b}").alias("corr"),
+        )
+        for a, b in want
+    ]
+    exploded = wide.select(
+        *[F.col(k) for k in keys],
+        F.explode(F.array(*rows)).alias("__p"),
+    )
+    return exploded.select(*keys, "__p.*")
+
+
+def _cells(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Contingency cells ``(a, b, c)`` — null categories count as their
+    own level via a sentinel-free groupBy (Spark groups nulls)."""
+    return df.groupBy(a, b).agg(F.count(F.lit(1)).alias("c"))
+
+
+def chi2_independence(
+    df: DataFrame,
+    a: str,
+    b: str,
+    *,
+    pvalue: bool = True,
+) -> DataFrame:
+    """Pearson χ² test of independence between categoricals ``a``/``b``.
+
+    One row: ``n, n_a, n_b, dof, chi2_stat, cramers_v`` (+
+    ``chi2_pvalue`` via Wilson-Hilferty, as drift.category_drift).
+    Uses ``χ² = n·Σ_cells c²/(rₐ·c_b) − n``: the expected-count form
+    rearranged so only the row/column totals (broadcast-sized marginal
+    frames) ever join the cells.
+    """
+    cells = _cells(df, a, b)
+    marg_a = cells.groupBy(a).agg(F.sum("c").alias("__ra"))
+    marg_b = cells.groupBy(b).agg(F.sum("c").alias("__cb"))
+    # null-safe equality: a null category is a real level (groupBy keeps
+    # it) and must still find its marginal — a plain equi-join would
+    # silently drop those cells
+    joined = (
+        cells
+        .join(
+            F.broadcast(marg_a.withColumnRenamed(a, "__ka")),
+            F.col(a).eqNullSafe(F.col("__ka")),
+        )
+        .drop("__ka")
+        .join(
+            F.broadcast(marg_b.withColumnRenamed(b, "__kb")),
+            F.col(b).eqNullSafe(F.col("__kb")),
+        )
+        .drop("__kb")
+    )
+    out = joined.agg(
+        F.sum("c").cast("long").alias("n"),
+        # struct-wrap so the null category counts as a level
+        # (count_distinct skips bare nulls)
+        F.countDistinct(F.struct(F.col(a))).cast("long").alias("n_a"),
+        F.countDistinct(F.struct(F.col(b))).cast("long").alias("n_b"),
+        F.sum(
+            F.col("c").cast("double") ** 2
+            / (F.col("__ra") * F.col("__cb"))
+        ).alias("__s"),
+    ).select(
+        "n", "n_a", "n_b",
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1)).alias("dof"),
+        # clamp: the algebraic form can land at -1e-14 on an exactly
+        # independent table, which would NaN the sqrt in cramers_v
+        F.greatest(
+            F.lit(0.0), F.col("n") * F.col("__s") - F.col("n")
+        ).alias("chi2_stat"),
+        "__s",
+    ).withColumn(
+        "cramers_v",
+        F.sqrt(
+            F.col("chi2_stat")
+            / (F.col("n") * F.least(F.col("n_a") - 1, F.col("n_b") - 1))
+        ),
+    ).drop("__s")
+    if pvalue:
+        k = F.col("dof").cast("double")
+        x = F.col("chi2_stat")
+        z = (
+            F.pow(x / k, F.lit(1.0 / 3.0)) - (1 - 2 / (9 * k))
+        ) / F.sqrt(2 / (9 * k))
+        out = out.withColumn(
+            "chi2_pvalue",
+            F.when(k <= 0, F.lit(None).cast("double")).otherwise(
+                _norm_sf(z)
+            ),
+        )
+    return out
+
+
+def mutual_info(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Mutual information between categoricals ``a`` and ``b``.
+
+    One row: ``n, mi, h_a, h_b, nmi`` (natural log; ``nmi`` =
+    MI / sqrt(H(A)·H(B)), null when either entropy is 0).
+
+    ``MI = (S_ab − S_a − S_b)/n + ln n`` where ``S_ab = Σ c·ln c`` over
+    cells and ``S_a/S_b`` the same over marginals — the cross-term
+    ``Σ_cells c·ln rₐ`` collapses to ``Σ_a rₐ·ln rₐ`` because cell
+    counts sum to their marginal.  So the whole statistic is one
+    tagged UNION of three tiny aggregated frames plus ONE final
+    aggregation: no joins, nothing driver-side.
+    """
+    cells = _cells(df, a, b)
+    lx = lambda c: c * F.log(c)  # noqa: E731 — c·ln c, c >= 1 always
+    tag = lambda frm, t: frm.select(  # noqa: E731
+        F.lit(t).alias("__t"), F.col("c").cast("double").alias("c")
+    )
+    marg_a = cells.groupBy(a).agg(F.sum("c").alias("c"))
+    marg_b = cells.groupBy(b).agg(F.sum("c").alias("c"))
+    melted = (
+        tag(cells, "ab")
+        .unionByName(tag(marg_a, "a"))
+        .unionByName(tag(marg_b, "b"))
+    )
+    is_t = lambda t: F.when(F.col("__t") == t, F.col("c"))  # noqa: E731
+    agg = melted.agg(
+        F.sum(is_t("ab")).cast("long").alias("n"),
+        F.sum(lx(is_t("ab"))).alias("__sab"),
+        F.sum(lx(is_t("a"))).alias("__sa"),
+        F.sum(lx(is_t("b"))).alias("__sb"),
+    )
+    n = F.col("n").cast("double")
+    out = agg.select(
+        "n",
+        (
+            (F.col("__sab") - F.col("__sa") - F.col("__sb")) / n
+            + F.log(n)
+        ).alias("mi"),
+        (F.log(n) - F.col("__sa") / n).alias("h_a"),
+        (F.log(n) - F.col("__sb") / n).alias("h_b"),
+    )
+    denom = F.sqrt(F.col("h_a") * F.col("h_b"))
+    return out.withColumn(
+        "nmi",
+        F.when(denom > 0, F.col("mi") / denom),
+    )
+
+
+def anova_f(
+    df: DataFrame,
+    value: str,
+    by: Union[str, Sequence[str]],
+) -> DataFrame:
+    """One-way ANOVA across the groups of ``by``.
+
+    One row: ``k, n, ss_between, ss_within, df_between, df_within,
+    f_stat`` — does the group mean of ``value`` differ across groups
+    more than within-group variance explains?  Null values drop (they
+    have no group-mean contribution).
+
+    Two aggregations: per-group (n, mean, var_samp) — one data shuffle
+    with partial combine — then the grand decomposition over the k-row
+    group frame: ``SSW = Σ (n_g−1)·s²_g`` (Spark's var_samp is a
+    numerically stable pairwise merge — the raw Σy² − (Σy)²/n form
+    cancels catastrophically when |ȳ| ≫ s, which is exactly the 100 TB
+    money-column case) and ``SSB = Σ n_g·ȳ_g² − n·ȳ², clamped ≥ 0``.
+    """
+    keys = _by(by)
+    yc = F.col(value).cast("double")
+    grp = df.where(yc.isNotNull()).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.avg(yc).alias("m"),
+        F.var_samp(yc).alias("v"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.col("ng") * F.col("m")).alias("__sy"),
+        F.sum(F.col("ng") * F.col("m") ** 2).alias("__smm"),
+        F.sum(
+            (F.col("ng") - 1) * F.coalesce(F.col("v"), F.lit(0.0))
+        ).alias("__ssw"),
+    )
+    nD = F.col("n").cast("double")
+    out = tot.select(
+        "k", "n",
+        F.greatest(
+            F.lit(0.0), F.col("__smm") - F.col("__sy") ** 2 / nD
+        ).alias("ss_between"),
+        F.col("__ssw").alias("ss_within"),
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+    )
+    return out.withColumn(
+        "f_stat",
+        F.when(
+            (F.col("df_between") > 0)
+            & (F.col("df_within") > 0)
+            & (F.col("ss_within") > 0),
+            (F.col("ss_between") / F.col("df_between"))
+            / (F.col("ss_within") / F.col("df_within")),
+        ),
+    )

@@ -1,0 +1,161 @@
+"""Operational monitoring: freshness, completeness, seasonal baseline,
+fact-vs-rollup reconciliation."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_spark.operators.monitoring import (
+    completeness,
+    freshness,
+    seasonal_baseline,
+)
+from pandera_spark.operators.relational import reconcile_aggregate
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_freshness_lag_and_stale_flag(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:00")),
+            ("a", _ts("2024-01-02 12:00:00")),
+            ("b", _ts("2024-01-03 00:00:00")),
+        ],
+        "g string, ts timestamp",
+    )
+    out = {
+        r.g: r
+        for r in freshness(
+            df, "ts", by="g",
+            as_of="2024-01-03 00:00:00",
+            max_lag_seconds=6 * 3600,
+        ).collect()
+    }
+    assert out["a"].n == 2
+    assert out["a"].lag_seconds == 12 * 3600
+    assert out["a"].stale is True
+    assert out["b"].lag_seconds == 0
+    assert out["b"].stale is False
+
+
+def test_freshness_future_ts_is_negative_lag(spark):
+    df = spark.createDataFrame(
+        [("x", _ts("2024-01-05 00:00:00"))], "g string, ts timestamp"
+    )
+    r = freshness(df, "ts", by="g", as_of="2024-01-04 00:00:00").collect()[0]
+    assert r.lag_seconds == -24 * 3600
+
+
+def test_completeness_long_format(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (None, "x"), (4, "y")],
+        "a int, b string",
+    )
+    out = {r.column: r for r in completeness(df, ["a", "b"]).collect()}
+    assert out["a"].n == 4 and out["a"].n_null == 1
+    assert out["a"].null_frac == pytest.approx(0.25)
+    assert out["a"].n_distinct == 3
+    assert out["b"].n_null == 1 and out["b"].n_distinct == 2
+
+
+def test_completeness_bucketed_by_day(spark):
+    df = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 03:00:00"), 1),
+            (_ts("2024-01-01 05:00:00"), None),
+            (_ts("2024-01-02 03:00:00"), 3),
+        ],
+        "ts timestamp, v int",
+    )
+    out = completeness(df, ["v"], bucket="day", ts_col="ts").collect()
+    by_day = {r.bucket.day: r for r in out}
+    assert by_day[1].n == 2 and by_day[1].n_null == 1
+    assert by_day[2].n == 1 and by_day[2].n_null == 0
+
+
+def test_completeness_requires_paired_bucket_args(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError, match="go together"):
+        completeness(df, ["a"], bucket="day")
+
+
+def test_seasonal_baseline_flags_spike(spark):
+    # same hour across 4 weeks: counts 10,10,10,40 -> week-4 bucket is hot
+    rows = []
+    for week in range(4):
+        day = 1 + 7 * week
+        n = 40 if week == 3 else 10
+        for i in range(n):
+            rows.append((_ts(f"2024-01-{day:02d} 09:{i % 60:02d}:00"),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = seasonal_baseline(df, "ts", min_sigma=1.5).collect()
+    assert len(out) == 4
+    hot = [r for r in out if r.metric == 40.0]
+    cold = [r for r in out if r.metric == 10.0]
+    assert len(hot) == 1 and hot[0].is_anomaly is True
+    assert all(r.is_anomaly is False for r in cold)
+    assert hot[0].base_mean == pytest.approx(17.5)
+    # all four buckets share one hour-of-week slot
+    assert len({(r.day_slot, r.hod) for r in out}) == 1
+
+
+def test_seasonal_baseline_single_observation_null_z(spark):
+    df = spark.createDataFrame([(_ts("2024-01-01 09:00:00"),)], "ts timestamp")
+    r = seasonal_baseline(df, "ts").collect()[0]
+    assert r.z is None and r.is_anomaly is None
+
+
+def test_reconcile_aggregate_matches_and_violations(spark):
+    parent = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 5.0, "A"), (3, 7.0, "B"), (4, 1.0, "B")],
+        "k int, total double, seg string",
+    )
+    child = spark.createDataFrame(
+        [(1, 4.0), (1, 6.0), (2, 5.0), (3, 6.0)],  # k=3 off by 1, k=4 missing
+        "k int, amt double",
+    )
+    out = {
+        r.seg: r
+        for r in reconcile_aggregate(
+            parent, child, "k", "total", F.col("amt"),
+            by="seg", tol_abs=0.5,
+        ).collect()
+    }
+    assert out["A"].n_parents == 2
+    assert out["A"].n_violations == 0
+    assert out["B"].n_missing_child == 1
+    assert out["B"].n_violations == 2  # diff 1.0 > 0.5, plus missing child
+    assert out["B"].max_abs_diff == pytest.approx(1.0)
+
+
+def test_reconcile_aggregate_relative_tolerance(spark):
+    parent = spark.createDataFrame([(1, 100.0)], "k int, total double")
+    child = spark.createDataFrame([(1, 98.0)], "k int, amt double")
+    ok = reconcile_aggregate(
+        parent, child, "k", "total", F.col("amt"), tol_rel=0.05
+    ).collect()[0]
+    assert ok.n_violations == 0
+    strict = reconcile_aggregate(
+        parent, child, "k", "total", F.col("amt"), tol_rel=0.01
+    ).collect()[0]
+    assert strict.n_violations == 1
+
+
+def test_monitoring_plans_no_cartesian(spark):
+    from pandera_spark.audit import plan_report
+
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01 00:00:00"), 1.0)], "ts timestamp, v double"
+    )
+    for frame in (
+        freshness(df, "ts", as_of="2024-01-02 00:00:00"),
+        completeness(df, ["v"], bucket="day", ts_col="ts"),
+        seasonal_baseline(df, "ts", value="v"),
+    ):
+        rep = plan_report(frame)
+        assert rep["cartesian_products"] == 0
+        assert rep["broadcast_nested_loop_joins"] == 0

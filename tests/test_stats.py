@@ -1,0 +1,171 @@
+"""Statistical screens: trend, corr pairs, chi2, MI, ANOVA."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_spark.operators.stats import (
+    anova_f,
+    chi2_independence,
+    corr_pairs,
+    group_trend,
+    mutual_info,
+)
+
+
+def test_group_trend_exact_line(spark):
+    df = spark.createDataFrame(
+        [(float(x), 2.0 * x + 1.0) for x in range(10)], "x double, y double"
+    )
+    r = group_trend(df, "y", "x").collect()[0]
+    assert r.n == 10
+    assert r.slope == pytest.approx(2.0)
+    assert r.intercept == pytest.approx(1.0)
+    assert r.r2 == pytest.approx(1.0)
+    assert r.x_mean == pytest.approx(4.5)
+
+
+def test_group_trend_per_group_and_nulls(spark):
+    rows = [("a", float(x), 3.0 * x) for x in range(5)]
+    rows += [("b", float(x), -1.0 * x + 7) for x in range(5)]
+    rows += [("a", 99.0, None)]  # null y drops from the regression
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in group_trend(df, "y", "x", by="g").collect()}
+    assert out["a"].n == 5 and out["a"].slope == pytest.approx(3.0)
+    assert out["b"].slope == pytest.approx(-1.0)
+    assert out["b"].intercept == pytest.approx(7.0)
+
+
+def test_corr_pairs_signs_and_counts(spark):
+    df = spark.createDataFrame(
+        [(float(x), 2.0 * x, -x + 3.0, None if x == 2 else float(x * x))
+         for x in range(6)],
+        "a double, b double, c double, d double",
+    )
+    out = {(r.col_a, r.col_b): r
+           for r in corr_pairs(df, ["a", "b", "c", "d"]).collect()}
+    assert len(out) == 6
+    assert out[("a", "b")].corr == pytest.approx(1.0)
+    assert out[("a", "c")].corr == pytest.approx(-1.0)
+    assert out[("a", "d")].n == 5  # null row drops pairwise
+
+
+def test_corr_pairs_explicit_pairs_per_group(spark):
+    df = spark.createDataFrame(
+        [("g", float(x), float(x)) for x in range(4)],
+        "k string, a double, b double",
+    )
+    out = corr_pairs(df, ["a", "b"], by="k", pairs=[("a", "b")]).collect()
+    assert len(out) == 1 and out[0].k == "g"
+    assert out[0].corr == pytest.approx(1.0)
+
+
+def test_chi2_independent_table_is_zero(spark):
+    # perfectly proportional 2x2 -> chi2 == 0
+    rows = (
+        [("x", "u")] * 20 + [("x", "v")] * 40
+        + [("y", "u")] * 10 + [("y", "v")] * 20
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert r.n == 90 and r.dof == 1
+    assert r.chi2_stat == pytest.approx(0.0, abs=1e-9)
+    assert r.cramers_v == pytest.approx(0.0, abs=1e-9)
+
+
+def test_chi2_known_2x2(spark):
+    # classic hand-computed 2x2: [[10, 20], [30, 40]]
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20
+        + [("y", "u")] * 30 + [("y", "v")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    # expected: e_xu = 30*40/100 = 12 etc; chi2 = sum (o-e)^2/e
+    exp = (
+        (10 - 12) ** 2 / 12 + (20 - 18) ** 2 / 18
+        + (30 - 28) ** 2 / 28 + (40 - 42) ** 2 / 42
+    )
+    assert r.chi2_stat == pytest.approx(exp)
+    assert 0.0 < r.chi2_pvalue < 1.0
+    v = math.sqrt(exp / (100 * 1))
+    assert r.cramers_v == pytest.approx(v)
+
+
+def test_mutual_info_identical_columns(spark):
+    rows = [(c, c) for c in "aabbbbcccc"]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_info(df, "a", "b").collect()[0]
+    # identical columns: MI == H(A) == H(B), NMI == 1
+    p = [0.2, 0.4, 0.4]
+    h = -sum(x * math.log(x) for x in p)
+    assert r.mi == pytest.approx(h)
+    assert r.h_a == pytest.approx(h)
+    assert r.h_b == pytest.approx(h)
+    assert r.nmi == pytest.approx(1.0)
+
+
+def test_mutual_info_independent_columns(spark):
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_info(df, "a", "b").collect()[0]
+    assert r.n == 100
+    assert r.mi == pytest.approx(0.0, abs=1e-12)
+    assert r.h_a == pytest.approx(math.log(2))
+
+
+def test_anova_known_values(spark):
+    # groups [1,2,3], [2,3,4], [5,6,7]: hand-computed decomposition
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)]
+    rows += [("b", v) for v in (2.0, 3.0, 4.0)]
+    rows += [("c", v) for v in (5.0, 6.0, 7.0)]
+    df = spark.createDataFrame(rows, "g string, y double")
+    r = anova_f(df, "y", "g").collect()[0]
+    grand = (2 + 3 + 6) / 3
+    ssb = 3 * ((2 - grand) ** 2 + (3 - grand) ** 2 + (6 - grand) ** 2)
+    ssw = sum((v - 2) ** 2 for v in (1, 2, 3)) + \
+        sum((v - 3) ** 2 for v in (2, 3, 4)) + \
+        sum((v - 6) ** 2 for v in (5, 6, 7))
+    assert r.k == 3 and r.n == 9
+    assert r.ss_between == pytest.approx(ssb)
+    assert r.ss_within == pytest.approx(ssw)
+    assert r.f_stat == pytest.approx((ssb / 2) / (ssw / 6))
+
+
+def test_anova_zero_within_variance_is_null_f(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, y double",
+    )
+    r = anova_f(df, "y", "g").collect()[0]
+    assert r.ss_within == pytest.approx(0.0)
+    assert r.f_stat is None
+
+
+def test_stats_plans_are_join_free_or_broadcast(spark):
+    from pandera_spark.audit import plan_report
+
+    df = spark.createDataFrame(
+        [("x", "u", 1.0)] * 4 + [("y", "v", 2.0)] * 4,
+        "a string, b string, y double",
+    )
+    for frame in (
+        group_trend(df, "y", "y", by="a"),
+        corr_pairs(df, ["y"], pairs=[("y", "y")]),
+        mutual_info(df, "a", "b"),
+        anova_f(df, "y", "a"),
+        chi2_independence(df, "a", "b"),
+    ):
+        rep = plan_report(frame)
+        assert rep["cartesian_products"] == 0
+        assert rep["broadcast_nested_loop_joins"] == 0
+
+
+def test_chi2_null_category_is_a_level(spark):
+    rows = [("x", "u"), ("x", None), (None, "u"), (None, None)] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    # 2x2 perfectly independent (every cell = 5): chi2 == 0, all rows kept
+    assert r.n == 20 and r.n_a == 2 and r.n_b == 2
+    assert r.chi2_stat == pytest.approx(0.0, abs=1e-9)
