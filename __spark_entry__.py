@@ -7697,6 +7697,196 @@ FROM j GROUP BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# r7: count-min sketch (operators/sketches.py — mergeable approximate
+# point counts; portable md5 hash family, so the oracle replays the
+# ENTIRE sketch bit-exactly: grid, probes, estimates)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH = 3, 512
+
+
+def q_cms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min grid over the corpus word stream, point estimates for
+    the 20 most frequent words vs their exact counts.  The grid build
+    is ONE aggregation bounded by depth x width (the melt is a
+    projection; partial agg caps each task at grid size before the
+    shuffle); estimation broadcast-joins the <=1536-row grid.  est >=
+    exact always (one-sided collision error, Cormode-Muthukrishnan)."""
+    from pandera_spark.operators.sketches import cms_counters, cms_estimate
+
+    docs = _load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).where(F.length("w") > 0)
+    grid = cms_counters(words, "w", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("w"))
+        .limit(20)
+    )
+    est = cms_estimate(grid, top, "w", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return est.select(
+        "w", "exact", "est",
+        (F.col("est") - F.col("exact")).cast("long").alias("overcount"),
+    )
+
+
+def _cms_oracle() -> str:
+    cell = _HEXFOLD.format(e="CAST(j AS VARCHAR) || '|' || w")
+    js = ",".join(f"({j})" for j in range(_CMS_DEPTH))
+    return f"""
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+  ) WHERE length(w) > 0
+), grid AS (
+  SELECT j, ({cell}) % {_CMS_WIDTH} AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM words CROSS JOIN (VALUES {js}) AS d(j)
+  GROUP BY 1, 2
+), top AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact
+  FROM words GROUP BY w ORDER BY exact DESC, w ASC LIMIT 20
+), probes AS (
+  SELECT t.w, t.exact, d.j, ({cell}) % {_CMS_WIDTH} AS cell
+  FROM top t CROSS JOIN (VALUES {js}) AS d(j)
+)
+SELECT p.w, p.exact,
+       CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS est,
+       CAST(MIN(COALESCE(g.cnt, 0)) - p.exact AS BIGINT) AS overcount
+FROM probes p LEFT JOIN grid g ON p.j = g.j AND p.cell = g.cell
+GROUP BY p.w, p.exact
+"""
+
+
+# ---------------------------------------------------------------------------
+# r7: semi-structured profiling (operators/semistruct.py)
+# ---------------------------------------------------------------------------
+
+
+def q_jsonprofile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic per-key profile of the events props JSON column
+    (operators/semistruct.py:json_key_profile — from_json map melt +
+    ONE aggregation; keys are discovered, not declared).  The oracle
+    replays the same string-form type rules over json_keys/
+    json_extract_string."""
+    from pandera_spark.operators.semistruct import json_key_profile
+
+    ev = _load(spark, sf_dir, "events")
+    out = json_key_profile(ev, "props")
+    return out.select(
+        "key", "n_present", "n_null_value", "n_object", "n_array",
+        "n_numeric", "n_string", "n_distinct",
+        F.round("num_min", 6).alias("min_r"),
+        F.round("num_avg", 6).alias("avg_r"),
+        F.round("num_max", 6).alias("max_r"),
+    )
+
+
+_JSONPROFILE_ORACLE = """
+WITH pairs AS (
+  SELECT k AS key, json_extract_string(props, k) AS v
+  FROM (SELECT props, unnest(json_keys(props)) AS k
+        FROM events WHERE props IS NOT NULL AND json_valid(props))
+), c AS (
+  SELECT key, v,
+         v IS NOT NULL AND v LIKE '{%' AS is_obj,
+         v IS NOT NULL AND v LIKE '[%' AS is_arr,
+         TRY_CAST(v AS DOUBLE) AS num
+  FROM pairs
+), t AS (
+  SELECT key, v, is_obj, is_arr, num,
+         num IS NOT NULL AND NOT is_obj AND NOT is_arr AS is_num
+  FROM c
+)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS n_present,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_value,
+       CAST(SUM(CASE WHEN is_obj THEN 1 ELSE 0 END) AS BIGINT) AS n_object,
+       CAST(SUM(CASE WHEN is_arr THEN 1 ELSE 0 END) AS BIGINT) AS n_array,
+       CAST(SUM(CASE WHEN is_num THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+       CAST(SUM(CASE WHEN v IS NOT NULL AND NOT is_obj AND NOT is_arr
+                     AND NOT is_num THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_string,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       ROUND(MIN(CASE WHEN is_num THEN num END), 6) AS min_r,
+       ROUND(AVG(CASE WHEN is_num THEN num END), 6) AS avg_r,
+       ROUND(MAX(CASE WHEN is_num THEN num END), 6) AS max_r
+FROM t GROUP BY key
+"""
+
+
+_CONTEXT_BUDGETS = [32, 64, 128, 512]
+
+
+def q_contextfit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window capacity planning over the corpus
+    (operators/text.py:context_fit — every budget's counters ride ONE
+    hash aggregate over the same per-doc token count)."""
+    from pandera_spark.operators.text import context_fit
+
+    docs = _load(spark, sf_dir, "documents")
+    out = context_fit(docs, budgets=_CONTEXT_BUDGETS)
+    return out.select(
+        "budget", "n_docs", "n_fit",
+        F.round("fit_frac", 6).alias("fit_r"),
+        "tokens_total", "tokens_lost",
+        F.round("loss_frac", 6).alias("loss_r"),
+    )
+
+
+def _contextfit_oracle() -> str:
+    parts = []
+    for b in _CONTEXT_BUDGETS:
+        parts.append(f"""
+SELECT CAST({b} AS BIGINT) AS budget,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN nt <= {b} THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+       ROUND(SUM(CASE WHEN nt <= {b} THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS fit_r,
+       CAST(SUM(nt) AS BIGINT) AS tokens_total,
+       CAST(SUM(GREATEST(nt - {b}, 0)) AS BIGINT) AS tokens_lost,
+       ROUND(SUM(GREATEST(nt - {b}, 0))
+             / CAST(SUM(nt) AS DOUBLE), 6) AS loss_r
+FROM (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+      FROM documents)""")
+    return " UNION ALL ".join(parts)
+
+
+def q_targetenc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target-encoding fit table for event_type -> value
+    (operators/encode.py:fit_target_encoding — ONE category-grain
+    aggregation; the global prior rides a 1-row broadcast cross onto
+    the k-row fitted frame, never onto data rows)."""
+    from pandera_spark.operators.encode import fit_target_encoding
+
+    ev = _load(spark, sf_dir, "events")
+    out = fit_target_encoding(ev, "event_type", "value", smoothing=50.0)
+    return out.select(
+        "event_type", "n",
+        F.round("cat_mean", 6).alias("mean_r"),
+        F.round("prior", 6).alias("prior_r"),
+        F.round("enc", 6).alias("enc_r"),
+    )
+
+
+_TARGETENC_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS sy
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), p AS (SELECT SUM(sy) / SUM(n) AS prior FROM s)
+SELECT event_type, n,
+       ROUND(sy / n, 6) AS mean_r,
+       ROUND(prior, 6) AS prior_r,
+       ROUND((sy + 50.0 * prior) / (n + 50.0), 6) AS enc_r
+FROM s, p
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -7718,6 +7908,14 @@ _R7_DRIVER_WINDOW = [
     # new in r7: operational monitoring + reconciliation
     "freshness_events", "completeness_events", "seasonal_events",
     "reconcile_orders",
+    # new in r7: count-min sketch, bit-exact oracle replay
+    "cms_documents",
+    # new in r7: semi-structured profiling
+    "jsonprofile_events",
+    # new in r7: context-window capacity planning
+    "contextfit_documents",
+    # new in r7: categorical target encoding
+    "targetenc_events",
 ]
 
 
@@ -7855,6 +8053,10 @@ def _queries_unordered() -> dict[
         "completeness_events": q_completeness_events,
         "seasonal_events": q_seasonal_events,
         "reconcile_orders": q_reconcile_orders,
+        "cms_documents": q_cms_documents,
+        "jsonprofile_events": q_jsonprofile_events,
+        "contextfit_documents": q_contextfit_documents,
+        "targetenc_events": q_targetenc_events,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -8260,6 +8462,10 @@ FROM ranked WHERE rank <= 5
         "completeness_events": _completeness_oracle(),
         "seasonal_events": _SEASONAL_ORACLE,
         "reconcile_orders": _RECONCILE_ORACLE,
+        "cms_documents": _cms_oracle(),
+        "jsonprofile_events": _JSONPROFILE_ORACLE,
+        "contextfit_documents": _contextfit_oracle(),
+        "targetenc_events": _TARGETENC_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

@@ -46,6 +46,11 @@ __all__ = [
     "read_sketches",
     "sketch_ledger_foreach_batch",
     "ledger_estimates",
+    "cms_counters",
+    "cms_merge",
+    "cms_estimate",
+    "cms_ledger_foreach_batch",
+    "read_cms_ledger",
 ]
 
 _Cols = Union[str, Sequence[str]]
@@ -192,3 +197,161 @@ def ledger_estimates(
         F.max("n_rows").alias("n_rows"),
     )
     return rollup_estimates(collapsed, by)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable approximate POINT counts
+# ---------------------------------------------------------------------------
+# HLL answers "how many distinct"; count-min answers "how many times did
+# THIS value occur" from the same kind of tiny mergeable state: a
+# depth x width counter grid where every occurrence increments one cell
+# per row (depth independent hashes) and a point estimate is the MIN of
+# its depth cells.  Estimates only ever OVERcount (collisions add), by
+# at most 2N/width with probability 1 - (1/2)^depth (Cormode-Muthukrishnan
+# 2005); merging two sketches is cell-wise addition, so per-segment
+# grids roll up losslessly like the HLL ledger above.
+#
+# The hash family is the repo's portable 28-bit md5 prefix
+# (operators/dedup.py:portable_hash28) over "j|value", so a SQL engine
+# can replay cell assignment — and therefore the whole sketch —
+# bit-exactly (same property the MinHash oracle relies on).
+
+
+def cms_counters(
+    df: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 4096,
+    weight: Optional[str] = None,
+) -> DataFrame:
+    """Build a count-min grid over ``df[col]``: rows ``(j, cell, cnt)``
+    (only touched cells materialize; absent cell = 0).
+
+    ONE aggregation after a depth-way melt: the melt is a projection
+    (no shuffle) and partial aggregation reduces each task to at most
+    ``depth x width`` counter rows before the exchange — the shuffle is
+    bounded by the grid size, never the data.  ``weight`` sums that
+    column instead of counting rows (e.g. pre-aggregated word counts).
+    Null values are skipped (they have no cell).
+    """
+    from .dedup import portable_hash28
+
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    v = F.col(col).cast("string")
+    w = (
+        F.col(weight).cast("long") if weight is not None else F.lit(1)
+    )
+    rows = [
+        F.struct(
+            F.lit(j).alias("j"),
+            F.pmod(
+                portable_hash28(F.concat_ws("|", F.lit(str(j)), v)),
+                F.lit(width),
+            ).cast("int").alias("cell"),
+        )
+        for j in range(depth)
+    ]
+    return (
+        df.where(v.isNotNull())
+        .select(F.explode(F.array(*rows)).alias("__c"), w.alias("__w"))
+        .groupBy(F.col("__c.j").alias("j"), F.col("__c.cell").alias("cell"))
+        .agg(F.sum("__w").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*grids: DataFrame) -> DataFrame:
+    """Merge count-min grids built with the SAME (depth, width):
+    cell-wise addition — union + one grid-bounded aggregation."""
+    if not grids:
+        raise ValueError("need at least one grid")
+    out = grids[0]
+    for g in grids[1:]:
+        out = out.unionByName(g)
+    return out.groupBy("j", "cell").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    grid: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Point estimates for every row of ``keys``: ``keys..., est``.
+
+    ``est = min over j of grid[j][cell_j(key)]`` (0 for untouched
+    cells).  The keys explode depth-way and LEFT-join the grid —
+    ``depth x width`` rows, always broadcast — then fold back with one
+    ``min`` per key; the grid's source data is never touched.
+    Guaranteed ``est >= true count`` for grids built over the data the
+    keys are probed against.
+    """
+    from .dedup import portable_hash28
+
+    v = F.col(key_col).cast("string")
+    rows = [
+        F.struct(
+            F.lit(j).alias("j"),
+            F.pmod(
+                portable_hash28(F.concat_ws("|", F.lit(str(j)), v)),
+                F.lit(width),
+            ).cast("int").alias("cell"),
+        )
+        for j in range(depth)
+    ]
+    exploded = keys.select(
+        "*", F.explode(F.array(*rows)).alias("__c")
+    ).select("*", "__c.j", "__c.cell").drop("__c")
+    joined = exploded.join(F.broadcast(grid), ["j", "cell"], "left")
+    return (
+        joined.groupBy(*[F.col(c) for c in keys.columns])
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long").alias("est")
+        )
+    )
+
+
+def cms_ledger_foreach_batch(
+    col: str,
+    state_path: str,
+    *,
+    depth: int = 4,
+    width: int = 4096,
+    weight: Optional[str] = None,
+):
+    """Streaming count-min ledger: each micro-batch appends its grid
+    under its batch id.  Cell addition is NOT idempotent, so the replay
+    protection lives in the read fold (:func:`read_cms_ledger`): grids
+    collapse to one row per (batch, cell) before summing — an
+    at-least-once replay re-appends byte-identical counter rows, which
+    the collapse discards (same protocol as the HLL ledger and
+    ``incremental.quality_ledger_foreach_batch``)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        grid = cms_counters(
+            batch_df, col, depth=depth, width=width, weight=weight
+        )
+        grid.withColumn("segment", F.lit(f"batch:{batch_id}")).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return process
+
+
+def read_cms_ledger(spark: SparkSession, state_path: str) -> DataFrame:
+    """Stream-lifetime count-min grid from the append-only ledger:
+    dedup replayed segments (max of byte-identical duplicates per
+    (segment, j, cell)), then cell-wise sum across segments."""
+    state = spark.read.parquet(state_path)
+    per_seg = state.groupBy("segment", "j", "cell").agg(
+        F.max("cnt").alias("cnt")
+    )
+    return per_seg.groupBy("j", "cell").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )

@@ -1541,3 +1541,62 @@ def zipf_fit(
         F.round(intercept, 6).alias("intercept_r"),
         F.round(r2, 6).alias("r2_r"),
     )
+
+
+def context_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    budgets: "Sequence[int]" = (128, 512, 2048, 8192),
+    token_counter: "Optional[Callable[[C], C]]" = None,
+) -> DataFrame:
+    """Context-window fit report: for each token budget, how much of the
+    corpus fits, and what truncation to that budget would cost.
+
+    Output, one row per budget: ``budget, n_docs, n_fit, fit_frac,
+    tokens_total, tokens_lost, loss_frac`` — ``tokens_lost`` is
+    ``sum(max(0, tokens - budget))``, the tokens a hard truncation at
+    that budget would discard.  The capacity-planning companion to
+    :func:`packing.pack_sequences` (which budget keeps 99% of docs
+    whole? how much does an 8k->2k cut really cost?).
+
+    ONE aggregation: every budget's counters are expressions over the
+    same per-document token count, so the plan is a single column-
+    pruned scan + hash aggregate regardless of how many budgets are
+    probed.  ``token_counter`` swaps the tokenizer (default whitespace
+    :func:`token_count`; pass :func:`bpe_ish_token_count` or a
+    model-specific estimate).
+    """
+    blist = [int(b) for b in budgets]
+    if not blist or any(b <= 0 for b in blist):
+        raise ValueError(f"budgets must be positive: {budgets!r}")
+    counter = token_counter or token_count
+    t = counter(F.col(text_col)).cast("long")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(t).cast("long").alias("tokens_total"),
+    ]
+    for b in blist:
+        aggs.append(
+            F.sum((t <= b).cast("long")).cast("long").alias(f"__fit_{b}")
+        )
+        aggs.append(
+            F.sum(F.greatest(t - b, F.lit(0)))
+            .cast("long").alias(f"__lost_{b}")
+        )
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(b).cast("long").alias("budget"),
+            F.col("n_docs"),
+            F.col(f"__fit_{b}").alias("n_fit"),
+            (F.col(f"__fit_{b}") / F.col("n_docs").cast("double"))
+            .alias("fit_frac"),
+            F.col("tokens_total"),
+            F.col(f"__lost_{b}").alias("tokens_lost"),
+            (F.col(f"__lost_{b}") / F.col("tokens_total").cast("double"))
+            .alias("loss_frac"),
+        )
+        for b in blist
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("__r")).select("__r.*")

@@ -66,6 +66,8 @@ ALLOWED_BNLJ = {
                                  # query side capped by max_queries
     "standardize_lineitem",      # 1-row median/IQR bounds frame
     "trimmedmean_lineitem",      # 1-row percentile-band bounds frame
+    "targetenc_events",          # 1-row global-prior cross onto the
+                                 # k-row fitted encoder frame
 }
 
 
