@@ -7887,6 +7887,53 @@ FROM s, p
 """
 
 
+def q_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup densified onto a per-type time spine with LOCF
+    fill (operators/temporal.py:gap_fill — spine from one per-key
+    min/max aggregate, co-partitioned left join, key-partitioned
+    last(ignorenulls) window)."""
+    from pandera_spark.operators.temporal import gap_fill, time_rollup
+
+    ev = _load(spark, sf_dir, "events")
+    roll = time_rollup(
+        ev, "ts", resolution="1 hour", keys=["event_type"],
+        aggs={"avg_v": F.avg("value")},
+    )
+    filled = gap_fill(
+        roll, keys=["event_type"], value_cols=["avg_v"],
+        strategy="locf",
+    )
+    return filled.select(
+        "event_type", "bucket_start",
+        F.round("avg_v", 6).alias("avg_r"),
+        "is_filled",
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH roll AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, AVG(value) AS av
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM roll GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+  FROM span
+), j AS (
+  SELECT s.event_type, s.b, r.av, r.b IS NULL AS is_filled
+  FROM spine s LEFT JOIN roll r
+    ON s.event_type = r.event_type AND s.b = r.b
+)
+SELECT event_type, b AS bucket_start,
+       ROUND(last_value(av IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS avg_r,
+       is_filled
+FROM j
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -7916,6 +7963,8 @@ _R7_DRIVER_WINDOW = [
     "contextfit_documents",
     # new in r7: categorical target encoding
     "targetenc_events",
+    # new in r7: time-spine densification + LOCF
+    "gapfill_events",
 ]
 
 
@@ -8057,6 +8106,7 @@ def _queries_unordered() -> dict[
         "jsonprofile_events": q_jsonprofile_events,
         "contextfit_documents": q_contextfit_documents,
         "targetenc_events": q_targetenc_events,
+        "gapfill_events": q_gapfill_events,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -8466,6 +8516,7 @@ FROM ranked WHERE rank <= 5
         "jsonprofile_events": _JSONPROFILE_ORACLE,
         "contextfit_documents": _contextfit_oracle(),
         "targetenc_events": _TARGETENC_ORACLE,
+        "gapfill_events": _GAPFILL_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

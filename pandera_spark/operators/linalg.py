@@ -42,6 +42,8 @@ __all__ = [
     "group_centroids",
     "centroid_separation",
     "pool_embeddings",
+    "fit_ols",
+    "apply_ols",
 ]
 
 
@@ -402,3 +404,97 @@ def pool_embeddings(
         )
         .select(F.col("__k").alias(by), out_col)
     )
+
+
+def fit_ols(
+    df: DataFrame,
+    y: str,
+    xs: "Sequence[str]",
+    *,
+    intercept: bool = True,
+):
+    """Multivariate least squares of ``y`` on named numeric columns.
+
+    Returns ``(coef, intercept, stats)`` — ``coef`` a numpy array
+    aligned with ``xs``, ``stats`` a dict with ``n, r2, rmse``.
+
+    ONE distributed aggregation collects the normal-equation moments
+    (n, Σxᵢ, Σxᵢxⱼ for i≤j, Σxᵢy, Σy, Σy²) — the shuffle carries one
+    O(d²) moment row per task, never data — and the (d+1)×(d+1) solve
+    happens driver-side with ``lstsq`` (rank-deficient designs get the
+    minimum-norm solution instead of a crash).  Rows with a null in
+    ``y`` or any ``xs`` drop.  For d beyond a few hundred columns the
+    d² expression count stops being the right plan — use the array-
+    column BLAS path (:func:`fit_pca`-style RowMatrix) instead.
+    """
+    import numpy as np
+
+    xs = list(xs)
+    if not xs:
+        raise ValueError("need at least one feature column")
+    d = len(xs)
+    yc = F.col(y).cast("double")
+    xc = [F.col(c).cast("double") for c in xs]
+    cond = yc.isNotNull()
+    for c in xc:
+        cond = cond & c.isNotNull()
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(yc).alias("sy"),
+        F.sum(yc * yc).alias("syy"),
+    ]
+    for i in range(d):
+        aggs.append(F.sum(xc[i]).alias(f"sx_{i}"))
+        aggs.append(F.sum(xc[i] * yc).alias(f"sxy_{i}"))
+        for j in range(i, d):
+            aggs.append(F.sum(xc[i] * xc[j]).alias(f"sxx_{i}_{j}"))
+    row = df.where(cond).agg(*aggs).first()
+    n = row["n"]
+    if n < d + (1 if intercept else 0):
+        raise ValueError(f"need more rows ({int(n)}) than parameters")
+    p = d + (1 if intercept else 0)
+    xtx = np.zeros((p, p))
+    xty = np.zeros(p)
+    for i in range(d):
+        xty[i] = row[f"sxy_{i}"]
+        for j in range(i, d):
+            xtx[i, j] = xtx[j, i] = row[f"sxx_{i}_{j}"]
+    if intercept:
+        xtx[d, d] = n
+        for i in range(d):
+            xtx[i, d] = xtx[d, i] = row[f"sx_{i}"]
+        xty[d] = row["sy"]
+    beta, *_ = np.linalg.lstsq(xtx, xty, rcond=None)
+    coef = beta[:d]
+    b0 = float(beta[d]) if intercept else 0.0
+    ss_res = max(
+        0.0,
+        row["syy"] - 2.0 * float(beta @ xty) + float(beta @ xtx @ beta),
+    )
+    ybar = row["sy"] / n
+    ss_tot = max(0.0, row["syy"] - n * ybar * ybar)
+    stats = {
+        "n": int(n),
+        "r2": (1.0 - ss_res / ss_tot) if ss_tot > 0 else None,
+        "rmse": float(np.sqrt(ss_res / n)),
+    }
+    return coef, b0, stats
+
+
+def apply_ols(
+    df: DataFrame,
+    xs: "Sequence[str]",
+    coef,
+    intercept: float = 0.0,
+    *,
+    out_col: str = "prediction",
+) -> DataFrame:
+    """Score a fitted linear model: pure Column projection (zero
+    shuffle, zero UDF) — ``pred = Σ coefᵢ·xᵢ + intercept``."""
+    xs = list(xs)
+    if len(xs) != len(coef):
+        raise ValueError(f"{len(xs)} columns vs {len(coef)} coefficients")
+    expr = F.lit(float(intercept))
+    for c, b in zip(xs, coef):
+        expr = expr + F.col(c).cast("double") * F.lit(float(b))
+    return df.withColumn(out_col, expr)

@@ -44,6 +44,7 @@ __all__ = [
     "rolling_stats",
     "ewma",
     "gap_report",
+    "gap_fill",
 ]
 
 
@@ -643,3 +644,82 @@ def gap_report(
         F.col("gap_start").isNotNull()
         & (F.col("gap_seconds") > F.lit(float(min_gap_seconds)))
     )
+
+
+def gap_fill(
+    rollup: DataFrame,
+    *,
+    bucket_col: str = "bucket_start",
+    step_seconds: int = 3600,
+    keys: Sequence[str] = (),
+    value_cols: Sequence[str] = (),
+    strategy: str = "locf",
+    fill_value: float = 0.0,
+) -> DataFrame:
+    """Densify a rollup onto a regular time spine and fill the holes.
+
+    Input is bucket-grain (one row per ``keys`` x ``bucket_col`` — the
+    output of :func:`time_rollup`); output has one row per key per
+    ``step_seconds`` tick from that key's first to last observed
+    bucket, with ``is_filled`` marking synthesized rows.  ``strategy``:
+    ``"locf"`` carries the last observed value forward (gauge-style
+    metrics), ``"zero"`` fills with ``fill_value`` (count-style
+    metrics, where an absent bucket really means 0).
+
+    Plan: the spine is ``sequence(min, max, step)`` exploded from ONE
+    per-key min/max aggregate — per-key spans, not a global calendar
+    cross — then one left join of the actuals (both sides hash on the
+    same (keys, tick), co-partitioned) and, for LOCF, a
+    ``last(ignorenulls)`` window PARTITIONED by key (single-task only
+    if you call it keyless on one giant series — pass keys at scale).
+    """
+    if strategy not in ("locf", "zero"):
+        raise ValueError(f"strategy must be locf or zero: {strategy!r}")
+    key_list = list(keys)
+    vals = list(value_cols)
+    missing = [
+        c for c in [bucket_col, *key_list, *vals] if c not in rollup.columns
+    ]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    step = int(step_seconds)
+    if step <= 0:
+        raise ValueError(f"step_seconds must be > 0: {step_seconds}")
+    b = F.col(bucket_col)
+    spans = rollup.groupBy(*[F.col(k) for k in key_list]).agg(
+        F.min(b).alias("__lo"), F.max(b).alias("__hi")
+    )
+    spine = spans.select(
+        *[F.col(k) for k in key_list],
+        F.explode(
+            F.sequence(
+                F.col("__lo").cast("timestamp"),
+                F.col("__hi").cast("timestamp"),
+                F.expr(f"INTERVAL {step} SECOND"),
+            )
+        ).alias(bucket_col),
+    )
+    actual = rollup.select(
+        *[F.col(k) for k in key_list],
+        b.alias(bucket_col),
+        F.lit(1).alias("__seen"),
+        *[F.col(v) for v in vals],
+    )
+    joined = spine.join(actual, [*key_list, bucket_col], "left")
+    out = joined.withColumn("is_filled", F.col("__seen").isNull())
+    if strategy == "zero":
+        for v in vals:
+            out = out.withColumn(
+                v, F.coalesce(F.col(v), F.lit(fill_value))
+            )
+    else:
+        w = (
+            Window.partitionBy(*[F.col(k) for k in key_list])
+            .orderBy(F.col(bucket_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for v in vals:
+            out = out.withColumn(
+                v, F.last(F.col(v), ignorenulls=True).over(w)
+            )
+    return out.drop("__seen")

@@ -159,3 +159,60 @@ def test_monitoring_plans_no_cartesian(spark):
         rep = plan_report(frame)
         assert rep["cartesian_products"] == 0
         assert rep["broadcast_nested_loop_joins"] == 0
+
+
+def test_gap_fill_locf_and_zero(spark):
+    from pandera_spark.operators.temporal import gap_fill
+
+    rollup = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:00"), 5.0),
+            ("a", _ts("2024-01-01 03:00:00"), 9.0),  # 01:00, 02:00 missing
+            ("b", _ts("2024-01-01 01:00:00"), 1.0),
+        ],
+        "k string, bucket_start timestamp, m double",
+    )
+    locf = gap_fill(
+        rollup, keys=["k"], value_cols=["m"], strategy="locf"
+    ).collect()
+    a = sorted(
+        [r for r in locf if r.k == "a"], key=lambda r: r.bucket_start
+    )
+    assert [r.m for r in a] == [5.0, 5.0, 5.0, 9.0]
+    assert [r.is_filled for r in a] == [False, True, True, False]
+    assert len([r for r in locf if r.k == "b"]) == 1  # single-bucket span
+
+    zero = gap_fill(
+        rollup, keys=["k"], value_cols=["m"], strategy="zero"
+    ).collect()
+    az = sorted(
+        [r for r in zero if r.k == "a"], key=lambda r: r.bucket_start
+    )
+    assert [r.m for r in az] == [5.0, 0.0, 0.0, 9.0]
+
+
+def test_gap_fill_rejects_unknown_columns_and_strategy(spark):
+    from pandera_spark.operators.temporal import gap_fill
+
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01 00:00:00"), 1.0)], "bucket_start timestamp, m double"
+    )
+    with pytest.raises(ValueError, match="not in frame"):
+        gap_fill(df, value_cols=["nope"])
+    with pytest.raises(ValueError, match="strategy"):
+        gap_fill(df, value_cols=["m"], strategy="interp")
+
+
+def test_gap_fill_window_is_key_partitioned(spark):
+    from pandera_spark.audit import plan_report
+    from pandera_spark.operators.temporal import gap_fill
+
+    rollup = spark.createDataFrame(
+        [("a", _ts("2024-01-01 00:00:00"), 1.0)],
+        "k string, bucket_start timestamp, m double",
+    )
+    rep = plan_report(
+        gap_fill(rollup, keys=["k"], value_cols=["m"])
+    )
+    assert rep["unpartitioned_windows"] == []
+    assert rep["cartesian_products"] == 0

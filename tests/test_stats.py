@@ -169,3 +169,76 @@ def test_chi2_null_category_is_a_level(spark):
     # 2x2 perfectly independent (every cell = 5): chi2 == 0, all rows kept
     assert r.n == 20 and r.n_a == 2 and r.n_b == 2
     assert r.chi2_stat == pytest.approx(0.0, abs=1e-9)
+
+
+def test_fit_ols_recovers_exact_plane(spark):
+    import numpy as np
+    from pandera_spark.operators.linalg import apply_ols, fit_ols
+
+    rows = [
+        (float(i % 7), float((i * 3) % 5), 0.0)
+        for i in range(40)
+    ]
+    rows = [(x1, x2, 2.0 * x1 - 3.0 * x2 + 4.0) for x1, x2, _ in rows]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    coef, b0, stats = fit_ols(df, "y", ["x1", "x2"])
+    assert coef[0] == pytest.approx(2.0)
+    assert coef[1] == pytest.approx(-3.0)
+    assert b0 == pytest.approx(4.0)
+    assert stats["r2"] == pytest.approx(1.0)
+    assert stats["rmse"] == pytest.approx(0.0, abs=1e-6)
+    pred = apply_ols(df, ["x1", "x2"], coef, b0).collect()
+    for r in pred:
+        assert r.prediction == pytest.approx(r.y)
+
+
+def test_fit_ols_matches_numpy_lstsq(spark):
+    import numpy as np
+    from pandera_spark.operators.linalg import fit_ols
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(200, 3))
+    yv = X @ np.array([1.5, -0.5, 0.25]) + 0.7 + rng.normal(
+        scale=0.1, size=200
+    )
+    rows = [
+        (float(a), float(b), float(c), float(t))
+        for (a, b, c), t in zip(X, yv)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double, y double")
+    coef, b0, stats = fit_ols(df, "y", ["a", "b", "c"])
+    Xd = np.column_stack([X, np.ones(len(X))])
+    ref, *_ = np.linalg.lstsq(Xd, yv, rcond=None)
+    assert coef == pytest.approx(ref[:3], rel=1e-6)
+    assert b0 == pytest.approx(ref[3], rel=1e-6)
+    resid = yv - Xd @ ref
+    assert stats["rmse"] == pytest.approx(
+        float(np.sqrt((resid ** 2).mean())), rel=1e-5
+    )
+    assert 0.9 < stats["r2"] <= 1.0
+
+
+def test_fit_ols_null_rows_drop_and_guards(spark):
+    from pandera_spark.operators.linalg import fit_ols
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (None, 9.0), (3.0, None), (3.0, 6.0)],
+        "x double, y double",
+    )
+    coef, b0, stats = fit_ols(df, "y", ["x"])
+    assert stats["n"] == 3
+    assert coef[0] == pytest.approx(2.0)
+    with pytest.raises(ValueError, match="at least one feature"):
+        fit_ols(df, "y", [])
+
+
+def test_fit_ols_collinear_design_minimum_norm(spark):
+    from pandera_spark.operators.linalg import apply_ols, fit_ols
+
+    # x2 = 2*x1: rank-deficient; lstsq must still predict correctly
+    rows = [(float(i), 2.0 * i, 5.0 * i + 1.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    coef, b0, stats = fit_ols(df, "y", ["x1", "x2"])
+    pred = apply_ols(df, ["x1", "x2"], coef, b0).collect()
+    for r in pred:
+        assert r.prediction == pytest.approx(r.y, rel=1e-6)
