@@ -199,9 +199,16 @@ def chi2_independence(
         "__s",
     ).withColumn(
         "cramers_v",
+        # try_divide: a degenerate table (one level on either side) has
+        # dof 0 → null V, and must not DIVIDE_BY_ZERO under ANSI mode
         F.sqrt(
-            F.col("chi2_stat")
-            / (F.col("n") * F.least(F.col("n_a") - 1, F.col("n_b") - 1))
+            F.try_divide(
+                F.col("chi2_stat"),
+                (
+                    F.col("n")
+                    * F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+                ).cast("double"),
+            )
         ),
     ).drop("__s")
     if pvalue:

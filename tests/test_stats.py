@@ -242,3 +242,127 @@ def test_fit_ols_collinear_design_minimum_norm(spark):
     pred = apply_ols(df, ["x1", "x2"], coef, b0).collect()
     for r in pred:
         assert r.prediction == pytest.approx(r.y, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings as hsettings
+from hypothesis import strategies as st
+
+_HSET = hsettings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_pairs = st.lists(
+    st.tuples(st.sampled_from("abc"), st.sampled_from("uvw")),
+    min_size=2, max_size=60,
+)
+
+
+@_HSET
+@given(data=_pairs)
+def test_chi2_nonnegative_and_symmetric(spark, data):
+    df = spark.createDataFrame(data, "a string, b string")
+    r1 = chi2_independence(df, "a", "b", pvalue=False).collect()[0]
+    r2 = chi2_independence(df, "b", "a", pvalue=False).collect()[0]
+    assert r1.chi2_stat >= 0.0
+    assert r1.chi2_stat == pytest.approx(r2.chi2_stat, abs=1e-9)
+    assert r1.dof == r2.dof and r1.n == r2.n
+
+
+@_HSET
+@given(data=_pairs)
+def test_mutual_info_bounds_and_symmetry(spark, data):
+    import math
+
+    df = spark.createDataFrame(data, "a string, b string")
+    r = mutual_info(df, "a", "b").collect()[0]
+    rb = mutual_info(df, "b", "a").collect()[0]
+    # MI symmetric; 0 <= MI <= min(H(A), H(B)) (up to fp slack)
+    assert r.mi == pytest.approx(rb.mi, abs=1e-9)
+    assert r.mi >= -1e-9
+    assert r.mi <= min(r.h_a, r.h_b) + 1e-9
+    if r.nmi is not None:
+        assert -1e-9 <= r.nmi <= 1.0 + 1e-9
+
+
+@_HSET
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from("ab"),
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=4, max_size=50,
+    )
+)
+def test_anova_decomposition_sums_to_total_variance(spark, data):
+    df = spark.createDataFrame(data, "g string, y double")
+    r = anova_f(df, "y", "g").collect()[0]
+    ys = [y for _, y in data]
+    grand = sum(ys) / len(ys)
+    ss_tot = sum((y - grand) ** 2 for y in ys)
+    assert r.ss_between + r.ss_within == pytest.approx(
+        ss_tot, rel=1e-6, abs=1e-6
+    )
+    assert r.ss_between >= -1e-9 and r.ss_within >= -1e-9
+
+
+@_HSET
+@given(
+    words=st.lists(
+        st.text(alphabet="xyz", min_size=1, max_size=3),
+        min_size=1, max_size=40,
+    )
+)
+def test_cms_one_sided_error_property(spark, words):
+    from collections import Counter
+
+    from pandera_spark.operators.sketches import cms_counters, cms_estimate
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    grid = cms_counters(df, "w", depth=2, width=16)
+    keys = df.distinct()
+    est = {r.w: r.est
+           for r in cms_estimate(grid, keys, "w", depth=2, width=16)
+           .collect()}
+    exact = Counter(words)
+    for w, c in exact.items():
+        assert est[w] >= c       # never undercounts
+        assert est[w] <= len(words)  # never exceeds the stream length
+
+
+@_HSET
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from("abcd"),
+            st.floats(-50, 50, allow_nan=False),
+        ),
+        min_size=2, max_size=40,
+    ),
+    smoothing=st.floats(0.0, 100.0, allow_nan=False),
+)
+def test_target_encoding_shrinks_toward_prior(spark, data, smoothing):
+    from pandera_spark.operators.encode import fit_target_encoding
+
+    df = spark.createDataFrame(data, "cat string, y double")
+    rows = fit_target_encoding(
+        df, "cat", "y", smoothing=smoothing
+    ).collect()
+    for r in rows:
+        lo, hi = sorted((r.cat_mean, r.prior))
+        assert lo - 1e-9 <= r.enc <= hi + 1e-9  # convex combination
+
+
+def test_chi2_degenerate_table_null_v_both_lanes(spark):
+    # one level on a side: dof 0 -> null V / null p, no ANSI
+    # DIVIDE_BY_ZERO (the hypothesis-found case, pinned)
+    df = spark.createDataFrame([("a", "u"), ("a", "u")], "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert r.dof == 0
+    assert r.cramers_v is None and r.chi2_pvalue is None
