@@ -34,7 +34,13 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["freshness", "completeness", "seasonal_baseline"]
+__all__ = [
+    "freshness",
+    "completeness",
+    "seasonal_baseline",
+    "freshness_heartbeat_foreach_batch",
+    "read_freshness_ledger",
+]
 
 
 def freshness(
@@ -183,3 +189,96 @@ def seasonal_baseline(
         F.when(z.isNotNull(), F.abs(z) >= F.lit(float(min_sigma)))
         .alias("is_anomaly"),
     )
+
+
+def freshness_heartbeat_foreach_batch(
+    state_path: str,
+    ts_col: str,
+    by: Union[str, Sequence[str], None] = None,
+):
+    """Streaming freshness ledger: each micro-batch appends one
+    (group, batch max_ts, row count) heartbeat row — the stream's
+    liveness is then queryable from the tiny ledger alone
+    (:func:`read_freshness_ledger`) without touching stream data.
+
+    Append-only, one row per group per batch (bounded by trigger rate,
+    not volume).  At-least-once replays re-append byte-identical rows
+    under the same batch id; the read fold collapses per (batch,
+    group) before taking maxima, so retries cannot distort the report
+    (the ledger protocol shared with sketches/incremental).
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(freshness_heartbeat_foreach_batch(
+                 path, "ts", ["source"]))
+             .start())
+    """
+    keys = (
+        [] if by is None else [by] if isinstance(by, str) else list(by)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        aggs = [
+            F.max(F.col(ts_col)).alias("max_ts"),
+            F.count(F.col(ts_col)).cast("long").alias("n"),
+        ]
+        hb = (
+            batch_df.groupBy(*keys).agg(*aggs)
+            if keys
+            else batch_df.agg(*aggs)
+        )
+        hb.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return process
+
+
+def read_freshness_ledger(
+    spark,
+    state_path: str,
+    by: Union[str, Sequence[str], None] = None,
+    *,
+    as_of: Union[str, datetime.datetime, None] = None,
+    max_lag_seconds: Optional[int] = None,
+) -> Optional[DataFrame]:
+    """Current freshness report from the heartbeat ledger: per group,
+    lifetime row count, latest observed event time, and (with
+    ``as_of``) the same lag/stale columns as :func:`freshness` — all
+    from heartbeat rows only, the stream is never replayed.  Returns
+    None when no ledger exists yet."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        state = spark.read.parquet(state_path)
+    except AnalysisException:
+        return None
+    keys = (
+        [] if by is None else [by] if isinstance(by, str) else list(by)
+    )
+    # collapse replayed batches first: duplicates of (batch, group) are
+    # byte-identical, so max() of each is the single true heartbeat
+    per_batch = state.groupBy("batch_id", *keys).agg(
+        F.max("max_ts").alias("max_ts"), F.max("n").alias("n")
+    )
+    out = per_batch.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.max("max_ts").alias("max_ts"),
+    ) if keys else per_batch.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.max("max_ts").alias("max_ts"),
+    )
+    if as_of is not None:
+        ref = F.lit(as_of).cast("timestamp")
+        out = out.withColumn(
+            "lag_seconds",
+            (F.unix_timestamp(ref) - F.unix_timestamp("max_ts"))
+            .cast("long"),
+        )
+        if max_lag_seconds is not None:
+            out = out.withColumn(
+                "stale",
+                F.col("lag_seconds") > F.lit(int(max_lag_seconds)),
+            )
+    return out

@@ -216,3 +216,59 @@ def test_gap_fill_window_is_key_partitioned(spark):
     )
     assert rep["unpartitioned_windows"] == []
     assert rep["cartesian_products"] == 0
+
+
+def test_freshness_heartbeat_ledger_and_replay(spark, tmp_path):
+    from pandera_spark.operators.monitoring import (
+        freshness_heartbeat_foreach_batch,
+        read_freshness_ledger,
+    )
+
+    path = str(tmp_path / "hb")
+    assert read_freshness_ledger(spark, path, "g") is None
+
+    proc = freshness_heartbeat_foreach_batch(path, "ts", ["g"])
+    b0 = spark.createDataFrame(
+        [("a", _ts("2024-01-01 01:00:00")),
+         ("a", _ts("2024-01-01 02:00:00")),
+         ("b", _ts("2024-01-01 03:00:00"))],
+        "g string, ts timestamp",
+    )
+    b1 = spark.createDataFrame(
+        [("a", _ts("2024-01-01 05:00:00"))], "g string, ts timestamp"
+    )
+    proc(b0, 0)
+    proc(b1, 1)
+    proc(b1, 1)  # at-least-once replay: must not double-count n
+
+    out = {
+        r.g: r
+        for r in read_freshness_ledger(
+            spark, path, "g",
+            as_of="2024-01-01 06:00:00", max_lag_seconds=2 * 3600,
+        ).collect()
+    }
+    assert out["a"].n == 3  # 2 + 1, replay collapsed
+    assert out["a"].max_ts == _ts("2024-01-01 05:00:00")
+    assert out["a"].lag_seconds == 3600 and out["a"].stale is False
+    assert out["b"].lag_seconds == 3 * 3600 and out["b"].stale is True
+    # ledger is heartbeat-sized: one row per (batch, group) appended
+    assert spark.read.parquet(path).count() == 4  # 2 + 1 + 1 replay
+
+
+def test_freshness_heartbeat_global_grain(spark, tmp_path):
+    from pandera_spark.operators.monitoring import (
+        freshness_heartbeat_foreach_batch,
+        read_freshness_ledger,
+    )
+
+    path = str(tmp_path / "hb2")
+    proc = freshness_heartbeat_foreach_batch(path, "ts")
+    proc(
+        spark.createDataFrame(
+            [(_ts("2024-01-01 01:00:00"),)], "ts timestamp"
+        ),
+        0,
+    )
+    r = read_freshness_ledger(spark, path).collect()[0]
+    assert r.n == 1 and r.max_ts == _ts("2024-01-01 01:00:00")
