@@ -7934,6 +7934,63 @@ FROM j
 """
 
 
+def q_triangles_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + transitivity over a deterministic successor
+    graph on part keys (edges i->i+1 and i->i+2 where both endpoints
+    exist) — operators/graph.py:triangle_count: ordered-triple
+    wedge+probe equi-joins (never a cross product), wedge count from
+    ONE degree aggregation."""
+    from pandera_spark.operators.graph import triangle_count
+
+    part = _load(spark, sf_dir, "part")
+    k = part.select(F.col("p_partkey").alias("id"))
+    k2 = k.select(F.col("id").alias("id2"))
+    edges = None
+    for step in (1, 2):
+        e = k.join(
+            k2, F.col("id2") == F.col("id") + step, "inner"
+        ).select(F.col("id").alias("src"), F.col("id2").alias("dst"))
+        edges = e if edges is None else edges.unionByName(e)
+    return triangle_count(edges).select(
+        "n_nodes", "n_edges", "n_triangles",
+        F.round("global_clustering", 6).alias("clust_r"),
+    )
+
+
+_TRIANGLES_ORACLE = """
+WITH k AS (SELECT p_partkey AS id FROM part),
+e0 AS (
+  SELECT a.id AS s, b.id AS t FROM k a JOIN k b ON b.id = a.id + 1
+  UNION ALL
+  SELECT a.id, b.id FROM k a JOIN k b ON b.id = a.id + 2
+),
+e AS (
+  SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+  FROM e0 WHERE s <> t
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS DOUBLE) AS d
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+         SUM(d * (d - 1) / 2) AS wedges
+  FROM deg
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM e ab JOIN e bc ON ab.b = bc.a
+            JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+)
+SELECT n_nodes, n_edges, n_triangles,
+       ROUND(CASE WHEN wedges > 0
+                  THEN 3.0 * n_triangles / wedges END, 6) AS clust_r
+FROM stats, tri
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -7965,6 +8022,8 @@ _R7_DRIVER_WINDOW = [
     "targetenc_events",
     # new in r7: time-spine densification + LOCF
     "gapfill_events",
+    # new in r7: graph triangle census
+    "triangles_part",
 ]
 
 
@@ -8107,6 +8166,7 @@ def _queries_unordered() -> dict[
         "contextfit_documents": q_contextfit_documents,
         "targetenc_events": q_targetenc_events,
         "gapfill_events": q_gapfill_events,
+        "triangles_part": q_triangles_part,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -8517,6 +8577,7 @@ FROM ranked WHERE rank <= 5
         "contextfit_documents": _contextfit_oracle(),
         "targetenc_events": _TARGETENC_ORACLE,
         "gapfill_events": _GAPFILL_ORACLE,
+        "triangles_part": _TRIANGLES_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

@@ -1079,6 +1079,46 @@ def _compile_hypothesis(ctx: _Ctx, check, colname: str) -> None:
         ctx.deferred.append(job)
         return
 
+    if check.agg_kind == "hypothesis_chi2_indep":
+        # categorical independence vs another column: one contingency
+        # aggregation (operators/stats.py) — the deferred job's shuffle
+        # is bounded by |A|x|B| cells, never rows
+        def job(df: DataFrame):
+            from ..operators.stats import chi2_independence
+
+            other = check.other_col
+            if other not in df.columns:
+                ctx.outcome(
+                    colname, check.error, reason, passed=False,
+                    message=f"column {other!r} not in dataframe",
+                )
+                return
+            row = chi2_independence(
+                df, colname, other, pvalue=True
+            ).collect()[0]
+            stat = float(row["chi2_stat"])
+            p = (
+                float(row["chi2_pvalue"])
+                if row["chi2_pvalue"] is not None
+                else float("nan")
+            )
+            ok = check.decide(stat, p)
+            ctx.metrics[check.error] = {
+                "stat": stat, "pvalue": p, "dof": int(row["dof"]),
+                "cramers_v": (
+                    float(row["cramers_v"])
+                    if row["cramers_v"] is not None else None
+                ),
+            }
+            ctx.outcome(
+                colname, check.error, reason, passed=ok,
+                message="" if ok else
+                f"chi2_independence failed: chi2={stat:.4f} p={p:.4g}",
+            )
+
+        ctx.deferred.append(job)
+        return
+
     # custom hypothesis: collect per-group samples (bounded by data size —
     # explicit opt-in, reference api/hypotheses.py:39-99).  distributed=True
     # ships the evaluation to ONE executor task instead (applyInPandas over

@@ -244,3 +244,48 @@ class Hypothesis(Check):
             "popmean": popmean, "relationship": relationship, "alpha": alpha,
         }
         return h
+
+    # beyond-reference (SURVEY §2.E extension): independence between
+    # this column and another categorical column, same Hypothesis
+    # surface as the t-tests; computed by operators/stats.py's
+    # chi2_independence (one contingency aggregation, closed-form p)
+    @classmethod
+    def chi2_independence(
+        cls,
+        other_col: str,
+        relationship: str = "equal",
+        alpha: float = 0.01,
+        **kwargs,
+    ) -> "Hypothesis":
+        """Chi-square test of independence between this column and
+        ``other_col`` (both treated as categorical).
+
+        ``relationship="equal"`` asserts the columns ARE independent
+        (passes while the null hypothesis survives: p >= alpha);
+        ``relationship="not_equal"`` asserts dependence (p < alpha).
+        Sided relationships are rejected — the statistic has no sign.
+        """
+        if relationship not in ("equal", "not_equal"):
+            raise ValueError(
+                "chi2_independence supports relationship 'equal' or "
+                f"'not_equal', got {relationship!r}"
+            )
+        h = cls(
+            relationship=relationship,
+            alpha=alpha,
+            name="chi2_independence",
+            error=kwargs.pop("error", None)
+            or f"chi2_independence(vs {other_col!r})",
+            agg_kind="hypothesis_chi2_indep",
+            **kwargs,
+        )
+        # categorical test: lift the numeric gating the t-tests need
+        h.accepted_dtypes = None
+        h.other_col = other_col
+        h.statistics = {
+            "other_col": other_col, "relationship": relationship,
+            "alpha": alpha,
+        }
+        return h
+
+

@@ -35,7 +35,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["node_frame", "degree_report", "pagerank"]
+__all__ = ["node_frame", "degree_report", "pagerank", "triangle_count"]
 
 
 def node_frame(
@@ -193,3 +193,70 @@ def pagerank(
         if tol is not None and delta < tol:
             break
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    per_node: bool = False,
+) -> DataFrame:
+    """Triangles in an undirected graph given as an edge list.
+
+    Output: one row ``(n_nodes, n_edges, n_triangles, global_clustering)``
+    — or, with ``per_node``, one row per node ``(node, triangles)``.
+    ``global_clustering`` is the transitivity ratio
+    ``3·triangles / wedges`` (null for wedge-free graphs).
+
+    Direction, duplicate edges and self-loops are normalized away first
+    (canonical ``lo < hi`` form + distinct).  The count uses the
+    ordered-triple join: each triangle (a<b<c) is found exactly once by
+    joining (a,b)+(b,c) and probing (a,c) — two equi-joins on node
+    keys, never a cross product.  At scale the joins shuffle on node
+    id; for power-law graphs pre-filter hubs or count on the
+    mutual-kNN edge set (bounded degree by construction).  Wedge counts
+    come from ONE degree aggregation: ``Σ d·(d−1)/2``.
+    """
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(
+        F.col(src), F.col(dst)
+    )
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(lo.alias("a"), hi.alias("b"))
+        .distinct()
+    )
+    e_ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e_bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e_ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges = e_ab.join(e_bc, "y")  # x < y < z by construction
+    tris = wedges.join(e_ac, ["x", "z"])
+    if per_node:
+        melted = tris.select(
+            F.explode(F.array("x", "y", "z")).alias("node")
+        )
+        return melted.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("triangles")
+        )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("__wedges"),
+    )
+    tri_n = tris.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    # two 1-row frames: the bounded bounds-cross pattern
+    out = stats.crossJoin(F.broadcast(tri_n))
+    return out.select(
+        "n_nodes", "n_edges", "n_triangles",
+        F.try_divide(
+            3.0 * F.col("n_triangles"), F.col("__wedges")
+        ).alias("global_clustering"),
+    )

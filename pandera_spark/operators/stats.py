@@ -139,9 +139,11 @@ def corr_pairs(
 
 
 def _cells(df: DataFrame, a: str, b: str) -> DataFrame:
-    """Contingency cells ``(a, b, c)`` — null categories count as their
-    own level via a sentinel-free groupBy (Spark groups nulls)."""
-    return df.groupBy(a, b).agg(F.count(F.lit(1)).alias("c"))
+    """Contingency cells ``(a, b, __cnt)`` — null categories count as
+    their own level via a sentinel-free groupBy (Spark groups nulls).
+    The count column is dunder-named so it can never collide with a
+    user category column (a column literally named "c" must work)."""
+    return df.groupBy(a, b).agg(F.count(F.lit(1)).alias("__cnt"))
 
 
 def chi2_independence(
@@ -160,8 +162,8 @@ def chi2_independence(
     frames) ever join the cells.
     """
     cells = _cells(df, a, b)
-    marg_a = cells.groupBy(a).agg(F.sum("c").alias("__ra"))
-    marg_b = cells.groupBy(b).agg(F.sum("c").alias("__cb"))
+    marg_a = cells.groupBy(a).agg(F.sum("__cnt").alias("__ra"))
+    marg_b = cells.groupBy(b).agg(F.sum("__cnt").alias("__cb"))
     # null-safe equality: a null category is a real level (groupBy keeps
     # it) and must still find its marginal — a plain equi-join would
     # silently drop those cells
@@ -179,13 +181,13 @@ def chi2_independence(
         .drop("__kb")
     )
     out = joined.agg(
-        F.sum("c").cast("long").alias("n"),
+        F.sum("__cnt").cast("long").alias("n"),
         # struct-wrap so the null category counts as a level
         # (count_distinct skips bare nulls)
         F.countDistinct(F.struct(F.col(a))).cast("long").alias("n_a"),
         F.countDistinct(F.struct(F.col(b))).cast("long").alias("n_b"),
         F.sum(
-            F.col("c").cast("double") ** 2
+            F.col("__cnt").cast("double") ** 2
             / (F.col("__ra") * F.col("__cb"))
         ).alias("__s"),
     ).select(
@@ -242,16 +244,19 @@ def mutual_info(df: DataFrame, a: str, b: str) -> DataFrame:
     cells = _cells(df, a, b)
     lx = lambda c: c * F.log(c)  # noqa: E731 — c·ln c, c >= 1 always
     tag = lambda frm, t: frm.select(  # noqa: E731
-        F.lit(t).alias("__t"), F.col("c").cast("double").alias("c")
+        F.lit(t).alias("__t"),
+        F.col("__cnt").cast("double").alias("__cnt"),
     )
-    marg_a = cells.groupBy(a).agg(F.sum("c").alias("c"))
-    marg_b = cells.groupBy(b).agg(F.sum("c").alias("c"))
+    marg_a = cells.groupBy(a).agg(F.sum("__cnt").alias("__cnt"))
+    marg_b = cells.groupBy(b).agg(F.sum("__cnt").alias("__cnt"))
     melted = (
         tag(cells, "ab")
         .unionByName(tag(marg_a, "a"))
         .unionByName(tag(marg_b, "b"))
     )
-    is_t = lambda t: F.when(F.col("__t") == t, F.col("c"))  # noqa: E731
+    is_t = lambda t: F.when(  # noqa: E731
+        F.col("__t") == t, F.col("__cnt")
+    )
     agg = melted.agg(
         F.sum(is_t("ab")).cast("long").alias("n"),
         F.sum(lx(is_t("ab"))).alias("__sab"),

@@ -853,3 +853,45 @@ def test_mypy_plugin_types_fields_as_str(tmp_path):
         ["--config-file", str(cfg), str(src)]
     )
     assert 'Revealed type is "builtins.str"' in out, out
+
+
+def test_chi2_independence_hypothesis_pass_and_fail(spark):
+    rows = [(a, b, a) for a in "xy" for b in "uv" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    # a independent of b -> 'equal' passes
+    schema = DataFrameSchema(
+        {"a": Column(T.StringType(),
+                     Hypothesis.chi2_independence("b", alpha=0.05))}
+    )
+    result = schema.validate_result(df)
+    assert result.passed, [e.message for e in result.errors]
+    m = result.metrics["chi2_independence(vs 'b')"]
+    assert m["stat"] == pytest.approx(0.0, abs=1e-9)
+    assert m["pvalue"] > 0.05 and m["dof"] == 1
+
+    # a identical to c -> 'equal' fails, 'not_equal' passes
+    dep_eq = DataFrameSchema(
+        {"a": Column(T.StringType(),
+                     Hypothesis.chi2_independence("c", alpha=0.05))}
+    )
+    r2 = dep_eq.validate_result(df)
+    assert not r2.passed
+    dep_ne = DataFrameSchema(
+        {"a": Column(T.StringType(),
+                     Hypothesis.chi2_independence(
+                         "c", relationship="not_equal", alpha=0.05))}
+    )
+    assert dep_ne.validate_result(df).passed
+
+
+def test_chi2_independence_hypothesis_guards(spark):
+    with pytest.raises(ValueError, match="'equal' or 'not_equal'"):
+        Hypothesis.chi2_independence("b", relationship="greater_than")
+    df = spark.createDataFrame([("x",)], "a string")
+    schema = DataFrameSchema(
+        {"a": Column(T.StringType(),
+                     Hypothesis.chi2_independence("missing"))}
+    )
+    r = schema.validate_result(df)
+    assert not r.passed
+    assert any("not in dataframe" in e.message for e in r.errors)

@@ -68,6 +68,8 @@ ALLOWED_BNLJ = {
     "trimmedmean_lineitem",      # 1-row percentile-band bounds frame
     "targetenc_events",          # 1-row global-prior cross onto the
                                  # k-row fitted encoder frame
+    "triangles_part",            # two 1-row summary frames crossed
+                                 # (degree stats x triangle count)
 }
 
 

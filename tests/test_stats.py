@@ -366,3 +366,39 @@ def test_chi2_degenerate_table_null_v_both_lanes(spark):
     r = chi2_independence(df, "a", "b").collect()[0]
     assert r.dof == 0
     assert r.cramers_v is None and r.chi2_pvalue is None
+
+
+def test_triangle_count_known_graph(spark):
+    from pandera_spark.operators.graph import triangle_count
+
+    # K4 minus one edge: nodes 1-4, edges 12 13 14 23 24 (no 34)
+    # triangles: 123, 124 -> 2; wedges: sum d(d-1)/2 = 3+3+1+1 = 8
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 1), (1, 4), (2, 3), (4, 2),
+         (2, 1),  # duplicate reversed edge
+         (3, 3)],  # self-loop
+        "src int, dst int",
+    )
+    r = triangle_count(edges).collect()[0]
+    assert r.n_nodes == 4 and r.n_edges == 5
+    assert r.n_triangles == 2
+    assert r.global_clustering == pytest.approx(6 / 8)
+
+
+def test_triangle_count_per_node(spark):
+    from pandera_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    )
+    per = {r.node: r.triangles
+           for r in triangle_count(edges, per_node=True).collect()}
+    assert per == {1: 1, 2: 1, 3: 1}  # node 4 in no triangle -> absent
+
+
+def test_triangle_count_wedge_free_null_clustering(spark):
+    from pandera_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame([(1, 2)], "src int, dst int")
+    r = triangle_count(edges).collect()[0]
+    assert r.n_triangles == 0 and r.global_clustering is None
