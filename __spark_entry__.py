@@ -7991,6 +7991,61 @@ FROM stats, tri
 """
 
 
+def q_mahalanobis_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate (quantity, extendedprice) outlier screen per return
+    flag (operators/numeric.py:mahalanobis_outliers — one co-moment
+    aggregation, driver-side d x d pinv, pure-projection distance).
+    The oracle replays the 2x2 precision matrix in closed form."""
+    from pandera_spark.operators.numeric import mahalanobis_outliers
+
+    li = _load(spark, sf_dir, "lineitem")
+    scored = mahalanobis_outliers(
+        li, ["l_quantity", "l_extendedprice"], threshold=9.21
+    )
+    return scored.groupBy("l_returnflag").agg(
+        F.count(F.col("mahalanobis_sq")).cast("long").alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).cast("long")
+        .alias("n_outliers"),
+        F.round(F.max("mahalanobis_sq"), 4).alias("max_d2_r"),
+        F.round(F.avg("mahalanobis_sq"), 4).alias("avg_d2_r"),
+    )
+
+
+_MAHALANOBIS_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), s AS (
+  SELECT AVG(x) AS mx, AVG(y) AS my,
+         VAR_SAMP(x) AS sxx, VAR_SAMP(y) AS syy,
+         COVAR_SAMP(x, y) AS sxy
+  FROM v
+), p AS (
+  SELECT mx, my,
+         syy / (sxx * syy - sxy * sxy) AS pxx,
+         sxx / (sxx * syy - sxy * sxy) AS pyy,
+         -sxy / (sxx * syy - sxy * sxy) AS pxy
+  FROM s
+), d AS (
+  SELECT v.l_returnflag,
+         p.pxx * (v.x - p.mx) * (v.x - p.mx)
+         + 2 * p.pxy * (v.x - p.mx) * (v.y - p.my)
+         + p.pyy * (v.y - p.my) * (v.y - p.my) AS d2
+  FROM v, p
+)
+SELECT l_returnflag,
+       CAST(COUNT(d2) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN d2 > 9.21 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       ROUND(MAX(d2), 4) AS max_d2_r,
+       ROUND(AVG(d2), 4) AS avg_d2_r
+FROM d GROUP BY l_returnflag
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -8024,6 +8079,8 @@ _R7_DRIVER_WINDOW = [
     "gapfill_events",
     # new in r7: graph triangle census
     "triangles_part",
+    # new in r7: multivariate outlier screen
+    "mahalanobis_lineitem",
 ]
 
 
@@ -8167,6 +8224,7 @@ def _queries_unordered() -> dict[
         "targetenc_events": q_targetenc_events,
         "gapfill_events": q_gapfill_events,
         "triangles_part": q_triangles_part,
+        "mahalanobis_lineitem": q_mahalanobis_lineitem,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -8578,6 +8636,7 @@ FROM ranked WHERE rank <= 5
         "targetenc_events": _TARGETENC_ORACLE,
         "gapfill_events": _GAPFILL_ORACLE,
         "triangles_part": _TRIANGLES_ORACLE,
+        "mahalanobis_lineitem": _MAHALANOBIS_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

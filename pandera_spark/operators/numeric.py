@@ -58,6 +58,7 @@ __all__ = [
     "correlation_matrix",
     "sketch_bins",
     "mad_outlier_report",
+    "mahalanobis_outliers",
 ]
 
 
@@ -588,3 +589,68 @@ def trimmed_mean(
     return g.select(F.explode(rows).alias("s")).select(
         "s.col_name", "s.n_kept", "s.n_dropped", "s.tmean"
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    threshold: Optional[float] = None,
+    out_col: str = "mahalanobis_sq",
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Multivariate outlier screen: squared Mahalanobis distance of each
+    row from the column means under the sample covariance — the
+    correlated-columns complement of :func:`mad_outlier_report` (a
+    point can sit inside every univariate fence yet be wildly
+    improbable jointly).
+
+    Appends ``mahalanobis_sq`` (null when any input column is null)
+    and, with ``threshold``, ``is_outlier`` (``d² > threshold``; under
+    multivariate normality d² is ~χ²(d), so e.g. 16.27 ≈ the 99.9%
+    cut at d=3 — pick from a χ² table for your d).
+
+    Plan: ONE aggregation collects the d means + d(d+1)/2 sample
+    co-moments (moment rows on the wire, never data), the d×d inverse
+    happens driver-side (``pinv``, so a singular/collinear covariance
+    degrades to the pseudo-inverse instead of crashing), and the
+    distance is a pure Column projection — expanded quadratic form,
+    zero UDF, one scan for the stats + one for the scoring.
+    """
+    import numpy as np
+
+    cols = list(cols)
+    d = len(cols)
+    if d < 1:
+        raise ValueError("need at least one column")
+    xs = [F.col(c).cast("double") for c in cols]
+    cond = xs[0].isNotNull()
+    for x in xs[1:]:
+        cond = cond & x.isNotNull()
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i in range(d):
+        aggs.append(F.avg(xs[i]).alias(f"m_{i}"))
+        for j in range(i, d):
+            aggs.append(F.covar_samp(xs[i], xs[j]).alias(f"s_{i}_{j}"))
+    row = df.where(cond).agg(*aggs).first()
+    if row["n"] < 2:
+        raise ValueError("need at least 2 complete rows")
+    mean = np.array([row[f"m_{i}"] for i in range(d)])
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            cov[i, j] = cov[j, i] = row[f"s_{i}_{j}"]
+    prec = np.linalg.pinv(cov)
+    centered = [xs[i] - F.lit(float(mean[i])) for i in range(d)]
+    dist = F.lit(0.0)
+    for i in range(d):
+        for j in range(d):
+            w = float(prec[i, j])
+            if w != 0.0:
+                dist = dist + F.lit(w) * centered[i] * centered[j]
+    out = df.withColumn(out_col, F.when(cond, dist))
+    if threshold is not None:
+        out = out.withColumn(
+            flag_col, F.col(out_col) > F.lit(float(threshold))
+        )
+    return out

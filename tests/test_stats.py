@@ -402,3 +402,63 @@ def test_triangle_count_wedge_free_null_clustering(spark):
     edges = spark.createDataFrame([(1, 2)], "src int, dst int")
     r = triangle_count(edges).collect()[0]
     assert r.n_triangles == 0 and r.global_clustering is None
+
+
+def test_mahalanobis_identity_cov_is_euclidean(spark):
+    import numpy as np
+    from pandera_spark.operators.numeric import mahalanobis_outliers
+
+    # x, y independent with unit sample variance -> d^2 == z_x^2 + z_y^2
+    rows = [(-1.0, -1.0), (1.0, 1.0), (-1.0, 1.0), (1.0, -1.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = mahalanobis_outliers(df, ["x", "y"]).collect()
+    # var_samp = 4/3 here; d^2 = (x^2 + y^2) / (4/3) = 1.5 for all rows
+    for r in out:
+        assert r.mahalanobis_sq == pytest.approx(1.5)
+
+
+def test_mahalanobis_matches_numpy(spark):
+    import numpy as np
+    from pandera_spark.operators.numeric import mahalanobis_outliers
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(60, 3)) @ np.array(
+        [[1.0, 0.4, 0.0], [0.0, 1.0, 0.3], [0.0, 0.0, 1.0]]
+    )
+    df = spark.createDataFrame(
+        [tuple(map(float, r)) for r in X], "a double, b double, c double"
+    )
+    out = mahalanobis_outliers(df, ["a", "b", "c"]).collect()
+    mean = X.mean(axis=0)
+    prec = np.linalg.pinv(np.cov(X, rowvar=False))
+    got = {(round(r.a, 9), round(r.b, 9)): r.mahalanobis_sq for r in out}
+    for xrow in X:
+        ref = float((xrow - mean) @ prec @ (xrow - mean))
+        assert got[(round(xrow[0], 9), round(xrow[1], 9))] == pytest.approx(
+            ref, rel=1e-9
+        )
+
+
+def test_mahalanobis_null_rows_and_flag(spark):
+    from pandera_spark.operators.numeric import mahalanobis_outliers
+
+    # enough inliers that the in-sample distance bound (n-1)^2/n can
+    # actually exceed the threshold (masking effect at tiny n)
+    rows = [(float(i % 5), float((i * 3) % 7)) for i in range(30)]
+    rows += [(50.0, -50.0), (None, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = mahalanobis_outliers(df, ["x", "y"], threshold=10.0).collect()
+    by = {(r.x, r.y): r for r in out}
+    assert by[(None, 1.0)].mahalanobis_sq is None
+    assert by[(None, 1.0)].is_outlier is None
+    assert by[(50.0, -50.0)].is_outlier is True
+    assert by[(0.0, 0.0)].is_outlier is False
+
+
+def test_mahalanobis_collinear_uses_pinv(spark):
+    from pandera_spark.operators.numeric import mahalanobis_outliers
+
+    rows = [(float(i), 2.0 * i) for i in range(8)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = mahalanobis_outliers(df, ["x", "y"]).collect()
+    assert all(r.mahalanobis_sq is not None for r in out)
