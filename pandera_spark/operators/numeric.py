@@ -59,6 +59,7 @@ __all__ = [
     "sketch_bins",
     "mad_outlier_report",
     "mahalanobis_outliers",
+    "chi2_threshold",
 ]
 
 
@@ -654,3 +655,52 @@ def mahalanobis_outliers(
             flag_col, F.col(out_col) > F.lit(float(threshold))
         )
     return out
+
+
+def chi2_threshold(p: float, dof: int) -> float:
+    """Approximate chi-square quantile (driver-side scalar helper for
+    :func:`mahalanobis_outliers` thresholds): the Wilson-Hilferty
+    inverse ``k·(1 − 2/(9k) + z_p·sqrt(2/(9k)))³`` with Φ⁻¹ via the
+    Beasley-Springer-Moro rational approximation — within ~2.5% of the
+    exact quantile for dof ≥ 1, p ∈ (0.5, 0.9995) (worst at dof=1),
+    which is threshold territory (no scipy, same no-dependency policy as the p-value
+    forms in hypotheses.py)."""
+    import math
+
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    if dof < 1:
+        raise ValueError(f"dof must be >= 1, got {dof}")
+    # Beasley-Springer-Moro inverse normal CDF
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        z = (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+             * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    elif p <= phigh:
+        q = p - 0.5
+        r = q * q
+        z = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4])
+             * r + a[5]) * q / (
+            ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4])
+            * r + 1)
+    else:
+        q = math.sqrt(-2 * math.log(1 - p))
+        z = -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+              * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    k = float(dof)
+    t = 1 - 2 / (9 * k) + z * math.sqrt(2 / (9 * k))
+    return k * t ** 3

@@ -462,3 +462,20 @@ def test_mahalanobis_collinear_uses_pinv(spark):
     df = spark.createDataFrame(rows, "x double, y double")
     out = mahalanobis_outliers(df, ["x", "y"]).collect()
     assert all(r.mahalanobis_sq is not None for r in out)
+
+
+def test_chi2_threshold_matches_known_quantiles():
+    from pandera_spark.operators.numeric import chi2_threshold
+
+    # exact scipy.stats.chi2.ppf references, computed offline
+    for p, d, exact in [
+        (0.99, 2, 9.2103), (0.95, 3, 7.8147), (0.999, 3, 16.266),
+        (0.99, 10, 23.209), (0.95, 1, 3.8415), (0.99, 1, 6.6349),
+    ]:
+        got = chi2_threshold(p, d)
+        assert abs(got - exact) / exact < 0.03, (p, d, got)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chi2_threshold(1.5, 2)
+    with _pt.raises(ValueError):
+        chi2_threshold(0.9, 0)
