@@ -157,10 +157,12 @@ def frequency_encode(
         val = "__f"
     else:
         val = "__n"
+    # no forced broadcast: the stated use case is HIGH-cardinality
+    # categoricals, where the count table can be arbitrarily large —
+    # AQE broadcasts small fits on its own and falls back to a shuffle
+    # join keyed on the category otherwise
     joined = df.join(
-        F.broadcast(
-            counts.select(F.col(cat_col).alias("__k"), val)
-        ),
+        counts.select(F.col(cat_col).alias("__k"), val),
         F.col(cat_col).eqNullSafe(F.col("__k")),
         "left",
     ).drop("__k")

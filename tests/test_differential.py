@@ -1583,8 +1583,13 @@ def test_sketch_bins_exact_matches_python(spark, data, k):
     def q(p):
         rank = p * (n - 1)
         lo, frac = int(rank), rank - int(rank)
+        # Spark's Percentile uses the ADDITIVE form lo + (hi-lo)*frac;
+        # the mix form lo*(1-f) + hi*f differs in the last ulp when
+        # both neighbors are equal (hypothesis-found: two 0.87499s
+        # interpolate to 0.87498999... under the mix form, flipping a
+        # strictly-below edge comparison)
         return xs[lo] if frac == 0 else (
-            xs[lo] * (1 - frac) + xs[lo + 1] * frac
+            xs[lo] + (xs[lo + 1] - xs[lo]) * frac
         )
 
     edges = [q(i / k) for i in range(1, k)]
