@@ -8046,6 +8046,28 @@ FROM d GROUP BY l_returnflag
 """
 
 
+def q_pqann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py): deterministic PQ fit
+    (min-hash-seeded subspace k-means, no RNG), Arrow BLAS encode, ADC
+    top-10 for the vec_id=0 query.  ITERATIVE fit -> no SQL oracle
+    (rows-only check, per the contract's escape hatch for iterative
+    algorithms); the operator family is pinned by tests/test_pq.py's
+    numpy differentials instead, and every number here is
+    deterministic run-to-run."""
+    from pandera_spark.operators.pq import pq_encode, pq_fit, pq_search
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = pq_fit(emb, m=4, k=16, max_iter=2)
+    codes = pq_encode(emb, cb).select("vec_id", "pq_code")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = pq_search(codes, q, cb, topk=10)
+    return top.select(
+        "vec_id", F.round("adc_dist", 6).alias("adc_r")
+    )
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -8081,6 +8103,8 @@ _R7_DRIVER_WINDOW = [
     "triangles_part",
     # new in r7: multivariate outlier screen
     "mahalanobis_lineitem",
+    # new in r7: product-quantized ANN (rows-only: iterative fit)
+    "pqann_embeddings",
 ]
 
 
@@ -8225,6 +8249,7 @@ def _queries_unordered() -> dict[
         "gapfill_events": q_gapfill_events,
         "triangles_part": q_triangles_part,
         "mahalanobis_lineitem": q_mahalanobis_lineitem,
+        "pqann_embeddings": q_pqann_embeddings,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
