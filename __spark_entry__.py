@@ -8068,6 +8068,76 @@ def q_pqann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_timesplit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based split with a purge embargo
+    (operators/curation.py:temporal_split — pure projection; a random
+    split on temporal data leaks the future into training).  Report:
+    rows + time span per label."""
+    from pandera_spark.operators.curation import temporal_split
+
+    ev = _load(spark, sf_dir, "events")
+    out = temporal_split(
+        ev, "ts", train_before="2024-01-20 00:00:00",
+        embargo_seconds=24 * 3600,
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+_TIMESPLIT_ORACLE = """
+SELECT CASE WHEN ts IS NULL THEN NULL
+            WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+            WHEN ts >= TIMESTAMP '2024-01-21 00:00:00' THEN 'test'
+            ELSE 'embargo' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(ts) AS min_ts, MAX(ts) AS max_ts
+FROM events GROUP BY 1
+"""
+
+
+def q_classweights_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class training weights (operators/curation.py:class_weights
+    — one label-grain aggregation; totals ride 1-row broadcast crosses
+    onto the k-row class frame): inverse-frequency + effective-number
+    (Cui et al. 2019) forms, both mean-normalized."""
+    from pandera_spark.operators.curation import class_weights
+
+    ev = _load(spark, sf_dir, "events")
+    out = class_weights(ev, "event_type", beta=0.999)
+    return out.select(
+        "event_type", "n",
+        F.round("frac", 6).alias("frac_r"),
+        F.round("inv_weight", 6).alias("inv_r"),
+        F.round("eff_weight", 6).alias("eff_r"),
+    )
+
+
+_CLASSWEIGHTS_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+  GROUP BY event_type
+), t AS (
+  SELECT SUM(n) AS tot, CAST(COUNT(*) AS DOUBLE) AS k FROM c
+), w AS (
+  SELECT c.event_type, c.n,
+         c.n / CAST(t.tot AS DOUBLE) AS frac,
+         CAST(t.tot AS DOUBLE) / (t.k * c.n) AS inv_weight,
+         (1.0 - 0.999) / (1.0 - POW(0.999, CAST(c.n AS DOUBLE)))
+           AS raw_eff,
+         t.k AS k
+  FROM c, t
+), s AS (SELECT SUM(raw_eff) AS rawsum FROM w)
+SELECT event_type, n,
+       ROUND(frac, 6) AS frac_r,
+       ROUND(inv_weight, 6) AS inv_r,
+       ROUND(raw_eff * k / s.rawsum, 6) AS eff_r
+FROM w, s
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -8105,6 +8175,8 @@ _R7_DRIVER_WINDOW = [
     "mahalanobis_lineitem",
     # new in r7: product-quantized ANN (rows-only: iterative fit)
     "pqann_embeddings",
+    # new in r7: temporal split + class weights
+    "timesplit_events", "classweights_events",
 ]
 
 
@@ -8250,6 +8322,8 @@ def _queries_unordered() -> dict[
         "triangles_part": q_triangles_part,
         "mahalanobis_lineitem": q_mahalanobis_lineitem,
         "pqann_embeddings": q_pqann_embeddings,
+        "timesplit_events": q_timesplit_events,
+        "classweights_events": q_classweights_events,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -8662,6 +8736,8 @@ FROM ranked WHERE rank <= 5
         "gapfill_events": _GAPFILL_ORACLE,
         "triangles_part": _TRIANGLES_ORACLE,
         "mahalanobis_lineitem": _MAHALANOBIS_ORACLE,
+        "timesplit_events": _TIMESPLIT_ORACLE,
+        "classweights_events": _CLASSWEIGHTS_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

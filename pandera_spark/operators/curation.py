@@ -27,7 +27,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column as SparkCol, DataFrame, Window
 from pyspark.sql import functions as F
@@ -44,6 +44,8 @@ __all__ = [
     "curate_corpus",
     "temperature_sample",
     "uniform_sample",
+    "temporal_split",
+    "class_weights",
 ]
 
 _SPLIT_BUCKETS = 10_000
@@ -536,3 +538,95 @@ def distribution_match(
         .filter(bucket < thresh)
         .drop("__bin", "__rate")
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    train_before: str,
+    test_from: Optional[str] = None,
+    embargo_seconds: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Time-based train/test split with an embargo gap — the temporal
+    analogue of :func:`hash_split` for forecasting / event-prediction
+    data, where a RANDOM split leaks the future into training.
+
+    Rows strictly before ``train_before`` label ``train``; rows at or
+    after ``test_from`` (default: ``train_before`` +
+    ``embargo_seconds``) label ``test``; anything between labels
+    ``embargo`` (dropped by convention — features computed near the
+    boundary see both sides; López de Prado's purged split).  Null
+    timestamps label null.  Pure projection: zero shuffle, zero state,
+    stable under any partitioning.
+    """
+    lo = F.lit(train_before).cast("timestamp")
+    if test_from is not None:
+        hi = F.lit(test_from).cast("timestamp")
+    else:
+        hi = F.timestamp_add(
+            "SECOND", F.lit(int(embargo_seconds)), lo
+        )
+    t = F.col(ts_col)
+    label = (
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .when(t < lo, F.lit("train"))
+        .when(t >= hi, F.lit("test"))
+        .otherwise(F.lit("embargo"))
+    )
+    return df.withColumn(out_col, label)
+
+
+def class_weights(
+    df: DataFrame,
+    label_col: str,
+    *,
+    beta: Optional[float] = None,
+) -> DataFrame:
+    """Per-class sampling/loss weights from label frequencies.
+
+    One aggregation -> one row per class: ``label, n, frac,
+    inv_weight`` (inverse-frequency, normalized to mean 1 across
+    classes) and, with ``beta``, ``eff_weight`` via the
+    effective-number-of-samples form ``(1-β)/(1-β^n)`` (Cui et al.
+    2019) — the standard fix when inverse-frequency over-boosts
+    ultra-rare classes — normalized the same way.  Null labels are a
+    class of their own (they ARE a class at training time; drop them
+    upstream if not).
+    """
+    counts = df.groupBy(label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").alias("__tot"),
+        F.count(F.lit(1)).cast("double").alias("__k"),
+    )
+    out = counts.crossJoin(F.broadcast(tot)).select(
+        label_col, "n",
+        (F.col("n") / F.col("__tot").cast("double")).alias("frac"),
+        # inverse frequency tot/(k*n): mean weight over classes
+        # weighted by class frequency is 1
+        (
+            F.col("__tot").cast("double")
+            / (F.col("__k") * F.col("n"))
+        ).alias("inv_weight"),
+        F.col("__k").alias("__k"),
+    )
+    if beta is not None:
+        b = float(beta)
+        if not 0.0 <= b < 1.0:
+            raise ValueError(f"beta must be in [0, 1), got {beta}")
+        raw = F.lit(1.0 - b) / (
+            F.lit(1.0) - F.pow(F.lit(b), F.col("n").cast("double"))
+        )
+        # normalize so the mean class weight is 1 (needs the sum of
+        # raw weights over classes: one more tiny agg on the k-row
+        # frame, crossed back — still bounded by class count)
+        sums = out.select(raw.alias("__raw")).agg(
+            F.sum("__raw").alias("__rawsum")
+        )
+        out = out.crossJoin(F.broadcast(sums)).withColumn(
+            "eff_weight", raw * F.col("__k") / F.col("__rawsum")
+        ).drop("__rawsum")
+    return out.drop("__k")

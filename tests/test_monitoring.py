@@ -272,3 +272,60 @@ def test_freshness_heartbeat_global_grain(spark, tmp_path):
     )
     r = read_freshness_ledger(spark, path).collect()[0]
     assert r.n == 1 and r.max_ts == _ts("2024-01-01 01:00:00")
+
+
+def test_temporal_split_labels_and_embargo(spark):
+    from pandera_spark.operators.curation import temporal_split
+
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00")),
+            (2, _ts("2024-01-09 23:59:59")),
+            (3, _ts("2024-01-10 00:00:00")),   # boundary -> embargo
+            (4, _ts("2024-01-10 11:59:59")),   # inside embargo
+            (5, _ts("2024-01-10 12:00:00")),   # test starts
+            (6, None),
+        ],
+        "id int, ts timestamp",
+    )
+    out = {r.id: r.split for r in temporal_split(
+        df, "ts", train_before="2024-01-10 00:00:00",
+        embargo_seconds=12 * 3600,
+    ).collect()}
+    assert out[1] == "train" and out[2] == "train"
+    assert out[3] == "embargo" and out[4] == "embargo"
+    assert out[5] == "test"
+    assert out[6] is None
+
+
+def test_temporal_split_explicit_test_from(spark):
+    from pandera_spark.operators.curation import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, _ts("2024-02-01 00:00:00"))], "id int, ts timestamp"
+    )
+    r = temporal_split(
+        df, "ts", train_before="2024-01-01 00:00:00",
+        test_from="2024-03-01 00:00:00",
+    ).collect()[0]
+    assert r.split == "embargo"
+
+
+def test_class_weights_inverse_and_effective(spark):
+    import pytest as _pt
+    from pandera_spark.operators.curation import class_weights
+
+    rows = [("a",)] * 8 + [("b",)] * 2
+    df = spark.createDataFrame(rows, "y string")
+    out = {r.y: r for r in class_weights(df, "y", beta=0.9).collect()}
+    # inverse frequency: tot/(k*n) = 10/(2*8), 10/(2*2)
+    assert out["a"].inv_weight == _pt.approx(10 / 16)
+    assert out["b"].inv_weight == _pt.approx(10 / 4)
+    assert out["a"].frac == _pt.approx(0.8)
+    # frequency-weighted mean of inv_weight is 1
+    assert sum(r.inv_weight * r.n for r in out.values()) == _pt.approx(10)
+    # effective weights: rare class boosted, mean over classes == 1
+    assert out["b"].eff_weight > out["a"].eff_weight
+    assert (out["a"].eff_weight + out["b"].eff_weight) / 2 == _pt.approx(1.0)
+    with _pt.raises(ValueError, match="beta"):
+        class_weights(df, "y", beta=1.0)

@@ -70,6 +70,8 @@ ALLOWED_BNLJ = {
                                  # k-row fitted encoder frame
     "triangles_part",            # two 1-row summary frames crossed
                                  # (degree stats x triangle count)
+    "classweights_events",       # 1-row totals + 1-row raw-weight sum
+                                 # crossed onto the k-row class frame
 }
 
 
