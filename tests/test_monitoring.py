@@ -329,3 +329,113 @@ def test_class_weights_inverse_and_effective(spark):
     assert (out["a"].eff_weight + out["b"].eff_weight) / 2 == _pt.approx(1.0)
     with _pt.raises(ValueError, match="beta"):
         class_weights(df, "y", beta=1.0)
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis) — post-close hardening, test-only
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings as hsettings
+from hypothesis import strategies as st
+
+_HSET = hsettings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_HSET
+@given(
+    hours=st.lists(
+        st.tuples(st.integers(0, 40), st.floats(-5, 5, allow_nan=False)),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    )
+)
+def test_gap_fill_locf_matches_python_replay(spark, hours):
+    from pandera_spark.operators.temporal import gap_fill
+
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        (base + datetime.timedelta(hours=h), float(v)) for h, v in hours
+    ]
+    df = spark.createDataFrame(rows, "bucket_start timestamp, m double")
+    out = sorted(
+        gap_fill(df, value_cols=["m"], strategy="locf").collect(),
+        key=lambda r: r.bucket_start,
+    )
+    # python replay
+    by_h = {h: v for h, v in hours}
+    lo, hi = min(by_h), max(by_h)
+    assert len(out) == hi - lo + 1
+    last = None
+    for i, r in enumerate(out):
+        h = lo + i
+        if h in by_h:
+            last = by_h[h]
+            assert r.is_filled is False
+        else:
+            assert r.is_filled is True
+        assert r.m == pytest.approx(last)
+
+
+@_HSET
+@given(
+    data=st.lists(
+        st.one_of(st.none(), st.integers(-3, 3)),
+        min_size=1, max_size=40,
+    )
+)
+def test_completeness_matches_python_counts(spark, data):
+    from pandera_spark.operators.monitoring import completeness
+
+    df = spark.createDataFrame([(v,) for v in data], "a int")
+    r = completeness(df, ["a"]).collect()[0]
+    n_null = sum(1 for v in data if v is None)
+    assert r.n == len(data)
+    assert r.n_null == n_null
+    assert r.n_distinct == len({v for v in data if v is not None})
+    assert r.null_frac == pytest.approx(n_null / len(data))
+
+
+@_HSET
+@given(
+    parents=st.lists(
+        st.tuples(st.integers(0, 8), st.floats(-50, 50, allow_nan=False)),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    ),
+    children=st.lists(
+        st.tuples(st.integers(0, 8), st.floats(-20, 20, allow_nan=False)),
+        min_size=0, max_size=30,
+    ),
+    tol=st.floats(0.0, 10.0, allow_nan=False),
+)
+def test_reconcile_matches_python_replay(spark, parents, children, tol):
+    from pandera_spark.operators.relational import reconcile_aggregate
+
+    pdf = spark.createDataFrame(parents, "k int, total double")
+    cdf = (
+        spark.createDataFrame(children, "k int, amt double")
+        if children
+        else spark.createDataFrame([], "k int, amt double")
+    )
+    r = reconcile_aggregate(
+        pdf, cdf, "k", "total", F.col("amt"), tol_abs=tol
+    ).collect()[0]
+    sums = {}
+    for k, a in children:
+        sums[k] = sums.get(k, 0.0) + a
+    miss = sum(1 for k, _ in parents if k not in sums)
+    viol = sum(
+        1 for k, t in parents
+        if k not in sums or abs(t - sums[k]) > tol + 1e-12
+    )
+    loose = sum(
+        1 for k, t in parents
+        if k not in sums or abs(t - sums[k]) > tol - 1e-12
+    )
+    assert r.n_parents == len(parents)
+    assert r.n_missing_child == miss
+    # fp slack: the engine's strict > can land either side of a
+    # tolerance that hypothesis set exactly at a diff boundary
+    assert viol <= r.n_violations <= loose
