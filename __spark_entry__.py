@@ -8138,6 +8138,51 @@ FROM w, s
 """
 
 
+def q_joincard_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-grade pre-join sizing of lineitem x orders
+    (operators/relational.py:join_cardinality_approx — ONE tagged-union
+    aggregation, HLL key estimates, zero joins).  Certified with the
+    hll_distinct pattern: exact row counts hash-compared, key estimates
+    as 5%-bracket verdicts the oracle asserts true (HLL standard error
+    ~1.6% at lgk=12)."""
+    from pandera_spark.operators.relational import join_cardinality_approx
+
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    r = join_cardinality_approx(li, orders, "l_orderkey", "o_orderkey")
+    exact_l = F.lit(
+        li.select("l_orderkey").distinct().count()
+    ).cast("double")
+    exact_r = F.lit(
+        orders.select("o_orderkey").distinct().count()
+    ).cast("double")
+    return r.select(
+        "left_rows", "right_rows",
+        (F.abs(F.col("left_keys_est") - exact_l) <= 0.05 * exact_l)
+        .alias("l_keys_in_5pct"),
+        (F.abs(F.col("right_keys_est") - exact_r) <= 0.05 * exact_r)
+        .alias("r_keys_in_5pct"),
+        # dup factors follow from rows/keys: verdict on the left side's
+        # (~4 lines per order at any SF)
+        (
+            F.abs(
+                F.col("left_dup_factor")
+                - F.col("left_rows").cast("double") / exact_l
+            )
+            <= 0.05 * F.col("left_rows").cast("double") / exact_l
+        ).alias("l_dup_in_5pct"),
+    )
+
+
+_JOINCARD_APPROX_ORACLE = """
+SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS left_rows,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS right_rows,
+       TRUE AS l_keys_in_5pct,
+       TRUE AS r_keys_in_5pct,
+       TRUE AS l_dup_in_5pct
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -8177,6 +8222,8 @@ _R7_DRIVER_WINDOW = [
     "pqann_embeddings",
     # new in r7: temporal split + class weights
     "timesplit_events", "classweights_events",
+    # new in r7 (post-close, gated): sketch-grade pre-join sizing
+    "joincard_approx_lineitem",
 ]
 
 
@@ -8324,6 +8371,7 @@ def _queries_unordered() -> dict[
         "pqann_embeddings": q_pqann_embeddings,
         "timesplit_events": q_timesplit_events,
         "classweights_events": q_classweights_events,
+        "joincard_approx_lineitem": q_joincard_approx_lineitem,
         "filestats_lineitem": q_filestats_lineitem,
         "heavyhitters_documents": q_heavyhitters_documents,
         "intradedup_documents": q_intradedup_documents,
@@ -8738,6 +8786,7 @@ FROM ranked WHERE rank <= 5
         "mahalanobis_lineitem": _MAHALANOBIS_ORACLE,
         "timesplit_events": _TIMESPLIT_ORACLE,
         "classweights_events": _CLASSWEIGHTS_ORACLE,
+        "joincard_approx_lineitem": _JOINCARD_APPROX_ORACLE,
         "filestats_lineitem": _FILESTATS_ORACLE,
         "heavyhitters_documents": _HEAVYHITTERS_ORACLE,
         "intradedup_documents": _INTRADEDUP_ORACLE,

@@ -261,3 +261,64 @@ def reconcile_aggregate(
     return (
         joined.groupBy(*group).agg(*aggs) if group else joined.agg(*aggs)
     )
+
+
+def join_cardinality_approx(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: Union[str, list[str]],
+    right_on: Union[str, list[str], None] = None,
+    *,
+    lgk: int = 12,
+) -> DataFrame:
+    """Sketch-grade pre-join sizing: row counts exactly, DISTINCT key
+    counts via HLL (~1.6% standard error at the default lgk) — the
+    100 TB screen run before committing a join, where
+    :func:`join_cardinality`'s exact key-grain aggregation is itself a
+    shuffle you might not want to pay twice.
+
+    One row: ``left_rows, right_rows, left_keys_est, right_keys_est,
+    left_dup_factor, right_dup_factor, fanout_bound_est`` — dup factor
+    = rows / distinct keys per side; ``fanout_bound_est`` ≈
+    ``min(keys) · l_dup · r_dup``, the output-size estimate under full
+    key containment (the worst realistic case; a cheap sanity bound
+    before a join you expect to be 1:N).
+
+    Plan: ONE tagged-union aggregation — each side reduces map-side to
+    (count, HLL sketch) partials, a 2-row grouped agg merges them, and
+    the final combine runs on those 2 rows.  Zero joins, zero collects;
+    composite keys hash through a struct cast to string (null-safe,
+    the HLL input must be a scalar).
+    """
+    lk = _cols(left_on)
+    rk = _cols(right_on) if right_on is not None else lk
+
+    def side(df: DataFrame, keys: list, tag: str) -> DataFrame:
+        key = F.to_json(F.struct(*[F.col(k) for k in keys]))
+        return df.select(F.lit(tag).alias("__t"), key.alias("__k"))
+
+    melted = side(left, lk, "L").unionByName(side(right, rk, "R"))
+    per_side = melted.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("__k", F.lit(int(lgk)))
+        ).cast("double").alias("keys_est"),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("__t") == t, F.col(c)))  # noqa: E731
+    out = per_side.agg(
+        pick("L", "rows").cast("long").alias("left_rows"),
+        pick("R", "rows").cast("long").alias("right_rows"),
+        pick("L", "keys_est").alias("left_keys_est"),
+        pick("R", "keys_est").alias("right_keys_est"),
+    )
+    ld = F.col("left_rows") / F.col("left_keys_est")
+    rd = F.col("right_rows") / F.col("right_keys_est")
+    return out.select(
+        "*",
+        ld.alias("left_dup_factor"),
+        rd.alias("right_dup_factor"),
+        (
+            F.least(F.col("left_keys_est"), F.col("right_keys_est"))
+            * ld * rd
+        ).alias("fanout_bound_est"),
+    )

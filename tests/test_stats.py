@@ -479,3 +479,53 @@ def test_chi2_threshold_matches_known_quantiles():
         chi2_threshold(1.5, 2)
     with _pt.raises(ValueError):
         chi2_threshold(0.9, 0)
+
+
+def test_join_cardinality_approx_estimates(spark):
+    from pandera_spark.operators.relational import join_cardinality_approx
+
+    left = spark.createDataFrame(
+        [(i % 100, "x") for i in range(1000)], "k int, p string"
+    )
+    right = spark.createDataFrame(
+        [(i, "y") for i in range(100)], "k int, q string"
+    )
+    r = join_cardinality_approx(left, right, "k").collect()[0]
+    assert r.left_rows == 1000 and r.right_rows == 100
+    # HLL at lgk=12 on 100 keys is near-exact
+    assert abs(r.left_keys_est - 100) / 100 < 0.05
+    assert abs(r.right_keys_est - 100) / 100 < 0.05
+    assert r.left_dup_factor == pytest.approx(10.0, rel=0.05)
+    assert r.right_dup_factor == pytest.approx(1.0, rel=0.05)
+    # full containment here: the bound should approximate the true
+    # join size (1000 rows)
+    assert r.fanout_bound_est == pytest.approx(1000, rel=0.1)
+
+
+def test_join_cardinality_approx_composite_and_null_keys(spark):
+    from pandera_spark.operators.relational import join_cardinality_approx
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (None, "b"), (2, None)],
+        "k1 int, k2 string",
+    )
+    right = spark.createDataFrame([(1, "a")], "k1 int, k2 string")
+    r = join_cardinality_approx(
+        left, right, ["k1", "k2"]
+    ).collect()[0]
+    assert r.left_rows == 4
+    # null-bearing composites are distinct key values, not dropped
+    assert abs(r.left_keys_est - 3) < 0.5
+    assert r.right_rows == 1
+
+
+def test_join_cardinality_approx_plan_no_join(spark):
+    from pandera_spark.audit import plan_report
+    from pandera_spark.operators.relational import join_cardinality_approx
+
+    left = spark.createDataFrame([(1,)], "k int")
+    right = spark.createDataFrame([(1,)], "k int")
+    rep = plan_report(join_cardinality_approx(left, right, "k"))
+    assert rep["cartesian_products"] == 0
+    assert rep["broadcast_nested_loop_joins"] == 0
+    assert rep["sort_merge_joins"] == 0 and rep["broadcast_joins"] == 0
