@@ -121,10 +121,19 @@ def target_encode(
         y = F.col(target_col).cast("double")
         s = F.lit(float(smoothing))
         sy = F.col("cat_mean") * F.col("n")
-        val = F.when(
-            y.isNotNull() & (F.col("n") + s > 1),
-            (sy - y + s * F.col("__prior")) / (F.col("n") - 1 + s),
-        ).otherwise(F.col("__prior"))
+        # a null-target row contributed nothing to the fit, so there
+        # is nothing to leave out: seen categories get the FULL enc
+        # (prior only for genuinely unseen ones); the n+s>1 guard only
+        # bites at smoothing=0 with a singleton category, where
+        # excluding the row leaves no information -> prior
+        val = (
+            F.when(y.isNull(), F.coalesce(F.col("enc"), F.col("__prior")))
+            .when(
+                F.col("n") + s > 1,
+                (sy - y + s * F.col("__prior")) / (F.col("n") - 1 + s),
+            )
+            .otherwise(F.col("__prior"))
+        )
     else:
         val = F.col("enc")
     return (

@@ -114,22 +114,25 @@ def corr_pairs(
     ]
     if not want:
         raise ValueError("need at least one column pair")
+    # aliases are keyed by PAIR INDEX, not by embedding the raw column
+    # names — names containing "__" (or a duplicated pair) would
+    # otherwise collide and mis-wire the unpivot
     aggs = []
-    for a, b in want:
+    for i, (a, b) in enumerate(want):
         ac, bc = F.col(a).cast("double"), F.col(b).cast("double")
         both = F.when(ac.isNotNull() & bc.isNotNull(), F.lit(1))
-        aggs.append(F.corr(ac, bc).alias(f"__c_{a}__{b}"))
-        aggs.append(F.count(both).alias(f"__n_{a}__{b}"))
+        aggs.append(F.corr(ac, bc).alias(f"__c_{i}"))
+        aggs.append(F.count(both).alias(f"__n_{i}"))
     keys = _by(by)
     wide = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
     rows = [
         F.struct(
             F.lit(a).alias("col_a"),
             F.lit(b).alias("col_b"),
-            F.col(f"__n_{a}__{b}").cast("long").alias("n"),
-            F.col(f"__c_{a}__{b}").alias("corr"),
+            F.col(f"__n_{i}").cast("long").alias("n"),
+            F.col(f"__c_{i}").alias("corr"),
         )
-        for a, b in want
+        for i, (a, b) in enumerate(want)
     ]
     exploded = wide.select(
         *[F.col(k) for k in keys],

@@ -668,10 +668,20 @@ def gap_fill(
 
     Plan: the spine is ``sequence(min, max, step)`` exploded from ONE
     per-key min/max aggregate — per-key spans, not a global calendar
-    cross — then one left join of the actuals (both sides hash on the
-    same (keys, tick), co-partitioned) and, for LOCF, a
+    cross — then one FULL OUTER join of the actuals (both sides hash
+    on the same (keys, tick), co-partitioned) and, for LOCF, a
     ``last(ignorenulls)`` window PARTITIONED by key (single-task only
     if you call it keyless on one giant series — pass keys at scale).
+
+    Misalignment: a bucket that is not ``min + k*step`` for its key
+    (mixed grains, or a step that mismatches the rollup resolution)
+    cannot land on a spine tick.  The full-outer join SURFACES such
+    rows — ``is_misaligned`` is true on them (and false elsewhere) —
+    rather than silently dropping them as a spine-side left join
+    would; they still feed LOCF in timestamp order.  On aligned input
+    (any :func:`time_rollup` output with a matching step) every
+    ``is_misaligned`` is false and the result is identical to the
+    left-join form.
     """
     if strategy not in ("locf", "zero"):
         raise ValueError(f"strategy must be locf or zero: {strategy!r}")
@@ -698,6 +708,7 @@ def gap_fill(
                 F.expr(f"INTERVAL {step} SECOND"),
             )
         ).alias(bucket_col),
+        F.lit(1).alias("__tick"),
     )
     actual = rollup.select(
         *[F.col(k) for k in key_list],
@@ -705,8 +716,10 @@ def gap_fill(
         F.lit(1).alias("__seen"),
         *[F.col(v) for v in vals],
     )
-    joined = spine.join(actual, [*key_list, bucket_col], "left")
-    out = joined.withColumn("is_filled", F.col("__seen").isNull())
+    joined = spine.join(actual, [*key_list, bucket_col], "full_outer")
+    out = joined.withColumn(
+        "is_filled", F.col("__seen").isNull()
+    ).withColumn("is_misaligned", F.col("__tick").isNull())
     if strategy == "zero":
         for v in vals:
             out = out.withColumn(
@@ -722,4 +735,4 @@ def gap_fill(
             out = out.withColumn(
                 v, F.last(F.col(v), ignorenulls=True).over(w)
             )
-    return out.drop("__seen")
+    return out.drop("__seen", "__tick")

@@ -74,6 +74,30 @@ def test_target_encode_null_target_rows_get_plain_encoding(spark):
     assert out[("a", None)] == pytest.approx(1.0)
 
 
+def test_target_encode_loo_null_target_gets_full_enc_not_prior(spark):
+    # a null-target row contributed nothing to the fit, so LOO has
+    # nothing to exclude: seen categories must get the FULL encoding,
+    # not the global prior (which is only for unseen categories)
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 8.0), ("c", None)],
+        "cat string, y double",
+    )
+    s = 2.0
+    prior = (1.0 + 3.0 + 8.0) / 3
+    enc_a = (4.0 + s * prior) / (2 + s)
+    out = {
+        (r.cat, r.y): r.cat_te
+        for r in target_encode(
+            df, "cat", "y", smoothing=s, leave_one_out=True
+        ).collect()
+    }
+    assert out[("a", None)] == pytest.approx(enc_a)
+    # unseen category (all-null targets) still falls back to prior
+    assert out[("c", None)] == pytest.approx(prior)
+    # non-null rows keep the LOO form
+    assert out[("a", 1.0)] == pytest.approx((3.0 + s * prior) / (1 + s))
+
+
 def test_frequency_encode(spark):
     df = _df(spark)
     out = {r.cat: r.cat_freq

@@ -191,6 +191,37 @@ def test_gap_fill_locf_and_zero(spark):
     assert [r.m for r in az] == [5.0, 0.0, 0.0, 9.0]
 
 
+def test_gap_fill_misaligned_rows_surface_not_vanish(spark):
+    from pandera_spark.operators.temporal import gap_fill
+
+    # 00:30 is not min + k*3600 for key "a" -> it cannot land on a
+    # spine tick; the full-outer join must SURFACE it (flagged) rather
+    # than silently drop it, and it still feeds LOCF in time order
+    rollup = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:00"), 5.0),
+            ("a", _ts("2024-01-01 00:30:00"), 7.0),
+            ("a", _ts("2024-01-01 02:00:00"), 9.0),
+        ],
+        "k string, bucket_start timestamp, m double",
+    )
+    out = sorted(
+        gap_fill(rollup, keys=["k"], value_cols=["m"]).collect(),
+        key=lambda r: r.bucket_start,
+    )
+    assert len(out) == 4  # 3 spine ticks + the misaligned actual
+    assert [r.is_misaligned for r in out] == [False, True, False, False]
+    assert [r.is_filled for r in out] == [False, False, True, False]
+    # the 01:00 filled tick carries the misaligned 00:30 value forward
+    assert [r.m for r in out] == [5.0, 7.0, 7.0, 9.0]
+    # aligned input: no misaligned rows, same spine as before
+    aligned = gap_fill(
+        rollup.where("m <> 7.0"), keys=["k"], value_cols=["m"]
+    ).collect()
+    assert all(not r.is_misaligned for r in aligned)
+    assert len(aligned) == 3
+
+
 def test_gap_fill_rejects_unknown_columns_and_strategy(spark):
     from pandera_spark.operators.temporal import gap_fill
 

@@ -61,6 +61,26 @@ def test_corr_pairs_explicit_pairs_per_group(spark):
     assert out[0].corr == pytest.approx(1.0)
 
 
+def test_corr_pairs_dunder_names_and_duplicate_pairs(spark):
+    # aliases are positional: names containing "__" (which would have
+    # collided under name-embedded aliases) and a repeated pair both
+    # unpivot to the right cells
+    df = spark.createDataFrame(
+        [(float(x), 2.0 * x, -1.0 * x) for x in range(5)],
+        "`a__b` double, `b` double, `a__b__b` double",
+    )
+    out = corr_pairs(df, ["a__b", "b", "a__b__b"]).collect()
+    got = {(r.col_a, r.col_b): r.corr for r in out}
+    assert len(out) == 3
+    assert got[("a__b", "b")] == pytest.approx(1.0)
+    assert got[("a__b", "a__b__b")] == pytest.approx(-1.0)
+    dup = corr_pairs(
+        df, ["a__b", "b"], pairs=[("a__b", "b"), ("a__b", "b")]
+    ).collect()
+    assert len(dup) == 2
+    assert all(r.corr == pytest.approx(1.0) for r in dup)
+
+
 def test_chi2_independent_table_is_zero(spark):
     # perfectly proportional 2x2 -> chi2 == 0
     rows = (

@@ -54,13 +54,55 @@ def test_read_tar_shards_one_row_per_member(spark, shards):
     df = read_tar_shards(spark, shards)
     rows = df.collect()
     assert len(rows) == 6
-    assert df.columns == ["shard", "key", "ext", "data", "size"]
+    assert df.columns == ["shard", "key", "ext", "data", "size", "ordinal"]
     by = {(r.shard, r.key, r.ext): r for r in rows}
     r = by[("train-00000.tar", "000000", "txt")]
     assert bytes(r.data) == b"hello" and r.size == 5
     assert ("train-00001.tar", "000002", "meta.json") in by
+    # ordinal is the tar replay index, per shard
+    ords = sorted(
+        r.ordinal for r in rows if r.shard == "train-00000.tar"
+    )
+    assert ords == [0, 1, 2, 3]
     # one partition per tar file
     assert df.rdd.getNumPartitions() == 2
+
+
+def test_duplicate_extension_keeps_last_member(spark, tmp_path):
+    # valid tar semantics: a later member with the same name replaces
+    # the earlier one on extraction; group_samples must agree and must
+    # not crash map_from_entries with a duplicate key
+    _make_tar(
+        tmp_path / "dup-00000.tar",
+        [
+            ("a.txt", b"first"),
+            ("a.img", b"pix"),
+            ("a.txt", b"second"),
+        ],
+    )
+    df = read_tar_shards(spark, str(tmp_path / "dup-*.tar"))
+    g = group_samples(df).collect()
+    assert len(g) == 1
+    row = g[0]
+    assert row.n_parts == 2
+    assert bytes(row.parts["txt"]) == b"second"
+    assert row.total_bytes == len(b"second") + len(b"pix")
+
+
+def test_max_shard_bytes_splits_big_tar(spark, tmp_path):
+    members = [(f"{i:06d}.bin", bytes([i % 251]) * 4096) for i in range(8)]
+    _make_tar(tmp_path / "big-00000.tar", members)
+    whole = read_tar_shards(spark, str(tmp_path / "big-*.tar"))
+    assert whole.rdd.getNumPartitions() == 1
+    split = read_tar_shards(
+        spark, str(tmp_path / "big-*.tar"), max_shard_bytes=8192
+    )
+    assert split.rdd.getNumPartitions() > 1
+    # same rows either way, ordinals shard-global across splits
+    a = sorted((r.key, r.ordinal, bytes(r.data)) for r in whole.collect())
+    b = sorted((r.key, r.ordinal, bytes(r.data)) for r in split.collect())
+    assert a == b
+    assert [x[1] for x in a] == list(range(8))
 
 
 def test_group_samples_pivots_members(spark, shards):
