@@ -8046,26 +8046,185 @@ FROM d GROUP BY l_returnflag
 """
 
 
-def q_pqann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantized ANN (operators/pq.py): deterministic PQ fit
-    (min-hash-seeded subspace k-means, no RNG), Arrow BLAS encode, ADC
-    top-10 for the vec_id=0 query.  ITERATIVE fit -> no SQL oracle
-    (rows-only check, per the contract's escape hatch for iterative
-    algorithms); the operator family is pinned by tests/test_pq.py's
-    numpy differentials instead, and every number here is
-    deterministic run-to-run."""
-    from pandera_spark.operators.pq import pq_encode, pq_fit, pq_search
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16  # 64-dim embeddings -> 4 x 16-dim
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Shared PQ setup for the three pq* contract rows: the REAL
+    pq_fit path at ``max_iter=0``, i.e. the min-hash seed codebooks
+    (portable md5-prefix hash of ``vec_id || 'pq{j}'`` per subspace) —
+    deterministic AND SQL-replayable, so encode argmin / ADC top-k /
+    fidelity arithmetic certify against DuckDB (VERDICT r7 item 1; the
+    iterative Lloyd refinement stays pinned by tests/test_pq.py's
+    numpy differentials, the kmeans max_iter cross-check pattern)."""
+    from pandera_spark.operators.pq import pq_fit
 
     emb = _load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    cb = pq_fit(emb, m=4, k=16, max_iter=2)
+    cb = pq_fit(emb, m=_PQ_M, k=_PQ_K, max_iter=0)
+    return emb, cb
+
+
+def q_pqcode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode certification (operators/pq.py:pq_encode — Arrow BLAS
+    argmin per subspace, pure map): code histogram + id checksum per
+    distinct 4-byte code over the seed codebooks.  The oracle replays
+    seed selection (md5 hexfold) and every subspace argmin."""
+    from pandera_spark.operators.pq import pq_encode
+
+    emb, cb = _pq_codebooks(spark, sf_dir)
+    codes = pq_encode(emb, cb)
+    return (
+        codes.where(F.col("pq_code").isNotNull())
+        .select(
+            F.concat_ws(
+                "-", F.col("pq_code").cast("array<string>")
+            ).alias("code"),
+            "vec_id",
+        )
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vec_id").cast("long").alias("sum_ids"),
+        )
+    )
+
+
+def q_pqann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search certification (operators/pq.py:pq_search): the
+    (m x k) query-to-centroid table ships in the UDF closure, scoring
+    is a pure Arrow map, top-10 is TakeOrderedAndProject.  Query =
+    vec_id 0; codebooks = the replayable pq_fit(max_iter=0) seeds.
+    The oracle rebuilds codes AND the exact ADC sum per row."""
+    from pandera_spark.operators.pq import pq_encode, pq_search
+
+    emb, cb = _pq_codebooks(spark, sf_dir)
     codes = pq_encode(emb, cb).select("vec_id", "pq_code")
     q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     top = pq_search(codes, q, cb, topk=10)
     return top.select(
         "vec_id", F.round("adc_dist", 6).alias("adc_r")
     )
+
+
+def q_pqerr_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ fidelity certification (operators/pq.py:pq_error_report —
+    ONE aggregation over reconstruction error): n / mse / max squared
+    error / mean cosine between each vector and its code's
+    reconstruction, on the replayable seed codebooks."""
+    from pandera_spark.operators.pq import pq_error_report
+
+    emb, cb = _pq_codebooks(spark, sf_dir)
+    rep = pq_error_report(emb, cb)
+    return rep.select(
+        "n",
+        F.round("mse", 6).alias("mse_r"),
+        F.round("max_sq_err", 6).alias("max_r"),
+        F.round("mean_cos", 6).alias("cos_r"),
+    )
+
+
+def _pq_cte() -> str:
+    """Shared oracle CTEs: per-subspace seed codebooks (md5 hexfold
+    order, replaying seed_centroids(method='min_hash',
+    salt='pq{j}')), then per-row per-subspace argmin codes.  Ends with
+    ``codes(vec_id, c0..c3)``."""
+    m, k, d = _PQ_M, _PQ_K, _PQ_DSUB
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL)"
+    ]
+    for j in range(m):
+        h = _HEXFOLD.format(e=f"CAST(vec_id AS VARCHAR) || 'pq{j}'")
+        lo, hi = j * d + 1, (j + 1) * d
+        parts.append(
+            f"cb{j} AS (SELECT row_number() OVER (ORDER BY hk, vec_id)"
+            f" - 1 AS c, cv FROM (SELECT {h} AS hk, vec_id,"
+            f" list_slice(v, {lo}, {hi}) AS cv FROM e"
+            f" ORDER BY hk, vec_id LIMIT {k}) t{j})"
+        )
+        parts.append(
+            f"code{j} AS (SELECT vec_id, c FROM ("
+            f"SELECT e.vec_id, cb{j}.c, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY"
+            f" list_distance(list_slice(e.v, {lo}, {hi}), cb{j}.cv),"
+            f" cb{j}.c) AS rn FROM e CROSS JOIN cb{j}) r{j}"
+            f" WHERE rn = 1)"
+        )
+    joins = " ".join(f"JOIN code{j} USING (vec_id)" for j in range(m))
+    sel = ", ".join(f"code{j}.c AS c{j}" for j in range(m))
+    parts.append(
+        f"codes AS (SELECT e.vec_id, {sel} FROM e {joins})"
+    )
+    return ",\n".join(parts)
+
+
+def _pqcode_oracle() -> str:
+    cols = " || '-' || ".join(
+        f"CAST(c{j} AS VARCHAR)" for j in range(_PQ_M)
+    )
+    return f"""
+WITH {_pq_cte()}
+SELECT {cols} AS code,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+FROM codes GROUP BY 1
+"""
+
+
+def _pqadc_oracle() -> str:
+    m, d = _PQ_M, _PQ_DSUB
+    joins = " ".join(
+        f"JOIN cb{j} ON cb{j}.c = codes.c{j}" for j in range(m)
+    )
+    terms = " + ".join(
+        f"power(list_distance(list_slice(q.v, {j * d + 1}, "
+        f"{(j + 1) * d}), cb{j}.cv), 2)"
+        for j in range(m)
+    )
+    return f"""
+WITH {_pq_cte()},
+q AS (SELECT v FROM e WHERE vec_id = 0),
+adc AS (SELECT codes.vec_id, {terms} AS dist
+        FROM codes CROSS JOIN q {joins})
+SELECT vec_id, ROUND(dist, 6) AS adc_r
+FROM adc ORDER BY dist, vec_id LIMIT 10
+"""
+
+
+def _pqerr_oracle() -> str:
+    m, d = _PQ_M, _PQ_DSUB
+    joins = " ".join(
+        f"JOIN cb{j} ON cb{j}.c = codes.c{j}" for j in range(m)
+    )
+    sl = {
+        j: f"list_slice(e.v, {j * d + 1}, {(j + 1) * d})"
+        for j in range(m)
+    }
+    sq = " + ".join(
+        f"power(list_distance({sl[j]}, cb{j}.cv), 2)" for j in range(m)
+    )
+    dot = " + ".join(
+        f"list_inner_product({sl[j]}, cb{j}.cv)" for j in range(m)
+    )
+    nx = " + ".join(
+        f"list_inner_product({sl[j]}, {sl[j]})" for j in range(m)
+    )
+    nc = " + ".join(
+        f"list_inner_product(cb{j}.cv, cb{j}.cv)" for j in range(m)
+    )
+    return f"""
+WITH {_pq_cte()},
+per AS (SELECT codes.vec_id, {sq} AS sq_err,
+               ({dot}) / (SQRT({nx}) * SQRT({nc})) AS cosv
+        FROM codes JOIN e USING (vec_id) {joins})
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(sq_err), 6) AS mse_r,
+       ROUND(MAX(sq_err), 6) AS max_r,
+       ROUND(AVG(cosv), 6) AS cos_r
+FROM per
+"""
 
 
 def q_timesplit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8218,8 +8377,9 @@ _R7_DRIVER_WINDOW = [
     "triangles_part",
     # new in r7: multivariate outlier screen
     "mahalanobis_lineitem",
-    # new in r7: product-quantized ANN (rows-only: iterative fit)
-    "pqann_embeddings",
+    # r8: PQ split into oracle-certifiable encode/ADC/fidelity rows
+    # (VERDICT r7 item 1 — no rows-only entries remain)
+    "pqcode_embeddings", "pqann_embeddings", "pqerr_embeddings",
     # new in r7: temporal split + class weights
     "timesplit_events", "classweights_events",
     # new in r7 (post-close, gated): sketch-grade pre-join sizing
@@ -8368,7 +8528,9 @@ def _queries_unordered() -> dict[
         "gapfill_events": q_gapfill_events,
         "triangles_part": q_triangles_part,
         "mahalanobis_lineitem": q_mahalanobis_lineitem,
+        "pqcode_embeddings": q_pqcode_embeddings,
         "pqann_embeddings": q_pqann_embeddings,
+        "pqerr_embeddings": q_pqerr_embeddings,
         "timesplit_events": q_timesplit_events,
         "classweights_events": q_classweights_events,
         "joincard_approx_lineitem": q_joincard_approx_lineitem,
@@ -8784,6 +8946,9 @@ FROM ranked WHERE rank <= 5
         "gapfill_events": _GAPFILL_ORACLE,
         "triangles_part": _TRIANGLES_ORACLE,
         "mahalanobis_lineitem": _MAHALANOBIS_ORACLE,
+        "pqcode_embeddings": _pqcode_oracle(),
+        "pqann_embeddings": _pqadc_oracle(),
+        "pqerr_embeddings": _pqerr_oracle(),
         "timesplit_events": _TIMESPLIT_ORACLE,
         "classweights_events": _CLASSWEIGHTS_ORACLE,
         "joincard_approx_lineitem": _JOINCARD_APPROX_ORACLE,
