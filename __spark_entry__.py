@@ -1298,6 +1298,55 @@ FROM a, b
 """
 
 
+def q_ttest_welch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch (unequal-variance) two-sample t lane
+    (hypotheses.two_sample_t equal_var=False — the branch the Student
+    row never exercises; VERDICT r7 item 7): t statistic plus the
+    Welch–Satterthwaite dof, both from ONE per-group aggregation; the
+    oracle replays the closed form in SQL."""
+    df = _load(spark, sf_dir, "events")
+    g = (
+        df.filter(F.col("event_type").isin(["click", "error"]))
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+        .collect()
+    )
+    s = {r.event_type: r for r in g}
+    from pandera_spark.hypotheses import two_sample_t, welch_df
+
+    a, b = s["click"], s["error"]
+    stat, _p = two_sample_t(
+        int(a.n), float(a.m), float(a.v), int(b.n), float(b.m), float(b.v),
+        equal_var=False,
+    )
+    dof = welch_df(float(a.v), int(a.n), float(b.v), int(b.n))
+    return spark.createDataFrame(
+        [(round(stat, 6), round(dof, 4))],
+        T.StructType([
+            T.StructField("t_stat_r", T.DoubleType(), False),
+            T.StructField("welch_dof_r", T.DoubleType(), False),
+        ]),
+    )
+
+
+_TTEST_WELCH_ORACLE = """
+WITH g AS (
+  SELECT event_type, COUNT(value) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+  FROM events WHERE event_type IN ('click','error') GROUP BY event_type
+), a AS (SELECT * FROM g WHERE event_type='click'),
+   b AS (SELECT * FROM g WHERE event_type='error')
+SELECT ROUND((a.m - b.m) / SQRT(a.v/a.n + b.v/b.n), 6) AS t_stat_r,
+       ROUND( (a.v/a.n + b.v/b.n)*(a.v/a.n + b.v/b.n)
+              / ( (a.v/a.n)*(a.v/a.n)/(a.n-1)
+                + (b.v/b.n)*(b.v/b.n)/(b.n-1) ), 4) AS welch_dof_r
+FROM a, b
+"""
+
+
 CUSTOMER_CHECKS: list[tuple[str, str, Check, str]] = [
     ("c_custkey", "custkey_gt_0", Check.gt(0, error="custkey_gt_0"),
      "c_custkey IS NOT NULL AND NOT (c_custkey > 0)"),
@@ -8426,6 +8475,7 @@ def _queries_unordered() -> dict[
         "monotonic_events": q_monotonic_events,
         "fingerprint_documents": q_fingerprint_documents,
         "ttest_events": q_ttest_events,
+        "ttest_welch_events": q_ttest_welch_events,
         "fk_lineitem": q_fk_lineitem,
         "orphan_stats_events": q_orphan_stats_events,
         "dup_rows_orders": q_dup_rows_orders,
@@ -8843,6 +8893,7 @@ FROM ranked WHERE rank <= 5
             "FROM documents"
         ),
         "ttest_events": _TTEST_ORACLE,
+        "ttest_welch_events": _TTEST_WELCH_ORACLE,
         "fk_lineitem": _FK_ORACLE,
         "dup_rows_orders": _DUP_ROWS_ORACLE,
         "quarantine_counts_lineitem": _quarantine_oracle(),

@@ -1216,23 +1216,44 @@ def _compile_hypothesis(ctx: _Ctx, check, colname: str) -> None:
         return
 
     def job(df: DataFrame):
+        # driver-OOM guard (VERDICT r7 item 2): the collect lane ships
+        # every sample value to the driver; cap it and point big
+        # columns at distributed=True.  Enforced WITHOUT an extra job:
+        # limit(n+1) / slice(collect_list, 1, n+1) bound what reaches
+        # the driver, and seeing n+1 values proves the overflow.
+        cap = int(getattr(check, "max_collect_rows", 0) or 0)
+
+        def guard(n_got: int, where: str) -> None:
+            if cap and n_got > cap:
+                raise ValueError(
+                    f"custom hypothesis {check.error!r} would collect "
+                    f"more than max_collect_rows={cap} values "
+                    f"({where}); pass distributed=True to evaluate on "
+                    "an executor, or raise max_collect_rows explicitly"
+                )
+
         if check.groupby:
+            vals_agg = F.collect_list(col)
+            if cap:
+                vals_agg = F.slice(vals_agg, 1, cap + 1)
             rows = (
                 df.groupBy(F.col(check.groupby).alias("__g"))
-                .agg(F.collect_list(col).alias("vals"))
+                .agg(vals_agg.alias("vals"))
                 .collect()
             )
+            for r in rows:
+                guard(len(r["vals"]), f"group {r['__g']!r}")
             groups = {r["__g"]: r["vals"] for r in rows}
             samples = [groups.get(s, []) for s in check.samples] or [
                 v for v in groups.values()
             ]
         else:
-            samples = [
-                [
-                    r[0]
-                    for r in df.select(col).dropna().collect()
-                ]
-            ]
+            sel = df.select(col).dropna()
+            if cap:
+                sel = sel.limit(cap + 1)
+            vals = [r[0] for r in sel.collect()]
+            guard(len(vals), "whole column")
+            samples = [vals]
         try:
             out = check.test(*samples, **check.test_kwargs)
         except Exception as exc:

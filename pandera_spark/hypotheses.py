@@ -156,6 +156,7 @@ class Hypothesis(Check):
         agg_kind: Optional[str] = "hypothesis_custom",
         raise_warning: bool = False,
         distributed: bool = False,
+        max_collect_rows: int = 500_000,
         **kwargs,
     ):
         if isinstance(relationship, str) and relationship not in RELATIONSHIPS:
@@ -176,6 +177,10 @@ class Hypothesis(Check):
         self.test = test
         self.samples = samples or []
         self.groupby = groupby
+        # driver-OOM guard for the collect lane: a custom hypothesis on
+        # a big column must opt into distributed=True (applyInPandas on
+        # one executor) or raise a bigger explicit bound; <=0 disables
+        self.max_collect_rows = int(max_collect_rows)
         self.relationship = relationship
         self.alpha = alpha
         self.test_kwargs = test_kwargs or {}

@@ -273,6 +273,70 @@ def test_custom_hypothesis(spark, groups_df):
     assert schema.validate_result(groups_df).passed
 
 
+def test_custom_hypothesis_collect_guard_raises(spark):
+    import pytest
+
+    df = spark.range(0, 50).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") % 2 == 0).cast("string").alias("g"),
+    )
+    mean = lambda a: sum(a) / len(a)  # noqa: E731
+    h = Hypothesis(
+        test=mean, relationship=lambda s, p: s >= 0,
+        name="m", error="m", max_collect_rows=10,
+    )
+    schema = DataFrameSchema({"x": Column(T.DoubleType(), h)})
+    with pytest.raises(ValueError, match="distributed=True"):
+        schema.validate_result(df)
+    # groupby lane guards per group
+    hg = Hypothesis(
+        test=lambda a, b: mean(a) - mean(b),
+        samples=["true", "false"], groupby="g",
+        relationship=lambda s, p: True,
+        name="mg", error="mg", max_collect_rows=10,
+    )
+    sg = DataFrameSchema({"x": Column(T.DoubleType(), hg)})
+    with pytest.raises(ValueError, match="group"):
+        sg.validate_result(df)
+    # a big-enough bound (and the default) still passes
+    ok = Hypothesis(
+        test=mean, relationship=lambda s, p: s >= 0,
+        name="m2", error="m2", max_collect_rows=50,
+    )
+    assert DataFrameSchema(
+        {"x": Column(T.DoubleType(), ok)}
+    ).validate_result(df).passed
+
+
+def test_custom_hypothesis_distributed_matches_collect(spark):
+    df = spark.range(0, 200).select(
+        F.col("id").cast("double").alias("x"),
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("g"),
+    )
+
+    def mean_diff(a, b):
+        return (sum(a) / len(a)) - (sum(b) / len(b))
+
+    def make(distributed, cap=500_000):
+        return DataFrameSchema({
+            "x": Column(T.DoubleType(), Hypothesis(
+                test=mean_diff, samples=["A", "B"], groupby="g",
+                relationship=lambda s, p: s < 0,
+                name="d", error="d", distributed=distributed,
+                max_collect_rows=cap,
+            ))
+        })
+
+    r_collect = make(False).validate_result(df)
+    r_dist = make(True).validate_result(df)
+    assert r_collect.passed and r_dist.passed
+    sc = r_collect.metrics["d"]["stat"]
+    sd = r_dist.metrics["d"]["stat"]
+    assert abs(sc - sd) < 1e-12
+    # the distributed lane ignores the collect cap entirely
+    assert make(True, cap=5).validate_result(df).passed
+
+
 # -- io round-trip ------------------------------------------------------------
 
 

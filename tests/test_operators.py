@@ -3957,6 +3957,39 @@ def test_prepare_training_corpus_end_to_end(spark):
     with pytest.raises(ValueError):
         prepare_training_corpus(docs, min_words=10, embed_dim=32,
                                 stage_storage="NOT_A_LEVEL")
+    spark.catalog.clearCache()
+
+
+def test_prepare_training_corpus_persists_by_default(spark):
+    from pandera_spark.operators.pipeline import prepare_training_corpus
+
+    good = ("the cat and the dog went to the park in a big way for fun "
+            "and that is all there is to say about it today really truly")
+    docs = spark.createDataFrame(
+        [(i, good + f" tail{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        docs, min_words=10, embed_dim=32, chunk_size=60,
+        chunk_overlap=10, n_shards=2
+    )
+    # default = MEMORY_AND_DISK: reused stages are pinned, and every
+    # consumer's plan reads the cache instead of re-running the gate
+    assert out["kept"].storageLevel.useMemory
+    assert out["kept"].storageLevel.useDisk
+    for frame in (out["chunks"], out["report"]):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        # consumers read the pinned stage, not a re-run of its lineage
+        assert "InMemoryTableScan" in plan
+    # explicit opt-out stays fully lazy (no persisted stage)
+    spark.catalog.clearCache()
+    lazy = prepare_training_corpus(
+        docs, min_words=10, embed_dim=32, chunk_size=60,
+        chunk_overlap=10, n_shards=2, stage_storage=None,
+    )
+    plan = lazy["chunks"]._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan
+    spark.catalog.clearCache()
 
 
 def test_streaming_quality_gate(spark, tmp_path):
