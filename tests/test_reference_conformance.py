@@ -343,3 +343,148 @@ def test_verdict_parity_with_reference_backend(spark, case):
         spark.conf.set("spark.sql.ansi.enabled", original)
     ours = _our_facets(our_schema, df)
     assert ours == ref, f"ours={sorted(ours)} ref={sorted(ref)}"
+
+
+# -- builtin-check x dtype differential grid (VERDICT r7 item 8) -------------
+#
+# One frame per dtype, one column per applicable builtin check, run through
+# BOTH engines in the same session; facet sets must agree exactly.  Covers
+# the 15 pyspark builtins (reference backends/pyspark/builtin_checks.py)
+# against every Spark dtype the reference accepts for them.
+
+import datetime as _dt
+import decimal as _dec
+
+_NUMERIC_DTYPES = {
+    "tinyint": T.ByteType(),
+    "smallint": T.ShortType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "decimal(10,2)": T.DecimalType(10, 2),
+}
+
+# (check name, ctor args, passing value, failing value)
+_NUMERIC_CHECKS = [
+    ("equal_to", [5], 5, 7),
+    ("not_equal_to", [2], 3, 2),
+    ("greater_than", [0], 1, -1),
+    ("greater_than_or_equal_to", [0], 0, -1),
+    ("less_than", [10], 5, 15),
+    ("less_than_or_equal_to", [10], 10, 11),
+    ("in_range", [0, 10], 5, 20),
+    ("isin", [[0, 1, 2, 5, 10]], 5, 9),
+    ("notin", [[7]], 1, 7),
+]
+
+_STRING_CHECKS = [
+    ("equal_to", ["abba"], "abba", "zz"),
+    ("not_equal_to", ["bad"], "good", "bad"),
+    ("isin", [["abba", "x"]], "x", "nope"),
+    ("notin", [["banned"]], "fine", "banned"),
+    ("str_matches", ["^a"], "apple", "pear"),
+    ("str_contains", ["bb"], "abba", "aca"),
+    ("str_startswith", ["ab"], "abba", "ba"),
+    ("str_endswith", ["ba"], "abba", "bax"),
+    ("str_length", [2, 4], "abc", "toolong"),
+]
+
+_TS_CHECKS = [
+    ("equal_to", [_dt.datetime(2024, 6, 1)],
+     _dt.datetime(2024, 6, 1), _dt.datetime(2024, 6, 2)),
+    ("not_equal_to", [_dt.datetime(2020, 1, 1)],
+     _dt.datetime(2024, 6, 1), _dt.datetime(2020, 1, 1)),
+    ("greater_than", [_dt.datetime(2022, 1, 1)],
+     _dt.datetime(2024, 6, 1), _dt.datetime(2019, 1, 1)),
+    ("greater_than_or_equal_to", [_dt.datetime(2022, 1, 1)],
+     _dt.datetime(2022, 1, 1), _dt.datetime(2019, 1, 1)),
+    ("less_than", [_dt.datetime(2025, 1, 1)],
+     _dt.datetime(2024, 6, 1), _dt.datetime(2026, 1, 1)),
+    ("less_than_or_equal_to", [_dt.datetime(2025, 1, 1)],
+     _dt.datetime(2025, 1, 1), _dt.datetime(2026, 1, 1)),
+    ("in_range", [_dt.datetime(2022, 1, 1), _dt.datetime(2025, 1, 1)],
+     _dt.datetime(2024, 6, 1), _dt.datetime(2019, 1, 1)),
+]
+
+_DATE_CHECKS = [
+    (name, [a.date() if isinstance(a, _dt.datetime) else a for a in args],
+     vp.date(), vf.date())
+    for name, args, vp, vf in _TS_CHECKS
+]
+
+
+def _cast_num(v, ddl):
+    if ddl.startswith("decimal"):
+        return _dec.Decimal(v).quantize(_dec.Decimal("0.01"))
+    if ddl in ("float", "double"):
+        return float(v)
+    return int(v)
+
+
+def _grid_case(ddl, spark_type, checks, cast):
+    cols_ref, cols_ours, row_pass, row_fail = [], [], [], []
+    for name, args, vp, vf in checks:
+        cols_ref.append(
+            (f"c_{name}", pa.Column(spark_type, [getattr(pa.Check, name)(*args)]))
+        )
+        cols_ours.append(
+            (f"c_{name}", Column(spark_type, [getattr(Check, name)(*args)]))
+        )
+        row_pass.append(cast(vp, ddl))
+        row_fail.append(cast(vf, ddl))
+    frame_ddl = ", ".join(f"c_{name} {ddl}" for name, *_ in checks)
+    ref, ours = _pair(cols_ref, cols_ours)
+    return [tuple(row_pass), tuple(row_fail)], frame_ddl, ref, ours
+
+
+_GRID = (
+    [("num_" + ddl, ddl, st, _NUMERIC_CHECKS, _cast_num)
+     for ddl, st in _NUMERIC_DTYPES.items()]
+    + [("string", "string", T.StringType(), _STRING_CHECKS,
+        lambda v, d: v)]
+    + [("timestamp", "timestamp", T.TimestampType(), _TS_CHECKS,
+        lambda v, d: v)]
+    + [("date", "date", T.DateType(), _DATE_CHECKS, lambda v, d: v)]
+)
+
+
+@pytest.mark.parametrize(
+    "ddl,spark_type,checks,cast",
+    [g[1:] for g in _GRID],
+    ids=[g[0] for g in _GRID],
+)
+def test_builtin_check_dtype_grid_parity(spark, ddl, spark_type, checks, cast):
+    rows, frame_ddl, ref_schema, our_schema = _grid_case(
+        ddl, spark_type, checks, cast
+    )
+    original = spark.conf.get("spark.sql.ansi.enabled")
+    for variant in (rows, rows[:1]):  # all-fail row present / clean frame
+        df = spark.createDataFrame(variant, frame_ddl)
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            ref = _ref_facets(ref_schema, df)
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", original)
+        ours = _our_facets(our_schema, df)
+        assert ours == ref, (
+            f"variant_rows={len(variant)} "
+            f"ours={sorted(ours)} ref={sorted(ref)}"
+        )
+
+
+def test_unique_values_eq_parity(spark):
+    ref, ours = _pair(
+        [("v", pa.Column(T.LongType(), [pa.Check.unique_values_eq([1, 2])]))],
+        [("v", Column(T.LongType(), [Check.unique_values_eq([1, 2])]))],
+    )
+    full = spark.createDataFrame([(1,), (2,), (2,)], "v long")
+    partial = spark.createDataFrame([(1,), (1,)], "v long")
+    original = spark.conf.get("spark.sql.ansi.enabled")
+    for df in (full, partial):
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            r = _ref_facets(ref, df)
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", original)
+        assert _our_facets(ours, df) == r
