@@ -1347,6 +1347,151 @@ FROM a, b
 """
 
 
+def q_mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (operators/ranks.py:mann_whitney_u) of click vs
+    error on value: ONE value-grain aggregation carries the midranks
+    (two-pass range rank, never an un-partitioned data window) + one
+    closing aggregation.  Midrank sums are exact in double (integers
+    and halves), so U hash-matches the oracle exactly; z/p round at
+    6dp."""
+    from pandera_spark.operators.ranks import mann_whitney_u
+
+    ev = _load(spark, sf_dir, "events")
+    out = mann_whitney_u(ev, "value", "event_type", "click", "error")
+    return out.select(
+        "n_a", "n_b",
+        F.round("u_a", 4).alias("u_a_r"),
+        F.round("z", 6).alias("z_r"),
+        F.round("pvalue", 6).alias("p_r"),
+    )
+
+
+def _mannwhitney_oracle() -> str:
+    return f"""
+WITH s AS (
+  SELECT value AS v, event_type AS g FROM events
+  WHERE event_type IN ('click','error') AND value IS NOT NULL
+), mr AS (
+  SELECT v, COUNT(*) AS c,
+         SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS na_v,
+         SUM(COUNT(*)) OVER (ORDER BY v) - COUNT(*)
+           + (COUNT(*) + 1) / 2.0 AS r
+  FROM s GROUP BY v
+), a AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(na_v) AS BIGINT) AS n_a,
+         SUM(na_v * r) AS r_a,
+         SUM(CAST(c AS DOUBLE) * c * c - c) AS ties
+  FROM mr
+), f AS (
+  SELECT n_a, CAST(n - n_a AS BIGINT) AS n_b,
+         r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+         (r_a - n_a * (n_a + 1) / 2.0 - n_a * (n - n_a) / 2.0)
+           / SQRT(n_a * (n - n_a) / 12.0
+                  * ((n + 1) - ties / (CAST(n AS DOUBLE) * (n - 1))))
+           AS z
+  FROM a
+)
+SELECT n_a, n_b, ROUND(u_a, 4) AS u_a_r, ROUND(z, 6) AS z_r,
+       ROUND(2.0 * {_norm_sf_sql("ABS(z)")}, 6) AS p_r
+FROM f
+"""  # noqa: E501
+
+
+def q_kruskal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across all event types
+    (operators/ranks.py:kruskal_wallis — the nonparametric ANOVA):
+    (value, group) cells -> weighted value-grain midranks -> group
+    rank sums -> one closing aggregation; tie-corrected H with the
+    Wilson-Hilferty p replay shared with chi2_documents."""
+    from pandera_spark.operators.ranks import kruskal_wallis
+
+    ev = _load(spark, sf_dir, "events")
+    out = kruskal_wallis(ev, "value", "event_type")
+    return out.select(
+        "n", "k",
+        F.round("h_corrected", 6).alias("h_r"),
+        "dof",
+        F.round("pvalue", 6).alias("p_r"),
+    )
+
+
+def _kruskal_oracle() -> str:
+    z = (
+        "((POW(h / dofd, 1.0/3.0) - (1 - 2 / (9 * dofd)))"
+        " / SQRT(2 / (9 * dofd)))"
+    )
+    return f"""
+WITH s AS (
+  SELECT value AS v, event_type AS g FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+), cells AS (
+  SELECT v, g, COUNT(*) AS w FROM s GROUP BY v, g
+), vr AS (
+  SELECT v, SUM(w) AS t,
+         SUM(SUM(w)) OVER (ORDER BY v) - SUM(w)
+           + (SUM(w) + 1) / 2.0 AS r
+  FROM cells GROUP BY v
+), pg AS (
+  SELECT g, SUM(w) AS ng, SUM(w * r) AS rg
+  FROM cells JOIN vr USING (v) GROUP BY g
+), t AS (
+  SELECT SUM(CAST(t AS DOUBLE) * t * t - t) AS ties FROM vr
+), agg AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(rg * rg / CAST(ng AS DOUBLE)) AS sr,
+         (SELECT ties FROM t) AS ties
+  FROM pg
+), f AS (
+  SELECT n, k,
+         (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr - 3.0 * (n + 1))
+           / (1.0 - ties / (CAST(n AS DOUBLE) * n * n - n)) AS h,
+         CAST(k - 1 AS BIGINT) AS dof,
+         CAST(k - 1 AS DOUBLE) AS dofd
+  FROM agg
+)
+SELECT n, k, ROUND(h, 6) AS h_r, dof,
+       ROUND(CASE WHEN dof <= 0 THEN NULL
+                  ELSE {_norm_sf_sql(z)} END, 6) AS p_r
+FROM f
+"""
+
+
+def q_spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price
+    (operators/ranks.py:spearman_corr — Pearson on tie-averaged
+    midranks): two value-grain midrank passes hash-join back onto the
+    pairwise-complete rows, one corr aggregation."""
+    from pandera_spark.operators.ranks import spearman_corr
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = spearman_corr(li, "l_quantity", "l_extendedprice")
+    return out.select("n", F.round("rho", 6).alias("rho_r"))
+
+
+_SPEARMAN_ORACLE = """
+WITH s AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), rx AS (
+  SELECT x AS v,
+         SUM(COUNT(*)) OVER (ORDER BY x) - COUNT(*)
+           + (COUNT(*) + 1) / 2.0 AS r
+  FROM s GROUP BY x
+), ry AS (
+  SELECT y AS v,
+         SUM(COUNT(*)) OVER (ORDER BY y) - COUNT(*)
+           + (COUNT(*) + 1) / 2.0 AS r
+  FROM s GROUP BY y
+), j AS (
+  SELECT rx.r AS a, ry.r AS b
+  FROM s JOIN rx ON s.x = rx.v JOIN ry ON s.y = ry.v
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(CORR(a, b), 6) AS rho_r
+FROM j
+"""
+
+
 CUSTOMER_CHECKS: list[tuple[str, str, Check, str]] = [
     ("c_custkey", "custkey_gt_0", Check.gt(0, error="custkey_gt_0"),
      "c_custkey IS NOT NULL AND NOT (c_custkey > 0)"),
@@ -8476,6 +8621,9 @@ def _queries_unordered() -> dict[
         "fingerprint_documents": q_fingerprint_documents,
         "ttest_events": q_ttest_events,
         "ttest_welch_events": q_ttest_welch_events,
+        "mannwhitney_events": q_mannwhitney_events,
+        "kruskal_events": q_kruskal_events,
+        "spearman_lineitem": q_spearman_lineitem,
         "fk_lineitem": q_fk_lineitem,
         "orphan_stats_events": q_orphan_stats_events,
         "dup_rows_orders": q_dup_rows_orders,
@@ -8894,6 +9042,9 @@ FROM ranked WHERE rank <= 5
         ),
         "ttest_events": _TTEST_ORACLE,
         "ttest_welch_events": _TTEST_WELCH_ORACLE,
+        "mannwhitney_events": _mannwhitney_oracle(),
+        "kruskal_events": _kruskal_oracle(),
+        "spearman_lineitem": _SPEARMAN_ORACLE,
         "fk_lineitem": _FK_ORACLE,
         "dup_rows_orders": _DUP_ROWS_ORACLE,
         "quarantine_counts_lineitem": _quarantine_oracle(),

@@ -1,0 +1,320 @@
+"""Rank-based (nonparametric) statistical screens: Mann-Whitney U,
+Kruskal-Wallis H, Spearman rank correlation.
+
+The parametric screens (``stats.group_trend`` / ``anova_f`` /
+``hypotheses.two_sample_t``) assume roughly-normal metrics; production
+metrics (latencies, revenues, token counts) rarely oblige.  The rank
+family is the standard distribution-free fallback, and every statistic
+here is exactly replayable by an external SQL engine — no simulation,
+no RNG.
+
+Scale shape — all three share ONE primitive, :func:`value_midranks`:
+
+1. collapse rows to the DISTINCT-VALUE grain first (one aggregation
+   with map-side partial combine; ties collapse, so the ranked frame
+   is bounded by value cardinality, not row count);
+2. rank that grain with the scalable two-pass prefix sum (the
+   :mod:`.ordered` / ``sharding.balanced_shards`` idiom):
+   ``repartitionByRange(value)`` + a cumulative window partitioned by
+   ``spark_partition_id()`` + a #partitions-row offset frame — never
+   an un-partitioned window over the data;
+3. the statistic is then ONE closed-form aggregation over the ranked
+   value grain (Mann-Whitney / Kruskal-Wallis), or one hash join of
+   midranks back onto rows plus one ``corr`` aggregation (Spearman).
+
+Truly continuous metrics can make the value grain approach row count;
+pre-quantize (``F.round(col, d)``) when distinct cardinality is a
+concern — the midrank construction is unchanged.
+
+Reference parity: none (pandera has no nonparametric hypotheses);
+beyond-reference statistical tier next to ``operators/stats.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column as C
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .drift import _norm_sf
+
+__all__ = [
+    "value_midranks",
+    "mann_whitney_u",
+    "kruskal_wallis",
+    "spearman_corr",
+]
+
+
+def _chi2_sf(x: C, k: C) -> C:
+    """Chi-square survival function via the Wilson-Hilferty cube-root
+    normal approximation — the same form (digit for digit) as
+    ``stats.chi2_independence`` / ``drift.category_drift``, so oracle
+    replays share one SQL template."""
+    z = (F.pow(x / k, F.lit(1.0 / 3.0)) - (1 - 2 / (9 * k))) / F.sqrt(
+        2 / (9 * k)
+    )
+    return F.when(k <= 0, F.lit(None).cast("double")).otherwise(
+        _norm_sf(z)
+    )
+
+
+def value_midranks(
+    df: DataFrame,
+    value_col: str,
+    *,
+    weight_col: Optional[str] = None,
+    extra_aggs: Optional[dict] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Distinct-value grain with tie-averaged (mid)ranks.
+
+    Output: ``(__v, __cnt, __rank, *extra_aggs)`` — one row per
+    distinct non-null value, where ``__rank`` is the average of the
+    1-based positions the value's ties would occupy in the sorted
+    sample: ``cum_before + (cnt + 1)/2``.  ``weight_col`` makes each
+    input row count as that many sample rows (callers passing an
+    already-aggregated (value, count) frame); ``extra_aggs`` ride the
+    same single value-grain aggregation (e.g. per-group counts), so
+    callers never re-aggregate the rows.
+
+    The cumulative count is the two-pass range rank: partitions are
+    range-disjoint on value, the running sum is a window PARTITIONED
+    by ``spark_partition_id()``, and cross-partition offsets come from
+    a #partitions-row aggregate (tiny window).  Exactly equals the
+    global-window answer (pinned in tests) without ever collapsing the
+    grain to one task.
+    """
+    cnt_src = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    )
+    aggs = [cnt_src.cast("long").alias("__cnt")]
+    for name, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(name))
+    vg = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(*aggs)
+    )
+    if num_partitions:
+        nparts = num_partitions
+    else:
+        try:
+            nparts = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "200"
+                )
+            )
+        except (TypeError, ValueError):
+            nparts = 200
+    parted = vg.repartitionByRange(nparts, F.col("__v").asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # rank branch and counts branch reuse the ONE range exchange (see
+    # sharding.balanced_shards for the exchange-reuse contract)
+    reuse = str(
+        df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+    ).lower()
+    if reuse != "true":  # pragma: no cover - non-default conf
+        parted = parted.localCheckpoint(eager=False)
+    wrun = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("__run", F.sum("__cnt").over(wrun))
+    counts = parted.groupBy("__pid").agg(F.sum("__cnt").alias("__n"))
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "__rank",
+            (F.col("__off") + F.col("__run") - F.col("__cnt")).cast(
+                "double"
+            )
+            + (F.col("__cnt") + 1) / 2.0,
+        )
+        .drop("__pid", "__run", "__off")
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test of ``group_a`` vs
+    ``group_b`` on ``value_col``.
+
+    One row: ``n_a, n_b, u_a, u_b, z, pvalue`` — the tie-corrected
+    normal approximation (two-sided, no continuity correction:
+    ``z = (U_a − n_a·n_b/2) / σ`` with
+    ``σ² = n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1)))``).  Null when a
+    group is empty or every value is tied (σ = 0).
+
+    Plan: one value-grain aggregation (per-value total + group-a
+    counts ride :func:`value_midranks`) + ONE closing aggregation —
+    rows are never ranked individually, and nothing reaches the
+    driver.
+    """
+    sub = df.where(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    mr = value_midranks(
+        sub,
+        value_col,
+        extra_aggs={
+            "__na": F.sum(
+                (F.col(group_col) == F.lit(group_a)).cast("long")
+            )
+        },
+        num_partitions=num_partitions,
+    )
+    cnt = F.col("__cnt").cast("double")
+    agg = mr.agg(
+        F.sum("__cnt").cast("long").alias("n"),
+        F.sum("__na").cast("long").alias("n_a"),
+        F.sum(F.col("__na") * F.col("__rank")).alias("r_a"),
+        F.sum(cnt * cnt * cnt - cnt).alias("ties"),
+    )
+    n = F.col("n").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = (F.col("n") - F.col("n_a")).cast("double")
+    u_a = F.col("r_a") - na * (na + 1) / 2.0
+    sigma2 = (
+        na
+        * nb
+        / 12.0
+        * ((n + 1) - F.col("ties") / (n * (n - 1)))
+    )
+    z = F.try_divide(u_a - na * nb / 2.0, F.sqrt(sigma2))
+    return (
+        agg.select(
+            F.col("n_a"),
+            (F.col("n") - F.col("n_a")).cast("long").alias("n_b"),
+            u_a.alias("u_a"),
+            (na * nb - u_a).alias("u_b"),
+            z.alias("z"),
+        )
+        .withColumn("pvalue", 2.0 * _norm_sf(F.abs(F.col("z"))))
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Kruskal-Wallis H test: does ``value_col``'s distribution differ
+    across the levels of ``group_col``?  (The k-group generalization
+    of Mann-Whitney; the nonparametric ANOVA.)
+
+    One row: ``n, k, h, h_corrected, dof, pvalue`` —
+    ``H = 12/(N(N+1)) Σ_g R_g²/n_g − 3(N+1)``, tie correction
+    ``C = 1 − Σ(t³−t)/(N³−N)``, ``H_c = H/C``, p via the same
+    Wilson-Hilferty χ² survival replay as ``chi2_independence``.
+    Rows with a null value or null group are excluded (a null group
+    is not a level here, matching ANOVA's treatment).
+
+    Plan: one (value, group)-grain aggregation feeds a value-grain
+    midrank pass (weights = per-cell counts), one group-grain rank-sum
+    aggregation, one closing aggregation.  All grains are bounded by
+    cardinality, not row count.
+    """
+    sub = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    cells = sub.groupBy(
+        F.col(value_col).alias("__v"), F.col(group_col).alias("__g")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__w"))
+    ranked = value_midranks(
+        cells, "__v", weight_col="__w", num_partitions=num_partitions
+    ).select("__v", F.col("__cnt").alias("__t"), "__rank")
+    per_group = (
+        cells.join(ranked.select("__v", "__rank"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__w").cast("long").alias("__ng"),
+            F.sum(F.col("__w") * F.col("__rank")).alias("__rg"),
+        )
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.col("__t").cast("double") ** 3 - F.col("__t").cast("double")
+        ).alias("__ties")
+    )
+    agg = per_group.crossJoin(F.broadcast(ties)).agg(
+        F.sum("__ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.col("__rg") * F.col("__rg") / F.col("__ng").cast("double")
+        ).alias("__s"),
+        F.first("__ties").alias("__ties"),
+    )
+    n = F.col("n").cast("double")
+    h = 12.0 / (n * (n + 1)) * F.col("__s") - 3.0 * (n + 1)
+    corr = 1.0 - F.col("__ties") / (n * n * n - n)
+    h_c = F.try_divide(h, corr)
+    dof = (F.col("k") - 1).cast("long")
+    out = agg.select(
+        "n",
+        "k",
+        h.alias("h"),
+        h_c.alias("h_corrected"),
+        dof.alias("dof"),
+    )
+    return out.withColumn(
+        "pvalue",
+        _chi2_sf(F.col("h_corrected"), F.col("dof").cast("double")),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x: str,
+    y: str,
+    *,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Spearman rank correlation of ``x`` and ``y`` (tie-aware:
+    Pearson on midranks — the standard tie-corrected form).
+
+    One row: ``n, rho``.  Rows with a null on either side are dropped
+    FIRST (ranks are computed within the pairwise-complete sample,
+    matching the textbook definition).
+
+    Plan: two value-grain midrank passes (one per column), each hash
+    joined back onto the pairwise-complete rows by value, then ONE
+    ``corr`` aggregation.  The joins are value-key equi-joins (AQE
+    broadcasts when a side's value grain is small).
+    """
+    sub = df.where(
+        F.col(x).isNotNull() & F.col(y).isNotNull()
+    ).select(F.col(x).alias("__x"), F.col(y).alias("__y"))
+    rx = value_midranks(
+        sub, "__x", num_partitions=num_partitions
+    ).select(F.col("__v").alias("__x"), F.col("__rank").alias("__rx"))
+    ry = value_midranks(
+        sub, "__y", num_partitions=num_partitions
+    ).select(F.col("__v").alias("__y"), F.col("__rank").alias("__ry"))
+    joined = sub.join(rx, "__x").join(ry, "__y")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.corr("__rx", "__ry").alias("rho"),
+    )

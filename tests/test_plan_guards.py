@@ -72,6 +72,8 @@ ALLOWED_BNLJ = {
                                  # (degree stats x triangle count)
     "classweights_events",       # 1-row totals + 1-row raw-weight sum
                                  # crossed onto the k-row class frame
+    "kruskal_events",            # 1-row tie-correction total crossed
+                                 # onto the k-row group rank-sum frame
 }
 
 
