@@ -1347,6 +1347,64 @@ FROM a, b
 """
 
 
+def q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean-shift changepoint scan
+    (operators/temporal.py:cusum_changepoints — the CUSUM/Taylor
+    argmax-|S| estimator): one shuffle on the key, windows all reuse
+    it.  The oracle replays the cumulative sums with the same unique
+    (ts, event_id) ordering."""
+    from pandera_spark.operators.temporal import cusum_changepoints
+
+    ev = _load(spark, sf_dir, "events")
+    out = cusum_changepoints(
+        ev, "ts", "value", keys=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_type", "n",
+        F.col("cp_index"),
+        F.round("s_max_abs", 4).alias("smax_r"),
+        F.round("strength", 6).alias("strength_r"),
+        F.round("mean_before", 6).alias("mb_r"),
+        F.round("mean_after", 6).alias("ma_r"),
+    )
+
+
+_CUSUM_ORACLE = """
+WITH s AS (
+  SELECT event_type AS g, ts, event_id, value AS x FROM events
+  WHERE value IS NOT NULL
+), w AS (
+  SELECT g, ts, event_id, x,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY ts, event_id) AS rn,
+         SUM(x) OVER (PARTITION BY g ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         COUNT(*) OVER (PARTITION BY g) AS n,
+         AVG(x) OVER (PARTITION BY g) AS m,
+         STDDEV_SAMP(x) OVER (PARTITION BY g) AS sd
+  FROM s
+), sc AS (
+  SELECT g, rn, n, m, sd, cum, cum - rn * m AS sv,
+         MAX(cum - rn * m) OVER (PARTITION BY g) AS smax,
+         MIN(cum - rn * m) OVER (PARTITION BY g) AS smin,
+         ROW_NUMBER() OVER (PARTITION BY g
+                            ORDER BY ABS(cum - rn * m) DESC,
+                                     ts, event_id) AS pick
+  FROM w
+)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(rn AS BIGINT) AS cp_index,
+       ROUND(ABS(sv), 4) AS smax_r,
+       ROUND(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                  ELSE (smax - smin) / (sd * SQRT(n)) END, 6)
+         AS strength_r,
+       ROUND(cum / rn, 6) AS mb_r,
+       ROUND(CASE WHEN n = rn THEN NULL
+                  ELSE (m * n - cum) / (n - rn) END, 6) AS ma_r
+FROM sc WHERE pick = 1
+"""
+
+
 def q_mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (operators/ranks.py:mann_whitney_u) of click vs
     error on value: ONE value-grain aggregation carries the midranks
@@ -8621,6 +8679,7 @@ def _queries_unordered() -> dict[
         "fingerprint_documents": q_fingerprint_documents,
         "ttest_events": q_ttest_events,
         "ttest_welch_events": q_ttest_welch_events,
+        "cusum_events": q_cusum_events,
         "mannwhitney_events": q_mannwhitney_events,
         "kruskal_events": q_kruskal_events,
         "spearman_lineitem": q_spearman_lineitem,
@@ -9042,6 +9101,7 @@ FROM ranked WHERE rank <= 5
         ),
         "ttest_events": _TTEST_ORACLE,
         "ttest_welch_events": _TTEST_WELCH_ORACLE,
+        "cusum_events": _CUSUM_ORACLE,
         "mannwhitney_events": _mannwhitney_oracle(),
         "kruskal_events": _kruskal_oracle(),
         "spearman_lineitem": _SPEARMAN_ORACLE,

@@ -45,6 +45,7 @@ __all__ = [
     "ewma",
     "gap_report",
     "gap_fill",
+    "cusum_changepoints",
 ]
 
 
@@ -736,3 +737,94 @@ def gap_fill(
                 v, F.last(F.col(v), ignorenulls=True).over(w)
             )
     return out.drop("__seen", "__tick")
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    keys: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Single most-likely mean-shift changepoint per key, via the
+    cumulative-sum (Taylor) estimator: ``S_i = Σ_{j<=i}(x_j − x̄)``,
+    changepoint at ``argmax |S_i|``.
+
+    One row per key: ``n, mean, std, cp_ts, cp_index, s_at_cp,
+    s_max_abs, s_range, strength, mean_before, mean_after`` where
+    ``s_range = max(S) − min(S)`` and
+    ``strength = s_range / (σ·√n)`` — the scale-free shift magnitude
+    (≳3 is a strong shift; a flat series diffuses around √n·σ·const).
+    ``mean_before``/``mean_after`` are the segment means either side
+    of the changepoint (after is null when it lands on the last row).
+    Significance by bootstrap is deliberately omitted (RNG-free
+    contract); rank ``strength`` across keys instead.
+
+    Plan: ONE shuffle on the keys, then window passes that all reuse
+    the same partitioning — a row-frame cumulative sum over
+    ``(ts, *tiebreak_cols)`` (make the ordering unique: peers are NOT
+    pooled, so a non-unique order is nondeterministic), whole-
+    partition aggregates, and a rank-1 filter.  Keyless use collapses
+    to one task — pass keys at scale (same contract as
+    :func:`rolling_stats`).
+    """
+    key_list = list(keys)
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    pb = [F.col(k) for k in key_list]
+    w_ord = (
+        Window.partitionBy(*pb)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seq = Window.partitionBy(*pb).orderBy(*order)
+    w_full = (
+        Window.partitionBy(*pb)
+        .rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    x = F.col(value_col).cast("double")
+    base = (
+        df.where(x.isNotNull())
+        .withColumn("__rn", F.row_number().over(w_seq))
+        .withColumn("__cum", F.sum(x).over(w_ord))
+        .withColumn("__n", F.count(F.lit(1)).over(w_full))
+        .withColumn("__mean", F.avg(x).over(w_full))
+        .withColumn("__std", F.stddev_samp(x).over(w_full))
+    )
+    s = F.col("__cum") - F.col("__rn") * F.col("__mean")
+    scored = (
+        base.withColumn("__s", s)
+        .withColumn("__smax", F.max(s).over(w_full))
+        .withColumn("__smin", F.min(s).over(w_full))
+        .withColumn(
+            "__pick",
+            F.row_number().over(
+                Window.partitionBy(*pb).orderBy(
+                    F.abs(F.col("__s")).desc(), *order
+                )
+            ),
+        )
+    )
+    n = F.col("__n").cast("long")
+    rng = F.col("__smax") - F.col("__smin")
+    return scored.where(F.col("__pick") == 1).select(
+        *key_list,
+        n.alias("n"),
+        F.col("__mean").alias("mean"),
+        F.col("__std").alias("std"),
+        F.col(ts_col).alias("cp_ts"),
+        F.col("__rn").cast("long").alias("cp_index"),
+        F.col("__s").alias("s_at_cp"),
+        F.abs(F.col("__s")).alias("s_max_abs"),
+        rng.alias("s_range"),
+        F.try_divide(
+            rng, F.col("__std") * F.sqrt(F.col("__n").cast("double"))
+        ).alias("strength"),
+        (F.col("__cum") / F.col("__rn")).alias("mean_before"),
+        F.try_divide(
+            F.col("__mean") * F.col("__n") - F.col("__cum"),
+            (F.col("__n") - F.col("__rn")).cast("double"),
+        ).alias("mean_after"),
+    )

@@ -470,3 +470,64 @@ def test_reconcile_matches_python_replay(spark, parents, children, tol):
     # fp slack: the engine's strict > can land either side of a
     # tolerance that hypothesis set exactly at a diff boundary
     assert viol <= r.n_violations <= loose
+
+
+def test_cusum_changepoint_finds_known_shift(spark):
+    from pandera_spark.operators.temporal import cusum_changepoints
+
+    # key "a": mean 0 for 40 points then mean 10 for 40 -> cp at idx 40
+    rows = []
+    for i in range(80):
+        v = 0.0 if i < 40 else 10.0
+        v += (i % 5) * 0.1  # mild noise, deterministic
+        rows.append(("a", _ts(f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}"), v))
+    for i in range(50):  # key "b": flat
+        rows.append(("b", _ts(f"2024-01-01 01:{i // 60:02d}:{i % 60:02d}"), 5.0 + (i % 3) * 0.01))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double")
+    out = {r.k: r for r in cusum_changepoints(
+        df, "ts", "x", keys=["k"]).collect()}
+    a = out["a"]
+    assert a.n == 80 and a.cp_index == 40
+    assert a.mean_before == pytest.approx(0.2, abs=1e-9)
+    assert a.mean_after == pytest.approx(10.2, abs=1e-9)
+    assert a.strength > 3.0
+    b = out["b"]
+    assert b.strength is None or b.strength < 1.5
+    # python replay of S at the changepoint for key a
+    xs = [r[2] for r in rows if r[0] == "a"]
+    mean = sum(xs) / len(xs)
+    s = 0.0
+    best = (0.0, -1)
+    for i, v in enumerate(xs, 1):
+        s += v - mean
+        if abs(s) > best[0]:
+            best = (abs(s), i)
+    assert a.cp_index == best[1]
+    assert a.s_max_abs == pytest.approx(best[0], rel=1e-12)
+
+
+def test_cusum_degenerate_constant_series(spark):
+    from pandera_spark.operators.temporal import cusum_changepoints
+
+    df = spark.createDataFrame(
+        [("a", _ts(f"2024-01-01 00:00:{i:02d}"), 7.0) for i in range(10)],
+        "k string, ts timestamp, x double",
+    )
+    r = cusum_changepoints(df, "ts", "x", keys=["k"]).first()
+    assert r.s_range == 0.0 and r.strength is None  # std=0 -> null (ANSI-safe)
+    assert r.mean_before == 7.0
+
+
+def test_cusum_plan_one_shuffle_partitioned_windows(spark):
+    from pandera_spark.audit import plan_report
+    from pandera_spark.operators.temporal import cusum_changepoints
+
+    df = spark.createDataFrame(
+        [("a", _ts("2024-01-01 00:00:01"), 1.0)],
+        "k string, ts timestamp, x double",
+    )
+    rep = plan_report(cusum_changepoints(df, "ts", "x", keys=["k"]))
+    assert rep["unpartitioned_windows"] == []
+    assert rep["cartesian_products"] == 0
+    # all window passes reuse the single key shuffle
+    assert rep["exchanges"] <= 2
