@@ -1347,6 +1347,93 @@ FROM a, b
 """
 
 
+def q_benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen on extended price
+    (operators/monitoring.py:benford_digits): digit via the integer-
+    mantissa string route (log10-free — lib last-ulp differences at
+    powers of ten would make floor(log10) engine-dependent), one
+    digit-grain aggregation joined to the 9-row spine."""
+    from pandera_spark.operators.monitoring import benford_digits
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = benford_digits(li, "l_extendedprice")
+    return out.select(
+        "digit", "n",
+        F.round("obs_frac", 6).alias("obs_r"),
+        F.round("exp_frac", 6).alias("exp_r"),
+        F.round("dev", 6).alias("dev_r"),
+    )
+
+
+_BENFORD_DIGITS_CTE = """
+v AS (
+  SELECT CAST(ROUND(ABS(l_extendedprice) * 1000000.0) AS BIGINT) AS m
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+    AND ABS(l_extendedprice) < 9e12
+), d AS (
+  SELECT CAST(SUBSTR(CAST(m AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM v WHERE m > 0
+), c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+sp AS (SELECT UNNEST(generate_series(1, 9)) AS digit),
+t AS (SELECT SUM(n) AS tot FROM c),
+dig AS (
+  SELECT sp.digit, COALESCE(c.n, 0) AS n,
+         COALESCE(c.n, 0) / CAST(t.tot AS DOUBLE) AS obs,
+         LOG10(1.0 + 1.0 / sp.digit) AS expf
+  FROM sp LEFT JOIN c USING (digit) CROSS JOIN t
+)
+"""
+
+_BENFORD_ORACLE = f"""
+WITH {_BENFORD_DIGITS_CTE}
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(obs, 6) AS obs_r,
+       ROUND(expf, 6) AS exp_r,
+       ROUND(obs - expf, 6) AS dev_r
+FROM dig
+"""
+
+
+def q_benfordsum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford conformity summary
+    (operators/monitoring.py:benford_summary): chi2 over the 9-digit
+    frame with the shared Wilson-Hilferty p replay, plus Nigrini MAD
+    (the scale-free conformity score)."""
+    from pandera_spark.operators.monitoring import benford_summary
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = benford_summary(li, "l_extendedprice")
+    return out.select(
+        "n",
+        F.round("chi2", 4).alias("chi2_r"),
+        F.round("pvalue", 6).alias("p_r"),
+        F.round("mad", 6).alias("mad_r"),
+        F.round("max_abs_dev", 6).alias("maxdev_r"),
+    )
+
+
+def _benfordsum_oracle() -> str:
+    z = (
+        "((POW(chi2 / 8.0, 1.0/3.0) - (1 - 2 / (9 * 8.0)))"
+        " / SQRT(2 / (9 * 8.0)))"
+    )
+    return f"""
+WITH {_BENFORD_DIGITS_CTE},
+agg AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         SUM((obs - expf) * (obs - expf) / expf) AS con,
+         AVG(ABS(obs - expf)) AS mad,
+         MAX(ABS(obs - expf)) AS maxdev
+  FROM dig
+), f AS (SELECT n, n * con AS chi2, mad, maxdev FROM agg)
+SELECT n, ROUND(chi2, 4) AS chi2_r,
+       ROUND(CASE WHEN n > 0 THEN {_norm_sf_sql(z)} END, 6) AS p_r,
+       ROUND(mad, 6) AS mad_r, ROUND(maxdev, 6) AS maxdev_r
+FROM f
+"""
+
+
 def q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type mean-shift changepoint scan
     (operators/temporal.py:cusum_changepoints — the CUSUM/Taylor
@@ -8679,6 +8766,8 @@ def _queries_unordered() -> dict[
         "fingerprint_documents": q_fingerprint_documents,
         "ttest_events": q_ttest_events,
         "ttest_welch_events": q_ttest_welch_events,
+        "benford_lineitem": q_benford_lineitem,
+        "benfordsum_lineitem": q_benfordsum_lineitem,
         "cusum_events": q_cusum_events,
         "mannwhitney_events": q_mannwhitney_events,
         "kruskal_events": q_kruskal_events,
@@ -9101,6 +9190,8 @@ FROM ranked WHERE rank <= 5
         ),
         "ttest_events": _TTEST_ORACLE,
         "ttest_welch_events": _TTEST_WELCH_ORACLE,
+        "benford_lineitem": _BENFORD_ORACLE,
+        "benfordsum_lineitem": _benfordsum_oracle(),
         "cusum_events": _CUSUM_ORACLE,
         "mannwhitney_events": _mannwhitney_oracle(),
         "kruskal_events": _kruskal_oracle(),

@@ -40,6 +40,8 @@ __all__ = [
     "seasonal_baseline",
     "freshness_heartbeat_foreach_batch",
     "read_freshness_ledger",
+    "benford_digits",
+    "benford_summary",
 ]
 
 
@@ -282,3 +284,110 @@ def read_freshness_ledger(
                 F.col("lag_seconds") > F.lit(int(max_lag_seconds)),
             )
     return out
+
+
+def _benford_first_digit(x, precision: int):
+    """Leading significant digit of ``|x|`` via the integer-mantissa
+    route: scale to ``round(|x| * 10^p)`` (exact BIGINT), take the
+    first character of its decimal string.  log10-free on purpose —
+    ``floor(log10(v))`` flips at powers of ten under lib-specific
+    last-ulp differences, which would make the digit engine-dependent;
+    integer-to-string is bit-identical everywhere.  Values that scale
+    to 0 (|x| < 0.5·10^-p) are invalid (null digit)."""
+    m = F.round(F.abs(x) * F.lit(float(10 ** precision))).cast("long")
+    return F.when(
+        m > 0, F.substring(m.cast("string"), 1, 1).cast("int")
+    )
+
+
+def benford_digits(
+    df: DataFrame,
+    col: str,
+    *,
+    precision: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/degenerate-numbers screen for money-like,
+    naturally-scaled columns.
+
+    Output: 9 rows ``(digit, n, obs_frac, exp_frac, dev)`` where
+    ``exp_frac = log10(1 + 1/d)`` and ``dev = obs_frac − exp_frac``;
+    digits nobody hit still appear with ``n = 0`` (they count against
+    conformity).  Nulls, zeros, non-finite values, values smaller than
+    ``0.5·10^-precision``, and values whose scaled mantissa would
+    overflow BIGINT are excluded from the denominator.
+
+    Plan: one digit-grain aggregation (9 survivors) joined onto a
+    9-row digit spine with the 1-row total broadcast — nothing beyond
+    the first aggregation touches data-sized frames.
+    """
+    if not 0 <= precision <= 12:
+        raise ValueError(f"precision must be in [0, 12]: {precision}")
+    x = F.col(col).cast("double")
+    ok = (
+        x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) < F.lit(9.0e18 / 10 ** precision))
+    )
+    d = _benford_first_digit(x, precision)
+    counts = (
+        df.where(ok)
+        .select(d.alias("digit"))
+        .where(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark = df.sparkSession
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    total = counts.agg(F.sum("n").alias("__tot"))
+    joined = (
+        spine.join(F.broadcast(counts), "digit", "left")
+        .na.fill({"n": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    exp = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    obs = F.try_divide(F.col("n").cast("double"), F.col("__tot"))
+    return joined.select(
+        "digit",
+        "n",
+        obs.alias("obs_frac"),
+        exp.alias("exp_frac"),
+        (obs - exp).alias("dev"),
+    )
+
+
+def benford_summary(
+    df: DataFrame,
+    col: str,
+    *,
+    precision: int = 6,
+) -> DataFrame:
+    """One-row Benford conformity report: ``n, chi2, pvalue (dof 8,
+    Wilson-Hilferty), mad, max_abs_dev`` — MAD thresholds per Nigrini:
+    < 0.006 close conformity, > 0.015 nonconformity (report, don't
+    gate; scale inflates χ² on conforming data, MAD does not)."""
+    from .drift import _norm_sf
+
+    digits = benford_digits(df, col, precision=precision)
+    agg = digits.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum(
+            F.try_divide(
+                F.col("dev") * F.col("dev"), F.col("exp_frac")
+            )
+        ).alias("__chi_over_n"),
+        F.avg(F.abs(F.col("dev"))).alias("mad"),
+        F.max(F.abs(F.col("dev"))).alias("max_abs_dev"),
+    )
+    chi2 = F.col("n") * F.col("__chi_over_n")
+    k = F.lit(8.0)
+    z = (
+        F.pow(chi2 / k, F.lit(1.0 / 3.0)) - (1 - 2 / (9 * k))
+    ) / F.sqrt(2 / (9 * k))
+    return agg.select(
+        "n",
+        chi2.alias("chi2"),
+        F.when(F.col("n") > 0, _norm_sf(z)).alias("pvalue"),
+        "mad",
+        "max_abs_dev",
+    )

@@ -531,3 +531,67 @@ def test_cusum_plan_one_shuffle_partitioned_windows(spark):
     assert rep["cartesian_products"] == 0
     # all window passes reuse the single key shuffle
     assert rep["exchanges"] <= 2
+
+
+def test_benford_digits_known_distribution(spark):
+    from pandera_spark.operators.monitoring import benford_digits
+
+    # 1, 11, 111: digit 1 x3; 2: x1; plus excluded junk (0, null, tiny)
+    df = spark.createDataFrame(
+        [(1.0,), (11.0,), (111.5,), (2.5,), (0.0,), (None,), (1e-9,)],
+        "x double",
+    )
+    rows = {r.digit: r for r in benford_digits(df, "x").collect()}
+    assert sorted(rows) == list(range(1, 10))  # full spine, always 9 rows
+    assert rows[1].n == 3 and rows[2].n == 1
+    assert all(rows[d].n == 0 for d in range(3, 10))
+    assert rows[1].obs_frac == pytest.approx(0.75)
+    import math
+    assert rows[1].exp_frac == pytest.approx(math.log10(2))
+    assert rows[9].dev == pytest.approx(-math.log10(1 + 1 / 9))
+
+
+def test_benford_digit_boundary_powers_of_ten(spark):
+    from pandera_spark.operators.monitoring import benford_digits
+
+    # powers of ten are the classic log10-ulp trap; the integer-
+    # mantissa route must put them all in digit 1
+    vals = [0.001, 0.01, 0.1, 1.0, 10.0, 100.0, 1000.0, 1e6, 1e9]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r.digit: r.n for r in benford_digits(df, "x").collect()}
+    assert rows[1] == len(vals)
+    # 9.999999 stays digit 9 at precision 6; 9.9999999 rounds to 10.0
+    df2 = spark.createDataFrame([(9.999999,), (9.9999999,)], "x double")
+    rows2 = {r.digit: r.n for r in benford_digits(df2, "x").collect()}
+    assert rows2[9] == 1 and rows2[1] == 1
+
+
+def test_benford_summary_conforming_vs_uniform(spark):
+    import math
+
+    from pandera_spark.operators.monitoring import benford_summary
+
+    # geometric ramp = near-perfect Benford; uniform 100..999 = flat
+    geo = spark.createDataFrame(
+        [(math.pow(10, (i % 1000) / 1000.0),) for i in range(9000)],
+        "x double",
+    )
+    uni = spark.createDataFrame(
+        [(float(100 + i % 900),) for i in range(9000)], "x double"
+    )
+    g = benford_summary(geo, "x").first()
+    u = benford_summary(uni, "x").first()
+    assert g.n == 9000 and u.n == 9000
+    assert g.mad < 0.006          # Nigrini close conformity
+    assert u.mad > 0.015          # clear nonconformity
+    assert g.chi2 < u.chi2
+    assert u.pvalue < 1e-6 and g.pvalue > 0.1
+
+
+def test_benford_empty_input_null_summary(spark):
+    from pandera_spark.operators.monitoring import benford_summary
+
+    df = spark.createDataFrame([(0.0,), (None,)], "x double")
+    r = benford_summary(df, "x").first()
+    assert r.n == 0
+    assert r.pvalue is None  # no chi2 on an empty screen
