@@ -1347,6 +1347,54 @@ FROM a, b
 """
 
 
+def q_qbins_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning of extended price
+    (operators/encode.py:fit_quantile_bins + quantile_bin): exact
+    interior octile edges via F.percentile (same linear interpolation
+    as SQL quantile_cont; interpolated edges sit strictly between
+    adjacent order stats, so < binning is ulp-robust), apply is a pure
+    CASE projection.  Per-bin count/min/max/sum certify both the edge
+    arithmetic and the boundary rule."""
+    from pandera_spark.operators.encode import quantile_bin
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = quantile_bin(li, "l_extendedprice", n_bins=8)
+    return out.groupBy(
+        F.col("l_extendedprice_bin").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_r"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_r"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_r"),
+    )
+
+
+_QBINS_ORACLE = """
+WITH e AS (
+  SELECT quantile_cont(l_extendedprice,
+           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+), b AS (
+  SELECT CASE WHEN l_extendedprice IS NULL THEN -1
+              WHEN l_extendedprice < q[1] THEN 0
+              WHEN l_extendedprice < q[2] THEN 1
+              WHEN l_extendedprice < q[3] THEN 2
+              WHEN l_extendedprice < q[4] THEN 3
+              WHEN l_extendedprice < q[5] THEN 4
+              WHEN l_extendedprice < q[6] THEN 5
+              WHEN l_extendedprice < q[7] THEN 6
+              ELSE 7 END AS bin,
+         l_extendedprice AS v
+  FROM lineitem CROSS JOIN e
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(v), 2) AS min_r, ROUND(MAX(v), 2) AS max_r,
+       ROUND(SUM(v), 2) AS sum_r
+FROM b GROUP BY bin
+"""
+
+
 def q_benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit screen on extended price
     (operators/monitoring.py:benford_digits): digit via the integer-
@@ -8766,6 +8814,7 @@ def _queries_unordered() -> dict[
         "fingerprint_documents": q_fingerprint_documents,
         "ttest_events": q_ttest_events,
         "ttest_welch_events": q_ttest_welch_events,
+        "qbins_lineitem": q_qbins_lineitem,
         "benford_lineitem": q_benford_lineitem,
         "benfordsum_lineitem": q_benfordsum_lineitem,
         "cusum_events": q_cusum_events,
@@ -9190,6 +9239,7 @@ FROM ranked WHERE rank <= 5
         ),
         "ttest_events": _TTEST_ORACLE,
         "ttest_welch_events": _TTEST_WELCH_ORACLE,
+        "qbins_lineitem": _QBINS_ORACLE,
         "benford_lineitem": _BENFORD_ORACLE,
         "benfordsum_lineitem": _benfordsum_oracle(),
         "cusum_events": _CUSUM_ORACLE,

@@ -27,7 +27,13 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fit_target_encoding", "target_encode", "frequency_encode"]
+__all__ = [
+    "fit_target_encoding",
+    "target_encode",
+    "frequency_encode",
+    "fit_quantile_bins",
+    "quantile_bin",
+]
 
 
 def fit_target_encoding(
@@ -176,3 +182,71 @@ def frequency_encode(
         "left",
     ).drop("__k")
     return joined.withColumnRenamed(val, out)
+
+
+def fit_quantile_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    *,
+    exact: bool = True,
+    relative_error: float = 1e-4,
+) -> list:
+    """Equal-frequency bin edges: the ``n_bins - 1`` interior
+    quantiles of ``col`` (q = i/n_bins), as a driver-side list of
+    floats (bounded: one aggregate row).
+
+    ``exact=True`` uses ``F.percentile`` (linear interpolation — the
+    same definition as SQL ``quantile_cont``, so an external engine
+    reproduces the edges; interpolated edges fall strictly between
+    adjacent order statistics, which makes the downstream ``<``
+    binning immune to last-ulp interpolation differences).  At 100 TB
+    pass ``exact=False`` for ``percentile_approx`` (sketch-based, one
+    pass, no sort) — the edges then carry the sketch's rank error.
+    Nulls and NaNs are excluded from the fit.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    x = F.col(col).cast("double")
+    sub = df.where(x.isNotNull() & ~F.isnan(x))
+    if exact:
+        agg = sub.agg(F.percentile(x, F.lit(qs)).alias("e"))
+    else:
+        acc = max(1, int(1.0 / float(relative_error)))
+        agg = sub.agg(
+            F.percentile_approx(x, F.lit(qs), F.lit(acc)).alias("e")
+        )
+    row = agg.first()
+    edges = list(row["e"]) if row and row["e"] is not None else []
+    if not edges:
+        raise ValueError(f"no non-null values in {col!r} to fit bins")
+    return edges
+
+
+def quantile_bin(
+    df: DataFrame,
+    col: str,
+    *,
+    n_bins: Optional[int] = None,
+    edges: Optional[list] = None,
+    out_col: Optional[str] = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Append the equal-frequency bin id of ``col``: bin i covers
+    ``[edge_{i-1}, edge_i)`` (drift.bin_column semantics; nulls land
+    in bin -1).  Pass ``n_bins`` to fit on this frame, or ``edges``
+    from :func:`fit_quantile_bins` on TRAIN data to bin validation
+    data with the train boundaries (the leakage-safe path).  The
+    apply side is a pure CASE projection — no join, no shuffle.
+    """
+    from .drift import bin_column
+
+    if (edges is None) == (n_bins is None):
+        raise ValueError("pass exactly one of n_bins or edges")
+    if edges is None:
+        edges = fit_quantile_bins(df, col, n_bins, exact=exact)
+    return df.withColumn(
+        out_col or f"{col}_bin",
+        bin_column(F.col(col).cast("double"), list(edges)),
+    )

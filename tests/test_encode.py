@@ -128,3 +128,69 @@ def test_encode_plans_no_cartesian(spark):
     ):
         rep = plan_report(frame)
         assert rep["cartesian_products"] == 0
+
+
+def test_fit_quantile_bins_exact_edges(spark):
+    from pandera_spark.operators.encode import fit_quantile_bins
+
+    # 0..99: quartile edges at linear-interpolated order stats
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    edges = fit_quantile_bins(df, "x", 4)
+    assert edges == pytest.approx([24.75, 49.5, 74.25])
+    with pytest.raises(ValueError, match="n_bins"):
+        fit_quantile_bins(df, "x", 1)
+    empty = spark.createDataFrame([(None,)], "x double")
+    with pytest.raises(ValueError, match="no non-null"):
+        fit_quantile_bins(empty, "x", 4)
+
+
+def test_quantile_bin_balanced_and_null_bin(spark):
+    from pandera_spark.operators.encode import quantile_bin
+
+    rows = [(float(i),) for i in range(100)] + [(None,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = quantile_bin(df, "x", n_bins=4)
+    counts = {
+        r["x_bin"]: r["n"]
+        for r in out.groupBy("x_bin").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert counts[-1] == 1  # null bin
+    assert sum(v for k, v in counts.items() if k >= 0) == 100
+    # equal-frequency: every bin gets ~25
+    assert all(v == 25 for k, v in counts.items() if k >= 0)
+
+
+def test_quantile_bin_train_edges_on_validation(spark):
+    from pandera_spark.operators.encode import (
+        fit_quantile_bins,
+        quantile_bin,
+    )
+
+    train = spark.createDataFrame(
+        [(float(i),) for i in range(1000)], "x double"
+    )
+    edges = fit_quantile_bins(train, "x", 5)
+    val = spark.createDataFrame(
+        [(-50.0,), (100.5,), (999.0,), (5000.0,)], "x double"
+    )
+    got = {
+        r.x: r.x_bin
+        for r in quantile_bin(val, "x", edges=edges).collect()
+    }
+    assert got[-50.0] == 0 and got[5000.0] == 4  # out-of-range clamps
+    with pytest.raises(ValueError, match="exactly one"):
+        quantile_bin(val, "x")
+    with pytest.raises(ValueError, match="exactly one"):
+        quantile_bin(val, "x", n_bins=3, edges=edges)
+
+
+def test_quantile_bin_apply_is_projection_only(spark):
+    from pandera_spark.audit import plan_report
+    from pandera_spark.operators.encode import quantile_bin
+
+    df = spark.createDataFrame([(float(i),) for i in range(50)], "x double")
+    rep = plan_report(quantile_bin(df, "x", edges=[10.0, 25.0]))
+    assert rep["exchanges"] == 0  # pure CASE projection, no shuffle
+    assert rep["cartesian_products"] == 0
