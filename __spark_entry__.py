@@ -1347,6 +1347,132 @@ FROM a, b
 """
 
 
+def q_propz_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test readout (operators/abtest.py:
+    proportion_ztest): deterministic variant = user_id parity,
+    success = purchase event.  ONE conditional-aggregate scan — no
+    group shuffle at all; z/p via the shared A&S normal replay."""
+    from pandera_spark.operators.abtest import proportion_ztest
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "variant",
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "A").otherwise("B"),
+    )
+    out = proportion_ztest(
+        ev, "variant", "A", "B", F.col("event_type") == "purchase"
+    )
+    return out.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round("p_a", 6).alias("pa_r"),
+        F.round("p_b", 6).alias("pb_r"),
+        F.round("lift", 6).alias("lift_r"),
+        F.round("z", 6).alias("z_r"),
+        F.round("pvalue", 6).alias("p_r"),
+    )
+
+
+def _propz_oracle() -> str:
+    z = "((ca / na - cb / nb) / SQRT(pool * (1 - pool) * (1.0/na + 1.0/nb)))"
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         COALESCE(event_type = 'purchase', FALSE) AS win
+  FROM events
+), a AS (
+  SELECT CAST(SUM(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN v = 'A' AND win THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(SUM(CASE WHEN v = 'B' AND win THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM s
+), f AS (
+  SELECT n_a, n_b, conv_a, conv_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(conv_a AS DOUBLE) AS ca, CAST(conv_b AS DOUBLE) AS cb,
+         (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS pool
+  FROM a
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND(ca / na, 6) AS pa_r, ROUND(cb / nb, 6) AS pb_r,
+       ROUND(ca / na - cb / nb, 6) AS lift_r,
+       ROUND({z}, 6) AS z_r,
+       ROUND(2.0 * {_norm_sf_sql(f"ABS({z})")}, 6) AS p_r
+FROM f
+"""
+
+
+def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout
+    (operators/abtest.py:cuped_adjust — Deng et al. 2013): metric =
+    value, pre-metric covariate = props.k, variant = user_id parity.
+    theta/rho from pooled covar/var in the SAME single aggregation as
+    the per-variant sums."""
+    from pandera_spark.operators.abtest import cuped_adjust
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .withColumn(
+            "variant",
+            F.when(F.pmod(F.col("user_id"), 2) == 0, "A").otherwise("B"),
+        )
+        .withColumn(
+            "cov_k",
+            F.get_json_object(F.col("props"), "$.k").cast("double"),
+        )
+    )
+    out = cuped_adjust(ev, "value", "cov_k", "variant", "A", "B")
+    return out.select(
+        "n_a", "n_b",
+        F.round("theta", 6).alias("theta_r"),
+        F.round("rho", 6).alias("rho_r"),
+        F.round("diff", 6).alias("diff_r"),
+        F.round("adj_diff", 6).alias("adjdiff_r"),
+        F.round("z", 6).alias("z_r"),
+        F.round("pvalue", 6).alias("p_r"),
+    )
+
+
+def _cuped_oracle() -> str:
+    z = (
+        "((sy_a/na - theta*(sx_a/na - xbar)"
+        " - (sy_b/nb - theta*(sx_b/nb - xbar)))"
+        " / SQRT(vy * (1 - rho*rho) * (1.0/na + 1.0/nb)))"
+    )
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         value AS y,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS x
+  FROM events
+), c AS (
+  SELECT * FROM s WHERE y IS NOT NULL AND x IS NOT NULL
+), a AS (
+  SELECT CAST(SUM(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN v = 'A' THEN y END) AS sy_a,
+         SUM(CASE WHEN v = 'B' THEN y END) AS sy_b,
+         SUM(CASE WHEN v = 'A' THEN x END) AS sx_a,
+         SUM(CASE WHEN v = 'B' THEN x END) AS sx_b,
+         COVAR_SAMP(y, x) AS cv, VAR_SAMP(x) AS vx, VAR_SAMP(y) AS vy,
+         AVG(x) AS xbar
+  FROM c
+), f AS (
+  SELECT n_a, n_b, sy_a, sy_b, sx_a, sx_b, vy, xbar,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         cv / vx AS theta, cv / SQRT(vx * vy) AS rho
+  FROM a
+)
+SELECT n_a, n_b, ROUND(theta, 6) AS theta_r, ROUND(rho, 6) AS rho_r,
+       ROUND(sy_a/na - sy_b/nb, 6) AS diff_r,
+       ROUND(sy_a/na - theta*(sx_a/na - xbar)
+             - (sy_b/nb - theta*(sx_b/nb - xbar)), 6) AS adjdiff_r,
+       ROUND({z}, 6) AS z_r,
+       ROUND(2.0 * {_norm_sf_sql(f"ABS({z})")}, 6) AS p_r
+FROM f
+"""
+
+
 def q_qbins_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency binning of extended price
     (operators/encode.py:fit_quantile_bins + quantile_bin): exact
@@ -8814,6 +8940,8 @@ def _queries_unordered() -> dict[
         "fingerprint_documents": q_fingerprint_documents,
         "ttest_events": q_ttest_events,
         "ttest_welch_events": q_ttest_welch_events,
+        "propz_events": q_propz_events,
+        "cuped_events": q_cuped_events,
         "qbins_lineitem": q_qbins_lineitem,
         "benford_lineitem": q_benford_lineitem,
         "benfordsum_lineitem": q_benfordsum_lineitem,
@@ -9239,6 +9367,8 @@ FROM ranked WHERE rank <= 5
         ),
         "ttest_events": _TTEST_ORACLE,
         "ttest_welch_events": _TTEST_WELCH_ORACLE,
+        "propz_events": _propz_oracle(),
+        "cuped_events": _cuped_oracle(),
         "qbins_lineitem": _QBINS_ORACLE,
         "benford_lineitem": _BENFORD_ORACLE,
         "benfordsum_lineitem": _benfordsum_oracle(),

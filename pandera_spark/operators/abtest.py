@@ -1,0 +1,154 @@
+"""A/B experiment readouts: two-proportion z-test and CUPED variance
+reduction — the two statistics every event-pipeline experimentation
+readout needs, as closed-form single-aggregation operators.
+
+Both are ONE global aggregation built from conditional aggregates
+(``sum(when(variant == a, ...))``), so there is no per-group shuffle at
+all — the whole readout is a map-side-combined scan, the cheapest
+possible plan at any scale.  Both are deterministic and exactly
+replayable in ANSI SQL (normal p-values via the shared Abramowitz-
+Stegun polynomial, as ``drift._norm_sf``).
+
+CUPED (Deng et al. 2013, "Improving the sensitivity of online
+controlled experiments by utilizing pre-experiment data"):
+``y_adj = y − θ·(x − x̄)`` with ``θ = cov(y, x)/var(x)`` computed on
+the pooled sample; the adjusted treatment effect keeps the same
+expectation while the variance shrinks by the factor ``1 − ρ²``.  The
+covariate must be PRE-experiment (unaffected by treatment) — that is a
+design contract, not something the math can check.
+
+Reference parity: none (pandera validates frames; it has no
+experimentation tier); beyond-reference analytics next to
+``operators/stats.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as C
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .drift import _norm_sf
+
+__all__ = ["proportion_ztest", "cuped_adjust"]
+
+
+def _is(group_col: str, level) -> C:
+    return F.col(group_col) == F.lit(level)
+
+
+def proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    success: C,
+) -> DataFrame:
+    """Two-proportion z-test of ``P(success | a)`` vs ``P(success | b)``.
+
+    ``success`` is any boolean Column (e.g. ``F.col("event_type") ==
+    "purchase"``); null successes count as false.  One row:
+    ``n_a, n_b, conv_a, conv_b, p_a, p_b, lift, z, pvalue`` — pooled
+    standard error, two-sided normal p.  ``z``/``pvalue`` are null
+    when a group is empty or the pooled proportion is degenerate
+    (0 or 1 → zero variance).
+    """
+    sa, sb = _is(group_col, group_a), _is(group_col, group_b)
+    win = F.coalesce(success.cast("boolean"), F.lit(False))
+    agg = df.agg(
+        F.sum(sa.cast("long")).alias("n_a"),
+        F.sum(sb.cast("long")).alias("n_b"),
+        F.sum((sa & win).cast("long")).alias("conv_a"),
+        F.sum((sb & win).cast("long")).alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa = F.try_divide(F.col("conv_a").cast("double"), na)
+    pb = F.try_divide(F.col("conv_b").cast("double"), nb)
+    pool = F.try_divide(
+        (F.col("conv_a") + F.col("conv_b")).cast("double"), na + nb
+    )
+    inv = F.try_divide(F.lit(1.0), na) + F.try_divide(F.lit(1.0), nb)
+    se = F.sqrt(pool * (1 - pool) * inv)
+    z = F.try_divide(pa - pb, se)
+    return agg.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        pa.alias("p_a"),
+        pb.alias("p_b"),
+        (pa - pb).alias("lift"),
+        z.alias("z"),
+        (2.0 * _norm_sf(F.abs(z))).alias("pvalue"),
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """CUPED-adjusted difference in means of ``metric_col`` between
+    variants, using pre-experiment ``covariate_col``.
+
+    One row: ``n_a, n_b, theta, rho, var_reduction, mean_a, mean_b,
+    diff, adj_mean_a, adj_mean_b, adj_diff, z, pvalue`` where
+
+    - ``theta = cov(y, x) / var(x)`` and ``rho = corr(y, x)`` on the
+      pooled (both-variant, pairwise-complete) sample;
+    - ``adj_mean_g = mean_g(y) − theta·(mean_g(x) − x̄_pooled)``;
+    - ``var_reduction = ρ²`` (the fraction of metric variance the
+      covariate removes);
+    - ``z`` uses the pooled adjusted variance
+      ``var(y)·(1 − ρ²)·(1/n_a + 1/n_b)`` — the standard large-sample
+      CUPED readout (per-variant variances differ only at higher
+      order).
+
+    Rows with a null metric or covariate are excluded (θ must be fit
+    and applied on the same sample or the adjustment biases).
+    """
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    sub = df.where(
+        y.isNotNull() & x.isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    )
+    sa, sb = _is(group_col, group_a), _is(group_col, group_b)
+    agg = sub.agg(
+        F.sum(sa.cast("long")).alias("n_a"),
+        F.sum(sb.cast("long")).alias("n_b"),
+        F.sum(F.when(sa, y)).alias("sy_a"),
+        F.sum(F.when(sb, y)).alias("sy_b"),
+        F.sum(F.when(sa, x)).alias("sx_a"),
+        F.sum(F.when(sb, x)).alias("sx_b"),
+        F.covar_samp(y, x).alias("cov"),
+        F.var_samp(x).alias("vx"),
+        F.var_samp(y).alias("vy"),
+        F.avg(x).alias("x_bar"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    theta = F.try_divide(F.col("cov"), F.col("vx"))
+    rho = F.try_divide(
+        F.col("cov"), F.sqrt(F.col("vx") * F.col("vy"))
+    )
+    mean_a = F.try_divide(F.col("sy_a"), na)
+    mean_b = F.try_divide(F.col("sy_b"), nb)
+    adj_a = mean_a - theta * (F.try_divide(F.col("sx_a"), na) - F.col("x_bar"))
+    adj_b = mean_b - theta * (F.try_divide(F.col("sx_b"), nb) - F.col("x_bar"))
+    var_adj = F.col("vy") * (1 - rho * rho)
+    inv = F.try_divide(F.lit(1.0), na) + F.try_divide(F.lit(1.0), nb)
+    z = F.try_divide(adj_a - adj_b, F.sqrt(var_adj * inv))
+    return agg.select(
+        "n_a", "n_b",
+        theta.alias("theta"),
+        rho.alias("rho"),
+        (rho * rho).alias("var_reduction"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        (mean_a - mean_b).alias("diff"),
+        adj_a.alias("adj_mean_a"),
+        adj_b.alias("adj_mean_b"),
+        (adj_a - adj_b).alias("adj_diff"),
+        z.alias("z"),
+        (2.0 * _norm_sf(F.abs(z))).alias("pvalue"),
+    )
