@@ -1347,6 +1347,100 @@ FROM a, b
 """
 
 
+def q_km_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-purchase per variant
+    (operators/survival.py:km_curve): subjects = users, duration =
+    first-event -> first-purchase seconds (censored at last event),
+    right-censoring handled by the product-limit estimator.  One
+    subject aggregation, one (variant, t)-grain collapse, cumulative
+    windows partitioned by variant; the running product is
+    exp(sum(ln)) so the oracle replays it with SQL windows."""
+    from pandera_spark.operators.survival import km_curve
+
+    ev = _load(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    subj = per_user.select(
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        F.when(
+            F.col("tp").isNotNull(),
+            (us("tp") - us("t0")) / F.lit(1e6),
+        )
+        .otherwise((us("t1") - us("t0")) / F.lit(1e6))
+        .alias("dur"),
+        F.col("tp").isNotNull().alias("ev"),
+    )
+    out = km_curve(subj, "dur", "ev", by="variant")
+    return out.select(
+        "variant", "t", "n_risk", "d", "c",
+        F.round("survival", 6).alias("s_r"),
+        # -1 sentinel: the harness reads oracle doubles through pandas,
+        # where SQL NULL and NaN collapse -- keep the column non-null
+        F.coalesce(F.round("std_err", 6), F.lit(-1.0)).alias("se_r"),
+    )
+
+
+_KM_ORACLE = """
+WITH u AS (
+  SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY user_id
+), subj AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN tp IS NOT NULL
+              THEN (epoch_us(tp) - epoch_us(t0)) / 1e6
+              ELSE (epoch_us(t1) - epoch_us(t0)) / 1e6 END AS t,
+         tp IS NOT NULL AS e
+  FROM u
+), grain AS (
+  SELECT variant, t,
+         SUM(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+         SUM(CASE WHEN e THEN 0 ELSE 1 END) AS c
+  FROM subj GROUP BY variant, t
+), w AS (
+  SELECT variant, t, d, c,
+         SUM(d + c) OVER (PARTITION BY variant)
+           - SUM(d + c) OVER (PARTITION BY variant ORDER BY t
+                              ROWS UNBOUNDED PRECEDING)
+           + (d + c) AS n_risk
+  FROM grain
+), k AS (
+  SELECT *,
+         CASE WHEN d < n_risk AND d > 0
+              THEN LN(1.0 - d / CAST(n_risk AS DOUBLE))
+              ELSE 0.0 END AS lt,
+         CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END AS za,
+         CASE WHEN d > 0 AND d < n_risk
+              THEN d / (CAST(n_risk AS DOUBLE) * (n_risk - d))
+              ELSE 0.0 END AS gt
+  FROM w
+), f AS (
+  SELECT variant, t, n_risk, d, c,
+         SUM(lt) OVER (PARTITION BY variant ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS clt,
+         SUM(za) OVER (PARTITION BY variant ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS cz,
+         SUM(gt) OVER (PARTITION BY variant ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS cgw
+  FROM k
+)
+SELECT variant, t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+       ROUND(CASE WHEN cz > 0 THEN 0.0 ELSE EXP(clt) END, 6) AS s_r,
+       COALESCE(ROUND(CASE WHEN cz = 0 THEN EXP(clt) * SQRT(cgw) END,
+                      6), -1.0) AS se_r
+FROM f
+"""
+
+
 def q_propz_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test readout (operators/abtest.py:
     proportion_ztest): deterministic variant = user_id parity,
@@ -8940,6 +9034,7 @@ def _queries_unordered() -> dict[
         "fingerprint_documents": q_fingerprint_documents,
         "ttest_events": q_ttest_events,
         "ttest_welch_events": q_ttest_welch_events,
+        "km_events": q_km_events,
         "propz_events": q_propz_events,
         "cuped_events": q_cuped_events,
         "qbins_lineitem": q_qbins_lineitem,
@@ -9367,6 +9462,7 @@ FROM ranked WHERE rank <= 5
         ),
         "ttest_events": _TTEST_ORACLE,
         "ttest_welch_events": _TTEST_WELCH_ORACLE,
+        "km_events": _KM_ORACLE,
         "propz_events": _propz_oracle(),
         "cuped_events": _cuped_oracle(),
         "qbins_lineitem": _QBINS_ORACLE,

@@ -1,0 +1,105 @@
+"""Kaplan-Meier estimator vs hand-computed and python-replay values."""
+
+import math
+
+import pytest
+
+from pandera_spark.operators.survival import km_curve
+
+
+def _py_km(pairs):
+    """pairs: (duration, observed). Returns {t: (n_risk, d, c, S, se)}."""
+    from collections import defaultdict
+
+    d = defaultdict(int)
+    c = defaultdict(int)
+    for t, e in pairs:
+        (d if e else c)[t] += 1
+    times = sorted(set(d) | set(c))
+    n = len(pairs)
+    s = 1.0
+    gw = 0.0
+    out = {}
+    for t in times:
+        dt, ct = d.get(t, 0), c.get(t, 0)
+        if dt:
+            if dt >= n:
+                s = 0.0
+            else:
+                s *= 1 - dt / n
+                gw += dt / (n * (n - dt))
+        se = None if s == 0.0 else s * math.sqrt(gw)
+        out[t] = (n, dt, ct, s, se)
+        n -= dt + ct
+    return out
+
+
+def test_km_textbook_example(spark):
+    # classic: events at 1, 3, 5; censored at 2, 4
+    pairs = [(1.0, True), (2.0, False), (3.0, True), (4.0, False), (5.0, True)]
+    df = spark.createDataFrame(pairs, "t double, e boolean")
+    got = {r.t: r for r in km_curve(df, "t", "e").collect()}
+    exp = _py_km(pairs)
+    assert set(got) == set(exp)
+    for t, (n, d, c, s, se) in exp.items():
+        r = got[t]
+        assert (r.n_risk, r.d, r.c) == (n, d, c)
+        assert r.survival == pytest.approx(s, rel=1e-12)
+        if se is None:
+            assert r.std_err is None
+        else:
+            assert r.std_err == pytest.approx(se, rel=1e-9)
+    # S(1)=4/5, S(3)=4/5*2/3, S(5)=0 (last at-risk subject dies)
+    assert got[1.0].survival == pytest.approx(0.8)
+    assert got[3.0].survival == pytest.approx(0.8 * 2 / 3)
+    assert got[5.0].survival == 0.0 and got[5.0].std_err is None
+
+
+def test_km_heavy_ties_and_replay(spark):
+    pairs = []
+    for i in range(200):
+        t = float((i % 7) + 1)
+        e = (i % 3) != 0
+        pairs.append((t, e))
+    df = spark.createDataFrame(pairs, "t double, e boolean")
+    got = {r.t: r for r in km_curve(df, "t", "e").collect()}
+    exp = _py_km(pairs)
+    assert set(got) == set(exp)
+    for t, (n, d, c, s, se) in exp.items():
+        assert got[t].n_risk == n
+        assert got[t].survival == pytest.approx(s, rel=1e-12)
+
+
+def test_km_groups_and_null_handling(spark):
+    rows = [
+        ("A", 1.0, True), ("A", 2.0, False), ("A", None, True),
+        ("B", 1.0, None), ("B", 3.0, True),
+    ]
+    df = spark.createDataFrame(rows, "g string, t double, e boolean")
+    out = km_curve(df, "t", "e", by="g").collect()
+    a = {r.t: r for r in out if r.g == "A"}
+    b = {r.t: r for r in out if r.g == "B"}
+    assert set(a) == {1.0, 2.0} and set(b) == {1.0, 3.0}
+    assert a[1.0].n_risk == 2  # null duration excluded
+    assert b[1.0].c == 1       # null event counts as censored
+    assert b[3.0].survival == 0.0  # only remaining subject dies
+
+
+def test_km_all_censored_flat_curve(spark):
+    df = spark.createDataFrame(
+        [(float(i), False) for i in range(1, 6)], "t double, e boolean"
+    )
+    out = km_curve(df, "t", "e").collect()
+    assert all(r.survival == 1.0 for r in out)
+    assert all(r.std_err == 0.0 for r in out)
+
+
+def test_km_plan_partitioned_windows(spark):
+    from pandera_spark.audit import plan_report
+
+    df = spark.createDataFrame(
+        [("A", 1.0, True)], "g string, t double, e boolean"
+    )
+    rep = plan_report(km_curve(df, "t", "e", by="g"))
+    assert rep["unpartitioned_windows"] == []
+    assert rep["cartesian_products"] == 0
