@@ -1347,6 +1347,99 @@ FROM a, b
 """
 
 
+def q_weightedsample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/curation.py:weighted_sample — Efraimidis-Spirakis A-ES
+    keys over the portable md5-prefix hash): 50 docs drawn with
+    probability proportional to text length.  TakeOrderedAndProject
+    (local top-n, no global sort); the oracle replays hash, key and
+    tie-break exactly."""
+    from pandera_spark.operators.curation import weighted_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, "doc_id", F.length("text"), 50, salt="r8"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("w"),
+    )
+
+
+def _weightedsample_oracle() -> str:
+    h = _HEXFOLD.format(e="CAST(doc_id AS VARCHAR) || 'r8'")
+    return f"""
+WITH s AS (
+  SELECT doc_id, LENGTH(text) AS w,
+         -LN(({h} + 0.5) / 268435456.0) / LENGTH(text) AS k
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND LENGTH(text) > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(w AS BIGINT) AS w
+FROM s ORDER BY k, doc_id LIMIT 50
+"""
+
+
+def q_fdrbenford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-comparison control composite
+    (operators/stats.py:fdr_bh over monitoring.benford_digits): each
+    digit's deviation becomes a two-sided binomial z p-value, then
+    Benjamini-Hochberg adjusts the 9-test family.  The windows order
+    the 9-row screen-results frame, never data."""
+    from pyspark.sql import Window
+
+    from pandera_spark.operators.drift import _norm_sf
+    from pandera_spark.operators.monitoring import benford_digits
+    from pandera_spark.operators.stats import fdr_bh
+
+    li = _load(spark, sf_dir, "lineitem")
+    dig = benford_digits(li, "l_extendedprice")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = F.sum("n").over(w_all).cast("double")
+    z = F.col("dev") / F.sqrt(
+        F.col("exp_frac") * (1 - F.col("exp_frac")) / tot
+    )
+    scored = dig.withColumn("p", 2.0 * _norm_sf(F.abs(z)))
+    out = fdr_bh(scored, "p", alpha=0.05)
+    return out.select(
+        "digit", "n",
+        F.round("p", 6).alias("p_r"),
+        F.round("q_value", 6).alias("q_r"),
+        "rejected",
+    )
+
+
+def _fdrbenford_oracle() -> str:
+    zexpr = (
+        "((obs - expf) / SQRT(expf * (1 - expf)"
+        " / (SELECT SUM(n) FROM dig)))"
+    )
+    p = f"(2.0 * {_norm_sf_sql(f'ABS({zexpr})')})"
+    return f"""
+WITH {_BENFORD_DIGITS_CTE},
+pz AS (
+  SELECT digit, n, {p} AS p FROM dig
+), r AS (
+  SELECT digit, n, p,
+         ROW_NUMBER() OVER (ORDER BY p) AS rk,
+         COUNT(p) OVER () AS m
+  FROM pz
+), qq AS (
+  SELECT digit, n, p,
+         LEAST(MIN(p * m / rk) OVER (ORDER BY p DESC
+                                     ROWS UNBOUNDED PRECEDING),
+               1.0) AS q
+  FROM r
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(p, 6) AS p_r, ROUND(q, 6) AS q_r,
+       q <= 0.05 AS rejected
+FROM qq
+"""
+
+
 def q_km_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-purchase per variant
     (operators/survival.py:km_curve): subjects = users, duration =
@@ -9034,6 +9127,8 @@ def _queries_unordered() -> dict[
         "fingerprint_documents": q_fingerprint_documents,
         "ttest_events": q_ttest_events,
         "ttest_welch_events": q_ttest_welch_events,
+        "weightedsample_documents": q_weightedsample_documents,
+        "fdrbenford_lineitem": q_fdrbenford_lineitem,
         "km_events": q_km_events,
         "propz_events": q_propz_events,
         "cuped_events": q_cuped_events,
@@ -9462,6 +9557,8 @@ FROM ranked WHERE rank <= 5
         ),
         "ttest_events": _TTEST_ORACLE,
         "ttest_welch_events": _TTEST_WELCH_ORACLE,
+        "weightedsample_documents": _weightedsample_oracle(),
+        "fdrbenford_lineitem": _fdrbenford_oracle(),
         "km_events": _KM_ORACLE,
         "propz_events": _propz_oracle(),
         "cuped_events": _cuped_oracle(),

@@ -46,6 +46,7 @@ __all__ = [
     "uniform_sample",
     "temporal_split",
     "class_weights",
+    "weighted_sample",
 ]
 
 _SPLIT_BUCKETS = 10_000
@@ -630,3 +631,48 @@ def class_weights(
             "eff_weight", raw * F.col("__k") / F.col("__rawsum")
         ).drop("__rawsum")
     return out.drop("__k")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    n: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, exact n:
+    Efraimidis-Spirakis A-ES keys.  Row i is scored
+    ``k_i = -ln(u_i) / w_i`` with ``u_i`` the portable md5-prefix hash
+    of ``key || salt`` mapped to (0, 1); the n SMALLEST scores win —
+    inclusion probability is proportional to weight, order-independent,
+    engine-replayable, and repeatable for a given salt (change ``salt``
+    for an independent redraw).
+
+    ``weight_col`` may be a column name or Column expression; rows
+    with a null key, or a null/non-positive/NaN weight, are excluded.
+
+    Plan: same TakeOrderedAndProject shape as :func:`uniform_sample`
+    (per-partition local top-n, k×n merge — no global sort); same
+    low-millions-of-n sizing contract.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    ).cast("double")
+    h = portable_hash28(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    )
+    u = (h.cast("double") + 0.5) / F.lit(float(1 << 28))
+    k = -F.log(u) / w
+    return (
+        df.where(
+            F.col(key_col).isNotNull()
+            & w.isNotNull() & ~F.isnan(w) & (w > 0)
+        )
+        .withColumn("__k", k)
+        .orderBy("__k", key_col)
+        .limit(int(n))
+        .drop("__k")
+    )

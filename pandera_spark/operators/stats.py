@@ -54,6 +54,7 @@ __all__ = [
     "chi2_independence",
     "mutual_info",
     "anova_f",
+    "fdr_bh",
 ]
 
 
@@ -337,4 +338,60 @@ def anova_f(
             (F.col("ss_between") / F.col("df_between"))
             / (F.col("ss_within") / F.col("df_within")),
         ),
+    )
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str,
+    *,
+    by: Union[str, Sequence[str], None] = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a frame of test results.
+
+    Appends ``q_value`` (the BH-adjusted p: ``min_{j>=rank}
+    p_(j)·m/j``, clamped to 1) and ``rejected`` (``q <= alpha``) to
+    every input row.  ``m`` counts non-null p-values per ``by`` group;
+    null p-values pass through with null ``q_value``/``rejected``.
+    Run it on a SCREEN-RESULTS frame (one row per test) — multiple
+    comparisons are a result-grain problem, so the windows here order
+    a frame bounded by the number of tests, not by data.
+
+    Tied p-values receive identical q-values (the running min from the
+    largest rank makes the adjustment order-free within a tie), so no
+    tiebreak column is needed for correctness.
+    """
+    from pyspark.sql import Window
+
+    keys = _by(by)
+    pb = [F.col(k) for k in keys]
+    p = F.col(p_col).cast("double")
+    w_rank = Window.partitionBy(*pb).orderBy(p.asc_nulls_last())
+    w_full = Window.partitionBy(*pb).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.withColumn("__r", F.row_number().over(w_rank)).withColumn(
+        "__m", F.count(p).over(w_full)
+    )
+    raw = F.when(
+        p.isNotNull(),
+        p * F.col("__m") / F.col("__r").cast("double"),
+    )
+    # running min of raw from the LARGEST p down to the current row
+    w_tail = (
+        Window.partitionBy(*pb)
+        .orderBy(p.desc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = F.least(F.min(raw).over(w_tail), F.lit(1.0))
+    return (
+        ranked.withColumn("q_value", F.when(p.isNotNull(), q))
+        .withColumn(
+            "rejected",
+            F.when(
+                p.isNotNull(), F.col("q_value") <= F.lit(float(alpha))
+            ),
+        )
+        .drop("__r", "__m")
     )

@@ -5423,3 +5423,61 @@ def test_zipf_fit_uniform_corpus_slope_zero(spark):
     )
     fit = zipf_fit(df).first()
     assert fit.slope_r == 0.0  # every freq identical
+
+
+def test_weighted_sample_python_replay_and_proportionality(spark):
+    import hashlib
+    import math
+
+    from pandera_spark.operators.curation import weighted_sample
+
+    rows = [(i, 10.0 if i % 10 == 0 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = sorted(r.k for r in weighted_sample(df, "k", "w", 60).collect())
+
+    def h28(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    def key(i, w):
+        u = (h28(str(i)) + 0.5) / (1 << 28)
+        return -math.log(u) / w
+
+    exp = sorted(
+        i for i, _ in sorted(rows, key=lambda t: (key(*t), t[0]))[:60]
+    )
+    assert got == exp
+    # determinism + independent redraw under a different salt
+    again = sorted(r.k for r in weighted_sample(df, "k", "w", 60).collect())
+    assert again == got
+    other = sorted(
+        r.k for r in weighted_sample(df, "k", "w", 60, salt="x").collect()
+    )
+    assert other != got
+    # proportionality: the 50 heavy keys (w=10) should dominate the
+    # draw far beyond their 10% population share
+    heavy = sum(1 for i in got if i % 10 == 0)
+    assert heavy >= 25
+
+
+def test_weighted_sample_excludes_bad_weights(spark):
+    from pandera_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None), (None, 1.0), (5, 2.0)],
+        "k long, w double",
+    )
+    got = {r.k for r in weighted_sample(df, "k", "w", 10).collect()}
+    assert got == {1, 5}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        weighted_sample(df, "k", "w", 0)
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from pandera_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(100)], "k long, w double")
+    plan = weighted_sample(df, "k", "w", 5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -549,3 +549,56 @@ def test_join_cardinality_approx_plan_no_join(spark):
     assert rep["cartesian_products"] == 0
     assert rep["broadcast_nested_loop_joins"] == 0
     assert rep["sort_merge_joins"] == 0 and rep["broadcast_joins"] == 0
+
+
+def test_fdr_bh_matches_python_replay(spark):
+    from pandera_spark.operators.stats import fdr_bh
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212,
+          0.216, 0.222, 0.251, 0.269, 0.275, 0.34, 0.341, 0.384, 0.569,
+          0.594, 0.696, 0.762, 0.94, 0.942, 0.975, 0.986]
+    df = spark.createDataFrame([(f"t{i}", p) for i, p in enumerate(ps)],
+                               "test string, p double")
+    out = {r.test: r for r in fdr_bh(df, "p", alpha=0.05).collect()}
+    # python replay
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: ps[i])
+    q = [0.0] * m
+    running = 1.0
+    for rank_from_top in range(m, 0, -1):
+        i = order[rank_from_top - 1]
+        running = min(running, ps[i] * m / rank_from_top)
+        q[i] = running
+    for i, p in enumerate(ps):
+        assert out[f"t{i}"].q_value == pytest.approx(q[i], rel=1e-12), i
+    # the classic Benjamini-Hochberg (1995) dataset rejects exactly
+    # the 4 smallest p-values at alpha=0.05... verify against replay
+    assert {t for t, r in out.items() if r.rejected} == {
+        f"t{i}" for i in range(m) if q[i] <= 0.05
+    }
+
+
+def test_fdr_bh_ties_get_equal_q_and_nulls_pass_through(spark):
+    from pandera_spark.operators.stats import fdr_bh
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.01), ("c", 0.5), ("d", None)],
+        "test string, p double",
+    )
+    out = {r.test: r for r in fdr_bh(df, "p").collect()}
+    assert out["a"].q_value == pytest.approx(out["b"].q_value)
+    assert out["d"].q_value is None and out["d"].rejected is None
+    # m counts non-null only: q(c) = 0.5 * 3/3 = 0.5
+    assert out["c"].q_value == pytest.approx(0.5)
+
+
+def test_fdr_bh_per_group(spark):
+    from pandera_spark.operators.stats import fdr_bh
+
+    df = spark.createDataFrame(
+        [("g1", 0.01), ("g1", 0.04), ("g2", 0.01)],
+        "g string, p double",
+    )
+    out = fdr_bh(df, "p", by="g").collect()
+    g2 = [r for r in out if r.g == "g2"][0]
+    assert g2.q_value == pytest.approx(0.01)  # m=1 in its own group
