@@ -9052,47 +9052,43 @@ SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS left_rows,
 # driver-certified entering this round), then every row NEW in r7;
 # remaining slots fill from base order (all already driver-certified
 # at least once, CORRECTNESS_r01–r06 cumulative).
-_R7_DRIVER_WINDOW = [
+_R8_DRIVER_WINDOW = [
     "validate_lineitem",
-    # deferred from r6 (window capped at 50): privacy screens — the only
-    # three rows never driver-certified entering r7
-    "kanon_customer", "ldiv_customer", "riskygroups_customer",
-    # new in r7: statistical screens (operators/stats.py)
-    "trend_events", "corrpairs_lineitem", "chi2_documents",
-    "mi_documents", "anova_lineitem",
-    # new in r7: operational monitoring + reconciliation
-    "freshness_events", "completeness_events", "seasonal_events",
-    "reconcile_orders",
-    # new in r7: count-min sketch, bit-exact oracle replay
-    "cms_documents",
-    # new in r7: semi-structured profiling
-    "jsonprofile_events",
-    # new in r7: context-window capacity planning
-    "contextfit_documents",
-    # new in r7: categorical target encoding
-    "targetenc_events",
-    # new in r7: time-spine densification + LOCF
-    "gapfill_events",
-    # new in r7: graph triangle census
-    "triangles_part",
-    # new in r7: multivariate outlier screen
-    "mahalanobis_lineitem",
-    # r8: PQ split into oracle-certifiable encode/ADC/fidelity rows
-    # (VERDICT r7 item 1 — no rows-only entries remain)
+    # new/changed in r8: PQ split (pqann itself now oracle-backed),
+    # Welch t lane, rank family, CUSUM, Benford, quantile bins, A/B,
+    # Kaplan-Meier, BH-FDR composite, weighted sampling
     "pqcode_embeddings", "pqann_embeddings", "pqerr_embeddings",
-    # new in r7: temporal split + class weights
-    "timesplit_events", "classweights_events",
-    # new in r7 (post-close, gated): sketch-grade pre-join sizing
-    "joincard_approx_lineitem",
+    "ttest_welch_events", "mannwhitney_events", "kruskal_events",
+    "spearman_lineitem", "cusum_events", "benford_lineitem",
+    "benfordsum_lineitem", "qbins_lineitem", "propz_events",
+    "cuped_events", "km_events", "fdrbenford_lineitem",
+    "weightedsample_documents",
+    # staleness rotation (VERDICT r7 item 5): every row last
+    # driver-certified in r2 ...
+    "decorator_orders", "defaults_customer", "parser_orders",
+    "regex_cols_lineitem", "stratified_documents", "synthesize_validate",
+    "yaml_roundtrip_orders",
+    # ... and in r3
+    "asof_events", "asof_tol_events", "charbins_documents",
+    "contamination_documents", "curate_documents",
+    "dedup_apply_documents", "dedup_clusters_embeddings",
+    "frame_samples_documents", "ivf_ann_embeddings", "lang_id_documents",
+    "lsh_ann_embeddings", "media_stats_documents", "neardup_embeddings",
+    "outliers_embeddings", "pii_documents", "range_pairs_events",
+    "repetition_documents", "rollup_daily_events", "rollup_events",
+    "salted_agg_events", "sessions_events", "split_documents",
+    "validate_embeddings",
+    # remaining slots: oldest r4-certified rows
+    "anomalies_events", "bm25_documents", "chunk_neardup_documents",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_unordered()
-    missing = [k for k in _R7_DRIVER_WINDOW if k not in base]
+    missing = [k for k in _R8_DRIVER_WINDOW if k not in base]
     assert not missing, f"driver window names unknown queries: {missing}"
-    rest = [k for k in base if k not in set(_R7_DRIVER_WINDOW)]
-    return {k: base[k] for k in [*_R7_DRIVER_WINDOW, *rest]}
+    rest = [k for k in base if k not in set(_R8_DRIVER_WINDOW)]
+    return {k: base[k] for k in [*_R8_DRIVER_WINDOW, *rest]}
 
 
 def _queries_unordered() -> dict[
