@@ -1347,6 +1347,37 @@ FROM a, b
 """
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass CUBE report (operators/olap.py:olap_report): all four
+    levels of status x priority through a single Expand + hash
+    aggregate (one data scan, map-side partials), with the per-dim
+    grouping() bits folded into a replayable gid so aggregated-away
+    NULLs never masquerade as category NULLs."""
+    from pandera_spark.operators.olap import olap_report
+
+    orders = _load(spark, sf_dir, "orders")
+    out = olap_report(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        {
+            "n": F.count(F.lit(1)).cast("long"),
+            "sum_r": F.round(F.sum("o_totalprice"), 2),
+        },
+    )
+    return out
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2
+            + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_r
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_weightedsample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/curation.py:weighted_sample — Efraimidis-Spirakis A-ES
@@ -9123,6 +9154,7 @@ def _queries_unordered() -> dict[
         "fingerprint_documents": q_fingerprint_documents,
         "ttest_events": q_ttest_events,
         "ttest_welch_events": q_ttest_welch_events,
+        "cube_orders": q_cube_orders,
         "weightedsample_documents": q_weightedsample_documents,
         "fdrbenford_lineitem": q_fdrbenford_lineitem,
         "km_events": q_km_events,
@@ -9553,6 +9585,7 @@ FROM ranked WHERE rank <= 5
         ),
         "ttest_events": _TTEST_ORACLE,
         "ttest_welch_events": _TTEST_WELCH_ORACLE,
+        "cube_orders": _CUBE_ORACLE,
         "weightedsample_documents": _weightedsample_oracle(),
         "fdrbenford_lineitem": _fdrbenford_oracle(),
         "km_events": _KM_ORACLE,
