@@ -1347,6 +1347,65 @@ FROM a, b
 """
 
 
+def q_conformal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval calibration
+    (operators/evalmetrics.py:fit_conformal/apply_conformal — Vovk
+    finite-sample quantile): predictor = per-type mean, q = the exact
+    ceil((n+1)(1-alpha)) order statistic of |residual| found on the
+    distinct-residual grain (two-pass prefix sum, no global sort),
+    then the coverage readout.  alpha = 0.1."""
+    from pandera_spark.operators.evalmetrics import (
+        apply_conformal,
+        fit_conformal,
+    )
+
+    ev = _load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pred = ev.groupBy("event_type").agg(F.avg("value").alias("pred"))
+    j = ev.join(pred, "event_type").select("value", "pred")
+    q = fit_conformal(j, "value", "pred", alpha=0.1)
+    applied = apply_conformal(j, "pred", q)
+    return applied.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.lit(round(q, 6)).alias("q_r"),
+        F.sum(
+            (
+                (F.col("value") >= F.col("pi_lo"))
+                & (F.col("value") <= F.col("pi_hi"))
+            ).cast("long")
+        ).alias("n_cov"),
+    ).select(
+        "n", "q_r", "n_cov",
+        F.round(F.col("n_cov") / F.col("n").cast("double"), 6).alias(
+            "cov_r"
+        ),
+    )
+
+
+_CONFORMAL_ORACLE = """
+WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+p AS (SELECT event_type, AVG(value) AS pred FROM e GROUP BY event_type),
+j AS (SELECT e.value AS y, p.pred FROM e JOIN p USING (event_type)),
+r AS (SELECT y, pred, ABS(y - pred) AS res,
+             ROW_NUMBER() OVER (ORDER BY ABS(y - pred)) AS rn,
+             COUNT(*) OVER () AS n
+      FROM j),
+k AS (SELECT CAST(CEIL((n + 1) * 0.9) AS BIGINT) AS k,
+             CAST(n AS BIGINT) AS n
+      FROM r LIMIT 1),
+qv AS (SELECT r.res AS q FROM r, k WHERE r.rn = k.k)
+SELECT k.n AS n, ROUND(qv.q, 6) AS q_r,
+       (SELECT CAST(SUM(CASE WHEN y >= pred - qv.q
+                              AND y <= pred + qv.q
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM r, qv) AS n_cov,
+       ROUND((SELECT SUM(CASE WHEN y >= pred - qv.q
+                               AND y <= pred + qv.q
+                              THEN 1.0 ELSE 0.0 END) FROM r, qv)
+             / k.n, 6) AS cov_r
+FROM k, qv
+"""
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass CUBE report (operators/olap.py:olap_report): all four
     levels of status x priority through a single Expand + hash
@@ -9154,6 +9213,7 @@ def _queries_unordered() -> dict[
         "fingerprint_documents": q_fingerprint_documents,
         "ttest_events": q_ttest_events,
         "ttest_welch_events": q_ttest_welch_events,
+        "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
         "weightedsample_documents": q_weightedsample_documents,
         "fdrbenford_lineitem": q_fdrbenford_lineitem,
@@ -9585,6 +9645,7 @@ FROM ranked WHERE rank <= 5
         ),
         "ttest_events": _TTEST_ORACLE,
         "ttest_welch_events": _TTEST_WELCH_ORACLE,
+        "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,
         "weightedsample_documents": _weightedsample_oracle(),
         "fdrbenford_lineitem": _fdrbenford_oracle(),

@@ -27,7 +27,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-__all__ = ["binary_auc", "confusion_report", "calibration_bins"]
+__all__ = [
+    "binary_auc",
+    "confusion_report",
+    "calibration_bins",
+    "fit_conformal",
+    "apply_conformal",
+]
 
 
 def binary_auc(
@@ -166,4 +172,77 @@ def calibration_bins(
             F.avg(s).alias("avg_score"),
             F.avg(y.cast("double")).alias("pos_rate"),
         )
+    )
+
+
+def fit_conformal(
+    df: DataFrame,
+    y_col: str,
+    pred_col: str,
+    *,
+    alpha: float = 0.1,
+) -> float:
+    """Split-conformal interval half-width: the finite-sample-corrected
+    empirical quantile of calibration absolute residuals.
+
+    ``q`` is the ``k``-th smallest ``|y − ŷ|`` with
+    ``k = ceil((n + 1)(1 − alpha))`` — the exact order statistic (no
+    interpolation: engine-replayable, and the coverage guarantee
+    P(y ∈ ŷ ± q) ≥ 1 − alpha needs this discrete form, Vovk et al.).
+    Requires ``k <= n`` (i.e. n ≥ (1−alpha)/alpha); raises otherwise —
+    too few calibration rows cannot certify the coverage level.
+    Null y/pred rows are excluded.
+
+    Scale shape: the order statistic comes from the distinct-residual
+    grain ranked with the two-pass prefix sum (``ranks.value_midranks``
+    — cum-through-value = midrank + (cnt−1)/2, exact in double), so
+    the answer is ``min(value where cum ≥ k)``: one value-grain
+    aggregation + one 1-row reduce, never a global sort or a k-row
+    driver merge.
+    """
+    import math
+
+    from .ranks import value_midranks
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    r = F.abs(
+        F.col(y_col).cast("double") - F.col(pred_col).cast("double")
+    )
+    sub = df.where(r.isNotNull()).select(r.alias("__r"))
+    mr = value_midranks(sub, "__r").select(
+        "__v",
+        (F.col("__rank") + (F.col("__cnt") - 1) / 2.0).alias("__cum"),
+    )
+    row = mr.agg(
+        F.max("__cum").alias("__n"),
+    ).first()
+    n = int(row["__n"] or 0)
+    k = math.ceil((n + 1) * (1.0 - alpha))
+    if n == 0 or k > n:
+        raise ValueError(
+            f"need at least {math.ceil((1 - alpha) / alpha)} calibration"
+            f" rows for alpha={alpha}, got {n}"
+        )
+    got = mr.where(F.col("__cum") >= F.lit(float(k))).agg(
+        F.min("__v").alias("__q")
+    ).first()
+    return float(got["__q"])
+
+
+def apply_conformal(
+    df: DataFrame,
+    pred_col: str,
+    q: float,
+    *,
+    lo_col: str = "pi_lo",
+    hi_col: str = "pi_hi",
+) -> DataFrame:
+    """Append the conformal prediction interval ``[ŷ − q, ŷ + q]`` —
+    a pure projection (fit on a held-out CALIBRATION split, apply
+    anywhere; applying to the calibration rows themselves overstates
+    coverage)."""
+    p = F.col(pred_col).cast("double")
+    return df.withColumn(lo_col, p - F.lit(float(q))).withColumn(
+        hi_col, p + F.lit(float(q))
     )

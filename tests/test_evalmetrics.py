@@ -98,3 +98,45 @@ def test_calibration_bins(spark):
     assert out[1] == (1, 0.0)
     assert out[8] == (1, 1.0)
     assert out[9] == (2, 1.0)  # score 1.0 clamps into last bin
+
+
+def test_fit_conformal_exact_order_statistic(spark):
+    import math
+
+    from pandera_spark.operators.evalmetrics import (
+        apply_conformal,
+        fit_conformal,
+    )
+
+    # residuals 1..100 (pred=0, y=i): k = ceil(101*0.9) = 91 -> q = 91
+    df = spark.createDataFrame(
+        [(float(i), 0.0) for i in range(1, 101)], "y double, p double"
+    )
+    q = fit_conformal(df, "y", "p", alpha=0.1)
+    assert q == 91.0
+    # python replay at another alpha
+    q2 = fit_conformal(df, "y", "p", alpha=0.25)
+    assert q2 == float(math.ceil(101 * 0.75))
+    out = apply_conformal(df, "p", q).collect()
+    assert all(r.pi_lo == -91.0 and r.pi_hi == 91.0 for r in out)
+    # empirical coverage on calibration >= 1 - alpha by construction
+    cover = sum(1 for r in out if r.pi_lo <= r.y <= r.pi_hi)
+    assert cover / 100 >= 0.9
+
+
+def test_fit_conformal_ties_and_guards(spark):
+    import pytest as _pytest
+
+    from pandera_spark.operators.evalmetrics import fit_conformal
+
+    df = spark.createDataFrame(
+        [(5.0, 0.0)] * 30 + [(9.0, 0.0)] * 10 + [(None, 0.0)],
+        "y double, p double",
+    )
+    # n=40, alpha=0.2 -> k = ceil(41*0.8) = 33 -> 33rd smallest = 9.0
+    assert fit_conformal(df, "y", "p", alpha=0.2) == 9.0
+    with _pytest.raises(ValueError, match="alpha"):
+        fit_conformal(df, "y", "p", alpha=1.5)
+    tiny = spark.createDataFrame([(1.0, 0.0)], "y double, p double")
+    with _pytest.raises(ValueError, match="calibration"):
+        fit_conformal(tiny, "y", "p", alpha=0.1)
