@@ -1347,6 +1347,91 @@ FROM a, b
 """
 
 
+_BOOT_B, _BOOT_ALPHA = 32, 0.1
+
+
+def q_bootci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for mean(value)
+    (operators/stats.py:bootstrap_ci_mean — Chamandy et al. 2012):
+    all 32 replicate means from ONE aggregation, weights a pure
+    function of the portable hash through the Poisson(1) inverse CDF
+    — no RNG, no resample shuffle; the oracle rebuilds every
+    replicate bit for bit."""
+    from pandera_spark.operators.stats import bootstrap_ci_mean
+
+    ev = _load(spark, sf_dir, "events")
+    out = bootstrap_ci_mean(
+        ev, "value", "event_id", n_boot=_BOOT_B, alpha=_BOOT_ALPHA
+    )
+    return out.select(
+        "n",
+        F.round("mean", 6).alias("mean_r"),
+        F.round("ci_lo", 6).alias("lo_r"),
+        F.round("ci_hi", 6).alias("hi_r"),
+        F.round("se_boot", 6).alias("se_r"),
+    )
+
+
+def _bootci_oracle() -> str:
+    import math
+
+    B, alpha = _BOOT_B, _BOOT_ALPHA
+    acc, th = 0.0, []
+    for k in range(13):
+        acc += math.exp(-1.0) / math.factorial(k)
+        th.append(acc)
+    hs = ",\n         ".join(
+        _HEXFOLD.format(e=f"k || ':{r}'") + f" AS h{r}"
+        for r in range(B)
+    )
+    ws = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN (h{r} + 0.5) / 268435456.0 > {t!r} "
+            f"THEN 1 ELSE 0 END"
+            for t in th
+        )
+        + f") AS w{r}"
+        for r in range(B)
+    )
+    sums = ",\n         ".join(
+        f"SUM(w{r} * x) AS s{r}, SUM(w{r}) AS c{r}" for r in range(B)
+    )
+    reps = ", ".join(f"s{r} / c{r}" for r in range(B))
+    rsum = " + ".join(f"(s{r} / c{r})" for r in range(B))
+    rsq = " + ".join(f"(s{r} / c{r}) * (s{r} / c{r})" for r in range(B))
+    k_lo = max(1, math.ceil(B * (alpha / 2.0)))
+    k_hi = min(B, math.ceil(B * (1.0 - alpha / 2.0)))
+    return f"""
+WITH s AS (
+  SELECT value AS x, CAST(event_id AS VARCHAR) AS k
+  FROM events WHERE value IS NOT NULL
+), h AS (
+  SELECT x,
+         {hs}
+  FROM s
+), w AS (
+  SELECT x,
+         {ws}
+  FROM h
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(x) AS m,
+         {sums}
+  FROM w
+), f AS (
+  SELECT n, m, list_sort([{reps}]) AS reps,
+         ({rsum}) AS rs, ({rsq}) AS rq
+  FROM a
+)
+SELECT n, ROUND(m, 6) AS mean_r,
+       ROUND(reps[{k_lo}], 6) AS lo_r,
+       ROUND(reps[{k_hi}], 6) AS hi_r,
+       ROUND(SQRT(GREATEST(0.0, (rq - rs * rs / {float(B)})
+                                / {float(B - 1)})), 6) AS se_r
+FROM f
+"""
+
+
 def q_conformal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal interval calibration
     (operators/evalmetrics.py:fit_conformal/apply_conformal — Vovk
@@ -9213,6 +9298,7 @@ def _queries_unordered() -> dict[
         "fingerprint_documents": q_fingerprint_documents,
         "ttest_events": q_ttest_events,
         "ttest_welch_events": q_ttest_welch_events,
+        "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
         "weightedsample_documents": q_weightedsample_documents,
@@ -9645,6 +9731,7 @@ FROM ranked WHERE rank <= 5
         ),
         "ttest_events": _TTEST_ORACLE,
         "ttest_welch_events": _TTEST_WELCH_ORACLE,
+        "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,
         "weightedsample_documents": _weightedsample_oracle(),

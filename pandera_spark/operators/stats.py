@@ -55,6 +55,7 @@ __all__ = [
     "mutual_info",
     "anova_f",
     "fdr_bh",
+    "bootstrap_ci_mean",
 ]
 
 
@@ -394,4 +395,101 @@ def fdr_bh(
             ),
         )
         .drop("__r", "__m")
+    )
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    col: str,
+    key_col: str,
+    *,
+    n_boot: int = 64,
+    alpha: float = 0.05,
+    salt: str = "",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean of
+    ``col`` — deterministic, single-pass, engine-replayable.
+
+    The classic obstacle to bootstrapping 100 TB is resampling: B
+    shuffles of the data are a non-starter.  The Poisson bootstrap
+    (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    streams") replaces each replicate's multinomial resample with an
+    independent Poisson(1) weight per row — and here the weight is a
+    PURE FUNCTION of ``portable_hash28(key ∥ replicate ∥ salt)``
+    pushed through the Poisson inverse CDF, so there is no RNG, no
+    extra pass, and an external SQL engine reproduces every replicate
+    bit for bit.  All ``n_boot`` replicate means come out of ONE
+    aggregation (2B conditional sums, map-side combined).
+
+    One row: ``n, mean, ci_lo, ci_hi, se_boot`` — percentile CI at
+    order statistics ``ceil(B·α/2)`` / ``ceil(B·(1−α/2))`` of the
+    sorted replicate means, and the replicate standard deviation.
+    Null values are excluded; ``key_col`` must identify rows (the
+    hash input — duplicated keys correlate their weights).
+    """
+    import math as _math
+
+    from .dedup import portable_hash28
+
+    if n_boot < 8:
+        raise ValueError(f"n_boot must be >= 8, got {n_boot}")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    # Poisson(1) inverse-CDF thresholds: t_k = P(X <= k); weight =
+    # #{k: u > t_k}.  13 terms leave < 1e-13 tail mass.
+    acc, thresholds = 0.0, []
+    for k in range(13):
+        acc += _math.exp(-1.0) / _math.factorial(k)
+        thresholds.append(acc)
+    x = F.col(col).cast("double")
+    sub = df.where(x.isNotNull()).select(
+        x.alias("__x"), F.col(key_col).cast("string").alias("__k")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__x").alias("mean"),
+    ]
+    for r in range(n_boot):
+        u = (
+            portable_hash28(
+                F.concat(F.col("__k"), F.lit(f":{r}{salt}"))
+            ).cast("double")
+            + 0.5
+        ) / F.lit(float(1 << 28))
+        w = None
+        for t in thresholds:
+            ind = (u > F.lit(t)).cast("int")
+            w = ind if w is None else w + ind
+        aggs.append(F.sum(w * F.col("__x")).alias(f"__s_{r}"))
+        aggs.append(F.sum(w).cast("double").alias(f"__w_{r}"))
+    wide = sub.agg(*aggs)
+    reps = F.array(
+        *[
+            F.try_divide(F.col(f"__s_{r}"), F.col(f"__w_{r}"))
+            for r in range(n_boot)
+        ]
+    )
+    k_lo = max(1, _math.ceil(n_boot * (alpha / 2.0)))
+    k_hi = min(n_boot, _math.ceil(n_boot * (1.0 - alpha / 2.0)))
+    srt = F.sort_array(reps)
+    s1 = F.aggregate(
+        reps, F.lit(0.0), lambda a, b: a + F.coalesce(b, F.lit(0.0))
+    )
+    s2 = F.aggregate(
+        reps,
+        F.lit(0.0),
+        lambda a, b: a + F.coalesce(b * b, F.lit(0.0)),
+    )
+    bn = float(n_boot)
+    return wide.select(
+        "n",
+        "mean",
+        F.element_at(srt, k_lo).alias("ci_lo"),
+        F.element_at(srt, k_hi).alias("ci_hi"),
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                (s2 - s1 * s1 / bn) / F.lit(bn - 1.0),
+            )
+        ).alias("se_boot"),
     )

@@ -602,3 +602,78 @@ def test_fdr_bh_per_group(spark):
     out = fdr_bh(df, "p", by="g").collect()
     g2 = [r for r in out if r.g == "g2"][0]
     assert g2.q_value == pytest.approx(0.01)  # m=1 in its own group
+
+
+def test_bootstrap_ci_mean_basic_properties(spark):
+    from pandera_spark.operators.stats import bootstrap_ci_mean
+
+    df = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(2000)], "k long, x double"
+    )
+    r = bootstrap_ci_mean(df, "x", "k", n_boot=64, alpha=0.05).first()
+    assert r.n == 2000
+    assert r.mean == pytest.approx(49.5)
+    # CI brackets the mean, is tight-ish (se of mean ~0.65), nonempty
+    assert r.ci_lo < r.mean < r.ci_hi
+    assert r.ci_hi - r.ci_lo < 5.0
+    assert 0.0 < r.se_boot < 2.5
+    # deterministic: identical on rerun; different salt -> different CI
+    r2 = bootstrap_ci_mean(df, "x", "k", n_boot=64, alpha=0.05).first()
+    assert (r.ci_lo, r.ci_hi) == (r2.ci_lo, r2.ci_hi)
+    r3 = bootstrap_ci_mean(
+        df, "x", "k", n_boot=64, alpha=0.05, salt="z"
+    ).first()
+    assert (r3.ci_lo, r3.ci_hi) != (r.ci_lo, r.ci_hi)
+
+
+def test_bootstrap_ci_matches_python_replay(spark):
+    import hashlib
+    import math
+
+    from pandera_spark.operators.stats import bootstrap_ci_mean
+
+    rows = [(i, float((i * 7) % 13)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, x double")
+    B = 16
+    r = bootstrap_ci_mean(df, "x", "k", n_boot=B, alpha=0.1).first()
+
+    acc, th = 0.0, []
+    for k in range(13):
+        acc += math.exp(-1.0) / math.factorial(k)
+        th.append(acc)
+
+    def w(key, rep):
+        h = int(hashlib.md5(f"{key}:{rep}".encode()).hexdigest()[:7], 16)
+        u = (h + 0.5) / (1 << 28)
+        return sum(1 for t in th if u > t)
+
+    reps = []
+    for rep in range(B):
+        sw = sx = 0.0
+        for k, x in rows:
+            wi = w(k, rep)
+            sw += wi
+            sx += wi * x
+        reps.append(sx / sw)
+    srt = sorted(reps)
+    k_lo = max(1, math.ceil(B * 0.05))
+    k_hi = min(B, math.ceil(B * 0.95))
+    assert r.ci_lo == pytest.approx(srt[k_lo - 1], rel=1e-12)
+    assert r.ci_hi == pytest.approx(srt[k_hi - 1], rel=1e-12)
+    m = sum(reps) / B
+    sd = math.sqrt(sum((v - m) ** 2 for v in reps) / (B - 1))
+    assert r.se_boot == pytest.approx(sd, rel=1e-9)
+
+
+def test_bootstrap_ci_guards_and_plan(spark):
+    from pandera_spark.audit import plan_report
+    from pandera_spark.operators.stats import bootstrap_ci_mean
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, x double")
+    with pytest.raises(ValueError, match="n_boot"):
+        bootstrap_ci_mean(df, "x", "k", n_boot=4)
+    with pytest.raises(ValueError, match="alpha"):
+        bootstrap_ci_mean(df, "x", "k", alpha=0.0)
+    rep = plan_report(bootstrap_ci_mean(df, "x", "k", n_boot=8))
+    assert rep["exchanges"] <= 1  # ONE aggregation, no resample shuffle
+    assert rep["cartesian_products"] == 0
