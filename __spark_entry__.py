@@ -1347,6 +1347,73 @@ FROM a, b
 """
 
 
+def q_gini_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality coefficient of extended price
+    (operators/ranks.py:gini — tie-corrected midrank form on the
+    distinct-value grain, one closing aggregation)."""
+    from pandera_spark.operators.ranks import gini
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = gini(li, "l_extendedprice")
+    return out.select(
+        "n",
+        F.round("total", 2).alias("total_r"),
+        F.round("gini", 6).alias("g_r"),
+    )
+
+
+_GINI_ORACLE = """
+WITH mr AS (
+  SELECT l_extendedprice AS v, COUNT(*) AS c,
+         SUM(COUNT(*)) OVER (ORDER BY l_extendedprice) - COUNT(*)
+           + (COUNT(*) + 1) / 2.0 AS r
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), a AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, SUM(c * v) AS total,
+         SUM(r * v * c) AS rx
+  FROM mr
+)
+SELECT n, ROUND(total, 2) AS total_r,
+       ROUND(CASE WHEN total > 0
+                  THEN 2.0 * rx / (n * total) - (n + 1.0) / n END,
+             6) AS g_r
+FROM a
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 orders by value per priority
+    (operators/relational.py:top_k_per_group): row_number <= k
+    triggers WindowGroupLimit — every task keeps only its LOCAL top-k
+    per group before the shuffle."""
+    from pandera_spark.operators.relational import top_k_per_group
+
+    orders = _load(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders, "o_orderpriority", "o_totalprice", 5,
+        tiebreak_cols=["o_orderkey"],
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("price_r"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_TOPK_ORACLE = """
+SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       ROUND(o_totalprice, 2) AS price_r, CAST(rank AS INT) AS rank
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey)
+           AS rank
+  FROM orders
+) t WHERE rank <= 5
+"""
+
+
 _BOOT_B, _BOOT_ALPHA = 32, 0.1
 
 
@@ -9298,6 +9365,8 @@ def _queries_unordered() -> dict[
         "fingerprint_documents": q_fingerprint_documents,
         "ttest_events": q_ttest_events,
         "ttest_welch_events": q_ttest_welch_events,
+        "gini_lineitem": q_gini_lineitem,
+        "topk_orders": q_topk_orders,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -9731,6 +9800,8 @@ FROM ranked WHERE rank <= 5
         ),
         "ttest_events": _TTEST_ORACLE,
         "ttest_welch_events": _TTEST_WELCH_ORACLE,
+        "gini_lineitem": _GINI_ORACLE,
+        "topk_orders": _TOPK_ORACLE,
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

@@ -46,6 +46,7 @@ __all__ = [
     "mann_whitney_u",
     "kruskal_wallis",
     "spearman_corr",
+    "gini",
 ]
 
 
@@ -317,4 +318,46 @@ def spearman_corr(
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.corr("__rx", "__ry").alias("rho"),
+    )
+
+
+def gini(
+    df: DataFrame,
+    value_col: str,
+    *,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Gini coefficient of a non-negative quantity (inequality of
+    token counts across documents, revenue across orders, load across
+    shards...).
+
+    One row: ``n, total, gini`` with the tie-corrected midrank form
+    ``G = 2·Σ r̄_i x_i / (n·Σx) − (n+1)/n`` — identical to the sorted
+    Lorenz definition, but computable from :func:`value_midranks`'s
+    distinct-value grain in ONE closing aggregation (Σ r̄·x per value =
+    rank · value · multiplicity).  Negative values are rejected (the
+    coefficient is undefined there); zero-total yields null.
+    """
+    x = F.col(value_col).cast("double")
+    neg = df.where(x < 0).limit(1).count()
+    if neg:
+        raise ValueError(f"{value_col!r} has negative values; "
+                         "gini requires a non-negative quantity")
+    mr = value_midranks(df, value_col, num_partitions=num_partitions)
+    agg = mr.agg(
+        F.sum("__cnt").cast("long").alias("n"),
+        F.sum(F.col("__cnt") * F.col("__v")).alias("total"),
+        F.sum(
+            F.col("__rank") * F.col("__v") * F.col("__cnt")
+        ).alias("__rx"),
+    )
+    n = F.col("n").cast("double")
+    g = (
+        2.0 * F.col("__rx") / (n * F.col("total"))
+        - (n + 1.0) / n
+    )
+    return agg.select(
+        "n",
+        "total",
+        F.when(F.col("total") > 0, g).alias("gini"),
     )

@@ -322,3 +322,38 @@ def join_cardinality_approx(
             * ld * rd
         ).alias("fanout_bound_est"),
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: Union[str, list],
+    order_col,
+    k: int,
+    *,
+    descending: bool = True,
+    tiebreak_cols: Optional[list] = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """The k extreme rows per group (top revenue orders per segment,
+    longest docs per source, ...) with their 1-based rank.
+
+    Plan note: a ``row_number() <= k`` filter triggers Spark's
+    WindowGroupLimit pushdown — every task keeps only its LOCAL top-k
+    per group BEFORE the shuffle, so the exchange carries
+    O(groups × k × tasks), not the data.  Make the ordering unique
+    with ``tiebreak_cols`` (appended ascending) or equal-valued rows
+    rank nondeterministically.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key_list = _cols(keys)
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    order = [oc.desc() if descending else oc.asc()]
+    order += [F.col(c).asc() for c in (tiebreak_cols or [])]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in key_list]).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= F.lit(int(k)))
+    )

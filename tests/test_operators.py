@@ -5481,3 +5481,29 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     plan = weighted_sample(df, "k", "w", 5)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_top_k_per_group_values_and_pushdown(spark):
+    from pandera_spark.operators.relational import top_k_per_group
+
+    rows = [(g, i, float((i * 13) % 97)) for g in "ab" for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    out = top_k_per_group(df, "g", "v", 3, tiebreak_cols=["i"]).collect()
+    assert len(out) == 6
+    for g in "ab":
+        vals = [r.v for r in sorted(
+            (r for r in out if r.g == g), key=lambda r: r.rank)]
+        exp = sorted((v for gg, i, v in rows if gg == g), reverse=True)[:3]
+        assert vals == exp
+    asc = top_k_per_group(
+        df, "g", "v", 2, descending=False, tiebreak_cols=["i"]
+    ).collect()
+    assert all(r.v <= 1.0 or r.rank for r in asc) and len(asc) == 4
+    # WindowGroupLimit: local top-k before the shuffle
+    plan = top_k_per_group(df, "g", "v", 3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        top_k_per_group(df, "g", "v", 0)

@@ -215,3 +215,34 @@ def test_ranks_plans_no_cartesian_no_global_data_window(spark):
         # #partitions offset frame (__pid), never the value column
         for spec in rep["unpartitioned_windows"]:
             assert "__pid" in spec
+
+
+def test_gini_known_values(spark):
+    from pandera_spark.operators.ranks import gini
+
+    # perfect equality -> 0
+    eq = spark.createDataFrame([(5.0,)] * 40, "x double")
+    r = gini(eq, "x").first()
+    assert r.n == 40 and r.gini == pytest.approx(0.0, abs=1e-12)
+    # one holder of everything -> (n-1)/n
+    mono = spark.createDataFrame(
+        [(0.0,)] * 9 + [(100.0,)], "x double"
+    )
+    assert gini(mono, "x").first().gini == pytest.approx(0.9)
+    # python replay on arbitrary data (sorted-rank formula with ties)
+    vals = [1.0, 4.0, 4.0, 7.0, 0.0, 2.0, 9.0, 4.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ranks = _py_midranks(vals)
+    n, tot = len(vals), sum(vals)
+    g = 2 * sum(ranks[v] * v for v in vals) / (n * tot) - (n + 1) / n
+    assert gini(df, "x").first().gini == pytest.approx(g, rel=1e-12)
+
+
+def test_gini_guards(spark):
+    from pandera_spark.operators.ranks import gini
+
+    neg = spark.createDataFrame([(1.0,), (-2.0,)], "x double")
+    with pytest.raises(ValueError, match="negative"):
+        gini(neg, "x")
+    zero = spark.createDataFrame([(0.0,), (0.0,)], "x double")
+    assert gini(zero, "x").first().gini is None
