@@ -9304,7 +9304,8 @@ _R8_DRIVER_WINDOW = [
     "spearman_lineitem", "cusum_events", "benford_lineitem",
     "benfordsum_lineitem", "qbins_lineitem", "propz_events",
     "cuped_events", "km_events", "fdrbenford_lineitem",
-    "weightedsample_documents",
+    "weightedsample_documents", "cube_orders", "conformal_events",
+    "bootci_events", "gini_lineitem", "topk_orders",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
     "decorator_orders", "defaults_customer", "parser_orders",
@@ -9317,11 +9318,11 @@ _R8_DRIVER_WINDOW = [
     "frame_samples_documents", "ivf_ann_embeddings", "lang_id_documents",
     "lsh_ann_embeddings", "media_stats_documents", "neardup_embeddings",
     "outliers_embeddings", "pii_documents", "range_pairs_events",
-    "repetition_documents", "rollup_daily_events", "rollup_events",
-    "salted_agg_events", "sessions_events", "split_documents",
-    "validate_embeddings",
-    # remaining slots: oldest r4-certified rows
-    "anomalies_events", "bm25_documents", "chunk_neardup_documents",
+    "repetition_documents", "salted_agg_events", "sessions_events",
+    "split_documents", "validate_embeddings",
+    # (rollup_events / rollup_daily_events and the r4 fillers rotated
+    # out to fit the five late-r8 rows - never-certified rows outrank
+    # re-certification; the local replica still covers every row)
 ]
 
 
