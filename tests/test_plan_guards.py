@@ -74,6 +74,9 @@ ALLOWED_BNLJ = {
                                  # crossed onto the k-row class frame
     "kruskal_events",            # 1-row tie-correction total crossed
                                  # onto the k-row group rank-sum frame
+    "benford_lineitem",          # 1-row digit-count total crossed onto
+    "benfordsum_lineitem",       # the fixed 9-row digit spine (and the
+    "fdrbenford_lineitem",       # BH composite built on the same frame)
 }
 
 
