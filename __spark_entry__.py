@@ -1414,6 +1414,163 @@ FROM (
 """
 
 
+def q_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS of extended price on quantity + linenumber with classical
+    inference (operators/regression.py:ols_inference): ONE
+    map-side-combined aggregation of the normal-equation moments —
+    the shuffle carries a single O(d²) row per task, never data —
+    then a driver-side 3×3 solve.  The oracle replays the identical
+    estimator via Cramer's rule on the same moments."""
+    from pandera_spark.operators.regression import ols_inference
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = ols_inference(
+        li, "l_extendedprice", ["l_quantity", "l_linenumber"]
+    )
+    return out.select(
+        "term",
+        F.round("coef", 6).alias("coef_r"),
+        F.round("se", 6).alias("se_r"),
+        F.round("t_stat", 4).alias("t_r"),
+        F.col("n").cast("long").alias("n"),
+        F.round("r2", 6).alias("r2_r"),
+    )
+
+
+# Cramer's-rule replay of the 3x3 normal equations (design order:
+# b1 = l_quantity, b2 = l_linenumber, b0 = intercept); standard errors
+# from the cofactor diagonal of (X'X)^-1, sigma^2 = SSR/(n-3).
+_OLS_ORACLE = """
+WITH m AS (
+  SELECT COUNT(*)::DOUBLE AS n,
+         SUM(l_quantity) AS s1, SUM(l_linenumber) AS s2,
+         SUM(l_quantity*l_quantity) AS s11,
+         SUM(l_quantity*l_linenumber) AS s12,
+         SUM(l_linenumber*l_linenumber) AS s22,
+         SUM(l_extendedprice) AS sy,
+         SUM(l_quantity*l_extendedprice) AS s1y,
+         SUM(l_linenumber*l_extendedprice) AS s2y,
+         SUM(l_extendedprice*l_extendedprice) AS syy
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_linenumber IS NOT NULL
+), s AS (
+  SELECT *,
+    s11*(s22*n - s2*s2) - s12*(s12*n - s2*s1) + s1*(s12*s2 - s22*s1)
+      AS det,
+    s1y*(s22*n - s2*s2) - s12*(s2y*n - s2*sy) + s1*(s2y*s2 - s22*sy)
+      AS d1,
+    s11*(s2y*n - s2*sy) - s1y*(s12*n - s2*s1) + s1*(s12*sy - s2y*s1)
+      AS d2,
+    s11*(s22*sy - s2y*s2) - s12*(s12*sy - s2y*s1) + s1y*(s12*s2 - s22*s1)
+      AS d0
+  FROM m
+), b AS (
+  SELECT *, d1/det AS b1, d2/det AS b2, d0/det AS b0,
+         (s22*n - s2*s2)/det AS inv11,
+         (s11*n - s1*s1)/det AS inv22,
+         (s11*s22 - s12*s12)/det AS inv00
+  FROM s
+), f AS (
+  SELECT *,
+         (syy - (b1*s1y + b2*s2y + b0*sy)) / (n - 3) AS sigma2,
+         1 - (syy - (b1*s1y + b2*s2y + b0*sy)) / (syy - sy*sy/n) AS r2
+  FROM b
+)
+SELECT 'l_quantity' AS term, ROUND(b1, 6) AS coef_r,
+       ROUND(SQRT(sigma2*inv11), 6) AS se_r,
+       ROUND(b1/SQRT(sigma2*inv11), 4) AS t_r,
+       CAST(n AS BIGINT) AS n, ROUND(r2, 6) AS r2_r FROM f
+UNION ALL
+SELECT 'l_linenumber', ROUND(b2, 6), ROUND(SQRT(sigma2*inv22), 6),
+       ROUND(b2/SQRT(sigma2*inv22), 4), CAST(n AS BIGINT),
+       ROUND(r2, 6) FROM f
+UNION ALL
+SELECT '(intercept)', ROUND(b0, 6), ROUND(SQRT(sigma2*inv00), 6),
+       ROUND(b0/SQRT(sigma2*inv00), 4), CAST(n AS BIGINT),
+       ROUND(r2, 6) FROM f
+"""
+
+
+_LOGIT_ITERS = 4
+
+
+def q_logit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary logistic regression (click/purchase vs rest on scaled
+    value) by 4 Newton steps from beta = 0
+    (operators/regression.py:logistic_fit).  Each step is ONE
+    aggregation of the gradient/Hessian moments + a driver-side 2×2
+    solve; the FIXED iteration count makes the whole fit a closed
+    form the oracle replays as 4 chained scalar CTEs (each a 1-row
+    cross join in DuckDB)."""
+    from pandera_spark.operators.regression import logistic_fit
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "xv", F.col("value") / F.lit(100.0)
+    )
+    fit = logistic_fit(
+        ev,
+        F.col("event_type").isin("click", "purchase"),
+        ["xv"],
+        iters=_LOGIT_ITERS,
+    )
+    return spark.createDataFrame(
+        [(
+            fit["n"],
+            round(fit["beta"][0], 8),
+            round(fit["beta"][1], 8),
+            round(fit["log_lik"], 4),
+        )],
+        T.StructType([
+            T.StructField("n", T.LongType(), False),
+            T.StructField("b_x_r", T.DoubleType(), False),
+            T.StructField("b0_r", T.DoubleType(), False),
+            T.StructField("ll_r", T.DoubleType(), False),
+        ]),
+    )
+
+
+def _logit_oracle(iters: int = _LOGIT_ITERS) -> str:
+    """Newton-Raphson replay: iteration k's CTE computes the
+    gradient/Hessian sums at iteration k-1's coefficients (carried as
+    1-row scalars) and applies the closed-form 2×2 solve; ``ll`` is
+    the log-likelihood of the beta ENTERING the final step, matching
+    logistic_fit's single-pass bookkeeping."""
+    ctes = [
+        "d AS (SELECT CASE WHEN event_type IN ('click','purchase') "
+        "THEN 1.0 ELSE 0.0 END AS y, value/100.0 AS x FROM events "
+        "WHERE value IS NOT NULL AND event_type IS NOT NULL)",
+        "it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS ll, "
+        "CAST(0 AS BIGINT) AS n)",
+    ]
+    prev = "it0"
+    for k in range(1, iters + 1):
+        p = (f"1.0/(1.0+EXP(-({prev}.b0 + {prev}.b1*d.x)))")
+        eta = f"({prev}.b0 + {prev}.b1*d.x)"
+        ctes.append(f"""it{k} AS (
+  SELECT b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) AS b0,
+         b1 + (h00*g1 - h01*g0)/(h00*h11 - h01*h01) AS b1,
+         ll, n
+  FROM (
+    SELECT {prev}.b0, {prev}.b1,
+           SUM(d.y - {p}) AS g0,
+           SUM((d.y - {p})*d.x) AS g1,
+           SUM(({p})*(1.0-{p})) AS h00,
+           SUM(({p})*(1.0-{p})*d.x) AS h01,
+           SUM(({p})*(1.0-{p})*d.x*d.x) AS h11,
+           SUM(d.y*{eta} - LN(1.0+EXP({eta}))) AS ll,
+           COUNT(*) AS n
+    FROM d, {prev} GROUP BY {prev}.b0, {prev}.b1
+  )
+)""")
+        prev = f"it{k}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(n AS BIGINT) AS n, ROUND(b1, 8) AS b_x_r, "
+        f"ROUND(b0, 8) AS b0_r, ROUND(ll, 4) AS ll_r FROM it{iters}"
+    )
+
+
 _BOOT_B, _BOOT_ALPHA = 32, 0.1
 
 
@@ -9306,6 +9463,7 @@ _R8_DRIVER_WINDOW = [
     "cuped_events", "km_events", "fdrbenford_lineitem",
     "weightedsample_documents", "cube_orders", "conformal_events",
     "bootci_events", "gini_lineitem", "topk_orders",
+    "ols_lineitem", "logit_events",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
     "decorator_orders", "defaults_customer", "parser_orders",
@@ -9319,10 +9477,11 @@ _R8_DRIVER_WINDOW = [
     "lsh_ann_embeddings", "media_stats_documents", "neardup_embeddings",
     "outliers_embeddings", "pii_documents", "range_pairs_events",
     "repetition_documents", "salted_agg_events", "sessions_events",
-    "split_documents", "validate_embeddings",
-    # (rollup_events / rollup_daily_events and the r4 fillers rotated
-    # out to fit the five late-r8 rows - never-certified rows outrank
-    # re-certification; the local replica still covers every row)
+    # (rollup_events / rollup_daily_events, the r4 fillers, and the
+    # r3 rows split_documents / validate_embeddings rotated out to fit
+    # the late-r8 rows incl. ols_lineitem / logit_events -
+    # never-certified rows outrank re-certification; the local replica
+    # still covers every row)
 ]
 
 
@@ -9368,6 +9527,8 @@ def _queries_unordered() -> dict[
         "ttest_welch_events": q_ttest_welch_events,
         "gini_lineitem": q_gini_lineitem,
         "topk_orders": q_topk_orders,
+        "ols_lineitem": q_ols_lineitem,
+        "logit_events": q_logit_events,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -9803,6 +9964,8 @@ FROM ranked WHERE rank <= 5
         "ttest_welch_events": _TTEST_WELCH_ORACLE,
         "gini_lineitem": _GINI_ORACLE,
         "topk_orders": _TOPK_ORACLE,
+        "ols_lineitem": _OLS_ORACLE,
+        "logit_events": _logit_oracle(),
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

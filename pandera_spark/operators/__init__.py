@@ -85,6 +85,12 @@ from .quantize import (
     quantized_topk,
 )
 from .pipeline import prepare_training_corpus
+from .regression import (
+    logistic_fit,
+    logistic_report,
+    logistic_score,
+    ols_inference,
+)
 from .relational import (
     fk_violations,
     isin_table,

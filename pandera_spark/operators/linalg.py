@@ -406,27 +406,19 @@ def pool_embeddings(
     )
 
 
-def fit_ols(
+def _ols_design_moments(
     df: DataFrame,
     y: str,
     xs: "Sequence[str]",
-    *,
-    intercept: bool = True,
+    intercept: bool,
 ):
-    """Multivariate least squares of ``y`` on named numeric columns.
-
-    Returns ``(coef, intercept, stats)`` — ``coef`` a numpy array
-    aligned with ``xs``, ``stats`` a dict with ``n, r2, rmse``.
-
-    ONE distributed aggregation collects the normal-equation moments
-    (n, Σxᵢ, Σxᵢxⱼ for i≤j, Σxᵢy, Σy, Σy²) — the shuffle carries one
-    O(d²) moment row per task, never data — and the (d+1)×(d+1) solve
-    happens driver-side with ``lstsq`` (rank-deficient designs get the
-    minimum-norm solution instead of a crash).  Rows with a null in
-    ``y`` or any ``xs`` drop.  For d beyond a few hundred columns the
-    d² expression count stops being the right plan — use the array-
-    column BLAS path (:func:`fit_pca`-style RowMatrix) instead.
-    """
+    """ONE distributed aggregation of the normal-equation moments
+    (n, Σxᵢ, Σxᵢxⱼ for i≤j, Σxᵢy, Σy, Σy²); returns
+    ``(xtx, xty, n, syy, sy)`` with the intercept column folded in as
+    the LAST design dimension when requested.  The shuffle carries one
+    O(d²) moment row per task, never data; rows with a null in ``y``
+    or any ``xs`` drop.  Shared by :func:`fit_ols` and
+    :func:`pandera_spark.operators.regression.ols_inference`."""
     import numpy as np
 
     xs = list(xs)
@@ -464,15 +456,43 @@ def fit_ols(
         for i in range(d):
             xtx[i, d] = xtx[d, i] = row[f"sx_{i}"]
         xty[d] = row["sy"]
+    return xtx, xty, n, row["syy"], row["sy"]
+
+
+def fit_ols(
+    df: DataFrame,
+    y: str,
+    xs: "Sequence[str]",
+    *,
+    intercept: bool = True,
+):
+    """Multivariate least squares of ``y`` on named numeric columns.
+
+    Returns ``(coef, intercept, stats)`` — ``coef`` a numpy array
+    aligned with ``xs``, ``stats`` a dict with ``n, r2, rmse``.
+
+    ONE distributed aggregation collects the normal-equation moments
+    (n, Σxᵢ, Σxᵢxⱼ for i≤j, Σxᵢy, Σy, Σy²) — the shuffle carries one
+    O(d²) moment row per task, never data — and the (d+1)×(d+1) solve
+    happens driver-side with ``lstsq`` (rank-deficient designs get the
+    minimum-norm solution instead of a crash).  Rows with a null in
+    ``y`` or any ``xs`` drop.  For d beyond a few hundred columns the
+    d² expression count stops being the right plan — use the array-
+    column BLAS path (:func:`fit_pca`-style RowMatrix) instead.
+    """
+    import numpy as np
+
+    xtx, xty, n, syy, sy = _ols_design_moments(df, y, xs, intercept)
+    d = len(list(xs))
     beta, *_ = np.linalg.lstsq(xtx, xty, rcond=None)
     coef = beta[:d]
     b0 = float(beta[d]) if intercept else 0.0
     ss_res = max(
         0.0,
-        row["syy"] - 2.0 * float(beta @ xty) + float(beta @ xtx @ beta),
+        syy - 2.0 * float(beta @ xty) + float(beta @ xtx @ beta),
     )
-    ybar = row["sy"] / n
-    ss_tot = max(0.0, row["syy"] - n * ybar * ybar)
+    ybar = sy / n
+    ss_tot = max(0.0, syy - n * ybar * ybar)
     stats = {
         "n": int(n),
         "r2": (1.0 - ss_res / ss_tot) if ss_tot > 0 else None,
