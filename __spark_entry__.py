@@ -1571,6 +1571,115 @@ def _logit_oracle(iters: int = _LOGIT_ITERS) -> str:
     )
 
 
+def q_brandpairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent brand pairs over order baskets
+    (operators/basket.py:frequent_pairs): the part dim joins
+    BROADCAST, Apriori item pruning bounds the basket self-join, and
+    the pair shuffle is keyed on the basket — support / confidence /
+    lift per unordered pair."""
+    from pandera_spark.operators.basket import frequent_pairs
+
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    )
+    out = frequent_pairs(
+        baskets, "l_orderkey", "p_brand",
+        min_pair_support=2, min_item_support=1,
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        F.col("count_a").cast("long").alias("count_a"),
+        F.col("count_b").cast("long").alias("count_b"),
+        F.col("n_baskets").cast("long").alias("n_baskets"),
+        F.round("support", 6).alias("support_r"),
+        F.round("conf_a_to_b", 6).alias("conf_ab_r"),
+        F.round("conf_b_to_a", 6).alias("conf_ba_r"),
+        F.round("lift", 6).alias("lift_r"),
+    )
+
+
+_BRANDPAIRS_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL
+), nb AS (SELECT COUNT(DISTINCT b) AS n FROM items),
+counts AS (SELECT i, COUNT(*) AS c FROM items GROUP BY i),
+pairs AS (
+  SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS pair_count
+  FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.item_a, p.item_b,
+       CAST(p.pair_count AS BIGINT) AS pair_count,
+       CAST(ca.c AS BIGINT) AS count_a,
+       CAST(cb.c AS BIGINT) AS count_b,
+       CAST(nb.n AS BIGINT) AS n_baskets,
+       ROUND(p.pair_count / nb.n::DOUBLE, 6) AS support_r,
+       ROUND(p.pair_count / ca.c::DOUBLE, 6) AS conf_ab_r,
+       ROUND(p.pair_count / cb.c::DOUBLE, 6) AS conf_ba_r,
+       ROUND(p.pair_count * nb.n::DOUBLE / (ca.c * cb.c), 6) AS lift_r
+FROM pairs p
+JOIN counts ca ON ca.i = p.item_a
+JOIN counts cb ON cb.i = p.item_b
+CROSS JOIN nb
+"""
+
+
+_ACF_MAX_LAG = 6
+
+
+def q_acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly mean event value at lags 1..6
+    (operators/temporal.py:acf): everything past the rollup is
+    bucket-grain — one moment pass + ONE equi-join on idx+lag with
+    the lag set exploded, full-series mean/denominator (r_0 = 1
+    convention)."""
+    from pandera_spark.operators.temporal import acf, time_rollup
+
+    ev = _load(spark, sf_dir, "events")
+    series = time_rollup(
+        ev.where(F.col("value").isNotNull()), "ts",
+        resolution="1 hour", aggs={"v": F.avg("value")},
+    )
+    out = acf(series, "v", step_seconds=3600, max_lag=_ACF_MAX_LAG)
+    return out.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("acf_value", 6).alias("acf_r"),
+    )
+
+
+_ACF_ORACLE = f"""
+WITH series AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS idx,
+         AVG(value) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+), m AS (
+  SELECT AVG(v) AS xbar,
+         SUM(v*v) - SUM(v)*SUM(v)/COUNT(*) AS den
+  FROM series
+), lags AS (
+  SELECT UNNEST(range(1, {_ACF_MAX_LAG + 1})) AS lag
+)
+SELECT CAST(l.lag AS INT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM((a.v - m.xbar)*(b.v - m.xbar)) / MIN(m.den), 6)
+         AS acf_r
+FROM series a
+CROSS JOIN lags l
+JOIN series b ON b.idx = a.idx + l.lag
+CROSS JOIN m
+GROUP BY l.lag
+"""
+
+
 _BOOT_B, _BOOT_ALPHA = 32, 0.1
 
 
@@ -9463,7 +9572,7 @@ _R8_DRIVER_WINDOW = [
     "cuped_events", "km_events", "fdrbenford_lineitem",
     "weightedsample_documents", "cube_orders", "conformal_events",
     "bootci_events", "gini_lineitem", "topk_orders",
-    "ols_lineitem", "logit_events",
+    "ols_lineitem", "logit_events", "brandpairs_lineitem", "acf_events",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
     "decorator_orders", "defaults_customer", "parser_orders",
@@ -9476,10 +9585,11 @@ _R8_DRIVER_WINDOW = [
     "frame_samples_documents", "ivf_ann_embeddings", "lang_id_documents",
     "lsh_ann_embeddings", "media_stats_documents", "neardup_embeddings",
     "outliers_embeddings", "pii_documents", "range_pairs_events",
-    "repetition_documents", "salted_agg_events", "sessions_events",
+    "repetition_documents",
     # (rollup_events / rollup_daily_events, the r4 fillers, and the
-    # r3 rows split_documents / validate_embeddings rotated out to fit
-    # the late-r8 rows incl. ols_lineitem / logit_events -
+    # r3 rows split_documents / validate_embeddings / salted_agg_events
+    # / sessions_events rotated out to fit the late-r8 rows
+    # ols_lineitem / logit_events / brandpairs_lineitem / acf_events -
     # never-certified rows outrank re-certification; the local replica
     # still covers every row)
 ]
@@ -9529,6 +9639,8 @@ def _queries_unordered() -> dict[
         "topk_orders": q_topk_orders,
         "ols_lineitem": q_ols_lineitem,
         "logit_events": q_logit_events,
+        "brandpairs_lineitem": q_brandpairs_lineitem,
+        "acf_events": q_acf_events,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -9966,6 +10078,8 @@ FROM ranked WHERE rank <= 5
         "topk_orders": _TOPK_ORACLE,
         "ols_lineitem": _OLS_ORACLE,
         "logit_events": _logit_oracle(),
+        "brandpairs_lineitem": _BRANDPAIRS_ORACLE,
+        "acf_events": _ACF_ORACLE,
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

@@ -121,7 +121,9 @@ from .similarity import (
     verify_pairs_cosine,
 )
 from .tokenize import bpe_encode, bpe_pair_counts, bpe_train, word_counts
+from .basket import basket_stats, frequent_pairs
 from .temporal import (
+    acf,
     asof_join,
     banded_range_join,
     funnel,

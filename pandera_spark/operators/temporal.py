@@ -46,6 +46,7 @@ __all__ = [
     "gap_report",
     "gap_fill",
     "cusum_changepoints",
+    "acf",
 ]
 
 
@@ -827,4 +828,92 @@ def cusum_changepoints(
             F.col("__mean") * F.col("__n") - F.col("__cum"),
             (F.col("__n") - F.col("__rn")).cast("double"),
         ).alias("mean_after"),
+    )
+
+
+def acf(
+    series: DataFrame,
+    value_col: str,
+    *,
+    bucket_col: str = "bucket_start",
+    step_seconds: int = 3600,
+    max_lag: int = 6,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Sample autocorrelation of a regular time series at lags
+    ``1..max_lag``: one row per (``keys``, ``lag``) with
+    ``n_pairs, acf_value``.
+
+    Input is a rolled-up series (:func:`time_rollup` output — one row
+    per ``keys`` × bucket); ``step_seconds`` is the bucket stride.
+    Standard biased estimator:
+    ``r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²`` with the
+    mean and denominator over the FULL series, so ``r_0 ≡ 1`` and the
+    estimates are positive-semidefinite across lags.  Gaps are allowed
+    — a lag-k pair exists only where both endpoints do (run
+    :func:`gap_fill` first for textbook contiguous semantics).
+
+    Plan shape: the series is already aggregate-sized (one row per
+    bucket, not per event), so everything here is cheap relative to
+    the rollup that produced it — one grouped moment pass, then ONE
+    equi-join on (keys, idx+lag) with the lag set exploded on the
+    left (max_lag× a bucket-grain frame, never event-grain).  Global
+    moments attach via a broadcast 1-row cross join, per-key moments
+    via a hash join on ``keys``.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    if step_seconds <= 0:
+        raise ValueError("step_seconds must be > 0")
+    keys = list(keys)
+    base = (
+        series.where(
+            F.col(value_col).isNotNull() & F.col(bucket_col).isNotNull()
+        )
+        .select(
+            *[F.col(k) for k in keys],
+            F.floor(
+                _epoch_us(F.col(bucket_col))
+                / F.lit(int(step_seconds) * 1_000_000)
+            ).alias("__idx"),
+            F.col(value_col).cast("double").alias("__x"),
+        )
+    )
+    moments = base.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__ss"),
+    ).select(
+        *[F.col(k) for k in keys],
+        (F.col("__s") / F.col("__n")).alias("__xbar"),
+        (F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__n"))
+        .alias("__den"),
+    )
+    if keys:
+        centered = base.join(moments, keys)
+    else:
+        centered = base.crossJoin(F.broadcast(moments))
+    lag_arr = F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+    left = centered.select(
+        *[F.col(k) for k in keys],
+        F.explode(lag_arr).alias("lag"),
+        (F.col("__idx") + F.col("lag")).alias("__tidx"),
+        (F.col("__x") - F.col("__xbar")).alias("__ca"),
+        F.col("__den"),
+    )
+    right = centered.select(
+        *[F.col(k) for k in keys],
+        F.col("__idx").alias("__tidx"),
+        (F.col("__x") - F.col("__xbar")).alias("__cb"),
+    )
+    return (
+        left.join(right, [*keys, "__tidx"])
+        .groupBy(*[F.col(k) for k in keys], F.col("lag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.try_divide(
+                F.sum(F.col("__ca") * F.col("__cb")),
+                F.first("__den"),
+            ).alias("acf_value"),
+        )
     )

@@ -1,0 +1,161 @@
+"""Tests for operators/basket.py (frequent pairs) and temporal.acf —
+hand-computed references on small deterministic inputs."""
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandera_spark.operators.basket import basket_stats, frequent_pairs
+from pandera_spark.operators.temporal import acf
+
+
+def _orders(spark):
+    # baskets: 1:{a,b,c} 2:{a,b} 3:{a,c} 4:{b} 5:{a,b} (dup line for b)
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+        (5, "a"), (5, "b"), (5, "b"),
+    ]
+    return spark.createDataFrame(rows, "basket int, item string")
+
+
+class TestFrequentPairs:
+    def test_counts_and_stats(self, spark):
+        out = frequent_pairs(
+            _orders(spark), "basket", "item",
+            min_pair_support=2, min_item_support=1,
+        ).collect()
+        by_pair = {(r["item_a"], r["item_b"]): r for r in out}
+        # (a,b) in baskets 1,2,5 ; (a,c) in 1,3 ; (b,c) only basket 1
+        assert set(by_pair) == {("a", "b"), ("a", "c")}
+        ab = by_pair[("a", "b")]
+        assert ab["pair_count"] == 3
+        assert ab["count_a"] == 4 and ab["count_b"] == 4
+        assert ab["n_baskets"] == 5
+        assert ab["support"] == pytest.approx(3 / 5)
+        assert ab["conf_a_to_b"] == pytest.approx(3 / 4)
+        assert ab["conf_b_to_a"] == pytest.approx(3 / 4)
+        assert ab["lift"] == pytest.approx(3 * 5 / (4 * 4))
+        ac = by_pair[("a", "c")]
+        assert ac["pair_count"] == 2 and ac["count_b"] == 2
+
+    def test_item_support_prunes_before_pairs(self, spark):
+        # c appears in 2 baskets; with min_item_support=3 it cannot pair
+        out = frequent_pairs(
+            _orders(spark), "basket", "item",
+            min_pair_support=1, min_item_support=3,
+        ).collect()
+        items = {r["item_a"] for r in out} | {r["item_b"] for r in out}
+        assert "c" not in items
+        assert {(r["item_a"], r["item_b"]) for r in out} == {("a", "b")}
+
+    def test_basket_size_cap(self, spark):
+        out = frequent_pairs(
+            _orders(spark), "basket", "item",
+            min_pair_support=1, min_item_support=1,
+            max_items_per_basket=2,
+        ).collect()
+        by_pair = {(r["item_a"], r["item_b"]): r for r in out}
+        # basket 1 (3 items) dropped -> (a,c) only from basket 3,
+        # (b,c) gone entirely, denominator now 4 baskets
+        assert ("b", "c") not in by_pair
+        assert by_pair[("a", "c")]["pair_count"] == 1
+        assert by_pair[("a", "b")]["n_baskets"] == 4
+
+    def test_nulls_and_duplicates_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b"), (None, "z"), (2, None),
+             (2, "a"), (2, "b")],
+            "basket int, item string",
+        )
+        out = frequent_pairs(
+            df, "basket", "item", min_pair_support=1, min_item_support=1
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["item_a"], r["item_b"], r["pair_count"]) == ("a", "b", 2)
+        assert r["n_baskets"] == 2
+
+    def test_threshold_validation(self, spark):
+        with pytest.raises(ValueError, match="support"):
+            frequent_pairs(_orders(spark), "basket", "item",
+                           min_pair_support=0)
+
+    def test_basket_stats(self, spark):
+        out = {r["basket_size"]: r["n_baskets"]
+               for r in basket_stats(_orders(spark), "basket", "item")
+               .collect()}
+        assert out == {3: 1, 2: 3, 1: 1}
+
+
+class TestAcf:
+    def _series(self, spark, values):
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (t0 + datetime.timedelta(hours=i), float(v))
+            for i, v in enumerate(values)
+        ]
+        return spark.createDataFrame(rows, "bucket_start timestamp, v double")
+
+    def _local_acf(self, xs, k):
+        n = len(xs)
+        m = sum(xs) / n
+        den = sum((x - m) ** 2 for x in xs)
+        num = sum((xs[t] - m) * (xs[t + k] - m) for t in range(n - k))
+        return num / den
+
+    def test_matches_local(self, spark):
+        xs = [1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 5.0, 8.0]
+        out = {
+            r["lag"]: r
+            for r in acf(self._series(spark, xs), "v", max_lag=3).collect()
+        }
+        for k in (1, 2, 3):
+            assert out[k]["acf_value"] == pytest.approx(
+                self._local_acf(xs, k), abs=1e-12
+            )
+            assert out[k]["n_pairs"] == len(xs) - k
+
+    def test_constant_series_null_acf(self, spark):
+        out = acf(self._series(spark, [2.0] * 6), "v", max_lag=2).collect()
+        assert all(r["acf_value"] is None for r in out)
+
+    def test_gaps_pair_only_existing(self, spark):
+        df = self._series(spark, [1.0, 2.0, 3.0, 4.0, 5.0])
+        df = df.where(F.hour("bucket_start") != 2)  # drop index 2
+        out = {r["lag"]: r for r in acf(df, "v", max_lag=1).collect()}
+        # pairs at lag 1: (0,1), (3,4) -> 2 pairs
+        assert out[1]["n_pairs"] == 2
+
+    def test_keys(self, spark):
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        for g, xs in [("a", [1.0, 2.0, 1.0, 2.0]), ("b", [1.0, 2.0, 3.0, 4.0])]:
+            rows += [
+                (g, t0 + datetime.timedelta(hours=i), v)
+                for i, v in enumerate(xs)
+            ]
+        df = spark.createDataFrame(
+            rows, "g string, bucket_start timestamp, v double"
+        )
+        out = {
+            (r["g"], r["lag"]): r["acf_value"]
+            for r in acf(df, "v", max_lag=1, keys=["g"]).collect()
+        }
+        assert out[("a", 1)] == pytest.approx(
+            self._local_acf([1.0, 2.0, 1.0, 2.0], 1), abs=1e-12
+        )
+        assert out[("b", 1)] == pytest.approx(
+            self._local_acf([1.0, 2.0, 3.0, 4.0], 1), abs=1e-12
+        )
+
+    def test_validation(self, spark):
+        df = self._series(spark, [1.0, 2.0])
+        with pytest.raises(ValueError, match="max_lag"):
+            acf(df, "v", max_lag=0)
+        with pytest.raises(ValueError, match="step_seconds"):
+            acf(df, "v", step_seconds=0)

@@ -77,6 +77,10 @@ ALLOWED_BNLJ = {
     "benford_lineitem",          # 1-row digit-count total crossed onto
     "benfordsum_lineitem",       # the fixed 9-row digit spine (and the
     "fdrbenford_lineitem",       # BH composite built on the same frame)
+    "acf_events",                # 1-row series-moments frame (mean +
+                                 # denominator) crossed onto the
+                                 # bucket-grain series before the
+                                 # equi-join on idx+lag
 }
 
 
