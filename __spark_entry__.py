@@ -1680,6 +1680,79 @@ GROUP BY l.lag
 """
 
 
+def q_ratiometric_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio-metric z-test (operators/abtest.py:
+    ratio_metric_ztest): purchase revenue per event between user-parity
+    variants, variance taken at the USER grain (one shuffle on
+    (variant, user), then a conditional aggregate over the unit
+    frame)."""
+    from pandera_spark.operators.abtest import ratio_metric_ztest
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "variant",
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "A").otherwise("B"),
+    )
+    out = ratio_metric_ztest(
+        ev, "variant", "A", "B",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+        F.lit(1.0),
+        "user_id",
+    )
+    return out.select(
+        "k_a", "k_b",
+        F.round("ratio_a", 6).alias("ra_r"),
+        F.round("ratio_b", 6).alias("rb_r"),
+        F.round("diff", 6).alias("diff_r"),
+        F.round("se", 6).alias("se_r"),
+        F.round("z", 6).alias("z_r"),
+        F.round("pvalue", 6).alias("p_r"),
+    )
+
+
+def _ratiometric_oracle() -> str:
+    var = ("(vn_{t} - 2*(mn_{t}/md_{t})*cnd_{t} "
+           "+ (mn_{t}/md_{t})*(mn_{t}/md_{t})*vd_{t}) "
+           "/ (k_{t} * md_{t} * md_{t})")
+    z = (f"((mn_a/md_a - mn_b/md_b) / SQRT({var.format(t='a')} "
+         f"+ {var.format(t='b')}))")
+    return f"""
+WITH units AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+         user_id AS u,
+         SUM(COALESCE(CASE WHEN event_type = 'purchase' THEN value END,
+                      0.0)) AS n,
+         SUM(1.0) AS d
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+), m AS (
+  SELECT
+    CAST(COUNT(CASE WHEN g = 'A' THEN 1 END) AS BIGINT) AS k_a,
+    CAST(COUNT(CASE WHEN g = 'B' THEN 1 END) AS BIGINT) AS k_b,
+    AVG(CASE WHEN g = 'A' THEN n END) AS mn_a,
+    AVG(CASE WHEN g = 'A' THEN d END) AS md_a,
+    VAR_SAMP(CASE WHEN g = 'A' THEN n END) AS vn_a,
+    VAR_SAMP(CASE WHEN g = 'A' THEN d END) AS vd_a,
+    COVAR_SAMP(CASE WHEN g = 'A' THEN n END,
+               CASE WHEN g = 'A' THEN d END) AS cnd_a,
+    AVG(CASE WHEN g = 'B' THEN n END) AS mn_b,
+    AVG(CASE WHEN g = 'B' THEN d END) AS md_b,
+    VAR_SAMP(CASE WHEN g = 'B' THEN n END) AS vn_b,
+    VAR_SAMP(CASE WHEN g = 'B' THEN d END) AS vd_b,
+    COVAR_SAMP(CASE WHEN g = 'B' THEN n END,
+               CASE WHEN g = 'B' THEN d END) AS cnd_b
+  FROM units
+)
+SELECT k_a, k_b,
+       ROUND(mn_a/md_a, 6) AS ra_r,
+       ROUND(mn_b/md_b, 6) AS rb_r,
+       ROUND(mn_a/md_a - mn_b/md_b, 6) AS diff_r,
+       ROUND(SQRT({var.format(t='a')} + {var.format(t='b')}), 6) AS se_r,
+       ROUND({z}, 6) AS z_r,
+       ROUND(2.0 * {_norm_sf_sql(f"ABS({z})")}, 6) AS p_r
+FROM m
+"""
+
+
 _BOOT_B, _BOOT_ALPHA = 32, 0.1
 
 
@@ -9573,6 +9646,7 @@ _R8_DRIVER_WINDOW = [
     "weightedsample_documents", "cube_orders", "conformal_events",
     "bootci_events", "gini_lineitem", "topk_orders",
     "ols_lineitem", "logit_events", "brandpairs_lineitem", "acf_events",
+    "ratiometric_events",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
     "decorator_orders", "defaults_customer", "parser_orders",
@@ -9585,10 +9659,10 @@ _R8_DRIVER_WINDOW = [
     "frame_samples_documents", "ivf_ann_embeddings", "lang_id_documents",
     "lsh_ann_embeddings", "media_stats_documents", "neardup_embeddings",
     "outliers_embeddings", "pii_documents", "range_pairs_events",
-    "repetition_documents",
     # (rollup_events / rollup_daily_events, the r4 fillers, and the
     # r3 rows split_documents / validate_embeddings / salted_agg_events
-    # / sessions_events rotated out to fit the late-r8 rows
+    # / sessions_events / repetition_documents rotated out to fit the
+    # late-r8 rows
     # ols_lineitem / logit_events / brandpairs_lineitem / acf_events -
     # never-certified rows outrank re-certification; the local replica
     # still covers every row)
@@ -9641,6 +9715,7 @@ def _queries_unordered() -> dict[
         "logit_events": q_logit_events,
         "brandpairs_lineitem": q_brandpairs_lineitem,
         "acf_events": q_acf_events,
+        "ratiometric_events": q_ratiometric_events,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -10080,6 +10155,7 @@ FROM ranked WHERE rank <= 5
         "logit_events": _logit_oracle(),
         "brandpairs_lineitem": _BRANDPAIRS_ORACLE,
         "acf_events": _ACF_ORACLE,
+        "ratiometric_events": _ratiometric_oracle(),
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

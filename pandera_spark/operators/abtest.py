@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from .drift import _norm_sf
 
-__all__ = ["proportion_ztest", "cuped_adjust"]
+__all__ = ["proportion_ztest", "cuped_adjust", "ratio_metric_ztest"]
 
 
 def _is(group_col: str, level) -> C:
@@ -151,4 +151,102 @@ def cuped_adjust(
         (adj_a - adj_b).alias("adj_diff"),
         z.alias("z"),
         (2.0 * _norm_sf(F.abs(z))).alias("pvalue"),
+    )
+
+
+def ratio_metric_ztest(
+    df: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    num: C,
+    den: C,
+    unit_col: str,
+) -> DataFrame:
+    """Delta-method z-test for a RATIO metric ``Σnum/Σden`` between two
+    variants, with variance at the randomization-unit grain.
+
+    The estimand is a ratio of sums (revenue per session, clicks per
+    user, ...), whose naive per-row variance is wrong whenever rows
+    cluster within units (they always do).  The standard fix (Deng et
+    al.) treats the per-unit sums ``(Nᵤ, Dᵤ)`` as the iid sample and
+    delta-expands ``R = N̄/D̄``:
+
+    ``Var(R) ≈ (var(N) − 2R·cov(N, D) + R²·var(D)) / (k·D̄²)``
+
+    with ``k`` units and sample (co)variances.  One row:
+    ``k_a, k_b, ratio_a, ratio_b, diff, se, z, pvalue`` (two-sided
+    normal).  ``z``/``pvalue``/``se`` are null when a variant has
+    fewer than 2 units or a zero denominator mean.
+
+    Plan shape: ONE shuffle on ``(group, unit)`` for the unit sums
+    (map-side combined), then a conditional aggregate over the
+    unit-grain frame — never a per-variant pass.  Null ``num``/``den``
+    values count as 0; rows with a null unit or a group outside
+    {a, b} drop.
+    """
+    gc = F.col(group_col)
+    units = (
+        df.where(
+            F.col(unit_col).isNotNull()
+            & ((gc == F.lit(group_a)) | (gc == F.lit(group_b)))
+        )
+        .groupBy(gc.alias("__g"), F.col(unit_col).alias("__u"))
+        .agg(
+            F.sum(F.coalesce(num.cast("double"), F.lit(0.0)))
+            .alias("__n"),
+            F.sum(F.coalesce(den.cast("double"), F.lit(0.0)))
+            .alias("__d"),
+        )
+    )
+
+    def _side(tag, level):
+        cond = F.col("__g") == F.lit(level)
+        n = F.when(cond, F.col("__n"))
+        d = F.when(cond, F.col("__d"))
+        return [
+            F.count(n).cast("long").alias(f"k_{tag}"),
+            F.avg(n).alias(f"mn_{tag}"),
+            F.avg(d).alias(f"md_{tag}"),
+            F.var_samp(n).alias(f"vn_{tag}"),
+            F.var_samp(d).alias(f"vd_{tag}"),
+            F.covar_samp(n, d).alias(f"cnd_{tag}"),
+        ]
+
+    agg = units.agg(*_side("a", group_a), *_side("b", group_b))
+
+    def _ratio(tag):
+        return F.try_divide(F.col(f"mn_{tag}"), F.col(f"md_{tag}"))
+
+    def _var(tag, r):
+        ok = (
+            (F.col(f"k_{tag}") >= 2)
+            & F.col(f"md_{tag}").isNotNull()
+            & (F.col(f"md_{tag}") != 0.0)
+        )
+        v = (
+            F.col(f"vn_{tag}")
+            - 2.0 * r * F.col(f"cnd_{tag}")
+            + r * r * F.col(f"vd_{tag}")
+        ) / (
+            F.col(f"k_{tag}").cast("double")
+            * F.col(f"md_{tag}") * F.col(f"md_{tag}")
+        )
+        return F.when(ok, v)
+
+    ra, rb = _ratio("a"), _ratio("b")
+    out = agg.select(
+        "k_a", "k_b",
+        ra.alias("ratio_a"), rb.alias("ratio_b"),
+        (ra - rb).alias("diff"),
+        F.sqrt(_var("a", ra) + _var("b", rb)).alias("se"),
+        "vn_a", "vd_a", "cnd_a", "vn_b", "vd_b", "cnd_b",
+    )
+    z = F.try_divide(F.col("diff"), F.col("se"))
+    return out.select(
+        "k_a", "k_b", "ratio_a", "ratio_b", "diff", "se",
+        z.alias("z"),
+        F.when(
+            z.isNotNull(), 2.0 * _norm_sf(F.abs(z))
+        ).alias("pvalue"),
     )

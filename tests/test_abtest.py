@@ -132,3 +132,110 @@ def test_abtest_plans_single_aggregation_no_shuffle_join(spark):
         assert rep["broadcast_nested_loop_joins"] == 0
         assert rep["sort_merge_joins"] == 0
         assert rep["exchanges"] <= 1  # one global aggregate exchange
+
+
+def _ratio_py(rows, a="A"):
+    """Local delta-method replay: rows = (group, unit, num, den)."""
+    import math
+    from collections import defaultdict
+
+    sums = defaultdict(lambda: [0.0, 0.0])
+    for g, u, n, d in rows:
+        if u is None or g not in ("A", "B"):
+            continue
+        sums[(g, u)][0] += n or 0.0
+        sums[(g, u)][1] += d or 0.0
+    out = {}
+    for g in ("A", "B"):
+        pts = [v for (gg, _), v in sums.items() if gg == g]
+        k = len(pts)
+        mn = sum(p[0] for p in pts) / k
+        md = sum(p[1] for p in pts) / k
+        vn = sum((p[0] - mn) ** 2 for p in pts) / (k - 1)
+        vd = sum((p[1] - md) ** 2 for p in pts) / (k - 1)
+        cnd = sum((p[0] - mn) * (p[1] - md) for p in pts) / (k - 1)
+        r = mn / md
+        var = (vn - 2 * r * cnd + r * r * vd) / (k * md * md)
+        out[g] = (k, r, var)
+    diff = out["A"][1] - out["B"][1]
+    se = math.sqrt(out["A"][2] + out["B"][2])
+    return out, diff, se
+
+
+def test_ratio_metric_matches_python_replay(spark):
+    import numpy as np
+
+    from pandera_spark.operators.abtest import ratio_metric_ztest
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for u in range(60):
+        g = "A" if u % 2 == 0 else "B"
+        for _ in range(int(rng.randint(1, 6))):
+            rows.append((
+                g, u,
+                float(rng.uniform(0, 10)) + (1.0 if g == "A" else 0.0),
+                1.0,
+            ))
+    df = spark.createDataFrame(
+        rows, "g string, unit long, num double, den double"
+    )
+    out = ratio_metric_ztest(
+        df, "g", "A", "B", F.col("num"), F.col("den"), "unit"
+    ).first()
+    local, diff, se = _ratio_py(rows)
+    assert out["k_a"] == local["A"][0] and out["k_b"] == local["B"][0]
+    assert out["ratio_a"] == pytest.approx(local["A"][1], abs=1e-12)
+    assert out["ratio_b"] == pytest.approx(local["B"][1], abs=1e-12)
+    assert out["diff"] == pytest.approx(diff, abs=1e-12)
+    assert out["se"] == pytest.approx(se, rel=1e-10)
+    assert out["z"] == pytest.approx(diff / se, rel=1e-10)
+    assert 0.0 <= out["pvalue"] <= 1.0
+
+
+def test_ratio_metric_null_handling_and_degenerate(spark):
+    from pandera_spark.operators.abtest import ratio_metric_ztest
+
+    # B has a single unit -> var undefined -> null z/p
+    rows = [
+        ("A", 1, 2.0, 1.0), ("A", 2, 4.0, 1.0), ("A", 3, None, 1.0),
+        ("B", 9, 5.0, 1.0),
+        ("C", 4, 99.0, 1.0), ("A", None, 99.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, unit long, num double, den double"
+    )
+    out = ratio_metric_ztest(
+        df, "g", "A", "B", F.col("num"), F.col("den"), "unit"
+    ).first()
+    assert out["k_a"] == 3 and out["k_b"] == 1  # C and null-unit dropped
+    assert out["ratio_a"] == pytest.approx(2.0)  # (2+4+0)/3
+    assert out["ratio_b"] == pytest.approx(5.0)
+    assert out["se"] is None and out["z"] is None and out["pvalue"] is None
+
+
+def test_ratio_metric_unit_clustering_widens_se(spark):
+    """Duplicating a unit's rows must NOT shrink the standard error
+    (the whole point of unit-grain variance)."""
+    from pandera_spark.operators.abtest import ratio_metric_ztest
+
+    base = []
+    for u in range(40):
+        g = "A" if u % 2 == 0 else "B"
+        base.append((g, u, float(u % 7) + 1.0, 1.0))
+    df1 = spark.createDataFrame(
+        base, "g string, unit long, num double, den double"
+    )
+    # same data, every row split into two half-weight rows
+    split = [(g, u, n / 2, d / 2) for g, u, n, d in base for _ in (0, 1)]
+    df2 = spark.createDataFrame(
+        split, "g string, unit long, num double, den double"
+    )
+    a = ratio_metric_ztest(
+        df1, "g", "A", "B", F.col("num"), F.col("den"), "unit"
+    ).first()
+    b = ratio_metric_ztest(
+        df2, "g", "A", "B", F.col("num"), F.col("den"), "unit"
+    ).first()
+    assert a["se"] == pytest.approx(b["se"], rel=1e-12)
+    assert a["ratio_a"] == pytest.approx(b["ratio_a"], rel=1e-12)
