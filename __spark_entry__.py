@@ -1753,6 +1753,111 @@ FROM m
 """
 
 
+def q_mannkendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on hourly event counts per
+    type (operators/temporal.py:mann_kendall): bucket-grain pairwise
+    self-join keyed on event_type (hash equi-join, never event-grain),
+    tie-corrected variance, continuity-corrected z.  Counts are
+    integers, so every sign() comparison is exact across engines."""
+    from pandera_spark.operators.temporal import mann_kendall, time_rollup
+
+    ev = _load(spark, sf_dir, "events")
+    series = time_rollup(
+        ev.where(F.col("event_type").isNotNull()), "ts",
+        resolution="1 hour", keys=["event_type"],
+        aggs={"v": F.count(F.lit(1)).cast("double")},
+    )
+    out = mann_kendall(series, "v", keys=["event_type"])
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.round("var_s", 4).alias("var_r"),
+        F.round("tau_b", 6).alias("tau_r"),
+        F.round("z", 6).alias("z_r"),
+        F.round("pvalue", 6).alias("p_r"),
+    )
+
+
+def _mannkendall_oracle() -> str:
+    z = ("(CASE WHEN var_s > 0 THEN "
+         "CASE WHEN s_stat > 0 THEN (s_stat - 1)/SQRT(var_s) "
+         "WHEN s_stat < 0 THEN (s_stat + 1)/SQRT(var_s) "
+         "ELSE 0.0 END END)")
+    return f"""
+WITH series AS (
+  SELECT event_type AS g,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t,
+         COUNT(*)::DOUBLE AS x
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), sj AS (
+  SELECT a.g, SUM(SIGN(b.x - a.x)) AS s_stat
+  FROM series a JOIN series b ON a.g = b.g AND a.t < b.t
+  GROUP BY 1
+), ties AS (
+  SELECT g, SUM(c) AS n, SUM(c*(c-1)*(2*c+5)) AS tie,
+         SUM(c*(c-1)/2.0) AS tiepairs
+  FROM (SELECT g, x, COUNT(*)::DOUBLE AS c FROM series GROUP BY 1, 2)
+  GROUP BY 1
+), m AS (
+  SELECT sj.g, sj.s_stat, ties.n, ties.tiepairs,
+         (ties.n*(ties.n-1)*(2*ties.n+5) - ties.tie)/18.0 AS var_s
+  FROM sj JOIN ties ON sj.g = ties.g
+)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(s_stat AS BIGINT) AS s_stat,
+       ROUND(var_s, 4) AS var_r,
+       ROUND(s_stat / SQRT((n*(n-1)/2.0)
+                           * (n*(n-1)/2.0 - tiepairs)), 6) AS tau_r,
+       ROUND({z}, 6) AS z_r,
+       ROUND(CASE WHEN {z} IS NOT NULL
+             THEN 2.0 * {_norm_sf_sql(f"ABS({z})")} END, 6) AS p_r
+FROM m
+"""
+
+
+def q_twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean event value per type
+    (operators/temporal.py:time_weighted_mean): each observation
+    weighted by its in-force duration (lead() over one keyed window,
+    event_id tiebreak for determinism), last observation unweighted —
+    the LOCF-correct mean for irregular series."""
+    from pandera_spark.operators.temporal import time_weighted_mean
+
+    ev = _load(spark, sf_dir, "events")
+    out = time_weighted_mean(
+        ev, "ts", "value", keys=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("span_seconds", 4).alias("span_r"),
+        F.round("twap", 6).alias("twap_r"),
+        F.round("simple_mean", 6).alias("mean_r"),
+    )
+
+
+_TWAP_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, epoch_us(ts) AS t, value AS x,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), d AS (
+  SELECT g, x,
+         CASE WHEN nxt - t > 0 THEN (nxt - t)/1000000.0 END AS dur
+  FROM base
+)
+SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(dur), 4) AS span_r,
+       ROUND(SUM(x*dur)/SUM(dur), 6) AS twap_r,
+       ROUND(AVG(x), 6) AS mean_r
+FROM d GROUP BY g
+"""
+
+
 _BOOT_B, _BOOT_ALPHA = 32, 0.1
 
 
@@ -9646,7 +9751,7 @@ _R8_DRIVER_WINDOW = [
     "weightedsample_documents", "cube_orders", "conformal_events",
     "bootci_events", "gini_lineitem", "topk_orders",
     "ols_lineitem", "logit_events", "brandpairs_lineitem", "acf_events",
-    "ratiometric_events",
+    "ratiometric_events", "mannkendall_events", "twap_events",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
     "decorator_orders", "defaults_customer", "parser_orders",
@@ -9658,11 +9763,11 @@ _R8_DRIVER_WINDOW = [
     "dedup_apply_documents", "dedup_clusters_embeddings",
     "frame_samples_documents", "ivf_ann_embeddings", "lang_id_documents",
     "lsh_ann_embeddings", "media_stats_documents", "neardup_embeddings",
-    "outliers_embeddings", "pii_documents", "range_pairs_events",
+    "outliers_embeddings",
     # (rollup_events / rollup_daily_events, the r4 fillers, and the
     # r3 rows split_documents / validate_embeddings / salted_agg_events
-    # / sessions_events / repetition_documents rotated out to fit the
-    # late-r8 rows
+    # / sessions_events / repetition_documents / pii_documents /
+    # range_pairs_events rotated out to fit the late-r8 rows
     # ols_lineitem / logit_events / brandpairs_lineitem / acf_events -
     # never-certified rows outrank re-certification; the local replica
     # still covers every row)
@@ -9716,6 +9821,8 @@ def _queries_unordered() -> dict[
         "brandpairs_lineitem": q_brandpairs_lineitem,
         "acf_events": q_acf_events,
         "ratiometric_events": q_ratiometric_events,
+        "mannkendall_events": q_mannkendall_events,
+        "twap_events": q_twap_events,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -10156,6 +10263,8 @@ FROM ranked WHERE rank <= 5
         "brandpairs_lineitem": _BRANDPAIRS_ORACLE,
         "acf_events": _ACF_ORACLE,
         "ratiometric_events": _ratiometric_oracle(),
+        "mannkendall_events": _mannkendall_oracle(),
+        "twap_events": _TWAP_ORACLE,
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

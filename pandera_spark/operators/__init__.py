@@ -127,6 +127,8 @@ from .temporal import (
     asof_join,
     banded_range_join,
     funnel,
+    mann_kendall,
+    time_weighted_mean,
     retention,
     rollup_anomalies,
     session_stats,

@@ -47,6 +47,8 @@ __all__ = [
     "gap_fill",
     "cusum_changepoints",
     "acf",
+    "mann_kendall",
+    "time_weighted_mean",
 ]
 
 
@@ -916,4 +918,163 @@ def acf(
                 F.first("__den"),
             ).alias("acf_value"),
         )
+    )
+
+
+def mann_kendall(
+    series: DataFrame,
+    value_col: str,
+    *,
+    bucket_col: str = "bucket_start",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test over a rolled-up series: one
+    row per ``keys`` group with ``n, s_stat, var_s, tau_b, z, pvalue``.
+
+    ``S = Σ_{i<j} sign(x_j − x_i)`` ordered by time;
+    ``Var(S) = [n(n−1)(2n+5) − Σ_p t_p(t_p−1)(2t_p+5)] / 18`` with the
+    tie correction over value-tie groups, the ±1 continuity correction
+    on z (Kendall 1975), and ``tau_b = S / √(n₀·(n₀ − n₁))`` with
+    ``n₀ = n(n−1)/2`` and ``n₁ = Σ t_p(t_p−1)/2`` (time ties are zero
+    by construction on a rollup grain).  The nonparametric complement
+    to :func:`cusum_changepoints`: CUSUM finds a LEVEL SHIFT, this
+    detects a monotonic DRIFT, robust to any monotone transform of the
+    values.
+
+    Plan shape: the input is a rollup (bucket grain, not events), so
+    the pairwise formulation is a self-join with an ``i < j`` filter —
+    O(n²/2) per key at BUCKET count n (an hourly month is ~360k
+    pairs), never event-grain.  With ``keys`` it is a hash equi-join;
+    the global case deliberately plans a (tiny, bucket-grain)
+    cartesian pair expansion — that is the algorithm, not an accident.
+    Tie counts come from one grouped pass.  For multi-year fine-grain
+    series, re-aggregate coarser first (:func:`rollup_reaggregate`).
+    """
+    keys = list(keys)
+    jk = keys if keys else ["__one"]
+    base = series.where(
+        F.col(value_col).isNotNull() & F.col(bucket_col).isNotNull()
+    ).select(
+        *[F.col(k) for k in keys],
+        *([] if keys else [F.lit(1).alias("__one")]),
+        _epoch_us(F.col(bucket_col)).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    left = base.select(
+        *[F.col(k) for k in jk],
+        F.col("__t").alias("__ti"), F.col("__x").alias("__xi"),
+    )
+    right = base.select(
+        *[F.col(k) for k in jk],
+        F.col("__t").alias("__tj"), F.col("__x").alias("__xj"),
+    )
+    s_frame = (
+        left.join(right, jk)
+        .where(F.col("__ti") < F.col("__tj"))
+        .groupBy(*[F.col(k) for k in jk])
+        .agg(
+            F.sum(F.signum(F.col("__xj") - F.col("__xi")))
+            .cast("double").alias("s_stat"),
+        )
+    )
+    ties = (
+        base.groupBy(*[F.col(k) for k in jk], F.col("__x"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+        .groupBy(*[F.col(k) for k in jk])
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(
+                F.col("__c") * (F.col("__c") - 1)
+                * (2 * F.col("__c") + 5)
+            ).alias("__tie"),
+            F.sum(F.col("__c") * (F.col("__c") - 1) / 2.0)
+            .alias("__tiepairs"),
+        )
+    )
+    joined = s_frame.join(ties, jk)
+    n = F.col("__n")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("__tie")
+    ) / F.lit(18.0)
+    s = F.col("s_stat")
+    z = F.when(var_s > 0, F.when(
+        s > 0, (s - 1) / F.sqrt(var_s)
+    ).when(s < 0, (s + 1) / F.sqrt(var_s)).otherwise(F.lit(0.0)))
+    n0 = n * (n - 1) / 2.0
+    return joined.select(
+        *[F.col(k) for k in keys],
+        n.cast("long").alias("n"),
+        s.alias("s_stat"),
+        var_s.alias("var_s"),
+        F.try_divide(
+            s, F.sqrt(n0 * (n0 - F.col("__tiepairs")))
+        ).alias("tau_b"),
+        z.alias("z"),
+        F.when(z.isNotNull(), 2.0 * _mk_norm_sf(F.abs(z)))
+        .alias("pvalue"),
+    )
+
+
+def _mk_norm_sf(z: C) -> C:
+    from .drift import _norm_sf
+
+    return _norm_sf(z)
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    keys: Sequence[str] = (),
+    horizon_end: str | None = None,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Time-weighted average (TWAP) per ``keys`` group over an
+    IRREGULAR series: each observation is weighted by how long it was
+    in force (until the next observation), so sparse-but-long-lived
+    values are not drowned out by bursts — the correct mean for
+    last-observation-carried-forward metrics (prices, gauge values,
+    connection counts).
+
+    One row per group: ``n, span_seconds, twap, simple_mean`` (the
+    unweighted mean, for the bias-vs-burstiness diff).  The LAST
+    observation per key has no successor: with ``horizon_end`` (an ISO
+    timestamp string) it extends to the horizon; otherwise it is
+    dropped from the weighting (standard half-open convention) but
+    still counts in ``n``/``simple_mean``.  Rows with null ts/value
+    drop.  Duplicate timestamps within a key make the in-force order
+    ambiguous — pass ``tiebreak_cols`` (e.g. an event id) for a
+    deterministic order; tied rows get zero duration except the last
+    of the tie run.  Plan: ONE shuffle on ``keys`` for the lead()
+    window, then a grouped aggregate.
+    """
+    keys = list(keys)
+    tiebreak_cols = list(tiebreak_cols)
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *[F.col(k) for k in keys],
+        _epoch_us(F.col(ts_col)).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+        *[F.col(c).alias(f"__tb_{i}")
+          for i, c in enumerate(tiebreak_cols)],
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        "__t", *[f"__tb_{i}" for i in range(len(tiebreak_cols))]
+    )
+    nxt = F.lead("__t").over(w)
+    if horizon_end is not None:
+        horizon = _epoch_us(F.lit(horizon_end).cast("timestamp"))
+        nxt = F.coalesce(nxt, horizon)
+    dur = (nxt - F.col("__t")).cast("double") / 1e6
+    dur = F.when(dur > 0, dur)  # negative horizon or ties -> excluded
+    weighted = base.withColumn("__dur", dur)
+    return weighted.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__dur").alias("span_seconds"),
+        F.try_divide(
+            F.sum(F.col("__x") * F.col("__dur")), F.sum("__dur")
+        ).alias("twap"),
+        F.avg("__x").alias("simple_mean"),
     )

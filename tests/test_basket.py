@@ -159,3 +159,141 @@ class TestAcf:
             acf(df, "v", max_lag=0)
         with pytest.raises(ValueError, match="step_seconds"):
             acf(df, "v", step_seconds=0)
+
+
+class TestMannKendall:
+    def _series(self, spark, values):
+        import datetime
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (t0 + datetime.timedelta(hours=i), float(v))
+            for i, v in enumerate(values)
+        ]
+        return spark.createDataFrame(rows, "bucket_start timestamp, v double")
+
+    def _local_mk(self, xs):
+        import math
+        from collections import Counter
+        n = len(xs)
+        s = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n) for j in range(i + 1, n)
+        )
+        ties = Counter(xs)
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var_s = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        n0 = n * (n - 1) / 2.0
+        n1 = sum(t * (t - 1) / 2.0 for t in ties.values())
+        tau = s / math.sqrt(n0 * (n0 - n1))
+        if s > 0:
+            z = (s - 1) / math.sqrt(var_s)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var_s)
+        else:
+            z = 0.0
+        return s, var_s, tau, z
+
+    def test_matches_local_with_ties(self, spark):
+        from pandera_spark.operators.temporal import mann_kendall
+
+        xs = [1.0, 3.0, 2.0, 3.0, 5.0, 4.0, 5.0, 7.0, 6.0, 8.0]
+        out = mann_kendall(self._series(spark, xs), "v").first()
+        s, var_s, tau, z = self._local_mk(xs)
+        assert out["s_stat"] == pytest.approx(s)
+        assert out["var_s"] == pytest.approx(var_s, rel=1e-12)
+        assert out["tau_b"] == pytest.approx(tau, rel=1e-12)
+        assert out["z"] == pytest.approx(z, rel=1e-12)
+        assert out["n"] == len(xs)
+        assert out["pvalue"] < 0.05  # clearly increasing
+
+    def test_no_trend_and_decreasing(self, spark):
+        from pandera_spark.operators.temporal import mann_kendall
+
+        flat = mann_kendall(self._series(spark, [2.0] * 8), "v").first()
+        assert flat["s_stat"] == 0.0
+        assert flat["z"] is None  # all-tied -> var_s == 0
+        dec = mann_kendall(
+            self._series(spark, [9.0, 7.0, 8.0, 5.0, 4.0, 3.0, 1.0]), "v"
+        ).first()
+        assert dec["s_stat"] < 0 and dec["tau_b"] < 0
+
+    def test_keys(self, spark):
+        import datetime
+        from pandera_spark.operators.temporal import mann_kendall
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        for g, xs in [("up", [1, 2, 3, 4, 5]), ("dn", [5, 4, 3, 2, 1])]:
+            rows += [
+                (g, t0 + datetime.timedelta(hours=i), float(v))
+                for i, v in enumerate(xs)
+            ]
+        df = spark.createDataFrame(
+            rows, "g string, bucket_start timestamp, v double"
+        )
+        out = {r["g"]: r for r in mann_kendall(df, "v", keys=["g"]).collect()}
+        assert out["up"]["s_stat"] == 10.0 and out["dn"]["s_stat"] == -10.0
+        assert out["up"]["tau_b"] == pytest.approx(1.0)
+
+    def test_keyed_plan_has_no_cartesian(self, spark):
+        import datetime
+        from pandera_spark.operators.temporal import mann_kendall
+
+        t0 = datetime.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("g", t0 + datetime.timedelta(hours=i), float(i))
+             for i in range(4)],
+            "g string, bucket_start timestamp, v double",
+        )
+        plan = mann_kendall(
+            df, "v", keys=["g"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+
+class TestTimeWeightedMean:
+    def _df(self, spark, rows):
+        import datetime
+        t0 = datetime.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(t0 + datetime.timedelta(seconds=s), float(v)) for s, v in rows],
+            "ts timestamp, v double",
+        )
+
+    def test_twap_vs_hand(self, spark):
+        from pandera_spark.operators.temporal import time_weighted_mean
+
+        # value 10 in force 100s, value 2 in force 300s; last (8) dropped
+        df = self._df(spark, [(0, 10.0), (100, 2.0), (400, 8.0)])
+        out = time_weighted_mean(df, "ts", "v").first()
+        assert out["twap"] == pytest.approx((10 * 100 + 2 * 300) / 400)
+        assert out["span_seconds"] == pytest.approx(400.0)
+        assert out["n"] == 3
+        assert out["simple_mean"] == pytest.approx(20 / 3)
+
+    def test_horizon_extends_last(self, spark):
+        from pandera_spark.operators.temporal import time_weighted_mean
+
+        df = self._df(spark, [(0, 10.0), (100, 2.0)])
+        out = time_weighted_mean(
+            df, "ts", "v", horizon_end="2024-01-01 00:03:20"
+        ).first()
+        # 10 for 100s, 2 for 100s until the 200s horizon
+        assert out["twap"] == pytest.approx((10 * 100 + 2 * 100) / 200)
+
+    def test_keys_and_single_point(self, spark):
+        import datetime
+        from pandera_spark.operators.temporal import time_weighted_mean
+
+        t0 = datetime.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("a", t0, 5.0),
+             ("a", t0 + datetime.timedelta(seconds=10), 7.0),
+             ("b", t0, 3.0)],
+            "g string, ts timestamp, v double",
+        )
+        out = {r["g"]: r for r in
+               time_weighted_mean(df, "ts", "v", keys=["g"]).collect()}
+        assert out["a"]["twap"] == pytest.approx(5.0)  # only first weighted
+        assert out["b"]["twap"] is None  # no successor, no horizon
+        assert out["b"]["simple_mean"] == pytest.approx(3.0)
