@@ -1858,6 +1858,184 @@ FROM d GROUP BY g
 """
 
 
+def q_kappa_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two derived binary labelings of lineitem
+    (operators/evalmetrics.py:cohen_kappa): one shuffle to the 2×2
+    confusion grain, marginal-product chance correction."""
+    from pandera_spark.operators.evalmetrics import cohen_kappa
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_quantity") >= 25, "hi").otherwise("lo")
+        .alias("rater_a"),
+        F.when(F.col("l_extendedprice") >= 30000, "hi").otherwise("lo")
+        .alias("rater_b"),
+    )
+    out = cohen_kappa(li, "rater_a", "rater_b")
+    return out.select(
+        "n",
+        F.round("observed_agreement", 6).alias("po_r"),
+        F.round("expected_agreement", 6).alias("pe_r"),
+        F.round("kappa", 6).alias("kappa_r"),
+    )
+
+
+_KAPPA_ORACLE = """
+WITH lab AS (
+  SELECT CASE WHEN l_quantity >= 25 THEN 'hi' ELSE 'lo' END AS a,
+         CASE WHEN l_extendedprice >= 30000 THEN 'hi' ELSE 'lo' END AS b
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), cells AS (
+  SELECT a, b, COUNT(*)::DOUBLE AS c FROM lab GROUP BY 1, 2
+), ma AS (SELECT a AS l, SUM(c) AS ra FROM cells GROUP BY 1),
+   mb AS (SELECT b AS l, SUM(c) AS rb FROM cells GROUP BY 1),
+   pe AS (SELECT SUM(ra*rb) AS pe_num FROM ma JOIN mb USING (l)),
+   tot AS (
+  SELECT SUM(c) AS n,
+         SUM(CASE WHEN a = b THEN c ELSE 0 END) AS agree
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(agree/n, 6) AS po_r,
+       ROUND(pe_num/(n*n), 6) AS pe_r,
+       ROUND((agree/n - pe_num/(n*n)) / (1 - pe_num/(n*n)), 6)
+         AS kappa_r
+FROM tot, pe
+"""
+
+
+def q_fleisskappa_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa treating each order's lineitems as repeat
+    'ratings' of the order with the returnflag label
+    (operators/evalmetrics.py:fleiss_kappa): modal rating count kept,
+    per-item agreement + label marginals from the (item, label) cell
+    grain."""
+    from pandera_spark.operators.evalmetrics import fleiss_kappa
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = fleiss_kappa(li, "l_orderkey", "l_returnflag")
+    return out.select(
+        "n_items", "n_ratings",
+        F.round("p_bar", 6).alias("pbar_r"),
+        F.round("p_e", 6).alias("pe_r"),
+        F.round("kappa", 6).alias("kappa_r"),
+    )
+
+
+_FLEISS_ORACLE = """
+WITH cells AS (
+  SELECT l_orderkey AS i, l_returnflag AS l, COUNT(*)::DOUBLE AS c
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1, 2
+), per_item AS (
+  SELECT i, SUM(c) AS n, SUM(c*(c-1)) AS agree FROM cells GROUP BY 1
+), modal AS (
+  SELECT n AS nr FROM (
+    SELECT n, COUNT(*) AS k FROM per_item GROUP BY 1
+  ) ORDER BY k DESC, n DESC LIMIT 1
+), kept AS (
+  SELECT p.* FROM per_item p JOIN modal ON p.n = modal.nr
+  WHERE modal.nr >= 2
+), pbar AS (
+  SELECT COUNT(*)::DOUBLE AS items, MIN(n) AS nper,
+         AVG(agree / (n*(n-1))) AS p_bar
+  FROM kept
+), marg AS (
+  SELECT c2.l, SUM(c2.c) AS cl
+  FROM cells c2 JOIN kept ON c2.i = kept.i
+  GROUP BY 1
+), pe AS (
+  SELECT SUM(cl*cl) AS pe_num, SUM(cl) AS tot FROM marg
+)
+SELECT CAST(items AS BIGINT) AS n_items,
+       CAST(nper AS BIGINT) AS n_ratings,
+       ROUND(p_bar, 6) AS pbar_r,
+       ROUND(pe_num/(tot*tot), 6) AS pe_r,
+       ROUND((p_bar - pe_num/(tot*tot)) / (1 - pe_num/(tot*tot)), 6)
+         AS kappa_r
+FROM pbar, pe
+"""
+
+
+_DID_BOUNDARY = "2024-01-16 00:00:00"
+
+
+def q_did_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (operators/abtest.py:
+    did_ztest): user-parity groups, mid-month before/after boundary,
+    all four cells' moments in ONE conditional-aggregate scan."""
+    from pandera_spark.operators.abtest import did_ztest
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "A").otherwise("B")
+        .alias("variant"),
+        F.when(
+            F.col("ts") < F.lit(_DID_BOUNDARY).cast("timestamp"), "pre"
+        ).otherwise("post").alias("period"),
+        F.col("value"),
+    )
+    out = did_ztest(
+        ev, "variant", "A", "B", "period", "pre", "post", F.col("value")
+    )
+    return out.select(
+        "n_a_pre", "n_a_post", "n_b_pre", "n_b_post",
+        F.round("mean_a_pre", 6).alias("map_r"),
+        F.round("mean_a_post", 6).alias("mas_r"),
+        F.round("mean_b_pre", 6).alias("mbp_r"),
+        F.round("mean_b_post", 6).alias("mbs_r"),
+        F.round("effect", 6).alias("effect_r"),
+        F.round("se", 6).alias("se_r"),
+        F.round("z", 6).alias("z_r"),
+        F.round("pvalue", 6).alias("p_r"),
+    )
+
+
+def _did_oracle() -> str:
+    # effect = (mas - map) - (mbs - mbp)
+    z = "(((mas - map) - (mbs - mbp)) / se)"
+    return f"""
+WITH lab AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+         CASE WHEN ts < TIMESTAMP '{_DID_BOUNDARY}'
+              THEN 'pre' ELSE 'post' END AS p,
+         value AS y
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT
+    CAST(COUNT(CASE WHEN g='A' AND p='pre' THEN 1 END) AS BIGINT)
+      AS n_a_pre,
+    CAST(COUNT(CASE WHEN g='A' AND p='post' THEN 1 END) AS BIGINT)
+      AS n_a_post,
+    CAST(COUNT(CASE WHEN g='B' AND p='pre' THEN 1 END) AS BIGINT)
+      AS n_b_pre,
+    CAST(COUNT(CASE WHEN g='B' AND p='post' THEN 1 END) AS BIGINT)
+      AS n_b_post,
+    AVG(CASE WHEN g='A' AND p='pre' THEN y END) AS map,
+    AVG(CASE WHEN g='A' AND p='post' THEN y END) AS mas,
+    AVG(CASE WHEN g='B' AND p='pre' THEN y END) AS mbp,
+    AVG(CASE WHEN g='B' AND p='post' THEN y END) AS mbs,
+    SQRT(VAR_SAMP(CASE WHEN g='A' AND p='pre' THEN y END)
+           / COUNT(CASE WHEN g='A' AND p='pre' THEN 1 END)
+       + VAR_SAMP(CASE WHEN g='A' AND p='post' THEN y END)
+           / COUNT(CASE WHEN g='A' AND p='post' THEN 1 END)
+       + VAR_SAMP(CASE WHEN g='B' AND p='pre' THEN y END)
+           / COUNT(CASE WHEN g='B' AND p='pre' THEN 1 END)
+       + VAR_SAMP(CASE WHEN g='B' AND p='post' THEN y END)
+           / COUNT(CASE WHEN g='B' AND p='post' THEN 1 END)) AS se
+  FROM lab
+)
+SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+       ROUND(map, 6) AS map_r, ROUND(mas, 6) AS mas_r,
+       ROUND(mbp, 6) AS mbp_r, ROUND(mbs, 6) AS mbs_r,
+       ROUND((mas - map) - (mbs - mbp), 6) AS effect_r,
+       ROUND(se, 6) AS se_r,
+       ROUND({z}, 6) AS z_r,
+       ROUND(2.0 * {_norm_sf_sql(f"ABS({z})")}, 6) AS p_r
+FROM m
+"""
+
+
 _BOOT_B, _BOOT_ALPHA = 32, 0.1
 
 
@@ -9752,6 +9930,7 @@ _R8_DRIVER_WINDOW = [
     "bootci_events", "gini_lineitem", "topk_orders",
     "ols_lineitem", "logit_events", "brandpairs_lineitem", "acf_events",
     "ratiometric_events", "mannkendall_events", "twap_events",
+    "kappa_lineitem", "fleisskappa_orders", "did_events",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
     "decorator_orders", "defaults_customer", "parser_orders",
@@ -9761,13 +9940,13 @@ _R8_DRIVER_WINDOW = [
     "asof_events", "asof_tol_events", "charbins_documents",
     "contamination_documents", "curate_documents",
     "dedup_apply_documents", "dedup_clusters_embeddings",
-    "frame_samples_documents", "ivf_ann_embeddings", "lang_id_documents",
     "lsh_ann_embeddings", "media_stats_documents", "neardup_embeddings",
     "outliers_embeddings",
     # (rollup_events / rollup_daily_events, the r4 fillers, and the
     # r3 rows split_documents / validate_embeddings / salted_agg_events
     # / sessions_events / repetition_documents / pii_documents /
-    # range_pairs_events rotated out to fit the late-r8 rows
+    # range_pairs_events / frame_samples_documents / ivf_ann_embeddings /
+    # lang_id_documents rotated out to fit the late-r8 rows
     # ols_lineitem / logit_events / brandpairs_lineitem / acf_events -
     # never-certified rows outrank re-certification; the local replica
     # still covers every row)
@@ -9823,6 +10002,9 @@ def _queries_unordered() -> dict[
         "ratiometric_events": q_ratiometric_events,
         "mannkendall_events": q_mannkendall_events,
         "twap_events": q_twap_events,
+        "kappa_lineitem": q_kappa_lineitem,
+        "fleisskappa_orders": q_fleisskappa_orders,
+        "did_events": q_did_events,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -10265,6 +10447,9 @@ FROM ranked WHERE rank <= 5
         "ratiometric_events": _ratiometric_oracle(),
         "mannkendall_events": _mannkendall_oracle(),
         "twap_events": _TWAP_ORACLE,
+        "kappa_lineitem": _KAPPA_ORACLE,
+        "fleisskappa_orders": _FLEISS_ORACLE,
+        "did_events": _did_oracle(),
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from .drift import _norm_sf
 
-__all__ = ["proportion_ztest", "cuped_adjust", "ratio_metric_ztest"]
+__all__ = [
+    "proportion_ztest",
+    "cuped_adjust",
+    "ratio_metric_ztest",
+    "did_ztest",
+]
 
 
 def _is(group_col: str, level) -> C:
@@ -249,4 +254,72 @@ def ratio_metric_ztest(
         F.when(
             z.isNotNull(), 2.0 * _norm_sf(F.abs(z))
         ).alias("pvalue"),
+    )
+
+
+def did_ztest(
+    df: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    period_col: str,
+    pre,
+    post,
+    metric: C,
+) -> DataFrame:
+    """Difference-in-differences estimate of a treatment effect:
+    ``((ā_post − ā_pre) − (b̄_post − b̄_pre))`` with the large-sample
+    z from the four cell variances — the quasi-experimental readout
+    when randomization wasn't possible but a control group and a
+    before/after boundary exist (the parallel-trends assumption is a
+    DESIGN contract, not something the math checks).
+
+    One row: ``n_a_pre, n_a_post, n_b_pre, n_b_post, mean_a_pre,
+    mean_a_post, mean_b_pre, mean_b_post, effect, se, z, pvalue``
+    (two-sided normal, ``se = √Σ var_cell/n_cell``).  Null metric rows
+    and rows outside the four cells drop; ``se``/``z``/``p`` are null
+    when any cell has fewer than 2 rows.
+
+    Plan shape: ONE global conditional aggregate — all four cells'
+    moments in a single map-side-combined scan, no group shuffle.
+    """
+    m = metric.cast("double")
+    ga, gb = _is(group_col, group_a), _is(group_col, group_b)
+    pp = F.col(period_col)
+    cells = {
+        "a_pre": ga & (pp == F.lit(pre)),
+        "a_post": ga & (pp == F.lit(post)),
+        "b_pre": gb & (pp == F.lit(pre)),
+        "b_post": gb & (pp == F.lit(post)),
+    }
+    aggs = []
+    for tag, cond in cells.items():
+        v = F.when(cond & m.isNotNull(), m)
+        aggs += [
+            F.count(v).cast("long").alias(f"n_{tag}"),
+            F.avg(v).alias(f"mean_{tag}"),
+            F.var_samp(v).alias(f"var_{tag}"),
+        ]
+    agg = df.agg(*aggs)
+    effect = (
+        (F.col("mean_a_post") - F.col("mean_a_pre"))
+        - (F.col("mean_b_post") - F.col("mean_b_pre"))
+    )
+    ok = None
+    var_sum = None
+    for tag in cells:
+        c_ok = F.col(f"n_{tag}") >= 2
+        ok = c_ok if ok is None else (ok & c_ok)
+        term = F.col(f"var_{tag}") / F.col(f"n_{tag}").cast("double")
+        var_sum = term if var_sum is None else (var_sum + term)
+    se = F.when(ok, F.sqrt(var_sum))
+    z = F.try_divide(effect, se)
+    return agg.select(
+        "n_a_pre", "n_a_post", "n_b_pre", "n_b_post",
+        "mean_a_pre", "mean_a_post", "mean_b_pre", "mean_b_post",
+        effect.alias("effect"),
+        se.alias("se"),
+        z.alias("z"),
+        F.when(z.isNotNull(), 2.0 * _norm_sf(F.abs(z)))
+        .alias("pvalue"),
     )

@@ -33,6 +33,9 @@ __all__ = [
     "calibration_bins",
     "fit_conformal",
     "apply_conformal",
+    "cohen_kappa",
+    "fleiss_kappa",
+    "isotonic_calibrate",
 ]
 
 
@@ -246,3 +249,205 @@ def apply_conformal(
     return df.withColumn(lo_col, p - F.lit(float(q))).withColumn(
         hi_col, p + F.lit(float(q))
     )
+
+
+def cohen_kappa(
+    df: DataFrame, rater_a: str, rater_b: str
+) -> DataFrame:
+    """Cohen's kappa agreement between two categorical labelings of
+    the same rows: one row ``(n, observed_agreement,
+    expected_agreement, kappa)``.
+
+    ``κ = (p_o − p_e)/(1 − p_e)`` with ``p_e = Σ_c p_a(c)·p_b(c)``
+    from the marginal label distributions.  The standard QA readout
+    for double-annotated training data (two annotators, a model vs a
+    gold column, two heuristic filters).  Rows where either label is
+    null drop; kappa is null when ``p_e = 1`` (both raters constant).
+
+    Plan shape: ONE shuffle to the (label_a, label_b) confusion grain
+    (map-side combined — at most |A|·|B| cells), marginals and the
+    diagonal from a second tiny aggregate over the cells.
+    """
+    a = F.col(rater_a).cast("string")
+    b = F.col(rater_b).cast("string")
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    # p_e = sum over labels c of rowmarg(c) * colmarg(c) / n^2: join
+    # the two marginals on the label value
+    ma = cells.groupBy(F.col("__a").alias("__l")).agg(
+        F.sum("__c").alias("__ra")
+    )
+    mb = cells.groupBy(F.col("__b").alias("__l")).agg(
+        F.sum("__c").alias("__rb")
+    )
+    pe_frame = ma.join(mb, "__l").agg(
+        F.sum(F.col("__ra") * F.col("__rb")).alias("__pe_num")
+    )
+    tot = cells.agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))
+              .otherwise(F.lit(0.0))).alias("__agree"),
+    )
+    out = tot.crossJoin(F.broadcast(pe_frame))
+    n = F.col("__n")
+    po = F.col("__agree") / n
+    pe = F.col("__pe_num") / (n * n)
+    return out.select(
+        n.cast("long").alias("n"),
+        po.alias("observed_agreement"),
+        pe.alias("expected_agreement"),
+        F.try_divide(po - pe, F.lit(1.0) - pe).alias("kappa"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame, item_col: str, label_col: str
+) -> DataFrame:
+    """Fleiss' kappa for n raters per item (long format: one row per
+    (item, rating); rater identity irrelevant).  One row:
+    ``(n_items, n_ratings, p_bar, p_e, kappa)``.
+
+    Requires the SAME number of ratings per item (the classic Fleiss
+    formulation) — items with a deviating count are dropped and the
+    modal count used, so partially-annotated batches don't poison the
+    statistic; ``n_items`` reports what was kept.
+
+    Plan shape: (item, label) cell counts in one shuffle, per-item
+    agreement ``Σ n_ij(n_ij−1)/(n(n−1))`` from a second grouped pass,
+    label marginals from a third tiny aggregate over cells.
+    """
+    cells = (
+        df.where(
+            F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(
+            F.col(item_col).alias("__i"),
+            F.col(label_col).cast("string").alias("__l"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    per_item = cells.groupBy("__i").agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.col("__c") * (F.col("__c") - 1)).alias("__agree"),
+    )
+    modal = (
+        per_item.groupBy("__n").agg(F.count(F.lit(1)).alias("__k"))
+        .orderBy(F.col("__k").desc(), F.col("__n").desc())
+        .limit(1)
+        .select(F.col("__n").alias("__nr"))
+    )
+    kept = per_item.join(
+        F.broadcast(modal), per_item["__n"] == F.col("__nr")
+    ).where(F.col("__nr") >= 2)
+    pbar_frame = kept.agg(
+        F.count(F.lit(1)).cast("double").alias("__items"),
+        F.first("__nr").alias("__nper"),
+        F.avg(
+            F.col("__agree") / (F.col("__nr") * (F.col("__nr") - 1))
+        ).alias("__pbar"),
+    )
+    marg = (
+        cells.join(kept.select("__i"), "__i")  # cells of kept items only
+        .groupBy("__l")
+        .agg(F.sum("__c").alias("__cl"))
+    )
+    pe_frame = marg.agg(
+        F.sum(F.col("__cl") * F.col("__cl")).alias("__pe_num"),
+        F.sum("__cl").alias("__tot"),
+    )
+    out = pbar_frame.crossJoin(F.broadcast(pe_frame))
+    pe = F.col("__pe_num") / (F.col("__tot") * F.col("__tot"))
+    pbar = F.col("__pbar")
+    return out.select(
+        F.col("__items").cast("long").alias("n_items"),
+        F.col("__nper").cast("long").alias("n_ratings"),
+        pbar.alias("p_bar"),
+        pe.alias("p_e"),
+        F.try_divide(pbar - pe, F.lit(1.0) - pe).alias("kappa"),
+    )
+
+
+def isotonic_calibrate(
+    scores: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Isotonic (PAV) calibration curve per ``by`` group: the
+    monotone step function mapping scores to calibrated probabilities
+    that minimizes squared error — the standard non-parametric
+    recalibration for filter/quality models whose scores rank well
+    but aren't probabilities.
+
+    Returns one row per pooled block: ``(*by, score_lo, score_hi,
+    n, calibrated_p)`` — apply with a range join / ``asof_join`` on
+    ``score_lo``.
+
+    Implementation: the corpus first collapses to the DISTINCT-SCORE
+    grain (one shuffle — same pattern as :func:`binary_auc`), then the
+    pool-adjacent-violators sweep runs per group inside ONE
+    Arrow-batched ``applyInPandas`` (PAV is inherently sequential —
+    O(d) on the d distinct scores, which is bounded by score
+    precision, NOT corpus size; round scores first for truly
+    continuous columns).
+    """
+    import pandas as pd
+
+    by = list(by)
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    grain = (
+        scores.where(s.isNotNull() & y.isNotNull())
+        .groupBy(*[F.col(k) for k in by], s.alias("__s"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.sum(y).alias("__sum"),
+        )
+    )
+    if not by:
+        grain = grain.withColumn("__g", F.lit(1))
+        group_cols = ["__g"]
+    else:
+        group_cols = by
+
+    out_fields = ", ".join(
+        f"`{k}` {t}" for k, t in zip(
+            by,
+            [dict(grain.dtypes)[k] for k in by],
+        )
+    )
+    schema = (
+        (out_fields + ", " if out_fields else "")
+        + "score_lo double, score_hi double, n long, calibrated_p double"
+    )
+
+    def _pav(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__s").reset_index(drop=True)
+        # blocks: [score_lo, score_hi, weight, mean]
+        blocks: list[list[float]] = []
+        for _, row in pdf.iterrows():
+            blocks.append(
+                [row["__s"], row["__s"], row["__n"],
+                 row["__sum"] / row["__n"]]
+            )
+            while len(blocks) >= 2 and blocks[-2][3] >= blocks[-1][3]:
+                lo2, _, w2, m2 = blocks.pop()
+                lo1, _, w1, m1 = blocks.pop()
+                blocks.append([
+                    lo1, lo2, w1 + w2,
+                    (m1 * w1 + m2 * w2) / (w1 + w2),
+                ])
+        rows = []
+        keyvals = {k: pdf[k].iloc[0] for k in by}
+        for lo, hi, w, m in blocks:
+            rows.append({
+                **keyvals, "score_lo": lo, "score_hi": hi,
+                "n": int(w), "calibrated_p": m,
+            })
+        return pd.DataFrame(rows)
+
+    return grain.groupBy(*group_cols).applyInPandas(_pav, schema=schema)

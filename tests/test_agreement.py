@@ -1,0 +1,206 @@
+"""Tests for annotator-agreement metrics (Cohen/Fleiss kappa),
+isotonic PAV calibration, and the difference-in-differences readout —
+hand-computed or local-replay references."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandera_spark.operators.evalmetrics import (
+    cohen_kappa,
+    fleiss_kappa,
+    isotonic_calibrate,
+)
+from pandera_spark.operators.abtest import did_ztest
+
+
+class TestCohenKappa:
+    def test_textbook_example(self, spark):
+        # classic 2x2: raters agree on 20 yes + 15 no of 50;
+        # marginals: A says yes 25, B says yes 30
+        rows = (
+            [("y", "y")] * 20 + [("n", "n")] * 15
+            + [("y", "n")] * 5 + [("n", "y")] * 10
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        out = cohen_kappa(df, "a", "b").first()
+        po = 35 / 50
+        pe = (25 / 50) * (30 / 50) + (25 / 50) * (20 / 50)
+        assert out["n"] == 50
+        assert out["observed_agreement"] == pytest.approx(po)
+        assert out["expected_agreement"] == pytest.approx(pe)
+        assert out["kappa"] == pytest.approx((po - pe) / (1 - pe))
+
+    def test_perfect_and_constant(self, spark):
+        same = spark.createDataFrame(
+            [("x", "x"), ("y", "y"), ("x", "x")], "a string, b string"
+        )
+        assert cohen_kappa(same, "a", "b").first()["kappa"] is None \
+            or cohen_kappa(same, "a", "b").first()["kappa"] == 1.0
+        # both raters constant AND equal -> pe = 1 -> kappa null
+        const = spark.createDataFrame(
+            [("x", "x")] * 4, "a string, b string"
+        )
+        assert const.count() == 4
+        assert cohen_kappa(const, "a", "b").first()["kappa"] is None
+
+    def test_nulls_drop(self, spark):
+        df = spark.createDataFrame(
+            [("y", "y"), ("y", None), (None, "n"), ("n", "y")],
+            "a string, b string",
+        )
+        assert cohen_kappa(df, "a", "b").first()["n"] == 2
+
+
+class TestFleissKappa:
+    def test_wikipedia_style(self, spark):
+        # 4 items x 3 raters, 2 labels; per-item label counts:
+        # i1: (3,0)  i2: (2,1)  i3: (1,2)  i4: (0,3)
+        rows = (
+            [(1, "a")] * 3
+            + [(2, "a")] * 2 + [(2, "b")]
+            + [(3, "a")] + [(3, "b")] * 2
+            + [(4, "b")] * 3
+        )
+        df = spark.createDataFrame(rows, "item int, label string")
+        out = fleiss_kappa(df, "item", "label").first()
+        # P_i = sum n_ij(n_ij-1) / (n(n-1)); n=3
+        p = [(3 * 2) / 6, (2 * 1) / 6, (2 * 1) / 6, (3 * 2) / 6]
+        p_bar = sum(p) / 4
+        # marginals: a: 6/12, b: 6/12
+        p_e = 0.5 ** 2 + 0.5 ** 2
+        assert out["n_items"] == 4 and out["n_ratings"] == 3
+        assert out["p_bar"] == pytest.approx(p_bar)
+        assert out["p_e"] == pytest.approx(p_e)
+        assert out["kappa"] == pytest.approx(
+            (p_bar - p_e) / (1 - p_e)
+        )
+
+    def test_uneven_items_dropped(self, spark):
+        rows = (
+            [(1, "a")] * 3 + [(2, "a")] * 3 + [(3, "b")] * 3
+            + [(9, "a")] * 2  # deviating count -> dropped
+        )
+        df = spark.createDataFrame(rows, "item int, label string")
+        out = fleiss_kappa(df, "item", "label").first()
+        assert out["n_items"] == 3 and out["n_ratings"] == 3
+
+
+class TestIsotonicCalibrate:
+    def _local_pav(self, pts):
+        blocks = []
+        for s, n, sm in sorted(pts):
+            blocks.append([s, s, n, sm / n])
+            while len(blocks) >= 2 and blocks[-2][3] >= blocks[-1][3]:
+                lo2, _, w2, m2 = blocks.pop()
+                lo1, _, w1, m1 = blocks.pop()
+                blocks.append(
+                    [lo1, lo2, w1 + w2, (m1 * w1 + m2 * w2) / (w1 + w2)]
+                )
+        return blocks
+
+    def test_matches_local_pav(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        rows = []
+        for _ in range(400):
+            s = float(rng.randint(0, 20)) / 20.0
+            y = int(rng.uniform() < 0.2 + 0.6 * s)
+            rows.append((s, y))
+        df = spark.createDataFrame(rows, "score double, label int")
+        out = sorted(
+            isotonic_calibrate(df, "score", "label").collect(),
+            key=lambda r: r["score_lo"],
+        )
+        pts = {}
+        for s, y in rows:
+            n, sm = pts.get(s, (0, 0.0))
+            pts[s] = (n + 1, sm + y)
+        local = self._local_pav(
+            [(s, n, sm) for s, (n, sm) in pts.items()]
+        )
+        assert len(out) == len(local)
+        for r, (lo, hi, w, m) in zip(out, local):
+            assert r["score_lo"] == pytest.approx(lo)
+            assert r["score_hi"] == pytest.approx(hi)
+            assert r["n"] == int(w)
+            assert r["calibrated_p"] == pytest.approx(m, abs=1e-12)
+        # monotone non-decreasing
+        ps = [r["calibrated_p"] for r in out]
+        assert all(a < b for a, b in zip(ps, ps[1:]))
+
+    def test_grouped(self, spark):
+        rows = [("g1", 0.1, 0), ("g1", 0.2, 1), ("g1", 0.3, 0),
+                ("g2", 0.5, 1), ("g2", 0.9, 0)]
+        df = spark.createDataFrame(rows, "g string, score double, label int")
+        out = isotonic_calibrate(df, "score", "label", by=["g"]).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["g"], []).append(r)
+        # g1: 0, 1, 0 -> pools (0.2, 0.3) to 0.5
+        g1 = sorted(by_g["g1"], key=lambda r: r["score_lo"])
+        assert [r["calibrated_p"] for r in g1] == [0.0, 0.5]
+        # g2: 1 then 0 pools to one block at 0.5
+        assert len(by_g["g2"]) == 1
+        assert by_g["g2"][0]["calibrated_p"] == pytest.approx(0.5)
+
+
+class TestDid:
+    def test_hand_computed(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        rows = []
+        for g, p, mu in [("A", "pre", 10.0), ("A", "post", 14.0),
+                         ("B", "pre", 9.0), ("B", "post", 10.5)]:
+            for _ in range(200):
+                rows.append((g, p, float(mu + rng.normal(0, 2))))
+        df = spark.createDataFrame(rows, "g string, period string, y double")
+        out = did_ztest(
+            df, "g", "A", "B", "period", "pre", "post", F.col("y")
+        ).first()
+        import statistics
+        cells = {}
+        for g, p, y in rows:
+            cells.setdefault((g, p), []).append(y)
+        means = {k: statistics.fmean(v) for k, v in cells.items()}
+        effect = (
+            (means[("A", "post")] - means[("A", "pre")])
+            - (means[("B", "post")] - means[("B", "pre")])
+        )
+        se = sum(
+            statistics.variance(v) / len(v) for v in cells.values()
+        ) ** 0.5
+        assert out["effect"] == pytest.approx(effect, abs=1e-10)
+        assert out["se"] == pytest.approx(se, rel=1e-10)
+        assert out["z"] == pytest.approx(effect / se, rel=1e-10)
+        assert out["pvalue"] < 0.05  # true DiD effect = 2.5
+        assert out["n_a_pre"] == 200
+
+    def test_degenerate_cell_null_se(self, spark):
+        df = spark.createDataFrame(
+            [("A", "pre", 1.0), ("A", "post", 2.0), ("A", "post", 3.0),
+             ("B", "pre", 1.0), ("B", "pre", 2.0), ("B", "post", 4.0)],
+            "g string, period string, y double",
+        )
+        out = did_ztest(
+            df, "g", "A", "B", "period", "pre", "post", F.col("y")
+        ).first()
+        assert out["se"] is None and out["pvalue"] is None
+        assert out["n_a_pre"] == 1
+
+    def test_rows_outside_cells_ignored(self, spark):
+        df = spark.createDataFrame(
+            [("A", "pre", 1.0), ("A", "pre", 2.0),
+             ("A", "post", 5.0), ("A", "post", 6.0),
+             ("B", "pre", 1.0), ("B", "pre", 3.0),
+             ("B", "post", 2.0), ("B", "post", 4.0),
+             ("C", "pre", 99.0), ("A", "mid", 99.0), ("A", "post", None)],
+            "g string, period string, y double",
+        )
+        out = did_ztest(
+            df, "g", "A", "B", "period", "pre", "post", F.col("y")
+        ).first()
+        assert out["n_a_post"] == 2 and out["n_b_post"] == 2
+        assert out["effect"] == pytest.approx((5.5 - 1.5) - (3.0 - 2.0))

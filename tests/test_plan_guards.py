@@ -81,6 +81,10 @@ ALLOWED_BNLJ = {
                                  # denominator) crossed onto the
                                  # bucket-grain series before the
                                  # equi-join on idx+lag
+    "kappa_lineitem",            # 1-row chance-agreement numerator
+                                 # crossed onto the 1-row totals frame
+    "fleisskappa_orders",        # 1-row label-marginal p_e frame
+                                 # crossed onto the 1-row p_bar frame
 }
 
 
