@@ -1530,16 +1530,16 @@ def q_logit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logit_oracle(iters: int = _LOGIT_ITERS) -> str:
-    """Newton-Raphson replay: iteration k's CTE computes the
+def _newton_ctes(d_sql: str, iters: int) -> "tuple[list[str], str]":
+    """Shared Newton-Raphson CTE chain: iteration k's CTE computes the
     gradient/Hessian sums at iteration k-1's coefficients (carried as
     1-row scalars) and applies the closed-form 2×2 solve; ``ll`` is
     the log-likelihood of the beta ENTERING the final step, matching
-    logistic_fit's single-pass bookkeeping."""
+    logistic_fit's single-pass bookkeeping.  ``d_sql`` must expose
+    columns ``y`` (0/1 target) and ``x``; extra columns pass through
+    for downstream consumers (e.g. the IPW outcome)."""
     ctes = [
-        "d AS (SELECT CASE WHEN event_type IN ('click','purchase') "
-        "THEN 1.0 ELSE 0.0 END AS y, value/100.0 AS x FROM events "
-        "WHERE value IS NOT NULL AND event_type IS NOT NULL)",
+        f"d AS ({d_sql})",
         "it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS ll, "
         "CAST(0 AS BIGINT) AS n)",
     ]
@@ -1564,10 +1564,20 @@ def _logit_oracle(iters: int = _LOGIT_ITERS) -> str:
   )
 )""")
         prev = f"it{k}"
+    return ctes, prev
+
+
+def _logit_oracle(iters: int = _LOGIT_ITERS) -> str:
+    ctes, last = _newton_ctes(
+        "SELECT CASE WHEN event_type IN ('click','purchase') "
+        "THEN 1.0 ELSE 0.0 END AS y, value/100.0 AS x FROM events "
+        "WHERE value IS NOT NULL AND event_type IS NOT NULL",
+        iters,
+    )
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT CAST(n AS BIGINT) AS n, ROUND(b1, 8) AS b_x_r, "
-        f"ROUND(b0, 8) AS b0_r, ROUND(ll, 4) AS ll_r FROM it{iters}"
+        f"ROUND(b0, 8) AS b0_r, ROUND(ll, 4) AS ll_r FROM {last}"
     )
 
 
@@ -2036,6 +2046,154 @@ FROM m
 """
 
 
+_RANKEVAL_Q, _RANKEVAL_POOL, _RANKEVAL_K = 50, 50, 10
+
+
+def q_rankeval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality readout (operators/evalmetrics.py:
+    ranking_metrics): exact cosine top-50 for 50 query vectors,
+    relevance = neighbor shares the query's label, metrics cut at
+    k=10 — MRR / NDCG / recall / precision in ONE query-grain
+    shuffle."""
+    from pandera_spark.operators.evalmetrics import ranking_metrics
+    from pandera_spark.operators.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    queries = emb.filter(F.col("vec_id") < _RANKEVAL_Q)
+    top = brute_force_topk(emb, queries, k=_RANKEVAL_POOL)
+    labels = emb.select("vec_id", "label")
+    ranked = (
+        top.join(
+            F.broadcast(labels.withColumnRenamed("label", "qlab")),
+            top.query_id == labels.vec_id,
+        ).drop("vec_id")
+        .join(
+            F.broadcast(labels.withColumnRenamed("label", "nlab")),
+            top.neighbor_id == labels.vec_id,
+        )
+        .select(
+            "query_id", "rank",
+            (F.col("nlab") == F.col("qlab")).cast("double").alias("rel"),
+        )
+    )
+    out = ranking_metrics(
+        ranked, "query_id", "rank", "rel", k=_RANKEVAL_K
+    )
+    return out.select(
+        "n_queries",
+        F.round("mrr", 6).alias("mrr_r"),
+        F.round("ndcg", 6).alias("ndcg_r"),
+        F.round("recall", 6).alias("recall_r"),
+        F.round("precision", 6).alias("prec_r"),
+    )
+
+
+_RANKEVAL_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS qid,
+         CASE WHEN c.label = q.label THEN 1.0 ELSE 0.0 END AS rel,
+         list_cosine_similarity(q.v, c.v) AS sim, c.vec_id AS nid
+  FROM emb q JOIN emb c
+    ON q.vec_id < {_RANKEVAL_Q} AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, nid) AS r
+  FROM scored
+), pool AS (
+  SELECT qid, rel, r,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY rel DESC, r) AS ir
+  FROM ranked WHERE r <= {_RANKEVAL_POOL}
+), per_q AS (
+  SELECT qid,
+    MIN(CASE WHEN r <= {_RANKEVAL_K} AND rel > 0 THEN r END)
+      AS first_rel,
+    SUM(CASE WHEN r <= {_RANKEVAL_K}
+        THEN (POWER(2.0, rel) - 1)/LOG2(r + 1.0) ELSE 0 END) AS dcg,
+    SUM(CASE WHEN ir <= {_RANKEVAL_K}
+        THEN (POWER(2.0, rel) - 1)/LOG2(ir + 1.0) ELSE 0 END) AS idcg,
+    SUM(CASE WHEN r <= {_RANKEVAL_K} AND rel > 0 THEN 1 ELSE 0 END)
+      AS rel_in_cut,
+    SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS rel_total
+  FROM pool GROUP BY qid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(COALESCE(1.0/first_rel, 0.0)), 6) AS mrr_r,
+       ROUND(AVG(CASE WHEN idcg > 0 THEN dcg/idcg END), 6) AS ndcg_r,
+       ROUND(AVG(CASE WHEN rel_total > 0
+                 THEN rel_in_cut/CAST(rel_total AS DOUBLE) END), 6)
+         AS recall_r,
+       ROUND(AVG(rel_in_cut/{_RANKEVAL_K}.0), 6) AS prec_r
+FROM per_q
+"""
+
+
+_IPW_ITERS, _IPW_CLIP = 4, 0.01
+
+
+def q_ipw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE (operators/abtest.py:ipw_ate):
+    propensity of the user-parity 'treatment' fit on hour-of-day via
+    the deterministic fixed-iteration Newton logistic, scored as a
+    pure projection, clipped, then both Horvitz-Thompson and Hájek
+    estimators from ONE conditional-aggregate scan — the oracle
+    replays the ENTIRE composite (4 Newton CTEs + weighted means)."""
+    from pandera_spark.operators.abtest import ipw_ate
+
+    ev = _load(spark, sf_dir, "events").select(
+        (F.pmod(F.col("user_id"), 2) == 0).alias("t"),
+        F.col("value").alias("y"),
+        (F.hour("ts") / F.lit(24.0)).alias("x"),
+    )
+    out = ipw_ate(
+        ev, F.col("t"), F.col("y"), ["x"],
+        iters=_IPW_ITERS, clip=_IPW_CLIP,
+    )
+    return out.select(
+        "n", "n_treated",
+        F.round("ate_ht", 6).alias("ht_r"),
+        F.round("ate_hajek", 6).alias("hajek_r"),
+        F.round("b_x0", 8).alias("bx_r"),
+        F.round("b0", 8).alias("b0_r"),
+    )
+
+
+def _ipw_oracle() -> str:
+    ctes, last = _newton_ctes(
+        "SELECT CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y, "
+        "EXTRACT(hour FROM ts)/24.0 AS x, value AS yy "
+        "FROM events WHERE value IS NOT NULL AND ts IS NOT NULL "
+        "AND user_id IS NOT NULL",
+        _IPW_ITERS,
+    )
+    e = f"1.0/(1.0+EXP(-({last}.b0 + {last}.b1*d.x)))"
+    ec = f"LEAST(GREATEST({e}, {_IPW_CLIP}), {1.0 - _IPW_CLIP})"
+    ctes.append(f"""fin AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d.y) AS BIGINT) AS n_treated,
+         AVG(d.y*d.yy/{ec}) - AVG((1-d.y)*d.yy/(1-{ec})) AS ate_ht,
+         SUM(d.y*d.yy/{ec})/SUM(d.y/{ec})
+           - SUM((1-d.y)*d.yy/(1-{ec}))/SUM((1-d.y)/(1-{ec}))
+           AS ate_hajek
+  FROM d, {last}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT fin.n, fin.n_treated, ROUND(fin.ate_ht, 6) AS ht_r, "
+        f"ROUND(fin.ate_hajek, 6) AS hajek_r, "
+        f"ROUND({last}.b1, 8) AS bx_r, ROUND({last}.b0, 8) AS b0_r "
+        f"FROM fin, {last}"
+    )
+
+
 _BOOT_B, _BOOT_ALPHA = 32, 0.1
 
 
@@ -2395,6 +2553,79 @@ SELECT variant, t, CAST(n_risk AS BIGINT) AS n_risk,
        COALESCE(ROUND(CASE WHEN cz = 0 THEN EXP(clt) * SQRT(cgw) END,
                       6), -1.0) AS se_r
 FROM f
+"""
+
+
+def q_na_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of time-to-purchase per variant
+    (operators/survival.py:nelson_aalen) — the additive companion to
+    km_events on the SAME subject frame: H(t) = cumulative sum of
+    d/n over distinct times, variance sum of d/n^2."""
+    from pandera_spark.operators.survival import nelson_aalen
+
+    ev = _load(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    subj = per_user.select(
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        F.when(
+            F.col("tp").isNotNull(),
+            (us("tp") - us("t0")) / F.lit(1e6),
+        )
+        .otherwise((us("t1") - us("t0")) / F.lit(1e6))
+        .alias("dur"),
+        F.col("tp").isNotNull().alias("ev"),
+    )
+    out = nelson_aalen(subj, "dur", "ev", by="variant")
+    return out.select(
+        "variant", "t", "n_risk", "d", "c",
+        F.round("cum_hazard", 6).alias("h_r"),
+        F.round("std_err", 6).alias("se_r"),
+    )
+
+
+_NA_ORACLE = """
+WITH u AS (
+  SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY user_id
+), subj AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN tp IS NOT NULL
+              THEN (epoch_us(tp) - epoch_us(t0)) / 1e6
+              ELSE (epoch_us(t1) - epoch_us(t0)) / 1e6 END AS t,
+         tp IS NOT NULL AS e
+  FROM u
+), grain AS (
+  SELECT variant, t,
+         SUM(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+         SUM(CASE WHEN e THEN 0 ELSE 1 END) AS c
+  FROM subj GROUP BY variant, t
+), w AS (
+  SELECT variant, t, d, c,
+         SUM(d + c) OVER (PARTITION BY variant)
+           - SUM(d + c) OVER (PARTITION BY variant ORDER BY t
+                              ROWS UNBOUNDED PRECEDING)
+           + (d + c) AS n_risk
+  FROM grain
+)
+SELECT variant, t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+       ROUND(SUM(d / CAST(n_risk AS DOUBLE))
+               OVER (PARTITION BY variant ORDER BY t
+                     ROWS UNBOUNDED PRECEDING), 6) AS h_r,
+       ROUND(SQRT(SUM(d / (CAST(n_risk AS DOUBLE) * n_risk))
+               OVER (PARTITION BY variant ORDER BY t
+                     ROWS UNBOUNDED PRECEDING)), 6) AS se_r
+FROM w
 """
 
 
@@ -9931,6 +10162,7 @@ _R8_DRIVER_WINDOW = [
     "ols_lineitem", "logit_events", "brandpairs_lineitem", "acf_events",
     "ratiometric_events", "mannkendall_events", "twap_events",
     "kappa_lineitem", "fleisskappa_orders", "did_events",
+    "rankeval_embeddings", "ipw_events", "na_events",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
     "decorator_orders", "defaults_customer", "parser_orders",
@@ -9938,15 +10170,16 @@ _R8_DRIVER_WINDOW = [
     "yaml_roundtrip_orders",
     # ... and in r3
     "asof_events", "asof_tol_events", "charbins_documents",
-    "contamination_documents", "curate_documents",
-    "dedup_apply_documents", "dedup_clusters_embeddings",
+    "contamination_documents",
     "lsh_ann_embeddings", "media_stats_documents", "neardup_embeddings",
     "outliers_embeddings",
     # (rollup_events / rollup_daily_events, the r4 fillers, and the
     # r3 rows split_documents / validate_embeddings / salted_agg_events
     # / sessions_events / repetition_documents / pii_documents /
     # range_pairs_events / frame_samples_documents / ivf_ann_embeddings /
-    # lang_id_documents rotated out to fit the late-r8 rows
+    # lang_id_documents / dedup_clusters_embeddings /
+    # dedup_apply_documents / curate_documents rotated out to fit the
+    # late-r8 rows
     # ols_lineitem / logit_events / brandpairs_lineitem / acf_events -
     # never-certified rows outrank re-certification; the local replica
     # still covers every row)
@@ -10005,6 +10238,9 @@ def _queries_unordered() -> dict[
         "kappa_lineitem": q_kappa_lineitem,
         "fleisskappa_orders": q_fleisskappa_orders,
         "did_events": q_did_events,
+        "rankeval_embeddings": q_rankeval_embeddings,
+        "ipw_events": q_ipw_events,
+        "na_events": q_na_events,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -10450,6 +10686,9 @@ FROM ranked WHERE rank <= 5
         "kappa_lineitem": _KAPPA_ORACLE,
         "fleisskappa_orders": _FLEISS_ORACLE,
         "did_events": _did_oracle(),
+        "rankeval_embeddings": _RANKEVAL_ORACLE,
+        "ipw_events": _ipw_oracle(),
+        "na_events": _NA_ORACLE,
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

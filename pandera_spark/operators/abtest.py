@@ -35,6 +35,7 @@ __all__ = [
     "cuped_adjust",
     "ratio_metric_ztest",
     "did_ztest",
+    "ipw_ate",
 ]
 
 
@@ -323,3 +324,80 @@ def did_ztest(
         F.when(z.isNotNull(), 2.0 * _norm_sf(F.abs(z)))
         .alias("pvalue"),
     )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treatment: C,
+    outcome: C,
+    xs: "list[str]",
+    *,
+    iters: int = 4,
+    clip: float = 0.01,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect for an
+    OBSERVATIONAL comparison: fits the propensity ``e(x) = P(t=1|x)``
+    with the engine's fixed-iteration Newton logistic
+    (:func:`pandera_spark.operators.regression.logistic_fit` — one
+    gradient/Hessian aggregation per step, deterministic), scores it
+    as a pure projection, clips to ``[clip, 1−clip]`` (overlap
+    trimming), and returns one row with BOTH standard estimators:
+
+    - ``ate_ht`` — Horvitz-Thompson: ``mean(t·y/e) − mean((1−t)·y/(1−e))``
+    - ``ate_hajek`` — normalized: ``Σ(t·y/e)/Σ(t/e) − Σ((1−t)·y/(1−e))/Σ((1−t)/(1−e))``
+
+    plus ``n, n_treated, b_x..., b0`` (the fitted propensity
+    coefficients, for audit).  HT is unbiased but variance-fragile
+    under extreme weights; Hájek is the practical default.  Unconfoundedness
+    given ``xs`` is a DESIGN assumption, not something the math checks.
+
+    Plan: iters+1 aggregation scans over a cached 3-column projection
+    (the fit) + ONE final conditional-aggregate scan; no shuffles
+    beyond map-side combines.
+    """
+    from .regression import logistic_fit
+
+    if not 0 < clip < 0.5:
+        raise ValueError(f"clip must be in (0, 0.5): {clip}")
+    t = treatment.cast("boolean")
+    y = outcome.cast("double")
+    cond = t.isNotNull() & y.isNotNull()
+    for c in xs:
+        cond = cond & F.col(c).cast("double").isNotNull()
+    base = df.where(cond).select(
+        t.cast("double").alias("__t"),
+        y.alias("__y"),
+        *[F.col(c).cast("double").alias(f"__x{i}")
+          for i, c in enumerate(xs)],
+    )
+    fit = logistic_fit(
+        base, F.col("__t") == 1.0,
+        [f"__x{i}" for i in range(len(xs))], iters=iters,
+    )
+    eta = F.lit(fit["beta"][-1])
+    for i in range(len(xs)):
+        eta = eta + F.col(f"__x{i}") * F.lit(fit["beta"][i])
+    e = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    e = F.least(F.greatest(e, F.lit(clip)), F.lit(1.0 - clip))
+    tt = F.col("__t")
+    yy = F.col("__y")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(tt).cast("long").alias("n_treated"),
+        F.avg(tt * yy / e).alias("__ht_t"),
+        F.avg((1 - tt) * yy / (1 - e)).alias("__ht_c"),
+        F.sum(tt * yy / e).alias("__st"),
+        F.sum(tt / e).alias("__wt"),
+        F.sum((1 - tt) * yy / (1 - e)).alias("__sc"),
+        F.sum((1 - tt) / (1 - e)).alias("__wc"),
+    )
+    cols = [
+        "n", "n_treated",
+        (F.col("__ht_t") - F.col("__ht_c")).alias("ate_ht"),
+        (F.try_divide(F.col("__st"), F.col("__wt"))
+         - F.try_divide(F.col("__sc"), F.col("__wc"))).alias("ate_hajek"),
+    ]
+    for i in range(len(xs)):
+        cols.append(F.lit(fit["beta"][i]).alias(f"b_x{i}"))
+    cols.append(F.lit(fit["beta"][-1]).alias("b0"))
+    return agg.select(*cols)

@@ -36,6 +36,7 @@ __all__ = [
     "cohen_kappa",
     "fleiss_kappa",
     "isotonic_calibrate",
+    "ranking_metrics",
 ]
 
 
@@ -451,3 +452,82 @@ def isotonic_calibrate(
         return pd.DataFrame(rows)
 
     return grain.groupBy(*group_cols).applyInPandas(_pav, schema=schema)
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Offline search/retrieval evaluation over a ranked-results frame
+    (one row per (query, result) with a 1-based rank and a graded
+    relevance): one summary row ``(n_queries, mrr, ndcg, recall,
+    precision)`` with every metric cut at ``k``.
+
+    - ``MRR`` — mean over queries of ``1/rank`` of the first relevant
+      (rel > 0) result within the cut (0 when none);
+    - ``NDCG@k`` — ``Σ (2^rel − 1)/log2(rank+1)`` normalized by the
+      ideal DCG of the query's OWN relevance multiset (ideal ranking =
+      its relevances sorted descending, cut at k);
+    - ``recall@k`` — relevant-in-cut / relevant-anywhere-in-frame;
+    - ``precision@k`` — relevant-in-cut / k.
+
+    Plan shape: ONE shuffle to the query grain.  The in-cut
+    aggregates are conditional sums; the ideal-DCG denominator uses a
+    rank-over-relevance window INSIDE the same query partition (no
+    second shuffle — both windows and the final groupBy share the
+    query-key partitioning).  Queries with zero relevant results
+    anywhere contribute to precision/MRR but drop from the
+    recall/NDCG means (0/0).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = F.col(query_col)
+    r = F.col(rank_col).cast("int")
+    rel = F.coalesce(F.col(rel_col).cast("double"), F.lit(0.0))
+    base = df.where(q.isNotNull() & r.isNotNull()).select(
+        q.alias("__q"), r.alias("__r"), rel.alias("__rel")
+    )
+    ideal_rank = F.row_number().over(
+        Window.partitionBy("__q").orderBy(
+            F.col("__rel").desc(), F.col("__r")
+        )
+    )
+    gain = (F.pow(F.lit(2.0), F.col("__rel")) - 1.0)
+    in_cut = F.col("__r") <= k
+    tagged = base.withColumn("__irank", ideal_rank)
+    per_q = tagged.groupBy("__q").agg(
+        F.min(F.when(in_cut & (F.col("__rel") > 0), F.col("__r")))
+        .alias("__first_rel"),
+        F.sum(F.when(
+            in_cut, gain / F.log2(F.col("__r") + F.lit(1.0))
+        ).otherwise(F.lit(0.0))).alias("__dcg"),
+        F.sum(F.when(
+            F.col("__irank") <= k,
+            gain / F.log2(F.col("__irank") + F.lit(1.0)),
+        ).otherwise(F.lit(0.0))).alias("__idcg"),
+        F.sum((in_cut & (F.col("__rel") > 0)).cast("long"))
+        .alias("__rel_in_cut"),
+        F.sum((F.col("__rel") > 0).cast("long")).alias("__rel_total"),
+    )
+    rr = F.coalesce(
+        F.lit(1.0) / F.col("__first_rel").cast("double"), F.lit(0.0)
+    )
+    ndcg = F.when(
+        F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg")
+    )
+    recall = F.when(
+        F.col("__rel_total") > 0,
+        F.col("__rel_in_cut").cast("double") / F.col("__rel_total"),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.avg(rr).alias("mrr"),
+        F.avg(ndcg).alias("ndcg"),
+        F.avg(recall).alias("recall"),
+        F.avg(F.col("__rel_in_cut").cast("double") / F.lit(float(k)))
+        .alias("precision"),
+    )

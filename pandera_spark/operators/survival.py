@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["km_curve"]
+__all__ = ["km_curve", "nelson_aalen"]
 
 
 def km_curve(
@@ -111,4 +111,73 @@ def km_curve(
         F.when(
             F.col("__z") == 0, surv * F.sqrt(F.col("__gw"))
         ).alias("std_err"),
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator per group:
+    ``H(t) = Σ_{u≤t} d_u/n_u`` with variance ``Σ d_u/n_u²`` — the
+    additive companion to :func:`km_curve` (``S ≈ exp(−H)``), better
+    behaved at small risk sets and the basis for hazard-ratio eyeball
+    checks.
+
+    Same input contract and grain as :func:`km_curve` (one row per
+    subject; null durations drop, null events censor) and the same
+    scale shape: ONE aggregation to the (group, distinct-time) grain,
+    cumulative windows over that.  Output: ``by..., t, n_risk, d, c,
+    cum_hazard, std_err``.
+    """
+    keys = [] if by is None else [by] if isinstance(by, str) else list(by)
+    t = F.col(duration_col).cast("double")
+    ev = F.coalesce(F.col(event_col).cast("boolean"), F.lit(False))
+    grain = (
+        df.where(t.isNotNull())
+        .groupBy(*[F.col(k) for k in keys], t.alias("t"))
+        .agg(
+            F.sum(ev.cast("long")).alias("d"),
+            F.sum((~ev).cast("long")).alias("c"),
+        )
+    )
+    pb = [F.col(k) for k in keys]
+    w_ord = (
+        Window.partitionBy(*pb)
+        .orderBy(F.col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = Window.partitionBy(*pb).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    removed = F.col("d") + F.col("c")
+    base = grain.withColumn(
+        "n_risk",
+        (
+            F.sum(removed).over(w_full)
+            - F.sum(removed).over(w_ord)
+            + removed
+        ).cast("long"),
+    )
+    n = F.col("n_risk").cast("double")
+    d = F.col("d").cast("double")
+    return (
+        base.withColumn(
+            "cum_hazard", F.sum(F.try_divide(d, n)).over(w_ord)
+        )
+        .withColumn(
+            "__var", F.sum(F.try_divide(d, n * n)).over(w_ord)
+        )
+        .select(
+            *keys,
+            "t",
+            "n_risk",
+            F.col("d").cast("long").alias("d"),
+            F.col("c").cast("long").alias("c"),
+            "cum_hazard",
+            F.sqrt(F.col("__var")).alias("std_err"),
+        )
     )

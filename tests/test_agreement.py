@@ -204,3 +204,109 @@ class TestDid:
         ).first()
         assert out["n_a_post"] == 2 and out["n_b_post"] == 2
         assert out["effect"] == pytest.approx((5.5 - 1.5) - (3.0 - 2.0))
+
+
+class TestRankingMetrics:
+    def test_hand_computed(self, spark):
+        import math
+        from pandera_spark.operators.evalmetrics import ranking_metrics
+
+        # q1: rel at ranks 1,3 (rel 2 and 1), 4 results, 3 relevant total
+        # q2: first rel at rank 4; q3: no relevant anywhere
+        rows = [
+            ("q1", 1, 2.0), ("q1", 2, 0.0), ("q1", 3, 1.0), ("q1", 9, 1.0),
+            ("q2", 1, 0.0), ("q2", 2, 0.0), ("q2", 4, 1.0),
+            ("q3", 1, 0.0), ("q3", 2, 0.0),
+        ]
+        df = spark.createDataFrame(rows, "q string, rank int, rel double")
+        out = ranking_metrics(df, "q", "rank", "rel", k=5).first()
+        # MRR: q1 -> 1/1, q2 -> 1/4, q3 -> 0
+        assert out["mrr"] == pytest.approx((1.0 + 0.25 + 0.0) / 3)
+        # q1 dcg = 3/log2(2) + 1/log2(4) = 3 + 0.5
+        dcg1 = 3.0 + 1.0 / 2.0
+        # ideal: rels [2,1,1,0] at ranks 1..4
+        idcg1 = 3.0 + 1.0 / math.log2(3) + 1.0 / 2.0
+        ndcg1 = dcg1 / idcg1
+        # q2 dcg = 1/log2(5); ideal rel 1 at rank 1 -> 1
+        ndcg2 = (1.0 / math.log2(5)) / 1.0
+        assert out["ndcg"] == pytest.approx((ndcg1 + ndcg2) / 2)
+        # recall: q1 2/3, q2 1/1; q3 excluded
+        assert out["recall"] == pytest.approx((2 / 3 + 1.0) / 2)
+        # precision@5: q1 2/5, q2 1/5, q3 0
+        assert out["precision"] == pytest.approx((0.4 + 0.2 + 0.0) / 3)
+        assert out["n_queries"] == 3
+
+    def test_perfect_ranking(self, spark):
+        from pandera_spark.operators.evalmetrics import ranking_metrics
+
+        rows = [("q", i, float(5 - i)) for i in range(1, 5)]
+        df = spark.createDataFrame(rows, "q string, rank int, rel double")
+        out = ranking_metrics(df, "q", "rank", "rel", k=4).first()
+        assert out["ndcg"] == pytest.approx(1.0)
+        assert out["mrr"] == pytest.approx(1.0)
+        assert out["recall"] == pytest.approx(1.0)
+
+    def test_validation(self, spark):
+        from pandera_spark.operators.evalmetrics import ranking_metrics
+
+        df = spark.createDataFrame([("q", 1, 1.0)], "q string, rank int, rel double")
+        with pytest.raises(ValueError, match="k"):
+            ranking_metrics(df, "q", "rank", "rel", k=0)
+
+
+class TestIpwAte:
+    def test_matches_local_replay(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(21)
+        rows = []
+        for _ in range(600):
+            x = float(rng.uniform(-1, 1))
+            p_t = 1.0 / (1.0 + np.exp(-(0.3 + 0.8 * x)))
+            t = bool(rng.uniform() < p_t)
+            y = float(2.0 + 1.5 * t + 0.5 * x + rng.normal(0, 0.5))
+            rows.append((t, y, x))
+        df = spark.createDataFrame(rows, "t boolean, y double, x double")
+        from pandera_spark.operators.abtest import ipw_ate
+
+        out = ipw_ate(df, F.col("t"), F.col("y"), ["x"], iters=4).first()
+        # local replay: same Newton, same clipping, same estimators
+        X = np.array([[r[2]] for r in rows])
+        tv = np.array([float(r[0]) for r in rows])
+        yv = np.array([r[1] for r in rows])
+        Xd = np.column_stack([X, np.ones(len(tv))])
+        beta = np.zeros(2)
+        for _ in range(4):
+            eta = Xd @ beta
+            p = 1 / (1 + np.exp(-eta))
+            w = p * (1 - p)
+            beta = beta + np.linalg.solve(
+                (Xd * w[:, None]).T @ Xd, Xd.T @ (tv - p)
+            )
+        e = 1 / (1 + np.exp(-(Xd @ beta)))
+        e = np.clip(e, 0.01, 0.99)
+        ht = np.mean(tv * yv / e) - np.mean((1 - tv) * yv / (1 - e))
+        hajek = (np.sum(tv * yv / e) / np.sum(tv / e)
+                 - np.sum((1 - tv) * yv / (1 - e))
+                 / np.sum((1 - tv) / (1 - e)))
+        assert out["b_x0"] == pytest.approx(beta[0], abs=1e-9)
+        assert out["b0"] == pytest.approx(beta[1], abs=1e-9)
+        assert out["ate_ht"] == pytest.approx(ht, abs=1e-9)
+        assert out["ate_hajek"] == pytest.approx(hajek, abs=1e-9)
+        # true effect is 1.5; both estimators should land near it
+        assert 1.0 < out["ate_hajek"] < 2.0
+        assert out["n"] == 600 and out["n_treated"] == int(tv.sum())
+
+    def test_clip_validation_and_nulls(self, spark):
+        from pandera_spark.operators.abtest import ipw_ate
+
+        df = spark.createDataFrame(
+            [(True, 1.0, 0.5), (False, 2.0, -0.5), (None, 3.0, 0.1),
+             (True, None, 0.2), (False, 4.0, None),
+             (True, 2.0, 0.0), (False, 1.0, 0.3), (True, 3.0, -0.2)],
+            "t boolean, y double, x double",
+        )
+        with pytest.raises(ValueError, match="clip"):
+            ipw_ate(df, F.col("t"), F.col("y"), ["x"], clip=0.7)
+        out = ipw_ate(df, F.col("t"), F.col("y"), ["x"], iters=2).first()
+        assert out["n"] == 5  # three null rows dropped

@@ -85,6 +85,9 @@ ALLOWED_BNLJ = {
                                  # crossed onto the 1-row totals frame
     "fleisskappa_orders",        # 1-row label-marginal p_e frame
                                  # crossed onto the 1-row p_bar frame
+    "rankeval_embeddings",       # guarded brute-force ANN baseline
+                                 # (broadcast query side capped by
+                                 # max_query_rows), same as qann
 }
 
 

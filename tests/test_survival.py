@@ -103,3 +103,73 @@ def test_km_plan_partitioned_windows(spark):
     rep = plan_report(km_curve(df, "t", "e", by="g"))
     assert rep["unpartitioned_windows"] == []
     assert rep["cartesian_products"] == 0
+
+
+def _py_na(pairs):
+    """Local Nelson-Aalen replay: pairs = (duration, observed)."""
+    from collections import Counter
+
+    times = sorted({t for t, _ in pairs})
+    n_risk = len(pairs)
+    d_at = Counter(t for t, e in pairs if e)
+    all_at = Counter(t for t, _ in pairs)
+    out = {}
+    h, v = 0.0, 0.0
+    for t in times:
+        d = d_at.get(t, 0)
+        if n_risk > 0 and d > 0:
+            h += d / n_risk
+            v += d / (n_risk * n_risk)
+        out[t] = (n_risk, d, h, v ** 0.5)
+        n_risk -= all_at[t]
+    return out
+
+
+def test_nelson_aalen_matches_local(spark):
+    from pandera_spark.operators.survival import nelson_aalen
+
+    pairs = [(2.0, True), (3.0, True), (3.0, False), (5.0, True),
+             (5.0, True), (7.0, False), (9.0, True), (9.0, False)]
+    df = spark.createDataFrame(pairs, "dur double, ev boolean")
+    out = {r["t"]: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    local = _py_na(pairs)
+    assert set(out) == set(local)
+    for t, (nr, d, h, se) in local.items():
+        assert out[t]["n_risk"] == nr
+        assert out[t]["d"] == d
+        assert out[t]["cum_hazard"] == pytest.approx(h, abs=1e-12)
+        assert out[t]["std_err"] == pytest.approx(se, abs=1e-12)
+
+
+def test_nelson_aalen_vs_km_exp_relation(spark):
+    import math
+
+    from pandera_spark.operators.survival import km_curve, nelson_aalen
+
+    import numpy as np
+    rng = np.random.RandomState(3)
+    pairs = [(float(rng.exponential(10.0)), bool(rng.uniform() < 0.7))
+             for _ in range(300)]
+    df = spark.createDataFrame(pairs, "dur double, ev boolean")
+    na = {r["t"]: r["cum_hazard"]
+          for r in nelson_aalen(df, "dur", "ev").collect()}
+    km = {r["t"]: r["survival"] for r in km_curve(df, "dur", "ev").collect()}
+    # exp(-H) approximates S; agree within a few percent mid-curve
+    mid = sorted(na)[len(na) // 2]
+    assert math.exp(-na[mid]) == pytest.approx(km[mid], rel=0.05)
+
+
+def test_nelson_aalen_groups(spark):
+    from pandera_spark.operators.survival import nelson_aalen
+
+    df = spark.createDataFrame(
+        [("a", 1.0, True), ("a", 2.0, True), ("b", 1.0, False),
+         ("b", 3.0, True)],
+        "g string, dur double, ev boolean",
+    )
+    out = {(r["g"], r["t"]): r
+           for r in nelson_aalen(df, "dur", "ev", by="g").collect()}
+    assert out[("a", 1.0)]["cum_hazard"] == pytest.approx(0.5)
+    assert out[("a", 2.0)]["cum_hazard"] == pytest.approx(1.5)
+    assert out[("b", 1.0)]["cum_hazard"] == pytest.approx(0.0)
+    assert out[("b", 3.0)]["cum_hazard"] == pytest.approx(1.0)
