@@ -5522,6 +5522,50 @@ FROM asg GROUP BY cid""")
     return f"WITH {_kmeans_asg_cte()} {body}"
 
 
+def q_silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster quality vs the deterministic min-id seeds
+    (operators/kmeans.py:cluster_quality): simplified silhouette
+    (b−a)/max(a,b) + within-cluster scatter, all distances JVM-side
+    HOF expressions over centroid LITERALS — no UDF, no broadcast,
+    one final per-cluster aggregate.  The oracle replays seed →
+    assign → silhouette with correlated list_distance minima."""
+    from pandera_spark.operators.kmeans import (
+        assign_clusters,
+        cluster_quality,
+        seed_centroids,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    c0 = seed_centroids(emb, k=_KMEANS_K, method="min_id")
+    a = assign_clusters(emb, centroids=c0)
+    out = cluster_quality(a, c0)
+    return out.select(
+        "cluster_id",
+        "n",
+        F.round("mean_dist", 6).alias("dist_r"),
+        F.round("silhouette", 6).alias("sil_r"),
+    )
+
+
+def _silhouette_oracle() -> str:
+    return f"""
+WITH {_kmeans_asg_cte()},
+q AS (
+  SELECT a.cid,
+         list_distance(a.v, co.c) AS adist,
+         (SELECT MIN(list_distance(a.v, c2.c))
+          FROM cent c2 WHERE c2.cid <> a.cid) AS bdist
+  FROM asg a JOIN cent co ON co.cid = a.cid
+)
+SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(adist), 6) AS dist_r,
+       ROUND(AVG(CASE WHEN GREATEST(adist, bdist) > 0
+                 THEN (bdist - adist)/GREATEST(adist, bdist)
+                 ELSE 0.0 END), 6) AS sil_r
+FROM q GROUP BY cid
+"""
+
+
 def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style cluster-local semantic dedup
     (operators/kmeans.py:semdedup — Abbas et al. 2023): assign to the
@@ -10163,6 +10207,7 @@ _R8_DRIVER_WINDOW = [
     "ratiometric_events", "mannkendall_events", "twap_events",
     "kappa_lineitem", "fleisskappa_orders", "did_events",
     "rankeval_embeddings", "ipw_events", "na_events",
+    "silhouette_embeddings",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
     "decorator_orders", "defaults_customer", "parser_orders",
@@ -10170,7 +10215,6 @@ _R8_DRIVER_WINDOW = [
     "yaml_roundtrip_orders",
     # ... and in r3
     "asof_events", "asof_tol_events", "charbins_documents",
-    "contamination_documents",
     "lsh_ann_embeddings", "media_stats_documents", "neardup_embeddings",
     "outliers_embeddings",
     # (rollup_events / rollup_daily_events, the r4 fillers, and the
@@ -10178,8 +10222,8 @@ _R8_DRIVER_WINDOW = [
     # / sessions_events / repetition_documents / pii_documents /
     # range_pairs_events / frame_samples_documents / ivf_ann_embeddings /
     # lang_id_documents / dedup_clusters_embeddings /
-    # dedup_apply_documents / curate_documents rotated out to fit the
-    # late-r8 rows
+    # dedup_apply_documents / curate_documents /
+    # contamination_documents rotated out to fit the late-r8 rows
     # ols_lineitem / logit_events / brandpairs_lineitem / acf_events -
     # never-certified rows outrank re-certification; the local replica
     # still covers every row)
@@ -10241,6 +10285,7 @@ def _queries_unordered() -> dict[
         "rankeval_embeddings": q_rankeval_embeddings,
         "ipw_events": q_ipw_events,
         "na_events": q_na_events,
+        "silhouette_embeddings": q_silhouette_embeddings,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -10689,6 +10734,7 @@ FROM ranked WHERE rank <= 5
         "rankeval_embeddings": _RANKEVAL_ORACLE,
         "ipw_events": _ipw_oracle(),
         "na_events": _NA_ORACLE,
+        "silhouette_embeddings": _silhouette_oracle(),
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

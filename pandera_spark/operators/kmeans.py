@@ -56,6 +56,8 @@ __all__ = [
     "KMeansFit",
     "semdedup",
     "cluster_sample",
+    "cluster_quality",
+    "davies_bouldin",
 ]
 
 
@@ -363,3 +365,98 @@ def cluster_sample(
         .where(F.col("__rn") <= int(n_per_cluster))
         .drop("__rn")
     )
+
+
+def cluster_quality(
+    assigned: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Per-cluster quality readout against FIXED centroids: one row
+    per cluster with ``n, mean_dist, silhouette`` where ``mean_dist``
+    is the average euclidean distance to the own centroid (the
+    within-cluster scatter σᵢ) and ``silhouette`` is the mean
+    SIMPLIFIED silhouette ``(b − a)/max(a, b)`` with ``a`` = distance
+    to own centroid, ``b`` = distance to the nearest OTHER centroid —
+    the O(n·k) surrogate for the O(n²) exact silhouette (identical
+    ranking behavior in practice, and the only formulation that scales).
+
+    All distances are JVM-side higher-order-function expressions over
+    the centroid LITERALS (k·d doubles folded into the plan — no
+    broadcast, no UDF, no shuffle beyond the final per-cluster
+    aggregate).  Degenerate rows with ``a = b = 0`` score 0.
+    """
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=float)
+    k = cent.shape[0]
+    if k < 2:
+        raise ValueError("need at least 2 centroids for silhouette")
+    v = F.col(vec_col).cast("array<double>")
+
+    def _dist(c_row) -> C:
+        lit = F.array(*[F.lit(float(x)) for x in c_row])
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    dists = [_dist(cent[i]) for i in range(k)]
+    cid = F.col(cluster_col)
+    a = F.lit(None).cast("double")
+    for i in range(k):
+        a = F.when(cid == i, dists[i]).otherwise(a)
+    b = F.lit(None).cast("double")
+    for i in range(k):
+        others = [dists[j] for j in range(k) if j != i]
+        nearest = others[0] if len(others) == 1 else F.least(*others)
+        b = F.when(cid == i, nearest).otherwise(b)
+    s = F.when(
+        F.greatest(a, b) > 0,
+        (b - a) / F.greatest(a, b),
+    ).otherwise(F.lit(0.0))
+    return (
+        assigned.where(v.isNotNull() & cid.isNotNull())
+        .groupBy(cid.alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg(a).alias("mean_dist"),
+            F.avg(s).alias("silhouette"),
+        )
+    )
+
+
+def davies_bouldin(
+    quality: DataFrame,
+    centroids,
+) -> float:
+    """Davies-Bouldin index from a :func:`cluster_quality` frame:
+    ``(1/k)·Σᵢ maxⱼ≠ᵢ (σᵢ + σⱼ)/d(cᵢ, cⱼ)`` — lower is better.  The
+    per-cluster scatters collect (k rows, bounded by construction);
+    centroid pairwise distances are driver-side numpy on the given
+    (k, d) array.  Clusters absent from ``quality`` (empty) drop."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=float)
+    rows = quality.select("cluster_id", "mean_dist").collect()
+    sig = {int(r["cluster_id"]): float(r["mean_dist"]) for r in rows}
+    ids = sorted(sig)
+    if len(ids) < 2:
+        raise ValueError("need at least 2 non-empty clusters")
+    worst = []
+    for i in ids:
+        ratios = []
+        for j in ids:
+            if j == i:
+                continue
+            dij = float(np.linalg.norm(cent[i] - cent[j]))
+            if dij > 0:
+                ratios.append((sig[i] + sig[j]) / dij)
+        if ratios:
+            worst.append(max(ratios))
+    return float(sum(worst) / len(worst))

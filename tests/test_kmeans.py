@@ -348,3 +348,106 @@ def test_ivf_fit_distributed_feeds_search(spark):
         assert [rk for rk, _ in sims] == list(range(1, len(sims) + 1))
         cs = [c for _, c in sims]
         assert all(a >= b - 1e-12 for a, b in zip(cs, cs[1:]))
+
+
+class TestClusterQuality:
+    def _toy(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(13)
+        cents = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+        rows = []
+        for cid, c in enumerate(cents):
+            for _ in range(40):
+                p = c + rng.normal(0, 0.5, 2)
+                rows.append((cid, [float(p[0]), float(p[1])]))
+        df = spark.createDataFrame(rows, "cluster_id int, embedding array<double>")
+        return df, cents, rows
+
+    def test_matches_local(self, spark):
+        import numpy as np
+
+        from pandera_spark.operators.kmeans import cluster_quality
+
+        df, cents, rows = self._toy(spark)
+        out = {r["cluster_id"]: r
+               for r in cluster_quality(df, cents).collect()}
+        for cid in range(3):
+            pts = np.array([p for c, p in rows if c == cid])
+            a = np.linalg.norm(pts - cents[cid], axis=1)
+            others = [np.linalg.norm(pts - cents[j], axis=1)
+                      for j in range(3) if j != cid]
+            b = np.minimum.reduce(others)
+            s = ((b - a) / np.maximum(a, b)).mean()
+            assert out[cid]["n"] == 40
+            assert out[cid]["mean_dist"] == pytest.approx(a.mean(), abs=1e-10)
+            assert out[cid]["silhouette"] == pytest.approx(s, abs=1e-10)
+            # well-separated clusters -> silhouette near 1
+            assert out[cid]["silhouette"] > 0.85
+
+    def test_degenerate_point_scores_zero(self, spark):
+        from pandera_spark.operators.kmeans import cluster_quality
+
+        # a point exactly on BOTH centroids is impossible; a=b=0 needs
+        # identical centroids - allowed, scores 0
+        df = spark.createDataFrame(
+            [(0, [1.0, 1.0])], "cluster_id int, embedding array<double>"
+        )
+        out = cluster_quality(df, [[1.0, 1.0], [1.0, 1.0]]).first()
+        assert out["silhouette"] == 0.0
+
+    def test_plan_no_shuffle_before_agg_and_validation(self, spark):
+        from pandera_spark.operators.kmeans import cluster_quality
+
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [5.0, 5.0])],
+            "cluster_id int, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="2 centroids"):
+            cluster_quality(df, [[0.0, 0.0]])
+        plan = cluster_quality(
+            df, [[0.0, 0.0], [5.0, 5.0]]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan  # exactly the final agg shuffle
+        assert plan.count("Exchange") <= 2  # partial+final only
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "PythonUDF" not in plan
+
+    def test_davies_bouldin(self, spark):
+        import numpy as np
+
+        from pandera_spark.operators.kmeans import (
+            cluster_quality,
+            davies_bouldin,
+        )
+
+        df, cents, rows = self._toy(spark)
+        q = cluster_quality(df, cents)
+        db = davies_bouldin(q, cents)
+        # local replay
+        sig = {}
+        for cid in range(3):
+            pts = np.array([p for c, p in rows if c == cid])
+            sig[cid] = np.linalg.norm(pts - cents[cid], axis=1).mean()
+        worst = []
+        for i in range(3):
+            worst.append(max(
+                (sig[i] + sig[j]) / np.linalg.norm(cents[i] - cents[j])
+                for j in range(3) if j != i
+            ))
+        assert db == pytest.approx(sum(worst) / 3, abs=1e-10)
+        assert db < 0.5  # well separated
+
+    def test_davies_bouldin_needs_two(self, spark):
+        from pandera_spark.operators.kmeans import (
+            cluster_quality,
+            davies_bouldin,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (0, [0.1, 0.0])],
+            "cluster_id int, embedding array<double>",
+        )
+        q = cluster_quality(df, [[0.0, 0.0], [9.0, 9.0]])
+        with pytest.raises(ValueError, match="non-empty"):
+            davies_bouldin(q, [[0.0, 0.0], [9.0, 9.0]])
