@@ -2629,6 +2629,205 @@ FROM w
 """
 
 
+def q_logrank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test on the km_events subject frame
+    (operators/survival.py:logrank_test): per-time hypergeometric
+    moments over the SAME (time)-grain collapse as KM, one shuffle +
+    cumulative windows."""
+    from pandera_spark.operators.survival import logrank_test
+
+    ev = _load(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    subj = per_user.select(
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        F.when(
+            F.col("tp").isNotNull(),
+            (us("tp") - us("t0")) / F.lit(1e6),
+        )
+        .otherwise((us("t1") - us("t0")) / F.lit(1e6))
+        .alias("dur"),
+        F.col("tp").isNotNull().alias("ev"),
+    )
+    out = logrank_test(subj, "dur", "ev", "variant", "A", "B")
+    return out.select(
+        "n_a", "n_b", "observed_a",
+        F.round("expected_a", 6).alias("ea_r"),
+        F.round("chi2", 6).alias("chi2_r"),
+        F.round("z", 6).alias("z_r"),
+        F.round("pvalue", 6).alias("p_r"),
+    )
+
+
+def _logrank_oracle() -> str:
+    z = "(num / SQRT(var))"
+    return f"""
+WITH u AS (
+  SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY user_id
+), subj AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN tp IS NOT NULL
+              THEN (epoch_us(tp) - epoch_us(t0)) / 1e6
+              ELSE (epoch_us(t1) - epoch_us(t0)) / 1e6 END AS t,
+         tp IS NOT NULL AS e
+  FROM u
+), grain AS (
+  SELECT t,
+         SUM(CASE WHEN variant = 'A' AND e THEN 1 ELSE 0 END) AS d_a,
+         SUM(CASE WHEN variant = 'A' AND NOT e THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN variant = 'B' AND e THEN 1 ELSE 0 END) AS d_b,
+         SUM(CASE WHEN variant = 'B' AND NOT e THEN 1 ELSE 0 END) AS c_b
+  FROM subj GROUP BY t
+), w AS (
+  SELECT t, d_a, d_b,
+         CAST(SUM(d_a + c_a) OVER ()
+           - SUM(d_a + c_a) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+           + (d_a + c_a) AS DOUBLE) AS na_t,
+         CAST(SUM(d_b + c_b) OVER ()
+           - SUM(d_b + c_b) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+           + (d_b + c_b) AS DOUBLE) AS nb_t
+  FROM grain
+), m AS (
+  SELECT CAST(MAX(na_t) AS BIGINT) AS n_a,
+         CAST(MAX(nb_t) AS BIGINT) AS n_b,
+         CAST(SUM(d_a) AS BIGINT) AS observed_a,
+         SUM((d_a + d_b) * na_t / (na_t + nb_t)) AS expected_a,
+         SUM(d_a - (d_a + d_b) * na_t / (na_t + nb_t)) AS num,
+         SUM(CASE WHEN na_t + nb_t > 1
+             THEN (d_a + d_b) * (na_t/(na_t + nb_t))
+                  * (nb_t/(na_t + nb_t))
+                  * (na_t + nb_t - d_a - d_b) / (na_t + nb_t - 1)
+             ELSE 0 END) AS var
+  FROM w
+)
+SELECT n_a, n_b, observed_a,
+       ROUND(expected_a, 6) AS ea_r,
+       ROUND(CASE WHEN var > 0 THEN num*num/var END, 6) AS chi2_r,
+       ROUND(CASE WHEN var > 0 THEN {z} END, 6) AS z_r,
+       ROUND(CASE WHEN var > 0
+             THEN 2.0 * {_norm_sf_sql(f"ABS({z})")} END, 6) AS p_r
+FROM m
+"""
+
+
+def q_mcnemar_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on the same two derived labelings as
+    kappa_lineitem (operators/stats.py:mcnemar_test): discordant
+    counts + Edwards-corrected chi2(1) from ONE conditional-aggregate
+    scan."""
+    from pandera_spark.operators.stats import mcnemar_test
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = mcnemar_test(
+        li,
+        F.col("l_quantity") >= 25,
+        F.col("l_extendedprice") >= 30000,
+    )
+    return out.select(
+        "n", "b", "c",
+        F.round("chi2", 6).alias("chi2_r"),
+        F.round("pvalue", 6).alias("p_r"),
+    )
+
+
+def _mcnemar_oracle() -> str:
+    chi2 = ("(GREATEST(ABS(CAST(b AS DOUBLE) - c) - 1.0, 0.0)"
+            " * GREATEST(ABS(CAST(b AS DOUBLE) - c) - 1.0, 0.0)"
+            " / (b + c))")
+    return f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_quantity >= 25
+                        AND NOT l_extendedprice >= 30000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN NOT l_quantity >= 25
+                        AND l_extendedprice >= 30000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+)
+SELECT n, b, c,
+       ROUND(CASE WHEN b + c > 0 THEN {chi2} END, 6) AS chi2_r,
+       ROUND(CASE WHEN b + c > 0
+             THEN 2.0 * {_norm_sf_sql(f"SQRT({chi2})")} END, 6) AS p_r
+FROM m
+"""
+
+
+def q_cmh_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel association across hour-of-day strata
+    (operators/stats.py:cmh_test): exposure = user parity, outcome =
+    purchase, strata = 6-hour blocks — per-stratum 2x2 moments in one
+    stratum-grain shuffle, then the pooled chi2/OR."""
+    from pandera_spark.operators.stats import cmh_test
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "hod_block", F.floor(F.hour("ts") / 6).cast("int")
+    )
+    out = cmh_test(
+        ev,
+        F.pmod(F.col("user_id"), 2) == 0,
+        F.col("event_type") == "purchase",
+        "hod_block",
+    )
+    return out.select(
+        "n", "n_strata",
+        F.round("chi2", 6).alias("chi2_r"),
+        F.round("pvalue", 6).alias("p_r"),
+        F.round("or_mh", 6).alias("or_r"),
+    )
+
+
+def _cmh_oracle() -> str:
+    chi2 = "(GREATEST(ABS(num) - 0.5, 0.0) * GREATEST(ABS(num) - 0.5, 0.0) / var)"
+    return f"""
+WITH lab AS (
+  SELECT CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS INT) AS s,
+         user_id % 2 = 0 AS e,
+         event_type = 'purchase' AS o
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL
+), cells AS (
+  SELECT s,
+         SUM(CASE WHEN e AND o THEN 1 ELSE 0 END)::DOUBLE AS a,
+         SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::DOUBLE AS b,
+         SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::DOUBLE AS c,
+         SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::DOUBLE AS d
+  FROM lab GROUP BY s
+), m AS (
+  SELECT CAST(SUM(a + b + c + d) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_strata,
+         SUM(a - (a+b)*(a+c)/(a+b+c+d)) AS num,
+         SUM(CASE WHEN a+b+c+d > 1
+             THEN (a+b)*(c+d)*(a+c)*(b+d)
+                  / ((a+b+c+d)*(a+b+c+d)*(a+b+c+d-1))
+             ELSE 0 END) AS var,
+         SUM(CASE WHEN a+b+c+d > 0 THEN a*d/(a+b+c+d) ELSE 0 END)
+           AS orn,
+         SUM(CASE WHEN a+b+c+d > 0 THEN b*c/(a+b+c+d) ELSE 0 END)
+           AS ord
+  FROM cells
+)
+SELECT n, n_strata,
+       ROUND(CASE WHEN var > 0 THEN {chi2} END, 6) AS chi2_r,
+       ROUND(CASE WHEN var > 0
+             THEN 2.0 * {_norm_sf_sql(f"SQRT({chi2})")} END, 6) AS p_r,
+       ROUND(orn / NULLIF(ord, 0), 6) AS or_r
+FROM m
+"""
+
+
 def q_propz_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test readout (operators/abtest.py:
     proportion_ztest): deterministic variant = user_id parity,
@@ -10207,14 +10406,15 @@ _R8_DRIVER_WINDOW = [
     "ratiometric_events", "mannkendall_events", "twap_events",
     "kappa_lineitem", "fleisskappa_orders", "did_events",
     "rankeval_embeddings", "ipw_events", "na_events",
-    "silhouette_embeddings",
+    "silhouette_embeddings", "logrank_events", "mcnemar_lineitem",
+    "cmh_events",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
-    "decorator_orders", "defaults_customer", "parser_orders",
+    "decorator_orders", "defaults_customer",
     "regex_cols_lineitem", "stratified_documents", "synthesize_validate",
     "yaml_roundtrip_orders",
     # ... and in r3
-    "asof_events", "asof_tol_events", "charbins_documents",
+    "asof_events",
     "lsh_ann_embeddings", "media_stats_documents", "neardup_embeddings",
     "outliers_embeddings",
     # (rollup_events / rollup_daily_events, the r4 fillers, and the
@@ -10223,7 +10423,8 @@ _R8_DRIVER_WINDOW = [
     # range_pairs_events / frame_samples_documents / ivf_ann_embeddings /
     # lang_id_documents / dedup_clusters_embeddings /
     # dedup_apply_documents / curate_documents /
-    # contamination_documents rotated out to fit the late-r8 rows
+    # contamination_documents / asof_tol_events / charbins_documents
+    # + r2's parser_orders rotated out to fit the late-r8 rows
     # ols_lineitem / logit_events / brandpairs_lineitem / acf_events -
     # never-certified rows outrank re-certification; the local replica
     # still covers every row)
@@ -10286,6 +10487,9 @@ def _queries_unordered() -> dict[
         "ipw_events": q_ipw_events,
         "na_events": q_na_events,
         "silhouette_embeddings": q_silhouette_embeddings,
+        "logrank_events": q_logrank_events,
+        "mcnemar_lineitem": q_mcnemar_lineitem,
+        "cmh_events": q_cmh_events,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -10735,6 +10939,9 @@ FROM ranked WHERE rank <= 5
         "ipw_events": _ipw_oracle(),
         "na_events": _NA_ORACLE,
         "silhouette_embeddings": _silhouette_oracle(),
+        "logrank_events": _logrank_oracle(),
+        "mcnemar_lineitem": _mcnemar_oracle(),
+        "cmh_events": _cmh_oracle(),
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

@@ -56,6 +56,8 @@ __all__ = [
     "anova_f",
     "fdr_bh",
     "bootstrap_ci_mean",
+    "mcnemar_test",
+    "cmh_test",
 ]
 
 
@@ -492,4 +494,109 @@ def bootstrap_ci_mean(
                 (s2 - s1 * s1 / bn) / F.lit(bn - 1.0),
             )
         ).alias("se_boot"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    rater_a: "C",
+    rater_b: "C",
+    *,
+    correction: bool = True,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary labelings (same rows labeled
+    twice — before/after a model change, two filter versions): did the
+    flip rates differ, ignoring the cases both agree on?
+
+    ``rater_a``/``rater_b`` are boolean Columns.  One row:
+    ``n, b, c, chi2, pvalue`` with ``b`` = a-only positives, ``c`` =
+    b-only positives, ``chi2 = (|b−c| − 1)²/(b+c)`` (Edwards
+    continuity correction; ``correction=False`` drops the −1) and a
+    χ²(1) p-value.  Null on either side drops the pair.  ONE
+    conditional-aggregate scan.
+    """
+    a = rater_a.cast("boolean")
+    b = rater_b.cast("boolean")
+    base = df.where(a.isNotNull() & b.isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((a & ~b).cast("long")).alias("b"),
+        F.sum((~a & b).cast("long")).alias("c"),
+    )
+    bb, cc = F.col("b").cast("double"), F.col("c").cast("double")
+    num = F.abs(bb - cc) - (F.lit(1.0) if correction else F.lit(0.0))
+    num = F.greatest(num, F.lit(0.0))
+    chi2 = F.when(bb + cc > 0, num * num / (bb + cc))
+    from .drift import _norm_sf
+
+    # chi2(1) sf(x) = 2 * norm_sf(sqrt(x))
+    p = F.when(chi2.isNotNull(), 2.0 * _norm_sf(F.sqrt(chi2)))
+    return agg.select("n", "b", "c", chi2.alias("chi2"),
+                      p.alias("pvalue"))
+
+
+def cmh_test(
+    df: DataFrame,
+    exposure: "C",
+    outcome: "C",
+    stratum_col: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test + pooled odds ratio for a 2×2
+    association ACROSS strata — the Simpson's-paradox guard: a
+    per-source/per-segment confounder can reverse a naive pooled 2×2;
+    CMH tests the common association with each stratum contributing
+    its own margins.
+
+    ``exposure``/``outcome`` are boolean Columns.  One row:
+    ``n, n_strata, chi2, pvalue, or_mh`` where
+    ``chi2 = (|Σ(a_k − E_k)| − ½)² / ΣV_k`` (continuity-corrected,
+    1 dof; ``E_k``/``V_k`` the per-stratum hypergeometric moments)
+    and ``or_mh = Σ(a_k·d_k/n_k) / Σ(b_k·c_k/n_k)`` (Mantel-Haenszel
+    pooled odds ratio).  Zero-margin strata contribute nothing
+    (their V is 0), matching the classical treatment.
+
+    Plan: ONE shuffle to the stratum grain (four conditional counts
+    per stratum), then a tiny closing aggregate.
+    """
+    e = exposure.cast("boolean")
+    o = outcome.cast("boolean")
+    base = df.where(
+        e.isNotNull() & o.isNotNull()
+        & F.col(stratum_col).isNotNull()
+    )
+    cells = base.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.sum((e & o).cast("long")).cast("double").alias("a"),
+        F.sum((e & ~o).cast("long")).cast("double").alias("b"),
+        F.sum((~e & o).cast("long")).cast("double").alias("c"),
+        F.sum((~e & ~o).cast("long")).cast("double").alias("d"),
+    )
+    n_k = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    r1 = F.col("a") + F.col("b")   # exposed margin
+    c1 = F.col("a") + F.col("c")   # outcome margin
+    e_k = F.when(n_k > 0, r1 * c1 / n_k).otherwise(F.lit(0.0))
+    v_k = F.when(
+        n_k > 1,
+        r1 * (n_k - r1) * c1 * (n_k - c1) / (n_k * n_k * (n_k - 1)),
+    ).otherwise(F.lit(0.0))
+    agg = cells.agg(
+        F.sum(n_k).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.col("a") - e_k).alias("__num"),
+        F.sum(v_k).alias("__var"),
+        F.sum(F.when(n_k > 0, F.col("a") * F.col("d") / n_k)
+              .otherwise(F.lit(0.0))).alias("__or_num"),
+        F.sum(F.when(n_k > 0, F.col("b") * F.col("c") / n_k)
+              .otherwise(F.lit(0.0))).alias("__or_den"),
+    )
+    num = F.greatest(F.abs(F.col("__num")) - 0.5, F.lit(0.0))
+    chi2 = F.when(F.col("__var") > 0, num * num / F.col("__var"))
+    from .drift import _norm_sf
+
+    p = F.when(chi2.isNotNull(), 2.0 * _norm_sf(F.sqrt(chi2)))
+    return agg.select(
+        "n", "n_strata",
+        chi2.alias("chi2"),
+        p.alias("pvalue"),
+        F.try_divide(F.col("__or_num"), F.col("__or_den"))
+        .alias("or_mh"),
     )

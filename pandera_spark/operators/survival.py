@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["km_curve", "nelson_aalen"]
+__all__ = ["km_curve", "nelson_aalen", "logrank_test"]
 
 
 def km_curve(
@@ -180,4 +180,86 @@ def nelson_aalen(
             "cum_hazard",
             F.sqrt(F.col("__var")).alias("std_err"),
         )
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-group log-rank test — THE standard survival comparison
+    (does variant A churn/convert on a different time curve than B),
+    right-censoring handled.  One row: ``n_a, n_b, observed_a,
+    expected_a, chi2, z, pvalue``.
+
+    At every distinct event time t: ``e_a = d_t · n_a(t)/n(t)``
+    (expected A-deaths under H₀) and the hypergeometric variance
+    ``v_t = d_t·(n_a/n)·(1 − n_a/n)·(n − d)/(n − 1)``; the statistic
+    is ``z = Σ(d_a − e_a)/√Σv`` and ``chi2 = z²`` (1 dof).
+
+    Same scale shape as :func:`km_curve`: subjects collapse to the
+    (time) grain with per-group death/censor counts in ONE shuffle;
+    at-risk counts come from cumulative windows over that grain.
+    """
+    t = F.col(duration_col).cast("double")
+    ev = F.coalesce(F.col(event_col).cast("boolean"), F.lit(False))
+    g = F.col(group_col)
+    ga, gb = g == F.lit(group_a), g == F.lit(group_b)
+    grain = (
+        df.where(t.isNotNull() & (ga | gb))
+        .groupBy(t.alias("t"))
+        .agg(
+            F.sum((ga & ev).cast("long")).alias("d_a"),
+            F.sum((ga & ~ev).cast("long")).alias("c_a"),
+            F.sum((gb & ev).cast("long")).alias("d_b"),
+            F.sum((gb & ~ev).cast("long")).alias("c_b"),
+        )
+    )
+    w_ord = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rem_a = F.col("d_a") + F.col("c_a")
+    rem_b = F.col("d_b") + F.col("c_b")
+    base = grain.select(
+        "t", "d_a", "d_b",
+        (F.sum(rem_a).over(w_full) - F.sum(rem_a).over(w_ord) + rem_a)
+        .cast("double").alias("n_a_t"),
+        (F.sum(rem_b).over(w_full) - F.sum(rem_b).over(w_ord) + rem_b)
+        .cast("double").alias("n_b_t"),
+    )
+    n_t = F.col("n_a_t") + F.col("n_b_t")
+    d_t = (F.col("d_a") + F.col("d_b")).cast("double")
+    e_a = d_t * F.col("n_a_t") / n_t
+    v_t = F.when(
+        n_t > 1,
+        d_t * (F.col("n_a_t") / n_t) * (F.col("n_b_t") / n_t)
+        * (n_t - d_t) / (n_t - 1),
+    ).otherwise(F.lit(0.0))
+    agg = base.agg(
+        F.max("n_a_t").cast("long").alias("n_a"),
+        F.max("n_b_t").cast("long").alias("n_b"),
+        F.sum("d_a").cast("long").alias("observed_a"),
+        F.sum(e_a).alias("expected_a"),
+        F.sum(F.col("d_a") - e_a).alias("__num"),
+        F.sum(v_t).alias("__var"),
+    )
+    z = F.when(
+        F.col("__var") > 0,
+        F.col("__num") / F.sqrt(F.col("__var")),
+    )
+    from .drift import _norm_sf
+
+    return agg.select(
+        "n_a", "n_b", "observed_a", "expected_a",
+        (z * z).alias("chi2"),
+        z.alias("z"),
+        F.when(z.isNotNull(), 2.0 * _norm_sf(F.abs(z)))
+        .alias("pvalue"),
     )
