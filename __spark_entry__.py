@@ -2194,6 +2194,111 @@ def _ipw_oracle() -> str:
     )
 
 
+def q_lorenz_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Lorenz curve of extended price at the 10%..90%
+    population fractions (operators/ranks.py:lorenz_points): the
+    range-partitioned two-pass prefix sums carry count AND value mass
+    in one window pass — never a one-task global sort."""
+    from pandera_spark.operators.ranks import lorenz_points
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = lorenz_points(li, "l_extendedprice")
+    return out.select(
+        F.round("q", 2).alias("q"),
+        F.round("pop_share", 6).alias("pop_r"),
+        F.round("value_share", 6).alias("val_r"),
+    )
+
+
+_LORENZ_ORACLE = """
+WITH vg AS (
+  SELECT l_extendedprice AS v, COUNT(*)::DOUBLE AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), w AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS cumc,
+         SUM(v*c) OVER (ORDER BY v) AS cumm
+  FROM vg
+), t AS (SELECT SUM(c) AS n, SUM(v*c) AS total FROM vg),
+qs AS (SELECT UNNEST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q)
+SELECT ROUND(qs.q, 2) AS q,
+       ROUND(MIN(CASE WHEN w.cumc >= CEIL(qs.q * t.n)
+                 THEN w.cumc END) / t.n, 6) AS pop_r,
+       ROUND(MIN(CASE WHEN w.cumc >= CEIL(qs.q * t.n)
+                 THEN w.cumm END) / t.total, 6) AS val_r
+FROM w CROSS JOIN qs CROSS JOIN t
+GROUP BY qs.q, t.n, t.total
+"""
+
+
+def q_coverage_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-coverage curve of part brands
+    (operators/heavyhitters.py:coverage_curve): top-10 by count with
+    cumulative row share — the limit plans as TakeOrderedAndProject,
+    never a global sort."""
+    from pandera_spark.operators.heavyhitters import coverage_curve
+
+    part = _load(spark, sf_dir, "part")
+    out = coverage_curve(part, "p_brand", k=10)
+    return out.select(
+        "rank", "value", "cnt",
+        F.round("share", 6).alias("share_r"),
+        F.round("cum_share", 6).alias("cum_r"),
+    )
+
+
+_COVERAGE_ORACLE = """
+WITH counts AS (
+  SELECT CAST(p_brand AS VARCHAR) AS value, COUNT(*) AS cnt
+  FROM part WHERE p_brand IS NOT NULL GROUP BY 1
+), t AS (SELECT SUM(cnt)::DOUBLE AS total FROM counts),
+r AS (
+  SELECT value, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, value) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS INT) AS rank, value, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(cnt / t.total, 6) AS share_r,
+       ROUND(SUM(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+             / t.total, 6) AS cum_r
+FROM r CROSS JOIN t WHERE rank <= 10
+"""
+
+
+_DP_EPS = 0.5
+
+
+def q_dpcounts_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism market-segment histogram
+    (operators/privacy.py:dp_noisy_counts): derived noise — category →
+    md5-hexfold → uniform → inverse Laplace CDF — so the release is
+    reproducible and the oracle replays hash AND noise exactly."""
+    from pandera_spark.operators.privacy import dp_noisy_counts
+
+    cust = _load(spark, sf_dir, "customer")
+    out = dp_noisy_counts(cust, "c_mktsegment", epsilon=_DP_EPS)
+    return out.select(
+        "value",
+        F.round("noisy_count", 6).alias("noisy_r"),
+    )
+
+
+def _dpcounts_oracle() -> str:
+    h = _HEXFOLD.format(e="value || '|dp|'")
+    u = f"(({h}) + 0.5) / 268435456.0"
+    noise = (f"(-(1.0/{_DP_EPS}) * SIGN({u} - 0.5) "
+             f"* LN(1.0 - 2.0*ABS({u} - 0.5)))")
+    return f"""
+WITH counts AS (
+  SELECT CAST(c_mktsegment AS VARCHAR) AS value,
+         COUNT(*)::DOUBLE AS cnt
+  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1
+)
+SELECT value,
+       ROUND(GREATEST(cnt + {noise}, 0.0), 6) AS noisy_r
+FROM counts
+"""
+
+
 _BOOT_B, _BOOT_ALPHA = 32, 0.1
 
 
@@ -10407,7 +10512,8 @@ _R8_DRIVER_WINDOW = [
     "kappa_lineitem", "fleisskappa_orders", "did_events",
     "rankeval_embeddings", "ipw_events", "na_events",
     "silhouette_embeddings", "logrank_events", "mcnemar_lineitem",
-    "cmh_events",
+    "cmh_events", "lorenz_lineitem", "coverage_part",
+    "dpcounts_customer",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
     "decorator_orders", "defaults_customer",
@@ -10415,8 +10521,7 @@ _R8_DRIVER_WINDOW = [
     "yaml_roundtrip_orders",
     # ... and in r3
     "asof_events",
-    "lsh_ann_embeddings", "media_stats_documents", "neardup_embeddings",
-    "outliers_embeddings",
+    "lsh_ann_embeddings",
     # (rollup_events / rollup_daily_events, the r4 fillers, and the
     # r3 rows split_documents / validate_embeddings / salted_agg_events
     # / sessions_events / repetition_documents / pii_documents /
@@ -10424,7 +10529,9 @@ _R8_DRIVER_WINDOW = [
     # lang_id_documents / dedup_clusters_embeddings /
     # dedup_apply_documents / curate_documents /
     # contamination_documents / asof_tol_events / charbins_documents
-    # + r2's parser_orders rotated out to fit the late-r8 rows
+    # + r2's parser_orders + r3's media_stats_documents /
+    # neardup_embeddings / outliers_embeddings rotated out to fit the
+    # late-r8 rows
     # ols_lineitem / logit_events / brandpairs_lineitem / acf_events -
     # never-certified rows outrank re-certification; the local replica
     # still covers every row)
@@ -10490,6 +10597,9 @@ def _queries_unordered() -> dict[
         "logrank_events": q_logrank_events,
         "mcnemar_lineitem": q_mcnemar_lineitem,
         "cmh_events": q_cmh_events,
+        "lorenz_lineitem": q_lorenz_lineitem,
+        "coverage_part": q_coverage_part,
+        "dpcounts_customer": q_dpcounts_customer,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -10942,6 +11052,9 @@ FROM ranked WHERE rank <= 5
         "logrank_events": _logrank_oracle(),
         "mcnemar_lineitem": _mcnemar_oracle(),
         "cmh_events": _cmh_oracle(),
+        "lorenz_lineitem": _LORENZ_ORACLE,
+        "coverage_part": _COVERAGE_ORACLE,
+        "dpcounts_customer": _dpcounts_oracle(),
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

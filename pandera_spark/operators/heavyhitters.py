@@ -41,10 +41,12 @@ from __future__ import annotations
 
 from typing import Iterator, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["misra_gries_candidates", "heavy_hitters"]
+__all__ = ["misra_gries_candidates", "heavy_hitters",
+    "coverage_curve",
+]
 
 
 def _mg_insert(counts: dict, key, w: int, k: int) -> None:
@@ -154,4 +156,52 @@ def heavy_hitters(
         counts.filter(F.col("freq") > F.lit(float(phi) * total))
         .withColumn("share", F.round(F.col("freq") / F.lit(float(total)), 6))
         .orderBy(F.desc("freq"), key_col)
+    )
+
+
+def coverage_curve(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int = 20,
+) -> DataFrame:
+    """Head-coverage curve of a categorical column: the top-k
+    categories by count with their cumulative row share — "the top 20
+    sources cover 93% of the corpus" (and, by complement, how heavy
+    the long tail is).
+
+    One row per rank ``1..k``: ``(rank, value, cnt, share,
+    cum_share)``.  Plan shape: one category-grain aggregate, then
+    ``row_number() <= k`` over (count DESC, value) — Spark plans the
+    limit as TakeOrderedAndProject (per-task top-k merged on the
+    driver, never a global sort); the cumulative share runs over the
+    k survivors plus one broadcast 1-row total.  Null categories are
+    excluded (profile them with ``monitoring.completeness``).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("__total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    wcum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "value",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("cnt") / F.col("__total")).alias("share"),
+            (F.sum("cnt").over(wcum) / F.col("__total"))
+            .alias("cum_share"),
+        )
     )

@@ -26,7 +26,9 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_report", "risky_groups", "l_diversity_report"]
+__all__ = ["k_anonymity_report", "risky_groups", "l_diversity_report",
+    "dp_noisy_counts",
+]
 
 
 def _group_sizes(df: DataFrame, quasi_cols: Sequence[str]) -> DataFrame:
@@ -105,4 +107,60 @@ def l_diversity_report(
         "n_groups", "min_distinct",
         F.coalesce("weak_groups", F.lit(0)).alias("weak_groups"),
         F.coalesce("weak_rows", F.lit(0)).alias("weak_rows"), "l",
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    col: str,
+    *,
+    epsilon: float = 1.0,
+    salt: str = "",
+    clamp_nonneg: bool = True,
+) -> DataFrame:
+    """Laplace-mechanism category counts: one row per category with
+    ``(value, noisy_count)`` where the noise is Laplace(1/ε) — the
+    standard ε-DP release for a unit-sensitivity histogram.
+
+    The noise is DERIVED, not drawn: category → md5-hexfold hash →
+    uniform in (0,1) → inverse Laplace CDF.  That makes every release
+    reproducible and SQL-replayable (the engine contract), at a real
+    privacy cost: a fixed salt means a fixed noise value per category,
+    so repeated releases do NOT compose like fresh draws, and an
+    adversary who knows the salt can subtract the noise.  Rotate
+    ``salt`` per release and treat it as a secret — or swap in true
+    randomness where formal DP matters; the mechanism, sensitivity
+    bookkeeping, and plan shape are identical.
+
+    Plan: ONE category-grain aggregate + a pure hash/arithmetic
+    projection — no UDF, no second pass.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0: {epsilon}")
+    from .dedup import portable_hash28
+
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+    )
+    # u in (0,1): (h + 0.5) / 2^28 — never exactly 0/0.5/1
+    u = (
+        portable_hash28(
+            F.concat(F.col("value"), F.lit("|dp|" + salt))
+        ).cast("double") + F.lit(0.5)
+    ) / F.lit(268435456.0)
+    centered = u - F.lit(0.5)
+    b = F.lit(1.0 / float(epsilon))
+    noise = (
+        -b
+        * F.signum(centered)
+        * F.log1p(-2.0 * F.abs(centered))
+    )
+    noisy = F.col("__cnt") + noise
+    if clamp_nonneg:
+        noisy = F.greatest(noisy, F.lit(0.0))
+    return counts.select(
+        "value",
+        noisy.alias("noisy_count"),
     )

@@ -47,6 +47,7 @@ __all__ = [
     "kruskal_wallis",
     "spearman_corr",
     "gini",
+    "lorenz_points",
 ]
 
 
@@ -360,4 +361,111 @@ def gini(
         "n",
         "total",
         F.when(F.col("total") > 0, g).alias("gini"),
+    )
+
+
+def lorenz_points(
+    df: DataFrame,
+    value_col: str,
+    *,
+    fractions: "Sequence[float]" = (
+        0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9,
+    ),
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Empirical Lorenz-curve points — the visual companion to
+    :func:`gini`: for each requested population fraction q, the row
+    ``(q, pop_share, value_share)`` at the first sorted position whose
+    cumulative count reaches ``ceil(q·n)`` ("the bottom 80% of
+    documents hold value_share of the tokens").
+
+    Scale shape: the corpus collapses to the DISTINCT-VALUE grain with
+    the same range-partitioned two-pass prefix sums as
+    :func:`value_midranks` (count AND value mass prefixes in ONE
+    window pass — no global one-task sort); the crossing rows come
+    from per-fraction conditional ``min`` aggregates over that grain
+    (``cum_value`` is monotone because values are non-negative —
+    enforced, as in :func:`gini`).
+    """
+    fr = [float(q) for q in fractions]
+    if not fr or not all(0 < q <= 1 for q in fr):
+        raise ValueError("fractions must be in (0, 1]")
+    x = F.col(value_col).cast("double")
+    neg = df.where(x < 0).limit(1).count()
+    if neg:
+        raise ValueError(f"{value_col!r} has negative values; "
+                         "the Lorenz curve needs a non-negative quantity")
+    vg = (
+        df.where(x.isNotNull())
+        .groupBy(x.alias("__v"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+        .withColumn("__mass", F.col("__v") * F.col("__cnt"))
+    )
+    if num_partitions:
+        nparts = num_partitions
+    else:
+        try:
+            nparts = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "200"
+                )
+            )
+        except (TypeError, ValueError):  # pragma: no cover
+            nparts = 200
+    parted = vg.repartitionByRange(
+        nparts, F.col("__v").asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    wrun = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn(
+        "__runc", F.sum("__cnt").over(wrun)
+    ).withColumn("__runm", F.sum("__mass").over(wrun))
+    per_part = parted.groupBy("__pid").agg(
+        F.sum("__cnt").alias("__pc"), F.sum("__mass").alias("__pm")
+    )
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_part.select(
+        "__pid",
+        F.coalesce(F.sum("__pc").over(woff), F.lit(0.0)).alias("__offc"),
+        F.coalesce(F.sum("__pm").over(woff), F.lit(0.0)).alias("__offm"),
+    )
+    totals = vg.agg(
+        F.sum("__cnt").alias("__n"), F.sum("__mass").alias("__total")
+    )
+    cum = (
+        local.join(F.broadcast(offsets), "__pid")
+        .select(
+            (F.col("__offc") + F.col("__runc")).alias("__cumc"),
+            (F.col("__offm") + F.col("__runm")).alias("__cumm"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    aggs = []
+    for i, q in enumerate(fr):
+        thresh = F.ceil(F.lit(q) * F.col("__n")).cast("double")
+        hit = F.col("__cumc") >= thresh
+        aggs.append(F.min(F.when(hit, F.col("__cumc")))
+                    .alias(f"__pc_{i}"))
+        aggs.append(F.min(F.when(hit, F.col("__cumm")))
+                    .alias(f"__pm_{i}"))
+        aggs.append(F.first("__n").alias(f"__n_{i}"))
+        aggs.append(F.first("__total").alias(f"__t_{i}"))
+    wide = cum.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(q).alias("q"),
+            F.try_divide(F.col(f"__pc_{i}"), F.col(f"__n_{i}"))
+            .alias("pop_share"),
+            F.try_divide(F.col(f"__pm_{i}"), F.col(f"__t_{i}"))
+            .alias("value_share"),
+        )
+        for i, q in enumerate(fr)
+    ])
+    return wide.select(F.explode(rows).alias("s")).select(
+        "s.q", "s.pop_share", "s.value_share"
     )

@@ -88,6 +88,10 @@ ALLOWED_BNLJ = {
     "rankeval_embeddings",       # guarded brute-force ANN baseline
                                  # (broadcast query side capped by
                                  # max_query_rows), same as qann
+    "lorenz_lineitem",           # 1-row (n, total) frame crossed onto
+                                 # the value-grain cumulative frame
+    "coverage_part",             # 1-row total crossed onto the k-row
+                                 # TakeOrdered head
 }
 
 
