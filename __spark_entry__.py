@@ -2299,6 +2299,57 @@ FROM counts
 """
 
 
+def q_qq_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Q-Q comparison of event values between user-parity
+    variants (operators/ranks.py:qq_points): lower empirical
+    quantiles at 5 levels from the shared range-partitioned two-pass
+    prefix sums — says WHERE the distributions diverge, not just
+    that they do."""
+    from pandera_spark.operators.ranks import qq_points
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "variant",
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "A").otherwise("B"),
+    )
+    out = qq_points(ev, "value", "variant", "A", "B")
+    return out.select(
+        F.round("q", 2).alias("q"),
+        F.round("q_a", 6).alias("qa_r"),
+        F.round("q_b", 6).alias("qb_r"),
+        F.round("diff", 6).alias("diff_r"),
+        F.round("ratio", 6).alias("ratio_r"),
+    )
+
+
+_QQ_ORACLE = """
+WITH lab AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+         value AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), vg AS (
+  SELECT v,
+         SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END)::DOUBLE AS ca,
+         SUM(CASE WHEN g = 'B' THEN 1 ELSE 0 END)::DOUBLE AS cb
+  FROM lab GROUP BY v
+), w AS (
+  SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+         SUM(cb) OVER (ORDER BY v) AS cumb
+  FROM vg
+), t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM vg),
+qs AS (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9]) AS q),
+x AS (
+  SELECT qs.q,
+         MIN(CASE WHEN w.cuma >= CEIL(qs.q * t.na) THEN w.v END) AS qa,
+         MIN(CASE WHEN w.cumb >= CEIL(qs.q * t.nb) THEN w.v END) AS qb
+  FROM w CROSS JOIN qs CROSS JOIN t
+  GROUP BY qs.q
+)
+SELECT ROUND(q, 2) AS q, ROUND(qa, 6) AS qa_r, ROUND(qb, 6) AS qb_r,
+       ROUND(qa - qb, 6) AS diff_r, ROUND(qa / qb, 6) AS ratio_r
+FROM x
+"""
+
+
 _BOOT_B, _BOOT_ALPHA = 32, 0.1
 
 
@@ -10513,7 +10564,7 @@ _R8_DRIVER_WINDOW = [
     "rankeval_embeddings", "ipw_events", "na_events",
     "silhouette_embeddings", "logrank_events", "mcnemar_lineitem",
     "cmh_events", "lorenz_lineitem", "coverage_part",
-    "dpcounts_customer",
+    "dpcounts_customer", "qq_events",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
     "decorator_orders", "defaults_customer",
@@ -10521,7 +10572,6 @@ _R8_DRIVER_WINDOW = [
     "yaml_roundtrip_orders",
     # ... and in r3
     "asof_events",
-    "lsh_ann_embeddings",
     # (rollup_events / rollup_daily_events, the r4 fillers, and the
     # r3 rows split_documents / validate_embeddings / salted_agg_events
     # / sessions_events / repetition_documents / pii_documents /
@@ -10529,7 +10579,7 @@ _R8_DRIVER_WINDOW = [
     # lang_id_documents / dedup_clusters_embeddings /
     # dedup_apply_documents / curate_documents /
     # contamination_documents / asof_tol_events / charbins_documents
-    # + r2's parser_orders + r3's media_stats_documents /
+    # + r2's parser_orders + r3's lsh_ann_embeddings / media_stats_documents /
     # neardup_embeddings / outliers_embeddings rotated out to fit the
     # late-r8 rows
     # ols_lineitem / logit_events / brandpairs_lineitem / acf_events -
@@ -10600,6 +10650,7 @@ def _queries_unordered() -> dict[
         "lorenz_lineitem": q_lorenz_lineitem,
         "coverage_part": q_coverage_part,
         "dpcounts_customer": q_dpcounts_customer,
+        "qq_events": q_qq_events,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -11055,6 +11106,7 @@ FROM ranked WHERE rank <= 5
         "lorenz_lineitem": _LORENZ_ORACLE,
         "coverage_part": _COVERAGE_ORACLE,
         "dpcounts_customer": _dpcounts_oracle(),
+        "qq_events": _QQ_ORACLE,
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

@@ -48,6 +48,7 @@ __all__ = [
     "spearman_corr",
     "gini",
     "lorenz_points",
+    "qq_points",
 ]
 
 
@@ -364,6 +365,68 @@ def gini(
     )
 
 
+def _range_prefix_sums(
+    spark,
+    vg: DataFrame,
+    sum_cols: "Sequence[str]",
+    *,
+    order_col: str = "__v",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Range-partitioned two-pass cumulative sums over a value-grain
+    frame: for each ``c`` in ``sum_cols`` adds ``__cum_{c}`` = the
+    running sum of ``c`` through the current ``order_col`` value —
+    exactly the global ORDER BY window answer, computed without ever
+    collapsing the grain to one task (partition-local windows + a
+    #partitions-row broadcast offset join, the :func:`value_midranks`
+    pattern)."""
+    if num_partitions:
+        nparts = num_partitions
+    else:
+        try:
+            nparts = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        except (TypeError, ValueError):  # pragma: no cover
+            nparts = 200
+    sum_cols = list(sum_cols)
+    parted = vg.repartitionByRange(
+        nparts, F.col(order_col).asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    wrun = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted
+    for c in sum_cols:
+        local = local.withColumn(f"__run_{c}", F.sum(c).over(wrun))
+    per_part = parted.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__p_{c}") for c in sum_cols]
+    )
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_part.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__p_{c}").over(woff), F.lit(0.0))
+            .alias(f"__off_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"__cum_{c}", F.col(f"__off_{c}") + F.col(f"__run_{c}")
+        )
+    return out.drop(
+        "__pid",
+        *[f"__run_{c}" for c in sum_cols],
+        *[f"__off_{c}" for c in sum_cols],
+    )
+
+
 def lorenz_points(
     df: DataFrame,
     value_col: str,
@@ -401,50 +464,17 @@ def lorenz_points(
         .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
         .withColumn("__mass", F.col("__v") * F.col("__cnt"))
     )
-    if num_partitions:
-        nparts = num_partitions
-    else:
-        try:
-            nparts = int(
-                df.sparkSession.conf.get(
-                    "spark.sql.shuffle.partitions", "200"
-                )
-            )
-        except (TypeError, ValueError):  # pragma: no cover
-            nparts = 200
-    parted = vg.repartitionByRange(
-        nparts, F.col("__v").asc()
-    ).withColumn("__pid", F.spark_partition_id())
-    wrun = (
-        Window.partitionBy("__pid")
-        .orderBy(F.col("__v").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = parted.withColumn(
-        "__runc", F.sum("__cnt").over(wrun)
-    ).withColumn("__runm", F.sum("__mass").over(wrun))
-    per_part = parted.groupBy("__pid").agg(
-        F.sum("__cnt").alias("__pc"), F.sum("__mass").alias("__pm")
-    )
-    woff = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = per_part.select(
-        "__pid",
-        F.coalesce(F.sum("__pc").over(woff), F.lit(0.0)).alias("__offc"),
-        F.coalesce(F.sum("__pm").over(woff), F.lit(0.0)).alias("__offm"),
+    prefixed = _range_prefix_sums(
+        df.sparkSession, vg, ["__cnt", "__mass"],
+        num_partitions=num_partitions,
     )
     totals = vg.agg(
         F.sum("__cnt").alias("__n"), F.sum("__mass").alias("__total")
     )
-    cum = (
-        local.join(F.broadcast(offsets), "__pid")
-        .select(
-            (F.col("__offc") + F.col("__runc")).alias("__cumc"),
-            (F.col("__offm") + F.col("__runm")).alias("__cumm"),
-        )
-        .crossJoin(F.broadcast(totals))
-    )
+    cum = prefixed.select(
+        F.col("__cum___cnt").alias("__cumc"),
+        F.col("__cum___mass").alias("__cumm"),
+    ).crossJoin(F.broadcast(totals))
     aggs = []
     for i, q in enumerate(fr):
         thresh = F.ceil(F.lit(q) * F.col("__n")).cast("double")
@@ -468,4 +498,84 @@ def lorenz_points(
     ])
     return wide.select(F.explode(rows).alias("s")).select(
         "s.q", "s.pop_share", "s.value_share"
+    )
+
+
+def qq_points(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    quantiles: "Sequence[float]" = (
+        0.1, 0.25, 0.5, 0.75, 0.9,
+    ),
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Q-Q comparison points between two groups: for each requested
+    quantile q the EXACT order statistics of both groups at that
+    level — one row ``(q, q_a, q_b, diff, ratio)``.  The drift
+    diagnostic that says WHERE two distributions diverge (tails vs
+    body), where a KS statistic only says THAT they do.
+
+    Exact, no interpolation: ``q_g`` is the ``ceil(q·n_g)``-th
+    smallest value of group g (the lower empirical quantile), so the
+    output is engine-replayable.  Scale shape: one shuffle to the
+    distinct-value grain with per-group counts, the shared
+    range-partitioned two-pass prefix sums (never a one-task global
+    sort), then per-quantile conditional ``min`` aggregates.
+    """
+    qs = [float(q) for q in quantiles]
+    if not qs or not all(0 < q <= 1 for q in qs):
+        raise ValueError("quantiles must be in (0, 1]")
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    ga, gb = g == F.lit(group_a), g == F.lit(group_b)
+    vg = (
+        df.where(x.isNotNull() & (ga | gb))
+        .groupBy(x.alias("__v"))
+        .agg(
+            F.sum(ga.cast("double")).alias("__ca"),
+            F.sum(gb.cast("double")).alias("__cb"),
+        )
+    )
+    prefixed = _range_prefix_sums(
+        df.sparkSession, vg, ["__ca", "__cb"],
+        num_partitions=num_partitions,
+    )
+    totals = vg.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    cum = prefixed.select(
+        "__v",
+        F.col("__cum___ca").alias("__cuma"),
+        F.col("__cum___cb").alias("__cumb"),
+    ).crossJoin(F.broadcast(totals))
+    aggs = []
+    for i, q in enumerate(qs):
+        ta = F.ceil(F.lit(q) * F.col("__na")).cast("double")
+        tb = F.ceil(F.lit(q) * F.col("__nb")).cast("double")
+        aggs.append(
+            F.min(F.when(F.col("__cuma") >= ta, F.col("__v")))
+            .alias(f"__qa_{i}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("__cumb") >= tb, F.col("__v")))
+            .alias(f"__qb_{i}")
+        )
+    wide = cum.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(q).alias("q"),
+            F.col(f"__qa_{i}").alias("q_a"),
+            F.col(f"__qb_{i}").alias("q_b"),
+            (F.col(f"__qa_{i}") - F.col(f"__qb_{i}")).alias("diff"),
+            F.try_divide(F.col(f"__qa_{i}"), F.col(f"__qb_{i}"))
+            .alias("ratio"),
+        )
+        for i, q in enumerate(qs)
+    ])
+    return wide.select(F.explode(rows).alias("s")).select(
+        "s.q", "s.q_a", "s.q_b", "s.diff", "s.ratio"
     )

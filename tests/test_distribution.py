@@ -136,3 +136,55 @@ class TestDpNoisyCounts:
         df = spark.createDataFrame([("z",)], "cat string")
         out = dp_noisy_counts(df, "cat", epsilon=0.0001).first()
         assert out["noisy_count"] >= 0.0
+
+
+class TestQqPoints:
+    def _local_q(self, xs, q):
+        import math
+        xs = sorted(xs)
+        return xs[math.ceil(q * len(xs)) - 1]
+
+    def test_matches_local(self, spark):
+        import numpy as np
+
+        from pandera_spark.operators.ranks import qq_points
+
+        rng = np.random.RandomState(4)
+        a = [float(x) for x in rng.normal(10, 2, 300).round(3)]
+        b = [float(x) for x in rng.normal(12, 4, 200).round(3)]
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {round(r["q"], 6): r
+               for r in qq_points(df, "v", "g", "a", "b").collect()}
+        for q in (0.1, 0.5, 0.9):
+            qa, qb = self._local_q(a, q), self._local_q(b, q)
+            assert out[q]["q_a"] == pytest.approx(qa, abs=1e-12)
+            assert out[q]["q_b"] == pytest.approx(qb, abs=1e-12)
+            assert out[q]["diff"] == pytest.approx(qa - qb, abs=1e-12)
+            assert out[q]["ratio"] == pytest.approx(qa / qb, rel=1e-12)
+        # b has heavier tails: the gap widens at the 90th percentile
+        assert abs(out[0.9]["diff"]) > abs(out[0.5]["diff"]) - 5
+
+    def test_identical_groups_on_diagonal(self, spark):
+        from pandera_spark.operators.ranks import qq_points
+
+        rows = [(g, float(v)) for g in ("a", "b") for v in range(1, 51)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = qq_points(df, "v", "g", "a", "b").collect()
+        assert all(r["diff"] == 0.0 for r in out)
+        assert all(r["ratio"] == pytest.approx(1.0) for r in out)
+
+    def test_other_groups_excluded_and_validation(self, spark):
+        from pandera_spark.operators.ranks import qq_points
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+             ("z", 999.0), ("a", None)],
+            "g string, v double",
+        )
+        out = {round(r["q"], 2): r
+               for r in qq_points(df, "v", "g", "a", "b",
+                                  quantiles=[0.5, 1.0]).collect()}
+        assert out[1.0]["q_a"] == 2.0 and out[1.0]["q_b"] == 4.0
+        with pytest.raises(ValueError, match="quantiles"):
+            qq_points(df, "v", "g", "a", "b", quantiles=[0.0])

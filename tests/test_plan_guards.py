@@ -92,6 +92,9 @@ ALLOWED_BNLJ = {
                                  # the value-grain cumulative frame
     "coverage_part",             # 1-row total crossed onto the k-row
                                  # TakeOrdered head
+    "qq_events",                 # 1-row (n_a, n_b) group totals
+                                 # crossed onto the value-grain
+                                 # cumulative frame
 }
 
 
