@@ -350,16 +350,22 @@ def fdr_bh(
     *,
     by: Union[str, Sequence[str], None] = None,
     alpha: float = 0.05,
+    method: str = "bh",
 ) -> DataFrame:
-    """Benjamini-Hochberg FDR adjustment over a frame of test results.
+    """Benjamini-Hochberg (or Benjamini-Yekutieli) FDR adjustment over
+    a frame of test results.
 
     Appends ``q_value`` (the BH-adjusted p: ``min_{j>=rank}
     p_(j)·m/j``, clamped to 1) and ``rejected`` (``q <= alpha``) to
-    every input row.  ``m`` counts non-null p-values per ``by`` group;
-    null p-values pass through with null ``q_value``/``rejected``.
-    Run it on a SCREEN-RESULTS frame (one row per test) — multiple
-    comparisons are a result-grain problem, so the windows here order
-    a frame bounded by the number of tests, not by data.
+    every input row.  ``method="by"`` multiplies by the harmonic
+    factor ``c(m) = Σ_{i<=m} 1/i`` — Benjamini-Yekutieli, valid under
+    ARBITRARY dependence between the tests (BH assumes independence
+    or positive regression dependence).  ``m`` counts non-null
+    p-values per ``by`` group; null p-values pass through with null
+    ``q_value``/``rejected``.  Run it on a SCREEN-RESULTS frame (one
+    row per test) — multiple comparisons are a result-grain problem,
+    so the windows here order a frame bounded by the number of tests,
+    not by data.
 
     Tied p-values receive identical q-values (the running min from the
     largest rank makes the adjustment order-free within a tie), so no
@@ -367,6 +373,8 @@ def fdr_bh(
     """
     from pyspark.sql import Window
 
+    if method not in ("bh", "by"):
+        raise ValueError(f"method must be 'bh' or 'by', got {method!r}")
     keys = _by(by)
     pb = [F.col(k) for k in keys]
     p = F.col(p_col).cast("double")
@@ -377,9 +385,20 @@ def fdr_bh(
     ranked = df.withColumn("__r", F.row_number().over(w_rank)).withColumn(
         "__m", F.count(p).over(w_full)
     )
+    # BY's c(m) = H_m as a running 1/rank sum over the non-null rows
+    # of the same result-grain window (1.0 for BH)
+    if method == "by":
+        w_h = Window.partitionBy(*pb).orderBy(
+            F.col("__r").asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        cm = F.sum(
+            F.when(p.isNotNull(), 1.0 / F.col("__r").cast("double"))
+        ).over(w_h)
+    else:
+        cm = F.lit(1.0)
     raw = F.when(
         p.isNotNull(),
-        p * F.col("__m") / F.col("__r").cast("double"),
+        p * cm * F.col("__m") / F.col("__r").cast("double"),
     )
     # running min of raw from the LARGEST p down to the current row
     w_tail = (

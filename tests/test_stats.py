@@ -677,3 +677,30 @@ def test_bootstrap_ci_guards_and_plan(spark):
     rep = plan_report(bootstrap_ci_mean(df, "x", "k", n_boot=8))
     assert rep["exchanges"] <= 1  # ONE aggregation, no resample shuffle
     assert rep["cartesian_products"] == 0
+
+
+def test_fdr_by_harmonic_factor(spark):
+    from pandera_spark.operators.stats import fdr_bh
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.20, None]
+    df = spark.createDataFrame([(p,) for p in ps], "p double")
+    bh = {r["p"]: r["q_value"]
+          for r in fdr_bh(df, "p", alpha=0.05).collect()}
+    by = {r["p"]: r["q_value"]
+          for r in fdr_bh(df, "p", alpha=0.05, method="by").collect()}
+    m = 5
+    cm = sum(1.0 / i for i in range(1, m + 1))
+    # local replay of both
+    import itertools
+    nn = sorted(p for p in ps if p is not None)
+    for label, c, got in (("bh", 1.0, bh), ("by", cm, by)):
+        raw = [p * c * m / (i + 1) for i, p in enumerate(nn)]
+        qs = list(itertools.accumulate(raw[::-1], min))[::-1]
+        qs = [min(q, 1.0) for q in qs]
+        for p, q in zip(nn, qs):
+            assert got[p] == pytest.approx(q, abs=1e-12), (label, p)
+    assert by[None] is None
+    # BY is uniformly more conservative
+    assert all(by[p] >= bh[p] for p in nn)
+    with pytest.raises(ValueError, match="method"):
+        fdr_bh(df, "p", method="bonferroni").collect()
