@@ -2984,6 +2984,156 @@ FROM m
 """
 
 
+_RMST_TAU = 1_000_000.0
+
+
+def q_rmst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time over the first 10^6 seconds per
+    variant (operators/survival.py:rmst): the exact step integral of
+    the KM curve — the effect-size companion to logrank_events on the
+    same subject frame."""
+    from pandera_spark.operators.survival import rmst
+
+    ev = _load(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    subj = per_user.select(
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        F.when(
+            F.col("tp").isNotNull(),
+            (us("tp") - us("t0")) / F.lit(1e6),
+        )
+        .otherwise((us("t1") - us("t0")) / F.lit(1e6))
+        .alias("dur"),
+        F.col("tp").isNotNull().alias("ev"),
+    )
+    out = rmst(subj, "dur", "ev", tau=_RMST_TAU, by="variant")
+    return out.select(
+        "variant",
+        F.round("tau", 1).alias("tau"),
+        F.round("rmst", 4).alias("rmst_r"),
+        "n_times",
+    )
+
+
+def _rmst_oracle() -> str:
+    tau = f"{_RMST_TAU!r}"
+    return f"""
+WITH u AS (
+  SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY user_id
+), subj AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN tp IS NOT NULL
+              THEN (epoch_us(tp) - epoch_us(t0)) / 1e6
+              ELSE (epoch_us(t1) - epoch_us(t0)) / 1e6 END AS t,
+         tp IS NOT NULL AS e
+  FROM u
+), grain AS (
+  SELECT variant, t,
+         SUM(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+         SUM(CASE WHEN e THEN 0 ELSE 1 END) AS c
+  FROM subj GROUP BY variant, t
+), w AS (
+  SELECT variant, t, d, c,
+         SUM(d + c) OVER (PARTITION BY variant)
+           - SUM(d + c) OVER (PARTITION BY variant ORDER BY t
+                              ROWS UNBOUNDED PRECEDING)
+           + (d + c) AS n_risk
+  FROM grain
+), k AS (
+  SELECT variant, t,
+         CASE WHEN d < n_risk AND d > 0
+              THEN LN(1.0 - d / CAST(n_risk AS DOUBLE))
+              ELSE 0.0 END AS lt,
+         CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END AS za
+  FROM w
+), sv AS (
+  SELECT variant, t,
+         CASE WHEN SUM(za) OVER (PARTITION BY variant ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) > 0
+              THEN 0.0
+              ELSE EXP(SUM(lt) OVER (PARTITION BY variant ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING)) END AS s
+  FROM k
+), seg AS (
+  SELECT variant, t, s,
+         COALESCE(LAG(s) OVER (PARTITION BY variant ORDER BY t), 1.0)
+           AS ps,
+         COALESCE(LAG(t) OVER (PARTITION BY variant ORDER BY t), 0.0)
+           AS pt
+  FROM sv
+), m AS (
+  SELECT variant,
+         SUM(ps * GREATEST(LEAST(t, {tau}) - pt, 0.0)) AS area,
+         MAX(LEAST(t, {tau})) AS last_t,
+         MAX_BY(s, t) AS last_s,
+         CAST(COUNT(*) AS BIGINT) AS n_times
+  FROM seg GROUP BY variant
+)
+SELECT variant, ROUND({tau}, 1) AS tau,
+       ROUND(area + GREATEST({tau} - last_t, 0.0) * last_s, 4)
+         AS rmst_r,
+       n_times
+FROM m
+"""
+
+
+def q_calib_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration scorecard (operators/evalmetrics.py:
+    calibration_summary): treating scaled value as a purchase
+    'probability' — Brier from one row scan, ECE/MCE from the
+    10-bin reliability grain."""
+    from pandera_spark.operators.evalmetrics import calibration_summary
+
+    ev = _load(spark, sf_dir, "events").select(
+        (F.col("value") / F.lit(100.0)).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    out = calibration_summary(ev, "score", "label", n_bins=10)
+    return out.select(
+        "n",
+        F.round("brier", 6).alias("brier_r"),
+        F.round("ece", 6).alias("ece_r"),
+        F.round("mce", 6).alias("mce_r"),
+    )
+
+
+_CALIB_ORACLE = """
+WITH base AS (
+  SELECT value/100.0 AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+    AND value/100.0 BETWEEN 0.0 AND 1.0
+), b AS (
+  SELECT LEAST(CAST(FLOOR(s / 0.1) AS INT), 9) AS bin,
+         COUNT(*) AS n, AVG(s) AS avg_s, AVG(y::DOUBLE) AS pos
+  FROM base GROUP BY 1
+), e AS (
+  SELECT SUM(n * ABS(avg_s - pos)) / SUM(n) AS ece,
+         MAX(ABS(avg_s - pos)) AS mce
+  FROM b
+), r AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         AVG((s - y) * (s - y)) AS brier
+  FROM base
+)
+SELECT r.n, ROUND(r.brier, 6) AS brier_r,
+       ROUND(e.ece, 6) AS ece_r, ROUND(e.mce, 6) AS mce_r
+FROM r, e
+"""
+
+
 def q_propz_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test readout (operators/abtest.py:
     proportion_ztest): deterministic variant = user_id parity,
@@ -10564,14 +10714,13 @@ _R8_DRIVER_WINDOW = [
     "rankeval_embeddings", "ipw_events", "na_events",
     "silhouette_embeddings", "logrank_events", "mcnemar_lineitem",
     "cmh_events", "lorenz_lineitem", "coverage_part",
-    "dpcounts_customer", "qq_events",
+    "dpcounts_customer", "qq_events", "rmst_events", "calib_events",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
-    "decorator_orders", "defaults_customer",
+    "decorator_orders",
     "regex_cols_lineitem", "stratified_documents", "synthesize_validate",
     "yaml_roundtrip_orders",
     # ... and in r3
-    "asof_events",
     # (rollup_events / rollup_daily_events, the r4 fillers, and the
     # r3 rows split_documents / validate_embeddings / salted_agg_events
     # / sessions_events / repetition_documents / pii_documents /
@@ -10579,7 +10728,8 @@ _R8_DRIVER_WINDOW = [
     # lang_id_documents / dedup_clusters_embeddings /
     # dedup_apply_documents / curate_documents /
     # contamination_documents / asof_tol_events / charbins_documents
-    # + r2's parser_orders + r3's lsh_ann_embeddings / media_stats_documents /
+    # + r2's parser_orders / defaults_customer + r3's asof_events /
+    # lsh_ann_embeddings / media_stats_documents /
     # neardup_embeddings / outliers_embeddings rotated out to fit the
     # late-r8 rows
     # ols_lineitem / logit_events / brandpairs_lineitem / acf_events -
@@ -10651,6 +10801,8 @@ def _queries_unordered() -> dict[
         "coverage_part": q_coverage_part,
         "dpcounts_customer": q_dpcounts_customer,
         "qq_events": q_qq_events,
+        "rmst_events": q_rmst_events,
+        "calib_events": q_calib_events,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -11107,6 +11259,8 @@ FROM ranked WHERE rank <= 5
         "coverage_part": _COVERAGE_ORACLE,
         "dpcounts_customer": _dpcounts_oracle(),
         "qq_events": _QQ_ORACLE,
+        "rmst_events": _rmst_oracle(),
+        "calib_events": _CALIB_ORACLE,
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

@@ -37,6 +37,7 @@ __all__ = [
     "fleiss_kappa",
     "isotonic_calibrate",
     "ranking_metrics",
+    "calibration_summary",
 ]
 
 
@@ -530,4 +531,50 @@ def ranking_metrics(
         F.avg(recall).alias("recall"),
         F.avg(F.col("__rel_in_cut").cast("double") / F.lit(float(k)))
         .alias("precision"),
+    )
+
+
+def calibration_summary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """One-row calibration scorecard for a probabilistic filter model:
+    ``(n, brier, ece, mce)`` — the Brier score ``mean((p − y)²)`` from
+    one scan, and the expected / maximum calibration errors
+    ``Σ (n_b/n)·|p̄_b − ȳ_b|`` / ``max_b |p̄_b − ȳ_b|`` over the same
+    equal-width bins as :func:`calibration_bins`.
+
+    Two tiny aggregations (row scan for Brier + bin grain for
+    ECE/MCE), both map-side combined; scores outside [lo, hi] are
+    excluded like :func:`calibration_bins`.
+    """
+    bins = calibration_bins(
+        df, score_col, label_col, n_bins=n_bins, lo=lo, hi=hi
+    )
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.where(
+        s.isNotNull() & y.isNotNull() & (s >= lo) & (s <= hi)
+    )
+    brier = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg((s - y.cast("double"))
+              * (s - y.cast("double"))).alias("brier"),
+    )
+    gap = F.abs(F.col("avg_score") - F.col("pos_rate"))
+    ece = bins.agg(
+        F.sum(F.col("n") * gap).alias("__wgap"),
+        F.sum("n").alias("__n"),
+        F.max(gap).alias("mce"),
+    ).select(
+        (F.col("__wgap") / F.col("__n")).alias("ece"),
+        "mce",
+    )
+    return brier.crossJoin(F.broadcast(ece)).select(
+        "n", "brier", "ece", "mce"
     )

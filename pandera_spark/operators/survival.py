@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["km_curve", "nelson_aalen", "logrank_test"]
+__all__ = ["km_curve", "nelson_aalen", "logrank_test", "rmst"]
 
 
 def km_curve(
@@ -262,4 +262,66 @@ def logrank_test(
         z.alias("z"),
         F.when(z.isNotNull(), 2.0 * _norm_sf(F.abs(z)))
         .alias("pvalue"),
+    )
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    tau: float,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Restricted mean survival time: ``∫₀^τ S(t) dt`` per group — the
+    clinically standard "average event-free time over the first τ"
+    summary, robust where median survival is undefined (censoring-
+    heavy data) and the natural effect size next to
+    :func:`logrank_test`'s p-value.
+
+    Computed as the exact step integral of the :func:`km_curve`
+    estimator: S is right-continuous and piecewise constant, so
+    ``RMST = Σ S(t_{i-1})·(min(t_i, τ) − t_{i-1})`` over event-grain
+    rows up to τ (with S(0) = 1).  One row per group:
+    ``by..., tau, rmst, n_times``.  Same scale shape as the curve
+    itself — everything past the subject collapse is distinct-time
+    grain.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0: {tau}")
+    keys = [] if by is None else [by] if isinstance(by, str) else list(by)
+    curve = km_curve(df, duration_col, event_col, by=by)
+    pb = [F.col(k) for k in keys]
+    w = Window.partitionBy(*pb).orderBy(F.col("t"))
+    prev_t = F.coalesce(F.lag("t").over(w), F.lit(0.0))
+    prev_s = F.coalesce(F.lag("survival").over(w), F.lit(1.0))
+    # the segment [prev_t, min(t, tau)) is covered at the PREVIOUS
+    # survival level; segments starting at/after tau contribute 0
+    seg = F.greatest(
+        F.least(F.col("t"), F.lit(float(tau))) - prev_t, F.lit(0.0)
+    )
+    tail_start = F.least(F.col("t"), F.lit(float(tau)))
+    contrib = prev_s * seg
+    agg = (
+        curve.withColumn("__contrib", contrib)
+        .withColumn("__tail_t", tail_start)
+        .withColumn("__s", F.col("survival"))
+        .groupBy(*pb)
+        .agg(
+            F.sum("__contrib").alias("__area"),
+            F.max("__tail_t").alias("__last_t"),
+            F.max_by("__s", F.col("t")).alias("__last_s"),
+            F.count(F.lit(1)).cast("long").alias("n_times"),
+        )
+    )
+    # the plateau after the last event time up to tau stays at the
+    # final survival level
+    tail = F.greatest(
+        F.lit(float(tau)) - F.col("__last_t"), F.lit(0.0)
+    ) * F.col("__last_s")
+    return agg.select(
+        *keys,
+        F.lit(float(tau)).alias("tau"),
+        (F.col("__area") + tail).alias("rmst"),
+        "n_times",
     )

@@ -140,3 +140,32 @@ def test_fit_conformal_ties_and_guards(spark):
     tiny = spark.createDataFrame([(1.0, 0.0)], "y double, p double")
     with _pytest.raises(ValueError, match="calibration"):
         fit_conformal(tiny, "y", "p", alpha=0.1)
+
+
+def test_calibration_summary_hand_computed(spark):
+    from pandera_spark.operators.evalmetrics import calibration_summary
+
+    # two bins with known gaps: bin0 scores 0.1/0.2 labels 0,1;
+    # bin1 scores 0.8/0.9 labels 1,1
+    rows = [(0.1, 0), (0.2, 1), (0.8, 1), (0.9, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = calibration_summary(df, "score", "label", n_bins=2).first()
+    brier = ((0.1 - 0) ** 2 + (0.2 - 1) ** 2 + (0.8 - 1) ** 2
+             + (0.9 - 1) ** 2) / 4
+    gap0 = abs(0.15 - 0.5)
+    gap1 = abs(0.85 - 1.0)
+    ece = (2 * gap0 + 2 * gap1) / 4
+    assert out["brier"] == pytest.approx(brier, abs=1e-12)
+    assert out["ece"] == pytest.approx(ece, abs=1e-12)
+    assert out["mce"] == pytest.approx(max(gap0, gap1), abs=1e-12)
+    assert out["n"] == 4
+
+
+def test_calibration_summary_perfect_model(spark):
+    from pandera_spark.operators.evalmetrics import calibration_summary
+
+    rows = [(0.0, 0)] * 10 + [(1.0, 1)] * 10
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = calibration_summary(df, "score", "label").first()
+    assert out["brier"] == pytest.approx(0.0)
+    assert out["ece"] == pytest.approx(0.0)

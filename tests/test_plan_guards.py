@@ -95,6 +95,8 @@ ALLOWED_BNLJ = {
     "qq_events",                 # 1-row (n_a, n_b) group totals
                                  # crossed onto the value-grain
                                  # cumulative frame
+    "calib_events",              # 1-row ECE/MCE bin summary crossed
+                                 # onto the 1-row Brier frame
 }
 
 

@@ -173,3 +173,62 @@ def test_nelson_aalen_groups(spark):
     assert out[("a", 2.0)]["cum_hazard"] == pytest.approx(1.5)
     assert out[("b", 1.0)]["cum_hazard"] == pytest.approx(0.0)
     assert out[("b", 3.0)]["cum_hazard"] == pytest.approx(1.0)
+
+
+def test_rmst_hand_computed(spark):
+    from pandera_spark.operators.survival import rmst
+
+    # events at t=2 (S->0.75), t=5 (S->0.5), censor at 7, event 9 (S->0.25? )
+    pairs = [(2.0, True), (5.0, True), (7.0, False), (9.0, True)]
+    df = spark.createDataFrame(pairs, "dur double, ev boolean")
+    # S: [0,2)=1, [2,5)=0.75, [5,9)=0.5, [9,..)=0.5*(1-1/1)=0
+    out = rmst(df, "dur", "ev", tau=8.0).first()
+    expected = 1.0 * 2 + 0.75 * 3 + 0.5 * 3
+    assert out["rmst"] == pytest.approx(expected, abs=1e-12)
+    assert out["tau"] == 8.0
+    # tau beyond the last time: plateau at the final S (0 here)
+    out2 = rmst(df, "dur", "ev", tau=20.0).first()
+    expected2 = 1.0 * 2 + 0.75 * 3 + 0.5 * 4 + 0.0 * 11
+    assert out2["rmst"] == pytest.approx(expected2, abs=1e-12)
+
+
+def test_rmst_no_events_equals_tau(spark):
+    from pandera_spark.operators.survival import rmst
+
+    df = spark.createDataFrame(
+        [(3.0, False), (6.0, False)], "dur double, ev boolean"
+    )
+    out = rmst(df, "dur", "ev", tau=5.0).first()
+    assert out["rmst"] == pytest.approx(5.0)  # S = 1 throughout
+    with pytest.raises(ValueError, match="tau"):
+        rmst(df, "dur", "ev", tau=0.0)
+
+
+def test_rmst_groups_match_km_integral(spark):
+    import numpy as np
+
+    from pandera_spark.operators.survival import km_curve, rmst
+
+    rng = np.random.RandomState(12)
+    rows = []
+    for g, scale in (("a", 6.0), ("b", 12.0)):
+        for _ in range(120):
+            rows.append((g, float(rng.exponential(scale)),
+                         bool(rng.uniform() < 0.75)))
+    df = spark.createDataFrame(rows, "g string, dur double, ev boolean")
+    tau = 10.0
+    out = {r["g"]: r["rmst"]
+           for r in rmst(df, "dur", "ev", tau=tau, by="g").collect()}
+    for g in ("a", "b"):
+        curve = sorted(
+            (r["t"], r["survival"])
+            for r in km_curve(df, "dur", "ev", by="g").collect()
+            if r["g"] == g
+        )
+        area, prev_t, prev_s = 0.0, 0.0, 1.0
+        for t, sv in curve:
+            area += prev_s * max(min(t, tau) - prev_t, 0.0)
+            prev_t, prev_s = min(t, tau), sv
+        area += max(tau - prev_t, 0.0) * prev_s
+        assert out[g] == pytest.approx(area, abs=1e-10)
+    assert out["b"] > out["a"]  # longer-lived group
