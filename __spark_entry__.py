@@ -2350,6 +2350,50 @@ FROM x
 """
 
 
+def q_theilsen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of hourly event counts per type
+    (operators/temporal.py:theil_sen): median pairwise slope at
+    BUCKET grain (keyed hash self-join), median intercept from the
+    broadcast k-row slope frame — immune to a third of the buckets
+    being outliers."""
+    from pandera_spark.operators.temporal import theil_sen, time_rollup
+
+    ev = _load(spark, sf_dir, "events")
+    series = time_rollup(
+        ev.where(F.col("event_type").isNotNull()), "ts",
+        resolution="1 hour", keys=["event_type"],
+        aggs={"v": F.count(F.lit(1)).cast("double")},
+    )
+    out = theil_sen(series, "v", keys=["event_type"])
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("slope", 8).alias("slope_r"),
+        F.round("intercept", 4).alias("inter_r"),
+    )
+
+
+_THEILSEN_ORACLE = """
+WITH series AS (
+  SELECT event_type AS g,
+         CAST(CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600
+              AS DOUBLE) AS t,
+         COUNT(*)::DOUBLE AS x
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), slopes AS (
+  SELECT a.g, MEDIAN((b.x - a.x)/(b.t - a.t)) AS slope
+  FROM series a JOIN series b ON a.g = b.g AND a.t < b.t
+  GROUP BY a.g
+)
+SELECT s.g AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(sl.slope, 8) AS slope_r,
+       ROUND(MEDIAN(s.x - sl.slope * s.t), 4) AS inter_r
+FROM series s JOIN slopes sl ON s.g = sl.g
+GROUP BY s.g, sl.slope
+"""
+
+
 _BOOT_B, _BOOT_ALPHA = 32, 0.1
 
 
@@ -10715,9 +10759,9 @@ _R8_DRIVER_WINDOW = [
     "silhouette_embeddings", "logrank_events", "mcnemar_lineitem",
     "cmh_events", "lorenz_lineitem", "coverage_part",
     "dpcounts_customer", "qq_events", "rmst_events", "calib_events",
+    "theilsen_events",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
-    "decorator_orders",
     "regex_cols_lineitem", "stratified_documents", "synthesize_validate",
     "yaml_roundtrip_orders",
     # ... and in r3
@@ -10728,7 +10772,8 @@ _R8_DRIVER_WINDOW = [
     # lang_id_documents / dedup_clusters_embeddings /
     # dedup_apply_documents / curate_documents /
     # contamination_documents / asof_tol_events / charbins_documents
-    # + r2's parser_orders / defaults_customer + r3's asof_events /
+    # + r2's parser_orders / defaults_customer / decorator_orders
+    # + r3's asof_events /
     # lsh_ann_embeddings / media_stats_documents /
     # neardup_embeddings / outliers_embeddings rotated out to fit the
     # late-r8 rows
@@ -10803,6 +10848,7 @@ def _queries_unordered() -> dict[
         "qq_events": q_qq_events,
         "rmst_events": q_rmst_events,
         "calib_events": q_calib_events,
+        "theilsen_events": q_theilsen_events,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -11261,6 +11307,7 @@ FROM ranked WHERE rank <= 5
         "qq_events": _QQ_ORACLE,
         "rmst_events": _rmst_oracle(),
         "calib_events": _CALIB_ORACLE,
+        "theilsen_events": _THEILSEN_ORACLE,
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

@@ -49,6 +49,7 @@ __all__ = [
     "acf",
     "mann_kendall",
     "time_weighted_mean",
+    "theil_sen",
 ]
 
 
@@ -1077,4 +1078,74 @@ def time_weighted_mean(
             F.sum(F.col("__x") * F.col("__dur")), F.sum("__dur")
         ).alias("twap"),
         F.avg("__x").alias("simple_mean"),
+    )
+
+
+def theil_sen(
+    series: DataFrame,
+    value_col: str,
+    *,
+    bucket_col: str = "bucket_start",
+    step_seconds: int = 3600,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Theil-Sen robust trend line over a rolled-up series: one row
+    per ``keys`` group with ``n, slope, intercept`` where ``slope``
+    is the MEDIAN of all pairwise slopes (per ``step_seconds`` tick)
+    and ``intercept`` the median of ``x − slope·t`` — the
+    breakdown-point-29% alternative to least squares
+    (:func:`pandera_spark.operators.stats.group_trend`), immune to a
+    third of the buckets being outliers.  Pairs with identical ticks
+    are skipped (vertical slope).
+
+    Same plan scale as :func:`mann_kendall`: O(n²/2) pairs at BUCKET
+    grain via a keyed self-equi-join (the global case is a documented
+    tiny cartesian), then exact interpolated medians; the intercept
+    pass joins the k-row slope frame back broadcast.
+    """
+    if step_seconds <= 0:
+        raise ValueError("step_seconds must be > 0")
+    keys = list(keys)
+    jk = keys if keys else ["__one"]
+    base = series.where(
+        F.col(value_col).isNotNull() & F.col(bucket_col).isNotNull()
+    ).select(
+        *[F.col(k) for k in keys],
+        *([] if keys else [F.lit(1).alias("__one")]),
+        F.floor(
+            _epoch_us(F.col(bucket_col))
+            / F.lit(int(step_seconds) * 1_000_000)
+        ).cast("double").alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    left = base.select(
+        *[F.col(k) for k in jk],
+        F.col("__t").alias("__ti"), F.col("__x").alias("__xi"),
+    )
+    right = base.select(
+        *[F.col(k) for k in jk],
+        F.col("__t").alias("__tj"), F.col("__x").alias("__xj"),
+    )
+    slopes = (
+        left.join(right, jk)
+        .where(F.col("__ti") < F.col("__tj"))
+        .groupBy(*[F.col(k) for k in jk])
+        .agg(
+            F.median(
+                (F.col("__xj") - F.col("__xi"))
+                / (F.col("__tj") - F.col("__ti"))
+            ).alias("slope"),
+        )
+    )
+    joined = base.join(F.broadcast(slopes), jk)
+    return (
+        joined.groupBy(*[F.col(k) for k in jk])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("slope").alias("slope"),
+            F.median(
+                F.col("__x") - F.col("slope") * F.col("__t")
+            ).alias("intercept"),
+        )
+        .select(*keys, "n", "slope", "intercept")
     )

@@ -297,3 +297,70 @@ class TestTimeWeightedMean:
         assert out["a"]["twap"] == pytest.approx(5.0)  # only first weighted
         assert out["b"]["twap"] is None  # no successor, no horizon
         assert out["b"]["simple_mean"] == pytest.approx(3.0)
+
+
+class TestTheilSen:
+    def _series(self, spark, values):
+        import datetime
+        t0 = datetime.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(t0 + datetime.timedelta(hours=i), float(v))
+             for i, v in enumerate(values)],
+            "bucket_start timestamp, v double",
+        )
+
+    def _local(self, xs):
+        import statistics
+        n = len(xs)
+        slopes = [
+            (xs[j] - xs[i]) / (j - i)
+            for i in range(n) for j in range(i + 1, n)
+        ]
+        slope = statistics.median(slopes)
+        # ticks are epoch-hours, not 0-based: intercept uses the same
+        # absolute ticks the operator sees
+        import datetime
+        t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+        base_tick = int(t0.timestamp()) // 3600
+        inter = statistics.median(
+            x - slope * (base_tick + i) for i, x in enumerate(xs)
+        )
+        return slope, inter
+
+    def test_matches_local(self, spark):
+        from pandera_spark.operators.temporal import theil_sen
+
+        xs = [1.0, 2.5, 2.0, 4.0, 3.5, 6.0, 5.0, 7.5]
+        out = theil_sen(self._series(spark, xs), "v").first()
+        slope, inter = self._local(xs)
+        assert out["slope"] == pytest.approx(slope, abs=1e-12)
+        assert out["intercept"] == pytest.approx(inter, rel=1e-9)
+        assert out["n"] == len(xs)
+
+    def test_outlier_robustness(self, spark):
+        from pandera_spark.operators.temporal import theil_sen
+
+        clean = [float(2 * i + 1) for i in range(12)]
+        dirty = clean.copy()
+        dirty[3] = 500.0
+        dirty[8] = -400.0
+        a = theil_sen(self._series(spark, clean), "v").first()
+        b = theil_sen(self._series(spark, dirty), "v").first()
+        assert a["slope"] == pytest.approx(2.0, abs=1e-12)
+        assert b["slope"] == pytest.approx(2.0, abs=0.3)  # barely moves
+
+    def test_keys(self, spark):
+        import datetime
+        from pandera_spark.operators.temporal import theil_sen
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        for g, sl in (("up", 3.0), ("dn", -1.0)):
+            rows += [(g, t0 + datetime.timedelta(hours=i), sl * i)
+                     for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "g string, bucket_start timestamp, v double"
+        )
+        out = {r["g"]: r for r in theil_sen(df, "v", keys=["g"]).collect()}
+        assert out["up"]["slope"] == pytest.approx(3.0, abs=1e-12)
+        assert out["dn"]["slope"] == pytest.approx(-1.0, abs=1e-12)
