@@ -174,3 +174,139 @@ class TestKappaProperties:
         else:
             assert k1["kappa"] == pytest.approx(k2["kappa"], abs=1e-12)
             assert -1.0 - 1e-9 <= k1["kappa"] <= 1.0 + 1e-9
+
+
+class TestTrendProperties:
+    @SET
+    @given(xs=vals, a=st.floats(min_value=0.1, max_value=5,
+                                allow_nan=False),
+           b=st.floats(min_value=-20, max_value=20, allow_nan=False))
+    def test_theil_sen_affine_equivariance(self, spark, xs, a, b):
+        """theil_sen(a·x + b) has slope a·slope(x) and the intercept
+        transforms affinely."""
+        import datetime
+
+        from pandera_spark.operators.temporal import theil_sen
+
+        if len(set(xs)) < 4:
+            return
+        t0 = datetime.datetime(2024, 1, 1)
+        mk = lambda vs: spark.createDataFrame(  # noqa: E731
+            [(t0 + datetime.timedelta(hours=i), float(v))
+             for i, v in enumerate(vs)],
+            "bucket_start timestamp, v double",
+        )
+        base = theil_sen(mk(xs), "v").first()
+        scaled = theil_sen(mk([a * x + b for x in xs]), "v").first()
+        assert scaled["slope"] == pytest.approx(
+            a * base["slope"], rel=1e-9, abs=1e-9
+        )
+        assert scaled["intercept"] == pytest.approx(
+            a * base["intercept"] + b, rel=1e-7, abs=1e-6
+        )
+
+    @SET
+    @given(xs=st.lists(
+        st.floats(min_value=0.5, max_value=50, allow_nan=False)
+        .map(lambda x: round(x, 2)),
+        min_size=4, max_size=25,
+    ))
+    def test_twap_between_min_max_and_constant_exact(self, spark, xs):
+        import datetime
+
+        from pandera_spark.operators.temporal import time_weighted_mean
+
+        t0 = datetime.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(t0 + datetime.timedelta(seconds=10 * i), float(v))
+             for i, v in enumerate(xs)],
+            "ts timestamp, v double",
+        )
+        out = time_weighted_mean(df, "ts", "v").first()
+        assert min(xs) - 1e-9 <= out["twap"] <= max(xs) + 1e-9
+        # uniform spacing: TWAP = simple mean of all but the last
+        assert out["twap"] == pytest.approx(
+            sum(xs[:-1]) / (len(xs) - 1), rel=1e-12
+        )
+
+
+class TestCoverageProperties:
+    @SET
+    @given(cats=st.lists(st.sampled_from("abcdef"),
+                         min_size=3, max_size=80))
+    def test_coverage_invariants(self, spark, cats):
+        from pandera_spark.operators.heavyhitters import coverage_curve
+
+        df = spark.createDataFrame([(c,) for c in cats], "cat string")
+        out = sorted(coverage_curve(df, "cat", k=6).collect(),
+                     key=lambda r: r["rank"])
+        # counts non-increasing, cum share increasing to 1 at full k
+        cnts = [r["cnt"] for r in out]
+        assert all(a >= b for a, b in zip(cnts, cnts[1:]))
+        assert out[-1]["cum_share"] == pytest.approx(
+            sum(r["share"] for r in out), abs=1e-12
+        )
+        if len(out) == len(set(cats)):
+            assert out[-1]["cum_share"] == pytest.approx(1.0)
+        assert sum(cnts) <= len(cats)
+
+
+class TestRankingMetricProperties:
+    @SET
+    @given(rels=st.lists(st.integers(min_value=0, max_value=3),
+                         min_size=2, max_size=15))
+    def test_ideal_ranking_ndcg_one(self, spark, rels):
+        """Results already sorted by relevance descending -> NDCG = 1."""
+        from pandera_spark.operators.evalmetrics import ranking_metrics
+
+        ordered = sorted(rels, reverse=True)
+        rows = [("q", i + 1, float(r)) for i, r in enumerate(ordered)]
+        df = spark.createDataFrame(rows, "q string, rank int, rel double")
+        out = ranking_metrics(df, "q", "rank", "rel",
+                              k=len(rels)).first()
+        if any(r > 0 for r in rels):
+            assert out["ndcg"] == pytest.approx(1.0, abs=1e-12)
+            assert out["recall"] == pytest.approx(1.0)
+            assert out["mrr"] == pytest.approx(1.0)
+        else:
+            assert out["ndcg"] is None and out["recall"] is None
+
+    @SET
+    @given(rels=st.lists(st.integers(min_value=0, max_value=1),
+                         min_size=3, max_size=12),
+           k=st.integers(min_value=1, max_value=12))
+    def test_metrics_bounded(self, spark, rels, k):
+        from pandera_spark.operators.evalmetrics import ranking_metrics
+
+        rows = [("q", i + 1, float(r)) for i, r in enumerate(rels)]
+        df = spark.createDataFrame(rows, "q string, rank int, rel double")
+        out = ranking_metrics(df, "q", "rank", "rel", k=k).first()
+        for m in ("mrr", "precision"):
+            assert 0.0 <= out[m] <= 1.0 + 1e-12
+        for m in ("ndcg", "recall"):
+            if out[m] is not None:
+                assert 0.0 <= out[m] <= 1.0 + 1e-12
+
+
+class TestDpProperties:
+    @SET
+    @given(counts=st.lists(st.integers(min_value=1, max_value=500),
+                           min_size=1, max_size=6),
+           eps=st.sampled_from([0.1, 0.5, 1.0, 5.0]))
+    def test_noise_bounded_by_tail(self, spark, counts, eps):
+        """Derived Laplace noise: |noisy - true| <= b*ln(2^28) (the
+        extreme of the inverse CDF on the hash grid)."""
+        import math
+
+        from pandera_spark.operators.privacy import dp_noisy_counts
+
+        rows = [(f"c{i}",) for i, n in enumerate(counts)
+                for _ in range(n)]
+        df = spark.createDataFrame(rows, "cat string")
+        out = {r["value"]: r["noisy_count"]
+               for r in dp_noisy_counts(
+                   df, "cat", epsilon=eps, clamp_nonneg=False
+               ).collect()}
+        bound = (1.0 / eps) * math.log(2 ** 28)
+        for i, n in enumerate(counts):
+            assert abs(out[f"c{i}"] - n) <= bound
