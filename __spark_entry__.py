@@ -2394,6 +2394,67 @@ GROUP BY s.g, sl.slope
 """
 
 
+def q_cochranq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over three paired binary screens of each order
+    (operators/stats.py:cochran_q): per-order OR flags in one item
+    shuffle, Q/chi2(k-1) from a single closing aggregate — the k>2
+    generalization of mcnemar_lineitem."""
+    from pandera_spark.operators.stats import cochran_q
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = cochran_q(
+        li, "l_orderkey",
+        [
+            F.col("l_quantity") >= 25,
+            F.col("l_discount") >= 0.04,
+            F.col("l_tax") >= 0.04,
+        ],
+    )
+    return out.select(
+        "n_items", "k", "dof",
+        F.round("q_stat", 6).alias("q_r"),
+        F.round("pvalue", 6).alias("p_r"),
+    )
+
+
+def _cochranq_oracle() -> str:
+    # Wilson-Hilferty chi2(2) tail, digit-identical to ranks._chi2_sf
+    z = ("((POWER(q/2.0, 1.0/3.0) - (1.0 - 2.0/18.0)) "
+         "/ SQRT(2.0/18.0))")
+    return f"""
+WITH items AS (
+  SELECT l_orderkey AS i,
+         MAX(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS f0,
+         MAX(CASE WHEN l_discount >= 0.04 THEN 1 ELSE 0 END) AS f1,
+         MAX(CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END) AS f2
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+  GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         SUM((f0 + f1 + f2)::DOUBLE) AS sl,
+         SUM(((f0 + f1 + f2) * (f0 + f1 + f2))::DOUBLE) AS sl2,
+         SUM(f0::DOUBLE) AS g0, SUM(f1::DOUBLE) AS g1,
+         SUM(f2::DOUBLE) AS g2
+  FROM items
+), s AS (
+  SELECT n_items,
+         CASE WHEN 3.0*sl - sl2 > 0 THEN
+           6.0 * ((g0 - sl/3.0)*(g0 - sl/3.0)
+                + (g1 - sl/3.0)*(g1 - sl/3.0)
+                + (g2 - sl/3.0)*(g2 - sl/3.0))
+           / (3.0*sl - sl2) END AS q
+  FROM m
+)
+SELECT n_items, 3 AS k, CAST(2 AS BIGINT) AS dof,
+       ROUND(q, 6) AS q_r,
+       ROUND(CASE WHEN q IS NOT NULL
+             THEN {_norm_sf_sql(z)} END, 6) AS p_r
+FROM s
+"""
+
+
 _BOOT_B, _BOOT_ALPHA = 32, 0.1
 
 
@@ -10759,11 +10820,10 @@ _R8_DRIVER_WINDOW = [
     "silhouette_embeddings", "logrank_events", "mcnemar_lineitem",
     "cmh_events", "lorenz_lineitem", "coverage_part",
     "dpcounts_customer", "qq_events", "rmst_events", "calib_events",
-    "theilsen_events",
+    "theilsen_events", "cochranq_lineitem",
     # staleness rotation (VERDICT r7 item 5): every row last
     # driver-certified in r2 ...
     "regex_cols_lineitem", "stratified_documents", "synthesize_validate",
-    "yaml_roundtrip_orders",
     # ... and in r3
     # (rollup_events / rollup_daily_events, the r4 fillers, and the
     # r3 rows split_documents / validate_embeddings / salted_agg_events
@@ -10772,7 +10832,8 @@ _R8_DRIVER_WINDOW = [
     # lang_id_documents / dedup_clusters_embeddings /
     # dedup_apply_documents / curate_documents /
     # contamination_documents / asof_tol_events / charbins_documents
-    # + r2's parser_orders / defaults_customer / decorator_orders
+    # + r2's parser_orders / defaults_customer / decorator_orders /
+    # yaml_roundtrip_orders
     # + r3's asof_events /
     # lsh_ann_embeddings / media_stats_documents /
     # neardup_embeddings / outliers_embeddings rotated out to fit the
@@ -10849,6 +10910,7 @@ def _queries_unordered() -> dict[
         "rmst_events": q_rmst_events,
         "calib_events": q_calib_events,
         "theilsen_events": q_theilsen_events,
+        "cochranq_lineitem": q_cochranq_lineitem,
         "bootci_events": q_bootci_events,
         "conformal_events": q_conformal_events,
         "cube_orders": q_cube_orders,
@@ -11308,6 +11370,7 @@ FROM ranked WHERE rank <= 5
         "rmst_events": _rmst_oracle(),
         "calib_events": _CALIB_ORACLE,
         "theilsen_events": _THEILSEN_ORACLE,
+        "cochranq_lineitem": _cochranq_oracle(),
         "bootci_events": _bootci_oracle(),
         "conformal_events": _CONFORMAL_ORACLE,
         "cube_orders": _CUBE_ORACLE,

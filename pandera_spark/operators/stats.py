@@ -58,6 +58,7 @@ __all__ = [
     "bootstrap_ci_mean",
     "mcnemar_test",
     "cmh_test",
+    "cochran_q",
 ]
 
 
@@ -619,3 +620,85 @@ def cmh_test(
         F.try_divide(F.col("__or_num"), F.col("__or_den"))
         .alias("or_mh"),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    item_col: str,
+    treatments: "Sequence[C]",
+) -> DataFrame:
+    """Cochran's Q test for k PAIRED binary treatments of the same
+    items (k filter versions / k model variants flagging the same
+    corpus): did the positive rates differ, accounting for the
+    pairing?  Generalizes :func:`mcnemar_test` beyond k = 2.
+
+    ``Q = k(k−1)·Σ_j(G_j − Ḡ)² / (k·ΣL_i − ΣL_i²)`` with ``G_j`` the
+    j-th treatment's positive total and ``L_i`` the i-th item's
+    positive count; Q ~ χ²(k−1) under H₀.  One row:
+    ``n_items, k, q_stat, dof, pvalue`` (null when the denominator is
+    0 — all items all-positive or all-negative).  Rows with any null
+    treatment value drop (pairing requires complete rows); items with
+    multiple rows aggregate by OR per treatment first.
+
+    Plan shape: ONE shuffle to the item grain carrying k OR-flags,
+    then a single closing aggregate of the k totals + the L moments.
+    """
+    treatments = list(treatments)
+    k = len(treatments)
+    if k < 2:
+        raise ValueError("need at least 2 treatments")
+    cond = F.col(item_col).isNotNull()
+    flags = []
+    for i, t in enumerate(treatments):
+        tb = t.cast("boolean")
+        cond = cond & tb.isNotNull()
+        flags.append(F.max(tb.cast("int")).alias(f"__f_{i}"))
+    items = (
+        df.where(cond)
+        .groupBy(F.col(item_col).alias("__i"))
+        .agg(*flags)
+    )
+    l_i = None
+    for i in range(k):
+        c = F.col(f"__f_{i}")
+        l_i = c if l_i is None else (l_i + c)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(l_i.cast("double")).alias("__sl"),
+        F.sum((l_i * l_i).cast("double")).alias("__sl2"),
+    ]
+    for i in range(k):
+        aggs.append(
+            F.sum(F.col(f"__f_{i}").cast("double")).alias(f"__g_{i}")
+        )
+    agg = items.agg(*aggs)
+    gbar = F.col("__sl") / F.lit(float(k))
+    num = None
+    for i in range(k):
+        d = F.col(f"__g_{i}") - gbar
+        term = d * d
+        num = term if num is None else (num + term)
+    den = F.lit(float(k)) * F.col("__sl") - F.col("__sl2")
+    q = F.when(
+        den > 0, F.lit(float(k * (k - 1))) * num / den
+    )
+    p = F.when(q.isNotNull(), _chi2_sf_stats(q, k - 1))
+    return agg.select(
+        "n_items",
+        F.lit(k).alias("k"),
+        q.alias("q_stat"),
+        F.lit(k - 1).cast("long").alias("dof"),
+        p.alias("pvalue"),
+    )
+
+
+def _chi2_sf_stats(x: "C", dof: int) -> "C":
+    """Chi-square survival function: exact normal identity at dof 1
+    (matching :func:`mcnemar_test`), the shared Wilson-Hilferty form
+    (``ranks._chi2_sf``) above."""
+    from .drift import _norm_sf
+    from .ranks import _chi2_sf
+
+    if dof == 1:
+        return 2.0 * _norm_sf(F.sqrt(x))
+    return _chi2_sf(x, F.lit(float(dof)))

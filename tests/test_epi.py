@@ -156,3 +156,59 @@ class TestCmh:
         df = spark.createDataFrame(rows, "s string, e boolean, o boolean")
         out = cmh_test(df, F.col("e"), F.col("o"), "s").first()
         assert out["n"] == 5 and out["n_strata"] == 2
+
+
+class TestCochranQ:
+    def test_hand_computed(self, spark):
+        from pandera_spark.operators.stats import cochran_q
+
+        # 6 items x 3 treatments (classic layout)
+        data = [
+            (1, 1, 1, 0), (2, 1, 1, 0), (3, 0, 1, 0),
+            (4, 1, 0, 0), (5, 1, 1, 1), (6, 0, 1, 0),
+        ]
+        df = spark.createDataFrame(data, "item int, a int, b int, c int")
+        out = cochran_q(
+            df, "item",
+            [F.col("a") == 1, F.col("b") == 1, F.col("c") == 1],
+        ).first()
+        g = [4, 5, 1]
+        l = [2, 2, 1, 1, 3, 1]
+        k = 3
+        gbar = sum(g) / k
+        q = (k * (k - 1) * sum((x - gbar) ** 2 for x in g)
+             / (k * sum(l) - sum(x * x for x in l)))
+        assert out["n_items"] == 6 and out["k"] == 3 and out["dof"] == 2
+        assert out["q_stat"] == pytest.approx(q, rel=1e-12)
+        assert 0 <= out["pvalue"] <= 1
+
+    def test_k2_equals_mcnemar_uncorrected(self, spark):
+        from pandera_spark.operators.stats import cochran_q, mcnemar_test
+
+        rows = [(i, bool(i % 3 == 0), bool(i % 4 == 0)) for i in range(40)]
+        df = spark.createDataFrame(rows, "item int, a boolean, b boolean")
+        cq = cochran_q(df, "item", [F.col("a"), F.col("b")]).first()
+        mn = mcnemar_test(df, F.col("a"), F.col("b"),
+                          correction=False).first()
+        assert cq["q_stat"] == pytest.approx(mn["chi2"], rel=1e-12)
+        assert cq["pvalue"] == pytest.approx(mn["pvalue"], abs=1e-12)
+
+    def test_degenerate_and_dedup(self, spark):
+        from pandera_spark.operators.stats import cochran_q
+
+        # all items identical across treatments -> denominator 0
+        df = spark.createDataFrame(
+            [(1, 1, 1), (2, 1, 1), (3, 0, 0)], "item int, a int, b int"
+        )
+        out = cochran_q(df, "item", [F.col("a") == 1, F.col("b") == 1]).first()
+        assert out["q_stat"] is None and out["pvalue"] is None
+        # duplicate item rows OR together
+        df2 = spark.createDataFrame(
+            [(1, 1, 0), (1, 0, 1), (2, 0, 0), (3, 1, 0)],
+            "item int, a int, b int",
+        )
+        out2 = cochran_q(df2, "item",
+                         [F.col("a") == 1, F.col("b") == 1]).first()
+        assert out2["n_items"] == 3
+        with pytest.raises(ValueError, match="treatments"):
+            cochran_q(df2, "item", [F.col("a") == 1])
