@@ -896,11 +896,33 @@ def _compile_groupby_check(ctx: _Ctx, check: Check, colname: str) -> None:
 
         gcol = check.groupby if isinstance(check.groupby, str) else list(check.groupby)
         gexprs = [F.col(gcol)] if isinstance(gcol, str) else [F.col(c) for c in gcol]
+        # driver-OOM pre-guard (VERDICT r8): bound the per-group list
+        # INSIDE the aggregate (slice to cap+1) so an oversized group is
+        # detected by its length without its values ever reaching the
+        # driver — same no-extra-job pattern as the custom-hypothesis
+        # lane below.
+        cap = int(getattr(check, "max_collect_rows", 0) or 0)
+        vals_agg = F.collect_list(F.col(colname))
+        if cap:
+            vals_agg = F.slice(vals_agg, 1, cap + 1)
         rows = (
             df.groupBy(*gexprs)
-            .agg(F.collect_list(F.col(colname)).alias("__vals"))
+            .agg(vals_agg.alias("__vals"))
             .collect()
         )
+        if cap:
+            for r in rows:
+                if len(r["__vals"]) > cap:
+                    key = (
+                        r[gcol] if isinstance(gcol, str)
+                        else tuple(r[c] for c in gcol)
+                    )
+                    raise ValueError(
+                        f"grouped check {check.error!r}: group {key!r} "
+                        f"exceeds max_collect_rows={cap}; pass "
+                        "distributed=True to evaluate on executors, or "
+                        "raise max_collect_rows explicitly"
+                    )
         if isinstance(gcol, str):
             groups = {r[gcol]: pd.Series(r["__vals"]) for r in rows}
         else:

@@ -76,6 +76,7 @@ class Check:
         groupby: str | list[str] | None = None,
         determined_by_unique: bool = False,
         distributed: bool = False,
+        max_collect_rows: int = 500_000,
         **kwargs: Any,
     ):
         self.check_fn = check_fn
@@ -99,6 +100,12 @@ class Check:
         # check fn must then be per-group decomposable (it sees one group
         # per call, combined with AND) — see backend/runner.py
         self.distributed = distributed
+        # driver-OOM seatbelt for the grouped-custom-check collect lane
+        # (mirrors Hypothesis.max_collect_rows): per-group value lists
+        # are sliced to cap+1 INSIDE the aggregate, so an oversized
+        # group raises without ever materializing on the driver.
+        # 0 disables the guard (explicit opt-out).
+        self.max_collect_rows = int(max_collect_rows)
         # API parity with reference api/checks.py:118-123: a dedup-
         # before-check hint.  Accepted as metadata; the Spark engine's
         # single aggregated pass evaluates predicates inline, so a

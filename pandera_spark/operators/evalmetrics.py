@@ -429,26 +429,31 @@ def isotonic_calibrate(
 
     def _pav(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("__s").reset_index(drop=True)
-        # blocks: [score_lo, score_hi, weight, mean]
+        # blocks: [score_lo, score_hi, weight, value_sum].  Violation
+        # compare is cross-multiplied (s1/w1 >= s2/w2 <=> s1*w2 >=
+        # s2*w1 for positive weights) — EXACT in doubles whenever
+        # weights and sums are integers (0/1 labels), so the block
+        # structure is replayable by the SQL minimax oracle; the mean
+        # is one division at output time, never cascaded.
         blocks: list[list[float]] = []
         for _, row in pdf.iterrows():
             blocks.append(
-                [row["__s"], row["__s"], row["__n"],
-                 row["__sum"] / row["__n"]]
+                [row["__s"], row["__s"], row["__n"], row["__sum"]]
             )
-            while len(blocks) >= 2 and blocks[-2][3] >= blocks[-1][3]:
-                lo2, _, w2, m2 = blocks.pop()
-                lo1, _, w1, m1 = blocks.pop()
-                blocks.append([
-                    lo1, lo2, w1 + w2,
-                    (m1 * w1 + m2 * w2) / (w1 + w2),
-                ])
+            while (
+                len(blocks) >= 2
+                and blocks[-2][3] * blocks[-1][2]
+                >= blocks[-1][3] * blocks[-2][2]
+            ):
+                _, hi2, w2, s2 = blocks.pop()
+                lo1, _, w1, s1 = blocks.pop()
+                blocks.append([lo1, hi2, w1 + w2, s1 + s2])
         rows = []
         keyvals = {k: pdf[k].iloc[0] for k in by}
-        for lo, hi, w, m in blocks:
+        for lo, hi, w, s in blocks:
             rows.append({
                 **keyvals, "score_lo": lo, "score_hi": hi,
-                "n": int(w), "calibrated_p": m,
+                "n": int(w), "calibrated_p": s / w,
             })
         return pd.DataFrame(rows)
 

@@ -88,16 +88,20 @@ class TestFleissKappa:
 
 class TestIsotonicCalibrate:
     def _local_pav(self, pts):
+        # sum-tracking + cross-multiplied compare, mirroring the
+        # operator's exact-arithmetic block merge (r9)
         blocks = []
         for s, n, sm in sorted(pts):
-            blocks.append([s, s, n, sm / n])
-            while len(blocks) >= 2 and blocks[-2][3] >= blocks[-1][3]:
-                lo2, _, w2, m2 = blocks.pop()
-                lo1, _, w1, m1 = blocks.pop()
-                blocks.append(
-                    [lo1, lo2, w1 + w2, (m1 * w1 + m2 * w2) / (w1 + w2)]
-                )
-        return blocks
+            blocks.append([s, s, float(n), float(sm)])
+            while (
+                len(blocks) >= 2
+                and blocks[-2][3] * blocks[-1][2]
+                >= blocks[-1][3] * blocks[-2][2]
+            ):
+                _, hi2, w2, s2 = blocks.pop()
+                lo1, _, w1, s1 = blocks.pop()
+                blocks.append([lo1, hi2, w1 + w2, s1 + s2])
+        return [[lo, hi, w, sm / w] for lo, hi, w, sm in blocks]
 
     def test_matches_local_pav(self, spark):
         import numpy as np

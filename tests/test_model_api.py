@@ -337,6 +337,41 @@ def test_custom_hypothesis_distributed_matches_collect(spark):
     assert make(True, cap=5).validate_result(df).passed
 
 
+def test_grouped_custom_check_collect_preguard(spark):
+    """VERDICT r8 item 4: the grouped custom-check collect lane bounds
+    per-group lists INSIDE the aggregate (slice to cap+1), so a group
+    10x over the cap raises — naming the group — without its values
+    ever reaching the driver."""
+    import pytest
+
+    df = spark.range(0, 110).select(
+        F.col("id").cast("double").alias("x"),
+        # group "big" holds 100 rows (10x the cap), "small" holds 10
+        F.when(F.col("id") < 100, "big").otherwise("small").alias("g"),
+    )
+
+    def seen_sizes(groups):
+        return all(len(s) > 0 for s in groups.values())
+
+    def make(cap, distributed=False):
+        return DataFrameSchema({
+            "x": Column(T.DoubleType(), Check(
+                seen_sizes, groupby="g", name="gsz", error="gsz",
+                max_collect_rows=cap, distributed=distributed,
+            ))
+        })
+
+    with pytest.raises(ValueError) as exc:
+        make(10).validate_result(df)
+    msg = str(exc.value)
+    assert "distributed=True" in msg and "'big'" in msg
+    # a sufficient cap (and the 500k default) passes
+    assert make(500).validate_result(df).passed
+    assert make(500_000).validate_result(df).passed
+    # the distributed lane never collects, so the cap is irrelevant
+    assert make(10, distributed=True).validate_result(df).passed
+
+
 # -- io round-trip ------------------------------------------------------------
 
 
