@@ -3239,6 +3239,62 @@ FROM r, e
 """
 
 
+def q_isotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration curve (operators/evalmetrics.py:
+    isotonic_calibrate): floor(value) as the bounded score grain,
+    purchase as the binary label.  The Spark side runs the stack PAV
+    per group inside one Arrow batch at the distinct-score grain; the
+    oracle replays it via the minimax identity
+    yhat_i = max_{j<=i} min_{k>=i} mean(j..k) — pure SQL over prefix
+    sums, no recursion (VERDICT r8 item 3).  Block merges compare via
+    cross-multiplied integer sums, so both engines produce identical
+    block boundaries and bit-identical means."""
+    from pandera_spark.operators.evalmetrics import isotonic_calibrate
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.floor("value").cast("double").alias("score"),
+        (F.col("event_type") == "purchase").cast("double").alias("label"),
+    ).where(F.col("score").isNotNull() & F.col("label").isNotNull())
+    out = isotonic_calibrate(ev, "score", "label")
+    return out.select(
+        "score_lo", "score_hi", "n",
+        F.round("calibrated_p", 6).alias("calib_r"),
+    )
+
+
+_ISOTONIC_ORACLE = """
+WITH base AS (
+  SELECT FLOOR(value) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), grain AS (
+  SELECT s, CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS sy FROM base GROUP BY s
+), idx AS (
+  SELECT s, n, sy,
+         ROW_NUMBER() OVER (ORDER BY s) AS i,
+         SUM(n) OVER (ORDER BY s) AS cn,
+         SUM(sy) OVER (ORDER BY s) AS cs
+  FROM grain
+), pairs AS (
+  SELECT a.i AS j, b.i AS k,
+         (b.cs - (a.cs - a.sy)) / (b.cn - (a.cn - a.n)) AS r
+  FROM idx a JOIN idx b ON b.i >= a.i
+), minr AS (
+  SELECT j, k, MIN(r) OVER (PARTITION BY j ORDER BY k DESC) AS mr
+  FROM pairs
+), fit AS (
+  SELECT k AS i, MAX(mr) AS yhat FROM minr GROUP BY k
+), blk AS (
+  SELECT x.s, x.n, x.sy, ROUND(f.yhat, 9) AS yr
+  FROM idx x JOIN fit f ON f.i = x.i
+)
+SELECT MIN(s) AS score_lo, MAX(s) AS score_hi,
+       CAST(SUM(n) AS BIGINT) AS n,
+       ROUND(SUM(sy) / SUM(n), 6) AS calib_r
+FROM blk GROUP BY yr
+"""
+
+
 def q_propz_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test readout (operators/abtest.py:
     proportion_ztest): deterministic variant = user_id parity,
@@ -10791,6 +10847,428 @@ SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS left_rows,
 """
 
 
+# ---------------------------------------------------------------------------
+# r9: robustness tier — variance homogeneity, effect sizes, concentration,
+# trimmed/rank statistics, randomization test, PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def q_levene_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity screen across event types
+    (operators/stats.py:brown_forsythe): exact group medians in one
+    aggregation, |x − med| broadcast-joined back, then the one-shuffle
+    ANOVA decomposition.  SS columns in millions at 3dp (the
+    anova_lineitem summation-noise convention)."""
+    from pandera_spark.operators.stats import brown_forsythe
+
+    ev = _load(spark, sf_dir, "events")
+    out = brown_forsythe(ev, "value", "event_type")
+    return out.select(
+        "k", "n", "df_between", "df_within",
+        F.round(F.col("ss_between") / 1e6, 3).alias("ssb_m"),
+        F.round(F.col("ss_within") / 1e6, 3).alias("ssw_m"),
+        F.round("f_stat", 6).alias("f_r"),
+    )
+
+
+_LEVENE_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS md
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), z AS (
+  SELECT e.event_type, ABS(CAST(e.value AS DOUBLE) - med.md) AS z
+  FROM events e JOIN med ON med.event_type = e.event_type
+  WHERE e.value IS NOT NULL
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS ng,
+         AVG(z) AS m, VAR_SAMP(z) AS v
+  FROM z GROUP BY event_type
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+         SUM(ng * m) AS sy, SUM(ng * m * m) AS smm,
+         SUM((ng - 1) * COALESCE(v, 0.0)) AS ssw
+  FROM g
+), d AS (
+  SELECT k, n,
+         GREATEST(0.0, smm - sy * sy / CAST(n AS DOUBLE)) AS ssb,
+         ssw, k - 1 AS df_between, n - k AS df_within
+  FROM t
+)
+SELECT k, n, df_between, df_within,
+       ROUND(ssb / 1e6, 3) AS ssb_m,
+       ROUND(ssw / 1e6, 3) AS ssw_m,
+       ROUND(CASE WHEN df_between > 0 AND df_within > 0 AND ssw > 0
+                  THEN (ssb / df_between) / (ssw / df_within) END,
+             6) AS f_r
+FROM d
+"""
+
+
+def q_effectsize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g effect-size readout between click and
+    view event values (operators/abtest.py:effect_size — ONE
+    conditional-aggregate scan, the magnitude companion to the
+    t-test rows)."""
+    from pandera_spark.operators.abtest import effect_size
+
+    ev = _load(spark, sf_dir, "events")
+    out = effect_size(ev, "value", "event_type", "click", "view")
+    return out.select(
+        "n_a", "n_b",
+        F.round("mean_a", 6).alias("ma_r"),
+        F.round("mean_b", 6).alias("mb_r"),
+        F.round("pooled_sd", 6).alias("sd_r"),
+        F.round("cohens_d", 6).alias("d_r"),
+        F.round("hedges_g", 6).alias("g_r"),
+        F.round("var_ratio", 6).alias("vr_r"),
+    )
+
+
+_EFFECTSIZE_ORACLE = """
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) AS x,
+         event_type = 'click' AS ga
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+), a AS (
+  SELECT CAST(COUNT(*) FILTER (ga) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (NOT ga) AS BIGINT) AS n_b,
+         AVG(x) FILTER (ga) AS ma,
+         AVG(x) FILTER (NOT ga) AS mb,
+         VAR_SAMP(x) FILTER (ga) AS va,
+         VAR_SAMP(x) FILTER (NOT ga) AS vb
+  FROM s
+), d AS (
+  SELECT n_a, n_b, ma, mb, va, vb,
+         CASE WHEN n_a + n_b > 2 AND va IS NOT NULL AND vb IS NOT NULL
+              THEN SQRT(((n_a - 1) * va + (n_b - 1) * vb)
+                        / (n_a + n_b - 2)) END AS sp
+  FROM a
+)
+SELECT n_a, n_b,
+       ROUND(ma, 6) AS ma_r, ROUND(mb, 6) AS mb_r,
+       ROUND(sp, 6) AS sd_r,
+       ROUND(CASE WHEN sp > 0 THEN (ma - mb) / sp END, 6) AS d_r,
+       ROUND(CASE WHEN sp > 0 THEN (ma - mb) / sp END
+             * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)), 6) AS g_r,
+       ROUND(CASE WHEN vb > 0 THEN va / vb END, 6) AS vr_r
+FROM d
+"""
+
+
+def q_hhi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl concentration of revenue over suppliers
+    (operators/stats.py:herfindahl): how skewed is l_extendedprice
+    across l_suppkey — the effective_k output is the number that
+    sizes partitions for a skewed join key.  Two aggregations, the
+    second over the k-row share frame."""
+    from pandera_spark.operators.stats import herfindahl
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = herfindahl(li, "l_suppkey", F.col("l_extendedprice"))
+    return out.select(
+        "k",
+        F.round(F.col("total") / 1e6, 3).alias("total_m"),
+        F.round("hhi", 9).alias("hhi_r"),
+        F.round("hhi_normalized", 9).alias("hhin_r"),
+        F.round("effective_k", 3).alias("ek_r"),
+    )
+
+
+_HHI_ORACLE = """
+WITH g AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DOUBLE)) AS w
+  FROM lineitem GROUP BY l_suppkey
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(w) AS total,
+         SUM(w * w) AS w2
+  FROM g
+), h AS (
+  SELECT k, total,
+         CASE WHEN total > 0 THEN w2 / (total * total) END AS hhi
+  FROM a
+)
+SELECT k,
+       ROUND(total / 1e6, 3) AS total_m,
+       ROUND(hhi, 9) AS hhi_r,
+       ROUND(CASE WHEN k > 1
+                  THEN (hhi - 1.0 / k) / (1.0 - 1.0 / k) END, 9)
+         AS hhin_r,
+       ROUND(CASE WHEN hhi > 0 THEN 1.0 / hhi END, 3) AS ek_r
+FROM h
+"""
+
+
+def q_pmi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information
+    (operators/text.py:pmi_collocations): two vocab-bounded ngram
+    aggregations, min_count-filtered bigrams hash-joined to unigram
+    counts, 1-row total frames, per-task top-k heap."""
+    from pandera_spark.operators.text import pmi_collocations
+
+    docs = _load(spark, sf_dir, "documents")
+    out = pmi_collocations(docs, "text", min_count=5, k=15)
+    return out.select(
+        "gram", "n_ab", "n_a", "n_b",
+        F.round("pmi", 6).alias("pmi_r"),
+    )
+
+
+_PMI_ORACLE = """
+WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+uni AS (SELECT unnest(l) AS w FROM toks),
+uc AS (SELECT w, COUNT(*)::DOUBLE AS n_w FROM uni GROUP BY w),
+nu AS (SELECT SUM(n_w) AS t FROM uc),
+idx AS (SELECT l, unnest(range(1, len(l))) AS i FROM toks
+        WHERE len(l) >= 2),
+bi AS (SELECT l[i] AS w1, l[i+1] AS w2 FROM idx),
+bc AS (SELECT w1, w2, COUNT(*)::DOUBLE AS n_ab FROM bi GROUP BY w1, w2),
+nb AS (SELECT SUM(n_ab) AS t FROM bc)
+SELECT w1 || ' ' || w2 AS gram,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(a.n_w AS BIGINT) AS n_a,
+       CAST(b.n_w AS BIGINT) AS n_b,
+       ROUND(LN((n_ab / nb.t)
+                / ((a.n_w / nu.t) * (b.n_w / nu.t))), 6) AS pmi_r
+FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2, nu, nb
+WHERE n_ab >= 5
+ORDER BY LN((n_ab / nb.t) / ((a.n_w / nu.t) * (b.n_w / nu.t))) DESC,
+         gram ASC
+LIMIT 15
+"""
+
+
+_PERMTEST_B = 32
+
+
+def q_permtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Monte-Carlo randomization test for the
+    click-vs-view mean difference (operators/stats.py:
+    randomization_test_mean): every relabeling is a pure function of
+    portable_hash28(event_id ∥ replicate), so the oracle rebuilds all
+    32 replicates bit for bit.  The metric is floor(value) — integer
+    sums make every replicate comparison |T_r| ≥ |T_obs| exact in
+    both engines regardless of summation order."""
+    from pandera_spark.operators.stats import randomization_test_mean
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.floor("value").cast("double").alias("metric"),
+        "event_type", "event_id",
+    )
+    out = randomization_test_mean(
+        ev, "metric", "event_type", "click", "view", "event_id",
+        n_rep=_PERMTEST_B,
+    )
+    return out.select(
+        "n_a", "n_b",
+        F.round("obs_diff", 6).alias("obs_r"),
+        "n_extreme",
+        F.round("pvalue", 6).alias("p_r"),
+    )
+
+
+def _permtest_oracle() -> str:
+    B = _PERMTEST_B
+    hs = ",\n         ".join(
+        _HEXFOLD.format(e=f"k || ':{r}'") + f" AS h{r}"
+        for r in range(B)
+    )
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h{r} + 0.5) / 268435456.0 < pa THEN x END) "
+        f"AS s{r}, "
+        f"CAST(SUM(CASE WHEN (h{r} + 0.5) / 268435456.0 < pa "
+        f"THEN 1 ELSE 0 END) AS DOUBLE) AS c{r}"
+        for r in range(B)
+    )
+    ext = " + ".join(
+        f"CASE WHEN c{r} > 0 AND c - c{r} > 0 AND "
+        f"ABS(s{r} / c{r} - (st - s{r}) / (c - c{r})) >= ABS(obs) "
+        f"THEN 1 ELSE 0 END"
+        for r in range(B)
+    )
+    return f"""
+WITH s AS (
+  SELECT FLOOR(value) AS x,
+         event_type = 'click' AS a,
+         CAST(event_id AS VARCHAR) AS k
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+), cnt AS (
+  SELECT CAST(COUNT(*) FILTER (a) AS BIGINT) AS na,
+         CAST(COUNT(*) FILTER (NOT a) AS BIGINT) AS nb
+  FROM s
+), h AS (
+  SELECT x, a,
+         CAST(cnt.na AS DOUBLE) / (cnt.na + cnt.nb) AS pa,
+         {hs}
+  FROM s, cnt
+), w AS (
+  SELECT SUM(x) AS st, CAST(COUNT(*) AS DOUBLE) AS c,
+         SUM(CASE WHEN a THEN x END) AS sa,
+         {sums}
+  FROM h
+), f AS (
+  SELECT cnt.na, cnt.nb, w.*,
+         sa / CAST(cnt.na AS DOUBLE)
+           - (st - sa) / (c - cnt.na) AS obs
+  FROM w, cnt
+)
+SELECT na AS n_a, nb AS n_b,
+       ROUND(obs, 6) AS obs_r,
+       CAST(({ext}) AS BIGINT) AS n_extreme,
+       ROUND((({ext}) + 1.0) / {B + 1}.0, 6) AS p_r
+FROM f
+"""
+
+
+def q_kendall_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between quantity and discount
+    (operators/ranks.py:kendall_tau_b): rows collapse to the 450-cell
+    (quantity, discount) grain, the O(cells²) concordance count runs
+    in one Arrow batch, and C/D are integer-exact so the oracle
+    replays them with a pairwise cell join."""
+    from pandera_spark.operators.ranks import kendall_tau_b
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = kendall_tau_b(li, "l_quantity", "l_discount")
+    return out.select(
+        "n", "n_cells",
+        F.col("concordant").cast("long").alias("c_pairs"),
+        F.col("discordant").cast("long").alias("d_pairs"),
+        F.round("tau_b", 6).alias("tau_r"),
+        F.round("z", 6).alias("z_r"),
+    )
+
+
+_KENDALL_ORACLE = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_discount AS DOUBLE) AS y,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+  GROUP BY 1, 2
+), cd AS (
+  SELECT SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+                  THEN a.c * b.c ELSE 0 END) AS cc,
+         SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+                  THEN a.c * b.c ELSE 0 END) AS dd
+  FROM cells a JOIN cells b
+    ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+), tot AS (
+  SELECT SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS m FROM cells
+), tx AS (
+  SELECT SUM(t * (t - 1) / 2.0) AS n1,
+         SUM(t * (t - 1) * (2 * t + 5)) AS vt,
+         SUM(t * (t - 1)) AS st2,
+         SUM(t * (t - 1) * (t - 2)) AS st3
+  FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)
+), ty AS (
+  SELECT SUM(t * (t - 1) / 2.0) AS n2,
+         SUM(t * (t - 1) * (2 * t + 5)) AS vu,
+         SUM(t * (t - 1)) AS su2,
+         SUM(t * (t - 1) * (t - 2)) AS su3
+  FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)
+), v AS (
+  SELECT n, m, cc, dd, n1, n2,
+         n * (n - 1) / 2.0 AS n0,
+         (n * (n - 1) * (2 * n + 5) - vt - vu) / 18.0
+           + st2 * su2 / (2.0 * n * (n - 1))
+           + st3 * su3 / (9.0 * n * (n - 1) * (n - 2)) AS var
+  FROM cd, tot, tx, ty
+)
+SELECT CAST(n AS BIGINT) AS n, m AS n_cells,
+       CAST(cc AS BIGINT) AS c_pairs,
+       CAST(dd AS BIGINT) AS d_pairs,
+       ROUND(CASE WHEN (n0 - n1) * (n0 - n2) > 0
+                  THEN (cc - dd) / SQRT((n0 - n1) * (n0 - n2)) END, 6)
+         AS tau_r,
+       ROUND(CASE WHEN var > 0 THEN (cc - dd) / SQRT(var) END, 6)
+         AS z_r
+FROM v
+"""
+
+
+def q_yuen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's 20%-trimmed-mean t between click and view values
+    (operators/ranks.py:yuen_trimmed_t): per-group distinct-value
+    grain + cumulative-count windows over that bounded grain; every
+    trim boundary is a count comparison, so block selection is exact
+    cross-engine."""
+    from pandera_spark.operators.ranks import yuen_trimmed_t
+
+    ev = _load(spark, sf_dir, "events")
+    out = yuen_trimmed_t(ev, "value", "event_type", "click", "view")
+    return out.select(
+        "n_a", "n_b", "h_a", "h_b",
+        F.round("tmean_a", 6).alias("ta_r"),
+        F.round("tmean_b", 6).alias("tb_r"),
+        F.round("t_stat", 6).alias("t_r"),
+        F.round("dof", 4).alias("dof_r"),
+    )
+
+
+_YUEN_ORACLE = """
+WITH grain AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+  GROUP BY 1, 2
+), cum AS (
+  SELECT g, v, c,
+         SUM(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cm,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM grain
+), kd AS (
+  SELECT g, v, c, cm, n, cm - c AS prev,
+         CAST(FLOOR(0.2 * n) AS DOUBLE) AS k
+  FROM cum
+), per AS (
+  SELECT g, MAX(n) AS n, MAX(k) AS k,
+         SUM(v * GREATEST(0.0, LEAST(cm, n - k) - GREATEST(prev, k)))
+           AS tsum,
+         SUM(v * v * GREATEST(0.0, LEAST(cm, n - k) - GREATEST(prev, k)))
+           AS tsumsq,
+         MIN(CASE WHEN cm >= k + 1 THEN v END) AS vlo,
+         MIN(CASE WHEN cm >= n - k THEN v END) AS vhi
+  FROM kd GROUP BY g
+), st AS (
+  SELECT g, n, n - 2 * k AS h, tsum / (n - 2 * k) AS tmean,
+         CASE WHEN n > 1 THEN
+           ((tsumsq + k * (vlo * vlo + vhi * vhi))
+            - (tsum + k * (vlo + vhi)) * (tsum + k * (vlo + vhi)) / n)
+           / (n - 1) END AS swv
+  FROM per
+), piv AS (
+  SELECT CAST(MAX(CASE WHEN g = 'click' THEN n END) AS BIGINT) AS n_a,
+         CAST(MAX(CASE WHEN g <> 'click' THEN n END) AS BIGINT) AS n_b,
+         CAST(MAX(CASE WHEN g = 'click' THEN h END) AS BIGINT) AS h_a,
+         CAST(MAX(CASE WHEN g <> 'click' THEN h END) AS BIGINT) AS h_b,
+         MAX(CASE WHEN g = 'click' THEN tmean END) AS ta,
+         MAX(CASE WHEN g <> 'click' THEN tmean END) AS tb,
+         MAX(CASE WHEN g = 'click' THEN swv END) AS sa,
+         MAX(CASE WHEN g <> 'click' THEN swv END) AS sb
+  FROM st
+), d AS (
+  SELECT n_a, n_b, h_a, h_b, ta, tb,
+         sa * (n_a - 1) / (CAST(h_a AS DOUBLE) * (h_a - 1)) AS da,
+         sb * (n_b - 1) / (CAST(h_b AS DOUBLE) * (h_b - 1)) AS db
+  FROM piv
+)
+SELECT n_a, n_b, h_a, h_b,
+       ROUND(ta, 6) AS ta_r, ROUND(tb, 6) AS tb_r,
+       ROUND(CASE WHEN h_a > 1 AND h_b > 1 AND da + db > 0
+                  THEN (ta - tb) / SQRT(da + db) END, 6) AS t_r,
+       ROUND(CASE WHEN h_a > 1 AND h_b > 1 AND da + db > 0
+                  THEN (da + db) * (da + db)
+                       / (da * da / (h_a - 1) + db * db / (h_b - 1))
+             END, 4) AS dof_r
+FROM d
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -10801,55 +11279,47 @@ SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS left_rows,
 # driver-certified entering this round), then every row NEW in r7;
 # remaining slots fill from base order (all already driver-certified
 # at least once, CORRECTNESS_r01–r06 cumulative).
-_R8_DRIVER_WINDOW = [
+_R9_DRIVER_WINDOW = [
     "validate_lineitem",
-    # new/changed in r8: PQ split (pqann itself now oracle-backed),
-    # Welch t lane, rank family, CUSUM, Benford, quantile bins, A/B,
-    # Kaplan-Meier, BH-FDR composite, weighted sampling
-    "pqcode_embeddings", "pqann_embeddings", "pqerr_embeddings",
-    "ttest_welch_events", "mannwhitney_events", "kruskal_events",
-    "spearman_lineitem", "cusum_events", "benford_lineitem",
-    "benfordsum_lineitem", "qbins_lineitem", "propz_events",
-    "cuped_events", "km_events", "fdrbenford_lineitem",
-    "weightedsample_documents", "cube_orders", "conformal_events",
-    "bootci_events", "gini_lineitem", "topk_orders",
-    "ols_lineitem", "logit_events", "brandpairs_lineitem", "acf_events",
-    "ratiometric_events", "mannkendall_events", "twap_events",
-    "kappa_lineitem", "fleisskappa_orders", "did_events",
-    "rankeval_embeddings", "ipw_events", "na_events",
-    "silhouette_embeddings", "logrank_events", "mcnemar_lineitem",
-    "cmh_events", "lorenz_lineitem", "coverage_part",
-    "dpcounts_customer", "qq_events", "rmst_events", "calib_events",
-    "theilsen_events", "cochranq_lineitem",
-    # staleness rotation (VERDICT r7 item 5): every row last
-    # driver-certified in r2 ...
-    "regex_cols_lineitem", "stratified_documents", "synthesize_validate",
-    # ... and in r3
-    # (rollup_events / rollup_daily_events, the r4 fillers, and the
-    # r3 rows split_documents / validate_embeddings / salted_agg_events
-    # / sessions_events / repetition_documents / pii_documents /
-    # range_pairs_events / frame_samples_documents / ivf_ann_embeddings /
-    # lang_id_documents / dedup_clusters_embeddings /
-    # dedup_apply_documents / curate_documents /
-    # contamination_documents / asof_tol_events / charbins_documents
-    # + r2's parser_orders / defaults_customer / decorator_orders /
-    # yaml_roundtrip_orders
-    # + r3's asof_events /
-    # lsh_ann_embeddings / media_stats_documents /
-    # neardup_embeddings / outliers_embeddings rotated out to fit the
-    # late-r8 rows
-    # ols_lineitem / logit_events / brandpairs_lineitem / acf_events -
-    # never-certified rows outrank re-certification; the local replica
-    # still covers every row)
+    # new in r9 (never driver-certified): the isotonic PAV oracle
+    # conversion (VERDICT r8 item 3) + the robustness tier
+    "isotonic_events", "levene_events", "effectsize_events",
+    "hhi_lineitem", "pmi_documents", "permtest_events",
+    "kendall_lineitem", "yuen_events",
+    # catch-up rotation (VERDICT r8 item 1 — the binding constraint is
+    # evidence freshness): ALL rows last driver-certified in r2 ...
+    "decorator_orders", "defaults_customer", "parser_orders",
+    "yaml_roundtrip_orders",
+    # ... ALL rows last driver-certified in r3 ...
+    "asof_events", "asof_tol_events", "charbins_documents",
+    "contamination_documents", "curate_documents",
+    "dedup_apply_documents", "dedup_clusters_embeddings",
+    "frame_samples_documents", "ivf_ann_embeddings",
+    "lang_id_documents", "lsh_ann_embeddings", "media_stats_documents",
+    "neardup_embeddings", "outliers_embeddings", "pii_documents",
+    "range_pairs_events", "repetition_documents",
+    "rollup_daily_events", "rollup_events", "salted_agg_events",
+    "sessions_events", "split_documents", "validate_embeddings",
+    # ... and 14 of the 47 r4 rows (composites + the LSH variance
+    # family flagged for re-measure in VERDICT r8 item 2, so the
+    # driver's own timings refresh alongside the certification; the
+    # 33 remaining r4 rows sit at exactly 5 rounds staleness and lead
+    # the r10 rotation)
+    "pipeline_documents", "semantic_dedup_documents",
+    "doc_knn_documents", "doc_mutual_documents",
+    "incremental_dedup_documents", "leakage_split_documents",
+    "star_report", "observe_lineitem", "bm25_documents",
+    "linededup_documents", "psi_documents", "ks_events",
+    "json_events", "strict_filter_orders",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_unordered()
-    missing = [k for k in _R8_DRIVER_WINDOW if k not in base]
+    missing = [k for k in _R9_DRIVER_WINDOW if k not in base]
     assert not missing, f"driver window names unknown queries: {missing}"
-    rest = [k for k in base if k not in set(_R8_DRIVER_WINDOW)]
-    return {k: base[k] for k in [*_R8_DRIVER_WINDOW, *rest]}
+    rest = [k for k in base if k not in set(_R9_DRIVER_WINDOW)]
+    return {k: base[k] for k in [*_R9_DRIVER_WINDOW, *rest]}
 
 
 def _queries_unordered() -> dict[
@@ -10909,6 +11379,14 @@ def _queries_unordered() -> dict[
         "qq_events": q_qq_events,
         "rmst_events": q_rmst_events,
         "calib_events": q_calib_events,
+        "isotonic_events": q_isotonic_events,
+        "levene_events": q_levene_events,
+        "effectsize_events": q_effectsize_events,
+        "hhi_lineitem": q_hhi_lineitem,
+        "pmi_documents": q_pmi_documents,
+        "permtest_events": q_permtest_events,
+        "kendall_lineitem": q_kendall_lineitem,
+        "yuen_events": q_yuen_events,
         "theilsen_events": q_theilsen_events,
         "cochranq_lineitem": q_cochranq_lineitem,
         "bootci_events": q_bootci_events,
@@ -11369,6 +11847,14 @@ FROM ranked WHERE rank <= 5
         "qq_events": _QQ_ORACLE,
         "rmst_events": _rmst_oracle(),
         "calib_events": _CALIB_ORACLE,
+        "isotonic_events": _ISOTONIC_ORACLE,
+        "levene_events": _LEVENE_ORACLE,
+        "effectsize_events": _EFFECTSIZE_ORACLE,
+        "hhi_lineitem": _HHI_ORACLE,
+        "pmi_documents": _PMI_ORACLE,
+        "permtest_events": _permtest_oracle(),
+        "kendall_lineitem": _KENDALL_ORACLE,
+        "yuen_events": _YUEN_ORACLE,
         "theilsen_events": _THEILSEN_ORACLE,
         "cochranq_lineitem": _cochranq_oracle(),
         "bootci_events": _bootci_oracle(),

@@ -136,6 +136,7 @@ from .temporal import (
 )
 from .text import (
     bigram_model,
+    pmi_collocations,
     bigram_score,
     bm25_search,
     build_term_index,

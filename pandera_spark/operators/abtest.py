@@ -36,6 +36,7 @@ __all__ = [
     "ratio_metric_ztest",
     "did_ztest",
     "ipw_ate",
+    "effect_size",
 ]
 
 
@@ -401,3 +402,57 @@ def ipw_ate(
         cols.append(F.lit(fit["beta"][i]).alias(f"b_x{i}"))
     cols.append(F.lit(fit["beta"][-1]).alias("b0"))
     return agg.select(*cols)
+
+
+def effect_size(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Standardized effect-size readout between two groups: the
+    magnitude companion to the t/z significance screens (at 100 TB
+    everything is "significant"; the effect size says whether anyone
+    should care).
+
+    One row: ``n_a, n_b, mean_a, mean_b, mean_diff, pooled_sd,
+    cohens_d, hedges_g, var_ratio`` where
+    ``d = (m_a − m_b)/s_pooled`` with the (n−1)-weighted pooled SD,
+    ``g = d·(1 − 3/(4(n_a+n_b)−9))`` (Hedges small-sample
+    correction) and ``var_ratio = s²_a/s²_b`` (a quick
+    equal-variance sanity read next to :func:`stats.brown_forsythe`).
+
+    ONE conditional-aggregate scan — no group shuffle; degenerate
+    inputs (a group absent or zero pooled variance) yield NULL
+    effect columns, never an ANSI error.
+    """
+    x = F.col(col).cast("double")
+    ga = _is(group_col, group_a)
+    gb = _is(group_col, group_b)
+    base = df.where(x.isNotNull() & (ga | gb))
+    agg = base.agg(
+        F.count(F.when(ga, 1)).cast("long").alias("n_a"),
+        F.count(F.when(gb, 1)).cast("long").alias("n_b"),
+        F.avg(F.when(ga, x)).alias("mean_a"),
+        F.avg(F.when(gb, x)).alias("mean_b"),
+        F.var_samp(F.when(ga, x)).alias("__va"),
+        F.var_samp(F.when(gb, x)).alias("__vb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    va, vb = F.col("__va"), F.col("__vb")
+    pooled = F.when(
+        (na + nb > 2) & va.isNotNull() & vb.isNotNull(),
+        F.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)),
+    )
+    d = F.when(pooled > 0, (F.col("mean_a") - F.col("mean_b")) / pooled)
+    corr = 1.0 - 3.0 / (4.0 * (na + nb) - 9.0)
+    return agg.select(
+        "n_a", "n_b", "mean_a", "mean_b",
+        (F.col("mean_a") - F.col("mean_b")).alias("mean_diff"),
+        pooled.alias("pooled_sd"),
+        d.alias("cohens_d"),
+        (d * corr).alias("hedges_g"),
+        F.when(vb > 0, va / vb).alias("var_ratio"),
+    )

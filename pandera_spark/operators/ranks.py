@@ -49,6 +49,8 @@ __all__ = [
     "gini",
     "lorenz_points",
     "qq_points",
+    "kendall_tau_b",
+    "yuen_trimmed_t",
 ]
 
 
@@ -578,4 +580,200 @@ def qq_points(
     ])
     return wide.select(F.explode(rows).alias("s")).select(
         "s.q", "s.q_a", "s.q_b", "s.diff", "s.ratio"
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation with the tie-adjusted normal
+    z — the concordance companion to :func:`spearman_corr` (τ weights
+    each discordant PAIR once, so it is the robust choice when the
+    question is "do these two columns order rows the same way").
+
+    One row: ``n, n_cells, concordant, discordant, tau_b, z`` with
+    ``τ_b = (C−D)/√((n₀−n₁)(n₀−n₂))`` and the ties-corrected
+    variance (Kendall 1970 §4; the scipy ``kendalltau`` form) behind
+    ``z``.
+
+    Scale shape: rows collapse to the DISTINCT ``(x, y)`` CELL grain
+    first (one aggregation, map-side combined — bounded by |X|·|Y|
+    cells, not rows); the O(cells²) concordance count then runs
+    vectorized inside ONE Arrow batch (same bounded-grain contract as
+    the PAV sweep in ``evalmetrics.isotonic_calibrate`` — pre-quantize
+    truly continuous columns).  C and D are integer-exact, so an
+    external SQL engine replays them with a pairwise cell join.
+    """
+    import pandas as pd
+
+    xc = F.col(x_col).cast("double")
+    yc = F.col(y_col).cast("double")
+    cells = (
+        df.where(xc.isNotNull() & yc.isNotNull())
+        .groupBy(xc.alias("__x"), yc.alias("__y"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+        .withColumn("__g", F.lit(1))
+    )
+
+    schema = (
+        "n long, n_cells long, concordant double, discordant double, "
+        "tau_b double, z double"
+    )
+
+    def _tau(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        x = pdf["__x"].to_numpy()
+        y = pdf["__y"].to_numpy()
+        c = pdf["__c"].to_numpy()
+        m = len(c)
+        C = D = 0.0
+        for i in range(m - 1):
+            dx = x[i + 1:] - x[i]
+            dy = y[i + 1:] - y[i]
+            s = dx * dy
+            w = c[i] * c[i + 1:]
+            C += float(w[s > 0].sum())
+            D += float(w[s < 0].sum())
+        n = float(c.sum())
+        tx = pd.Series(c).groupby(pd.Series(x)).sum().to_numpy()
+        ty = pd.Series(c).groupby(pd.Series(y)).sum().to_numpy()
+        n0 = n * (n - 1) / 2.0
+        n1 = float((tx * (tx - 1) / 2.0).sum())
+        n2 = float((ty * (ty - 1) / 2.0).sum())
+        den = np.sqrt((n0 - n1) * (n0 - n2))
+        tau = (C - D) / den if den > 0 else float("nan")
+        v0 = n * (n - 1) * (2 * n + 5)
+        vt = float((tx * (tx - 1) * (2 * tx + 5)).sum())
+        vu = float((ty * (ty - 1) * (2 * ty + 5)).sum())
+        v1 = (
+            float((tx * (tx - 1)).sum())
+            * float((ty * (ty - 1)).sum())
+            / (2.0 * n * (n - 1))
+        ) if n > 1 else 0.0
+        v2 = (
+            float((tx * (tx - 1) * (tx - 2)).sum())
+            * float((ty * (ty - 1) * (ty - 2)).sum())
+            / (9.0 * n * (n - 1) * (n - 2))
+        ) if n > 2 else 0.0
+        var = (v0 - vt - vu) / 18.0 + v1 + v2
+        z = (C - D) / np.sqrt(var) if var > 0 else float("nan")
+        return pd.DataFrame([{
+            "n": int(n), "n_cells": m, "concordant": C,
+            "discordant": D, "tau_b": tau, "z": z,
+        }])
+
+    return cells.groupBy("__g").applyInPandas(_tau, schema=schema)
+
+
+def yuen_trimmed_t(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    trim: float = 0.2,
+) -> DataFrame:
+    """Yuen's trimmed-mean t test between two groups — the robust
+    middle ground between the Student/Welch lanes (outlier-fragile
+    means) and Mann-Whitney (which gives up on means entirely):
+    compare 20%-trimmed means with winsorized variances and a
+    Welch-style dof.
+
+    One row: ``n_a, n_b, h_a, h_b, tmean_a, tmean_b, t_stat, dof``
+    where ``h = n − 2·floor(trim·n)`` is the retained count,
+    ``t = (t̄_a − t̄_b)/√(d_a+d_b)`` with
+    ``d = s²_w·(n−1)/(h·(h−1))`` (winsorized sample variance), and
+    Welch–Satterthwaite dof over the two d's (Yuen 1974).
+
+    Scale shape: rows collapse to the per-group DISTINCT-VALUE grain
+    (one aggregation); trimmed/winsorized sums come from cumulative
+    counts over that grain (windows partitioned by group over
+    VALUE-cardinality-bounded frames — the :func:`value_midranks`
+    caveat applies: pre-quantize truly continuous metrics); the
+    closing two-row pivot is one conditional aggregate.  Every
+    intermediate is a count or a value·count product, so an external
+    SQL engine replays the statistic exactly.
+    """
+    if not 0.0 < trim < 0.5:
+        raise ValueError(f"trim must be in (0, 0.5): {trim}")
+    xc = F.col(col).cast("double")
+    g = F.col(group_col)
+    grain = (
+        df.where(xc.isNotNull() & g.isin([group_a, group_b]))
+        .groupBy(
+            g.alias("__g"), xc.alias("__v")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    wcum = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grain.select(
+        "__g", "__v", "__c",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wall).alias("__n"),
+    ).withColumn("__prev", F.col("__cum") - F.col("__c"))
+    k = F.floor(F.lit(float(trim)) * F.col("__n")).cast("double")
+    hi = F.col("__n") - k
+    ov = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("__cum"), hi) - F.greatest(F.col("__prev"), k),
+    )
+    per = cum.groupBy("__g").agg(
+        F.max("__n").alias("n"),
+        F.max(k).alias("k"),
+        F.sum(F.col("__v") * ov).alias("tsum"),
+        F.sum(F.col("__v") * F.col("__v") * ov).alias("tsumsq"),
+        F.min(F.when(F.col("__cum") >= k + 1, F.col("__v"))).alias("vlo"),
+        F.min(F.when(F.col("__cum") >= hi, F.col("__v"))).alias("vhi"),
+    )
+    h = F.col("n") - 2 * F.col("k")
+    wsum = F.col("tsum") + F.col("k") * (F.col("vlo") + F.col("vhi"))
+    wsumsq = F.col("tsumsq") + F.col("k") * (
+        F.col("vlo") ** 2 + F.col("vhi") ** 2
+    )
+    stats = per.select(
+        "__g", "n",
+        h.alias("h"),
+        (F.col("tsum") / h).alias("tmean"),
+        F.when(
+            F.col("n") > 1,
+            (wsumsq - wsum * wsum / F.col("n")) / (F.col("n") - 1),
+        ).alias("swv"),
+    )
+    isa = F.col("__g") == F.lit(group_a)
+    piv = stats.agg(
+        F.max(F.when(isa, F.col("n"))).cast("long").alias("n_a"),
+        F.max(F.when(~isa, F.col("n"))).cast("long").alias("n_b"),
+        F.max(F.when(isa, F.col("h"))).cast("long").alias("h_a"),
+        F.max(F.when(~isa, F.col("h"))).cast("long").alias("h_b"),
+        F.max(F.when(isa, F.col("tmean"))).alias("tmean_a"),
+        F.max(F.when(~isa, F.col("tmean"))).alias("tmean_b"),
+        F.max(F.when(isa, F.col("swv"))).alias("__swv_a"),
+        F.max(F.when(~isa, F.col("swv"))).alias("__swv_b"),
+    )
+    ha = F.col("h_a").cast("double")
+    hb = F.col("h_b").cast("double")
+    da = F.col("__swv_a") * (F.col("n_a") - 1) / (ha * (ha - 1))
+    db = F.col("__swv_b") * (F.col("n_b") - 1) / (hb * (hb - 1))
+    t = F.when(
+        (ha > 1) & (hb > 1) & (da + db > 0),
+        (F.col("tmean_a") - F.col("tmean_b")) / F.sqrt(da + db),
+    )
+    dof = F.when(
+        (ha > 1) & (hb > 1) & (da + db > 0),
+        (da + db) ** 2 / (da ** 2 / (ha - 1) + db ** 2 / (hb - 1)),
+    )
+    return piv.select(
+        "n_a", "n_b", "h_a", "h_b", "tmean_a", "tmean_b",
+        t.alias("t_stat"), dof.alias("dof"),
     )

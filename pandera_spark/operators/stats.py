@@ -59,6 +59,9 @@ __all__ = [
     "mcnemar_test",
     "cmh_test",
     "cochran_q",
+    "brown_forsythe",
+    "herfindahl",
+    "randomization_test_mean",
 ]
 
 
@@ -702,3 +705,183 @@ def _chi2_sf_stats(x: "C", dof: int) -> "C":
     if dof == 1:
         return 2.0 * _norm_sf(F.sqrt(x))
     return _chi2_sf(x, F.lit(float(dof)))
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value: str,
+    by: Union[str, Sequence[str]],
+) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity across the groups
+    of ``by`` (the robust Levene variant: spreads are measured as
+    ``|x − group median|``, so heavy tails don't masquerade as
+    unequal variances the way they do with mean-centered Levene).
+
+    Returns the :func:`anova_f` frame computed over the absolute
+    deviations: ``k, n, ss_between, ss_within, df_between, df_within,
+    f_stat`` — a large F means group spreads differ.  Run it before
+    trusting the equal-variance Student lane of
+    ``Hypothesis.two_sample_ttest``; if it fires, use the Welch lane.
+
+    Scale shape: pass 1 aggregates exact interpolated group medians
+    (``percentile`` — distinct-value-bounded per group; pre-quantize
+    truly continuous metrics as with :func:`ranks.value_midranks`);
+    the k-row median frame broadcast-joins back (no data shuffle),
+    and pass 2 is the one-aggregation ANOVA over ``z``.
+    """
+    from pyspark.sql.functions import broadcast
+
+    keys = _by(by)
+    yc = F.col(value).cast("double")
+    meds = (
+        df.where(yc.isNotNull())
+        .groupBy(*keys)
+        .agg(F.percentile(yc, F.lit(0.5)).alias("__med"))
+    )
+    joined = df.where(yc.isNotNull()).join(broadcast(meds), on=keys)
+    z = joined.select(
+        *keys, F.abs(yc - F.col("__med")).alias("__z")
+    )
+    return anova_f(z, "__z", keys)
+
+
+def herfindahl(
+    df: DataFrame,
+    by: Union[str, Sequence[str]],
+    weight: Optional["C"] = None,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of ``weight`` (row count if
+    omitted) over the groups of ``by`` — how concentrated is a corpus
+    on few sources / a join on few keys / revenue on few suppliers?
+
+    One row: ``k, total, hhi, hhi_normalized, effective_k`` where
+    ``hhi = Σ share²`` (1/k ≤ hhi ≤ 1), ``hhi_normalized =
+    (hhi − 1/k)/(1 − 1/k)`` (0 = uniform, 1 = single group) and
+    ``effective_k = 1/hhi`` (the "equivalent number of equal groups"
+    — the number that matters when sizing partitions for a skewed
+    key).  Two aggregations: per-group weight sums (one shuffle with
+    map-side combine, k rows out), then the closing fold over the
+    k-row frame.  Negative weights raise no error but make shares
+    meaningless — filter first.
+    """
+    keys = _by(by)
+    w = F.lit(1.0) if weight is None else weight.cast("double")
+    grp = df.groupBy(*keys).agg(F.sum(w).alias("__w"))
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__w").alias("total"),
+        F.sum(F.col("__w") * F.col("__w")).alias("__w2"),
+    )
+    hhi = F.when(
+        F.col("total") > 0, F.col("__w2") / (F.col("total") ** 2)
+    )
+    kD = F.col("k").cast("double")
+    return agg.select(
+        "k", "total",
+        hhi.alias("hhi"),
+        F.when(
+            F.col("k") > 1, (hhi - 1.0 / kD) / (1.0 - 1.0 / kD)
+        ).alias("hhi_normalized"),
+        F.when(hhi > 0, 1.0 / hhi).alias("effective_k"),
+    )
+
+
+def randomization_test_mean(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    key_col: str,
+    *,
+    n_rep: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Monte-Carlo randomization test for the difference of means
+    between two groups — deterministic and engine-replayable, like
+    :func:`bootstrap_ci_mean`.
+
+    Each replicate relabels every row to pseudo-group A with
+    probability ``n_a/(n_a+n_b)`` using the PURE hash
+    ``portable_hash28(key ∥ replicate ∥ salt)`` — no RNG, no shuffle
+    of labels — and recomputes the mean difference.  Under H0
+    (exchangeability) the observed difference should look typical
+    among relabeled ones; the reported p is the standard add-one
+    Monte-Carlo estimate ``(1 + #{|T_r| ≥ |T_obs|}) / (R + 1)``.
+
+    One row: ``n_a, n_b, obs_diff, n_extreme, pvalue``.  Cost is one
+    count scan (to fix the relabel probability) plus ONE aggregation
+    of ``2R`` conditional sums (map-side combined) — replicates never
+    shuffle rows.  This is the scalable substitute for an exact
+    permutation test, whose B label shuffles are a non-starter at
+    100 TB.
+    """
+    from .dedup import portable_hash28
+
+    if n_rep < 8:
+        raise ValueError(f"n_rep must be >= 8, got {n_rep}")
+    x = F.col(col).cast("double")
+    g = F.col(group_col)
+    sub = df.where(
+        x.isNotNull() & g.isin([group_a, group_b])
+    ).select(
+        x.alias("__x"),
+        (g == F.lit(group_a)).alias("__a"),
+        F.col(key_col).cast("string").alias("__k"),
+    )
+    counts = sub.groupBy().agg(
+        F.sum(F.col("__a").cast("long")).alias("na"),
+        F.sum((~F.col("__a")).cast("long")).alias("nb"),
+    ).first()
+    n_a, n_b = int(counts["na"] or 0), int(counts["nb"] or 0)
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            f"both groups need rows: n_a={n_a}, n_b={n_b}"
+        )
+    p_a = n_a / float(n_a + n_b)
+    aggs = [
+        F.sum(F.col("__x")).alias("__s"),
+        F.count(F.lit(1)).cast("double").alias("__c"),
+        F.sum(F.when(F.col("__a"), F.col("__x"))).alias("__sa"),
+    ]
+    for r in range(n_rep):
+        u = (
+            portable_hash28(
+                F.concat(F.col("__k"), F.lit(f":{r}{salt}"))
+            ).cast("double")
+            + 0.5
+        ) / F.lit(float(1 << 28))
+        ind = (u < F.lit(p_a)).cast("int")
+        aggs.append(F.sum(ind * F.col("__x")).alias(f"__s_{r}"))
+        aggs.append(
+            F.sum(ind).cast("double").alias(f"__c_{r}")
+        )
+    wide = sub.agg(*aggs)
+    ca = F.lit(float(n_a))
+    obs = F.col("__sa") / ca - (F.col("__s") - F.col("__sa")) / (
+        F.col("__c") - ca
+    )
+
+    def rep_diff(r: int):
+        sa, cc = F.col(f"__s_{r}"), F.col(f"__c_{r}")
+        return F.when(
+            (cc > 0) & (F.col("__c") - cc > 0),
+            sa / cc - (F.col("__s") - sa) / (F.col("__c") - cc),
+        )
+
+    extreme = None
+    for r in range(n_rep):
+        e = F.when(
+            F.abs(rep_diff(r)) >= F.abs(obs), 1
+        ).otherwise(0)
+        extreme = e if extreme is None else extreme + e
+    return wide.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        obs.alias("obs_diff"),
+        extreme.cast("long").alias("n_extreme"),
+        (
+            (extreme.cast("double") + 1.0)
+            / F.lit(float(n_rep + 1))
+        ).alias("pvalue"),
+    )

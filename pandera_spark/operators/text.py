@@ -1600,3 +1600,80 @@ def context_fit(
         for b in blist
     ]
     return wide.select(F.explode(F.array(*rows)).alias("__r")).select("__r.*")
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` word-pair collocations by pointwise mutual
+    information — bigrams that co-occur far more than their unigram
+    frequencies predict ("new york", "machine learning"), the
+    standard phrase-mining signal raw counts miss (raw top bigrams
+    are just stopword pairs).
+
+    ``pmi = ln( (c_ab/N_bi) / ((c_a/N_uni)·(c_b/N_uni)) )`` over the
+    same literal single-space token split as :func:`word_ngrams`, so
+    an external SQL engine replays it verbatim.  ``min_count`` floors
+    the bigram count (PMI explodes for hapax pairs).
+
+    Returns ``(gram, n_ab, n_a, n_b, pmi)`` ordered pmi desc, gram
+    asc.  Scale shape: unigram and bigram counting are the two
+    explode→partial-agg shuffles of :func:`ngram_counts` (bounded by
+    vocab, not corpus); the min_count filter shrinks the bigram side
+    BEFORE its two hash joins against the unigram frame; the two
+    corpus totals are 1-row broadcast frames; the final top-k is a
+    per-task heap (``TakeOrderedAndProject``), never a global sort.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    uni = ngram_counts(df, text_col, n=1).withColumnRenamed(
+        "n_occurrences", "n_w"
+    )
+    bi = ngram_counts(df, text_col, n=2)
+    n_uni = uni.agg(
+        F.sum("n_w").cast("double").alias("__n_uni")
+    )
+    n_bi = bi.agg(
+        F.sum("n_occurrences").cast("double").alias("__n_bi")
+    )
+    cand = (
+        bi.where(F.col("n_occurrences") >= min_count)
+        .select(
+            "gram",
+            F.col("n_occurrences").alias("n_ab"),
+            F.split(F.col("gram"), " ")[0].alias("__w1"),
+            F.split(F.col("gram"), " ")[1].alias("__w2"),
+        )
+    )
+    joined = (
+        cand.join(
+            uni.select(
+                F.col("gram").alias("__w1"), F.col("n_w").alias("n_a")
+            ),
+            on="__w1",
+        )
+        .join(
+            uni.select(
+                F.col("gram").alias("__w2"), F.col("n_w").alias("n_b")
+            ),
+            on="__w2",
+        )
+        .crossJoin(n_uni)
+        .crossJoin(n_bi)
+    )
+    pmi = F.log(
+        (F.col("n_ab") / F.col("__n_bi"))
+        / (
+            (F.col("n_a") / F.col("__n_uni"))
+            * (F.col("n_b") / F.col("__n_uni"))
+        )
+    )
+    return (
+        joined.select("gram", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("gram").asc())
+        .limit(k)
+    )

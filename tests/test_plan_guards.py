@@ -97,6 +97,9 @@ ALLOWED_BNLJ = {
                                  # cumulative frame
     "calib_events",              # 1-row ECE/MCE bin summary crossed
                                  # onto the 1-row Brier frame
+    "pmi_documents",             # two 1-row corpus-total frames
+                                 # (N_unigrams, N_bigrams) crossed onto
+                                 # the min_count-filtered bigram frame
 }
 
 
