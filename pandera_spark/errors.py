@@ -48,6 +48,12 @@ class ErrorCategory(Enum):
 SCHEMA_REASONS = {
     SchemaErrorReason.INVALID_TYPE,
     SchemaErrorReason.DATATYPE_COERCION,
+    # nullability is declared in the schema, so null violations file
+    # under SCHEMA — matching both the reference's canonical category
+    # map (api/base/error_handler.py ERROR_CATEGORY_MAP:
+    # SERIES_CONTAINS_NULLS -> SCHEMA) and the observed reference
+    # pyspark report shape (r9 container-conformance probes)
+    SchemaErrorReason.SERIES_CONTAINS_NULLS,
     SchemaErrorReason.COLUMN_NOT_IN_SCHEMA,
     SchemaErrorReason.COLUMN_NOT_ORDERED,
     SchemaErrorReason.DUPLICATE_COLUMN_LABELS,

@@ -488,3 +488,190 @@ def test_unique_values_eq_parity(spark):
         finally:
             spark.conf.set("spark.sql.ansi.enabled", original)
         assert _our_facets(ours, df) == r
+
+
+# -- container-level error-report dict equality (VERDICT r8 item 7) ----------
+#
+# Beyond facet parity: the NESTED report dicts ({category: {reason:
+# [entries]}}) must agree for the container lanes (strict / ordered /
+# strict="filter" / joint unique / missing column / wrong dtype / nulls /
+# coerce).  Three documented, normalization-handled divergences (each one
+# a case where this engine is strictly more informative):
+#
+# 1. reason-key case: reference uses UPPER enum names, ours lowercase
+#    values of the same enum — uppercased before compare.
+# 2. container-scoped columns: the reference stamps the SCHEMA NAME into
+#    the ``column`` field for COLUMN_NOT_IN_SCHEMA / COLUMN_NOT_ORDERED /
+#    DUPLICATES (container.py strict_filter_columns raises with
+#    scalar_failure_case(column) but SchemaError carries schema context);
+#    ours records the offending column (or the column list).  Both sides
+#    normalize to "<container>".
+# 3. coercion superset: on a coerce failure the reference surfaces ONLY
+#    the nulls the failed cast produced (SCHEMA/SERIES_CONTAINS_NULLS);
+#    ours ALSO reports the cast failure itself (dtype_coercion_error) —
+#    the extra entry is dropped before compare and pinned separately.
+
+_CONTAINER_SCOPED = {"COLUMN_NOT_IN_SCHEMA", "COLUMN_NOT_ORDERED",
+                     "DUPLICATES"}
+
+
+def _norm_report(errs: dict, ours: bool) -> dict:
+    out: dict = {}
+    # both engines use the same SchemaErrorReason enum, but the reference
+    # summarizes by member NAME and ours by member value; WRONG_DATATYPE
+    # is the one member whose value ("wrong_dtype") doesn't round-trip
+    # through upper()
+    alias = {"WRONG_DTYPE": "WRONG_DATATYPE"}
+    for cat, reasons in (errs or {}).items():
+        for reason, entries in reasons.items():
+            R = str(reason).upper()
+            R = alias.get(R, R)
+            if ours and R == "DTYPE_COERCION_ERROR":
+                continue  # divergence 3 (superset entry)
+            for e in entries:
+                check = (e.get("check") or "").split("(")[0]
+                col = e.get("column")
+                if R in _CONTAINER_SCOPED:
+                    col = "<container>"  # divergence 2
+                out.setdefault(cat, {}).setdefault(R, []).append(
+                    (check, col)
+                )
+    return {
+        c: {r: sorted(v) for r, v in rs.items()} for c, rs in out.items()
+    }
+
+
+def _ref_report(schema, df) -> dict:
+    setattr(DataFrame, "pandera", REF_ACC)
+    try:
+        out = schema.validate(df)
+        return dict(out.pandera.errors or {}), out.columns
+    finally:
+        setattr(DataFrame, "pandera", OUR_ACC)
+
+
+def container_case_strict_extra():
+    rows, ddl = [(1, "x")], "k long, extra string"
+    ref, ours = _pair(
+        [("k", pa.Column(T.LongType()))],
+        [("k", Column(T.LongType()))],
+        strict=True,
+    )
+    return rows, ddl, ref, ours
+
+
+def container_case_ordered():
+    rows, ddl = [(1, 2.0)], "k long, v double"
+    ref, ours = _pair(
+        [("v", pa.Column(T.DoubleType())), ("k", pa.Column(T.LongType()))],
+        [("v", Column(T.DoubleType())), ("k", Column(T.LongType()))],
+        ordered=True,
+    )
+    return rows, ddl, ref, ours
+
+
+def container_case_strict_filter():
+    rows, ddl = [(1, "x")], "k long, extra string"
+    ref, ours = _pair(
+        [("k", pa.Column(T.LongType()))],
+        [("k", Column(T.LongType()))],
+        strict="filter",
+    )
+    return rows, ddl, ref, ours
+
+
+def container_case_joint_unique():
+    rows, ddl = [(1, "a"), (1, "a"), (2, "b")], "k long, g string"
+    ref, ours = _pair(
+        [("k", pa.Column(T.LongType())), ("g", pa.Column(T.StringType()))],
+        [("k", Column(T.LongType())), ("g", Column(T.StringType()))],
+        unique=["k", "g"],
+    )
+    return rows, ddl, ref, ours
+
+
+def container_case_missing_column():
+    rows, ddl = [(1,)], "k long"
+    ref, ours = _pair(
+        [("k", pa.Column(T.LongType())),
+         ("gone", pa.Column(T.StringType()))],
+        [("k", Column(T.LongType())), ("gone", Column(T.StringType()))],
+    )
+    return rows, ddl, ref, ours
+
+
+def container_case_wrong_dtype():
+    rows, ddl = [(1.5,)], "k double"
+    ref, ours = _pair(
+        [("k", pa.Column(T.LongType()))],
+        [("k", Column(T.LongType()))],
+    )
+    return rows, ddl, ref, ours
+
+
+def container_case_nulls():
+    rows, ddl = [(None,), (1,)], "k long"
+    ref, ours = _pair(
+        [("k", pa.Column(T.LongType(), nullable=False))],
+        [("k", Column(T.LongType(), nullable=False))],
+    )
+    return rows, ddl, ref, ours
+
+
+def container_case_coerce_failure():
+    rows, ddl = [("xx",), ("3",)], "k string"
+    ref, ours = _pair(
+        [("k", pa.Column(T.LongType(), coerce=True, nullable=False))],
+        [("k", Column(T.LongType(), coerce=True, nullable=False))],
+    )
+    return rows, ddl, ref, ours
+
+
+CONTAINER_CASES = [
+    container_case_strict_extra,
+    container_case_ordered,
+    container_case_strict_filter,
+    container_case_joint_unique,
+    container_case_missing_column,
+    container_case_wrong_dtype,
+    container_case_nulls,
+    container_case_coerce_failure,
+]
+
+
+@pytest.mark.parametrize(
+    "case", CONTAINER_CASES, ids=[c.__name__ for c in CONTAINER_CASES]
+)
+def test_container_error_dict_parity(spark, case):
+    rows, ddl, ref_schema, our_schema = case()
+    df = spark.createDataFrame(rows, ddl)
+    original = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        ref_errs, ref_cols = _ref_report(ref_schema, df)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", original)
+    out = our_schema.validate(df)
+    our_errs = out.pandera.errors
+    if case is container_case_ordered and not ref_errs:
+        # reference bug (documented divergence 4): its ordered check
+        # traverses ``list(set(check_obj.columns))``
+        # (backends/pyspark/container.py:289) — SET order, which is
+        # PYTHONHASHSEED-dependent, so the reference misses the
+        # out-of-order violation whenever set iteration happens to
+        # coincide with schema order.  Our traversal is the actual
+        # dataframe column order, deterministic by construction.  When
+        # the reference's coin lands on "miss", pin OUR deterministic
+        # verdict instead of dict equality.
+        assert "column_not_ordered" in our_errs.get("SCHEMA", {})
+        return
+    assert _norm_report(our_errs, ours=True) == _norm_report(
+        ref_errs, ours=False
+    ), f"ours={our_errs} ref={ref_errs}"
+    if case is container_case_strict_filter:
+        # both engines drop the extra column, report nothing
+        assert ref_cols == out.columns == ["k"]
+        assert not ref_errs and not our_errs
+    if case is container_case_coerce_failure:
+        # divergence 3 pinned: the superset entry exists on our side
+        assert "dtype_coercion_error" in our_errs.get("SCHEMA", {})
