@@ -179,7 +179,14 @@ def _report_query(
         result = schema.validate_result(df)
         return (
             result.report_df(spark)
-            .filter(F.col("category") == "DATA")
+            .filter(
+            # row-level data-quality outcomes: value checks, dup
+            # reports, and nullability — the latter files under the
+            # SCHEMA category as of r9 (reference ERROR_CATEGORY_MAP
+            # alignment) but remains a row-level count here
+            (F.col("category") == "DATA")
+            | (F.col("reason_code") == "series_contains_nulls")
+        )
             .select(
                 F.col("column").alias("col_name"),
                 F.col("check").alias("check_name"),
@@ -4202,7 +4209,14 @@ def q_regex_cols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = schema.validate_result(df)
     return (
         res.report_df(spark)
-        .filter(F.col("category") == "DATA")
+        .filter(
+            # row-level data-quality outcomes: value checks, dup
+            # reports, and nullability — the latter files under the
+            # SCHEMA category as of r9 (reference ERROR_CATEGORY_MAP
+            # alignment) but remains a row-level count here
+            (F.col("category") == "DATA")
+            | (F.col("reason_code") == "series_contains_nulls")
+        )
         .select(
             F.col("column").alias("col_name"),
             F.col("check").alias("check_name"),
@@ -4276,7 +4290,14 @@ def q_yaml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = roundtripped.validate_result(df)
     return (
         res.report_df(spark)
-        .filter(F.col("category") == "DATA")
+        .filter(
+            # row-level data-quality outcomes: value checks, dup
+            # reports, and nullability — the latter files under the
+            # SCHEMA category as of r9 (reference ERROR_CATEGORY_MAP
+            # alignment) but remains a row-level count here
+            (F.col("category") == "DATA")
+            | (F.col("reason_code") == "series_contains_nulls")
+        )
         .select(
             F.col("column").alias("col_name"),
             F.col("check").alias("check_name"),

@@ -52,6 +52,13 @@ HEAVY_QUERIES = {
     "fuzzy_part",
     # 3 md5 corpus passes + Gumbel top-k
     "dsir_sample_documents",
+    # banded-self-join variance family: isolated best-of-5 spread is
+    # 2.1-5.0x max/min on identical plans (BASELINE §3.24) — best-of-3
+    # so driver-round deltas measure the plan, not the scheduler
+    "incremental_dedup_documents",
+    "doc_mutual_documents",
+    "doc_knn_documents",
+    "joincard_approx_lineitem",
 }
 
 
