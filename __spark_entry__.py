@@ -11290,6 +11290,59 @@ FROM d
 """
 
 
+def q_mediantest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types
+    (operators/stats.py:median_test): one exact-percentile pass +
+    ONE conditional aggregation; every statistic input is a count,
+    margin-collapsed chi-square, Wilson-Hilferty p replay."""
+    from pandera_spark.operators.stats import median_test
+
+    ev = _load(spark, sf_dir, "events")
+    out = median_test(ev, "value", "event_type")
+    return out.select(
+        "k", "n", "n_above",
+        F.round("chi2_stat", 6).alias("chi2_r"),
+        "dof",
+        F.round("pvalue", 6).alias("p_r"),
+    )
+
+
+def _mediantest_oracle() -> str:
+    z = (
+        "((POW(chi2 / dofd, 1.0/3.0) - (1 - 2 / (9 * dofd)))"
+        " / SQRT(2 / (9 * dofd)))"
+    )
+    return f"""
+WITH med AS (
+  SELECT quantile_cont(CAST(value AS DOUBLE), 0.5) AS m
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN CAST(value AS DOUBLE) > med.m
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS a
+  FROM events, med WHERE value IS NOT NULL GROUP BY event_type, med.m
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(n) AS tn, SUM(a) AS ta,
+         SUM(a * a / n) AS s
+  FROM g
+), c AS (
+  SELECT k, tn, ta,
+         CASE WHEN ta > 0 AND ta < tn AND k > 1
+              THEN GREATEST(0.0, tn * (tn * s - ta * ta)
+                                 / (ta * (tn - ta))) END AS chi2,
+         CAST(k - 1 AS BIGINT) AS dof,
+         CAST(k - 1 AS DOUBLE) AS dofd
+  FROM t
+)
+SELECT k, CAST(tn AS BIGINT) AS n, CAST(ta AS BIGINT) AS n_above,
+       ROUND(chi2, 6) AS chi2_r, dof,
+       ROUND(CASE WHEN chi2 IS NOT NULL AND dof > 0
+                  THEN {_norm_sf_sql(z)} END, 6) AS p_r
+FROM c
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -11306,7 +11359,7 @@ _R9_DRIVER_WINDOW = [
     # conversion (VERDICT r8 item 3) + the robustness tier
     "isotonic_events", "levene_events", "effectsize_events",
     "hhi_lineitem", "pmi_documents", "permtest_events",
-    "kendall_lineitem", "yuen_events",
+    "kendall_lineitem", "yuen_events", "mediantest_events",
     # catch-up rotation (VERDICT r8 item 1 — the binding constraint is
     # evidence freshness): ALL rows last driver-certified in r2 ...
     "decorator_orders", "defaults_customer", "parser_orders",
@@ -11331,7 +11384,7 @@ _R9_DRIVER_WINDOW = [
     "incremental_dedup_documents", "leakage_split_documents",
     "star_report", "observe_lineitem", "bm25_documents",
     "linededup_documents", "psi_documents", "ks_events",
-    "json_events", "strict_filter_orders",
+    "json_events",
 ]
 
 
@@ -11408,6 +11461,7 @@ def _queries_unordered() -> dict[
         "permtest_events": q_permtest_events,
         "kendall_lineitem": q_kendall_lineitem,
         "yuen_events": q_yuen_events,
+        "mediantest_events": q_mediantest_events,
         "theilsen_events": q_theilsen_events,
         "cochranq_lineitem": q_cochranq_lineitem,
         "bootci_events": q_bootci_events,
@@ -11876,6 +11930,7 @@ FROM ranked WHERE rank <= 5
         "permtest_events": _permtest_oracle(),
         "kendall_lineitem": _KENDALL_ORACLE,
         "yuen_events": _YUEN_ORACLE,
+        "mediantest_events": _mediantest_oracle(),
         "theilsen_events": _THEILSEN_ORACLE,
         "cochranq_lineitem": _cochranq_oracle(),
         "bootci_events": _bootci_oracle(),

@@ -62,6 +62,7 @@ __all__ = [
     "brown_forsythe",
     "herfindahl",
     "randomization_test_mean",
+    "median_test",
 ]
 
 
@@ -884,4 +885,77 @@ def randomization_test_mean(
             (extreme.cast("double") + 1.0)
             / F.lit(float(n_rep + 1))
         ).alias("pvalue"),
+    )
+
+def median_test(
+    df: DataFrame,
+    value: str,
+    by: Union[str, Sequence[str]],
+) -> DataFrame:
+    """Mood's median test: do the groups of ``by`` share a common
+    median?  The coarsest and most assumption-free of the k-group
+    location screens — it reduces every value to "above the pooled
+    median or not", so it survives heteroscedastic shapes that
+    mislead rank-sum tests (use :func:`ranks.kruskal_wallis` when the
+    distributions are shift-alike and you want power; use this when
+    they aren't).
+
+    One row: ``k, n, n_above, chi2_stat, dof, pvalue`` — the Pearson
+    χ²(k−1) over the 2×k (above / not-above) contingency via the
+    margin-collapsed identity ``χ² = N·(N·S − A²) / (A·(N−A))`` with
+    ``S = Σ_g a_g²/n_g`` (so no expected-count join is ever needed);
+    ties with the median count as "not above" (scipy's
+    ``ties='below'`` convention); p via the shared Wilson-Hilferty
+    replay.
+
+    Two data passes: the exact pooled median (one ``percentile``
+    aggregation — distinct-value-bounded; pre-quantize truly
+    continuous metrics) and ONE conditional aggregation producing the
+    k-row (n_g, a_g) frame, whose closing fold is a k-row aggregate.
+    Every statistic input is a count, so an external SQL engine
+    replays the contingency exactly.
+    """
+    from .ranks import _chi2_sf
+
+    keys = _by(by)
+    yc = F.col(value).cast("double")
+    med = df.where(yc.isNotNull()).agg(
+        F.percentile(yc, F.lit(0.5)).alias("__med")
+    ).first()["__med"]
+    if med is None:
+        raise ValueError(f"no non-null values in {value!r}")
+    grp = (
+        df.where(yc.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.sum((yc > F.lit(float(med))).cast("long"))
+            .cast("double")
+            .alias("__a"),
+        )
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__n").alias("__tn"),
+        F.sum("__a").alias("__ta"),
+        F.sum(F.col("__a") ** 2 / F.col("__n")).alias("__s"),
+    )
+    nD, aD = F.col("__tn"), F.col("__ta")
+    chi2 = F.when(
+        (aD > 0) & (aD < nD) & (F.col("k") > 1),
+        nD * (nD * F.col("__s") - aD * aD) / (aD * (nD - aD)),
+    )
+    out = tot.select(
+        "k",
+        nD.cast("long").alias("n"),
+        aD.cast("long").alias("n_above"),
+        F.greatest(F.lit(0.0), chi2).alias("chi2_stat"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+    )
+    return out.withColumn(
+        "pvalue",
+        F.when(
+            F.col("chi2_stat").isNotNull() & (F.col("dof") > 0),
+            _chi2_sf(F.col("chi2_stat"), F.col("dof").cast("double")),
+        ),
     )

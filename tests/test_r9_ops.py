@@ -281,3 +281,48 @@ class TestPmiCollocations:
         assert [r["gram"] for r in out] == ["a b"]
         with pytest.raises(ValueError, match="min_count"):
             pmi_collocations(df, "text", min_count=0)
+
+
+class TestMedianTest:
+    def test_matches_manual(self, spark):
+        import random
+
+        random.seed(3)
+        rows = [(float(random.randint(0, 30)), random.choice("ABC"))
+                for _ in range(600)]
+        df = spark.createDataFrame(rows, "x double, g string")
+        from pandera_spark.operators.stats import median_test
+
+        x = np.array([r[0] for r in rows])
+        g = np.array([r[1] for r in rows])
+        med = np.percentile(x, 50, method="linear")
+        A, N, S = (x > med).sum(), len(x), 0.0
+        for lvl in "ABC":
+            m = g == lvl
+            S += (x[m] > med).sum() ** 2 / m.sum()
+        chi2_ref = N * (N * S - A * A) / (A * (N - A))
+        r = median_test(df, "x", "g").first()
+        assert r["k"] == 3 and r["n"] == N and r["n_above"] == A
+        assert r["chi2_stat"] == pytest.approx(chi2_ref, rel=1e-12)
+        assert 0 < r["pvalue"] < 1
+
+    def test_detects_shift_and_degenerate(self, spark):
+        from pandera_spark.operators.stats import median_test
+
+        rows = [(float(i % 20), "A") for i in range(300)]
+        rows += [(float(i % 20) + 10.0, "B") for i in range(300)]
+        df = spark.createDataFrame(rows, "x double, g string")
+        r = median_test(df, "x", "g").first()
+        assert r["chi2_stat"] > 50 and r["pvalue"] < 1e-6
+        # one group only -> dof 0, NULL chi2/pvalue (no ANSI error)
+        one = spark.createDataFrame([(1.0, "A"), (2.0, "A")],
+                                    "x double, g string")
+        r1 = median_test(one, "x", "g").first()
+        assert r1["dof"] == 0 and r1["pvalue"] is None
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="non-null"):
+            median_test(
+                spark.createDataFrame([(None, "A")], "x double, g string"),
+                "x", "g",
+            )
