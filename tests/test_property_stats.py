@@ -310,3 +310,178 @@ class TestDpProperties:
         bound = (1.0 / eps) * math.log(2 ** 28)
         for i, n in enumerate(counts):
             assert abs(out[f"c{i}"] - n) <= bound
+
+
+class TestR9Properties:
+    @SET
+    @given(xs=vals)
+    def test_kendall_monotone_transform_invariance(self, spark, xs):
+        """τ-b is rank-based: a strictly increasing transform of either
+        column leaves it unchanged; negating one column negates it."""
+        from pandera_spark.operators.ranks import kendall_tau_b
+
+        if len(set(xs)) < 3:
+            return
+        rows = [(float(x), float((i * 7) % 11)) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        base = kendall_tau_b(df, "x", "y").first()
+        if base["tau_b"] is None or math.isnan(base["tau_b"]):
+            return
+        mono = spark.createDataFrame(
+            [(math.exp(x / 50.0), y) for x, y in rows], "x double, y double"
+        )
+        t2 = kendall_tau_b(mono, "x", "y").first()
+        assert t2["tau_b"] == pytest.approx(base["tau_b"], abs=1e-12)
+        assert t2["concordant"] == base["concordant"]
+        neg = spark.createDataFrame(
+            [(-x, y) for x, y in rows], "x double, y double"
+        )
+        t3 = kendall_tau_b(neg, "x", "y").first()
+        assert t3["tau_b"] == pytest.approx(-base["tau_b"], abs=1e-12)
+
+    @SET
+    @given(xs=vals, a=st.floats(min_value=0.5, max_value=3.0,
+                                allow_nan=False),
+           b=st.floats(min_value=-20, max_value=20, allow_nan=False))
+    def test_yuen_affine_invariance(self, spark, xs, a, b):
+        """Yuen's t is invariant under x -> a*x + b (a > 0) applied to
+        BOTH groups — location/scale cancel in the standardized stat."""
+        from pandera_spark.operators.ranks import yuen_trimmed_t
+
+        if len(xs) < 10:
+            return
+        rows = [(float(x), "A" if i % 2 == 0 else "B")
+                for i, x in enumerate(xs)]
+        df1 = spark.createDataFrame(rows, "x double, g string")
+        r1 = yuen_trimmed_t(df1, "x", "g", "A", "B").first()
+        if r1["t_stat"] is None:
+            return
+        df2 = spark.createDataFrame(
+            [(a * x + b, g) for x, g in rows], "x double, g string"
+        )
+        r2 = yuen_trimmed_t(df2, "x", "g", "A", "B").first()
+        assert r2["t_stat"] == pytest.approx(r1["t_stat"], rel=1e-9)
+        assert r2["dof"] == pytest.approx(r1["dof"], rel=1e-9)
+        assert (r2["h_a"], r2["h_b"]) == (r1["h_a"], r1["h_b"])
+
+    @SET
+    @given(xs=vals, shift=st.floats(min_value=-50, max_value=50,
+                                    allow_nan=False))
+    def test_brown_forsythe_location_invariance(self, spark, xs, shift):
+        """BF measures SPREAD: shifting one whole group never changes F
+        (the group median absorbs the shift)."""
+        from pandera_spark.operators.stats import brown_forsythe
+
+        if len(xs) < 10:
+            return
+        rows = [(float(x), "A" if i % 2 == 0 else "B")
+                for i, x in enumerate(xs)]
+        df1 = spark.createDataFrame(rows, "x double, g string")
+        f1 = brown_forsythe(df1, "x", "g").first()["f_stat"]
+        if f1 is None:
+            return
+        df2 = spark.createDataFrame(
+            [(x + (shift if g == "A" else 0.0), g) for x, g in rows],
+            "x double, g string",
+        )
+        f2 = brown_forsythe(df2, "x", "g").first()["f_stat"]
+        assert f2 == pytest.approx(f1, rel=1e-9)
+
+    @SET
+    @given(ws=st.lists(st.floats(min_value=0.1, max_value=100,
+                                 allow_nan=False),
+                       min_size=2, max_size=12))
+    def test_herfindahl_bounds_and_merge(self, spark, ws):
+        """1/k <= HHI <= 1; merging two groups can only increase HHI
+        (concentration never drops when groups coalesce)."""
+        from pandera_spark.operators.stats import herfindahl
+
+        rows = [(f"g{i}", float(w)) for i, w in enumerate(ws)]
+        df = spark.createDataFrame(rows, "g string, w double")
+        r = herfindahl(df, "g", F.col("w")).first()
+        k = len(ws)
+        assert 1.0 / k - 1e-12 <= r["hhi"] <= 1.0 + 1e-12
+        assert r["effective_k"] == pytest.approx(1.0 / r["hhi"], rel=1e-12)
+        merged = spark.createDataFrame(
+            [("g0" if g == "g1" else g, w) for g, w in rows],
+            "g string, w double",
+        )
+        r2 = herfindahl(merged, "g", F.col("w")).first()
+        assert r2["hhi"] >= r["hhi"] - 1e-12
+
+    @SET
+    @given(xs=vals, scale=st.sampled_from([0.25, 0.5, 2.0, 4.0]))
+    def test_randomization_scale_invariance(self, spark, xs, scale):
+        """Scaling the metric scales obs and every replicate alike, so
+        n_extreme and p are invariant.  Power-of-two scales only: they
+        are EXACT in IEEE doubles, so replicate-vs-observed ties can't
+        flip on the comparison boundary (an arbitrary scale perturbs
+        |T_r| == |T_obs| ties by an ulp — hypothesis found
+        scale=0.5000000000000001 doing exactly that)."""
+        from pandera_spark.operators.stats import randomization_test_mean
+
+        if len(xs) < 10:
+            return
+        rows = [(float(x), "A" if i % 3 != 0 else "B", i)
+                for i, x in enumerate(xs)]
+        df1 = spark.createDataFrame(rows, "x double, g string, id long")
+        r1 = randomization_test_mean(
+            df1, "x", "g", "A", "B", "id", n_rep=16
+        ).first()
+        df2 = spark.createDataFrame(
+            [(scale * x, g, i) for x, g, i in rows],
+            "x double, g string, id long",
+        )
+        r2 = randomization_test_mean(
+            df2, "x", "g", "A", "B", "id", n_rep=16
+        ).first()
+        assert r2["n_extreme"] == r1["n_extreme"]
+        assert r2["pvalue"] == r1["pvalue"]
+        assert r2["obs_diff"] == pytest.approx(scale * r1["obs_diff"],
+                                               rel=1e-9)
+
+    @SET
+    @given(xs=vals)
+    def test_median_test_monotone_invariance(self, spark, xs):
+        """Mood's test sees only above/below the pooled median, so any
+        strictly increasing transform leaves the whole row unchanged."""
+        from pandera_spark.operators.stats import median_test
+
+        if len(set(xs)) < 5 or len(xs) < 10:
+            return
+        rows = [(float(x), "A" if i % 2 == 0 else "B")
+                for i, x in enumerate(xs)]
+        df1 = spark.createDataFrame(rows, "x double, g string")
+        r1 = median_test(df1, "x", "g").first()
+        df2 = spark.createDataFrame(
+            [(x ** 3, g) for x, g in rows], "x double, g string"
+        )
+        r2 = median_test(df2, "x", "g").first()
+        assert r2["n_above"] == r1["n_above"]
+        if r1["chi2_stat"] is not None:
+            assert r2["chi2_stat"] == pytest.approx(r1["chi2_stat"],
+                                                    rel=1e-9)
+
+    @SET
+    @given(reps=st.integers(min_value=2, max_value=4))
+    def test_pmi_corpus_duplication_invariance(self, spark, reps):
+        """Duplicating every document multiplies all counts by the same
+        factor — every PMI value is unchanged."""
+        from pandera_spark.operators.text import pmi_collocations
+
+        docs = [("d1", "new york is big"), ("d2", "new york new york"),
+                ("d3", "big apple is new york")]
+        base = spark.createDataFrame(docs, "doc_id string, text string")
+        dup = spark.createDataFrame(
+            [(f"{i}_{d}", t) for i in range(reps) for d, t in docs],
+            "doc_id string, text string",
+        )
+        b = {r["gram"]: r["pmi"]
+             for r in pmi_collocations(base, "text", min_count=2, k=50)
+             .collect()}
+        d = {r["gram"]: r["pmi"]
+             for r in pmi_collocations(dup, "text", min_count=2, k=50)
+             .collect()}
+        assert set(b) <= set(d)  # duplication can only add eligible grams
+        for gram, p in b.items():
+            assert d[gram] == pytest.approx(p, abs=1e-12)
