@@ -3439,7 +3439,10 @@ def q_qbins_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandera_spark.operators.encode import quantile_bin
 
     li = _load(spark, sf_dir, "lineitem")
-    out = quantile_bin(li, "l_extendedprice", n_bins=8)
+    # exact pinned explicitly: this row certifies the interpolated-edge
+    # arithmetic against quantile_cont; the GK-sketch lane is the scale
+    # default candidate (BASELINE §3.27) and must not change this row
+    out = quantile_bin(li, "l_extendedprice", n_bins=8, exact=True)
     return out.groupBy(
         F.col("l_extendedprice_bin").alias("bin")
     ).agg(
