@@ -3292,7 +3292,14 @@ WITH base AS (
 ), fit AS (
   SELECT k AS i, MAX(mr) AS yhat FROM minr GROUP BY k
 ), blk AS (
-  SELECT x.s, x.n, x.sy, ROUND(f.yhat, 9) AS yr
+  -- group by the EXACT yhat double: for every i in a PAV block the
+  -- minimax optimum is the block's own (start, end) pair, so yhat is
+  -- the same sum/weight division bit-for-bit (exact integer sums +
+  -- monotone rounding), and adjacent blocks always differ (the Spark
+  -- sweep merges on >=, leaving strictly increasing means).  A rounded
+  -- key (formerly ROUND(yhat, 9)) could merge two blocks whose means
+  -- differ by less than the grid and silently break hash parity.
+  SELECT x.s, x.n, x.sy, f.yhat AS yr
   FROM idx x JOIN fit f ON f.i = x.i
 )
 SELECT MIN(s) AS score_lo, MAX(s) AS score_hi,
@@ -11340,9 +11347,266 @@ WITH med AS (
 )
 SELECT k, CAST(tn AS BIGINT) AS n, CAST(ta AS BIGINT) AS n_above,
        ROUND(chi2, 6) AS chi2_r, dof,
-       ROUND(CASE WHEN chi2 IS NOT NULL AND dof > 0
+       ROUND(CASE WHEN chi2 IS NOT NULL AND dof = 1
+                  THEN 2.0 * {_norm_sf_sql("SQRT(chi2)")}
+                  WHEN chi2 IS NOT NULL AND dof > 1
                   THEN {_norm_sf_sql(z)} END, 6) AS p_r
 FROM c
+"""
+
+
+def _doc_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic URLs over the documents table (the
+    corpus has no URL column, so the weburl rows construct one from
+    doc_id/source/lang arithmetic).  The oracle replays the FEATURES
+    by the same arithmetic — never by string-parsing — so the Spark
+    side's parse_url + suffix-match extraction is tested end-to-end
+    against an independent derivation.  Shapes covered: http/https,
+    optional subdomain label, one- and two-label public suffixes
+    (.com / .co.uk), 1- and 3-deep paths, absent/present query string
+    with a tracking parameter."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.concat(
+            F.when(d % 5 == 0, F.lit("http://")).otherwise(
+                F.lit("https://")
+            ),
+            F.when(
+                d % 4 == 0,
+                F.concat(F.lit("sub"), (d % 7).cast("string"), F.lit(".")),
+            ).otherwise(F.lit("")),
+            F.col("source"),
+            F.when(d % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.lit("/p"), (d % 9).cast("string"),
+            F.when(d % 6 == 0, F.lit("/deep/path")).otherwise(F.lit("")),
+            F.when(
+                d % 2 == 0,
+                F.concat(F.lit("?q="), F.col("lang"),
+                         F.lit("&utm_source=x")),
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+#: the oracle-side registrable domain / host for _doc_urls, by
+#: construction arithmetic (doc_id%3 picks the suffix, doc_id%4 the
+#: subdomain) — shared by the three weburl oracles
+_URL_DOMAIN_SQL = (
+    "source || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' "
+    "ELSE '.com' END)"
+)
+_URL_HOST_SQL = (
+    "(CASE WHEN doc_id % 4 = 0 THEN 'sub' || "
+    f"CAST(doc_id % 7 AS VARCHAR) || '.' ELSE '' END) || {_URL_DOMAIN_SQL}"
+)
+
+
+def q_domainstats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus rollup (operators/weburl.py:
+    domain_stats): parse_url host extraction + expression-only
+    public-suffix match, ONE domain-keyed aggregation (map-side
+    combined — the shuffle carries one row per (task, domain) at any
+    corpus size), share via a window over the already-domain-sized
+    frame."""
+    from pandera_spark.operators.weburl import domain_stats
+
+    urls = _doc_urls(_load(spark, sf_dir, "documents"))
+    out = domain_stats(urls, "url", quality_col="n_chars")
+    return out.select(
+        "domain", "n_docs", "n_hosts",
+        F.round("share", 6).alias("share_r"),
+        F.round("mean_quality", 4).alias("mq_r"),
+    )
+
+
+_DOMAINSTATS_ORACLE = f"""
+WITH u AS (
+  SELECT {_URL_DOMAIN_SQL} AS domain, {_URL_HOST_SQL} AS host, n_chars
+  FROM documents
+), g AS (
+  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+         AVG(CAST(n_chars AS DOUBLE)) AS mq
+  FROM u GROUP BY domain
+)
+SELECT domain, n_docs, n_hosts,
+       ROUND(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS share_r,
+       ROUND(mq, 4) AS mq_r
+FROM g
+"""
+
+
+def q_domaincap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain contribution cap (operators/weburl.py:
+    domain_cap): keep at most 8 docs per registrable domain by the
+    portable md5-prefix hash of doc_id — the WindowGroupLimit top-m
+    shape, so every task pre-trims a skewed mega-domain to its local
+    top-8 before the single shuffle.  Row-level output; the oracle
+    replays the hash order with QUALIFY."""
+    from pandera_spark.operators.weburl import domain_cap
+
+    urls = _doc_urls(_load(spark, sf_dir, "documents"))
+    out = domain_cap(
+        urls, "url", max_per_domain=8, key_col="doc_id",
+        domain_out="domain",
+    )
+    return out.select("domain", "doc_id")
+
+
+def _domaincap_oracle() -> str:
+    h = _HEXFOLD.format(e="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_URL_DOMAIN_SQL} AS domain FROM documents
+)
+SELECT domain, CAST(doc_id AS BIGINT) AS doc_id
+FROM u
+QUALIFY row_number() OVER (
+  PARTITION BY domain ORDER BY {h}, doc_id
+) <= 8
+"""
+
+
+def q_urlfeatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structure features for quality gating (operators/weburl.py:
+    url_features — scheme/path/query parsing as pure parse_url
+    expressions, zero Python).  Aggregated to the feature-combination
+    grain so the contract row is stable and small; the oracle derives
+    every feature by construction arithmetic, independently of any
+    string parsing."""
+    from pandera_spark.operators.weburl import url_features
+
+    urls = _doc_urls(_load(spark, sf_dir, "documents"))
+    out = url_features(urls, "url")
+    return (
+        out.groupBy(
+            F.col("url_is_https").alias("https"),
+            F.col("url_has_tracking").alias("track"),
+            F.col("url_path_depth").alias("depth"),
+            F.col("url_n_params").alias("nparams"),
+            F.col("url_host_labels").alias("labels"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_URLFEATURES_ORACLE = """
+SELECT doc_id % 5 <> 0 AS https,
+       doc_id % 2 = 0 AS track,
+       CAST(CASE WHEN doc_id % 6 = 0 THEN 3 ELSE 1 END AS INT) AS depth,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS INT) AS nparams,
+       CAST(2 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS INT)
+         AS labels,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def q_srm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate over the five event types with an
+    equal expected allocation (operators/abtest.py:srm_check): ONE
+    5-row hash aggregation + a literal-CASE weight lookup; every
+    statistic input is a count, so the goodness-of-fit chi-square is
+    exact cross-engine."""
+    from pandera_spark.operators.abtest import srm_check
+
+    ev = _load(spark, sf_dir, "events")
+    out = srm_check(
+        ev, "event_type",
+        {"click": 1, "view": 1, "purchase": 1, "signup": 1, "error": 1},
+    )
+    return out.select(
+        "k", "n",
+        F.round("chi2_stat", 6).alias("chi2_r"),
+        "dof",
+        F.round("pvalue", 6).alias("p_r"),
+        F.round("max_share_dev", 6).alias("dev_r"),
+    )
+
+
+def _srm_oracle() -> str:
+    z = (
+        "((POW(chi2 / 4.0, 1.0/3.0) - (1 - 2 / (9 * 4.0)))"
+        " / SQRT(2 / (9 * 4.0)))"
+    )
+    return f"""
+WITH c AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS o
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+  GROUP BY event_type
+), tot AS (
+  SELECT SUM(o) AS tn FROM c
+), a AS (
+  SELECT CAST(tot.tn AS BIGINT) AS n,
+         SUM(o * o / 0.2) AS s,
+         MAX(ABS(o / tot.tn - 0.2)) AS dev
+  FROM c, tot GROUP BY tot.tn
+), t AS (
+  SELECT n, GREATEST(0.0, s / n - n) AS chi2, dev FROM a
+)
+SELECT CAST(5 AS BIGINT) AS k, n,
+       ROUND(chi2, 6) AS chi2_r, CAST(4 AS BIGINT) AS dof,
+       ROUND(CASE WHEN n > 0 THEN {_norm_sf_sql(z)} END, 6) AS p_r,
+       ROUND(dev, 6) AS dev_r
+FROM t
+"""
+
+
+def q_tost_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence readout between click and view values at
+    margin ±5 (operators/abtest.py:tost_equivalence): Schuirmann's
+    two one-sided Welch z tests from ONE conditional-aggregate scan —
+    evidence-of-absence companion to the ttest rows."""
+    from pandera_spark.operators.abtest import tost_equivalence
+
+    ev = _load(spark, sf_dir, "events")
+    out = tost_equivalence(
+        ev, "value", "event_type", "click", "view", margin=5.0
+    )
+    return out.select(
+        "n_a", "n_b",
+        F.round("mean_diff", 6).alias("diff_r"),
+        F.round("se", 6).alias("se_r"),
+        F.round("z_lower", 6).alias("zl_r"),
+        F.round("z_upper", 6).alias("zu_r"),
+        F.round("p_tost", 6).alias("p_r"),
+    )
+
+
+def _tost_oracle() -> str:
+    p_lo = _norm_sf_sql("zl")
+    p_up = _norm_sf_sql("(-zu)")
+    return f"""
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) AS x, event_type = 'click' AS ga
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+), a AS (
+  SELECT CAST(COUNT(*) FILTER (ga) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (NOT ga) AS BIGINT) AS n_b,
+         AVG(x) FILTER (ga) AS ma, AVG(x) FILTER (NOT ga) AS mb,
+         VAR_SAMP(x) FILTER (ga) AS va, VAR_SAMP(x) FILTER (NOT ga) AS vb
+  FROM s
+), d AS (
+  SELECT n_a, n_b, ma - mb AS diff,
+         CASE WHEN n_a > 1 AND n_b > 1
+                   AND va IS NOT NULL AND vb IS NOT NULL
+              THEN SQRT(va / n_a + vb / n_b) END AS se
+  FROM a
+), z AS (
+  SELECT n_a, n_b, diff, se,
+         CASE WHEN se > 0 THEN (diff + 5.0) / se END AS zl,
+         CASE WHEN se > 0 THEN (diff - 5.0) / se END AS zu
+  FROM d
+)
+SELECT n_a, n_b, ROUND(diff, 6) AS diff_r, ROUND(se, 6) AS se_r,
+       ROUND(zl, 6) AS zl_r, ROUND(zu, 6) AS zu_r,
+       ROUND(GREATEST({p_lo}, {p_up}), 6) AS p_r
+FROM z
 """
 
 
@@ -11350,53 +11614,52 @@ FROM c
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
 # list rotates the driver's window onto the rows that most need
-# (re-)certification (VERDICT r3 item 6 / r4 item 3).  r7 leads with
-# validate_lineitem (the flagship stays first), then the three privacy
-# rows deferred from r6's capped window (the only queries never
-# driver-certified entering this round), then every row NEW in r7;
-# remaining slots fill from base order (all already driver-certified
-# at least once, CORRECTNESS_r01–r06 cumulative).
-_R9_DRIVER_WINDOW = [
+# (re-)certification (VERDICT r3 item 6 / r4 item 3).  The rotation
+# ledger is now COMPUTED, not hand-maintained: scripts/staleness.py
+# recomputes per-row last-certified round from the CORRECTNESS_r*.json
+# union and emits the mandatory catch-up list; tests/test_driver_window.py
+# asserts this committed window actually contains every row that would
+# exceed the <=5-round staleness bound (VERDICT r9 item 2).  r10 leads
+# with the flagship, then the 5 rows NEW this round (never certified
+# outranks re-certification), then ALL 34 rows last certified in r4
+# (the ledger's mandatory list — they would hit staleness 6 if skipped),
+# then the first 9 of the 21 r5 rows (at the bound; ledger filler order).
+_R10_DRIVER_WINDOW = [
     "validate_lineitem",
-    # new in r9 (never driver-certified): the isotonic PAV oracle
-    # conversion (VERDICT r8 item 3) + the robustness tier
-    "isotonic_events", "levene_events", "effectsize_events",
-    "hhi_lineitem", "pmi_documents", "permtest_events",
-    "kendall_lineitem", "yuen_events", "mediantest_events",
-    # catch-up rotation (VERDICT r8 item 1 — the binding constraint is
-    # evidence freshness): ALL rows last driver-certified in r2 ...
-    "decorator_orders", "defaults_customer", "parser_orders",
-    "yaml_roundtrip_orders",
-    # ... ALL rows last driver-certified in r3 ...
-    "asof_events", "asof_tol_events", "charbins_documents",
-    "contamination_documents", "curate_documents",
-    "dedup_apply_documents", "dedup_clusters_embeddings",
-    "frame_samples_documents", "ivf_ann_embeddings",
-    "lang_id_documents", "lsh_ann_embeddings", "media_stats_documents",
-    "neardup_embeddings", "outliers_embeddings", "pii_documents",
-    "range_pairs_events", "repetition_documents",
-    "rollup_daily_events", "rollup_events", "salted_agg_events",
-    "sessions_events", "split_documents", "validate_embeddings",
-    # ... and 14 of the 47 r4 rows (composites + the LSH variance
-    # family flagged for re-measure in VERDICT r8 item 2, so the
-    # driver's own timings refresh alongside the certification; the
-    # 33 remaining r4 rows sit at exactly 5 rounds staleness and lead
-    # the r10 rotation)
-    "pipeline_documents", "semantic_dedup_documents",
-    "doc_knn_documents", "doc_mutual_documents",
-    "incremental_dedup_documents", "leakage_split_documents",
-    "star_report", "observe_lineitem", "bm25_documents",
-    "linededup_documents", "psi_documents", "ks_events",
-    "json_events",
+    # new in r10 (never driver-certified): the weburl curation trio +
+    # Benford / SRM / TOST screens
+    "domainstats_documents", "domaincap_documents",
+    "urlfeatures_documents", "srm_events", "tost_events",
+    # mandatory catch-up: every row last driver-certified in r4
+    # (scripts/staleness.py --round 10 "mandatory"; staleness-then-name
+    # order)
+    "anomalies_events", "chunk_neardup_documents",
+    "chunk_stats_documents", "containment_pairs_documents",
+    "corr_lineitem", "datefmt_orders", "drift_events",
+    "drift_report_events", "editdist_documents", "entropy_documents",
+    "funnel_events", "funnel_window_events", "gopher_documents",
+    "hashembed_documents", "hybrid_neardup_documents",
+    "index_search_documents", "join_card_lineitem",
+    "knn_graph_embeddings", "lmscore_documents", "lsh_recall_embeddings",
+    "mlscore_documents", "mutual_knn_embeddings", "nbclassify_documents",
+    "psi_timeline_events", "rerank_documents", "retention_events",
+    "retention_week_events", "session_funnel_events", "skew_events",
+    "strict_filter_orders", "term_stats_documents", "transitions_events",
+    "ttest1_events", "zorder_events",
+    # filler: the first 10 rows of the r5 pool (at the staleness bound)
+    "annotate_lineitem", "balanced_shards_documents", "bigram_documents",
+    "bloom_documents", "card_documents", "chunks_documents",
+    "diff_documents", "groupwise_lineitem", "interleave_documents",
+    "markup_scrub_documents",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_unordered()
-    missing = [k for k in _R9_DRIVER_WINDOW if k not in base]
+    missing = [k for k in _R10_DRIVER_WINDOW if k not in base]
     assert not missing, f"driver window names unknown queries: {missing}"
-    rest = [k for k in base if k not in set(_R9_DRIVER_WINDOW)]
-    return {k: base[k] for k in [*_R9_DRIVER_WINDOW, *rest]}
+    rest = [k for k in base if k not in set(_R10_DRIVER_WINDOW)]
+    return {k: base[k] for k in [*_R10_DRIVER_WINDOW, *rest]}
 
 
 def _queries_unordered() -> dict[
@@ -11460,6 +11723,11 @@ def _queries_unordered() -> dict[
         "levene_events": q_levene_events,
         "effectsize_events": q_effectsize_events,
         "hhi_lineitem": q_hhi_lineitem,
+        "domainstats_documents": q_domainstats_documents,
+        "domaincap_documents": q_domaincap_documents,
+        "urlfeatures_documents": q_urlfeatures_documents,
+        "srm_events": q_srm_events,
+        "tost_events": q_tost_events,
         "pmi_documents": q_pmi_documents,
         "permtest_events": q_permtest_events,
         "kendall_lineitem": q_kendall_lineitem,
@@ -11929,6 +12197,11 @@ FROM ranked WHERE rank <= 5
         "levene_events": _LEVENE_ORACLE,
         "effectsize_events": _EFFECTSIZE_ORACLE,
         "hhi_lineitem": _HHI_ORACLE,
+        "domainstats_documents": _DOMAINSTATS_ORACLE,
+        "domaincap_documents": _domaincap_oracle(),
+        "urlfeatures_documents": _URLFEATURES_ORACLE,
+        "srm_events": _srm_oracle(),
+        "tost_events": _tost_oracle(),
         "pmi_documents": _PMI_ORACLE,
         "permtest_events": _permtest_oracle(),
         "kendall_lineitem": _KENDALL_ORACLE,

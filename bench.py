@@ -62,13 +62,35 @@ HEAVY_QUERIES = {
 }
 
 
+# machine-state canary (VERDICT r9 item 3): one cheap fixed query timed
+# SINGLE-RUN at bench start / middle / end.  Driver-round totals have
+# shown uniform 15-30% inflation vs quiet-machine runs on identical
+# trees; the canary's three absolute timings let the judge divide load
+# out of a round delta instead of burning a re-measurement round-trip.
+CANARY_QUERY = "validate_orders"
+
+
+def _time_canary(spark, qs, sf_dir) -> float:
+    t0 = time.perf_counter()
+    try:
+        qs[CANARY_QUERY](spark, sf_dir).count()
+    except Exception:  # noqa: BLE001 — canary must never fail the bench
+        return -1.0
+    spark.catalog.clearCache()
+    return round(time.perf_counter() - t0, 4)
+
+
 def run_queries(spark, qs, sf_dir, runs):
     """Best-of-N timing per query; a failing query is recorded in the
     errors dict and never aborts the rest of the set."""
     timings: dict[str, float] = {}
     run_counts: dict[str, int] = {}
     errors: dict[str, str] = {}
-    for name, fn in qs.items():
+    canary: list[float] = [_time_canary(spark, qs, sf_dir)]
+    midpoint = len(qs) // 2
+    for i, (name, fn) in enumerate(qs.items()):
+        if i == midpoint:
+            canary.append(_time_canary(spark, qs, sf_dir))
         best = float("inf")
         n_runs = max(runs, 3) if name in HEAVY_QUERIES else runs
         for _ in range(n_runs):
@@ -83,7 +105,8 @@ def run_queries(spark, qs, sf_dir, runs):
         if name not in errors:
             timings[name] = round(best, 4)
             run_counts[name] = n_runs
-    return timings, run_counts, errors
+    canary.append(_time_canary(spark, qs, sf_dir))
+    return timings, run_counts, errors, canary
 
 
 def main() -> None:
@@ -119,7 +142,7 @@ def main() -> None:
     # best of N runs per query: absorbs shared-VM noise (observed ±20%
     # run-to-run on identical plans); N=2 keeps total wall bounded
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings, run_counts, errors = run_queries(
+    timings, run_counts, errors, canary = run_queries(
         spark, entrymod.queries(), sf_dir, runs
     )
 
@@ -138,6 +161,10 @@ def main() -> None:
         "queries": timings,
         "run_counts": run_counts,
         "errors": errors,
+        # single-run timings of CANARY_QUERY at [start, middle, end] —
+        # compare against its best-of-N entry in "queries" (and the
+        # BASELINE ledger) to read the machine-load factor of this run
+        "canary": {"query": CANARY_QUERY, "timings": canary},
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -153,6 +180,7 @@ def main() -> None:
         "runs_per_query": runs,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "canary": canary,
         "detail": "BENCH_DETAIL.json",
     }
     if errors:

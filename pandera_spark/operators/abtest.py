@@ -37,6 +37,8 @@ __all__ = [
     "did_ztest",
     "ipw_ate",
     "effect_size",
+    "srm_check",
+    "tost_equivalence",
 ]
 
 
@@ -455,4 +457,143 @@ def effect_size(
         d.alias("cohens_d"),
         (d * corr).alias("hedges_g"),
         F.when(vb > 0, va / vb).alias("var_ratio"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    expected: "dict[object, float]",
+) -> DataFrame:
+    """Sample-ratio-mismatch check: are the assignment counts of
+    ``group_col`` consistent with the ``expected`` allocation weights?
+    The first gate of every experiment readout — a significant SRM
+    means the randomization (or logging) is broken and every downstream
+    metric is untrustworthy, so run this BEFORE the t/z rows.
+
+    ``expected`` maps group level → weight (weights are normalized, so
+    ``{"a": 1, "b": 1}`` means 50/50).  Levels not in ``expected`` are
+    ignored (document why, or they hide bugs).  One row:
+    ``k, n, chi2_stat, dof, pvalue, max_share_dev`` — Pearson χ²
+    goodness-of-fit via the margin-collapsed ``Σ o_g²/(n·w_g) − n``
+    (an expected level with zero observed rows contributes its full
+    expectation through the identity; no synthetic rows needed) and the
+    largest |observed − expected| share across observed levels.
+
+    ONE k-row hash aggregation over the data, then a k-row fold; the
+    weight lookup is a literal CASE, so everything is a JVM expression
+    and an external SQL oracle replays it exactly (counts are integers).
+    """
+    from pyspark.sql import Window
+
+    if not expected or any(w <= 0 for w in expected.values()):
+        raise ValueError("expected must map levels to positive weights")
+    total_w = float(sum(expected.values()))
+    levels = list(expected)
+    g = F.col(group_col)
+    w_expr = None
+    for lv in levels:
+        cond = g == F.lit(lv)
+        wv = F.lit(expected[lv] / total_w)
+        w_expr = F.when(cond, wv) if w_expr is None else w_expr.when(
+            cond, wv
+        )
+    cnt = (
+        df.where(g.isin(levels))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+        .select(
+            F.col("__o"),
+            w_expr.alias("__w"),
+            (
+                F.col("__o") / F.sum("__o").over(Window.partitionBy())
+            ).alias("__share"),
+        )
+    )
+    agg = cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("k_observed"),
+        F.sum("__o").cast("long").alias("n"),
+        F.sum(F.col("__o").cast("double") ** 2 / F.col("__w"))
+        .alias("__s"),
+        F.max(F.abs(F.col("__share") - F.col("__w")))
+        .alias("max_share_dev"),
+    )
+    nD = F.col("n").cast("double")
+    dof = len(levels) - 1
+    chi2 = F.greatest(F.lit(0.0), F.col("__s") / nD - nD)
+    from .stats import _chi2_sf_stats
+
+    return agg.select(
+        F.lit(len(levels)).cast("long").alias("k"),
+        "n",
+        chi2.alias("chi2_stat"),
+        F.lit(dof).cast("long").alias("dof"),
+        F.when(
+            (F.col("n") > 0) & (F.lit(dof) > 0), _chi2_sf_stats(chi2, dof)
+        ).alias("pvalue"),
+        "max_share_dev",
+    )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    margin: float,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Two-one-sided-tests (TOST) equivalence readout: is the mean
+    difference between the groups provably WITHIN ±``margin``?  The
+    statistic a non-inferiority launch review actually needs — a
+    non-significant t-test is absence of evidence, TOST is evidence of
+    absence.
+
+    Schuirmann's procedure with the Welch z form (large-sample normal,
+    the right approximation for event pipelines where n is thousands+):
+    ``z_lower = (diff + margin)/se`` tests H0: diff ≤ −margin,
+    ``z_upper = (diff − margin)/se`` tests H0: diff ≥ +margin, and
+    ``p_tost = max(Φ̄(z_lower), Φ(z_upper))`` — equivalence at level
+    ``alpha`` iff ``p_tost < alpha`` (equivalently the (1−2α) CI lies
+    inside ±margin).
+
+    One row: ``n_a, n_b, mean_diff, se, margin, z_lower, z_upper,
+    p_tost, equivalent``.  ONE conditional-aggregate scan (the
+    :func:`effect_size` shape); degenerate groups yield NULLs, never an
+    ANSI error.
+    """
+    if margin <= 0:
+        raise ValueError(f"margin must be > 0, got {margin}")
+    x = F.col(col).cast("double")
+    ga, gb = _is(group_col, group_a), _is(group_col, group_b)
+    base = df.where(x.isNotNull() & (ga | gb))
+    agg = base.agg(
+        F.count(F.when(ga, 1)).cast("long").alias("n_a"),
+        F.count(F.when(gb, 1)).cast("long").alias("n_b"),
+        F.avg(F.when(ga, x)).alias("__ma"),
+        F.avg(F.when(gb, x)).alias("__mb"),
+        F.var_samp(F.when(ga, x)).alias("__va"),
+        F.var_samp(F.when(gb, x)).alias("__vb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    se = F.when(
+        (na > 1) & (nb > 1)
+        & F.col("__va").isNotNull() & F.col("__vb").isNotNull(),
+        F.sqrt(F.col("__va") / na + F.col("__vb") / nb),
+    )
+    diff = F.col("__ma") - F.col("__mb")
+    z_lo = F.when(se > 0, (diff + F.lit(float(margin))) / se)
+    z_up = F.when(se > 0, (diff - F.lit(float(margin))) / se)
+    p_tost = F.greatest(_norm_sf(z_lo), _norm_sf(-z_up))
+    return agg.select(
+        "n_a", "n_b",
+        diff.alias("mean_diff"),
+        se.alias("se"),
+        F.lit(float(margin)).alias("margin"),
+        z_lo.alias("z_lower"),
+        z_up.alias("z_upper"),
+        p_tost.alias("p_tost"),
+        (p_tost < F.lit(float(alpha))).alias("equivalent"),
     )

@@ -434,12 +434,15 @@ def isotonic_calibrate(
         # s2*w1 for positive weights) — EXACT in doubles whenever
         # weights and sums are integers (0/1 labels), so the block
         # structure is replayable by the SQL minimax oracle; the mean
-        # is one division at output time, never cascaded.
+        # is one division at output time, never cascaded.  The sweep
+        # walks plain numpy arrays (the iterrows() form cost ~10× per
+        # batch for identical output).
+        vs = pdf["__s"].to_numpy(dtype=float)
+        ns = pdf["__n"].to_numpy(dtype=float)
+        ss = pdf["__sum"].to_numpy(dtype=float)
         blocks: list[list[float]] = []
-        for _, row in pdf.iterrows():
-            blocks.append(
-                [row["__s"], row["__s"], row["__n"], row["__sum"]]
-            )
+        for i in range(len(vs)):
+            blocks.append([vs[i], vs[i], ns[i], ss[i]])
             while (
                 len(blocks) >= 2
                 and blocks[-2][3] * blocks[-1][2]

@@ -697,6 +697,13 @@ def yuen_trimmed_t(
     closing two-row pivot is one conditional aggregate.  Every
     intermediate is a count or a value·count product, so an external
     SQL engine replays the statistic exactly.
+
+    Numerical caveat: the winsorized variance uses the
+    ``Σx² − (Σx)²/n`` form, which cancels catastrophically when the
+    metric's mean is huge relative to its spread (same caveat as
+    :func:`stats.anova_f`) — center large-offset metrics (subtract a
+    constant) before calling; the trimmed-mean DIFFERENCE is
+    unaffected by the shift.
     """
     if not 0.0 < trim < 0.5:
         raise ValueError(f"trim must be in (0, 0.5): {trim}")
@@ -763,8 +770,16 @@ def yuen_trimmed_t(
     )
     ha = F.col("h_a").cast("double")
     hb = F.col("h_b").cast("double")
-    da = F.col("__swv_a") * (F.col("n_a") - 1) / (ha * (ha - 1))
-    db = F.col("__swv_b") * (F.col("n_b") - 1) / (hb * (hb - 1))
+    # the h > 1 guard must wrap the d expressions THEMSELVES: a retained
+    # count of 1 makes h·(h−1) = 0, and evaluating the division inside
+    # the outer F.when condition would still raise DIVIDE_BY_ZERO under
+    # ANSI mode (conditions evaluate their branches' inputs)
+    da = F.when(
+        ha > 1, F.col("__swv_a") * (F.col("n_a") - 1) / (ha * (ha - 1))
+    )
+    db = F.when(
+        hb > 1, F.col("__swv_b") * (F.col("n_b") - 1) / (hb * (hb - 1))
+    )
     t = F.when(
         (ha > 1) & (hb > 1) & (da + db > 0),
         (F.col("tmean_a") - F.col("tmean_b")) / F.sqrt(da + db),

@@ -764,10 +764,20 @@ def herfindahl(
     map-side combine, k rows out), then the closing fold over the
     k-row frame.  Negative weights raise no error but make shares
     meaningless — filter first.
+
+    NULL weights are dropped BEFORE grouping, so ``k`` and the share
+    denominators see the same group set: a group whose weights are all
+    NULL contributes nothing (it has no measured mass), rather than
+    inflating ``k`` while being absent from ``total``.
     """
     keys = _by(by)
-    w = F.lit(1.0) if weight is None else weight.cast("double")
-    grp = df.groupBy(*keys).agg(F.sum(w).alias("__w"))
+    if weight is None:
+        w = F.lit(1.0)
+        base = df
+    else:
+        w = weight.cast("double")
+        base = df.where(w.isNotNull())
+    grp = base.groupBy(*keys).agg(F.sum(w).alias("__w"))
     agg = grp.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("__w").alias("total"),
@@ -915,6 +925,7 @@ def median_test(
     Every statistic input is a count, so an external SQL engine
     replays the contingency exactly.
     """
+    from .drift import _norm_sf
     from .ranks import _chi2_sf
 
     keys = _by(by)
@@ -952,10 +963,17 @@ def median_test(
         F.greatest(F.lit(0.0), chi2).alias("chi2_stat"),
         (F.col("k") - 1).cast("long").alias("dof"),
     )
+    # dof == 1 (two groups) uses the exact χ²₁ = Z² identity instead of
+    # Wilson-Hilferty, matching _chi2_sf_stats's dispatch for every
+    # other chi-square test in this module
     return out.withColumn(
         "pvalue",
         F.when(
-            F.col("chi2_stat").isNotNull() & (F.col("dof") > 0),
+            F.col("chi2_stat").isNotNull() & (F.col("dof") == 1),
+            2.0 * _norm_sf(F.sqrt(F.col("chi2_stat"))),
+        ).when(
+            F.col("chi2_stat").isNotNull() & (F.col("dof") > 1),
             _chi2_sf(F.col("chi2_stat"), F.col("dof").cast("double")),
         ),
     )
+
