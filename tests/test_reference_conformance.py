@@ -510,6 +510,13 @@ def test_unique_values_eq_parity(spark):
 #    the nulls the failed cast produced (SCHEMA/SERIES_CONTAINS_NULLS);
 #    ours ALSO reports the cast failure itself (dtype_coercion_error) —
 #    the extra entry is dropped before compare and pinned separately.
+# 5. check-reason granularity: the reference's shared check runner stamps
+#    DATAFRAME_CHECK on EVERY check failure, column-level included
+#    (backends/pyspark/base.py:118 — even though its own enum defines
+#    SCHEMA_COMPONENT_CHECK and container.py:191 uses it when wrapping);
+#    ours distinguishes schema_component_check (column-scoped) from
+#    dataframe_check.  Strictly more informative on our side — folded to
+#    DATAFRAME_CHECK before compare, pinned separately in the model lane.
 
 _CONTAINER_SCOPED = {"COLUMN_NOT_IN_SCHEMA", "COLUMN_NOT_ORDERED",
                      "DUPLICATES"}
@@ -521,7 +528,12 @@ def _norm_report(errs: dict, ours: bool) -> dict:
     # summarizes by member NAME and ours by member value; WRONG_DATATYPE
     # is the one member whose value ("wrong_dtype") doesn't round-trip
     # through upper()
-    alias = {"WRONG_DTYPE": "WRONG_DATATYPE"}
+    alias = {
+        "WRONG_DTYPE": "WRONG_DATATYPE",
+        # divergence 5: our column-scoped check reason folds to the
+        # reference's flattened DATAFRAME_CHECK
+        "SCHEMA_COMPONENT_CHECK": "DATAFRAME_CHECK",
+    }
     for cat, reasons in (errs or {}).items():
         for reason, entries in reasons.items():
             R = str(reason).upper()
@@ -675,3 +687,201 @@ def test_container_error_dict_parity(spark, case):
     if case is container_case_coerce_failure:
         # divergence 3 pinned: the superset entry exists on our side
         assert "dtype_coercion_error" in our_errs.get("SCHEMA", {})
+
+
+# -- model-API error-dict equality (VERDICT r9 item 6) -----------------------
+#
+# The same container shapes driven through the DataFrameModel lane on BOTH
+# engines: class-declared Fields + Config, validated via Model.validate
+# (reference pandera/api/pyspark/model.py:127-150 routes through
+# cls.to_schema().validate, so this pins the annotation->FieldInfo->schema
+# translation as well as the report dict).  Normalizations are the same
+# three documented container divergences (_norm_report).
+
+
+def _model_pair(pa_ns):
+    """Build (reference_model, our_model) pairs lazily — class bodies
+    must execute under each engine's own metaclass."""
+
+    class RefStrict(pa_ns.DataFrameModel):
+        k: T.LongType = pa_ns.Field()
+
+        class Config:
+            name = "m"
+            strict = True
+
+    class OurStrict(pandera_spark.DataFrameModel):
+        k: T.LongType = pandera_spark.Field()
+
+        class Config:
+            name = "m"
+            strict = True
+
+    class RefOrdered(pa_ns.DataFrameModel):
+        v: T.DoubleType = pa_ns.Field()
+        k: T.LongType = pa_ns.Field()
+
+        class Config:
+            name = "m"
+            ordered = True
+
+    class OurOrdered(pandera_spark.DataFrameModel):
+        v: T.DoubleType = pandera_spark.Field()
+        k: T.LongType = pandera_spark.Field()
+
+        class Config:
+            name = "m"
+            ordered = True
+
+    class RefFilter(pa_ns.DataFrameModel):
+        k: T.LongType = pa_ns.Field()
+
+        class Config:
+            name = "m"
+            strict = "filter"
+
+    class OurFilter(pandera_spark.DataFrameModel):
+        k: T.LongType = pandera_spark.Field()
+
+        class Config:
+            name = "m"
+            strict = "filter"
+
+    class RefUnique(pa_ns.DataFrameModel):
+        k: T.LongType = pa_ns.Field()
+        g: T.StringType = pa_ns.Field()
+
+        class Config:
+            name = "m"
+            unique = ["k", "g"]
+
+    class OurUnique(pandera_spark.DataFrameModel):
+        k: T.LongType = pandera_spark.Field()
+        g: T.StringType = pandera_spark.Field()
+
+        class Config:
+            name = "m"
+            unique = ["k", "g"]
+
+    class RefMissing(pa_ns.DataFrameModel):
+        k: T.LongType = pa_ns.Field()
+        gone: T.StringType = pa_ns.Field()
+
+        class Config:
+            name = "m"
+
+    class OurMissing(pandera_spark.DataFrameModel):
+        k: T.LongType = pandera_spark.Field()
+        gone: T.StringType = pandera_spark.Field()
+
+        class Config:
+            name = "m"
+
+    class RefDtype(pa_ns.DataFrameModel):
+        k: T.LongType = pa_ns.Field()
+
+        class Config:
+            name = "m"
+
+    class OurDtype(pandera_spark.DataFrameModel):
+        k: T.LongType = pandera_spark.Field()
+
+        class Config:
+            name = "m"
+
+    class RefNulls(pa_ns.DataFrameModel):
+        k: T.LongType = pa_ns.Field(nullable=False)
+
+        class Config:
+            name = "m"
+
+    class OurNulls(pandera_spark.DataFrameModel):
+        k: T.LongType = pandera_spark.Field(nullable=False)
+
+        class Config:
+            name = "m"
+
+    class RefCoerce(pa_ns.DataFrameModel):
+        k: T.LongType = pa_ns.Field(nullable=False)
+
+        class Config:
+            name = "m"
+            coerce = True
+
+    class OurCoerce(pandera_spark.DataFrameModel):
+        k: T.LongType = pandera_spark.Field(nullable=False)
+
+        class Config:
+            name = "m"
+            coerce = True
+
+    class RefFieldCheck(pa_ns.DataFrameModel):
+        k: T.LongType = pa_ns.Field(gt=5)
+
+        class Config:
+            name = "m"
+
+    class OurFieldCheck(pandera_spark.DataFrameModel):
+        k: T.LongType = pandera_spark.Field(gt=5)
+
+        class Config:
+            name = "m"
+
+    return {
+        "strict_extra": ([(1, "x")], "k long, extra string",
+                         RefStrict, OurStrict),
+        "ordered": ([(1, 2.0)], "k long, v double",
+                    RefOrdered, OurOrdered),
+        "strict_filter": ([(1, "x")], "k long, extra string",
+                          RefFilter, OurFilter),
+        "joint_unique": ([(1, "a"), (1, "a"), (2, "b")],
+                         "k long, g string", RefUnique, OurUnique),
+        "missing_column": ([(1,)], "k long", RefMissing, OurMissing),
+        "wrong_dtype": ([(1.5,)], "k double", RefDtype, OurDtype),
+        "nulls": ([(None,), (1,)], "k long", RefNulls, OurNulls),
+        "coerce_failure": ([("xx",), ("3",)], "k string",
+                           RefCoerce, OurCoerce),
+        "field_check": ([(3,), (9,)], "k long",
+                        RefFieldCheck, OurFieldCheck),
+    }
+
+
+MODEL_CASE_IDS = [
+    "strict_extra", "ordered", "strict_filter", "joint_unique",
+    "missing_column", "wrong_dtype", "nulls", "coerce_failure",
+    "field_check",
+]
+
+
+@pytest.mark.parametrize("case_id", MODEL_CASE_IDS)
+def test_model_error_dict_parity(spark, case_id):
+    rows, ddl, ref_model, our_model = _model_pair(pa)[case_id]
+    df = spark.createDataFrame(rows, ddl)
+    original = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        ref_errs, ref_cols = _ref_report(ref_model, df)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", original)
+    out = our_model.validate(df)
+    our_errs = out.pandera.errors
+    if case_id == "ordered" and not ref_errs:
+        # same reference set-order bug as the container lane
+        # (divergence 4): accept the reference's coin-flip miss and pin
+        # our deterministic verdict
+        assert "column_not_ordered" in our_errs.get("SCHEMA", {})
+        return
+    assert _norm_report(our_errs, ours=True) == _norm_report(
+        ref_errs, ours=False
+    ), f"ours={our_errs} ref={ref_errs}"
+    if case_id == "strict_filter":
+        assert ref_cols == out.columns == ["k"]
+        assert not ref_errs and not our_errs
+    if case_id == "coerce_failure":
+        assert "dtype_coercion_error" in our_errs.get("SCHEMA", {})
+    if case_id == "field_check":
+        # the Field(gt=5) annotation produced a real DATA check on both;
+        # divergence 5 pinned: ours keeps the column-scoped reason the
+        # reference's runner flattens away
+        assert "schema_component_check" in our_errs["DATA"]
+        assert "DATAFRAME_CHECK" in ref_errs["DATA"]
