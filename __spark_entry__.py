@@ -11405,10 +11405,11 @@ _URL_HOST_SQL = (
 def q_domainstats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus rollup (operators/weburl.py:
     domain_stats): parse_url host extraction + expression-only
-    public-suffix match, ONE domain-keyed aggregation (map-side
-    combined — the shuffle carries one row per (task, domain) at any
-    corpus size), share via a window over the already-domain-sized
-    frame."""
+    public-suffix match, ONE domain-keyed aggregation with EXACT
+    n_hosts (two-phase agg on the (domain, host) grain — required for
+    oracle hash parity; the crawl-scale path is approx_hosts=True,
+    which drops the shuffle to one row per (task, domain)), share via
+    a window over the already-domain-sized frame."""
     from pandera_spark.operators.weburl import domain_stats
 
     urls = _doc_urls(_load(spark, sf_dir, "documents"))
@@ -11623,7 +11624,8 @@ FROM z
 # with the flagship, then the 5 rows NEW this round (never certified
 # outranks re-certification), then ALL 34 rows last certified in r4
 # (the ledger's mandatory list — they would hit staleness 6 if skipped),
-# then the first 9 of the 21 r5 rows (at the bound; ledger filler order).
+# then the first 10 of the 21 r5 rows (at the bound; ledger filler
+# order) — 11 r5 rows remain and lead the r11 rotation.
 _R10_DRIVER_WINDOW = [
     "validate_lineitem",
     # new in r10 (never driver-certified): the weburl curation trio +

@@ -476,13 +476,16 @@ def srm_check(
     ignored (document why, or they hide bugs).  One row:
     ``k, n, chi2_stat, dof, pvalue, max_share_dev`` — Pearson χ²
     goodness-of-fit via the margin-collapsed ``Σ o_g²/(n·w_g) − n``
-    (an expected level with zero observed rows contributes its full
-    expectation through the identity; no synthetic rows needed) and the
-    largest |observed − expected| share across observed levels.
+    and the largest |observed − expected| share across ALL expected
+    levels: an arm with zero observed rows is the worst possible
+    mismatch and must dominate the dev readout, so the k observed
+    counts are right-joined onto the expected-level spine (a k-row
+    literal relation) before the fold.
 
-    ONE k-row hash aggregation over the data, then a k-row fold; the
-    weight lookup is a literal CASE, so everything is a JVM expression
-    and an external SQL oracle replays it exactly (counts are integers).
+    ONE k-row hash aggregation over the data, then a k-row
+    broadcast-spine join and fold — everything is a JVM expression
+    and an external SQL oracle replays it exactly (counts are
+    integers).
     """
     from pyspark.sql import Window
 
@@ -491,31 +494,40 @@ def srm_check(
     total_w = float(sum(expected.values()))
     levels = list(expected)
     g = F.col(group_col)
-    w_expr = None
-    for lv in levels:
-        cond = g == F.lit(lv)
-        wv = F.lit(expected[lv] / total_w)
-        w_expr = F.when(cond, wv) if w_expr is None else w_expr.when(
-            cond, wv
-        )
     cnt = (
         df.where(g.isin(levels))
-        .groupBy(group_col)
+        .groupBy(g.alias("__lv"))
         .agg(F.count(F.lit(1)).cast("long").alias("__o"))
-        .select(
-            F.col("__o"),
-            w_expr.alias("__w"),
-            (
-                F.col("__o") / F.sum("__o").over(Window.partitionBy())
-            ).alias("__share"),
-        )
     )
-    agg = cnt.agg(
-        F.count(F.lit(1)).cast("long").alias("k_observed"),
+    # expected-level spine: one local row exploded to k (level, weight)
+    # rows, so zero-observed arms still contribute a share of 0
+    spine = df.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(lv).alias("__lv"),
+                    F.lit(expected[lv] / total_w).alias("__w"),
+                )
+                for lv in levels
+            ])
+        ).alias("__e")
+    ).select("__e.*")
+    joined = spine.join(F.broadcast(cnt), on="__lv", how="left").select(
+        F.coalesce(F.col("__o"), F.lit(0)).cast("long").alias("__o"),
+        F.col("__w"),
+    )
+    shared = joined.select(
+        "__o", "__w",
+        F.try_divide(
+            F.col("__o").cast("double"),
+            F.sum("__o").over(Window.partitionBy()).cast("double"),
+        ).alias("__share"),
+    )
+    agg = shared.agg(
         F.sum("__o").cast("long").alias("n"),
         F.sum(F.col("__o").cast("double") ** 2 / F.col("__w"))
         .alias("__s"),
-        F.max(F.abs(F.col("__share") - F.col("__w")))
+        F.max(F.abs(F.coalesce(F.col("__share"), F.lit(0.0)) - F.col("__w")))
         .alias("max_share_dev"),
     )
     nD = F.col("n").cast("double")

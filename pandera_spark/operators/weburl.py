@@ -188,25 +188,37 @@ def domain_stats(
     *,
     quality_col: Optional[str] = None,
     suffixes: Sequence[str] = DEFAULT_SUFFIXES,
+    approx_hosts: bool = False,
 ) -> DataFrame:
     """Per-registrable-domain corpus rollup.
 
     One row per domain: ``domain, n_docs, n_hosts, share`` plus
     ``mean_quality`` when ``quality_col`` is given.  Malformed URLs
     (NULL host) land in the NULL-domain row so nothing is silently
-    dropped.  ONE aggregation keyed by domain (approx_count_distinct
-    for hosts keeps the shuffle row per (task, domain)); ``share`` is
-    a window-free broadcast of the 1-row total via a scalar subquery
-    shape — implemented as a sum-over-window on an already domain-sized
-    frame, so it costs one exchange of the DOMAIN frame, never the
-    data.
+    dropped.  ONE aggregation keyed by domain; ``share`` is a
+    sum-over-window on the already domain-sized frame, so it costs one
+    exchange of the DOMAIN frame, never the data.
+
+    ``n_hosts`` defaults to EXACT ``countDistinct`` — Spark plans a
+    two-phase aggregate keyed by (domain, host), so the shuffle
+    carries one row per distinct (task, domain, host): correct at any
+    size but it scales with distinct HOSTS.  For crawl-scale corpora
+    (the 100 TB / 10M-domain case) pass ``approx_hosts=True``:
+    ``approx_count_distinct`` merges HLL sketches map-side and the
+    shuffle drops back to one row per (task, domain), at ±2-3%
+    relative error on the host count (docs/share/quality stay exact).
     """
     url = F.col(url_col)
     host = url_host(url)
     dom = registrable_domain(host, suffixes)
+    n_hosts = (
+        F.approx_count_distinct(F.col("__host"))
+        if approx_hosts
+        else F.countDistinct(F.col("__host"))
+    )
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.countDistinct(F.col("__host")).cast("long").alias("n_hosts"),
+        n_hosts.cast("long").alias("n_hosts"),
     ]
     if quality_col is not None:
         aggs.append(F.avg(F.col(quality_col)).alias("mean_quality"))

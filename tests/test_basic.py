@@ -674,9 +674,12 @@ def test_bench_isolates_query_failures(spark, tmp_path):
         "boom": lambda s, d: (_ for _ in ()).throw(ValueError("injected")),
         "ok2": lambda s, d: s.range(3),
     }
-    timings, run_counts, errors = bench.run_queries(
+    timings, run_counts, errors, canary = bench.run_queries(
         spark, qs, str(tmp_path), runs=1
     )
     assert set(timings) == {"ok", "ok2"}
     assert run_counts == {"ok": 1, "ok2": 1}
     assert list(errors) == ["boom"] and "injected" in errors["boom"]
+    # the canary query is absent from this synthetic set: all three
+    # probes must degrade to the -1 sentinel, never raise
+    assert canary == [-1.0, -1.0, -1.0]

@@ -114,6 +114,16 @@ class TestDomainStatsAndCap:
         assert abs(out["example.com"]["share"] - 0.8) < 1e-12
         assert abs(out["example.com"]["mean_quality"] - 3.5) < 1e-12
 
+    def test_domain_stats_approx_hosts(self, spark):
+        rows = [
+            (i, f"https://h{i % 3}.example.com/p", float(i))
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(rows, "id long, url string, q double")
+        out = domain_stats(df, "url", approx_hosts=True).collect()[0]
+        # HLL is exact at this cardinality; docs/share stay exact
+        assert out["n_hosts"] == 3 and out["n_docs"] == 8
+
     def test_domain_cap_deterministic(self, spark):
         rows = [
             (i, f"https://x.dom{i % 4}.com/p") for i in range(200)
@@ -177,6 +187,19 @@ class TestSrmCheck:
         df = spark.createDataFrame(rows, "g string")
         r = srm_check(df, "g", {"a": 9, "b": 1}).collect()[0]
         assert r["chi2_stat"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_zero_observed_arm_dominates_dev(self, spark):
+        # a fully missing arm IS the worst mismatch: dev must read the
+        # absent arm's expected share, not the max over observed arms
+        rows = [("a",)] * 500 + [("b",)] * 500
+        df = spark.createDataFrame(rows, "g string")
+        r = srm_check(df, "g", {"a": 1, "b": 1, "c": 1}).collect()[0]
+        assert r["n"] == 1000
+        assert r["max_share_dev"] == pytest.approx(1.0 / 3.0, abs=1e-12)
+        # chi2 = sum o^2/(n w) - n = (2*500^2/(1000/3)) - 1000 = 500
+        assert r["chi2_stat"] == pytest.approx(500.0, abs=1e-9)
+        assert r["dof"] == 2
+        assert r["pvalue"] == pytest.approx(0.0, abs=1e-9)
 
     def test_bad_weights_raise(self, spark):
         df = spark.createDataFrame([("a",)], "g string")
