@@ -1588,16 +1588,25 @@ def test_sketch_bins_exact_matches_python(spark, data, k):
     n = len(xs)
 
     def q(p):
-        rank = p * (n - 1)
-        lo, frac = int(rank), rank - int(rank)
-        # Spark's Percentile uses the ADDITIVE form lo + (hi-lo)*frac;
-        # the mix form lo*(1-f) + hi*f differs in the last ulp when
-        # both neighbors are equal (hypothesis-found: two 0.87499s
-        # interpolate to 0.87498999... under the mix form, flipping a
-        # strictly-below edge comparison)
-        return xs[lo] if frac == 0 else (
-            xs[lo] + (xs[lo + 1] - xs[lo]) * frac
-        )
+        # Replicate Spark's Percentile source arithmetic VERBATIM:
+        # result = (higher - pos)*lowerValue + (pos - lower)*higherValue
+        # with equal-neighbor collapse (duplicates aggregate to one
+        # distinct entry, so both positions resolve to the same value
+        # and Spark returns it exactly).  Neither the pure additive
+        # form lo + (hi-lo)*frac nor the textbook mix lo*(1-f) + hi*f
+        # matches in the last ulp on BOTH hypothesis-found cases: two
+        # equal 0.87499s break the mix form (0.87498999...), while
+        # [0, 0, 1e4, 1e4-ulp] at p=0.8 breaks the additive form
+        # (9999.999999999999 vs Spark's 10000.0).  Verified against
+        # Spark over ~900 adversarial probes (duplicates, ulp
+        # neighbors, both signs) with zero mismatches.
+        import math as _m
+
+        pos = p * (n - 1)
+        lo, hi = _m.floor(pos), _m.ceil(pos)
+        if lo == hi or xs[lo] == xs[hi]:
+            return xs[lo]
+        return (hi - pos) * xs[lo] + (pos - lo) * xs[hi]
 
     edges = [q(i / k) for i in range(1, k)]
     for v in data:
