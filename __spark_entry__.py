@@ -11611,6 +11611,158 @@ FROM z
 """
 
 
+def q_prauc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision / PR-AUC readout (operators/evalmetrics.py:
+    pr_auc): floor(value) as the bounded score grain, purchase as the
+    rare-ish positive — the rare-class companion to auc rows.  ONE
+    distinct-score aggregation + one cumulative window over that
+    bounded frame; every statistic input is an integer count."""
+    from pandera_spark.operators.evalmetrics import pr_auc
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.floor("value").cast("double").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    ).where(F.col("score").isNotNull())
+    out = pr_auc(ev, "score", "label")
+    return out.select(
+        "n_pos", "n_neg",
+        F.round("prevalence", 6).alias("prev_r"),
+        F.round("average_precision", 6).alias("ap_r"),
+    )
+
+
+_PRAUC_ORACLE = """
+WITH base AS (
+  SELECT FLOOR(value) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT s, CAST(SUM(y) AS BIGINT) AS p,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM base GROUP BY s
+), c AS (
+  SELECT p,
+         SUM(p) OVER (ORDER BY s DESC) AS tp,
+         SUM(p + neg) OVER (ORDER BY s DESC) AS pp
+  FROM g
+), a AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(MAX(pp) - SUM(p) AS BIGINT) AS n_neg,
+         CAST(MAX(pp) AS BIGINT) AS total,
+         SUM(CAST(p AS DOUBLE) * tp / pp) AS ap_num
+  FROM c
+)
+SELECT n_pos, n_neg,
+       ROUND(n_pos / CAST(total AS DOUBLE), 6) AS prev_r,
+       ROUND(CASE WHEN n_pos > 0
+                  THEN ap_num / n_pos END, 6) AS ap_r
+FROM a
+"""
+
+
+def q_friedman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman repeated-measures rank test (operators/ranks.py:
+    friedman_test): do the five event types rank consistently by
+    volume across user-cohort blocks?  Cell = COUNT (integer — every
+    rank decision exact cross-engine); windows run over k-row
+    per-block partitions, never data rows; tie-corrected chi-square
+    with the shared Wilson-Hilferty p replay."""
+    from pandera_spark.operators.ranks import friedman_test
+
+    ev = _load(spark, sf_dir, "events")
+    out = friedman_test(
+        ev, F.pmod(F.col("user_id"), F.lit(50)), "event_type",
+        F.count(F.lit(1)),
+    )
+    return out.select(
+        "k", "n_blocks", "n_dropped",
+        F.round("chi2_stat", 6).alias("chi2_r"),
+        "dof",
+        F.round("pvalue", 6).alias("p_r"),
+    )
+
+
+def _friedman_oracle() -> str:
+    z = (
+        "((POW(chi2 / 4.0, 1.0/3.0) - (1 - 2 / (9 * 4.0)))"
+        " / SQRT(2 / (9 * 4.0)))"
+    )
+    return f"""
+WITH cells AS (
+  SELECT user_id % 50 AS b, event_type AS t,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), sized AS (
+  SELECT b, t, v, COUNT(*) OVER (PARTITION BY b) AS bk FROM cells
+), dropped AS (
+  SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_dropped
+  FROM sized WHERE bk <> 5
+), kept AS (
+  SELECT b, t, v FROM sized WHERE bk = 5
+), ranked AS (
+  SELECT b, t,
+         RANK() OVER (PARTITION BY b ORDER BY v)
+           + (COUNT(*) OVER (PARTITION BY b, v) - 1) / 2.0 AS r,
+         COUNT(*) OVER (PARTITION BY b, v) AS tc,
+         ROW_NUMBER() OVER (PARTITION BY b, v ORDER BY t) = 1 AS fst
+  FROM kept
+), per_t AS (
+  SELECT t, SUM(r) AS R, CAST(COUNT(*) AS BIGINT) AS nb,
+         SUM(CASE WHEN fst THEN tc * tc * tc - tc ELSE 0 END) AS ties
+  FROM ranked GROUP BY t
+), a AS (
+  SELECT CAST(MAX(nb) AS BIGINT) AS n_blocks,
+         SUM(R * R) AS r2, SUM(ties) AS tsum
+  FROM per_t
+), c AS (
+  SELECT n_blocks,
+         CASE WHEN n_blocks > 0
+                   AND 1.0 - tsum / (n_blocks * 5.0 * 120.0) > 0
+              THEN GREATEST(0.0,
+                   (12.0 / (n_blocks * 5.0 * 6.0) * r2
+                    - 3.0 * n_blocks * 6.0)
+                   / (1.0 - tsum / (n_blocks * 5.0 * 120.0)))
+         END AS chi2
+  FROM a
+)
+SELECT CAST(5 AS BIGINT) AS k, n_blocks,
+       dropped.n_dropped,
+       ROUND(chi2, 6) AS chi2_r, CAST(4 AS BIGINT) AS dof,
+       ROUND(CASE WHEN chi2 IS NOT NULL
+                  THEN {_norm_sf_sql(z)} END, 6) AS p_r
+FROM c, dropped
+"""
+
+
+def q_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week arrival profile (operators/temporal.py:
+    seasonality_profile): ONE aggregation on a 7-value key, share via
+    a window over the bucket frame.  dow is 0=Sunday (dayofweek−1 —
+    the ANSI/DuckDB convention, replayed directly by the oracle)."""
+    from pandera_spark.operators.temporal import seasonality_profile
+
+    ev = _load(spark, sf_dir, "events")
+    out = seasonality_profile(ev, "ts", grain="dow")
+    return out.select(
+        "bucket", "n",
+        F.round("share", 6).alias("share_r"),
+        F.round("dev_uniform", 6).alias("dev_r"),
+    )
+
+
+_SEASONALITY_ORACLE = """
+WITH c AS (
+  SELECT CAST(dayofweek(ts) AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT bucket, n,
+       ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share_r,
+       ROUND(n / CAST(SUM(n) OVER () AS DOUBLE) - 1.0 / 7.0, 6) AS dev_r
+FROM c
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -11621,17 +11773,20 @@ FROM z
 # union and emits the mandatory catch-up list; tests/test_driver_window.py
 # asserts this committed window actually contains every row that would
 # exceed the <=5-round staleness bound (VERDICT r9 item 2).  r10 leads
-# with the flagship, then the 5 rows NEW this round (never certified
+# with the flagship, then the 8 rows NEW this round (never certified
 # outranks re-certification), then ALL 34 rows last certified in r4
 # (the ledger's mandatory list — they would hit staleness 6 if skipped),
-# then the first 10 of the 21 r5 rows (at the bound; ledger filler
-# order) — 11 r5 rows remain and lead the r11 rotation.
+# then the first 7 of the 21 r5 rows (at the bound; ledger filler
+# order) — 14 r5 rows remain and lead the r11 rotation.  44 of the 50
+# slots were re-certification before the second new-row batch landed;
+# 41 still are (>= 35 required).
 _R10_DRIVER_WINDOW = [
     "validate_lineitem",
     # new in r10 (never driver-certified): the weburl curation trio +
     # Benford / SRM / TOST screens
     "domainstats_documents", "domaincap_documents",
     "urlfeatures_documents", "srm_events", "tost_events",
+    "prauc_events", "friedman_events", "seasonality_events",
     # mandatory catch-up: every row last driver-certified in r4
     # (scripts/staleness.py --round 10 "mandatory"; staleness-then-name
     # order)
@@ -11648,11 +11803,10 @@ _R10_DRIVER_WINDOW = [
     "retention_week_events", "session_funnel_events", "skew_events",
     "strict_filter_orders", "term_stats_documents", "transitions_events",
     "ttest1_events", "zorder_events",
-    # filler: the first 10 rows of the r5 pool (at the staleness bound)
+    # filler: the first 7 rows of the r5 pool (at the staleness bound)
     "annotate_lineitem", "balanced_shards_documents", "bigram_documents",
     "bloom_documents", "card_documents", "chunks_documents",
-    "diff_documents", "groupwise_lineitem", "interleave_documents",
-    "markup_scrub_documents",
+    "diff_documents",
 ]
 
 
@@ -11730,6 +11884,9 @@ def _queries_unordered() -> dict[
         "urlfeatures_documents": q_urlfeatures_documents,
         "srm_events": q_srm_events,
         "tost_events": q_tost_events,
+        "prauc_events": q_prauc_events,
+        "friedman_events": q_friedman_events,
+        "seasonality_events": q_seasonality_events,
         "pmi_documents": q_pmi_documents,
         "permtest_events": q_permtest_events,
         "kendall_lineitem": q_kendall_lineitem,
@@ -12204,6 +12361,9 @@ FROM ranked WHERE rank <= 5
         "urlfeatures_documents": _URLFEATURES_ORACLE,
         "srm_events": _srm_oracle(),
         "tost_events": _tost_oracle(),
+        "prauc_events": _PRAUC_ORACLE,
+        "friedman_events": _friedman_oracle(),
+        "seasonality_events": _SEASONALITY_ORACLE,
         "pmi_documents": _PMI_ORACLE,
         "permtest_events": _permtest_oracle(),
         "kendall_lineitem": _KENDALL_ORACLE,

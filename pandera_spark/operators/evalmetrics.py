@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "binary_auc",
+    "pr_auc",
     "confusion_report",
     "calibration_bins",
     "fit_conformal",
@@ -585,4 +586,57 @@ def calibration_summary(
     )
     return brier.crossJoin(F.broadcast(ece)).select(
         "n", "brier", "ece", "mce"
+    )
+
+
+def pr_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """One row ``(n_pos, n_neg, prevalence, average_precision)``.
+
+    Average precision (the step-interpolated area under the
+    precision-recall curve, sklearn's ``average_precision_score``
+    convention): thresholds at every DISTINCT score descending,
+    ``AP = Σ_t (R_t − R_{t−1}) · P_t`` with tie groups entering as one
+    threshold.  The right headline for rare-positive filter models,
+    where ROC-AUC saturates (compare ``prevalence`` — the
+    always-positive baseline — not 0.5).
+
+    Same scale shape as :func:`binary_auc`: ONE shuffle collapses to
+    the distinct-score grain, one cumulative window over that bounded
+    frame, one closing fold.  Every input to the statistic is an
+    integer count, so an external SQL engine replays it exactly.
+    Rows with a null score or label drop; AP is null when there are
+    no positives.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.where(s.isNotNull() & y.isNotNull())
+    per_score = base.groupBy(s.alias("v")).agg(
+        F.sum(y).cast("long").alias("p"),
+        F.sum(1 - y).cast("long").alias("n"),
+    )
+    w = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.select(
+        "p",
+        F.sum("p").over(w).alias("tp"),
+        (F.sum(F.col("p") + F.col("n")).over(w)).alias("pp"),
+    )
+    agg = cum.agg(
+        F.sum("p").cast("long").alias("P"),
+        F.sum(
+            F.col("p").cast("double") * F.col("tp") / F.col("pp")
+        ).alias("__ap_num"),
+        F.max("pp").cast("long").alias("__total"),
+    )
+    P = F.col("P").cast("double")
+    total = F.col("__total").cast("double")
+    return agg.select(
+        F.col("P").cast("long").alias("n_pos"),
+        (F.col("__total") - F.col("P")).cast("long").alias("n_neg"),
+        F.try_divide(P, total).alias("prevalence"),
+        F.when(F.col("P") > 0, F.col("__ap_num") / P)
+        .alias("average_precision"),
     )

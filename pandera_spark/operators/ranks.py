@@ -51,6 +51,7 @@ __all__ = [
     "qq_points",
     "kendall_tau_b",
     "yuen_trimmed_t",
+    "friedman_test",
 ]
 
 
@@ -791,4 +792,113 @@ def yuen_trimmed_t(
     return piv.select(
         "n_a", "n_b", "h_a", "h_b", "tmean_a", "tmean_b",
         t.alias("t_stat"), dof.alias("dof"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value,
+) -> DataFrame:
+    """Friedman rank test for k related treatments over n blocks — the
+    repeated-measures complement to :func:`kruskal_wallis` (use it
+    when every block sees every treatment: per-cohort metric across
+    pipeline variants, per-day ranking of sources, ...).
+
+    ``value`` is an aggregate Column evaluated per (block, treatment)
+    CELL (e.g. ``F.count(F.lit(1))`` or ``F.avg("x")``); cells rank
+    WITHIN their block by midranks, and only COMPLETE blocks (all k
+    treatments present, k = global distinct treatment count) enter
+    the statistic — incomplete blocks are dropped and counted.
+
+    One row: ``k, n_blocks, n_dropped, chi2_stat, dof, pvalue`` with
+    the tie-corrected statistic
+    ``Q = [12/(nk(k+1))·ΣR_j² − 3n(k+1)] / (1 − ΣT/(nk(k³−k)))``
+    where ``T = Σ(t³−t)`` over tie groups per block, p via the shared
+    χ²(k−1) replay (exact Z² identity at dof 1).
+
+    Scale shape: ONE shuffle to the (block, treatment) cell grain;
+    ranks come from windows PARTITIONED BY block over k-row
+    partitions (never data rows); treatment rank sums are a k-row
+    aggregation.  With an integer cell (counts), every rank decision
+    is exact cross-engine.
+    """
+    bc = block_col if isinstance(block_col, C) else F.col(block_col)
+    tc = (
+        treatment_col
+        if isinstance(treatment_col, C)
+        else F.col(treatment_col)
+    )
+    cells = df.groupBy(
+        bc.alias("__b"), tc.alias("__t")
+    ).agg(value.cast("double").alias("__v"))
+    k = cells.agg(F.countDistinct("__t")).first()[0]
+    if not k or k < 2:
+        raise ValueError(f"need >= 2 treatments, got {k}")
+    wb = Window.partitionBy("__b")
+    complete = cells.withColumn(
+        "__bk", F.count(F.lit(1)).over(wb)
+    )
+    n_dropped = (
+        complete.where(F.col("__bk") != k)
+        .select(F.countDistinct("__b"))
+        .first()[0]
+    )
+    kept = complete.where(F.col("__bk") == k).drop("__bk")
+    # midrank within block: min-rank + (ties-1)/2; tie term t^3-t per
+    # (block, value) group counted once via a marker on the first row
+    wrank = Window.partitionBy("__b").orderBy("__v")
+    wtie = Window.partitionBy("__b", "__v")
+    ranked = kept.select(
+        "__b", "__t",
+        (
+            F.rank().over(wrank)
+            + (F.count(F.lit(1)).over(wtie) - 1) / 2.0
+        ).alias("__r"),
+        F.count(F.lit(1)).over(wtie).alias("__tc"),
+        (F.row_number().over(
+            Window.partitionBy("__b", "__v").orderBy("__t")
+        ) == 1).alias("__first"),
+    )
+    per_t = ranked.groupBy("__t").agg(
+        F.sum("__r").alias("__R"),
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+        F.sum(
+            F.when(
+                F.col("__first"),
+                F.col("__tc") ** 3 - F.col("__tc"),
+            ).otherwise(F.lit(0))
+        ).alias("__ties"),
+    )
+    agg = per_t.agg(
+        F.max("__nb").cast("long").alias("n_blocks"),
+        F.sum(F.col("__R") * F.col("__R")).alias("__R2"),
+        F.sum("__ties").alias("__tsum"),
+    )
+    nD = F.col("n_blocks").cast("double")
+    kD = F.lit(float(k))
+    q_raw = (
+        12.0 / (nD * kD * (kD + 1.0)) * F.col("__R2")
+        - 3.0 * nD * (kD + 1.0)
+    )
+    denom = 1.0 - F.col("__tsum") / (
+        nD * kD * (kD ** 3 - kD)
+    )
+    chi2 = F.when(
+        (F.col("n_blocks") > 0) & (denom > 0),
+        F.greatest(F.lit(0.0), q_raw / denom),
+    )
+    dof = int(k - 1)
+    if dof == 1:
+        pv = F.when(chi2.isNotNull(), 2.0 * _norm_sf(F.sqrt(chi2)))
+    else:
+        pv = F.when(chi2.isNotNull(), _chi2_sf(chi2, F.lit(float(dof))))
+    return agg.select(
+        F.lit(int(k)).cast("long").alias("k"),
+        "n_blocks",
+        F.lit(int(n_dropped or 0)).cast("long").alias("n_dropped"),
+        chi2.alias("chi2_stat"),
+        F.lit(dof).cast("long").alias("dof"),
+        pv.alias("pvalue"),
     )

@@ -50,6 +50,7 @@ __all__ = [
     "mann_kendall",
     "time_weighted_mean",
     "theil_sen",
+    "seasonality_profile",
 ]
 
 
@@ -1148,4 +1149,51 @@ def theil_sen(
             ).alias("intercept"),
         )
         .select(*keys, "n", "slope", "intercept")
+    )
+
+
+def seasonality_profile(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    grain: str = "dow",
+) -> DataFrame:
+    """Arrival-time seasonality profile of ``ts_col`` — the first look
+    at any event stream (is traffic actually diurnal/weekly?  is a
+    "drift" alarm just the weekend?), and the expected-weights input
+    for gating screens (feed the shares to ``abtest.srm_check`` to
+    test a NEW window against this baseline).
+
+    ``grain``: ``"dow"`` (day of week, 0 = Sunday — the ANSI/DuckDB
+    convention, i.e. Spark's ``dayofweek − 1``), ``"hour"`` (0-23) or
+    ``"dowhour"`` (0-167: dow·24 + hour).  One row per OBSERVED
+    bucket: ``bucket, n, share, dev_uniform`` where ``dev_uniform`` is
+    the signed share deviation from the uniform baseline over the
+    grain's FULL bucket count (absent buckets simply don't emit a
+    row — their deviation is −1/buckets by definition).
+
+    ONE hash aggregation on a ≤168-value key (map-side combined —
+    bytes per task at any corpus size) + a window over the bucket
+    frame.  Counts are integers, so an external SQL engine replays
+    the profile exactly.
+    """
+    ts = F.col(ts_col)
+    if grain == "dow":
+        bucket, n_buckets = F.dayofweek(ts) - 1, 7
+    elif grain == "hour":
+        bucket, n_buckets = F.hour(ts), 24
+    elif grain == "dowhour":
+        bucket, n_buckets = (F.dayofweek(ts) - 1) * 24 + F.hour(ts), 168
+    else:
+        raise ValueError(f"unknown grain: {grain!r}")
+    cnt = (
+        df.where(ts.isNotNull())
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    share = F.col("n") / F.sum("n").over(Window.partitionBy())
+    return cnt.select(
+        "bucket", "n",
+        share.alias("share"),
+        (share - 1.0 / float(n_buckets)).alias("dev_uniform"),
     )

@@ -291,3 +291,127 @@ class TestAdviceHardening:
         r = yuen_trimmed_t(df, "x", "g", "a", "b", trim=0.2).collect()[0]
         assert r["h_b"] == 1
         assert r["t_stat"] is None and r["dof"] is None
+
+
+class TestPrAuc:
+    def test_matches_hand_reference(self, spark):
+        from pandera_spark.operators.evalmetrics import pr_auc
+
+        rows = [(0.9, 1), (0.8, 0), (0.7, 1), (0.6, 1), (0.5, 0),
+                (0.4, 0), (0.3, 1)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        r = pr_auc(df, "s", "y").collect()[0]
+        # sklearn average_precision_score convention, no ties:
+        # hits at ranks 1,3,4,7 -> AP = (1/1 + 2/3 + 3/4 + 4/7)/4
+        want = (1.0 + 2.0 / 3.0 + 3.0 / 4.0 + 4.0 / 7.0) / 4.0
+        assert r["average_precision"] == pytest.approx(want, abs=1e-12)
+        assert r["n_pos"] == 4 and r["n_neg"] == 3
+        assert r["prevalence"] == pytest.approx(4 / 7, abs=1e-12)
+
+    def test_tie_group_is_one_threshold(self, spark):
+        from pandera_spark.operators.evalmetrics import pr_auc
+
+        # two tied scores (one pos, one neg) enter as ONE threshold:
+        # thresholds: s=0.9 (tp=1, pp=1), s=0.5 (tp=2, pp=3)
+        rows = [(0.9, 1), (0.5, 1), (0.5, 0)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        r = pr_auc(df, "s", "y").collect()[0]
+        want = (1.0 * 1.0 / 1.0 + 1.0 * 2.0 / 3.0) / 2.0
+        assert r["average_precision"] == pytest.approx(want, abs=1e-12)
+
+    def test_no_positives_yields_null(self, spark):
+        from pandera_spark.operators.evalmetrics import pr_auc
+
+        df = spark.createDataFrame([(0.5, 0), (0.4, 0)], "s double, y int")
+        r = pr_auc(df, "s", "y").collect()[0]
+        assert r["average_precision"] is None
+        assert r["n_pos"] == 0 and r["n_neg"] == 2
+
+    def test_perfect_ranking(self, spark):
+        from pandera_spark.operators.evalmetrics import pr_auc
+
+        rows = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        r = pr_auc(df, "s", "y").collect()[0]
+        assert r["average_precision"] == pytest.approx(1.0, abs=1e-12)
+
+
+class TestFriedman:
+    def test_matches_scipy_formula(self, spark):
+        from pandera_spark.operators.ranks import friedman_test
+
+        # 4 blocks x 3 treatments, no ties (scipy.friedmanchisquare
+        # closed form: Q = 12/(nk(k+1)) sum R^2 - 3n(k+1))
+        data = {
+            "b1": {"t1": 1.0, "t2": 2.0, "t3": 3.0},
+            "b2": {"t1": 2.0, "t2": 1.0, "t3": 3.0},
+            "b3": {"t1": 1.0, "t2": 2.0, "t3": 3.0},
+            "b4": {"t1": 1.0, "t2": 3.0, "t3": 2.0},
+        }
+        rows = [(b, t, v) for b, ts in data.items()
+                for t, v in ts.items()]
+        df = spark.createDataFrame(rows, "b string, t string, v double")
+        r = friedman_test(df, "b", "t", F.max("v")).collect()[0]
+        # ranks per block equal the values here; R = (5, 8, 11)
+        n, k = 4, 3
+        want = 12.0 / (n * k * (k + 1)) * (25 + 64 + 121) - 3 * n * (k + 1)
+        assert r["chi2_stat"] == pytest.approx(want, abs=1e-12)
+        assert r["k"] == 3 and r["n_blocks"] == 4 and r["n_dropped"] == 0
+        assert r["dof"] == 2
+
+    def test_tie_correction_and_incomplete_blocks(self, spark):
+        from pandera_spark.operators.ranks import friedman_test
+
+        rows = [
+            ("b1", "t1", 1.0), ("b1", "t2", 1.0), ("b1", "t3", 2.0),
+            ("b2", "t1", 3.0), ("b2", "t2", 1.0), ("b2", "t3", 2.0),
+            ("b3", "t1", 5.0),  # incomplete: dropped
+        ]
+        df = spark.createDataFrame(rows, "b string, t string, v double")
+        r = friedman_test(df, "b", "t", F.max("v")).collect()[0]
+        assert r["n_blocks"] == 2 and r["n_dropped"] == 1
+        # block b1 midranks: t1=t2=1.5, t3=3; tie term (2^3-2)=6
+        # R = (1.5+3, 1.5+1, 3+2) = (4.5, 2.5, 5); n=2, k=3
+        q_raw = 12.0 / (2 * 3 * 4) * (4.5**2 + 2.5**2 + 25) - 3 * 2 * 4
+        denom = 1.0 - 6.0 / (2 * 3 * (27 - 3))
+        assert r["chi2_stat"] == pytest.approx(q_raw / denom, abs=1e-12)
+
+    def test_needs_two_treatments(self, spark):
+        from pandera_spark.operators.ranks import friedman_test
+
+        df = spark.createDataFrame([("b", "t", 1.0)],
+                                   "b string, t string, v double")
+        with pytest.raises(ValueError):
+            friedman_test(df, "b", "t", F.max("v"))
+
+
+class TestSeasonality:
+    def test_dow_profile(self, spark):
+        from pandera_spark.operators.temporal import seasonality_profile
+        import datetime
+
+        # 2026-08-16 is a Sunday
+        base = datetime.datetime(2026, 8, 16, 12, 0, 0)
+        rows = [(base,)] * 3 + [(base + datetime.timedelta(days=1),)] * 7
+        df = spark.createDataFrame(rows, "ts timestamp")
+        out = {r["bucket"]: r for r in
+               seasonality_profile(df, "ts", grain="dow").collect()}
+        assert set(out) == {0, 1}          # Sunday=0, Monday=1
+        assert out[0]["n"] == 3 and out[1]["n"] == 7
+        assert out[1]["share"] == pytest.approx(0.7, abs=1e-12)
+        assert out[1]["dev_uniform"] == pytest.approx(
+            0.7 - 1 / 7, abs=1e-12
+        )
+
+    def test_hour_and_dowhour(self, spark):
+        from pandera_spark.operators.temporal import seasonality_profile
+        import datetime
+
+        base = datetime.datetime(2026, 8, 16, 5, 30, 0)  # Sunday 05:xx
+        df = spark.createDataFrame([(base,)], "ts timestamp")
+        [h] = seasonality_profile(df, "ts", grain="hour").collect()
+        assert h["bucket"] == 5
+        [dh] = seasonality_profile(df, "ts", grain="dowhour").collect()
+        assert dh["bucket"] == 5           # dow 0 * 24 + 5
+        with pytest.raises(ValueError):
+            seasonality_profile(df, "ts", grain="minute")
