@@ -11621,7 +11621,13 @@ def q_prauc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _load(spark, sf_dir, "events").select(
         F.floor("value").cast("double").alias("score"),
-        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        # coalesce: NULL event_type is a NEGATIVE, matching the
+        # oracle's CASE ... ELSE 0 END (pr_auc drops NULL-label rows,
+        # so an uncoalesced label would silently diverge on any data
+        # refresh with NULL event_type — ADVICE r10 item 3)
+        F.coalesce(
+            (F.col("event_type") == "purchase").cast("int"), F.lit(0)
+        ).alias("label"),
     ).where(F.col("score").isNotNull())
     out = pr_auc(ev, "score", "label")
     return out.select(
@@ -11717,11 +11723,11 @@ WITH cells AS (
 ), c AS (
   SELECT n_blocks,
          CASE WHEN n_blocks > 0
-                   AND 1.0 - tsum / (n_blocks * 5.0 * 120.0) > 0
+                   AND 1.0 - tsum / (n_blocks * 120.0) > 0
               THEN GREATEST(0.0,
                    (12.0 / (n_blocks * 5.0 * 6.0) * r2
                     - 3.0 * n_blocks * 6.0)
-                   / (1.0 - tsum / (n_blocks * 5.0 * 120.0)))
+                   / (1.0 - tsum / (n_blocks * 120.0)))
          END AS chi2
   FROM a
 )

@@ -532,7 +532,14 @@ def srm_check(
     )
     nD = F.col("n").cast("double")
     dof = len(levels) - 1
-    chi2 = F.greatest(F.lit(0.0), F.col("__s") / nD - nD)
+    # n > 0 guard on the division itself: with zero matching rows the
+    # bare __s / n is a 0/0 double division — DIVIDE_BY_ZERO under
+    # ANSI even inside a downstream when-condition (conditions
+    # evaluate their inputs); NULL chi2 is the honest readout there
+    chi2 = F.when(
+        F.col("n") > 0,
+        F.greatest(F.lit(0.0), F.try_divide(F.col("__s"), nD) - nD),
+    )
     from .stats import _chi2_sf_stats
 
     return agg.select(

@@ -814,9 +814,17 @@ def friedman_test(
 
     One row: ``k, n_blocks, n_dropped, chi2_stat, dof, pvalue`` with
     the tie-corrected statistic
-    ``Q = [12/(nk(k+1))·ΣR_j² − 3n(k+1)] / (1 − ΣT/(nk(k³−k)))``
-    where ``T = Σ(t³−t)`` over tie groups per block, p via the shared
-    χ²(k−1) replay (exact Z² identity at dof 1).
+    ``Q = [12/(nk(k+1))·ΣR_j² − 3n(k+1)] / (1 − ΣT/(n(k³−k)))``
+    where ``T = Σ(t³−t)`` over tie groups per block (the standard
+    Friedman / Kendall-W correction — scipy.stats.friedmanchisquare),
+    p via the shared χ²(k−1) replay (exact Z² identity at dof 1).
+
+    The operator is ONE lazy plan with no eager driver actions: the
+    global treatment count ``k`` rides a 1-row broadcast frame onto
+    the cell grain, dropped blocks are counted in the same final
+    aggregation (incomplete-block cells fold into a NULL treatment
+    group), and degenerate inputs (k < 2, zero complete blocks) yield
+    a NULL ``chi2_stat``/``pvalue`` row instead of raising.
 
     Scale shape: ONE shuffle to the (block, treatment) cell grain;
     ranks come from windows PARTITIONED BY block over k-row
@@ -833,25 +841,25 @@ def friedman_test(
     cells = df.groupBy(
         bc.alias("__b"), tc.alias("__t")
     ).agg(value.cast("double").alias("__v"))
-    k = cells.agg(F.countDistinct("__t")).first()[0]
-    if not k or k < 2:
-        raise ValueError(f"need >= 2 treatments, got {k}")
+    # global k as a 1-row broadcast frame (no driver action; the cell
+    # grain is n_blocks x k rows, the broadcast side is exactly 1 row)
+    kframe = cells.agg(
+        F.countDistinct("__t").cast("long").alias("__k")
+    )
     wb = Window.partitionBy("__b")
-    complete = cells.withColumn(
+    flagged = cells.crossJoin(F.broadcast(kframe)).withColumn(
         "__bk", F.count(F.lit(1)).over(wb)
     )
-    n_dropped = (
-        complete.where(F.col("__bk") != k)
-        .select(F.countDistinct("__b"))
-        .first()[0]
-    )
-    kept = complete.where(F.col("__bk") == k).drop("__bk")
+    keep = F.col("__bk") == F.col("__k")
     # midrank within block: min-rank + (ties-1)/2; tie term t^3-t per
-    # (block, value) group counted once via a marker on the first row
+    # (block, value) group counted once via a marker on the first row.
+    # Ranks are computed over ALL blocks (same window partitioning);
+    # incomplete blocks carry __keep=false and contribute only to the
+    # dropped-block count downstream.
     wrank = Window.partitionBy("__b").orderBy("__v")
     wtie = Window.partitionBy("__b", "__v")
-    ranked = kept.select(
-        "__b", "__t",
+    ranked = flagged.select(
+        "__b", "__t", "__k", keep.alias("__keep"),
         (
             F.rank().over(wrank)
             + (F.count(F.lit(1)).over(wtie) - 1) / 2.0
@@ -861,44 +869,60 @@ def friedman_test(
             Window.partitionBy("__b", "__v").orderBy("__t")
         ) == 1).alias("__first"),
     )
-    per_t = ranked.groupBy("__t").agg(
-        F.sum("__r").alias("__R"),
-        F.count(F.lit(1)).cast("long").alias("__nb"),
+    # kept cells group by treatment; every dropped-block cell folds
+    # into the NULL group, whose countDistinct(__b) is n_dropped
+    per_t = ranked.groupBy(
+        F.when(F.col("__keep"), F.col("__t")).alias("__t2")
+    ).agg(
+        F.sum(F.when(F.col("__keep"), F.col("__r"))).alias("__R"),
+        F.count(F.when(F.col("__keep"), F.lit(1)))
+        .cast("long").alias("__nb"),
         F.sum(
             F.when(
-                F.col("__first"),
+                F.col("__keep") & F.col("__first"),
                 F.col("__tc") ** 3 - F.col("__tc"),
             ).otherwise(F.lit(0))
         ).alias("__ties"),
+        F.countDistinct(
+            F.when(~F.col("__keep"), F.col("__b"))
+        ).alias("__drops"),
+        F.max("__k").alias("__km"),
     )
     agg = per_t.agg(
+        F.max("__km").alias("__kk"),
         F.max("__nb").cast("long").alias("n_blocks"),
         F.sum(F.col("__R") * F.col("__R")).alias("__R2"),
         F.sum("__ties").alias("__tsum"),
+        F.coalesce(F.sum("__drops"), F.lit(0))
+        .cast("long").alias("__nd"),
     )
     nD = F.col("n_blocks").cast("double")
-    kD = F.lit(float(k))
+    kD = F.col("__kk").cast("double")
+    # try_divide throughout: the guards (k >= 2, n > 0, denom > 0)
+    # sit in when-CONDITIONS, which evaluate their inputs — a plain
+    # division would raise DIVIDE_BY_ZERO under ANSI on k < 2 / n = 0
     q_raw = (
-        12.0 / (nD * kD * (kD + 1.0)) * F.col("__R2")
+        F.try_divide(F.lit(12.0), nD * kD * (kD + 1.0))
+        * F.col("__R2")
         - 3.0 * nD * (kD + 1.0)
     )
-    denom = 1.0 - F.col("__tsum") / (
-        nD * kD * (kD ** 3 - kD)
+    denom = 1.0 - F.try_divide(
+        F.col("__tsum"), nD * (kD ** 3 - kD)
     )
     chi2 = F.when(
-        (F.col("n_blocks") > 0) & (denom > 0),
-        F.greatest(F.lit(0.0), q_raw / denom),
+        (F.col("__kk") >= 2) & (F.col("n_blocks") > 0) & (denom > 0),
+        F.greatest(F.lit(0.0), F.try_divide(q_raw, denom)),
     )
-    dof = int(k - 1)
-    if dof == 1:
-        pv = F.when(chi2.isNotNull(), 2.0 * _norm_sf(F.sqrt(chi2)))
-    else:
-        pv = F.when(chi2.isNotNull(), _chi2_sf(chi2, F.lit(float(dof))))
+    pv = (
+        F.when(chi2.isNull(), F.lit(None).cast("double"))
+        .when(F.col("__kk") == 2, 2.0 * _norm_sf(F.sqrt(chi2)))
+        .otherwise(_chi2_sf(chi2, kD - 1.0))
+    )
     return agg.select(
-        F.lit(int(k)).cast("long").alias("k"),
+        F.col("__kk").alias("k"),
         "n_blocks",
-        F.lit(int(n_dropped or 0)).cast("long").alias("n_dropped"),
+        F.col("__nd").alias("n_dropped"),
         chi2.alias("chi2_stat"),
-        F.lit(dof).cast("long").alias("dof"),
+        (F.col("__kk") - F.lit(1)).cast("long").alias("dof"),
         pv.alias("pvalue"),
     )

@@ -100,6 +100,10 @@ ALLOWED_BNLJ = {
     "pmi_documents",             # two 1-row corpus-total frames
                                  # (N_unigrams, N_bigrams) crossed onto
                                  # the min_count-filtered bigram frame
+    "friedman_events",           # 1-row global-k frame crossed onto
+                                 # the (block, treatment) cell grain —
+                                 # the r11 fold of the two eager
+                                 # .first() probes into one lazy plan
 }
 
 

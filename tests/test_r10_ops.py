@@ -208,6 +208,22 @@ class TestSrmCheck:
         with pytest.raises(ValueError):
             srm_check(df, "g", {"a": 0.0})
 
+    def test_empty_input_null_chi2(self, spark):
+        # zero matching rows: chi2 must come back NULL, not raise
+        # DIVIDE_BY_ZERO under ANSI (the 0/0 __s/n division)
+        df = spark.createDataFrame([], "g string")
+        r = srm_check(df, "g", {"a": 1, "b": 1}).collect()[0]
+        assert r["n"] == 0
+        assert r["chi2_stat"] is None and r["pvalue"] is None
+
+    def test_no_expected_level_present_null_chi2(self, spark):
+        df = spark.createDataFrame([("zz",)] * 10, "g string")
+        r = srm_check(df, "g", {"a": 1, "b": 1}).collect()[0]
+        assert r["n"] == 0
+        assert r["chi2_stat"] is None
+        # both arms fully absent: dev = the larger expected share
+        assert r["max_share_dev"] == pytest.approx(0.5, abs=1e-12)
+
 
 class TestTostEquivalence:
     def test_equivalent_when_identical(self, spark):
@@ -372,17 +388,32 @@ class TestFriedman:
         assert r["n_blocks"] == 2 and r["n_dropped"] == 1
         # block b1 midranks: t1=t2=1.5, t3=3; tie term (2^3-2)=6
         # R = (1.5+3, 1.5+1, 3+2) = (4.5, 2.5, 5); n=2, k=3
+        # standard Friedman tie correction: 1 - sum(T)/(n*(k^3-k))
+        # (scipy.stats.friedmanchisquare gives 2.0 on this input)
         q_raw = 12.0 / (2 * 3 * 4) * (4.5**2 + 2.5**2 + 25) - 3 * 2 * 4
-        denom = 1.0 - 6.0 / (2 * 3 * (27 - 3))
+        denom = 1.0 - 6.0 / (2 * (27 - 3))
         assert r["chi2_stat"] == pytest.approx(q_raw / denom, abs=1e-12)
+        assert r["chi2_stat"] == pytest.approx(2.0, abs=1e-12)
 
-    def test_needs_two_treatments(self, spark):
+    def test_degenerate_k1_yields_null_row(self, spark):
+        # k < 2: one lazy plan, no eager driver action to raise from —
+        # the statistic row comes back NULL instead (r11, VERDICT
+        # r10 item 5 fold of the two .first() probes)
         from pandera_spark.operators.ranks import friedman_test
 
         df = spark.createDataFrame([("b", "t", 1.0)],
                                    "b string, t string, v double")
-        with pytest.raises(ValueError):
-            friedman_test(df, "b", "t", F.max("v"))
+        r = friedman_test(df, "b", "t", F.max("v")).collect()[0]
+        assert r["k"] == 1 and r["dof"] == 0
+        assert r["chi2_stat"] is None and r["pvalue"] is None
+
+    def test_empty_input_yields_null_row(self, spark):
+        from pandera_spark.operators.ranks import friedman_test
+
+        df = spark.createDataFrame([], "b string, t string, v double")
+        r = friedman_test(df, "b", "t", F.max("v")).collect()[0]
+        assert r["chi2_stat"] is None and r["pvalue"] is None
+        assert r["n_dropped"] == 0
 
 
 class TestSeasonality:
