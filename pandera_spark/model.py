@@ -24,6 +24,22 @@ from .container import DataFrameSchema
 from .errors import SchemaInitError
 from .parsers import Parser
 
+# optional pydantic integration (reference api/dataframe/model.py:677-707
+# gates the same way on PYDANTIC_V2); the engine never requires pydantic
+try:  # pragma: no cover - exercised via tests/test_pydantic.py
+    import pydantic as _pydantic
+
+    _PYDANTIC_V2 = int(_pydantic.VERSION.split(".")[0]) >= 2
+    _PYDANTIC_V1 = not _PYDANTIC_V2
+    if _PYDANTIC_V2:
+        from pydantic_core import core_schema as _pyd_core_schema
+    else:
+        _pyd_core_schema = None
+except ImportError:  # pragma: no cover
+    _pydantic = None
+    _pyd_core_schema = None
+    _PYDANTIC_V2 = _PYDANTIC_V1 = False
+
 #: checks taking no statistic — dispatched from Field(...) as flags
 _FLAG_CHECKS = {"array_no_nulls", "array_finite"}
 
@@ -396,3 +412,64 @@ class DataFrameModel:
                 c.name for c in schema.columns.values() if c.required
             ],
         }
+
+    # -- pydantic integration --------------------------------------------------
+
+    @classmethod
+    def pydantic_validate(cls, schema_model: Any) -> "type[DataFrameModel]":
+        """Verify that the input is a compatible dataframe model
+        (reference api/dataframe/model.py:648-666: a ``DataFrameModel``
+        subclass is usable as a pydantic FIELD TYPE whose value is the
+        model class itself — same error strings, same subclass rule,
+        same SchemaInitError -> ValueError fold)."""
+        if not inspect.isclass(schema_model):
+            raise TypeError(
+                f"{schema_model} is not a pandera.DataFrameModel"
+            )
+        if not issubclass(schema_model, cls):
+            raise TypeError(f"{schema_model} does not inherit {cls}.")
+        try:
+            schema_model.to_schema()
+        except SchemaInitError as exc:
+            raise ValueError(
+                f"Cannot use {cls} as a pydantic type as its "
+                "DataFrameModel cannot be converted to a DataFrameSchema.\n"
+                f"Please revisit the model to address the following errors:"
+                f"\n{exc}"
+            ) from exc
+        return schema_model
+
+    if _PYDANTIC_V2:
+
+        @classmethod
+        def __get_pydantic_core_schema__(
+            cls, _source_type: Any, _handler: Any
+        ):
+            """reference api/dataframe/model.py:681-687 — a plain
+            no-info validator around :meth:`pydantic_validate`."""
+            return _pyd_core_schema.no_info_plain_validator_function(
+                cls.pydantic_validate,
+            )
+
+        @classmethod
+        def __get_pydantic_json_schema__(cls, _core_schema, _handler):
+            """Documented divergence from the reference (api/dataframe/
+            model.py:689-696): the reference's pyspark model cannot
+            emit a pydantic json-schema at all (its handler raises
+            ``PydanticInvalidForJsonSchema`` on the plain-validator
+            core schema and its ``to_json_schema`` is
+            ``NotImplementedError``).  Ours returns the model's real
+            :meth:`to_json_schema` — strictly more informative."""
+            return dict(cls.to_json_schema())
+
+    elif _PYDANTIC_V1:
+
+        @classmethod
+        def __modify_schema__(cls, field_schema):
+            """reference api/dataframe/model.py:700-703 (pydantic v1)"""
+            field_schema.update(cls.to_json_schema())
+
+        @classmethod
+        def __get_validators__(cls):
+            """reference api/dataframe/model.py:705-707 (pydantic v1)"""
+            yield cls.pydantic_validate
