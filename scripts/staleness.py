@@ -65,8 +65,17 @@ def certified_rounds(repo: str) -> tuple[dict[str, int], int]:
     return last, latest
 
 
+#: entries the driver's correctness harness certifies per round (it
+#: checks the FIRST 50 of queries())
+WINDOW_SLOTS = 50
+
+#: the flagship row leads every window by convention
+FLAGSHIP = "validate_lineitem"
+
+
 def ledger(
-    repo: str, next_round: int | None = None, bound: int = 5
+    repo: str, next_round: int | None = None, bound: int = 5,
+    window: int = WINDOW_SLOTS,
 ) -> dict:
     """Compute the rotation ledger for ``next_round``.
 
@@ -88,6 +97,16 @@ def ledger(
                      them forward keeps the next round's mandatory list
                      small)
       histogram      {last_round: n_rows}
+      capacity       contract-size management (VERDICT r10 item 3): with
+                     ``window`` driver slots per round and a re-cert
+                     cycle of ``bound + 1`` rounds, the steady-state
+                     ceiling is ``window * (bound + 1)`` rows.  Reports
+                     rows vs ceiling, the per-round steady-state
+                     re-certification load ``ceil(rows / (bound+1))``,
+                     the max SUSTAINABLE net-new per round
+                     (``window - recert_load``, what the contract can
+                     absorb indefinitely), and this round's actual free
+                     slots after flagship + mandatory + never-certified.
     """
     last, latest = certified_rounds(repo)
     if next_round is None:
@@ -115,6 +134,23 @@ def ledger(
         (k for k in contract_rows if last.get(k) == cutoff + 1),
         key=lambda k: (last[k], k),
     )
+    rows = len(contract_rows)
+    cycle = bound + 1
+    recert_load = -(-rows // cycle)  # ceil
+    reserved = len(mandatory) + len(never)
+    if FLAGSHIP in contract_rows and FLAGSHIP not in mandatory \
+            and FLAGSHIP not in never:
+        reserved += 1
+    capacity = {
+        "window_slots": window,
+        "recert_cycle_rounds": cycle,
+        "ceiling_rows": window * cycle,
+        "rows": rows,
+        "headroom_rows": window * cycle - rows,
+        "steady_state_recert_per_round": recert_load,
+        "max_sustainable_net_new": max(0, window - recert_load),
+        "free_slots_this_round": max(0, window - reserved),
+    }
     return {
         "next_round": next_round,
         "bound": bound,
@@ -124,6 +160,7 @@ def ledger(
         "mandatory": mandatory,
         "next_oldest": filler,
         "histogram": dict(sorted(Counter(last.values()).items())),
+        "capacity": capacity,
     }
 
 
@@ -146,6 +183,17 @@ def main() -> None:
     print(f"rotation ledger for round r{led['next_round']} "
           f"(bound: {led['bound']} rounds)")
     print(f"histogram of last-certified rounds: {led['histogram']}")
+    cap = led["capacity"]
+    print(
+        f"capacity: {cap['rows']} rows / ceiling "
+        f"{cap['ceiling_rows']} ({cap['window_slots']} slots x "
+        f"{cap['recert_cycle_rounds']}-round re-cert cycle) — headroom "
+        f"{cap['headroom_rows']} rows; steady-state re-cert load "
+        f"{cap['steady_state_recert_per_round']}/round => max "
+        f"SUSTAINABLE net-new {cap['max_sustainable_net_new']}/round; "
+        f"free slots this round (after flagship + mandatory + "
+        f"never-certified): {cap['free_slots_this_round']}"
+    )
     if led["never_certified"]:
         print(f"\nNEVER certified ({len(led['never_certified'])}) — "
               "highest priority:")
