@@ -42,8 +42,34 @@ __all__ = [
 ]
 
 
+def _score_grain(base: DataFrame, s, score_bins, accuracy):
+    """Shared lane dispatch for :func:`binary_auc` / :func:`pr_auc`:
+    ``score_bins=None`` keeps the exact distinct-score grain;
+    ``score_bins=b`` first replaces the score with its equi-depth
+    sketch-bin id (``numeric.sketch_bins``: ONE mergeable GK percentile
+    aggregate broadcast as a 1-row edges frame, then a pure
+    projection), capping the cumulative window at ``b`` rows no matter
+    how continuous the score is.  The bin id is monotone in the score,
+    so ranks are preserved up to within-bin ties.
+    """
+    flat = base.select(s.alias("__s"), F.col("__y"))
+    if score_bins is None:
+        return flat, F.col("__s")
+    from .numeric import sketch_bins
+
+    binned = sketch_bins(
+        flat, "__s", int(score_bins), accuracy=accuracy, out_col="__sb"
+    )
+    return binned, F.col("__sb").cast("double")
+
+
 def binary_auc(
-    df: DataFrame, score_col: str, label_col: str
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    score_bins: "int | None" = None,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """One row ``(n_pos, n_neg, auc)``.
 
@@ -52,13 +78,30 @@ def binary_auc(
     then average ranks from a cumulative window over the distinct
     scores.  Rows with a null score or label are excluded.  AUC is
     null when either class is empty.
+
+    The exact lane's window frame is the DISTINCT-score grain — fine
+    for integer or otherwise low-cardinality scores, but a continuous
+    64-bit score makes that grain ~ the row count and the single-task
+    cumulative window the bottleneck.  For that case pass
+    ``score_bins=b``: scores first collapse to ``b`` equi-depth
+    sketch bins (``numeric.sketch_bins``), and the window runs over at
+    most ``b`` rows.  Accuracy: within-bin opposite-class pairs score
+    as ties (0.5), so ``|auc_binned − auc_exact|`` is bounded by half
+    the fraction of opposite-class pairs sharing a bin (≈ ``1/b`` for
+    a well-spread score) plus the GK sketch rank error
+    (``n/accuracy`` rows per edge).  BASELINE §3.28 records the
+    measured gap on the contract fixtures.
     """
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
-    base = df.where(s.isNotNull() & y.isNotNull())
-    per_score = base.groupBy(s.alias("v")).agg(
-        F.sum(y).cast("long").alias("p"),
-        F.sum(1 - y).cast("long").alias("n"),
+    base = df.where(s.isNotNull() & y.isNotNull()).withColumn(
+        "__y", y
+    )
+    grain, v = _score_grain(base, s, score_bins, accuracy)
+    yy = F.col("__y")
+    per_score = grain.groupBy(v.alias("v")).agg(
+        F.sum(yy).cast("long").alias("p"),
+        F.sum(1 - yy).cast("long").alias("n"),
     )
     w = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -590,7 +633,12 @@ def calibration_summary(
 
 
 def pr_auc(
-    df: DataFrame, score_col: str, label_col: str
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    score_bins: "int | None" = None,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """One row ``(n_pos, n_neg, prevalence, average_precision)``.
 
@@ -608,13 +656,23 @@ def pr_auc(
     integer count, so an external SQL engine replays it exactly.
     Rows with a null score or label drop; AP is null when there are
     no positives.
+
+    ``score_bins`` enables the same sketch-binned lane as
+    :func:`binary_auc` (see there for the error bound): thresholds
+    become the ``b`` equi-depth bin boundaries, each bin one tie
+    group, capping the cumulative window at ``b`` rows for continuous
+    scores.  Default stays the exact distinct-score lane.
     """
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
-    base = df.where(s.isNotNull() & y.isNotNull())
-    per_score = base.groupBy(s.alias("v")).agg(
-        F.sum(y).cast("long").alias("p"),
-        F.sum(1 - y).cast("long").alias("n"),
+    base = df.where(s.isNotNull() & y.isNotNull()).withColumn(
+        "__y", y
+    )
+    grain, v = _score_grain(base, s, score_bins, accuracy)
+    yy = F.col("__y")
+    per_score = grain.groupBy(v.alias("v")).agg(
+        F.sum(yy).cast("long").alias("p"),
+        F.sum(1 - yy).cast("long").alias("n"),
     )
     w = Window.orderBy(F.col("v").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -62,6 +62,74 @@ def test_auc_degenerate_single_class(spark):
     assert binary_auc(_scored(spark, rows), "score", "label").first().auc is None
 
 
+def _continuous_rows(n=4000, seed=11):
+    # deterministic continuous scores: positives shifted up, every
+    # score distinct — the shape where the exact lane's window frame
+    # degenerates to the row count
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        y = 1 if rng.random() < 0.3 else 0
+        mu = 0.62 if y else 0.42
+        rows.append((min(1.0, max(0.0, rng.gauss(mu, 0.15))), y))
+    return rows
+
+
+class TestSketchBinnedLane:
+    """VERDICT r10 item 4: the sketch-binned lane must track the exact
+    lane within the documented bound (~1/bins + sketch rank error) on
+    continuous scores, while capping the window frame at `bins`."""
+
+    def test_binned_auc_tracks_exact(self, spark):
+        rows = _continuous_rows()
+        df = _scored(spark, rows)
+        exact = binary_auc(df, "score", "label").first().auc
+        binned = binary_auc(
+            df, "score", "label", score_bins=64
+        ).first().auc
+        assert exact == pytest.approx(_sk_auc(rows), rel=1e-12)
+        assert abs(binned - exact) < 64 ** -1 + 0.005
+
+    def test_binned_pr_auc_tracks_exact(self, spark):
+        from pandera_spark.operators.evalmetrics import pr_auc
+
+        rows = _continuous_rows(seed=12)
+        df = _scored(spark, rows)
+        e = pr_auc(df, "score", "label").first()
+        b = pr_auc(df, "score", "label", score_bins=64).first()
+        assert (e.n_pos, e.n_neg) == (b.n_pos, b.n_neg)
+        assert abs(b.average_precision - e.average_precision) < 0.02
+
+    def test_binned_lane_grain_is_bounded(self, spark):
+        # the per-score frame the window runs over must have <= bins
+        # rows — assert via the lane's own building block
+        from pandera_spark.operators.numeric import sketch_bins
+
+        df = _scored(spark, _continuous_rows(seed=13))
+        assert df.select("score").distinct().count() > 1000
+        binned = sketch_bins(df, "score", 16, out_col="b")
+        assert binned.select("b").distinct().count() <= 16
+
+    def test_binned_perfect_separation_stays_high(self, spark):
+        # fully separated classes: at most the one straddling bin can
+        # mix, so binned AUC stays within 1/bins of 1.0
+        rows = [(float(i) + 0.5, 1 if i >= 500 else 0)
+                for i in range(1000)]
+        r = binary_auc(
+            _scored(spark, rows), "score", "label", score_bins=32
+        ).first()
+        assert r.auc > 1.0 - 1.0 / 32
+
+    def test_exact_lane_unchanged_by_default(self, spark):
+        # default call still runs the exact distinct-score lane
+        rows = [(round(i * 0.1, 1) % 1.0, i % 2) for i in range(200)]
+        df = _scored(spark, rows)
+        assert binary_auc(df, "score", "label").first().auc == \
+            pytest.approx(_sk_auc(rows), rel=1e-12)
+
+
 def test_confusion_report_counts(spark):
     rows = [(0.9, 1), (0.8, 0), (0.4, 1), (0.1, 0)]
     rep = {
