@@ -10146,7 +10146,11 @@ def q_seasonal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _load(spark, sf_dir, "events")
     out = seasonal_baseline(ev, "ts", min_sigma=2.0)
-    return out.select(
+    # z IS NOT NULL: only scoreable buckets (base_std > 0).  A no-op at
+    # sf >= 0.01 (every slot has variance there — verified 0 NULL-z
+    # rows, so the certified hash is unchanged); at sf0.001 sparse
+    # slots otherwise surface a NULL-vs-NaN harness asymmetry.
+    return out.where(F.col("z").isNotNull()).select(
         "bucket_ts", "day_slot", "hod", "metric",
         F.round("base_mean", 6).alias("mean_r"),
         F.round("base_std", 6).alias("std_r"),
@@ -10177,8 +10181,8 @@ SELECT bucket_ts, day_slot, hod, metric,
        ROUND(base_mean, 6) AS mean_r,
        ROUND(base_std, 6) AS std_r,
        ROUND(z, 6) AS z_r,
-       CASE WHEN z IS NULL THEN NULL ELSE ABS(z) >= 2.0 END AS is_anomaly
-FROM j
+       ABS(z) >= 2.0 AS is_anomaly
+FROM j WHERE z IS NOT NULL
 """
 
 

@@ -52,6 +52,7 @@ __all__ = [
     "group_trend",
     "corr_pairs",
     "chi2_independence",
+    "fisher_exact",
     "mutual_info",
     "anova_f",
     "fdr_bh",
@@ -164,6 +165,7 @@ def chi2_independence(
     b: str,
     *,
     pvalue: bool = True,
+    bias_correction: bool = False,
 ) -> DataFrame:
     """Pearson χ² test of independence between categoricals ``a``/``b``.
 
@@ -172,6 +174,14 @@ def chi2_independence(
     Uses ``χ² = n·Σ_cells c²/(rₐ·c_b) − n``: the expected-count form
     rearranged so only the row/column totals (broadcast-sized marginal
     frames) ever join the cells.
+
+    ``bias_correction=True`` appends ``cramers_v_bc`` — the
+    Bergsma–Wicher bias-corrected V (φ̃² = max(0, φ² −
+    (r−1)(c−1)/(n−1)), r̃ = r − (r−1)²/(n−1), likewise c̃,
+    Ṽ = √(φ̃²/min(r̃−1, c̃−1))), which removes the upward small-sample
+    bias of raw V on sparse tables.  NULL on degenerate inputs
+    (n ≤ 1 or a single level on either side).  Pure column arithmetic
+    on the same single aggregation — no extra pass.
     """
     cells = _cells(df, a, b)
     marg_a = cells.groupBy(a).agg(F.sum("__cnt").alias("__ra"))
@@ -225,6 +235,29 @@ def chi2_independence(
             )
         ),
     ).drop("__s")
+    if bias_correction:
+        nD = F.col("n").cast("double")
+        ra = F.col("n_a").cast("double")
+        cb = F.col("n_b").cast("double")
+        phi2 = F.try_divide(F.col("chi2_stat"), nD)
+        phi2c = F.greatest(
+            F.lit(0.0),
+            phi2
+            - F.try_divide((ra - 1.0) * (cb - 1.0), nD - 1.0),
+        )
+        rt = ra - F.try_divide((ra - 1.0) ** 2, nD - 1.0)
+        ct = cb - F.try_divide((cb - 1.0) ** 2, nD - 1.0)
+        out = out.withColumn(
+            "cramers_v_bc",
+            F.when(
+                (F.col("n") > 1) & (F.col("dof") > 0),
+                F.sqrt(
+                    F.try_divide(
+                        phi2c, F.least(rt, ct) - 1.0
+                    )
+                ),
+            ),
+        )
     if pvalue:
         k = F.col("dof").cast("double")
         x = F.col("chi2_stat")
@@ -238,6 +271,163 @@ def chi2_independence(
             ),
         )
     return out
+
+
+#: 0.5 * ln(2*pi), written as an explicit literal so the SQL oracle
+#: replay uses the identical constant (not its own ln/pi evaluation)
+_HALF_LN_2PI = 0.9189385332046727
+
+
+def _lfact(m):
+    """``log(m!)`` for integer ``m >= 0`` as a pure column expression:
+    a 4-correction-term Stirling series on ``z = m + 7`` minus the
+    shift product ``ln((m+1)...(m+6))`` — relative error < 1e-11 at
+    the smallest z and falling fast.  Spark has no lgamma builtin and
+    a Python UDF would both leave the JVM and defeat oracle parity;
+    this exact arithmetic is replayed token-for-token by the DuckDB
+    oracle template, so both engines agree to ~1e-12 instead of
+    chasing libm last-ulp parity.
+    """
+    md = m.cast("double")
+    z = md + F.lit(7.0)
+    shift = F.log(
+        (md + 1.0) * (md + 2.0) * (md + 3.0)
+        * (md + 4.0) * (md + 5.0) * (md + 6.0)
+    )
+    return (
+        (z - 0.5) * F.log(z) - z + F.lit(_HALF_LN_2PI)
+        + 1.0 / (12.0 * z)
+        - 1.0 / (360.0 * z ** 3)
+        + 1.0 / (1260.0 * z ** 5)
+        - 1.0 / (1680.0 * z ** 7)
+        - shift
+    )
+
+
+def fisher_exact(
+    df: DataFrame,
+    cond_a,
+    cond_b,
+    *,
+    max_terms: int = 10_000_000,
+) -> DataFrame:
+    """Fisher's exact test on the 2×2 table of two boolean conditions.
+
+    One row: ``a, b, c, d, n, odds_ratio, p_two, p_less, p_greater``
+    where ``a = |A∧B|, b = |A∧¬B|, c = |¬A∧B|, d = |¬A∧¬B|`` (rows
+    where either condition is NULL drop), ``odds_ratio`` is the sample
+    ``ad/bc`` (NULL when ``bc = 0``), and the p-values are exact
+    hypergeometric tail sums: ``p_less``/``p_greater`` the one-sided
+    tails over ``k ≤ a`` / ``k ≥ a``, ``p_two`` the standard
+    sum-of-at-most-as-probable-tables definition (a table enters when
+    ``round(log p_k − log p_obs, 6) ≤ 0`` — the rounding grid keeps
+    the borderline-equal-mass mirror tables decided identically by
+    an external SQL replay).
+
+    Scale shape: ONE aggregation collapses the data to the four cell
+    counts; the support ``k ∈ [max(0, r₁+c₁−n), min(r₁, c₁)]`` is then
+    exploded from that 1-row frame and folded — the enumeration costs
+    ``min(r₁, c₁)`` rows on ONE executor, which is exactly the regime
+    Fisher's exact test is FOR (a rare condition against another
+    screen).  When the support exceeds ``max_terms`` the p-values come
+    back NULL instead of materializing a giant sequence — at that size
+    use :func:`chi2_independence`, whose χ² approximation is already
+    exact-grade.  Log-probabilities use the :func:`_lfact` Stirling
+    expression (no lgamma builtin in Spark; identical arithmetic in
+    the DuckDB oracle).
+    """
+    ca = F.col(cond_a) if isinstance(cond_a, str) else cond_a
+    cb = F.col(cond_b) if isinstance(cond_b, str) else cond_b
+    ca = ca.cast("boolean")
+    cb = cb.cast("boolean")
+    base = df.where(ca.isNotNull() & cb.isNotNull())
+    tab = base.agg(
+        F.coalesce(F.sum((ca & cb).cast("long")), F.lit(0))
+        .alias("a"),
+        F.coalesce(F.sum((ca & ~cb).cast("long")), F.lit(0))
+        .alias("b"),
+        F.coalesce(F.sum((~ca & cb).cast("long")), F.lit(0))
+        .alias("c"),
+        F.coalesce(F.sum((~ca & ~cb).cast("long")), F.lit(0))
+        .alias("d"),
+    )
+    margins = tab.select(
+        "a", "b", "c", "d",
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+        .alias("n"),
+        (F.col("a") + F.col("b")).alias("__r1"),
+        (F.col("c") + F.col("d")).alias("__r2"),
+        (F.col("a") + F.col("c")).alias("__c1"),
+        (F.col("b") + F.col("d")).alias("__c2"),
+    )
+    # log p(k) = const − lfact(k) − lfact(r1−k) − lfact(c1−k)
+    #            − lfact(d−a+k);   const = Σ lfact(margins) − lfact(n)
+    const = (
+        _lfact(F.col("__r1")) + _lfact(F.col("__r2"))
+        + _lfact(F.col("__c1")) + _lfact(F.col("__c2"))
+        - _lfact(F.col("n"))
+    )
+
+    def _lp(k):
+        return (
+            F.col("__const")
+            - _lfact(k)
+            - _lfact(F.col("__r1") - k)
+            - _lfact(F.col("__c1") - k)
+            - _lfact(F.col("n") - F.col("__r1") - F.col("__c1") + k)
+        )
+
+    kmin = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("__r1") + F.col("__c1") - F.col("n"),
+    )
+    kmax = F.least(F.col("__r1"), F.col("__c1"))
+    seq = F.when(
+        kmax - kmin + 1 <= F.lit(int(max_terms)),
+        F.sequence(kmin, kmax),
+    )
+    # explode_outer: over-max_terms support yields ONE null-k row so
+    # the output row survives with NULL p-values (plain explode would
+    # silently drop the result row entirely)
+    kd = margins.withColumn("__const", const).select(
+        "a", "b", "c", "d", "n", "__r1", "__c1", "__const",
+        F.explode_outer(seq).alias("__k"),
+    )
+    kd = kd.withColumn("__lp", _lp(F.col("__k"))).withColumn(
+        "__lp_obs", _lp(F.col("a"))
+    )
+    folded = kd.groupBy("a", "b", "c", "d", "n").agg(
+        F.sum(
+            F.when(
+                F.round(F.col("__lp") - F.col("__lp_obs"), 6) <= 0,
+                F.exp("__lp"),
+            ).otherwise(F.lit(0.0))
+        ).alias("__p2"),
+        F.sum(
+            F.when(F.col("__k") <= F.col("a"), F.exp("__lp"))
+            .otherwise(F.lit(0.0))
+        ).alias("__pl"),
+        F.sum(
+            F.when(F.col("__k") >= F.col("a"), F.exp("__lp"))
+            .otherwise(F.lit(0.0))
+        ).alias("__pg"),
+        F.count("__k").alias("__nk"),
+    )
+    orat = F.try_divide(
+        (F.col("a") * F.col("d")).cast("double"),
+        (F.col("b") * F.col("c")).cast("double"),
+    )
+    # NULL p-values when the support was not enumerated (> max_terms)
+    clamp = lambda c: F.when(  # noqa: E731
+        F.col("__nk") > 0, F.least(F.lit(1.0), c)
+    )
+    return folded.select(
+        "a", "b", "c", "d", "n",
+        orat.alias("odds_ratio"),
+        clamp(F.col("__p2")).alias("p_two"),
+        clamp(F.col("__pl")).alias("p_less"),
+        clamp(F.col("__pg")).alias("p_greater"),
+    )
 
 
 def mutual_info(df: DataFrame, a: str, b: str) -> DataFrame:

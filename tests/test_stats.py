@@ -704,3 +704,137 @@ def test_fdr_by_harmonic_factor(spark):
     assert all(by[p] >= bh[p] for p in nn)
     with pytest.raises(ValueError, match="method"):
         fdr_bh(df, "p", method="bonferroni").collect()
+
+
+# ---------------------------------------------------------------------------
+# fisher_exact + bias-corrected Cramér's V (r11)
+
+
+def _fisher_ref(a, b, c, d):
+    """Pure-python hypergeometric reference via math.lgamma (scipy's
+    two-sided sum-of-at-most-as-probable definition)."""
+    import math
+
+    r1, c1, n = a + b, a + c, a + b + c + d
+
+    def lp(k):
+        return (
+            math.lgamma(r1 + 1) + math.lgamma(n - r1 + 1)
+            + math.lgamma(c1 + 1) + math.lgamma(n - c1 + 1)
+            - math.lgamma(n + 1) - math.lgamma(k + 1)
+            - math.lgamma(r1 - k + 1) - math.lgamma(c1 - k + 1)
+            - math.lgamma(n - r1 - c1 + k + 1)
+        )
+
+    kmin, kmax = max(0, r1 + c1 - n), min(r1, c1)
+    obs = lp(a)
+    p2 = sum(
+        math.exp(lp(k))
+        for k in range(kmin, kmax + 1)
+        if lp(k) <= obs + 1e-7
+    )
+    pl = sum(math.exp(lp(k)) for k in range(kmin, a + 1))
+    pg = sum(math.exp(lp(k)) for k in range(a, kmax + 1))
+    return min(1.0, p2), min(1.0, pl), min(1.0, pg)
+
+
+def _fisher_df(spark, a, b, c, d):
+    rows = (
+        [(True, True)] * a + [(True, False)] * b
+        + [(False, True)] * c + [(False, False)] * d
+    )
+    return spark.createDataFrame(rows, "x boolean, y boolean")
+
+
+class TestFisherExact:
+    def test_scipy_documented_example(self, spark):
+        from pandera_spark.operators.stats import fisher_exact
+
+        # scipy.stats.fisher_exact([[8, 2], [1, 5]]): two-sided
+        # p = 0.034965..., odds ratio 20.0
+        r = fisher_exact(
+            _fisher_df(spark, 8, 2, 1, 5), "x", "y"
+        ).first()
+        assert (r.a, r.b, r.c, r.d, r.n) == (8, 2, 1, 5, 16)
+        assert r.odds_ratio == pytest.approx(20.0)
+        assert r.p_two == pytest.approx(0.03496503496503495, abs=1e-9)
+
+    def test_matches_lgamma_reference_on_grid(self, spark):
+        from pandera_spark.operators.stats import fisher_exact
+
+        for a, b, c, d in [
+            (2, 3, 4, 5), (0, 10, 10, 0), (1, 1, 1, 1),
+            (12, 5, 3, 9), (7, 0, 2, 11), (0, 0, 5, 5),
+        ]:
+            r = fisher_exact(_fisher_df(spark, a, b, c, d), "x", "y").first()
+            p2, pl, pg = _fisher_ref(a, b, c, d)
+            assert r.p_two == pytest.approx(p2, abs=1e-9), (a, b, c, d)
+            assert r.p_less == pytest.approx(pl, abs=1e-9), (a, b, c, d)
+            assert r.p_greater == pytest.approx(pg, abs=1e-9), (a, b, c, d)
+
+    def test_null_conditions_drop(self, spark):
+        from pandera_spark.operators.stats import fisher_exact
+
+        df = _fisher_df(spark, 8, 2, 1, 5).union(
+            _fisher_df(spark, 1, 1, 1, 1).select(
+                F.lit(None).cast("boolean").alias("x"), "y"
+            )
+        )
+        r = fisher_exact(df, "x", "y").first()
+        assert r.n == 16
+
+    def test_over_max_terms_nulls(self, spark):
+        from pandera_spark.operators.stats import fisher_exact
+
+        r = fisher_exact(
+            _fisher_df(spark, 8, 2, 1, 5), "x", "y", max_terms=3
+        ).first()
+        assert r.p_two is None and r.p_less is None
+        assert r.n == 16  # counts still real
+
+    def test_zero_margin_degenerate(self, spark):
+        from pandera_spark.operators.stats import fisher_exact
+
+        # no positives on condition A at all: support is {0}, p = 1
+        r = fisher_exact(_fisher_df(spark, 0, 0, 5, 5), "x", "y").first()
+        assert r.p_two == pytest.approx(1.0, abs=1e-9)
+
+
+class TestCramersVBiasCorrection:
+    def test_bc_below_raw_and_matches_formula(self, spark):
+        from pandera_spark.operators.stats import chi2_independence
+
+        rows = []
+        counts = {("a", "x"): 12, ("a", "y"): 5, ("b", "x"): 4,
+                  ("b", "y"): 11, ("c", "x"): 7, ("c", "y"): 2}
+        for (u, v), k in counts.items():
+            rows += [(u, v)] * k
+        df = spark.createDataFrame(rows, "u string, v string")
+        r = chi2_independence(df, "u", "v", bias_correction=True).first()
+        n, ra, cb = r.n, r.n_a, r.n_b
+        phi2 = r.chi2_stat / n
+        phi2c = max(0.0, phi2 - (ra - 1) * (cb - 1) / (n - 1))
+        rt = ra - (ra - 1) ** 2 / (n - 1)
+        ct = cb - (cb - 1) ** 2 / (n - 1)
+        import math
+
+        want = math.sqrt(phi2c / (min(rt, ct) - 1))
+        assert r.cramers_v_bc == pytest.approx(want, abs=1e-12)
+        assert r.cramers_v_bc <= r.cramers_v + 1e-12
+
+    def test_bc_degenerate_null(self, spark):
+        from pandera_spark.operators.stats import chi2_independence
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y")], "u string, v string"
+        )
+        r = chi2_independence(df, "u", "v", bias_correction=True).first()
+        assert r.cramers_v_bc is None
+
+    def test_default_lane_has_no_bc_column(self, spark):
+        from pandera_spark.operators.stats import chi2_independence
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("b", "y")], "u string, v string"
+        )
+        assert "cramers_v_bc" not in chi2_independence(df, "u", "v").columns
