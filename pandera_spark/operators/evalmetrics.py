@@ -39,6 +39,7 @@ __all__ = [
     "isotonic_calibrate",
     "ranking_metrics",
     "calibration_summary",
+    "lift_table",
 ]
 
 
@@ -697,4 +698,80 @@ def pr_auc(
         F.try_divide(P, total).alias("prevalence"),
         F.when(F.col("P") > 0, F.col("__ap_num") / P)
         .alias("average_precision"),
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Decile (``n_bins``-tile) lift / gain table — the campaign-
+    targeting readout: "if I act on the top k score-bins, what share
+    of positives do I capture (gain) and how much better than random
+    am I (lift)?".
+
+    One row per populated score bin, TOP SCORES FIRST (``tier`` 1 is
+    the highest-score bin): ``tier, n, n_pos, pos_rate, lift, cum_n,
+    cum_pos, cum_gain, cum_lift`` where ``lift = pos_rate /
+    overall_rate``, ``cum_gain = cum_pos / total_pos`` and
+    ``cum_lift = (cum_pos/cum_n) / overall_rate``.
+
+    Bins are equi-depth by score via :func:`~pandera_spark.operators.
+    numeric.sketch_bins` (ONE percentile aggregate broadcast as a
+    1-row edges frame; GK sketch by default, ``exact=True`` for the
+    interpolated percentile_cont edges) — NOT ``ntile``, whose global
+    window is a single task at scale.  Tied scores land whole in one
+    bin, so bin populations are equal only up to tie mass; the
+    cumulative columns are exact for the realized binning either way.
+    One data shuffle (the bin groupBy); the windows run on the
+    ≤``n_bins``-row frame.  Rows with NULL score or label drop; all
+    counts integer, so an external SQL engine replays the table
+    exactly when ``exact=True``.
+    """
+    from .numeric import sketch_bins
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.where(s.isNotNull() & y.isNotNull()).select(
+        s.alias("__s"), y.alias("__y")
+    )
+    binned = sketch_bins(
+        base, "__s", int(n_bins), exact=exact,
+        accuracy=accuracy, out_col="__bin",
+    )
+    per = binned.groupBy("__bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+    )
+    # top scores first: highest bin id = highest scores = tier 1
+    wcum = Window.orderBy(F.col("__bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy()
+    total_n = F.sum("n").over(wtot).cast("double")
+    total_pos = F.sum("n_pos").over(wtot).cast("double")
+    overall = F.try_divide(total_pos, total_n)
+    cum_n = F.sum("n").over(wcum).cast("long")
+    cum_pos = F.sum("n_pos").over(wcum).cast("long")
+    pos_rate = F.try_divide(F.col("n_pos").cast("double"), F.col("n"))
+    return per.select(
+        F.row_number().over(Window.orderBy(F.col("__bin").desc()))
+        .cast("long").alias("tier"),
+        "n", "n_pos",
+        pos_rate.alias("pos_rate"),
+        F.try_divide(pos_rate, overall).alias("lift"),
+        cum_n.alias("cum_n"),
+        cum_pos.alias("cum_pos"),
+        F.try_divide(cum_pos.cast("double"), total_pos)
+        .alias("cum_gain"),
+        F.try_divide(
+            F.try_divide(cum_pos.cast("double"), cum_n), overall
+        ).alias("cum_lift"),
     )

@@ -51,6 +51,7 @@ __all__ = [
     "time_weighted_mean",
     "theil_sen",
     "seasonality_profile",
+    "holt_winters",
 ]
 
 
@@ -1196,4 +1197,116 @@ def seasonality_profile(
         "bucket", "n",
         share.alias("share"),
         (share - 1.0 / float(n_buckets)).alias("dev_uniform"),
+    )
+
+
+def holt_winters(
+    df: DataFrame,
+    ts_col: str,
+    value,
+    *,
+    grain: str = "hour",
+    season_length: int = 24,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing of a
+    bucketed series — the seasonality-aware baseline for arrival-rate
+    monitoring (``seasonal_baseline`` assumes a STABLE hour-of-week
+    profile; this one tracks level/trend drift through the season).
+
+    ``value`` is an aggregate Column evaluated per ``grain`` bucket
+    (e.g. ``F.count(F.lit(1))`` for arrival counts).  One row per
+    bucket: ``bucket_ts, y, level, trend, seasonal, fitted, resid``
+    with the standard recurrences (m = ``season_length``)::
+
+        fitted_t = L_{t-1} + B_{t-1} + S_{t-m}
+        L_t = α(y_t − S_{t-m}) + (1−α)(L_{t-1} + B_{t-1})
+        B_t = β(L_t − L_{t-1}) + (1−β)B_{t-1}
+        S_t = γ(y_t − L_t) + (1−γ)S_{t-m}
+
+    initialized the textbook way: ``L_0`` = mean of season 1, ``B_0``
+    = (mean of season 2 − mean of season 1)/m, initial seasonals =
+    season-1 deviations from ``L_0``.  Needs ≥ 2m buckets (returns an
+    EMPTY frame otherwise — gate upstream); missing buckets are not
+    imputed (run :func:`gap_fill` first for a strict lattice).  The
+    default α/β/γ are exact binary fractions so 1−α etc. carry no
+    rounding and an external engine replays the arithmetic
+    digit-for-digit.
+
+    Scale shape: ONE aggregation collapses the data to the bucket
+    grain (map-side combine; hourly × years = tens of thousands of
+    rows), then the inherently-sequential recurrence runs in a single
+    Arrow-batched ``applyInPandas`` over that BOUNDED frame — the
+    same bounded-frame pattern as the PAV sweep.  The data itself
+    never reaches Python.
+    """
+    import pandas as pd  # noqa: F401 - applyInPandas contract
+
+    if season_length < 2:
+        raise ValueError(
+            f"season_length must be >= 2, got {season_length}"
+        )
+    m = int(season_length)
+    a, b, g = float(alpha), float(beta), float(gamma)
+    buckets = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts")
+        )
+        .agg(value.cast("double").alias("y"))
+    )
+    out_schema = (
+        "bucket_ts timestamp, y double, level double, trend double, "
+        "seasonal double, fitted double, resid double"
+    )
+
+    def _hw(pdf):
+        pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2 * m:
+            return pdf.iloc[0:0][["bucket_ts", "y"]].assign(
+                level=0.0, trend=0.0, seasonal=0.0,
+                fitted=0.0, resid=0.0,
+            )
+        y = pdf["y"].to_numpy()
+        # index-order accumulation (not pairwise) so the SQL replay's
+        # sequential AVG agrees beyond rounding noise
+        s1 = 0.0
+        s2 = 0.0
+        for i in range(m):
+            s1 += y[i]
+        for i in range(m, 2 * m):
+            s2 += y[i]
+        lvl = s1 / m
+        tr = (s2 / m - s1 / m) / m
+        seas = [y[i] - lvl for i in range(m)]
+        level = [0.0] * n
+        trend = [0.0] * n
+        seasonal = [0.0] * n
+        fitted = [0.0] * n
+        for t in range(n):
+            s_use = seas[0]
+            fitted[t] = lvl + tr + s_use
+            lvl_new = a * (y[t] - s_use) + (1.0 - a) * (lvl + tr)
+            tr_new = b * (lvl_new - lvl) + (1.0 - b) * tr
+            s_new = g * (y[t] - lvl_new) + (1.0 - g) * s_use
+            seas = seas[1:] + [s_new]
+            lvl, tr = lvl_new, tr_new
+            level[t] = lvl
+            trend[t] = tr
+            seasonal[t] = s_new
+        pdf = pdf.assign(
+            level=level, trend=trend, seasonal=seasonal, fitted=fitted,
+        )
+        pdf["resid"] = pdf["y"] - pdf["fitted"]
+        return pdf[["bucket_ts", "y", "level", "trend", "seasonal",
+                    "fitted", "resid"]]
+
+    return (
+        buckets.groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(
+            lambda _key, pdf: _hw(pdf), schema=out_schema
+        )
     )

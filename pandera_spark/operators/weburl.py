@@ -51,6 +51,8 @@ __all__ = [
     "url_features",
     "domain_stats",
     "domain_cap",
+    "domain_quality_gate",
+    "domain_drift",
 ]
 
 #: Compact public-suffix subset (generic TLDs + the common two-level
@@ -270,3 +272,142 @@ def domain_cap(
         .drop("__rn")
     )
     return out if domain_out else out.drop(keep_dom)
+
+
+def domain_quality_gate(
+    df: DataFrame,
+    url_col: str,
+    *,
+    quality_col: str,
+    min_quality: float,
+    min_docs: int = 1,
+    max_per_domain: Optional[int] = None,
+    key_col: Optional[str] = None,
+    salt: str = "",
+    suffixes: Sequence[str] = DEFAULT_SUFFIXES,
+    domain_out: Optional[str] = None,
+) -> DataFrame:
+    """The CC-curation end-to-end: keep documents whose registrable
+    DOMAIN earns its place — mean ``quality_col`` at least
+    ``min_quality`` over at least ``min_docs`` documents — then
+    optionally cap each surviving domain at ``max_per_domain`` docs
+    (deterministic portable-hash keep, as :func:`domain_cap`).
+    Documents with an unparseable URL (NULL domain) are dropped: a
+    gate that cannot attribute a document cannot vouch for it.
+
+    Scale shape (deliberately NOT a per-domain window over the data):
+    the verdict per domain comes from ONE domain-keyed hash
+    aggregation (map-side partial combine — the shuffle carries one
+    row per (task, domain)), and documents re-enter via a LEFT SEMI
+    equi-join on the domain key, which AQE broadcasts when the
+    passing-domain frame is small and skew-splits when it is not.  A
+    window-based formulation would hand a crawl-heavy mega-domain to
+    a single task; the optional cap window is safe because
+    WindowGroupLimit pre-trims every task to its local top-m first.
+    """
+    dom = registrable_domain(url_host(F.col(url_col)), suffixes)
+    keep_dom = domain_out or "__domain"
+    tagged = df.withColumn(keep_dom, dom).where(
+        F.col(keep_dom).isNotNull()
+    )
+    passing = (
+        tagged.groupBy(keep_dom)
+        .agg(
+            F.count(F.lit(1)).alias("__nd"),
+            F.avg(F.col(quality_col).cast("double")).alias("__mq"),
+        )
+        .where(
+            (F.col("__mq") >= float(min_quality))
+            & (F.col("__nd") >= int(min_docs))
+        )
+        .select(keep_dom)
+    )
+    kept = tagged.join(passing, on=keep_dom, how="left_semi")
+    if max_per_domain is not None:
+        if key_col is None:
+            raise ValueError("max_per_domain requires key_col")
+        h = portable_hash28(
+            F.concat(F.col(key_col).cast("string"), F.lit(salt))
+        )
+        w = Window.partitionBy(keep_dom).orderBy(h, F.col(key_col))
+        kept = (
+            kept.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(max_per_domain))
+            .drop("__rn")
+        )
+    return kept if domain_out else kept.drop(keep_dom)
+
+
+def domain_drift(
+    df: DataFrame,
+    url_col: str,
+    ts_col: str,
+    value_col: str,
+    edges: Sequence[float],
+    *,
+    grain: str = "day",
+    min_docs: int = 1,
+    suffixes: Sequence[str] = DEFAULT_SUFFIXES,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-domain quality-drift screen: for every registrable domain
+    and time period, the PSI of the binned ``value_col`` distribution
+    against that DOMAIN's all-time distribution — the crawl-ops
+    question "which publisher's content changed, and when?".  Same
+    exact-PSI convention as ``drift.psi_timeline`` (fixed ``edges``,
+    eps-floored shares over the full period×bin grid), but keyed by
+    domain so every join is an equi-join on the domain key — no
+    broadcast crossJoin is needed because the baseline frames carry
+    the key.
+
+    Output: ``(domain, period, n_rows, psi)``; domains with fewer
+    than ``min_docs`` total documents are screened out before the
+    grid (thin domains produce noise-only PSI).  ONE
+    (domain, period, bin) aggregation scans the data; everything
+    downstream is arithmetic on that reduced grain.
+    """
+    from .drift import bin_column
+
+    dom = registrable_domain(url_host(F.col(url_col)), suffixes)
+    b = bin_column(F.col(value_col), edges)
+    period = F.date_trunc(grain, F.col(ts_col))
+    counts = (
+        df.select(
+            dom.alias("domain"), period.alias("period"), b.alias("bin")
+        )
+        .where(F.col("domain").isNotNull())
+        .groupBy("domain", "period", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = counts.groupBy("domain", "bin").agg(
+        F.sum("n").alias("__nb")
+    )
+    tot_b = base.groupBy("domain").agg(
+        F.sum("__nb").cast("double").alias("__tot_b")
+    ).where(F.col("__tot_b") >= float(min_docs))
+    per_p = counts.groupBy("domain", "period").agg(
+        F.sum("n").alias("__tot_p")
+    )
+    grid = (
+        per_p.join(base, on="domain")
+        .join(tot_b, on="domain")
+    )
+    j = grid.join(
+        counts, ["domain", "period", "bin"], "left"
+    ).withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    fa = F.greatest(
+        F.col("n").cast("double") / F.col("__tot_p").cast("double"),
+        F.lit(float(eps)),
+    )
+    fb = F.greatest(
+        F.col("__nb").cast("double") / F.col("__tot_b"),
+        F.lit(float(eps)),
+    )
+    term = (fa - fb) * F.log(fa / fb)
+    return (
+        j.groupBy("domain", "period")
+        .agg(
+            F.max("__tot_p").cast("long").alias("n_rows"),
+            F.sum(term).alias("psi"),
+        )
+    )

@@ -1,0 +1,258 @@
+"""Round-11 operators: domain_quality_gate / domain_drift (weburl),
+lift_table (evalmetrics), holt_winters (temporal)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    # 3 domains: good.com high quality, bad.com low, thin.com tiny
+    rows = []
+    for i in range(20):
+        rows.append((i, f"https://a{i % 4}.good.com/p{i}", 80.0))
+    for i in range(20, 40):
+        rows.append((i, f"https://b{i % 3}.bad.com/p{i}", 20.0))
+    rows.append((40, "https://only.thin.com/x", 99.0))
+    rows.append((41, None, 50.0))
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, quality double"
+    )
+
+
+class TestDomainQualityGate:
+    def test_gate_keeps_good_domain_only(self, spark):
+        from pandera_spark.operators.weburl import domain_quality_gate
+
+        out = domain_quality_gate(
+            _docs(spark), "url", quality_col="quality",
+            min_quality=50.0, min_docs=2, domain_out="dom",
+        )
+        doms = {r.dom for r in out.select("dom").distinct().collect()}
+        assert doms == {"good.com"}  # bad fails quality, thin min_docs
+        assert out.count() == 20
+
+    def test_null_url_dropped(self, spark):
+        from pandera_spark.operators.weburl import domain_quality_gate
+
+        out = domain_quality_gate(
+            _docs(spark), "url", quality_col="quality",
+            min_quality=0.0, min_docs=1,
+        )
+        # everything with a parseable URL passes; the NULL-url row drops
+        assert out.count() == 41
+
+    def test_cap_composes(self, spark):
+        from pandera_spark.operators.weburl import domain_quality_gate
+
+        out = domain_quality_gate(
+            _docs(spark), "url", quality_col="quality",
+            min_quality=50.0, min_docs=2,
+            max_per_domain=7, key_col="doc_id", domain_out="dom",
+        )
+        assert out.count() == 7
+        with pytest.raises(ValueError, match="key_col"):
+            domain_quality_gate(
+                _docs(spark), "url", quality_col="quality",
+                min_quality=0.0, max_per_domain=3,
+            )
+
+    def test_cap_deterministic_and_salted(self, spark):
+        from pandera_spark.operators.weburl import domain_quality_gate
+
+        kw = dict(quality_col="quality", min_quality=0.0,
+                  max_per_domain=5, key_col="doc_id")
+        a = {r.doc_id for r in domain_quality_gate(
+            _docs(spark), "url", **kw).collect()}
+        b = {r.doc_id for r in domain_quality_gate(
+            _docs(spark), "url", **kw).collect()}
+        c = {r.doc_id for r in domain_quality_gate(
+            _docs(spark), "url", salt="v2", **kw).collect()}
+        assert a == b
+        assert a != c
+
+
+class TestDomainDrift:
+    def _frame(self, spark):
+        import datetime
+
+        rows = []
+        d1 = datetime.datetime(2024, 1, 1)
+        d2 = datetime.datetime(2024, 1, 2)
+        # stable.com: same distribution both days
+        for day in (d1, d2):
+            for i in range(50):
+                rows.append((f"https://x.stable.com/{i}", day, float(i % 10)))
+        # moved.com: day-2 values shift up
+        for i in range(50):
+            rows.append((f"https://x.moved.com/{i}", d1, float(i % 10)))
+        for i in range(50):
+            rows.append(
+                (f"https://x.moved.com/{i}", d2, 80.0 + float(i % 10))
+            )
+        return spark.createDataFrame(
+            rows, "url string, ts timestamp, v double"
+        )
+
+    def test_moved_domain_flags(self, spark):
+        from pandera_spark.operators.weburl import domain_drift
+
+        out = domain_drift(
+            self._frame(spark), "url", "ts", "v",
+            edges=[20.0, 40.0, 60.0], grain="day",
+        ).collect()
+        psi = {(r.domain, str(r.period)[:10]): r.psi for r in out}
+        assert psi[("stable.com", "2024-01-01")] == pytest.approx(0.0, abs=1e-9)
+        assert psi[("stable.com", "2024-01-02")] == pytest.approx(0.0, abs=1e-9)
+        assert psi[("moved.com", "2024-01-01")] > 1.0
+        assert psi[("moved.com", "2024-01-02")] > 1.0
+        n = {(r.domain, str(r.period)[:10]): r.n_rows for r in out}
+        assert n[("moved.com", "2024-01-01")] == 50
+
+    def test_min_docs_screens_thin_domains(self, spark):
+        from pandera_spark.operators.weburl import domain_drift
+
+        df = self._frame(spark).union(
+            spark.createDataFrame(
+                [("https://t.thin.com/1",
+                  __import__("datetime").datetime(2024, 1, 1), 1.0)],
+                "url string, ts timestamp, v double",
+            )
+        )
+        doms = {
+            r.domain
+            for r in domain_drift(
+                df, "url", "ts", "v", edges=[20.0], min_docs=10
+            ).select("domain").distinct().collect()
+        }
+        assert doms == {"stable.com", "moved.com"}
+
+
+class TestLiftTable:
+    def _scored(self, spark):
+        # 100 distinct scores; the top 20 scores are the positives
+        rows = [(float(i), 1 if i > 80 else 0) for i in range(1, 101)]
+        return spark.createDataFrame(rows, "score double, label int")
+
+    def test_perfect_targeting_deciles(self, spark):
+        from pandera_spark.operators.evalmetrics import lift_table
+
+        out = lift_table(
+            self._scored(spark), "score", "label",
+            n_bins=10, exact=True,
+        ).collect()
+        by_tier = {r.tier: r for r in out}
+        assert len(out) == 10
+        # overall rate 0.2; the top two tiers hold all positives
+        assert by_tier[1].lift == pytest.approx(5.0)
+        assert by_tier[2].cum_gain == pytest.approx(1.0)
+        assert by_tier[1].cum_gain == pytest.approx(0.5)
+        assert by_tier[3].n_pos == 0
+        # closing invariants
+        last = by_tier[10]
+        assert last.cum_n == 100 and last.cum_pos == 20
+        assert last.cum_gain == pytest.approx(1.0)
+        assert last.cum_lift == pytest.approx(1.0)
+
+    def test_tier_monotone_gain(self, spark):
+        from pandera_spark.operators.evalmetrics import lift_table
+
+        import random
+
+        rng = random.Random(3)
+        rows = [(rng.random(), 1 if rng.random() < 0.3 else 0)
+                for _ in range(2000)]
+        df = spark.createDataFrame(rows, "score double, label int")
+        out = sorted(
+            lift_table(df, "score", "label", n_bins=8).collect(),
+            key=lambda r: r.tier,
+        )
+        gains = [r.cum_gain for r in out]
+        assert gains == sorted(gains)
+        assert sum(r.n for r in out) == 2000
+
+    def test_null_rows_drop_and_guard(self, spark):
+        from pandera_spark.operators.evalmetrics import lift_table
+
+        df = spark.createDataFrame(
+            [(1.0, 1), (2.0, 0), (None, 1), (3.0, None)],
+            "score double, label int",
+        )
+        out = lift_table(df, "score", "label", n_bins=2, exact=True)
+        assert sum(r.n for r in out.collect()) == 2
+        with pytest.raises(ValueError, match="n_bins"):
+            lift_table(df, "score", "label", n_bins=0)
+
+
+class TestHoltWinters:
+    def _series(self, spark, ys, start="2024-01-01"):
+        import datetime
+
+        t0 = datetime.datetime.fromisoformat(start)
+        rows = [
+            (t0 + datetime.timedelta(hours=i), float(v))
+            for i, v in enumerate(ys)
+        ]
+        return spark.createDataFrame(rows, "ts timestamp, v double")
+
+    def test_pure_seasonal_is_fixed_point(self, spark):
+        from pandera_spark.operators.temporal import holt_winters
+
+        season = [3.0, 7.0, 5.0, 1.0]
+        df = self._series(spark, season * 6)
+        out = holt_winters(
+            df, "ts", F.max("v"), grain="hour", season_length=4
+        ).orderBy("bucket_ts").collect()
+        assert len(out) == 24
+        for r in out:
+            assert r.resid == pytest.approx(0.0, abs=1e-12)
+            assert r.trend == pytest.approx(0.0, abs=1e-12)
+            assert r.level == pytest.approx(4.0, abs=1e-12)
+
+    def test_constant_series(self, spark):
+        from pandera_spark.operators.temporal import holt_winters
+
+        df = self._series(spark, [5.0] * 20)
+        out = holt_winters(
+            df, "ts", F.max("v"), season_length=4
+        ).collect()
+        for r in out:
+            assert r.fitted == pytest.approx(5.0, abs=1e-12)
+            assert r.seasonal == pytest.approx(0.0, abs=1e-12)
+
+    def test_level_tracks_step_change(self, spark):
+        from pandera_spark.operators.temporal import holt_winters
+
+        ys = [10.0] * 24 + [30.0] * 24
+        out = holt_winters(
+            self._series(spark, ys), "ts", F.max("v"), season_length=4
+        ).orderBy("bucket_ts").collect()
+        assert out[20].level == pytest.approx(10.0, abs=1e-9)
+        assert out[-1].level > 25.0
+
+    def test_too_short_returns_empty(self, spark):
+        from pandera_spark.operators.temporal import holt_winters
+
+        df = self._series(spark, [1.0, 2.0, 3.0])
+        assert holt_winters(
+            df, "ts", F.max("v"), season_length=4
+        ).count() == 0
+        with pytest.raises(ValueError, match="season_length"):
+            holt_winters(df, "ts", F.max("v"), season_length=1)
+
+    def test_bucket_aggregation_counts(self, spark):
+        # value = COUNT per bucket: y must be the arrival count
+        from pandera_spark.operators.temporal import holt_winters
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        for h in range(12):
+            for _ in range(h + 1):  # h+1 events in hour h
+                rows.append(
+                    (t0 + datetime.timedelta(hours=h, minutes=30),)
+                )
+        df = spark.createDataFrame(rows, "ts timestamp")
+        out = holt_winters(
+            df, "ts", F.count(F.lit(1)), season_length=3
+        ).orderBy("bucket_ts").collect()
+        assert [int(r.y) for r in out] == list(range(1, 13))
