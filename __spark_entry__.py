@@ -11773,6 +11773,418 @@ FROM c
 """
 
 
+# -- round 11: fisher / cramers-v-bc / domain gate / domain drift /
+#    lift table / holt-winters ------------------------------------------------
+
+
+def q_fisher_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact 2x2 test (operators/stats.py:fisher_exact):
+    is being English associated with being a long document?  ONE
+    aggregation to the four cell counts, support exploded from the
+    1-row frame (219 terms here), hypergeometric log-probabilities via
+    the Stirling _lfact expression — replayed token-for-token by the
+    oracle (no lgamma builtin on the Spark side, no libm-parity bet)."""
+    from pandera_spark.operators.stats import fisher_exact
+
+    docs = _load(spark, sf_dir, "documents")
+    out = fisher_exact(
+        docs, F.col("lang") == "en", F.col("n_chars") > 306
+    )
+    return out.select(
+        "a", "b", "c", "d", "n",
+        F.round("odds_ratio", 6).alias("or_r"),
+        F.round("p_two", 6).alias("p2_r"),
+        F.round("p_less", 6).alias("pl_r"),
+        F.round("p_greater", 6).alias("pg_r"),
+    )
+
+
+def _lfact_sql(m: str) -> str:
+    """log(m!) — the same 4-term Stirling series as operators/stats.py
+    _lfact, token-for-token (z = m+7, explicit 0.5*ln(2*pi) literal)."""
+    z = f"(({m}) + 7.0)"
+    return (
+        f"(({z} - 0.5) * ln({z}) - {z} + 0.9189385332046727"
+        f" + 1.0 / (12.0 * {z})"
+        f" - 1.0 / (360.0 * POWER({z}, 3))"
+        f" + 1.0 / (1260.0 * POWER({z}, 5))"
+        f" - 1.0 / (1680.0 * POWER({z}, 7))"
+        f" - ln((({m}) + 1.0) * (({m}) + 2.0) * (({m}) + 3.0)"
+        f" * (({m}) + 4.0) * (({m}) + 5.0) * (({m}) + 6.0)))"
+    )
+
+
+def _fisher_oracle() -> str:
+    lp_k = " - ".join([
+        "(tab.cst",
+        _lfact_sql("k.k"),
+        _lfact_sql("tab.r1 - k.k"),
+        _lfact_sql("tab.c1 - k.k"),
+        _lfact_sql("tab.n - tab.r1 - tab.c1 + k.k"),
+    ]) + ")"
+    lp_obs = " - ".join([
+        "(tab.cst",
+        _lfact_sql("tab.a"),
+        _lfact_sql("tab.r1 - tab.a"),
+        _lfact_sql("tab.c1 - tab.a"),
+        _lfact_sql("tab.n - tab.r1 - tab.c1 + tab.a"),
+    ]) + ")"
+    return f"""
+WITH cells AS (
+  SELECT CAST(COUNT(*) FILTER (lang = 'en' AND n_chars > 306) AS BIGINT) AS a,
+         CAST(COUNT(*) FILTER (lang = 'en' AND n_chars <= 306) AS BIGINT) AS b,
+         CAST(COUNT(*) FILTER (lang <> 'en' AND n_chars > 306) AS BIGINT) AS c,
+         CAST(COUNT(*) FILTER (lang <> 'en' AND n_chars <= 306) AS BIGINT) AS d
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+), tab AS (
+  SELECT a, b, c, d, a + b + c + d AS n, a + b AS r1, a + c AS c1,
+         ({_lfact_sql("a + b")} + {_lfact_sql("c + d")}
+          + {_lfact_sql("a + c")} + {_lfact_sql("b + d")}
+          - {_lfact_sql("a + b + c + d")}) AS cst
+  FROM cells
+), ks AS (
+  SELECT tab.*, k.k,
+         {lp_k} AS lp,
+         {lp_obs} AS lp_obs
+  FROM tab, (SELECT UNNEST(generate_series(0, 100000)) AS k) k
+  WHERE k.k >= GREATEST(0, tab.r1 + tab.c1 - tab.n)
+    AND k.k <= LEAST(tab.r1, tab.c1)
+), folded AS (
+  SELECT a, b, c, d, n,
+         SUM(CASE WHEN ROUND(lp - lp_obs, 6) <= 0 THEN EXP(lp)
+                  ELSE 0.0 END) AS p2,
+         SUM(CASE WHEN k <= a THEN EXP(lp) ELSE 0.0 END) AS pl,
+         SUM(CASE WHEN k >= a THEN EXP(lp) ELSE 0.0 END) AS pg
+  FROM ks GROUP BY a, b, c, d, n
+)
+SELECT a, b, c, d, n,
+       ROUND(CASE WHEN b * c > 0
+                  THEN CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+             END, 6) AS or_r,
+       ROUND(LEAST(1.0, p2), 6) AS p2_r,
+       ROUND(LEAST(1.0, pl), 6) AS pl_r,
+       ROUND(LEAST(1.0, pg), 6) AS pg_r
+FROM folded
+"""
+
+
+def q_cramersv_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence with the Bergsma-Wicher bias-corrected
+    Cramer's V (operators/stats.py:chi2_independence
+    bias_correction=True): lang x source association strength with the
+    small-sample upward bias of raw V removed — pure column arithmetic
+    on the same single marginal-join aggregation."""
+    from pandera_spark.operators.stats import chi2_independence
+
+    docs = _load(spark, sf_dir, "documents")
+    out = chi2_independence(
+        docs, "lang", "source", bias_correction=True
+    )
+    return out.select(
+        "n", "n_a", "n_b", "dof",
+        F.round("chi2_stat", 6).alias("chi2_r"),
+        F.round("cramers_v", 6).alias("v_r"),
+        F.round("cramers_v_bc", 6).alias("vbc_r"),
+        F.round("chi2_pvalue", 6).alias("p_r"),
+    )
+
+
+def _cramersv_oracle() -> str:
+    z = (
+        "((POW(chi2 / dofd, 1.0/3.0) - (1 - 2 / (9 * dofd)))"
+        " / SQRT(2 / (9 * dofd)))"
+    )
+    return f"""
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM documents GROUP BY 1, 2
+), ma AS (SELECT lang, SUM(c) AS ra FROM cells GROUP BY 1),
+mb AS (SELECT source, SUM(c) AS cb FROM cells GROUP BY 1),
+s AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT cells.lang) AS BIGINT) AS n_a,
+         CAST(COUNT(DISTINCT cells.source) AS BIGINT) AS n_b,
+         SUM(c * c / (ra * cb)) AS sfrac
+  FROM cells JOIN ma USING (lang) JOIN mb USING (source)
+), t AS (
+  SELECT n, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof,
+         CAST((n_a - 1) * (n_b - 1) AS DOUBLE) AS dofd,
+         GREATEST(0.0, n * sfrac - n) AS chi2
+  FROM s
+), bc AS (
+  SELECT t.*,
+         GREATEST(0.0, chi2 / n
+                  - (n_a - 1.0) * (n_b - 1.0) / (n - 1.0)) AS phi2c,
+         n_a - POWER(n_a - 1.0, 2) / (n - 1.0) AS rt,
+         n_b - POWER(n_b - 1.0, 2) / (n - 1.0) AS ct
+  FROM t
+)
+SELECT n, n_a, n_b, dof,
+       ROUND(chi2, 6) AS chi2_r,
+       ROUND(SQRT(chi2 / (n * LEAST(n_a - 1, n_b - 1))), 6) AS v_r,
+       ROUND(CASE WHEN n > 1 AND dof > 0
+                  THEN SQRT(phi2c / (LEAST(rt, ct) - 1.0)) END, 6)
+         AS vbc_r,
+       ROUND(CASE WHEN dof > 0 THEN {_norm_sf_sql(z)} END, 6) AS p_r
+FROM bc
+"""
+
+
+def q_domaingate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality gate + cap, the CC-curation end-to-end
+    (operators/weburl.py:domain_quality_gate): domains must average
+    n_chars >= 300 over >= 9 docs; survivors are capped at 6 docs by
+    the portable hash.  One domain-keyed aggregation, a left-semi
+    equi-join back (never a per-domain window over the data), then the
+    WindowGroupLimit cap.  The oracle rebuilds domain membership by
+    the _doc_urls construction arithmetic."""
+    from pandera_spark.operators.weburl import domain_quality_gate
+
+    urls = _doc_urls(_load(spark, sf_dir, "documents"))
+    out = domain_quality_gate(
+        urls, "url", quality_col="n_chars",
+        min_quality=300.0, min_docs=9,
+        max_per_domain=6, key_col="doc_id", domain_out="domain",
+    )
+    return out.select("domain", "doc_id")
+
+
+def _domaingate_oracle() -> str:
+    h = _HEXFOLD.format(e="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_URL_DOMAIN_SQL} AS domain, n_chars FROM documents
+), passing AS (
+  SELECT domain FROM u GROUP BY domain
+  HAVING AVG(CAST(n_chars AS DOUBLE)) >= 300.0 AND COUNT(*) >= 9
+)
+SELECT u.domain, CAST(u.doc_id AS BIGINT) AS doc_id
+FROM u SEMI JOIN passing ON u.domain = passing.domain
+QUALIFY row_number() OVER (
+  PARTITION BY u.domain ORDER BY {h}, u.doc_id
+) <= 6
+"""
+
+
+def q_domaindrift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality drift (operators/weburl.py:domain_drift):
+    period-vs-alltime PSI of binned n_chars per registrable domain.
+    The corpus has no timestamp, so the period is a deterministic
+    doc_id arithmetic day (doc_id % 4 days from 2024-01-01) — the
+    oracle replays both the domain AND the period by construction.
+    ONE (domain, period, bin) aggregation; every baseline join is an
+    equi-join on the domain key."""
+    from pandera_spark.operators.weburl import domain_drift
+
+    urls = _doc_urls(_load(spark, sf_dir, "documents"))
+    stamped = urls.withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id") % 4) * 86400
+        ),
+    )
+    out = domain_drift(
+        stamped, "url", "ts", "n_chars",
+        edges=[200.0, 300.0, 400.0], grain="day", min_docs=5,
+    )
+    return out.select(
+        "domain",
+        F.date_format("period", "yyyy-MM-dd").alias("day"),
+        "n_rows",
+        F.round("psi", 6).alias("psi_r"),
+    )
+
+
+_DOMAINDRIFT_ORACLE = f"""
+WITH u AS (
+  SELECT {_URL_DOMAIN_SQL} AS domain,
+         strftime(TIMESTAMP '2024-01-01' + INTERVAL (doc_id % 4) DAY,
+                  '%Y-%m-%d') AS day,
+         CASE WHEN n_chars IS NULL THEN -1
+              WHEN n_chars < 200.0 THEN 0
+              WHEN n_chars < 300.0 THEN 1
+              WHEN n_chars < 400.0 THEN 2
+              ELSE 3 END AS bin
+  FROM documents
+), counts AS (
+  SELECT domain, day, bin, COUNT(*) AS n FROM u GROUP BY 1, 2, 3
+), base AS (
+  SELECT domain, bin, SUM(n) AS nb FROM counts GROUP BY 1, 2
+), tot AS (
+  SELECT domain, CAST(SUM(nb) AS DOUBLE) AS tot_b FROM base
+  GROUP BY 1 HAVING SUM(nb) >= 5
+), perp AS (
+  SELECT domain, day, SUM(n) AS tot_p FROM counts GROUP BY 1, 2
+), grid AS (
+  SELECT p.domain, p.day, b.bin, p.tot_p, b.nb, t.tot_b,
+         COALESCE(c.n, 0) AS n
+  FROM perp p
+  JOIN base b ON b.domain = p.domain
+  JOIN tot t ON t.domain = p.domain
+  LEFT JOIN counts c
+    ON c.domain = p.domain AND c.day = p.day AND c.bin = b.bin
+)
+SELECT domain, day, CAST(MAX(tot_p) AS BIGINT) AS n_rows,
+       ROUND(SUM(
+         (GREATEST(n / CAST(tot_p AS DOUBLE), 1e-6)
+          - GREATEST(nb / tot_b, 1e-6))
+         * LN(GREATEST(n / CAST(tot_p AS DOUBLE), 1e-6)
+              / GREATEST(nb / tot_b, 1e-6))
+       ), 6) AS psi_r
+FROM grid GROUP BY domain, day
+"""
+
+
+def q_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gain table (operators/evalmetrics.py:lift_table):
+    purchase capture by value decile, exact interpolated edges (the
+    qbins percentile-parity machinery; the GK-sketch lane is the scale
+    default).  One data shuffle to the bin grain; windows run over the
+    10-row frame.  Every count integer."""
+    from pandera_spark.operators.evalmetrics import lift_table
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("score"),
+        F.coalesce(
+            (F.col("event_type") == "purchase").cast("int"), F.lit(0)
+        ).alias("label"),
+    )
+    out = lift_table(ev, "score", "label", n_bins=10, exact=True)
+    return out.select(
+        "tier", "n", "n_pos",
+        F.round("pos_rate", 6).alias("rate_r"),
+        F.round("lift", 6).alias("lift_r"),
+        "cum_n", "cum_pos",
+        F.round("cum_gain", 6).alias("gain_r"),
+        F.round("cum_lift", 6).alias("clift_r"),
+    )
+
+
+_LIFT_ORACLE = """
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), e AS (
+  SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                           0.6, 0.7, 0.8, 0.9]) AS q
+  FROM s
+), b AS (
+  -- same convention as numeric.sketch_bins: bin = 1 + #(edges < v),
+  -- a value EQUAL to an edge stays in the lower bin
+  SELECT y,
+         1 + (CASE WHEN q[1] < v THEN 1 ELSE 0 END)
+           + (CASE WHEN q[2] < v THEN 1 ELSE 0 END)
+           + (CASE WHEN q[3] < v THEN 1 ELSE 0 END)
+           + (CASE WHEN q[4] < v THEN 1 ELSE 0 END)
+           + (CASE WHEN q[5] < v THEN 1 ELSE 0 END)
+           + (CASE WHEN q[6] < v THEN 1 ELSE 0 END)
+           + (CASE WHEN q[7] < v THEN 1 ELSE 0 END)
+           + (CASE WHEN q[8] < v THEN 1 ELSE 0 END)
+           + (CASE WHEN q[9] < v THEN 1 ELSE 0 END) AS bin
+  FROM s CROSS JOIN e
+), per AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM b GROUP BY bin
+)
+SELECT CAST(row_number() OVER (ORDER BY bin DESC) AS BIGINT) AS tier,
+       n, n_pos,
+       ROUND(n_pos / CAST(n AS DOUBLE), 6) AS rate_r,
+       ROUND((n_pos / CAST(n AS DOUBLE))
+             / (SUM(n_pos) OVER () / CAST(SUM(n) OVER () AS DOUBLE)),
+             6) AS lift_r,
+       CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+       CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+       ROUND(SUM(n_pos) OVER w
+             / CAST(SUM(n_pos) OVER () AS DOUBLE), 6) AS gain_r,
+       ROUND((SUM(n_pos) OVER w / CAST(SUM(n) OVER w AS DOUBLE))
+             / (SUM(n_pos) OVER () / CAST(SUM(n) OVER () AS DOUBLE)),
+             6) AS clift_r
+FROM per
+WINDOW w AS (ORDER BY bin DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_holtwinters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters smoothing of the hourly arrival-count
+    series (operators/temporal.py:holt_winters, m=24, binary-exact
+    alpha/beta/gamma): 720 hourly buckets from ONE aggregation, the
+    sequential recurrence in a single applyInPandas over that bounded
+    frame.  The oracle replays the identical recurrence with a DuckDB
+    recursive CTE carrying the 24-slot seasonal list; outputs round to
+    4dp so last-ulp accumulation differences cannot straddle the
+    grid."""
+    from pandera_spark.operators.temporal import holt_winters
+
+    ev = _load(spark, sf_dir, "events")
+    out = holt_winters(
+        ev, "ts", F.count(F.lit(1)), grain="hour", season_length=24,
+        alpha=0.25, beta=0.125, gamma=0.25,
+    )
+    return out.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd HH").alias("bucket"),
+        F.col("y").cast("long").alias("y"),
+        F.round("level", 4).alias("level_r"),
+        F.round("trend", 4).alias("trend_r"),
+        F.round("seasonal", 4).alias("seas_r"),
+        F.round("fitted", 4).alias("fitted_r"),
+        F.round("resid", 4).alias("resid_r"),
+    )
+
+
+_HOLTWINTERS_ORACLE = """
+WITH RECURSIVE b AS (
+  SELECT CAST(row_number() OVER (ORDER BY bucket_ts) AS BIGINT) AS i,
+         bucket_ts, y
+  FROM (
+    SELECT date_trunc('hour', ts) AS bucket_ts,
+           CAST(COUNT(*) AS DOUBLE) AS y
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+  )
+), init AS (
+  -- list_reduce = strict index-order accumulation, matching the
+  -- Python loop in holt_winters digit for digit
+  SELECT list_reduce(ys[1:24], (a, x) -> a + x) / 24.0 AS l0,
+         (list_reduce(ys[25:48], (a, x) -> a + x) / 24.0
+          - list_reduce(ys[1:24], (a, x) -> a + x) / 24.0) / 24.0 AS b0,
+         list_transform(
+           ys[1:24],
+           x -> x - list_reduce(ys[1:24], (a, y2) -> a + y2) / 24.0
+         ) AS s0
+  FROM (SELECT list(y ORDER BY i) AS ys FROM b WHERE i <= 48)
+), hw AS (
+  SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS TIMESTAMP) AS bucket_ts,
+         CAST(NULL AS DOUBLE) AS y, l0 AS lvl, b0 AS tr, s0 AS seas,
+         CAST(NULL AS DOUBLE) AS fitted, CAST(NULL AS DOUBLE) AS snew
+  FROM init
+  UNION ALL
+  SELECT t.i, t.bucket_ts, t.y,
+         t.lvl_new,
+         0.125 * (t.lvl_new - t.lvl_old) + 0.875 * t.tr_old,
+         t.seas_rest || [0.25 * (t.y - t.lvl_new) + 0.75 * t.s_use],
+         t.lvl_old + t.tr_old + t.s_use,
+         0.25 * (t.y - t.lvl_new) + 0.75 * t.s_use
+  FROM (
+    SELECT b.i, b.bucket_ts, b.y, hw.lvl AS lvl_old, hw.tr AS tr_old,
+           hw.seas[1] AS s_use, hw.seas[2:] AS seas_rest,
+           0.25 * (b.y - hw.seas[1])
+             + 0.75 * (hw.lvl + hw.tr) AS lvl_new
+    FROM hw JOIN b ON b.i = hw.i + 1
+  ) t
+)
+SELECT strftime(bucket_ts, '%Y-%m-%d %H') AS bucket,
+       CAST(y AS BIGINT) AS y,
+       ROUND(lvl, 4) AS level_r,
+       ROUND(tr, 4) AS trend_r,
+       ROUND(snew, 4) AS seas_r,
+       ROUND(fitted, 4) AS fitted_r,
+       ROUND(y - fitted, 4) AS resid_r
+FROM hw WHERE i > 0
+"""
+
+
 # The driver's correctness harness certifies only the FIRST 50 entries of
 # queries(); everything else is verified by the local replica
 # (scripts/check_contract.py) but not driver-recorded.  Each round this
@@ -11819,13 +12231,51 @@ _R10_DRIVER_WINDOW = [
     "diff_documents",
 ]
 
+# r11 window (see scripts/staleness.py --round 11; capacity readout:
+# 265 rows / 300 ceiling, max sustainable net-new 6/round — exactly the
+# 6 rows added this round).  Composition: flagship, the 6 never-certified
+# r11 rows, friedman_events (its r10 certification is for the OLD
+# tie-correction denominator — the ADVICE r10 fix changed the statistic,
+# so the row must re-certify even though the ledger counts it r10-green),
+# ALL 14 r5 rows (the mandatory list — staleness would exceed the bound),
+# then the first 28 of the 49 r6 fillers in ledger order.  42 of 50
+# slots are re-certification (>= 35 required).
+_R11_DRIVER_WINDOW = [
+    "validate_lineitem",
+    # new in r11 (never driver-certified)
+    "fisher_documents", "cramersv_documents", "domaingate_documents",
+    "domaindrift_documents", "lift_events", "holtwinters_events",
+    # re-certify: statistic changed by the ADVICE r10 denominator fix
+    "friedman_events",
+    # mandatory catch-up: every row last driver-certified in r5
+    "groupwise_lineitem", "interleave_documents",
+    "markup_scrub_documents", "match_documents", "packed_documents",
+    "props_map_events", "salted_join_lineitem", "search_documents",
+    "shards_documents", "source_profile_documents",
+    "temperature_documents", "token_chunks_documents",
+    "topk_bigrams_documents", "topquality_documents",
+    # filler: the first 28 rows of the r6 pool (at the staleness bound)
+    "approx_percentiles_lineitem", "auc_documents",
+    "bpe_pairs_documents", "calibration_documents",
+    "candidatekeys_orders", "cdc_orders", "centroids_embeddings",
+    "clustersample_embeddings", "compaction_documents",
+    "confusion_events", "dimcorr_embeddings", "dimstats_embeddings",
+    "dsir_sample_documents", "dsir_scores_documents",
+    "dupmatrix_documents", "ewma_events", "filestats_lineitem",
+    "fuzzy_part", "gaps_events", "grouped_percentiles_lineitem",
+    "heavyhitters_documents", "hll_distinct_events",
+    "incremental_lineitem", "intradedup_documents",
+    "kmeans_embeddings", "latest_state_events", "madoutliers_events",
+    "maxpool_embeddings",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_unordered()
-    missing = [k for k in _R10_DRIVER_WINDOW if k not in base]
+    missing = [k for k in _R11_DRIVER_WINDOW if k not in base]
     assert not missing, f"driver window names unknown queries: {missing}"
-    rest = [k for k in base if k not in set(_R10_DRIVER_WINDOW)]
-    return {k: base[k] for k in [*_R10_DRIVER_WINDOW, *rest]}
+    rest = [k for k in base if k not in set(_R11_DRIVER_WINDOW)]
+    return {k: base[k] for k in [*_R11_DRIVER_WINDOW, *rest]}
 
 
 def _queries_unordered() -> dict[
@@ -11897,6 +12347,12 @@ def _queries_unordered() -> dict[
         "prauc_events": q_prauc_events,
         "friedman_events": q_friedman_events,
         "seasonality_events": q_seasonality_events,
+        "fisher_documents": q_fisher_documents,
+        "cramersv_documents": q_cramersv_documents,
+        "domaingate_documents": q_domaingate_documents,
+        "domaindrift_documents": q_domaindrift_documents,
+        "lift_events": q_lift_events,
+        "holtwinters_events": q_holtwinters_events,
         "pmi_documents": q_pmi_documents,
         "permtest_events": q_permtest_events,
         "kendall_lineitem": q_kendall_lineitem,
@@ -12374,6 +12830,12 @@ FROM ranked WHERE rank <= 5
         "prauc_events": _PRAUC_ORACLE,
         "friedman_events": _friedman_oracle(),
         "seasonality_events": _SEASONALITY_ORACLE,
+        "fisher_documents": _fisher_oracle(),
+        "cramersv_documents": _cramersv_oracle(),
+        "domaingate_documents": _domaingate_oracle(),
+        "domaindrift_documents": _DOMAINDRIFT_ORACLE,
+        "lift_events": _LIFT_ORACLE,
+        "holtwinters_events": _HOLTWINTERS_ORACLE,
         "pmi_documents": _PMI_ORACLE,
         "permtest_events": _permtest_oracle(),
         "kendall_lineitem": _KENDALL_ORACLE,

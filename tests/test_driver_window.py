@@ -28,9 +28,9 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 import __spark_entry__ as entry  # noqa: E402
 from staleness import certified_rounds, ledger  # noqa: E402
 
-ROUND = 10
+ROUND = 11
 BOUND = 5
-WINDOW = entry._R10_DRIVER_WINDOW
+WINDOW = entry._R11_DRIVER_WINDOW
 
 
 def test_window_is_exactly_the_driver_slot_count():
@@ -79,3 +79,35 @@ def test_ledger_shape_sane():
     # within the played rounds
     assert len(led["last_certified"]) >= 251
     assert all(1 <= r <= ROUND for r in led["histogram"])
+
+
+def test_capacity_readout_consistent():
+    led = ledger(REPO, next_round=ROUND, bound=BOUND)
+    cap = led["capacity"]
+    rows = len(led["contract_rows"])
+    assert cap["rows"] == rows
+    assert cap["ceiling_rows"] == cap["window_slots"] * (BOUND + 1)
+    assert cap["headroom_rows"] == cap["ceiling_rows"] - rows
+    assert cap["max_sustainable_net_new"] == max(
+        0, cap["window_slots"] - (-(-rows // (BOUND + 1)))
+    )
+    # the r11 window respects the sustainable bound: net-new this
+    # round (never-certified rows in the window) <= the sustainable
+    # rate at the PRE-round contract size (the readout the builder
+    # saw when deciding how many rows to add)
+    never = set(led["never_certified"])
+    net_new = len([k for k in WINDOW if k in never])
+    pre_rows = rows - len(never)
+    pre_sustainable = max(
+        0, cap["window_slots"] - (-(-pre_rows // (BOUND + 1)))
+    )
+    assert net_new <= pre_sustainable
+
+
+def test_contract_stays_under_ceiling():
+    led = ledger(REPO, next_round=ROUND, bound=BOUND)
+    cap = led["capacity"]
+    assert cap["rows"] <= cap["ceiling_rows"], (
+        "contract exceeds the re-certification ceiling — retire or "
+        "merge rows before adding more"
+    )

@@ -104,6 +104,8 @@ ALLOWED_BNLJ = {
                                  # the (block, treatment) cell grain —
                                  # the r11 fold of the two eager
                                  # .first() probes into one lazy plan
+    "lift_events",               # 1-row sketch_bins decile-edges
+                                 # frame crossed onto the scored rows
 }
 
 
