@@ -11842,13 +11842,25 @@ WITH cells AS (
           + {_lfact_sql("a + c")} + {_lfact_sql("b + d")}
           - {_lfact_sql("a + b + c + d")}) AS cst
   FROM cells
+), bounds AS (
+  -- exact support bounds (no hard-coded cap), with the Spark side's
+  -- over-max_terms lane mirrored: an oversized support generates an
+  -- EMPTY series (kmax collapses below kmin) and the final LEFT JOIN
+  -- surfaces NULL p-values, exactly like explode_outer + __nk = 0
+  SELECT tab.*,
+         GREATEST(0, tab.r1 + tab.c1 - tab.n) AS kmin,
+         CASE WHEN LEAST(tab.r1, tab.c1)
+                   - GREATEST(0, tab.r1 + tab.c1 - tab.n) + 1
+                   <= 10000000
+              THEN LEAST(tab.r1, tab.c1)
+              ELSE GREATEST(0, tab.r1 + tab.c1 - tab.n) - 1 END AS kmax
+  FROM tab
 ), ks AS (
   SELECT tab.*, k.k,
          {lp_k} AS lp,
          {lp_obs} AS lp_obs
-  FROM tab, (SELECT UNNEST(generate_series(0, 100000)) AS k) k
-  WHERE k.k >= GREATEST(0, tab.r1 + tab.c1 - tab.n)
-    AND k.k <= LEAST(tab.r1, tab.c1)
+  FROM bounds tab, UNNEST(generate_series(tab.kmin, tab.kmax))
+       AS k(k)
 ), folded AS (
   SELECT a, b, c, d, n,
          SUM(CASE WHEN ROUND(lp - lp_obs, 6) <= 0 THEN EXP(lp)
@@ -11857,14 +11869,17 @@ WITH cells AS (
          SUM(CASE WHEN k >= a THEN EXP(lp) ELSE 0.0 END) AS pg
   FROM ks GROUP BY a, b, c, d, n
 )
-SELECT a, b, c, d, n,
-       ROUND(CASE WHEN b * c > 0
-                  THEN CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+SELECT tab.a, tab.b, tab.c, tab.d, tab.n,
+       ROUND(CASE WHEN tab.b * tab.c > 0
+                  THEN CAST(tab.a AS DOUBLE) * tab.d
+                       / (CAST(tab.b AS DOUBLE) * tab.c)
              END, 6) AS or_r,
-       ROUND(LEAST(1.0, p2), 6) AS p2_r,
-       ROUND(LEAST(1.0, pl), 6) AS pl_r,
-       ROUND(LEAST(1.0, pg), 6) AS pg_r
-FROM folded
+       ROUND(LEAST(1.0, folded.p2), 6) AS p2_r,
+       ROUND(LEAST(1.0, folded.pl), 6) AS pl_r,
+       ROUND(LEAST(1.0, folded.pg), 6) AS pg_r
+FROM tab LEFT JOIN folded
+  ON tab.a = folded.a AND tab.b = folded.b AND tab.c = folded.c
+ AND tab.d = folded.d
 """
 
 
@@ -11894,6 +11909,11 @@ def _cramersv_oracle() -> str:
         "((POW(chi2 / dofd, 1.0/3.0) - (1 - 2 / (9 * dofd)))"
         " / SQRT(2 / (9 * dofd)))"
     )
+    # NULL convention mirrors the certified _chi2_oracle (and the Spark
+    # operator): a NULL category is a REAL level — IS NOT DISTINCT FROM
+    # joins + COUNT(*) over the marginal frames, never equi-join/
+    # COUNT(DISTINCT), which would silently drop NULL levels on a data
+    # refresh
     return f"""
 WITH cells AS (
   SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS c
@@ -11901,11 +11921,14 @@ WITH cells AS (
 ), ma AS (SELECT lang, SUM(c) AS ra FROM cells GROUP BY 1),
 mb AS (SELECT source, SUM(c) AS cb FROM cells GROUP BY 1),
 s AS (
-  SELECT CAST(SUM(c) AS BIGINT) AS n,
-         CAST(COUNT(DISTINCT cells.lang) AS BIGINT) AS n_a,
-         CAST(COUNT(DISTINCT cells.source) AS BIGINT) AS n_b,
-         SUM(c * c / (ra * cb)) AS sfrac
-  FROM cells JOIN ma USING (lang) JOIN mb USING (source)
+  SELECT CAST((SELECT SUM(c) FROM cells) AS BIGINT) AS n,
+         CAST((SELECT COUNT(*) FROM ma) AS BIGINT) AS n_a,
+         CAST((SELECT COUNT(*) FROM mb) AS BIGINT) AS n_b,
+         (SELECT SUM(c * c / (ra * cb))
+          FROM cells
+          JOIN ma ON cells.lang IS NOT DISTINCT FROM ma.lang
+          JOIN mb ON cells.source IS NOT DISTINCT FROM mb.source
+         ) AS sfrac
 ), t AS (
   SELECT n, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof,
          CAST((n_a - 1) * (n_b - 1) AS DOUBLE) AS dofd,
@@ -12231,15 +12254,16 @@ _R10_DRIVER_WINDOW = [
     "diff_documents",
 ]
 
-# r11 window (see scripts/staleness.py --round 11; capacity readout:
-# 265 rows / 300 ceiling, max sustainable net-new 6/round — exactly the
-# 6 rows added this round).  Composition: flagship, the 6 never-certified
-# r11 rows, friedman_events (its r10 certification is for the OLD
-# tie-correction denominator — the ADVICE r10 fix changed the statistic,
-# so the row must re-certify even though the ledger counts it r10-green),
-# ALL 14 r5 rows (the mandatory list — staleness would exceed the bound),
-# then the first 28 of the 49 r6 fillers in ledger order.  42 of 50
-# slots are re-certification (>= 35 required).
+# r11 window (see scripts/staleness.py --round 11; capacity readout at
+# the PRE-round 259 rows: max sustainable net-new 6/round — exactly the
+# 6 rows added this round; at the post-add 265/300 the readout says 5
+# for r12).  Composition: flagship, the 6 never-certified r11 rows,
+# friedman_events (its r10 certification is for the OLD tie-correction
+# denominator — the ADVICE r10 fix changed the statistic, so the row
+# must re-certify even though the ledger counts it r10-green), ALL 14
+# r5 rows (the mandatory list — staleness would exceed the bound), then
+# the first 28 of the 49 r6 fillers in ledger order.  44 of 50 slots
+# are previously-certified rows (>= 35 required).
 _R11_DRIVER_WINDOW = [
     "validate_lineitem",
     # new in r11 (never driver-certified)
