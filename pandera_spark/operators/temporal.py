@@ -52,6 +52,7 @@ __all__ = [
     "theil_sen",
     "seasonality_profile",
     "holt_winters",
+    "overdispersion_check",
 ]
 
 
@@ -1309,4 +1310,78 @@ def holt_winters(
         .applyInPandas(
             lambda _key, pdf: _hw(pdf), schema=out_schema
         )
+    )
+
+
+def overdispersion_check(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    grain: str = "hour",
+    by: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Poisson overdispersion screen on arrival counts — the
+    model-choice gate for every count-based monitor: a Poisson
+    assumption (variance = mean) under real traffic is usually wrong
+    (bursts, daily cycles), and alarms sized on it fire constantly.
+    Run this before trusting a Poisson control chart; if it fires,
+    size alarms on the negative-binomial fit it returns (or subtract
+    seasonality first — :func:`holt_winters` residuals — and re-test).
+
+    Buckets arrivals per ``grain`` (and optional ``by`` keys), then
+    one moment aggregation per group over the BUCKET frame:
+
+    - ``dispersion`` = s²/x̄ (variance-to-mean ratio; 1 under Poisson)
+    - ``chi2_stat`` = (n−1)·s²/x̄, the classic Poisson dispersion
+      (index-of-dispersion) test, χ²(n−1) under H0; ``pvalue`` via
+      the shared Wilson-Hilferty replay
+    - ``nb_r``/``nb_p``: method-of-moments negative-binomial fit
+      (r = x̄²/(s²−x̄), p = x̄/s²), NULL when s² ≤ x̄ (no
+      overdispersion to model)
+
+    Scale shape: ONE aggregation to the (by, bucket) grain (map-side
+    combined), ONE moment aggregation over that bounded frame.  All
+    guards ANSI-safe via try_divide.  Buckets with zero arrivals do
+    not emit rows — run :func:`gap_fill` first when silence itself is
+    signal (dispersion is understated if empty buckets are dropped).
+    """
+    keys = list(by or [])
+    buckets = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.date_trunc(grain, F.col(ts_col)).alias("__b"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__y"))
+    )
+    agg = buckets.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.avg("__y").alias("mean_count"),
+        F.var_samp("__y").alias("var_count"),
+    )
+    mean = F.col("mean_count")
+    var = F.col("var_count")
+    disp = F.try_divide(var, mean)
+    chi2 = F.when(
+        (F.col("n_buckets") > 1) & (mean > 0),
+        (F.col("n_buckets") - 1) * F.try_divide(var, mean),
+    )
+    dofd = (F.col("n_buckets") - 1).cast("double")
+    z = (
+        F.pow(F.try_divide(chi2, dofd), F.lit(1.0 / 3.0))
+        - (1 - 2 / (9 * dofd))
+    ) / F.sqrt(2 / (9 * dofd))
+    from .drift import _norm_sf
+
+    over = var > mean
+    return agg.select(
+        *keys,
+        "n_buckets", "mean_count", "var_count",
+        disp.alias("dispersion"),
+        chi2.alias("chi2_stat"),
+        F.when(chi2.isNotNull() & (dofd > 0), _norm_sf(z))
+        .alias("pvalue"),
+        F.when(over, F.try_divide(mean * mean, var - mean))
+        .alias("nb_r"),
+        F.when(over, F.try_divide(mean, var)).alias("nb_p"),
     )

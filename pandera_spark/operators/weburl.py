@@ -53,6 +53,9 @@ __all__ = [
     "domain_cap",
     "domain_quality_gate",
     "domain_drift",
+    "NONCONTENT_PATH_PATTERNS",
+    "NONCONTENT_EXTENSIONS",
+    "url_content_filter",
 ]
 
 #: Compact public-suffix subset (generic TLDs + the common two-level
@@ -411,3 +414,95 @@ def domain_drift(
             F.sum(term).alias("psi"),
         )
     )
+
+
+#: Path segments that mark navigation / utility / machine pages rather
+#: than content (the standard CC-curation blocklist shapes: listing
+#: pages, auth flows, commerce chrome, feeds, CMS internals).
+NONCONTENT_PATH_PATTERNS: tuple[str, ...] = (
+    "tag", "tags", "category", "categories", "page", "search",
+    "login", "signin", "signup", "register", "logout", "account",
+    "cart", "checkout", "wishlist", "feed", "rss", "sitemap",
+    "calendar", "archive", "archives", "print", "share",
+    "wp-admin", "wp-json", "wp-login.php", "xmlrpc.php", "cgi-bin",
+)
+
+#: URL file extensions that are machine payloads, not prose.
+NONCONTENT_EXTENSIONS: tuple[str, ...] = (
+    "css", "js", "json", "xml", "rss", "atom", "ico", "svg",
+    "png", "jpg", "jpeg", "gif", "webp", "mp3", "mp4", "zip",
+    "gz", "tar", "exe", "dmg", "woff", "woff2", "ttf",
+)
+
+def url_content_filter(
+    df: DataFrame,
+    url_col: str,
+    *,
+    path_patterns: Sequence[str] = NONCONTENT_PATH_PATTERNS,
+    extensions: Sequence[str] = NONCONTENT_EXTENSIONS,
+    max_params: int = 8,
+    max_path_depth: int = 8,
+    flag_out: Optional[str] = None,
+) -> DataFrame:
+    """Crawl-list content screen: drop URLs whose SHAPE says
+    "navigation / utility / machine page" before fetching or scoring
+    the body — the cheapest filter in a CC-style pipeline because it
+    needs only the URL string.
+
+    A URL is non-content when any of:
+
+    - a path SEGMENT equals one of ``path_patterns`` (segment-exact:
+      ``/tag/x`` fires, ``/tagging-guide`` does not),
+    - its last path segment has an extension in ``extensions``,
+    - it carries more than ``max_params`` query parameters or a
+      tracking parameter (see :data:`TRACKING_PARAMS`),
+    - its path is deeper than ``max_path_depth`` segments (calendar /
+      faceted-navigation explosions),
+    - it is unparseable (NULL host).
+
+    Pure Column expressions end to end (``parse_url`` + HOF
+    ``exists`` over the split path — no regex backtracking, no UDF, no
+    join; whole-stage codegen).  ``flag_out`` keeps the boolean and
+    the fired-rule name instead of filtering, for audit sampling.
+    """
+    url = F.col(url_col)
+    host = url_host(url)
+    path = F.lower(F.coalesce(F.try_parse_url(url, F.lit("PATH")),
+                              F.lit("")))
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    has_q = query.isNotNull() & (query != "")
+    params = F.split(query, "&")
+    pnames = F.transform(
+        params, lambda p: F.lower(F.substring_index(p, "=", 1))
+    )
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    pats = [p.lower() for p in path_patterns]
+    exts = [e.lower() for e in extensions]
+    last_seg = F.element_at(segs, -1)
+    ext = F.when(
+        last_seg.contains("."),
+        F.lower(F.substring_index(last_seg, ".", -1)),
+    )
+    rules = [
+        ("unparseable", host.isNull()),
+        ("path_pattern", F.exists(segs, lambda s: s.isin(pats))),
+        ("extension", ext.isin(exts)),
+        (
+            "params",
+            F.when(
+                has_q,
+                (F.size(params) > int(max_params))
+                | F.exists(pnames, lambda nm: nm.isin(*TRACKING_PARAMS)),
+            ).otherwise(F.lit(False)),
+        ),
+        ("path_depth", F.size(segs) > int(max_path_depth)),
+    ]
+    fired = F.coalesce(
+        *[F.when(cond, F.lit(name)) for name, cond in rules],
+        F.lit(None).cast("string"),
+    )
+    if flag_out:
+        return df.withColumn(
+            flag_out, fired.isNotNull()
+        ).withColumn(f"{flag_out}_rule", fired)
+    return df.where(fired.isNull())

@@ -256,3 +256,120 @@ class TestHoltWinters:
             df, "ts", F.count(F.lit(1)), season_length=3
         ).orderBy("bucket_ts").collect()
         assert [int(r.y) for r in out] == list(range(1, 13))
+
+
+class TestOverdispersion:
+    def _events(self, spark, counts_per_hour):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        for h, c in enumerate(counts_per_hour):
+            for _ in range(c):
+                rows.append((t0 + datetime.timedelta(hours=h, minutes=5),))
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    def test_constant_counts_underdispersed(self, spark):
+        from pandera_spark.operators.temporal import overdispersion_check
+
+        r = overdispersion_check(
+            self._events(spark, [5] * 24), "ts"
+        ).first()
+        assert r.n_buckets == 24
+        assert r.mean_count == pytest.approx(5.0)
+        assert r.var_count == pytest.approx(0.0)
+        assert r.dispersion == pytest.approx(0.0)
+        # no overdispersion: NB fit undefined
+        assert r.nb_r is None and r.nb_p is None
+
+    def test_bursty_counts_fire(self, spark):
+        from pandera_spark.operators.temporal import overdispersion_check
+
+        r = overdispersion_check(
+            self._events(spark, [1, 19] * 12), "ts"
+        ).first()
+        assert r.dispersion > 5.0
+        assert r.pvalue < 1e-6
+        # method-of-moments NB: r = m^2/(v-m), p = m/v
+        m, v = r.mean_count, r.var_count
+        assert r.nb_r == pytest.approx(m * m / (v - m), rel=1e-12)
+        assert r.nb_p == pytest.approx(m / v, rel=1e-12)
+
+    def test_grouped_by_key(self, spark):
+        from pandera_spark.operators.temporal import overdispersion_check
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        for h in range(24):
+            for _ in range(5):
+                rows.append(("steady", t0 + datetime.timedelta(hours=h)))
+            for _ in range(20 if h % 2 else 1):
+                rows.append(("bursty", t0 + datetime.timedelta(hours=h)))
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        out = {r.k: r for r in overdispersion_check(
+            df, "ts", by=["k"]).collect()}
+        assert out["steady"].dispersion == pytest.approx(0.0)
+        assert out["bursty"].dispersion > 3.0
+
+
+class TestUrlContentFilter:
+    def _urls(self, spark, urls):
+        return spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "id long, url string"
+        )
+
+    def test_rules_fire_by_name(self, spark):
+        from pandera_spark.operators.weburl import url_content_filter
+
+        urls = [
+            "https://a.com/article/why-spark",        # content
+            "https://a.com/tag/spark",                # path_pattern
+            "https://a.com/static/app.js",            # extension
+            "https://a.com/p?utm_source=x",           # params (tracking)
+            "https://a.com/" + "/".join("abcdefghi"), # path_depth 9
+            "not a url",                              # unparseable
+        ]
+        out = url_content_filter(
+            self._urls(spark, urls), "url", flag_out="drop"
+        ).orderBy("id").collect()
+        assert [r.drop for r in out] == [
+            False, True, True, True, True, True
+        ]
+        assert [r.drop_rule for r in out] == [
+            None, "path_pattern", "extension", "params",
+            "path_depth", "unparseable",
+        ]
+
+    def test_segment_exact_not_substring(self, spark):
+        from pandera_spark.operators.weburl import url_content_filter
+
+        out = url_content_filter(
+            self._urls(spark, [
+                "https://a.com/tagging-guide",   # must SURVIVE
+                "https://a.com/blog/tag/x",      # must drop
+            ]),
+            "url",
+        ).collect()
+        assert [r.url for r in out] == ["https://a.com/tagging-guide"]
+
+    def test_filter_mode_drops(self, spark):
+        from pandera_spark.operators.weburl import url_content_filter
+
+        df = self._urls(spark, [
+            "https://a.com/post/1", "https://a.com/feed",
+            "https://a.com/deep?a=1&b=2&c=3", "https://a.com/x.png",
+        ])
+        kept = url_content_filter(df, "url", max_params=2).collect()
+        assert {r.id for r in kept} == {0}
+
+    def test_custom_patterns(self, spark):
+        from pandera_spark.operators.weburl import url_content_filter
+
+        df = self._urls(spark, ["https://a.com/intern/x",
+                                "https://a.com/tag/x"])
+        kept = url_content_filter(
+            df, "url", path_patterns=["intern"]
+        ).collect()
+        # custom list replaces the default: /tag/ now survives
+        assert {r.url for r in kept} == {"https://a.com/tag/x"}

@@ -65,7 +65,19 @@ def _import_reference():
 
 try:
     pa = _import_reference()
-    REF_ACC = DataFrame.__dict__["pandera"]
+    # Build the reference accessor descriptor EXPLICITLY rather than
+    # reading DataFrame.__dict__["pandera"]: the dict read only works
+    # when this module performs the FIRST reference import (whose side
+    # effect registers the accessor).  If any other module imported the
+    # reference earlier (e.g. test_pydantic.py's differential tests),
+    # the cached import registers nothing and the dict still holds OUR
+    # accessor — REF_ACC would silently alias ours and every
+    # _ref_facets call would fail with 'no attribute add_schema'.
+    from pandera.accessors import pyspark_sql_accessor as _ref_acc_mod
+
+    REF_ACC = _ref_acc_mod.CachedAccessor(
+        "pandera", _ref_acc_mod.PanderaDataFrameAccessor
+    )
 except Exception as exc:  # pragma: no cover - reference tree absent
     pa = None
     REF_ACC = None
