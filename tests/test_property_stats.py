@@ -485,3 +485,48 @@ class TestR9Properties:
         assert set(b) <= set(d)  # duplication can only add eligible grams
         for gram, p in b.items():
             assert d[gram] == pytest.approx(p, abs=1e-12)
+
+
+class TestFisherExactProperties:
+    @SET
+    @given(
+        a=st.integers(0, 25), b=st.integers(0, 25),
+        c=st.integers(0, 25), d=st.integers(0, 25),
+    )
+    def test_matches_lgamma_reference(self, spark, a, b, c, d):
+        """Engine p-values equal an independent math.lgamma evaluation
+        of the hypergeometric tails on arbitrary 2x2 tables."""
+        from pandera_spark.operators.stats import fisher_exact
+        from tests.test_stats import _fisher_df, _fisher_ref
+
+        if a + b + c + d == 0:
+            return
+        r = fisher_exact(_fisher_df(spark, a, b, c, d), "x", "y").first()
+        p2, pl, pg = _fisher_ref(a, b, c, d)
+        assert r.p_two == pytest.approx(p2, abs=1e-9), (a, b, c, d)
+        assert r.p_less == pytest.approx(pl, abs=1e-9), (a, b, c, d)
+        assert r.p_greater == pytest.approx(pg, abs=1e-9), (a, b, c, d)
+        # structural invariant: both tails include the observed table,
+        # so they overlap (NOTE: p_two <= 2*min(tails) does NOT hold
+        # for the sum-of-at-most-as-probable definition — only for the
+        # tail-doubling one)
+        assert r.p_less + r.p_greater >= 1.0 - 1e-9
+
+    @SET
+    @given(
+        a=st.integers(0, 15), b=st.integers(0, 15),
+        c=st.integers(0, 15), d=st.integers(0, 15),
+    )
+    def test_transpose_invariance(self, spark, a, b, c, d):
+        """Fisher's exact test is invariant under transposing the
+        table (swapping the roles of the two conditions)."""
+        from pandera_spark.operators.stats import fisher_exact
+        from tests.test_stats import _fisher_df
+
+        if a + b + c + d == 0:
+            return
+        r1 = fisher_exact(_fisher_df(spark, a, b, c, d), "x", "y").first()
+        r2 = fisher_exact(_fisher_df(spark, a, c, b, d), "y", "x").first()
+        # transposed cells: b' = c, c' = b -> build by swapping columns
+        assert r1.p_two == pytest.approx(r2.p_two, abs=1e-12)
+        assert r1.p_less == pytest.approx(r2.p_less, abs=1e-12)
