@@ -52,6 +52,7 @@ __all__ = [
     "theil_sen",
     "seasonality_profile",
     "holt_winters",
+    "holt_winters_anomalies",
     "overdispersion_check",
 ]
 
@@ -1384,4 +1385,79 @@ def overdispersion_check(
         F.when(over, F.try_divide(mean * mean, var - mean))
         .alias("nb_r"),
         F.when(over, F.try_divide(mean, var)).alias("nb_p"),
+    )
+
+
+def holt_winters_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value,
+    *,
+    grain: str = "hour",
+    season_length: int = 24,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    gamma: float = 0.25,
+    k: float = 3.5,
+    warmup: Optional[int] = None,
+) -> DataFrame:
+    """Seasonality-adjusted anomaly screen: :func:`holt_winters`
+    residuals fenced by robust MAD limits — the upgrade over
+    ``seasonal_baseline``'s |z| rule when level or trend drifts
+    through the season (a slow ramp would otherwise light up every
+    bucket of the new regime).
+
+    Per bucket: ``bucket_ts, y, fitted, resid, robust_z, is_anomaly``
+    where ``robust_z = (resid − median(resid)) / (1.4826·MAD)`` (the
+    Iglewicz–Hoaglin modified z over the residual series — immune to
+    the anomalies themselves, unlike a stddev fence) and
+    ``is_anomaly = |robust_z| > k``.  The first ``warmup`` buckets
+    (default ``season_length``) are excluded from BOTH the fence fit
+    and flagging — the smoother is still converging there.
+
+    Zero-MAD degeneracy (an exactly-fitted series: more than half the
+    residuals are 0, so MAD = 0 and the spike it should catch divides
+    by zero) falls back to the Iglewicz–Hoaglin alternative scale
+    ``1.253314 · meanAD``; when THAT is also 0 (all residuals equal)
+    ``robust_z`` is NULL and nothing flags.
+
+    Scale shape: the residual frame is the BOUNDED bucket grain, so
+    the median/MAD/meanAD fit is one exact ``percentile`` aggregate
+    over it broadcast back as a 1-row frame; everything downstream is
+    a projection.
+    """
+    hw = holt_winters(
+        df, ts_col, value, grain=grain, season_length=season_length,
+        alpha=alpha, beta=beta, gamma=gamma,
+    )
+    w = int(season_length if warmup is None else warmup)
+    wnum = Window.orderBy("bucket_ts")
+    scored = hw.withColumn("__i", F.row_number().over(wnum)).where(
+        F.col("__i") > w
+    )
+    fence = scored.agg(
+        F.percentile(F.col("resid"), F.lit(0.5)).alias("__med"),
+    )
+    dev = scored.crossJoin(F.broadcast(fence)).withColumn(
+        "__ad", F.abs(F.col("resid") - F.col("__med"))
+    )
+    mad = dev.agg(
+        F.percentile(F.col("__ad"), F.lit(0.5)).alias("__mad"),
+        F.avg(F.col("__ad")).alias("__meanad"),
+    )
+    scale = F.when(
+        F.col("__mad") > 0, F.lit(1.4826) * F.col("__mad")
+    ).when(
+        F.col("__meanad") > 0, F.lit(1.253314) * F.col("__meanad")
+    )
+    z = F.try_divide(F.col("resid") - F.col("__med"), scale)
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "bucket_ts", "y", "fitted", "resid",
+            z.alias("robust_z"),
+            F.coalesce(
+                F.abs(z) > F.lit(float(k)), F.lit(False)
+            ).alias("is_anomaly"),
+        )
     )

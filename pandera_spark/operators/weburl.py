@@ -478,7 +478,9 @@ def url_content_filter(
     segs = F.filter(F.split(path, "/"), lambda s: s != "")
     pats = [p.lower() for p in path_patterns]
     exts = [e.lower() for e in extensions]
-    last_seg = F.element_at(segs, -1)
+    # try_element_at: a root-path URL has ZERO segments and bare
+    # element_at(-1) raises INVALID_ARRAY_INDEX under ANSI
+    last_seg = F.try_element_at(segs, F.lit(-1))
     ext = F.when(
         last_seg.contains("."),
         F.lower(F.substring_index(last_seg, ".", -1)),

@@ -97,3 +97,72 @@ class TestRegistrableDomainProperty:
         for h, want in cases.items():
             assert got[h] == want, (h, got[h], want)
             assert py_registrable(h) == want, h
+
+
+# ---------------------------------------------------------------------------
+# url_content_filter differential (r11): Hypothesis assembles URLs from
+# segment/extension/param components; the Spark expression's fired rule
+# must equal an independent pure-Python classification of the same URL.
+
+from pandera_spark.operators.weburl import (  # noqa: E402
+    NONCONTENT_EXTENSIONS,
+    NONCONTENT_PATH_PATTERNS,
+    TRACKING_PARAMS,
+    url_content_filter,
+)
+
+seg = st.one_of(
+    st.sampled_from(["article", "post", "x1", "about",
+                     "tagging-guide", "feed2"]),   # content-safe
+    st.sampled_from(list(NONCONTENT_PATH_PATTERNS[:12])),
+)
+extension = st.one_of(
+    st.none(),
+    st.sampled_from(list(NONCONTENT_EXTENSIONS[:10])),
+    st.sampled_from(["html", "htm", "php"]),       # content extensions
+)
+param = st.one_of(
+    st.sampled_from(["q=1", "id=2", "ref=x"]),
+    st.sampled_from([f"{t}=x" for t in TRACKING_PARAMS[:4]]),
+)
+url_parts = st.tuples(
+    st.lists(seg, min_size=0, max_size=10),
+    extension,
+    st.lists(param, min_size=0, max_size=10),
+)
+
+
+def py_classify(segs, ext, params, max_params=8, max_depth=8):
+    """Independent reference of url_content_filter's rule order."""
+    all_segs = list(segs) + (
+        [f"leaf.{ext}"] if ext is not None else []
+    )
+    if any(s in NONCONTENT_PATH_PATTERNS for s in all_segs):
+        return "path_pattern"
+    if all_segs:
+        last = all_segs[-1]
+        if "." in last and last.rsplit(".", 1)[1] in NONCONTENT_EXTENSIONS:
+            return "extension"
+    if params and (
+        len(params) > max_params
+        or any(p.split("=", 1)[0] in TRACKING_PARAMS for p in params)
+    ):
+        return "params"
+    if len(all_segs) > max_depth:
+        return "path_depth"
+    return None
+
+
+class TestUrlContentFilterProperty:
+    @SET
+    @given(parts=url_parts)
+    def test_matches_python_reference(self, spark, parts):
+        segs, ext, params = parts
+        path = "/" + "/".join(
+            list(segs) + ([f"leaf.{ext}"] if ext is not None else [])
+        )
+        q = ("?" + "&".join(params)) if params else ""
+        url = f"https://ex.com{path}{q}"
+        df = spark.createDataFrame([(url,)], "url string")
+        r = url_content_filter(df, "url", flag_out="drop").first()
+        assert r.drop_rule == py_classify(segs, ext, params), url

@@ -373,3 +373,51 @@ class TestUrlContentFilter:
         ).collect()
         # custom list replaces the default: /tag/ now survives
         assert {r.url for r in kept} == {"https://a.com/tag/x"}
+
+
+class TestHoltWintersAnomalies:
+    def _series(self, spark, ys):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(t0 + datetime.timedelta(hours=i), float(v))
+             for i, v in enumerate(ys)],
+            "ts timestamp, v double",
+        )
+
+    def test_spike_in_seasonal_series_flagged(self, spark):
+        from pandera_spark.operators.temporal import holt_winters_anomalies
+
+        season = [3.0, 7.0, 5.0, 1.0]
+        ys = season * 12
+        ys[30] += 40.0  # inject one spike well past warmup
+        out = holt_winters_anomalies(
+            self._series(spark, ys), "ts", F.max("v"),
+            season_length=4,
+        ).orderBy("bucket_ts").collect()
+        flagged = [i for i, r in enumerate(out) if r.is_anomaly]
+        # warmup (4 buckets) excluded from output; index shifts by 4
+        assert flagged and 30 - 4 in flagged
+        assert len(flagged) <= 3  # the spike echoes at most briefly
+
+    def test_constant_series_no_flags(self, spark):
+        from pandera_spark.operators.temporal import holt_winters_anomalies
+
+        out = holt_winters_anomalies(
+            self._series(spark, [5.0] * 20), "ts", F.max("v"),
+            season_length=4,
+        ).collect()
+        assert out and not any(r.is_anomaly for r in out)
+        # zero MAD: robust_z NULL, flag False (never raises under ANSI)
+        assert all(r.robust_z is None for r in out)
+
+    def test_warmup_excluded(self, spark):
+        from pandera_spark.operators.temporal import holt_winters_anomalies
+
+        ys = [1.0, 9.0] * 12
+        out = holt_winters_anomalies(
+            self._series(spark, ys), "ts", F.max("v"),
+            season_length=2, warmup=6,
+        ).orderBy("bucket_ts").collect()
+        assert len(out) == 24 - 6
