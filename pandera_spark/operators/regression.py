@@ -45,6 +45,8 @@ __all__ = [
     "logistic_fit",
     "logistic_report",
     "logistic_score",
+    "quantile_fit",
+    "quantile_score",
 ]
 
 _OLS_SCHEMA = T.StructType([
@@ -280,3 +282,155 @@ def logistic_score(
     return df.withColumn(
         out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
     )
+
+
+def quantile_fit(
+    df: DataFrame,
+    y,
+    xs: "Sequence[str]",
+    *,
+    tau: float = 0.5,
+    iters: int = 10,
+    intercept: bool = True,
+    eps: float = 1e-6,
+    ridge: float = 0.0,
+    storage_level: Optional[str] = "MEMORY_AND_DISK",
+) -> dict:
+    """Linear quantile regression (pinball / check loss) by ``iters``
+    IRLS steps — "what drives the p95, not the mean": latency SLOs,
+    tail token counts, worst-case cost models, where OLS answers the
+    wrong question because the conditional MEAN hides the tail.
+
+    Minimizes ``Σ ρ_τ(y − Xβ)`` with ``ρ_τ(r) = r·(τ − 1[r<0])`` via
+    iteratively reweighted least squares on the standard smoothed
+    weights ``w = |τ − 1[r<0]| / max(|r|, eps)``; iteration 0 is the
+    plain least-squares solve (w = 1), a deterministic warm start.
+    Each step is ONE map-side-combined aggregation of the weighted
+    moments Σw, Σw·xᵢ, Σw·xᵢxⱼ, Σw·y, Σw·y·xᵢ followed by a
+    driver-side p×p solve — the data never moves, exactly the
+    :func:`logistic_fit` shape.  ``ridge`` adds λ·I for collinear
+    designs; ``eps`` bounds the weight of near-zero residuals (the
+    smoothing that makes the non-differentiable loss IRLS-able —
+    coefficients converge to the exact quantile fit as eps → 0).
+
+    Returns ``{"terms", "beta", "n", "tau", "pinball", "iters",
+    "last_step_norm"}`` with ``pinball`` the mean check loss of the
+    FINAL coefficients (one extra aggregation).  Deterministic: fixed
+    iteration count, order-insensitive moments.
+    """
+    import numpy as np
+
+    xs = list(xs)
+    if not xs:
+        raise ValueError("need at least one feature column")
+    if not 0.0 < tau < 1.0:
+        raise ValueError(f"tau must be in (0, 1), got {tau}")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    d = len(xs)
+    p = d + (1 if intercept else 0)
+    ycol = (F.col(y) if isinstance(y, str) else y).cast("double")
+    proj = [ycol.alias("__y")]
+    cond = ycol.isNotNull()
+    for i, c in enumerate(xs):
+        xc = F.col(c).cast("double")
+        cond = cond & xc.isNotNull()
+        proj.append(xc.alias(f"__x_{i}"))
+    base = df.where(cond).select(*proj)
+    persisted = False
+    if storage_level:
+        from pyspark import StorageLevel
+
+        base = base.persist(getattr(StorageLevel, storage_level))
+        persisted = True
+
+    def feats(i):
+        # feature i in solve order; index d = the intercept column
+        return F.lit(1.0) if i == d else F.col(f"__x_{i}")
+
+    try:
+        beta = None
+        n = None
+        step_norm = None
+        for it in range(iters + 1):
+            if beta is None:
+                w = F.lit(1.0)  # warm start: plain least squares
+            else:
+                eta = F.lit(0.0)
+                for i in range(p):
+                    eta = eta + feats(i) * F.lit(float(beta[i]))
+                r = F.col("__y") - eta
+                w = F.abs(
+                    F.lit(float(tau))
+                    - F.when(r < 0, F.lit(1.0)).otherwise(F.lit(0.0))
+                ) / F.greatest(F.abs(r), F.lit(float(eps)))
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for i in range(p):
+                aggs.append(F.sum(w * feats(i) * F.col("__y"))
+                            .alias(f"__b_{i}"))
+                for j in range(i, p):
+                    aggs.append(F.sum(w * feats(i) * feats(j))
+                                .alias(f"__a_{i}_{j}"))
+            row = base.agg(*aggs).first()
+            n = row["__n"]
+            if not n:
+                raise ValueError("no complete rows to fit on")
+            A = np.zeros((p, p))
+            bvec = np.zeros(p)
+            for i in range(p):
+                bvec[i] = row[f"__b_{i}"]
+                for j in range(i, p):
+                    A[i, j] = A[j, i] = row[f"__a_{i}_{j}"]
+            if ridge:
+                A = A + float(ridge) * np.eye(p)
+            new_beta, *_ = np.linalg.lstsq(A, bvec, rcond=None)
+            step_norm = (
+                float(np.linalg.norm(new_beta - beta))
+                if beta is not None else None
+            )
+            beta = new_beta
+        eta = F.lit(0.0)
+        for i in range(p):
+            eta = eta + feats(i) * F.lit(float(beta[i]))
+        r = F.col("__y") - eta
+        loss = base.agg(
+            F.avg(
+                r * (F.lit(float(tau))
+                     - F.when(r < 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+            ).alias("__l")
+        ).first()["__l"]
+    finally:
+        if persisted:
+            base.unpersist()
+    terms = list(xs) + (["(intercept)"] if intercept else [])
+    return {
+        "terms": terms,
+        "beta": [float(b) for b in beta],
+        "n": int(n),
+        "tau": float(tau),
+        "pinball": float(loss),
+        "iters": int(iters),
+        "last_step_norm": step_norm,
+    }
+
+
+def quantile_score(
+    df: DataFrame,
+    xs: "Sequence[str]",
+    beta: "Sequence[float]",
+    *,
+    intercept: float = 0.0,
+    out_col: str = "prediction",
+) -> DataFrame:
+    """Score a fitted quantile model: pure Column projection
+    (``ŷ = Σ βᵢ·xᵢ + b₀``) — zero shuffle, zero UDF, coefficients
+    fold into the plan as literals."""
+    xs = list(xs)
+    if len(xs) != len(list(beta)):
+        raise ValueError(
+            f"{len(xs)} columns vs {len(list(beta))} coefficients"
+        )
+    eta = F.lit(float(intercept))
+    for c, b in zip(xs, beta):
+        eta = eta + F.col(c).cast("double") * F.lit(float(b))
+    return df.withColumn(out_col, eta)

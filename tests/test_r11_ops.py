@@ -421,3 +421,79 @@ class TestHoltWintersAnomalies:
             season_length=2, warmup=6,
         ).orderBy("bucket_ts").collect()
         assert len(out) == 24 - 6
+
+
+class TestQuantileFit:
+    def _line(self, spark):
+        rows = [(float(i), 3.0 * i - 7.0) for i in range(40)]
+        return spark.createDataFrame(rows, "x double, y double")
+
+    def test_exact_line_any_tau(self, spark):
+        from pandera_spark.operators.regression import quantile_fit
+
+        for tau in (0.25, 0.5, 0.9):
+            fit = quantile_fit(self._line(spark), "y", ["x"], tau=tau)
+            assert fit["terms"] == ["x", "(intercept)"]
+            assert fit["beta"][0] == pytest.approx(3.0, abs=1e-6)
+            assert fit["beta"][1] == pytest.approx(-7.0, abs=1e-4)
+            assert fit["pinball"] == pytest.approx(0.0, abs=1e-6)
+
+    def _asym(self, spark):
+        # y = 10 + x, except every 10th row spikes +100: the median
+        # line ignores the spikes, the tau=0.95 line sits above them
+        rows = [
+            (float(i % 50),
+             10.0 + (i % 50) + (100.0 if i % 10 == 0 else 0.0))
+            for i in range(500)
+        ]
+        return spark.createDataFrame(rows, "x double, y double")
+
+    def test_tau_targets_the_right_tail(self, spark):
+        from pandera_spark.operators.regression import quantile_fit
+
+        med = quantile_fit(self._asym(spark), "y", ["x"], tau=0.5)
+        hi = quantile_fit(self._asym(spark), "y", ["x"], tau=0.95)
+        # median line ignores the 10% spikes
+        assert med["beta"][1] == pytest.approx(10.0, abs=0.5)
+        assert med["beta"][0] == pytest.approx(1.0, abs=0.05)
+        # the 95th-percentile line sits near the spiked intercept
+        assert hi["beta"][1] > 60.0
+        assert hi["pinball"] < med["pinball"] + 10.0
+
+    def test_predictions_monotone_in_tau(self, spark):
+        from pandera_spark.operators.regression import (
+            quantile_fit, quantile_score,
+        )
+
+        df = self._asym(spark)
+        preds = []
+        for tau in (0.25, 0.5, 0.9):
+            fit = quantile_fit(df, "y", ["x"], tau=tau)
+            scored = quantile_score(
+                df.limit(1), ["x"], fit["beta"][:1],
+                intercept=fit["beta"][1],
+            ).first()
+            preds.append(scored.prediction)
+        assert preds == sorted(preds)
+
+    def test_beats_warm_start_on_pinball(self, spark):
+        # the IRLS refinement must not be worse than the pure
+        # least-squares warm start under the same check loss
+        from pandera_spark.operators.regression import quantile_fit
+
+        df = self._asym(spark)
+        ls_only = quantile_fit(df, "y", ["x"], tau=0.9, iters=1)
+        refined = quantile_fit(df, "y", ["x"], tau=0.9, iters=12)
+        assert refined["pinball"] <= ls_only["pinball"] + 1e-9
+
+    def test_guards(self, spark):
+        from pandera_spark.operators.regression import quantile_fit
+
+        df = self._line(spark)
+        with pytest.raises(ValueError, match="tau"):
+            quantile_fit(df, "y", ["x"], tau=1.5)
+        with pytest.raises(ValueError, match="feature"):
+            quantile_fit(df, "y", [])
+        empty = df.where(F.col("x") < -1)
+        with pytest.raises(ValueError, match="complete rows"):
+            quantile_fit(empty, "y", ["x"])
