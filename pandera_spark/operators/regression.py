@@ -272,9 +272,10 @@ def logistic_score(
     (``p = σ(Σ βᵢ·xᵢ + b₀)``) — zero shuffle, zero UDF, broadcast-free
     (the coefficients fold into the plan as literals)."""
     xs = list(xs)
-    if len(xs) != len(list(beta)):
+    beta = list(beta)  # once: a generator would exhaust in the guard
+    if len(xs) != len(beta):
         raise ValueError(
-            f"{len(xs)} columns vs {len(list(beta))} coefficients"
+            f"{len(xs)} columns vs {len(beta)} coefficients"
         )
     eta = F.lit(float(intercept))
     for c, b in zip(xs, beta):
@@ -426,9 +427,10 @@ def quantile_score(
     (``ŷ = Σ βᵢ·xᵢ + b₀``) — zero shuffle, zero UDF, coefficients
     fold into the plan as literals."""
     xs = list(xs)
-    if len(xs) != len(list(beta)):
+    beta = list(beta)  # once: a generator would exhaust in the guard
+    if len(xs) != len(beta):
         raise ValueError(
-            f"{len(xs)} columns vs {len(list(beta))} coefficients"
+            f"{len(xs)} columns vs {len(beta)} coefficients"
         )
     eta = F.lit(float(intercept))
     for c, b in zip(xs, beta):

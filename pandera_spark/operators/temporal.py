@@ -1400,6 +1400,7 @@ def holt_winters_anomalies(
     gamma: float = 0.25,
     k: float = 3.5,
     warmup: Optional[int] = None,
+    storage_level: Optional[str] = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Seasonality-adjusted anomaly screen: :func:`holt_winters`
     residuals fenced by robust MAD limits — the upgrade over
@@ -1421,10 +1422,12 @@ def holt_winters_anomalies(
     ``1.253314 · meanAD``; when THAT is also 0 (all residuals equal)
     ``robust_z`` is NULL and nothing flags.
 
-    Scale shape: the residual frame is the BOUNDED bucket grain, so
-    the median/MAD/meanAD fit is one exact ``percentile`` aggregate
-    over it broadcast back as a 1-row frame; everything downstream is
-    a projection.
+    Scale shape: the residual frame is the BOUNDED bucket grain.  The
+    fence fit is inherently two passes over it (median first, then
+    the median of |resid − med|), each broadcast back as a 1-row
+    frame — so the smoothed frame is PERSISTED (``storage_level``,
+    None to disable) before fan-out; without that, every action would
+    re-run the sequential smoother once per plan branch.
     """
     hw = holt_winters(
         df, ts_col, value, grain=grain, season_length=season_length,
@@ -1435,6 +1438,10 @@ def holt_winters_anomalies(
     scored = hw.withColumn("__i", F.row_number().over(wnum)).where(
         F.col("__i") > w
     )
+    if storage_level:
+        from pyspark import StorageLevel
+
+        scored = scored.persist(getattr(StorageLevel, storage_level))
     fence = scored.agg(
         F.percentile(F.col("resid"), F.lit(0.5)).alias("__med"),
     )

@@ -526,7 +526,11 @@ class TestFisherExactProperties:
         if a + b + c + d == 0:
             return
         r1 = fisher_exact(_fisher_df(spark, a, b, c, d), "x", "y").first()
-        r2 = fisher_exact(_fisher_df(spark, a, c, b, d), "y", "x").first()
-        # transposed cells: b' = c, c' = b -> build by swapping columns
+        # transpose = ONE swap: the table [[a,b],[c,d]] becomes
+        # [[a,c],[b,d]] with the SAME condition roles.  (Swapping the
+        # roles too would transpose twice and test nothing.)
+        r2 = fisher_exact(_fisher_df(spark, a, c, b, d), "x", "y").first()
+        assert (r2.b, r2.c) == (c, b)
         assert r1.p_two == pytest.approx(r2.p_two, abs=1e-12)
         assert r1.p_less == pytest.approx(r2.p_less, abs=1e-12)
+        assert r1.p_greater == pytest.approx(r2.p_greater, abs=1e-12)

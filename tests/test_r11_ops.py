@@ -476,15 +476,32 @@ class TestQuantileFit:
             preds.append(scored.prediction)
         assert preds == sorted(preds)
 
-    def test_beats_warm_start_on_pinball(self, spark):
-        # the IRLS refinement must not be worse than the pure
-        # least-squares warm start under the same check loss
+    def test_refinement_improves_on_this_fixture(self, spark):
+        # iters=1 is the LS warm start PLUS one IRLS step (iteration 0
+        # is the unweighted solve); pure LS is unreachable by design.
+        # IRLS is not a guaranteed-descent method for the check loss,
+        # so this is a behavior pin on THIS fixture (where further
+        # refinement clearly helps), not an implementation invariant.
         from pandera_spark.operators.regression import quantile_fit
 
         df = self._asym(spark)
-        ls_only = quantile_fit(df, "y", ["x"], tau=0.9, iters=1)
+        one_step = quantile_fit(df, "y", ["x"], tau=0.9, iters=1)
         refined = quantile_fit(df, "y", ["x"], tau=0.9, iters=12)
-        assert refined["pinball"] <= ls_only["pinball"] + 1e-9
+        assert refined["pinball"] <= one_step["pinball"] + 1e-9
+        # and the refined solution has (near-)converged steps
+        assert refined["last_step_norm"] < one_step["last_step_norm"]
+
+    def test_score_rejects_and_handles_iterators(self, spark):
+        from pandera_spark.operators.regression import quantile_score
+
+        df = self._line(spark)
+        # a generator must not silently exhaust into intercept-only
+        out = quantile_score(
+            df, ["x"], iter([3.0]), intercept=-7.0
+        ).first()
+        assert out.prediction == pytest.approx(3.0 * out.x - 7.0)
+        with pytest.raises(ValueError, match="coefficients"):
+            quantile_score(df, ["x"], [1.0, 2.0])
 
     def test_guards(self, spark):
         from pandera_spark.operators.regression import quantile_fit
