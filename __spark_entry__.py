@@ -30,6 +30,21 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
+def _rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact table row count from the parquet footer — a driver-side
+    metadata read (no Spark job).  Several query builders need n only
+    to SIZE a plan (LSH banding, BM25 idf N); ``df.count()`` fired a
+    full job per build for a number the footer already holds."""
+    try:
+        import pyarrow.parquet as _pq
+
+        return int(
+            _pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+        )
+    except Exception:  # pragma: no cover - pyarrow absent/odd layout
+        return _load(spark, sf_dir, name).count()
+
+
 # ---------------------------------------------------------------------------
 # shared check specs: (column, label, spark check, SQL violation condition)
 # null semantics (ignore_na=True): violation iff col IS NOT NULL AND NOT pred
@@ -7020,7 +7035,7 @@ def q_index_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     index = build_term_index(docs, "doc_id", "text")
     return index_search(
-        index, docs.count(), _SEARCH_TERMS, k=10
+        index, _rowcount(spark, sf_dir, "documents"), _SEARCH_TERMS, k=10
     ).select("id", F.round("score", 6).alias("score_r"))
 
 
@@ -7289,7 +7304,7 @@ def q_semantic_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandera_spark.operators.text import hash_embed
 
     docs = _load(spark, sf_dir, "documents")
-    n_planes, bands = _neardup_plan(docs.count())
+    n_planes, bands = _neardup_plan(_rowcount(spark, sf_dir, "documents"))
     emb = hash_embed(docs, dim=_HE_DIM).select(
         "doc_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -7471,7 +7486,7 @@ def q_doc_knn_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandera_spark.operators.text import hash_embed
 
     docs = _load(spark, sf_dir, "documents")
-    n_planes, bands = _doc_knn_plan(docs.count())
+    n_planes, bands = _doc_knn_plan(_rowcount(spark, sf_dir, "documents"))
     emb = hash_embed(docs, dim=_HE_DIM).select(
         F.col("doc_id").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
@@ -7534,7 +7549,7 @@ def q_doc_mutual_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    n_planes, bands = _doc_knn_plan(docs.count())
+    n_planes, bands = _doc_knn_plan(_rowcount(spark, sf_dir, "documents"))
     edges = knn_graph(
         emb, k=3, dim=_HE_DIM, n_planes=n_planes,
         bands=bands, corpus_storage=None
@@ -7768,7 +7783,7 @@ def q_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandera_spark.operators.pipeline import prepare_training_corpus
 
     docs = _load(spark, sf_dir, "documents")
-    n_planes, bands = _neardup_plan(docs.count())
+    n_planes, bands = _neardup_plan(_rowcount(spark, sf_dir, "documents"))
     out = prepare_training_corpus(
         docs,
         min_words=20,
@@ -8105,7 +8120,8 @@ def q_rerank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     index = build_term_index(docs, "doc_id", "text")
     out = two_stage_search(
-        docs, index, docs.count(), _SEARCH_TERMS, k=10, k1=50
+        docs, index, _rowcount(spark, sf_dir, "documents"),
+        _SEARCH_TERMS, k=10, k1=50
     )
     return out.select("id", F.round("score", 6).alias("score_r"))
 
@@ -8509,7 +8525,9 @@ def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     index = build_term_index(docs, "doc_id", "text")
-    out = bm25_search(index, docs.count(), _SEARCH_TERMS, k=10)
+    out = bm25_search(
+        index, _rowcount(spark, sf_dir, "documents"), _SEARCH_TERMS, k=10
+    )
     return out.select("id", F.round("score", 6).alias("score_r"))
 
 

@@ -147,16 +147,21 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    prev = _fingerprint(e)
+    n_edges = e.count()
 
-    if prev[0] <= small_graph_threshold:
+    if n_edges <= small_graph_threshold:
+        # one bounded collect (<= threshold rows, ~16 B each): a single
+        # job, where toLocalIterator fired one sequential job PER
+        # PARTITION (32 driver round-trips of scheduler latency for a
+        # graph this path exists to treat as tiny — measured r11)
         comp = _union_find(
-            (r["u"], r["v"]) for r in e.toLocalIterator()
+            (r["u"], r["v"]) for r in e.collect()
         )
         spark = pairs.sparkSession
         return spark.createDataFrame(
             list(comp.items()), "node long, component long"
         )
+    prev = _fingerprint(e)
 
     # derived from the TRUNCATED edges: the (possibly expensive) pair
     # lineage — an LSH join upstream — executes exactly once

@@ -150,6 +150,44 @@ def lsh_signature(vec: C, planes: list[list[float]]) -> C:
     return out
 
 
+def _fmt_double(x: float) -> str:
+    """Exact SQL double literal: ``repr`` round-trips (shortest string
+    that parses back to the same IEEE-754 double — Java's parseDouble
+    and Python agree on nearest-even), ``D`` makes the parser type it
+    DOUBLE instead of DECIMAL."""
+    return f"{float(x)!r}D"
+
+
+def _dot_sql(vec_sql: str, vals: "list[float]") -> str:
+    """SQL text of :func:`dot` against a literal array — the identical
+    zip_with/aggregate tree (same sequential fold order, so the result
+    is bit-identical), parsed JVM-side in one call."""
+    arr = ", ".join(_fmt_double(v) for v in vals)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), (x, y) -> x * y), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def lsh_signature_sql(vec_sql: str, planes: "list[list[float]]") -> str:
+    """SQL text equivalent of :func:`lsh_signature` over a column
+    reference, for ``F.expr``.
+
+    Why this exists: building the Column form costs one py4j round trip
+    per plane element (~22k socket calls at 56 planes x 64 dims,
+    seconds of pure driver latency per query build — measured r11);
+    parsing one generated SQL string is a single round trip.  The
+    parsed tree is operation-for-operation the Column tree (same
+    literals via exact ``repr`` round-trip, same fold order), so
+    signatures are bit-identical — pinned by a differential test."""
+    bits = [
+        f"(CASE WHEN {_dot_sql(vec_sql, plane)} >= 0 "
+        f"THEN {1 << i}L ELSE 0L END)"
+        for i, plane in enumerate(planes)
+    ]
+    return "(" + " | ".join(bits) + ")"
+
+
 def _first_matching_band(
     sig_a: C, sig_b: C, bands: int, width: int, mask: int
 ) -> C:
@@ -185,7 +223,9 @@ def _banded(
     n_planes = len(planes)
     width = n_planes // bands
     mask = (1 << width) - 1
-    sig = lsh_signature(F.col(vecc), planes)
+    # one-round-trip SQL build of the (large) signature expression; the
+    # parsed tree is bit-identical to lsh_signature(F.col(vecc), planes)
+    sig = F.expr(lsh_signature_sql(f"`{vecc}`", planes))
     return df.select(
         F.col(idc).alias(f"{prefix}_id"),
         F.col(vecc).alias(f"{prefix}_vec"),

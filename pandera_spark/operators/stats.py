@@ -645,7 +645,7 @@ def bootstrap_ci_mean(
     """
     import math as _math
 
-    from .dedup import portable_hash28
+    from .dedup import _ensure_parallelism, portable_hash28
 
     if n_boot < 8:
         raise ValueError(f"n_boot must be >= 8, got {n_boot}")
@@ -658,13 +658,19 @@ def bootstrap_ci_mean(
         acc += _math.exp(-1.0) / _math.factorial(k)
         thresholds.append(acc)
     x = F.col(col).cast("double")
-    sub = df.where(x.isNotNull()).select(
-        x.alias("__x"), F.col(key_col).cast("string").alias("__k")
+    sub = _ensure_parallelism(
+        df.where(x.isNotNull()).select(
+            x.alias("__x"), F.col(key_col).cast("string").alias("__k")
+        )
     )
-    aggs = [
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.avg("__x").alias("mean"),
-    ]
+    # one weight COLUMN per replicate (projection), then plain sums over
+    # the projected columns: each per-row md5 + 13-way inverse-CDF chain
+    # appears once in the plan instead of twice (inside sum(w*x) AND
+    # sum(w)) — halves the plan text; the partial aggregation is
+    # unchanged.  The repartition above matters more: the 2B conditional
+    # sums are the expensive per-row compute of this operator, and a
+    # small-file scan otherwise runs them in a single task.
+    wcols = {}
     for r in range(n_boot):
         u = (
             portable_hash28(
@@ -676,9 +682,17 @@ def bootstrap_ci_mean(
         for t in thresholds:
             ind = (u > F.lit(t)).cast("int")
             w = ind if w is None else w + ind
-        aggs.append(F.sum(w * F.col("__x")).alias(f"__s_{r}"))
-        aggs.append(F.sum(w).cast("double").alias(f"__w_{r}"))
-    wide = sub.agg(*aggs)
+        wcols[f"__wc_{r}"] = w
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__x").alias("mean"),
+    ]
+    for r in range(n_boot):
+        aggs.append(
+            F.sum(F.col(f"__wc_{r}") * F.col("__x")).alias(f"__s_{r}")
+        )
+        aggs.append(F.sum(f"__wc_{r}").cast("double").alias(f"__w_{r}"))
+    wide = sub.withColumns(wcols).agg(*aggs)
     reps = F.array(
         *[
             F.try_divide(F.col(f"__s_{r}"), F.col(f"__w_{r}"))
@@ -1023,12 +1037,20 @@ def randomization_test_mean(
         raise ValueError(f"n_rep must be >= 8, got {n_rep}")
     x = F.col(col).cast("double")
     g = F.col(group_col)
-    sub = df.where(
-        x.isNotNull() & g.isin([group_a, group_b])
-    ).select(
-        x.alias("__x"),
-        (g == F.lit(group_a)).alias("__a"),
-        F.col(key_col).cast("string").alias("__k"),
+    # parallelism floor: the 2R conditional md5 sums below are the
+    # heavy per-row compute; a small-file scan would run them in one
+    # task (no-op when the scan already has >= defaultParallelism
+    # partitions — the 100 TB case)
+    from .dedup import _ensure_parallelism
+
+    sub = _ensure_parallelism(
+        df.where(
+            x.isNotNull() & g.isin([group_a, group_b])
+        ).select(
+            x.alias("__x"),
+            (g == F.lit(group_a)).alias("__a"),
+            F.col(key_col).cast("string").alias("__k"),
+        )
     )
     counts = sub.groupBy().agg(
         F.sum(F.col("__a").cast("long")).alias("na"),
@@ -1040,11 +1062,11 @@ def randomization_test_mean(
             f"both groups need rows: n_a={n_a}, n_b={n_b}"
         )
     p_a = n_a / float(n_a + n_b)
-    aggs = [
-        F.sum(F.col("__x")).alias("__s"),
-        F.count(F.lit(1)).cast("double").alias("__c"),
-        F.sum(F.when(F.col("__a"), F.col("__x"))).alias("__sa"),
-    ]
+    # one indicator COLUMN per replicate, then plain sums: each per-row
+    # md5 appears once in the plan instead of twice (same rewrite as
+    # bootstrap_ci_mean — halves plan text, partial aggregation
+    # unchanged)
+    icols = {}
     for r in range(n_rep):
         u = (
             portable_hash28(
@@ -1052,12 +1074,20 @@ def randomization_test_mean(
             ).cast("double")
             + 0.5
         ) / F.lit(float(1 << 28))
-        ind = (u < F.lit(p_a)).cast("int")
-        aggs.append(F.sum(ind * F.col("__x")).alias(f"__s_{r}"))
+        icols[f"__ic_{r}"] = (u < F.lit(p_a)).cast("int")
+    aggs = [
+        F.sum(F.col("__x")).alias("__s"),
+        F.count(F.lit(1)).cast("double").alias("__c"),
+        F.sum(F.when(F.col("__a"), F.col("__x"))).alias("__sa"),
+    ]
+    for r in range(n_rep):
         aggs.append(
-            F.sum(ind).cast("double").alias(f"__c_{r}")
+            F.sum(F.col(f"__ic_{r}") * F.col("__x")).alias(f"__s_{r}")
         )
-    wide = sub.agg(*aggs)
+        aggs.append(
+            F.sum(f"__ic_{r}").cast("double").alias(f"__c_{r}")
+        )
+    wide = sub.withColumns(icols).agg(*aggs)
     ca = F.lit(float(n_a))
     obs = F.col("__sa") / ca - (F.col("__s") - F.col("__sa")) / (
         F.col("__c") - ca
