@@ -24,10 +24,39 @@ from pyspark.sql import types as T
 from pandera_spark import Check, Column, DataFrameSchema
 
 
-def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from pandera_spark.sources import read_parquet
+_RAW_SCHEMAS: "dict[str, object]" = {}
 
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a contract table, caching the RAW scan schema per path.
+
+    Schema inference fires one small Spark job per ``spark.read.parquet``
+    — ~2 jobs per query run across a 265-query bench, pure scheduler
+    latency.  The cached object is METADATA ONLY (a StructType): every
+    action still scans the parquet data."""
+    from pandera_spark.sources import (
+        _nano_timestamp_columns, read_parquet,
+    )
+
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _RAW_SCHEMAS.get(path)
+    if sch is not None:
+        return read_parquet(spark, path, schema=sch)
+    df = read_parquet(spark, path)
+    from pyspark.sql import types as T
+
+    nano = set(_nano_timestamp_columns(path))
+    _RAW_SCHEMAS[path] = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.LongType() if f.name in nano else f.dataType,
+                True,
+            )
+            for f in df.schema.fields
+        ]
+    )
+    return df
 
 
 def _rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
@@ -5595,7 +5624,13 @@ def q_annotate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     compiled predicates); exploded to (key, failed_check) rows.  The
     multiset must equal the union of per-check violation row sets —
     which is exactly how the oracle builds it."""
-    df = _load(spark, sf_dir, "lineitem")
+    from pandera_spark.operators.dedup import _ensure_parallelism
+
+    # parallelism floor: annotate is a pure projection (24 predicates,
+    # several regex/date parses per row) and the single-row-group
+    # bench file otherwise runs it in one task; row-local tags are
+    # partitioning-independent.  No-op on an already-split scan.
+    df = _ensure_parallelism(_load(spark, sf_dir, "lineitem"))
     schema = _validation_schema(
         LINEITEM_CHECKS, LINEITEM_NOT_NULL, "lineitem"
     )

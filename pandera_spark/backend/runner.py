@@ -773,7 +773,9 @@ def _compile_one_check(
             raise_warning=check.raise_warning,
         )
     )
-    ctx.pass_conditions.append(check.pass_condition(col))
+    # ~cond IS pass_condition(col) (pass = NOT violation); reusing the
+    # already-built Column halves the per-check py4j construction cost
+    ctx.pass_conditions.append(~cond)
     ctx.failure_specs.append(
         (colname, check.error, cond, check.n_failure_cases)
     )

@@ -55,7 +55,13 @@ def contamination_pairs(
     shuffle keyed on the 8-byte gram hash.
     """
     bench_text = bench_text_col or text_col
-    cg = corpus.select(
+    from .dedup import _ensure_parallelism
+
+    # parallelism floor: hashing every word n-gram (md5 in the portable
+    # family) is the heavy per-row compute and the broadcast join keeps
+    # it in the scan stage — a small-file scan would run it all in one
+    # task (no-op at real scale where the scan is already split)
+    cg = _ensure_parallelism(corpus.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(_gram_hashes(text_col, ngram_n, portable)).alias("__g"),
     )

@@ -865,6 +865,12 @@ def gopher_gate(
     (one id-keyed aggregation joined back).  Thresholds compare against
     the ROUNDED (6dp) repetition fractions so verdicts are replayable
     bit-exactly by an external SQL oracle."""
+    from .dedup import _ensure_parallelism
+
+    # parallelism floor before the per-document token/regex work (both
+    # the projection side and repetition_stats' gram explode inherit
+    # it); no-op at real scale, verdicts are partitioning-independent
+    df = _ensure_parallelism(df)
     col = F.col(text_col)
     rep = repetition_stats(df, id_col, text_col, ngram_n=ngram_n)
     nc = F.length(col).cast("double")
@@ -1232,10 +1238,16 @@ def hash_embed(
     of per-dimension HOF folds over the token array (O(dim × tokens)
     cheap codegen ops per row).  Returns ``(id, embedding array<long>)``;
     null text embeds to the zero vector."""
-    from .dedup import portable_hash28
+    from .dedup import _ensure_parallelism, portable_hash28
 
     if not 1 <= dim <= 4096:
         raise ValueError(f"dim must be in [1, 4096], got {dim}")
+    # parallelism floor before the fold: the O(tokens x dim) accumulate
+    # below is the heaviest per-row compute in the embed chains, and a
+    # small-file scan (or a chain inheriting its single partition)
+    # would run it all in one task.  No-op at real scale; the output is
+    # an exact integer vector, so partitioning cannot change results.
+    df = _ensure_parallelism(df)
     toks = F.coalesce(
         F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"),
         F.expr("CAST(array() AS array<string>)"),

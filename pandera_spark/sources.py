@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 
 def read_parquet(
-    spark: SparkSession, path: str, *, nanos_to_timestamp: bool = True
+    spark: SparkSession,
+    path: str,
+    *,
+    nanos_to_timestamp: bool = True,
+    schema=None,
 ) -> DataFrame:
     """Read parquet, tolerating TIMESTAMP(NANOS) columns.
 
@@ -22,13 +26,20 @@ def read_parquet(
     (PARQUET_TYPE_ILLEGAL).  With the legacy knob the column arrives as a
     nano-epoch long; we convert to TimestampType via ``timestamp_micros`` —
     a pure projection, fused into the scan stage by codegen.
+
+    ``schema`` (an optional ``StructType``) is the RAW scan schema (nano
+    columns as ``long``); passing it skips Spark's footer-inference job
+    — one small job per read that adds up when a harness builds hundreds
+    of frames over the same files.  Data is still read from parquet on
+    every action; only the schema metadata is reused.
     """
     # inspect the footer driver-side first (no Spark job) so a nano-ts file
     # never triggers a failed schema-inference job
     nano_cols = _nano_timestamp_columns(path)
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    df = reader.parquet(path)
     if nano_cols and nanos_to_timestamp:
         # integer DIV, not float `/`: nano-epoch longs (~2^60) exceed the
         # 53-bit double mantissa, so float division drifts by ±1 µs; DIV
