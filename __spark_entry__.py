@@ -652,18 +652,33 @@ def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(F.col("text")), r"\s+")
         ).alias("__w"),
     )
+    from pandera_spark.operators.dedup import _ensure_parallelism
+
     a = docs.filter(F.col("doc_id") < 50).select(
         F.col("doc_id").alias("id_a"), F.col("__w").alias("wa")
     )
-    b = docs.select(F.col("doc_id").alias("id_b"), F.col("__w").alias("wb"))
-    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
-    union = (F.size("wa") + F.size("wb") - F.size(
-        F.array_intersect("wa", "wb")
-    )).cast("double")
+    # parallelism floor on the stream side: 250k set intersections would
+    # otherwise run in the single scan task of the one-row-group file
+    b = _ensure_parallelism(
+        docs.select(F.col("doc_id").alias("id_b"), F.col("__w").alias("wb"))
+    )
+    # intersection size computed ONCE per pair (it fed both the
+    # numerator and, re-evaluated, the union size before)
+    inter = F.size(F.array_intersect("wa", "wb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard_r")
+            "id_a", "id_b", "wa", "wb", inter.alias("__i")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__i").cast("double")
+                / (F.size("wa") + F.size("wb") - F.col("__i"))
+                .cast("double"),
+                6,
+            ).alias("jaccard_r"),
         )
         .filter(F.col("jaccard_r") >= 0.2)
     )
