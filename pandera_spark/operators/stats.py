@@ -614,6 +614,30 @@ def fdr_bh(
     )
 
 
+def _hash_u_sql(key_sql: str, suffix: str) -> str:
+    """SQL text of the uniform draw
+    ``(portable_hash28(key ∥ suffix) + 0.5) / 2^28`` — operation-for-
+    operation the Column tree it replaces (md5 → first 7 hex digits →
+    base-16 long → double), so values are bit-identical."""
+    esc = suffix.replace("'", "''")
+    return (
+        f"(CAST(CAST(conv(substring(md5(concat({key_sql}, '{esc}')), 1, 7), "
+        f"16, 10) AS BIGINT) AS DOUBLE) + 0.5D) / 268435456.0D"
+    )
+
+
+def _poisson_weight_sql(
+    key_sql: str, suffix: str, thresholds: "list[float]"
+) -> str:
+    """SQL text of the Poisson(1) inverse-CDF weight: the number of
+    CDF thresholds strictly below the hash draw."""
+    u = _hash_u_sql(key_sql, suffix)
+    terms = " + ".join(
+        f"CAST(({u}) > {t!r}D AS INT)" for t in thresholds
+    )
+    return f"({terms})"
+
+
 def bootstrap_ci_mean(
     df: DataFrame,
     col: str,
@@ -645,7 +669,7 @@ def bootstrap_ci_mean(
     """
     import math as _math
 
-    from .dedup import _ensure_parallelism, portable_hash28
+    from .dedup import _ensure_parallelism
 
     if n_boot < 8:
         raise ValueError(f"n_boot must be >= 8, got {n_boot}")
@@ -669,20 +693,17 @@ def bootstrap_ci_mean(
     # sum(w)) — halves the plan text; the partial aggregation is
     # unchanged.  The repartition above matters more: the 2B conditional
     # sums are the expensive per-row compute of this operator, and a
-    # small-file scan otherwise runs them in a single task.
-    wcols = {}
-    for r in range(n_boot):
-        u = (
-            portable_hash28(
-                F.concat(F.col("__k"), F.lit(f":{r}{salt}"))
-            ).cast("double")
-            + 0.5
-        ) / F.lit(float(1 << 28))
-        w = None
-        for t in thresholds:
-            ind = (u > F.lit(t)).cast("int")
-            w = ind if w is None else w + ind
-        wcols[f"__wc_{r}"] = w
+    # small-file scan otherwise runs them in a single task.  Each weight
+    # expression is generated as SQL and parsed in ONE py4j call (vs
+    # ~60 Column-construction round trips per replicate); operations
+    # and literals are identical, so values are bit-identical — the
+    # DuckDB oracle replays every replicate digit for digit.
+    wcols = {
+        f"__wc_{r}": F.expr(
+            _poisson_weight_sql("`__k`", f":{r}{salt}", thresholds)
+        )
+        for r in range(n_boot)
+    }
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n"),
         F.avg("__x").alias("mean"),
@@ -1031,8 +1052,6 @@ def randomization_test_mean(
     permutation test, whose B label shuffles are a non-starter at
     100 TB.
     """
-    from .dedup import portable_hash28
-
     if n_rep < 8:
         raise ValueError(f"n_rep must be >= 8, got {n_rep}")
     x = F.col(col).cast("double")
@@ -1066,15 +1085,16 @@ def randomization_test_mean(
     # md5 appears once in the plan instead of twice (same rewrite as
     # bootstrap_ci_mean — halves plan text, partial aggregation
     # unchanged)
-    icols = {}
-    for r in range(n_rep):
-        u = (
-            portable_hash28(
-                F.concat(F.col("__k"), F.lit(f":{r}{salt}"))
-            ).cast("double")
-            + 0.5
-        ) / F.lit(float(1 << 28))
-        icols[f"__ic_{r}"] = (u < F.lit(p_a)).cast("int")
+    # indicator expressions generated as SQL, one py4j call each (same
+    # one-round-trip build as bootstrap_ci_mean's weights; operations
+    # and literals identical, oracle replays them digit for digit)
+    icols = {
+        f"__ic_{r}": F.expr(
+            f"CAST(({_hash_u_sql('`__k`', f':{r}{salt}')}) "
+            f"< {p_a!r}D AS INT)"
+        )
+        for r in range(n_rep)
+    }
     aggs = [
         F.sum(F.col("__x")).alias("__s"),
         F.count(F.lit(1)).cast("double").alias("__c"),

@@ -1238,7 +1238,7 @@ def hash_embed(
     of per-dimension HOF folds over the token array (O(dim × tokens)
     cheap codegen ops per row).  Returns ``(id, embedding array<long>)``;
     null text embeds to the zero vector."""
-    from .dedup import _ensure_parallelism, portable_hash28
+    from .dedup import _ensure_parallelism
 
     if not 1 <= dim <= 4096:
         raise ValueError(f"dim must be in [1, 4096], got {dim}")
@@ -1248,48 +1248,44 @@ def hash_embed(
     # would run it all in one task.  No-op at real scale; the output is
     # an exact integer vector, so partitioning cannot change results.
     df = _ensure_parallelism(df)
-    toks = F.coalesce(
-        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"),
-        F.expr("CAST(array() AS array<string>)"),
-    )
-
-    # hash each token ONCE into (bucket, signed ±1), then fold per
-    # dimension over the precomputed pairs — without this factoring the
-    # md5s would be recomputed dim× per token (HOFs are interpreted,
-    # not codegen'd; measured 16x slower at dim=16)
-    pre = F.transform(
-        toks,
-        lambda t: F.struct(
-            F.pmod(portable_hash28(t), F.lit(dim)).alias("b"),
-            (
-                F.pmod(
-                    F.conv(F.substring(F.md5(t), 9, 1), 16, 10)
-                    .cast("long"),
-                    F.lit(2),
-                )
-                * 2
-                - 1
-            ).alias("s"),
-        ),
-    )
-    # ONE fold over the precomputed pairs builds the whole vector:
-    # `aggregate` evaluates its input array (the md5 hashing) exactly
-    # once, then each token costs dim interpreted adds — a separate
+    # the whole vector expression is generated as ONE SQL string and
+    # parsed JVM-side in a single call (the same one-round-trip build
+    # as similarity.lsh_signature_sql; the lambda-by-lambda Column
+    # construction cost the driver hundreds of py4j round trips per
+    # build).  The parsed tree is operation-for-operation the previous
+    # Column tree; all arithmetic is integer, so output is exactly
+    # unchanged — pinned by a differential test.
+    #
+    # Shape (unchanged): hash each token ONCE into (bucket, signed ±1),
+    # then ONE fold over the precomputed pairs builds the whole vector
+    # — `aggregate` evaluates its input array (the md5 hashing) exactly
+    # once, then each token costs dim interpreted adds; a separate
     # per-dimension fold would re-inline (and re-hash) the tokens per
-    # dimension (CollapseProject), measured 2-16x slower
-    zeros = F.array_repeat(F.lit(0).cast("long"), dim)
-    vec = F.aggregate(
-        pre,
-        zeros,
-        lambda acc, p: F.transform(
-            acc,
-            lambda x, i: x
-            + F.when(i == p.getField("b"), p.getField("s")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-    )
+    # dimension (CollapseProject), measured 2-16x slower.
+    vec = F.expr(_hash_embed_sql(f"`{text_col}`", dim))
     return df.select(F.col(id_col), vec.alias("embedding"))
+
+
+def _hash_embed_sql(text_sql: str, dim: int) -> str:
+    """SQL text of the :func:`hash_embed` vector expression over a
+    column reference — bucket = first-7-md5-hex-digits mod ``dim``,
+    sign from md5 hex digit 9, folded into a ``dim``-long accumulator."""
+    toks = (
+        f"coalesce(regexp_extract_all(lower({text_sql}), '[a-z0-9]+', 0), "
+        "CAST(array() AS array<string>))"
+    )
+    pre = (
+        f"transform({toks}, t -> named_struct("
+        f"'b', pmod(CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT), "
+        f"{dim}), "
+        f"'s', pmod(CAST(conv(substring(md5(t), 9, 1), 16, 10) AS BIGINT), "
+        f"2) * 2 - 1))"
+    )
+    return (
+        f"aggregate({pre}, array_repeat(CAST(0 AS BIGINT), {dim}), "
+        f"(acc, p) -> transform(acc, (x, i) -> "
+        f"x + (CASE WHEN i = p.b THEN p.s ELSE CAST(0 AS BIGINT) END)))"
+    )
 
 
 def normalize_text(

@@ -47,6 +47,43 @@ class TestLshSignatureSql:
         )
         assert bad == 0
 
+    def test_hash_embed_matches_python_reference(self, spark):
+        """hash_embed's generated-SQL fold must equal a pure-Python
+        md5 reference (token -> bucket/sign -> accumulate) exactly —
+        integer arithmetic, no tolerance."""
+        import hashlib
+        import re
+
+        from pandera_spark.operators.text import hash_embed
+
+        dim = 16
+        texts = [
+            (0, "The quick brown Fox jumps  over the lazy dog 42 42"),
+            (1, ""),
+            (2, None),
+            (3, "a b c a b c a!!! punct-only ..."),
+            (4, "Unicode café naïve 中文 tokens"),
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["doc_id"]: list(r["embedding"])
+            for r in hash_embed(df, dim=dim).collect()
+        }
+
+        def ref(text):
+            v = [0] * dim
+            if text is None:
+                return v
+            for t in re.findall(r"[a-z0-9]+", text.lower()):
+                h = hashlib.md5(t.encode()).hexdigest()
+                b = int(h[:7], 16) % dim
+                s = (int(h[8], 16) % 2) * 2 - 1
+                v[b] += s
+            return v
+
+        for i, text in texts:
+            assert got[i] == ref(text), f"doc {i}: {got[i]} != {ref(text)}"
+
     def test_double_literal_roundtrip(self, spark):
         from pandera_spark.operators.similarity import _fmt_double
 
