@@ -264,9 +264,27 @@ def fit_conformal(
         "__v",
         (F.col("__rank") + (F.col("__cnt") - 1) / 2.0).alias("__cum"),
     )
-    row = mr.agg(
-        F.max("__cum").alias("__n"),
-    ).first()
+    # ONE action: the 1-row n-frame rides back in as a broadcast and the
+    # threshold k = ceil((n+1)(1-alpha)) is computed in-plan (bit-identical
+    # to the former driver-side math.ceil over the same doubles), so the
+    # former two sequential .first() probes — each recomputing the whole
+    # midrank pipeline — collapse into one job whose mr subtrees share
+    # their exchanges (ReuseExchange).  The grain never collapses to one
+    # task: both sides stay the range-partitioned distinct-residual frame.
+    nfr = mr.agg(F.max("__cum").alias("__n"))
+    thr = F.ceil(
+        (F.col("__n") + F.lit(1.0)) * F.lit(1.0 - alpha)
+    ).cast("double")
+    row = (
+        mr.crossJoin(F.broadcast(nfr))
+        .agg(
+            F.max("__n").alias("__n"),
+            F.min(
+                F.when(F.col("__cum") >= thr, F.col("__v"))
+            ).alias("__q"),
+        )
+        .first()
+    )
     n = int(row["__n"] or 0)
     k = math.ceil((n + 1) * (1.0 - alpha))
     if n == 0 or k > n:
@@ -274,10 +292,7 @@ def fit_conformal(
             f"need at least {math.ceil((1 - alpha) / alpha)} calibration"
             f" rows for alpha={alpha}, got {n}"
         )
-    got = mr.where(F.col("__cum") >= F.lit(float(k))).agg(
-        F.min("__v").alias("__q")
-    ).first()
-    return float(got["__q"])
+    return float(row["__q"])
 
 
 def apply_conformal(

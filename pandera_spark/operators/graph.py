@@ -118,22 +118,30 @@ def pagerank(
         # materialize the (possibly expensive) upstream edge plan
         # ONCE; everything below derives from the cached edge list
         e = e.localCheckpoint(eager=True)
-    nodes = node_frame(e, src="__s", dst="__d")
     deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    # node set annotated with out-degree (null = dangling): ONE
+    # checkpointed N-row frame replaces the former separate nodes +
+    # deg materializations, and carrying the degree on the rank frame
+    # lets every round read the dangling mass with a filter instead of
+    # an anti-join against deg
+    nd = node_frame(e, src="__s", dst="__d").join(
+        deg.select(F.col("__s").alias("node"),
+                   F.col("__deg").alias("__rdeg")),
+        "node", "left",
+    )
     # out-edges annotated with the sender's degree, computed once
     e_deg = e.join(deg, "__s")
     if checkpoint:
         # cheap actions over the cached edges — keeps every loop round
         # from re-deriving them
-        nodes = nodes.localCheckpoint(eager=True)
-        deg = deg.localCheckpoint(eager=True)
+        nd = nd.localCheckpoint(eager=True)
         e_deg = e_deg.localCheckpoint(eager=True)
-    n = nodes.count()
+    n = nd.count()
     if n == 0:
-        return nodes.select(
+        return nd.select(
             "node", F.lit(0.0).alias("rank")
         )
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = nd.select("node", "__rdeg", F.lit(1.0 / n).alias("rank"))
     if checkpoint:
         ranks = ranks.localCheckpoint(eager=True)
     base = (1.0 - damping) / n
@@ -143,7 +151,7 @@ def pagerank(
         # dangling rank mass folded into the plan as a broadcast 1-row
         # frame — no extra driver action per round
         dang = (
-            ranks.join(deg, ranks["node"] == deg["__s"], "left_anti")
+            ranks.where(F.col("__rdeg").isNull())
             .agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
             )
@@ -158,7 +166,7 @@ def pagerank(
             .agg(F.sum("__c").alias("__in"))
         )
         new = (
-            nodes.join(
+            nd.join(
                 F.broadcast(contrib) if small else contrib,
                 "node",
                 "left",
@@ -166,6 +174,7 @@ def pagerank(
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "__rdeg",
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -188,11 +197,15 @@ def pagerank(
                 .first()[0]
             )
         if checkpoint:
+            # per-round materialization is the cheap option here: an
+            # un-checkpointed rank frame would be re-executed by BOTH
+            # its broadcast side and the dangling-mass subplan next
+            # round (two full subplan evaluations per skipped cut)
             new = new.localCheckpoint(eager=True)
         ranks = new
         if tol is not None and delta < tol:
             break
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def triangle_count(
