@@ -756,14 +756,25 @@ def _compile_one_check(
         ctx.failure_specs.append((colname, check.error, cond, check.n_failure_cases))
         return
 
+    cond = None
     try:
-        cond = check.violation_condition(col)
-    except Exception as exc:
-        ctx.outcome(
-            colname, check.error, SchemaErrorReason.CHECK_ERROR,
-            passed=False, message=f"check compilation failed: {exc!r}",
-        )
-        return
+        # generated-SQL lane: one F.expr parse per builtin check instead
+        # of dozens of py4j round trips (checks.violation_condition_sql;
+        # returns None for custom checks / unsupported literal types)
+        sql = check.violation_condition_sql(colname)
+        if sql is not None:
+            cond = F.expr(sql)
+    except Exception:
+        cond = None
+    if cond is None:
+        try:
+            cond = check.violation_condition(col)
+        except Exception as exc:
+            ctx.outcome(
+                colname, check.error, SchemaErrorReason.CHECK_ERROR,
+                passed=False, message=f"check compilation failed: {exc!r}",
+            )
+            return
     key = f"__chk__{colname}__{len(ctx.agg_exprs)}"
     ctx.agg_exprs.append(_violation_count_expr(cond, key))
     ctx.finalizers.append(

@@ -46,6 +46,138 @@ def _lit(v: Any):
     return F.lit(v)
 
 
+# --------------------------------------------------------------------------
+# generated-SQL compile lane (driver latency, OPTIMIZATION_r11)
+#
+# Building a check's violation Column through pyspark operators costs
+# ~50-100 py4j round trips per check (~0.3 ms each); a schema with a few
+# dozen checks pays ~1 s of pure socket latency PER validate call.  For the
+# stock builtins the same predicate can be rendered as ONE SQL string and
+# parsed with a single F.expr call.  The lane is strictly opt-out-safe:
+# any check/value it cannot render EXACTLY returns None and the caller
+# falls back to the Column lane.  Semantics equivalence (incl. null
+# handling, float literal bits, regex anchoring, string escaping) is
+# pinned by tests/test_check_sql_lane.py differential cases.
+# --------------------------------------------------------------------------
+
+_SQL_STR_ESCAPES = {
+    "\\": "\\\\",
+    "'": "\\'",
+    "\n": "\\n",
+    "\r": "\\r",
+    "\t": "\\t",
+    "\0": "\\0",
+}
+
+
+def _sql_lit(v: Any) -> "str | None":
+    """Exact SQL literal for ``v``, or None when a textual rendering that
+    reproduces ``F.lit(v)`` bit-for-bit is not guaranteed (datetimes,
+    decimals, non-finite floats, out-of-long ints...)."""
+    if isinstance(v, bool):
+        # before int: bool is an int subclass
+        return "true" if v else "false"
+    if isinstance(v, int):
+        # bare integral literal parses as INT when it fits, else BIGINT —
+        # the same widths F.lit picks
+        if -(2 ** 63) <= v < 2 ** 63:
+            return str(v)
+        return None
+    if isinstance(v, float):
+        import math
+
+        if not math.isfinite(v):
+            return None
+        # string->double cast is an exact round trip for repr output and
+        # always yields DOUBLE (a bare decimal literal would be DECIMAL)
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, str):
+        return "'" + "".join(_SQL_STR_ESCAPES.get(ch, ch) for ch in v) + "'"
+    return None
+
+
+def _sql_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _builtin_predicate_sql(check: "Check", q: str) -> "str | None":
+    """SQL text of ``check.predicate(col)`` for supported builtins
+    (``q`` is the already-quoted column reference), else None."""
+    s = check.statistics or {}
+    name = check.name
+    if name == "equal_to":
+        lit = _sql_lit(s.get("value"))
+        return None if lit is None else f"({q} = {lit})"
+    if name == "not_equal_to":
+        lit = _sql_lit(s.get("value"))
+        return None if lit is None else f"({q} != {lit})"
+    if name == "greater_than":
+        lit = _sql_lit(s.get("min_value"))
+        return None if lit is None else f"({q} > {lit})"
+    if name == "greater_than_or_equal_to":
+        lit = _sql_lit(s.get("min_value"))
+        return None if lit is None else f"({q} >= {lit})"
+    if name == "less_than":
+        lit = _sql_lit(s.get("max_value"))
+        return None if lit is None else f"({q} < {lit})"
+    if name == "less_than_or_equal_to":
+        lit = _sql_lit(s.get("max_value"))
+        return None if lit is None else f"({q} <= {lit})"
+    if name == "in_range":
+        lo = _sql_lit(s.get("min_value"))
+        hi = _sql_lit(s.get("max_value"))
+        if lo is None or hi is None:
+            return None
+        lo_op = ">=" if s.get("include_min", True) else ">"
+        hi_op = "<=" if s.get("include_max", True) else "<"
+        return f"(({q} {lo_op} {lo}) AND ({q} {hi_op} {hi}))"
+    if name in ("isin", "notin"):
+        key = "allowed_values" if name == "isin" else "forbidden_values"
+        vals = s.get(key)
+        if not vals:
+            return None
+        lits = [_sql_lit(v) for v in vals]
+        if any(lit is None for lit in lits):
+            return None
+        inlist = f"({q} IN ({', '.join(lits)}))"
+        return inlist if name == "isin" else f"(NOT {inlist})"
+    if name == "str_matches":
+        pat = s.get("pattern")
+        if not isinstance(pat, str):
+            return None
+        pat = pat if pat.startswith("^") else "^" + pat
+        lit = _sql_lit(pat)
+        return None if lit is None else f"regexp_like({q}, {lit})"
+    if name == "str_contains":
+        pat = s.get("pattern")
+        lit = _sql_lit(pat) if isinstance(pat, str) else None
+        return None if lit is None else f"regexp_like({q}, {lit})"
+    if name == "str_startswith":
+        lit = _sql_lit(s.get("string"))
+        return None if lit is None else f"startswith({q}, {lit})"
+    if name == "str_endswith":
+        lit = _sql_lit(s.get("string"))
+        return None if lit is None else f"endswith({q}, {lit})"
+    if name == "str_length":
+        if "exact_value" in s:
+            lit = _sql_lit(s.get("exact_value"))
+            return None if lit is None else f"(length({q}) = {lit})"
+        lo, hi = s.get("min_value"), s.get("max_value")
+        if lo is None and hi is None:
+            return None
+        if lo is None:
+            lit = _sql_lit(hi)
+            return None if lit is None else f"(length({q}) <= {lit})"
+        if hi is None:
+            lit = _sql_lit(lo)
+            return None if lit is None else f"(length({q}) >= {lit})"
+        llo, lhi = _sql_lit(lo), _sql_lit(hi)
+        if llo is None or lhi is None:
+            return None
+        return f"((length({q}) >= {llo}) AND (length({q}) <= {lhi}))"
+    return None
+
+
 class Check:
     """A reusable value constraint.
 
@@ -147,6 +279,27 @@ class Check:
         """Expression TRUE for rows passing (used by drop_invalid_rows)."""
         return ~self.violation_condition(col)
 
+    def violation_condition_sql(self, colname: str) -> "str | None":
+        """SQL text of :meth:`violation_condition` for stock builtins —
+        one ``F.expr`` parse instead of dozens of py4j round trips — or
+        None when this check (custom fn, subclass, unsupported literal
+        type) must go through the Column lane.  Same null semantics:
+        ``ignore_na`` wraps the predicate in
+        ``col IS NOT NULL AND NOT coalesce(pred, false)``."""
+        if (
+            type(self) is not Check
+            or self.check_fn is None
+            or not getattr(self, "_from_builtin", False)
+        ):
+            return None
+        q = _sql_ident(colname)
+        pred = _builtin_predicate_sql(self, q)
+        if pred is None:
+            return None
+        if self.ignore_na:
+            return f"(({q} IS NOT NULL) AND (NOT coalesce({pred}, false)))"
+        return f"(NOT coalesce({pred}, false))"
+
     # -- builtin factory ------------------------------------------------------
 
     @classmethod
@@ -163,7 +316,7 @@ class Check:
         # allow user override of the error label (used as the check's
         # stable identifier in reports), like the reference's ``error=`` kwarg
         error = kwargs.pop("error", None) or error
-        return cls(
+        chk = cls(
             fn,
             name=name,
             error=error,
@@ -172,6 +325,12 @@ class Check:
             agg_kind=agg_kind,
             **kwargs,
         )
+        # gate for the generated-SQL compile lane: only predicates whose
+        # fn provably came from this factory may be rendered from
+        # (name, statistics) — a hand-built Check with a builtin name but
+        # a different fn must go through the Column lane
+        chk._from_builtin = True
+        return chk
 
     # reference api/checks.py:263
     @classmethod
