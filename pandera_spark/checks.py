@@ -100,6 +100,47 @@ def _sql_ident(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def _pyspark_version_tuple() -> tuple:
+    import pyspark
+
+    try:
+        return tuple(
+            int(p) for p in pyspark.__version__.split(".")[:2]
+        )
+    except (ValueError, AttributeError):  # pragma: no cover
+        return (0, 0)
+
+
+# every SQL function the lane emits exists from 3.5 on (regexp_like is
+# 3.2+, the startswith/endswith STRING functions are 3.5+); on older
+# runtimes F.expr would PARSE fine and only fail in the analyzer at
+# action time — past the runner's fallback — so gate the whole lane
+_SQL_LANE_VERSION_OK = _pyspark_version_tuple() >= (3, 5)
+
+
+def _backslash_escapes_active() -> bool:
+    """True when the SQL parser processes backslash escapes in string
+    literals (the default).  spark.sql.parser.escapedStringLiterals=true
+    (Hive compatibility) disables that processing, which would make the
+    lane's escaped literals silently mean something else."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        return (
+            str(
+                spark.conf.get(
+                    "spark.sql.parser.escapedStringLiterals", "false"
+                )
+            ).lower()
+            == "false"
+        )
+    except Exception:  # pragma: no cover - conf unreadable => be safe
+        return False
+
+
 def _builtin_predicate_sql(check: "Check", q: str) -> "str | None":
     """SQL text of ``check.predicate(col)`` for supported builtins
     (``q`` is the already-quoted column reference), else None."""
@@ -290,11 +331,18 @@ class Check:
             type(self) is not Check
             or self.check_fn is None
             or not getattr(self, "_from_builtin", False)
+            or not _SQL_LANE_VERSION_OK
         ):
             return None
         q = _sql_ident(colname)
         pred = _builtin_predicate_sql(self, q)
         if pred is None:
+            return None
+        if "\\" in pred and not _backslash_escapes_active():
+            # the rendered literal relies on backslash escape processing;
+            # with spark.sql.parser.escapedStringLiterals=true (Hive
+            # compat) the parser would read the escapes literally and the
+            # predicate would silently diverge — Column lane instead
             return None
         if self.ignore_na:
             return f"(({q} IS NOT NULL) AND (NOT coalesce({pred}, false)))"

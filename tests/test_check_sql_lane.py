@@ -13,9 +13,10 @@ from pyspark.sql import functions as F
 from pandera_spark.checks import Check
 
 
-@pytest.fixture(scope="module")
-def edge_df(request):
-    spark = request.getfixturevalue("_spark_base")
+@pytest.fixture
+def edge_df(spark):
+    # depends on the parametrized ``spark`` fixture so every
+    # differential case runs in BOTH ANSI lanes
     rows = [
         (1, 0.08, "A"),
         (7, 1e-300, "O'Reilly"),
@@ -110,6 +111,24 @@ def test_unsupported_shapes_fall_back():
     assert Check.isin(["A", None]).violation_condition_sql("s") is None
     # int outside long range
     assert Check.gt(2 ** 70).violation_condition_sql("i") is None
+
+
+def test_escaped_string_literals_conf_falls_back(spark):
+    """With spark.sql.parser.escapedStringLiterals=true the parser reads
+    backslash escapes literally — the lane must refuse any literal that
+    needed escaping (and keep serving escape-free ones)."""
+    chk_bs = Check.str_matches(r"\w+")
+    chk_plain = Check.gt(0)
+    assert chk_bs.violation_condition_sql("s") is not None
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        assert chk_bs.violation_condition_sql("s") is None
+        assert chk_plain.violation_condition_sql("i") is not None
+    finally:
+        spark.conf.set(
+            "spark.sql.parser.escapedStringLiterals", "false"
+        )
+    assert chk_bs.violation_condition_sql("s") is not None
 
 
 def test_runner_uses_sql_lane_and_reports_match(spark):
