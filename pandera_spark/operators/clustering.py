@@ -147,7 +147,10 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    n_edges = e.count()
+    # one action serves both the size probe and (on the large path) the
+    # round-0 convergence fingerprint — n_edges is its count component
+    prev = _fingerprint(e)
+    n_edges = prev[0]
 
     if n_edges <= small_graph_threshold:
         # one bounded collect (<= threshold rows, ~16 B each): a single
@@ -161,7 +164,6 @@ def connected_components(
         return spark.createDataFrame(
             list(comp.items()), "node long, component long"
         )
-    prev = _fingerprint(e)
 
     # derived from the TRUNCATED edges: the (possibly expensive) pair
     # lineage — an LSH join upstream — executes exactly once

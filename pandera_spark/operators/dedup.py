@@ -59,6 +59,18 @@ def portable_permutation_constants(
     return a, b
 
 
+def _perm_min_sql(h: str, a: int, b: int, guard: "str | None" = None) -> str:
+    """SQL text of ``min((h*a + b) % PORTABLE_P)`` (optionally guarded by
+    a CASE condition) for ``F.expr`` — one parser round trip instead of
+    ~10 py4j calls per Column-built aggregate.  Integer arithmetic only,
+    so the parsed tree computes the identical exact values; overflow
+    bounds are unchanged (h < 2^31, a < bound)."""
+    body = f"(({h} * {a}L + {b}L) % {PORTABLE_P}L)"
+    if guard is not None:
+        body = f"(CASE WHEN {guard} THEN {body} END)"
+    return f"min({body})"
+
+
 def hash31(col: C) -> C:
     """Non-negative 31-bit content hash: ``pmod(xxhash64(x), 2^31 - 1)``.
 
@@ -278,16 +290,22 @@ def minhash_signatures(
     # multiply-add permutations mod 2^31-1: ~10x cheaper than hashing the
     # shingle string once per permutation.  h < 2^31 and a < 2^31 keep
     # every product < 2^62 — ANSI-safe in both the default and portable
-    # families (they share the constants; only the base hash differs)
-    h = F.col("__h")
+    # families (they share the constants; only the base hash differs).
+    # Generated-SQL build (one parser round trip per aggregate instead of
+    # ~10 py4j calls per Column min) — pure integer arithmetic, so the
+    # parsed tree computes the identical exact values
     a, b = portable_permutation_constants(num_hashes)
-    perm = lambda i: (h * F.lit(a[i]) + F.lit(b[i])) % F.lit(PORTABLE_P)
     mins = tokens.groupBy(id_col).agg(
-        *[F.min(perm(i)).alias(f"__h{i}") for i in range(num_hashes)]
+        *[
+            F.expr(_perm_min_sql("__h", a[i], b[i])).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
     )
     return mins.select(
         F.col(id_col),
-        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
+        F.expr(
+            "array(" + ", ".join(f"__h{i}" for i in range(num_hashes)) + ")"
+        ).alias("sig"),
     )
 
 
@@ -315,18 +333,16 @@ def corpus_minhash(
     tokens = _ensure_parallelism(df).select(
         F.explode(F.array_distinct(sh)).alias("__h")
     )
-    h = F.col("__h")
     a, b = portable_permutation_constants(num_hashes)
     agg = tokens.agg(
         *[
-            F.min((h * F.lit(a[i]) + F.lit(b[i])) % F.lit(PORTABLE_P))
-            .alias(f"__m{i}")
+            F.expr(_perm_min_sql("__h", a[i], b[i])).alias(f"__m{i}")
             for i in range(num_hashes)
         ]
     )
     return agg.select(
-        F.array(
-            *[F.col(f"__m{i}") for i in range(num_hashes)]
+        F.expr(
+            "array(" + ", ".join(f"__m{i}" for i in range(num_hashes)) + ")"
         ).alias("sig")
     )
 
@@ -360,53 +376,86 @@ def corpus_resemblance(
     (portable hash family), so an external SQL engine reproduces every
     output exactly — no tolerance verdicts needed.
     """
-    sa = corpus_minhash(
-        a_df, text_col, num_hashes=num_hashes, shingle_n=shingle_n
-    ).select(F.col("sig").alias("__sa"))
-    sb = corpus_minhash(
-        b_df, text_col, num_hashes=num_hashes, shingle_n=shingle_n
-    ).select(F.col("sig").alias("__sb"))
-    agree = F.size(
-        F.filter(
-            F.zip_with("__sa", "__sb", lambda x, y: x == y),
-            lambda v: v,
-        )
-    )
-    out = sa.crossJoin(sb).select(
-        F.lit(num_hashes).alias("num_hashes"),
-        agree.cast("long").alias("n_agree"),
-        (agree / F.lit(float(num_hashes))).alias("est"),
-    )
     if not exact:
-        return out
+        sa = corpus_minhash(
+            a_df, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        ).select(F.col("sig").alias("__sa"))
+        sb = corpus_minhash(
+            b_df, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        ).select(F.col("sig").alias("__sb"))
+        agree = F.size(
+            F.filter(
+                F.zip_with("__sa", "__sb", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        return sa.crossJoin(sb).select(
+            F.lit(num_hashes).alias("num_hashes"),
+            agree.cast("long").alias("n_agree"),
+            (agree / F.lit(float(num_hashes))).alias("est"),
+        )
 
-    def hash_set(df: DataFrame, flag: str) -> DataFrame:
+    # exact=True: ONE distinct-hash frame feeds both the MinHash minima
+    # and the exact set arithmetic.  The previous shape scanned (and
+    # md5-shingled) each corpus twice — once for corpus_minhash, once
+    # for the exact hash set — and the hash-set scans had no
+    # parallelism floor, so the whole corpus hashed in a single task on
+    # one-row-group files.  Per-permutation min over the DISTINCT hash
+    # set is bit-identical to the min over the shingle multiset (min is
+    # duplicate-blind), so every output is unchanged.
+    def hash_flags(df: DataFrame, av: int, bv: int) -> DataFrame:
         sh = F.transform(
             shingles(F.col(text_col), shingle_n), portable_hash28
         )
-        return df.select(
-            F.explode(F.array_distinct(sh)).alias("__h")
-        ).distinct().select(
-            "__h",
-            F.lit(1 if flag == "a" else 0).alias("__a"),
-            F.lit(1 if flag == "b" else 0).alias("__b"),
+        return _ensure_parallelism(df).select(
+            F.explode(F.array_distinct(sh)).alias("__h"),
+            F.lit(av).alias("__a"),
+            F.lit(bv).alias("__b"),
         )
 
-    both = (
-        hash_set(a_df, "a")
-        .union(hash_set(b_df, "b"))
+    grouped = (
+        hash_flags(a_df, 1, 0)
+        .union(hash_flags(b_df, 0, 1))
         .groupBy("__h")
         .agg(F.max("__a").alias("__a"), F.max("__b").alias("__b"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_union"),
-            F.sum(F.col("__a") * F.col("__b")).cast("long")
-            .alias("n_inter"),
+    )
+    pa, pb = portable_permutation_constants(num_hashes)
+    agg = grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.sum(F.col("__a") * F.col("__b")).cast("long").alias("n_inter"),
+        *[
+            F.expr(_perm_min_sql("__h", pa[i], pb[i], guard="__a = 1"))
+            .alias(f"__ma{i}")
+            for i in range(num_hashes)
+        ],
+        *[
+            F.expr(_perm_min_sql("__h", pa[i], pb[i], guard="__b = 1"))
+            .alias(f"__mb{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.expr(
+                    "array("
+                    + ", ".join(f"__ma{i}" for i in range(num_hashes))
+                    + ")"
+                ),
+                F.expr(
+                    "array("
+                    + ", ".join(f"__mb{i}" for i in range(num_hashes))
+                    + ")"
+                ),
+                lambda x, y: x == y,
+            ),
+            lambda v: v,
         )
     )
-    return out.crossJoin(F.broadcast(both)).select(
-        "num_hashes",
-        "n_agree",
-        "est",
+    return agg.select(
+        F.lit(num_hashes).alias("num_hashes"),
+        agree.cast("long").alias("n_agree"),
+        (agree / F.lit(float(num_hashes))).alias("est"),
         "n_inter",
         "n_union",
         F.try_divide(F.col("n_inter"), F.col("n_union"))
@@ -482,18 +531,25 @@ def banded_minhash_frame(
     # and the per-band sum < 2^63 — ANSI-safe, shared by both families
     ca, cb = portable_permutation_constants(rows, bound=1 << 28)
 
-    def band_key(b: int) -> C:
-        out = F.lit(cb[0])
+    def band_key_sql(b: int) -> str:
+        # same left-associated multiply-add fold as the Column build it
+        # replaces; integer arithmetic, identical exact values
+        out = f"{cb[0]}L"
         for r in range(rows):
-            out = out + F.col("__sig")[b * rows + r] * F.lit(ca[r])
-        return out % F.lit(PORTABLE_P)
+            out = f"{out} + __sig[{b * rows + r}] * {ca[r]}L"
+        return f"(({out}) % {PORTABLE_P}L)"
     # carry ALL band keys (bands longs) so multi-band matches dedup by the
     # first-matching-band filter instead of a distinct() — the candidate
     # pair set never takes a second shuffle (on dup-heavy corpora pairs
-    # >> rows, so a pair-level shuffle is the expensive one)
+    # >> rows, so a pair-level shuffle is the expensive one).  One
+    # generated-SQL array build = one parser round trip for all bands
     return sigs.select(
         "__id",
-        F.array(*[band_key(b) for b in range(bands)]).alias("__bkeys"),
+        F.expr(
+            "array("
+            + ", ".join(band_key_sql(b) for b in range(bands))
+            + ")"
+        ).alias("__bkeys"),
     ).select(
         "__id",
         "__bkeys",
@@ -509,11 +565,17 @@ def _first_match_pairs(
     joins on ``a.__id < b.__id`` (self-join); False joins on ``!=`` and
     orients output by least/greatest (cross-frame joins where id ranges
     interleave)."""
-    fm = F.lit(-1)
-    for b in range(bands - 1, -1, -1):
-        fm = F.when(
-            F.col("a.__bkeys")[b] == F.col("b.__bkeys")[b], F.lit(b)
-        ).otherwise(fm)
+    # one generated CASE (checks band 0 first, like the nested whens it
+    # replaces) — a single parser round trip instead of 2 py4j-built
+    # Column whens per band
+    fm = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN `a`.`__bkeys`[{b}] = `b`.`__bkeys`[{b}] THEN {b}"
+            for b in range(bands)
+        )
+        + " ELSE -1 END"
+    )
     cond = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bhash") == F.col("b.bhash"))

@@ -337,13 +337,14 @@ def mad_outlier_report(
     recommended cut).  Long-format output per column:
     ``(col_name, n_nonnull, median_r, mad_r, n_low, n_high)``.
 
-    Three jobs total REGARDLESS of column count (the module's
-    one-agg-for-all-columns shape): medians for every column in one
-    percentile agg, MADs over the absolute deviations in a second,
-    fence counts in a third — all mergeable map-side (GK sketch by
-    default; ``exact=True`` switches both quantile passes to exact
-    interpolation, the oracle-replayable lane).  Only 2·|cols| scalars
-    ever reach the driver.
+    Two jobs total REGARDLESS of column count (the module's
+    one-agg-for-all-columns shape): ONE action computes medians for
+    every column and the MADs over the absolute deviations (the 1-row
+    median frame broadcast back in — the conformal fold), then the
+    fence counts are the returned frame's own job — all mergeable
+    map-side (GK sketch by default; ``exact=True`` switches both
+    quantile passes to exact interpolation, the oracle-replayable
+    lane).  Only 2·|cols| scalars ever reach the driver.
     """
     cols = list(cols)
     if not cols:
@@ -364,17 +365,33 @@ def mad_outlier_report(
         ]
 
     vals = [F.col(c).cast("double") for c in cols]
-    med_row = df.agg(*med_of(vals)).first()
-    medians = [med_row[f"__m{i}"] for i in range(len(cols))]
-    mad_row = df.agg(
-        *med_of(
-            [
-                F.abs(v - F.lit(m)) if m is not None else F.lit(None)
-                for v, m in zip(vals, medians)
-            ]
+    # ONE action for medians AND MADs (the conformal fold,
+    # evalmetrics.fit_conformal): the 1-row medians frame rides back in
+    # as a broadcast, deviations reference its columns, and the driver
+    # reads both scalar sets from a single collect — the former shape
+    # was two sequential .first() probes, each a full scheduler round
+    # trip.  abs(v − NULL) is NULL, so an all-null column still yields
+    # a NULL MAD exactly like the old F.lit(None) branch.
+    meds = df.agg(*med_of(vals))
+    dev_aggs = med_of(
+        [
+            F.abs(v - F.col(f"__m{i}"))
+            for i, v in enumerate(vals)
+        ]
+    )
+    row = (
+        df.crossJoin(F.broadcast(meds))
+        .agg(
+            *[a.alias(f"__d{i}") for i, a in enumerate(dev_aggs)],
+            *[
+                F.first(F.col(f"__m{i}")).alias(f"__m{i}")
+                for i in range(len(cols))
+            ],
         )
-    ).first()
-    mads = [mad_row[f"__m{i}"] for i in range(len(cols))]
+        .first()
+    )
+    medians = [row[f"__m{i}"] for i in range(len(cols))]
+    mads = [row[f"__d{i}"] for i in range(len(cols))]
 
     aggs = []
     for i, (c, v, m, d) in enumerate(zip(cols, vals, medians, mads)):

@@ -225,7 +225,9 @@ def _banded(
     mask = (1 << width) - 1
     # one-round-trip SQL build of the (large) signature expression; the
     # parsed tree is bit-identical to lsh_signature(F.col(vecc), planes)
-    sig = F.expr(lsh_signature_sql(f"`{vecc}`", planes))
+    from pandera_spark.checks import _sql_ident
+
+    sig = F.expr(lsh_signature_sql(_sql_ident(vecc), planes))
     return df.select(
         F.col(idc).alias(f"{prefix}_id"),
         F.col(vecc).alias(f"{prefix}_vec"),

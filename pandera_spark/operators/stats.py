@@ -304,6 +304,25 @@ def _lfact(m):
     )
 
 
+def _lfact_sql(m: str) -> str:
+    """SQL text of :func:`_lfact` over an integer-typed SQL expression
+    ``m``, for ``F.expr`` — the identical tree (explicit CAST to double
+    first, D-suffixed literals so no decimal arithmetic sneaks in, same
+    left-associated term order), so the parsed expression produces
+    bit-identical doubles to the Column build."""
+    md = f"CAST({m} AS DOUBLE)"
+    z = f"({md} + 7.0D)"
+    return (
+        f"(({z} - 0.5D) * ln({z}) - {z} + {_HALF_LN_2PI!r}D"
+        f" + 1.0D / (12.0D * {z})"
+        f" - 1.0D / (360.0D * power({z}, 3))"
+        f" + 1.0D / (1260.0D * power({z}, 5))"
+        f" - 1.0D / (1680.0D * power({z}, 7))"
+        f" - ln(({md} + 1.0D) * ({md} + 2.0D) * ({md} + 3.0D)"
+        f" * ({md} + 4.0D) * ({md} + 5.0D) * ({md} + 6.0D)))"
+    )
+
+
 def fisher_exact(
     df: DataFrame,
     cond_a,
@@ -361,20 +380,26 @@ def fisher_exact(
         (F.col("b") + F.col("d")).alias("__c2"),
     )
     # log p(k) = const − lfact(k) − lfact(r1−k) − lfact(c1−k)
-    #            − lfact(d−a+k);   const = Σ lfact(margins) − lfact(n)
-    const = (
-        _lfact(F.col("__r1")) + _lfact(F.col("__r2"))
-        + _lfact(F.col("__c1")) + _lfact(F.col("__c2"))
-        - _lfact(F.col("n"))
+    #            − lfact(d−a+k);   const = Σ lfact(margins) − lfact(n).
+    # Generated-SQL build (_lfact_sql): each _lfact is ~35 py4j round
+    # trips as a Column tree and this query needs 13 of them — one
+    # F.expr parse each for const/lp/lp_obs instead (measured: ~2 s of
+    # build latency → ~0.3 s).  The parsed trees are token-for-token
+    # the Column trees (D-suffixed double literals, explicit CAST), so
+    # the doubles are bit-identical — pinned by a differential test
+    const = F.expr(
+        f"({_lfact_sql('__r1')} + {_lfact_sql('__r2')}"
+        f" + {_lfact_sql('__c1')} + {_lfact_sql('__c2')}"
+        f" - {_lfact_sql('n')})"
     )
 
-    def _lp(k):
+    def _lp_sql(k: str) -> str:
         return (
-            F.col("__const")
-            - _lfact(k)
-            - _lfact(F.col("__r1") - k)
-            - _lfact(F.col("__c1") - k)
-            - _lfact(F.col("n") - F.col("__r1") - F.col("__c1") + k)
+            "(__const"
+            f" - {_lfact_sql(k)}"
+            f" - {_lfact_sql(f'(__r1 - {k})')}"
+            f" - {_lfact_sql(f'(__c1 - {k})')}"
+            f" - {_lfact_sql(f'(n - __r1 - __c1 + {k})')})"
         )
 
     kmin = F.greatest(
@@ -393,8 +418,8 @@ def fisher_exact(
         "a", "b", "c", "d", "n", "__r1", "__c1", "__const",
         F.explode_outer(seq).alias("__k"),
     )
-    kd = kd.withColumn("__lp", _lp(F.col("__k"))).withColumn(
-        "__lp_obs", _lp(F.col("a"))
+    kd = kd.withColumn("__lp", F.expr(_lp_sql("__k"))).withColumn(
+        "__lp_obs", F.expr(_lp_sql("a"))
     )
     folded = kd.groupBy("a", "b", "c", "d", "n").agg(
         F.sum(
@@ -618,8 +643,24 @@ def _hash_u_sql(key_sql: str, suffix: str) -> str:
     """SQL text of the uniform draw
     ``(portable_hash28(key ∥ suffix) + 0.5) / 2^28`` — operation-for-
     operation the Column tree it replaces (md5 → first 7 hex digits →
-    base-16 long → double), so values are bit-identical."""
-    esc = suffix.replace("'", "''")
+    base-16 long → double), so values are bit-identical.
+
+    The suffix literal is rendered for the ACTIVE parser mode: with
+    backslash escapes on (default) it uses the checks-lane escape
+    table (backslash, quote, control chars); under
+    ``spark.sql.parser.escapedStringLiterals=true`` backslashes are
+    literal and only quotes need doubling.  Quote-only doubling under
+    the default parser silently corrupted salts containing ``\\``
+    (and a trailing ``\\`` threw ParseException)."""
+    from pandera_spark.checks import (
+        _SQL_STR_ESCAPES,
+        _backslash_escapes_active,
+    )
+
+    if _backslash_escapes_active():
+        esc = "".join(_SQL_STR_ESCAPES.get(ch, ch) for ch in suffix)
+    else:
+        esc = suffix.replace("'", "''")
     return (
         f"(CAST(CAST(conv(substring(md5(concat({key_sql}, '{esc}')), 1, 7), "
         f"16, 10) AS BIGINT) AS DOUBLE) + 0.5D) / 268435456.0D"
@@ -1158,29 +1199,36 @@ def median_test(
     ``ties='below'`` convention); p via the shared Wilson-Hilferty
     replay.
 
-    Two data passes: the exact pooled median (one ``percentile``
-    aggregation — distinct-value-bounded; pre-quantize truly
-    continuous metrics) and ONE conditional aggregation producing the
-    k-row (n_g, a_g) frame, whose closing fold is a k-row aggregate.
-    Every statistic input is a count, so an external SQL engine
-    replays the contingency exactly.
+    Two data passes in ONE action: the exact pooled median (one
+    ``percentile`` aggregation — distinct-value-bounded; pre-quantize
+    truly continuous metrics) joins back as a broadcast 1-row frame
+    into ONE conditional aggregation producing the k-row (n_g, a_g)
+    frame, whose closing fold is a k-row aggregate.  Every statistic
+    input is a count, so an external SQL engine replays the
+    contingency exactly.  All-null/empty input yields an EMPTY result
+    frame.
     """
     from .drift import _norm_sf
     from .ranks import _chi2_sf
 
     keys = _by(by)
     yc = F.col(value).cast("double")
-    med = df.where(yc.isNotNull()).agg(
+    # in-plan pooled median (the conformal fold): the 1-row median
+    # frame rides back in as a broadcast instead of a driver .first()
+    # probe — one job at action time instead of two.  The former
+    # build-time ValueError on all-null input becomes an EMPTY result
+    # frame (the closing k > 0 filter below); the comparison value is
+    # the identical percentile double either way.
+    medf = df.where(yc.isNotNull()).agg(
         F.percentile(yc, F.lit(0.5)).alias("__med")
-    ).first()["__med"]
-    if med is None:
-        raise ValueError(f"no non-null values in {value!r}")
+    )
     grp = (
         df.where(yc.isNotNull())
+        .crossJoin(F.broadcast(medf))
         .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).cast("double").alias("__n"),
-            F.sum((yc > F.lit(float(med))).cast("long"))
+            F.sum((yc > F.col("__med")).cast("long"))
             .cast("double")
             .alias("__a"),
         )
@@ -1196,7 +1244,7 @@ def median_test(
         (aD > 0) & (aD < nD) & (F.col("k") > 1),
         nD * (nD * F.col("__s") - aD * aD) / (aD * (nD - aD)),
     )
-    out = tot.select(
+    out = tot.where(F.col("k") > 0).select(
         "k",
         nD.cast("long").alias("n"),
         aD.cast("long").alias("n_above"),

@@ -1212,6 +1212,7 @@ def holt_winters(
     alpha: float = 0.25,
     beta: float = 0.125,
     gamma: float = 0.25,
+    state_grid: "int | None" = None,
 ) -> DataFrame:
     """Additive Holt-Winters (triple exponential) smoothing of a
     bucketed series — the seasonality-aware baseline for arrival-rate
@@ -1237,6 +1238,22 @@ def holt_winters(
     rounding and an external engine replays the arithmetic
     digit-for-digit.
 
+    ``state_grid`` (e.g. ``1_000_000``) switches the recurrence onto an
+    exact integer grid of ``1/state_grid`` units: inputs are snapped to
+    the grid (``floor(y*S + 0.5)``) and every smoothing update rounds
+    its result back to the grid with ``floor(x + 0.5)``.  With dyadic
+    α/β/γ (small numerators — the defaults are 1/4, 1/8, 1/4) every
+    intermediate of every update is *exactly representable* in an IEEE
+    double — a small-numerator dyadic times an integer, sums of
+    like-grid dyadics, ``+0.5``, ``floor`` — so the arithmetic carries
+    zero rounding error and ANY IEEE-754 engine (a SQL oracle, a
+    different libm, an FMA-contracting compiler) replays the state
+    sequence bit-for-bit.  Outputs are the grid integers divided by
+    ``S`` (one correctly-rounded, hence deterministic, division each).
+    This is the mode to use when the series is pinned against an
+    external replay; a 720-step free-floating double recurrence WILL
+    eventually straddle any fixed decimal-rounding comparison grid.
+
     Scale shape: ONE aggregation collapses the data to the bucket
     grain (map-side combine; hourly × years = tens of thousands of
     rows), then the inherently-sequential recurrence runs in a single
@@ -1252,6 +1269,20 @@ def holt_winters(
         )
     m = int(season_length)
     a, b, g = float(alpha), float(beta), float(gamma)
+    if state_grid is not None:
+        from fractions import Fraction
+
+        S = int(state_grid)
+        if S < 1:
+            raise ValueError(f"state_grid must be >= 1, got {state_grid}")
+        for nm, coef in (("alpha", a), ("beta", b), ("gamma", g)):
+            fr = Fraction(coef)
+            # exactness of coef*int and (1-coef)*int for grid-scale ints
+            # needs a short dyadic numerator (defaults: 1/4, 1/8, 1/4)
+            if fr.numerator.bit_length() > 8 or fr.denominator > 256:
+                raise ValueError(
+                    f"state_grid mode needs a small dyadic {nm}, got {coef}"
+                )
     buckets = (
         df.where(F.col(ts_col).isNotNull())
         .groupBy(
@@ -1264,7 +1295,72 @@ def holt_winters(
         "seasonal double, fitted double, resid double"
     )
 
+    def _hw_grid(pdf):
+        # Exact-grid replay: state is integer multiples of 1/S.  Every
+        # update below is exactly representable in an IEEE double
+        # (small-numerator dyadic coefficient x integer, like-grid
+        # sums, +0.5, floor), so a SQL oracle running the same formulas
+        # on DOUBLEs reproduces the state sequence bit-for-bit; the
+        # only non-exact ops are the three init divisions by m and the
+        # final /S per cell, each a single correctly-rounded IEEE
+        # division and therefore engine-independent too.
+        import math
+
+        pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2 * m:
+            return pdf.iloc[0:0][["bucket_ts", "y"]].assign(
+                level=0.0, trend=0.0, seasonal=0.0,
+                fitted=0.0, resid=0.0,
+            )
+        Sf = float(S)
+        fm = float(m)
+        yv = [float(v) for v in pdf["y"].to_numpy()]
+        ys = [math.floor(v * Sf + 0.5) for v in yv]
+        if max(abs(v) for v in ys) >= 2 ** 44:
+            raise ValueError(
+                "state_grid overflow: |y|*state_grid must stay < 2^44"
+            )
+        s1 = 0.0
+        for i in range(m):
+            s1 += ys[i]
+        s2 = 0.0
+        for i in range(m, 2 * m):
+            s2 += ys[i]
+        lvl = math.floor(s1 / fm + 0.5)
+        l0b = math.floor(s2 / fm + 0.5)
+        tr = math.floor((l0b - lvl) / fm + 0.5)
+        seas = [ys[i] - lvl for i in range(m)]
+        ca, cb, cg = 1.0 - a, 1.0 - b, 1.0 - g
+        level = [0.0] * n
+        trend = [0.0] * n
+        seasonal = [0.0] * n
+        fitted = [0.0] * n
+        resid = [0.0] * n
+        for t in range(n):
+            s_use = seas[0]
+            f_s = lvl + tr + s_use
+            lvl_new = math.floor(
+                a * (ys[t] - s_use) + ca * (lvl + tr) + 0.5
+            )
+            tr_new = math.floor(b * (lvl_new - lvl) + cb * tr + 0.5)
+            s_new = math.floor(g * (ys[t] - lvl_new) + cg * s_use + 0.5)
+            seas = seas[1:] + [s_new]
+            lvl, tr = lvl_new, tr_new
+            level[t] = lvl / Sf
+            trend[t] = tr / Sf
+            seasonal[t] = s_new / Sf
+            fitted[t] = f_s / Sf
+            resid[t] = (ys[t] - f_s) / Sf
+        return pdf.assign(
+            level=level, trend=trend, seasonal=seasonal, fitted=fitted,
+            resid=resid,
+        )[["bucket_ts", "y", "level", "trend", "seasonal", "fitted",
+           "resid"]]
+
     def _hw(pdf):
+        if state_grid is not None:
+            return _hw_grid(pdf)
         pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
         n = len(pdf)
         if n < 2 * m:

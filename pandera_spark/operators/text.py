@@ -1262,7 +1262,9 @@ def hash_embed(
     # once, then each token costs dim interpreted adds; a separate
     # per-dimension fold would re-inline (and re-hash) the tokens per
     # dimension (CollapseProject), measured 2-16x slower.
-    vec = F.expr(_hash_embed_sql(f"`{text_col}`", dim))
+    from pandera_spark.checks import _sql_ident
+
+    vec = F.expr(_hash_embed_sql(_sql_ident(text_col), dim))
     return df.select(F.col(id_col), vec.alias("embedding"))
 
 

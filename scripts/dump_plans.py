@@ -26,7 +26,9 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(
+            "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
         .appName("plan-dump")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,293 @@
+"""Round-12 optimization pins.
+
+holt_winters(state_grid=...): the exact-grid replay mode that repins
+the holtwinters_events oracle (VERDICT r11 item 1).  The pin: with
+dyadic coefficients, every smoothing update on the integer grid is
+exactly representable in an IEEE double, so the float loop the
+operator actually runs incurs ZERO rounding error — proven here by
+replaying the recurrence in exact Python integer arithmetic and
+demanding equality.  That exactness is what makes the DuckDB oracle
+engine/version-independent: two IEEE-754 engines can only diverge on
+an operation that rounds, and the grid recurrence has none (the init
+divisions by m and the final /S are single correctly-rounded IEEE
+divisions, which are deterministic by the standard).
+"""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _series(spark, ys, start="2024-01-01T00:00:00"):
+    t0 = datetime.datetime.fromisoformat(start)
+    rows = [
+        (t0 + datetime.timedelta(hours=i), float(v))
+        for i, v in enumerate(ys)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, v double")
+
+
+def _exact_int_replay(yvals, m, S):
+    """Holt-Winters on the micro-unit grid in EXACT integer arithmetic
+    (alpha=1/4, beta=1/8, gamma=1/4): floor(x + 1/2) for x = n/4 is
+    (n+2)//4, for x = n/8 is (n+4)//8 — no floating point anywhere in
+    the recurrence.  Init mirrors the operator's single correctly
+    rounded float divisions by m (deterministic, nothing to
+    cross-check)."""
+    Sf, fm = float(S), float(m)
+    ys = [math.floor(float(v) * Sf + 0.5) for v in yvals]
+    s1 = 0.0
+    for i in range(m):
+        s1 += ys[i]
+    s2 = 0.0
+    for i in range(m, 2 * m):
+        s2 += ys[i]
+    lvl = math.floor(s1 / fm + 0.5)
+    l0b = math.floor(s2 / fm + 0.5)
+    tr = math.floor((l0b - lvl) / fm + 0.5)
+    seas = [ys[i] - lvl for i in range(m)]
+    out = []
+    for t in range(len(ys)):
+        s_use = seas[0]
+        f_s = lvl + tr + s_use
+        lvl_new = ((ys[t] - s_use) + 3 * (lvl + tr) + 2) // 4
+        tr_new = ((lvl_new - lvl) + 7 * tr + 4) // 8
+        s_new = ((ys[t] - lvl_new) + 3 * s_use + 2) // 4
+        seas = seas[1:] + [s_new]
+        lvl, tr = lvl_new, tr_new
+        out.append((lvl, tr, s_new, f_s, ys[t] - f_s))
+    return out
+
+
+class TestHoltWintersGrid:
+    def test_matches_exact_integer_replay(self, spark):
+        from pandera_spark.operators.temporal import holt_winters
+
+        m, S = 24, 1000
+        # deterministic, seasonal + trend + jitter, with negative
+        # seasonal deviations and fractional inputs (exercises the
+        # floor(y*S + 0.5) input snap)
+        ys = [
+            50.0 + 0.25 * i + 10.0 * math.copysign(1, (i % m) - 11.5)
+            + ((i * 37) % 7) + (0.5 if i % 3 == 0 else 0.125)
+            for i in range(96)
+        ]
+        out = (
+            holt_winters(
+                _series(spark, ys), "ts", F.max("v"),
+                grain="hour", season_length=m, state_grid=S,
+            )
+            .orderBy("bucket_ts")
+            .collect()
+        )
+        ref = _exact_int_replay(ys, m, S)
+        assert len(out) == len(ref)
+        Sf = float(S)
+        for r, (lvl, tr, s_new, f_s, resid_s) in zip(out, ref):
+            # int/S is the same single IEEE division the operator did;
+            # equality must be BIT-exact, not approximate
+            assert r.level == lvl / Sf
+            assert r.trend == tr / Sf
+            assert r.seasonal == s_new / Sf
+            assert r.fitted == f_s / Sf
+            assert r.resid == resid_s / Sf
+
+    def test_non_dyadic_coefficient_rejected(self, spark):
+        from pandera_spark.operators.temporal import holt_winters
+
+        df = _series(spark, [1.0] * 8)
+        with pytest.raises(ValueError, match="dyadic"):
+            holt_winters(
+                df, "ts", F.max("v"), season_length=4,
+                alpha=0.3, state_grid=1000,
+            )
+
+    def test_grid_tracks_float_path(self, spark):
+        from pandera_spark.operators.temporal import holt_winters
+
+        # on a well-conditioned series the grid recurrence stays within
+        # a few grid units of the float recurrence
+        ys = [10.0, 20.0, 15.0, 5.0] * 8
+        kw = dict(grain="hour", season_length=4)
+        a = (
+            holt_winters(_series(spark, ys), "ts", F.max("v"), **kw)
+            .orderBy("bucket_ts").collect()
+        )
+        b = (
+            holt_winters(
+                _series(spark, ys), "ts", F.max("v"),
+                state_grid=1_000_000, **kw,
+            )
+            .orderBy("bucket_ts").collect()
+        )
+        for ra, rb in zip(a, b):
+            assert rb.level == pytest.approx(ra.level, abs=1e-4)
+            assert rb.fitted == pytest.approx(ra.fitted, abs=1e-4)
+
+    def test_default_mode_unchanged(self, spark):
+        # state_grid=None keeps the original float recurrence: a pure
+        # seasonal series is a fixed point with zero residuals
+        from pandera_spark.operators.temporal import holt_winters
+
+        season = [3.0, 7.0, 5.0, 1.0]
+        out = (
+            holt_winters(
+                _series(spark, season * 6), "ts", F.max("v"),
+                grain="hour", season_length=4,
+            )
+            .orderBy("bucket_ts").collect()
+        )
+        for r in out:
+            assert r.resid == pytest.approx(0.0, abs=1e-12)
+
+class TestSqlLaneBuilds:
+    """r12 generated-SQL expression builds: each must be bit-identical
+    to the Column construction it replaced (integer arithmetic for the
+    minhash family; token-for-token double trees for _lfact)."""
+
+    def test_lfact_sql_bit_identical(self, spark):
+        from pandera_spark.operators.stats import _lfact, _lfact_sql
+
+        df = spark.range(0, 3_000_000, 11).withColumnRenamed("id", "m")
+        bad = (
+            df.select(
+                _lfact(F.col("m")).alias("a"),
+                F.expr(_lfact_sql("m")).alias("b"),
+            )
+            .filter("a != b OR a IS NULL OR b IS NULL")
+            .count()
+        )
+        assert bad == 0
+
+    def test_perm_min_sql_bit_identical(self, spark):
+        from pandera_spark.operators.dedup import (
+            PORTABLE_P,
+            _perm_min_sql,
+            portable_permutation_constants,
+        )
+
+        a, b = portable_permutation_constants(16)
+        tok = spark.range(0, 300_000, 3).select(
+            (F.col("id") % 50).alias("k"),
+            F.pmod(F.xxhash64("id"), F.lit(PORTABLE_P)).alias("__h"),
+        )
+        h = F.col("__h")
+        old = tok.groupBy("k").agg(
+            *[
+                F.min(
+                    (h * F.lit(a[i]) + F.lit(b[i])) % F.lit(PORTABLE_P)
+                ).alias(f"o{i}")
+                for i in range(16)
+            ]
+        )
+        new = tok.groupBy("k").agg(
+            *[
+                F.expr(_perm_min_sql("__h", a[i], b[i])).alias(f"n{i}")
+                for i in range(16)
+            ]
+        )
+        cond = " OR ".join(f"o{i} != n{i}" for i in range(16))
+        assert old.join(new, "k").filter(cond).count() == 0
+
+    def test_band_keys_match_column_build(self, spark):
+        """banded_minhash_frame's generated band-key array vs the old
+        per-band Column fold, on the same signatures."""
+        from pandera_spark.operators.dedup import (
+            PORTABLE_P,
+            banded_minhash_frame,
+            minhash_signatures,
+            portable_permutation_constants,
+        )
+
+        rows = [
+            (i, f"doc {i % 7} words repeat " * 4 + str(i % 13))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        num_hashes, bands = 16, 4
+        rowsz = num_hashes // bands
+        got = {
+            r["__id"]: list(r["__bkeys"])
+            for r in banded_minhash_frame(
+                df, "doc_id", "text", num_hashes=num_hashes, bands=bands
+            ).select("__id", "__bkeys").distinct().collect()
+        }
+        sigs = minhash_signatures(
+            df, "doc_id", "text", num_hashes=num_hashes
+        )
+        ca, cb = portable_permutation_constants(rowsz, bound=1 << 28)
+
+        def band_key(b):
+            out = F.lit(cb[0])
+            for r in range(rowsz):
+                out = out + F.col("sig")[b * rowsz + r] * F.lit(ca[r])
+            return out % F.lit(PORTABLE_P)
+
+        ref = {
+            r["doc_id"]: [r[f"b{b}"] for b in range(bands)]
+            for r in sigs.select(
+                "doc_id",
+                *[band_key(b).alias(f"b{b}") for b in range(bands)],
+            ).collect()
+        }
+        assert got == ref
+
+    def test_corpus_resemblance_exact_unchanged(self, spark):
+        """The single-frame exact path must reproduce the independent
+        two-scan construction: minima from corpus_minhash per side and
+        set arithmetic from per-side distinct hash sets."""
+        from pandera_spark.operators.dedup import (
+            corpus_minhash,
+            corpus_resemblance,
+            portable_hash28,
+            shingles,
+        )
+
+        rows_a = [(i, f"alpha beta gamma {i % 5} delta epsilon") for i in range(40)]
+        rows_b = [(i, f"alpha beta gamma {i % 9} delta zeta") for i in range(40)]
+        a_df = spark.createDataFrame(rows_a, "doc_id long, text string")
+        b_df = spark.createDataFrame(rows_b, "doc_id long, text string")
+        got = corpus_resemblance(
+            a_df, b_df, num_hashes=16, shingle_n=2, exact=True
+        ).first()
+        sa = corpus_minhash(a_df, num_hashes=16, shingle_n=2).first()["sig"]
+        sb = corpus_minhash(b_df, num_hashes=16, shingle_n=2).first()["sig"]
+        n_agree = sum(1 for x, y in zip(sa, sb) if x == y)
+        assert got["n_agree"] == n_agree
+        assert got["est"] == n_agree / 16.0
+
+        def hset(df):
+            sh = F.transform(shingles(F.col("text"), 2), portable_hash28)
+            return {
+                r["h"]
+                for r in df.select(
+                    F.explode(F.array_distinct(sh)).alias("h")
+                ).distinct().collect()
+            }
+
+        ha, hb = hset(a_df), hset(b_df)
+        assert got["n_union"] == len(ha | hb)
+        assert got["n_inter"] == len(ha & hb)
+        assert got["j_exact"] == len(ha & hb) / len(ha | hb)
+
+    def test_hash_u_salt_escaping(self, spark):
+        """bootstrap salt literals with backslashes/quotes must hash to
+        the documented portable_hash28(key || ':' || r || salt) value
+        (the quote-only doubling corrupted backslash salts — ADVICE)."""
+        import hashlib
+
+        from pandera_spark.operators.stats import _hash_u_sql
+
+        for salt in ["a\\b", "tail\\", "it's", "mix\\'s\n", "plain"]:
+            suffix = f":0{salt}"
+            got = (
+                spark.range(1)
+                .select(F.expr(_hash_u_sql("'key7'", suffix)).alias("u"))
+                .first()["u"]
+            )
+            h = int(
+                hashlib.md5(("key7" + suffix).encode()).hexdigest()[:7], 16
+            )
+            assert got == (h + 0.5) / 268435456.0, salt
