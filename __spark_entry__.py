@@ -5742,12 +5742,20 @@ def q_mutual_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-kNN pairs (a ranks b AND b ranks a) — the noise-robust
     edge set for graph clustering; one semi-join of the kNN edge list
     against its own reversal."""
-    from pandera_spark.operators.similarity import knn_graph, mutual_knn
+    from pandera_spark.operators.similarity import (
+        _materialize, knn_graph, mutual_knn,
+    )
 
     emb = _load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return mutual_knn(knn_graph(emb, k=3, dim=64, n_planes=16, bands=4))
+    # materialize the (src, dst) edge list (n x k tiny rows): the
+    # mutual semi-join reads it twice, and unpersisted the whole band
+    # join + rank window executed once per side
+    edges = knn_graph(emb, k=3, dim=64, n_planes=16, bands=4)
+    return mutual_knn(
+        _materialize(edges.select("src", "dst"), "MEMORY_AND_DISK")
+    )
 
 
 def _mutual_knn_oracle() -> str:
@@ -7557,9 +7565,14 @@ def q_doc_knn_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
+    # persist the banded (id, vec, norm, sig) frame across the two
+    # sides of the kNN self-join: corpus_storage=None recomputed the
+    # whole md5 hash_embed per side (2x the per-token hashing).  At
+    # 100 TB pass None/DISK_ONLY via this same parameter (documented
+    # tradeoff in similarity._materialize).
     return knn_graph(
         emb, k=3, dim=_HE_DIM, n_planes=n_planes,
-        bands=bands, corpus_storage=None
+        bands=bands, corpus_storage="MEMORY_AND_DISK"
     ).select("src", "rank", "dst")
 
 
@@ -7616,11 +7629,19 @@ def q_doc_mutual_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
     n_planes, bands = _doc_knn_plan(_rowcount(spark, sf_dir, "documents"))
+    # persisted banded frame: see q_doc_knn_documents.  mutual_knn
+    # semi-joins the edge list against its own reversal — materialize
+    # the (src, dst) edges (n_docs x k tiny rows, never vectors) so the
+    # band join + rank window execute once, not once per join side.
+    from pandera_spark.operators.similarity import _materialize
+
     edges = knn_graph(
         emb, k=3, dim=_HE_DIM, n_planes=n_planes,
-        bands=bands, corpus_storage=None
+        bands=bands, corpus_storage="MEMORY_AND_DISK"
     )
-    return mutual_knn(edges)
+    return mutual_knn(
+        _materialize(edges.select("src", "dst"), "MEMORY_AND_DISK")
+    )
 
 
 def _doc_mutual_oracle() -> str:

@@ -171,6 +171,15 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
+    # ALSO keep a per-core-count copy: the driver benches the same tree
+    # at two core counts and each run overwrote BENCH_DETAIL.json, so
+    # round-over-round per-query comparison lost the 32-core detail
+    # (PERF_r11 had per_query: {}).  Purely additive — timings and the
+    # stdout JSON line are untouched.
+    with open(
+        detail_path.replace(".json", f"_c{int(cpus)}.json"), "w"
+    ) as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
 
     out = {
         "metric": "total_query_set_wall_time",

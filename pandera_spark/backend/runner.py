@@ -169,6 +169,53 @@ def strip_hidden(df: DataFrame) -> DataFrame:
     return df.drop(*[c for c in df.columns if c.startswith(_ORIG_PREFIX)])
 
 
+def _pairs_array(specs) -> SparkCol:
+    """The (col_name, check, violations) struct array for the grouped
+    report, built as ONE generated-SQL expression when every label is
+    exactly renderable (one parser round trip instead of ~10 py4j calls
+    per spec — measured 7.5k send_commands per groupwise build); falls
+    back to the identical Column construction otherwise."""
+    from pandera_spark.checks import (
+        _SQL_LANE_VERSION_OK,
+        _backslash_escapes_active,
+        _sql_lit,
+    )
+
+    parts = []
+    if _SQL_LANE_VERSION_OK:
+        for i, (colname, label, _cond, _n) in enumerate(specs):
+            cn = _sql_lit(colname if colname is not None else "<df>")
+            lb = _sql_lit(label)
+            if cn is None or lb is None:
+                parts = None
+                break
+            parts.append(
+                f"named_struct('col_name', {cn}, 'check', {lb},"
+                f" 'violations', __v{i})"
+            )
+        if parts is not None and any("\\" in p for p in parts):
+            # escaped literals mean something else under
+            # spark.sql.parser.escapedStringLiterals=true
+            if not _backslash_escapes_active():
+                parts = None
+    else:  # pragma: no cover - pyspark < 3.5
+        parts = None
+    if parts is not None:
+        return F.expr("array(" + ", ".join(parts) + ")")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(colname if colname is not None else "<df>").alias(
+                    "col_name"
+                ),
+                F.lit(label).alias("check"),
+                F.col(f"__v{i}").alias("violations"),
+            )
+            for i, (colname, label, _cond, _n) in enumerate(specs)
+        ]
+    )
+
+
 def groupwise_report(
     schema: "DataFrameSchema", df: DataFrame, by: list[str]
 ) -> DataFrame:
@@ -200,18 +247,7 @@ def groupwise_report(
     for i, (_c, _label, cond, _n) in enumerate(specs):
         aggs.append(_violation_count_expr(cond, f"__v{i}"))
     agg = transformed.groupBy(*by).agg(*aggs)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(colname if colname is not None else "<df>").alias(
-                    "col_name"
-                ),
-                F.lit(label).alias("check"),
-                F.col(f"__v{i}").alias("violations"),
-            )
-            for i, (colname, label, _cond, _n) in enumerate(specs)
-        ]
-    )
+    pairs = _pairs_array(specs)
     # reserved alias: a bare name like "s" would collide with a group
     # column of the same name (ambiguous-reference on the second select)
     return agg.select(

@@ -541,10 +541,19 @@ def centroid(
     ``avg`` aggregates with map-side partials; the only driver transfer
     is the dim-length centroid itself — same bounded-collect shape as the
     IVF centroid fit)."""
+    from pandera_spark.checks import _sql_ident
+
+    vc = _sql_ident(vec_col)
+    # one generated array-of-avgs expression = one parser round trip
+    # instead of ~8 py4j calls per dimension (same avg(vec[i]) tree)
     row = df.agg(
-        *[F.avg(F.col(vec_col)[i]).alias(f"c{i}") for i in range(dim)]
+        F.expr(
+            "array("
+            + ", ".join(f"avg({vc}[{i}])" for i in range(dim))
+            + ")"
+        ).alias("__c")
     ).first()
-    return [float(row[f"c{i}"] or 0.0) for i in range(dim)]
+    return [float(v or 0.0) for v in row["__c"]]
 
 
 def embedding_outliers(

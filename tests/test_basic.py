@@ -18,6 +18,10 @@ from pandera_spark import (
 )
 
 
+# fast contract-relevant lane: `pytest -m smoke` (see pytest.ini)
+pytestmark = pytest.mark.smoke
+
+
 @pytest.fixture(scope="module")
 def products(spark):
     # FIXTURES.md F1; reference tests/pyspark/conftest.py:70-86

@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 from pandera_spark.checks import Check
 
 
+# fast contract-relevant lane: `pytest -m smoke` (see pytest.ini)
+pytestmark = pytest.mark.smoke
+
+
 @pytest.fixture
 def edge_df(spark):
     # depends on the parametrized ``spark`` fixture so every

@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# fast contract-relevant lane: `pytest -m smoke` (see pytest.ini)
+pytestmark = pytest.mark.smoke
+
+
 class TestLshSignatureSql:
     """The one-round-trip SQL build of the sign-bit signature must be
     bit-identical to the per-plane Column build it replaces."""

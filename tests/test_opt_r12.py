@@ -20,6 +20,10 @@ import pytest
 from pyspark.sql import functions as F
 
 
+# fast contract-relevant lane: `pytest -m smoke` (see pytest.ini)
+pytestmark = pytest.mark.smoke
+
+
 def _series(spark, ys, start="2024-01-01T00:00:00"):
     t0 = datetime.datetime.fromisoformat(start)
     rows = [
@@ -291,3 +295,88 @@ class TestSqlLaneBuilds:
                 hashlib.md5(("key7" + suffix).encode()).hexdigest()[:7], 16
             )
             assert got == (h + 0.5) / 268435456.0, salt
+
+    def test_simhash_sql_lane_bit_identical(self, spark):
+        """simhashes' generated bit-sum/OR-fold SQL vs the Column
+        construction it replaced — exact longs, both hash families."""
+        from pandera_spark.operators.dedup import _mask_lit, simhashes
+
+        rows = [
+            (i, f"w{i % 7} tok{i % 13} common words here {i % 3}")
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        new = {
+            r["doc_id"]: r["simhash"]
+            for r in simhashes(df, "doc_id", "text").collect()
+        }
+        h = F.col("__h")
+        tokens = df.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("__w"),
+        ).select("doc_id", F.xxhash64(F.col("__w")).alias("__h"))
+        sums = tokens.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
+                ).alias(f"__b{b}")
+                for b in range(64)
+            ],
+        )
+        bits = [
+            F.when(
+                F.col(f"__b{b}") * 2 > F.col("__n"), _mask_lit(b)
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(64)
+        ]
+        sh = bits[0]
+        for e in bits[1:]:
+            sh = sh.bitwiseOR(e)
+        old = {
+            r["doc_id"]: r["sh"]
+            for r in sums.select("doc_id", sh.alias("sh")).collect()
+        }
+        assert new == old
+        # portable 28-bit lane still parses and bounds its bits
+        p = simhashes(
+            df, "doc_id", "text", num_bits=28, portable=True
+        ).collect()
+        assert all(0 <= r["simhash"] < (1 << 28) for r in p)
+
+    def test_centroid_sql_lane(self, spark):
+        from pandera_spark.operators.similarity import centroid
+
+        vdf = spark.createDataFrame(
+            [(i, [float(i % 5), float(i % 3), -1.5 * i]) for i in range(50)],
+            "id long, v array<double>",
+        )
+        got = centroid(vdf, "v", dim=3)
+        row = vdf.agg(
+            *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(3)]
+        ).first()
+        assert got == [float(row[f"c{i}"] or 0.0) for i in range(3)]
+
+    def test_groupwise_pairs_sql_lane_fallback(self, spark):
+        """groupwise_report output identical whether the struct array
+        renders as SQL or falls back (label with a quote + backslash
+        forces escaping through both lanes)."""
+        import pandera_spark as pa
+
+        df = spark.createDataFrame(
+            [(1, "a"), (-2, "a"), (3, "b"), (None, "b")],
+            "x int, g string",
+        )
+        schema = pa.DataFrameSchema({
+            "x": pa.Column(
+                "int",
+                pa.Check.ge(0, error="x_ge_0 'quoted\\path'"),
+                nullable=True,
+            ),
+        })
+        out = {
+            (r["g"], r["check"]): r["violations"]
+            for r in schema.groupwise_report(df, ["g"]).collect()
+        }
+        assert out[("a", "x_ge_0 'quoted\\path'")] == 1
+        assert out[("b", "x_ge_0 'quoted\\path'")] == 0

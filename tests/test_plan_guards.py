@@ -58,8 +58,9 @@ ALLOWED_BNLJ = {
     "nbclassify_documents",      # tiny label-list cross
     "synthesize_validate",       # 1-row synthesis bounds
     "bigram_documents",          # 1-row smoothing-vocab totals
-    "resemblance_documents",     # two 1-row corpus-signature frames
-                                 # (text.py bigram_score crossJoin(broadcast(totals)))
+    # resemblance_documents pruned r12: the exact path now derives the
+    # minima and set arithmetic from one grouped hash frame — no
+    # crossJoin left in the plan
     "dsir_scores_documents",     # 1-row broadcast log-ratio model array
     "dsir_sample_documents",     # same model row (+1-row threshold in frac path)
     "qann_embeddings",           # guarded brute-force baseline: broadcast
@@ -100,6 +101,10 @@ ALLOWED_BNLJ = {
     "pmi_documents",             # two 1-row corpus-total frames
                                  # (N_unigrams, N_bigrams) crossed onto
                                  # the min_count-filtered bigram frame
+    "mediantest_events",         # 1-row pooled-median frame crossed
+                                 # onto the filtered rows — the r12
+                                 # fold of the eager .first() median
+                                 # probe into one lazy plan
     "friedman_events",           # 1-row global-k frame crossed onto
                                  # the (block, treatment) cell grain —
                                  # the r11 fold of the two eager
