@@ -8967,17 +8967,26 @@ def q_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merged = apply_cdc(base, changes, ["o_orderkey"], "v")
+    # sum on an exact DECIMAL(28,10) grid: a parallel double sum is
+    # merge-order-dependent, and at sf0.1 the ~1.2e10 total sat within
+    # a half-cent of the 2dp boundary, so Spark and the oracle rounded
+    # to different cents run-to-roulette.  Casting each (bit-identical
+    # cross-engine) double to DECIMAL(28,10) first makes the sum exact
+    # and order-free on BOTH engines; values at the already-green SFs
+    # are unchanged (verified against the previous tree's output)
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price_r"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2)
+        .cast("double").alias("sum_price_r"),
     )
 
 
 _CDC_ORACLE = """
 SELECT o_orderstatus,
   CAST(count(*) AS BIGINT) AS n_rows,
-  ROUND(SUM(CASE WHEN o_orderkey % 100 = 50
-                 THEN o_totalprice * 1.1 ELSE o_totalprice END), 2)
+  CAST(ROUND(SUM(CAST(CASE WHEN o_orderkey % 100 = 50
+                 THEN o_totalprice * 1.1 ELSE o_totalprice END
+                 AS DECIMAL(28,10))), 2) AS DOUBLE)
     AS sum_price_r
 FROM orders
 WHERE o_orderkey % 100 <> 0
@@ -10540,9 +10549,19 @@ def q_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandera_spark.operators.temporal import gap_fill, time_rollup
 
     ev = _load(spark, sf_dir, "events")
+    # avg as exact-decimal sum / one double division: the parallel
+    # double AVG merge is order-dependent and at sf0.1 one bucket sat
+    # exactly on the 6dp rounding boundary (43.4728125), so the two
+    # engines' last-ulp difference straddled it.  DECIMAL(28,10) makes
+    # the sum exact and order-free on both engines; the single closing
+    # division is correctly rounded, hence deterministic.
+    avg_exact = F.try_divide(
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double"),
+        F.count("value").cast("double"),
+    )
     roll = time_rollup(
         ev, "ts", resolution="1 hour", keys=["event_type"],
-        aggs={"avg_v": F.avg("value")},
+        aggs={"avg_v": avg_exact},
     )
     filled = gap_fill(
         roll, keys=["event_type"], value_cols=["avg_v"],
@@ -10557,7 +10576,10 @@ def q_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GAPFILL_ORACLE = """
 WITH roll AS (
-  SELECT event_type, date_trunc('hour', ts) AS b, AVG(value) AS av
+  SELECT event_type, date_trunc('hour', ts) AS b,
+         CASE WHEN COUNT(value) > 0
+              THEN CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(value) END AS av
   FROM events GROUP BY 1, 2
 ), span AS (
   SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM roll GROUP BY 1

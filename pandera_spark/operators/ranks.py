@@ -68,6 +68,33 @@ def _chi2_sf(x: C, k: C) -> C:
     )
 
 
+def _pin_range_partitions(parted: DataFrame) -> DataFrame:
+    """Materialize a range-partitioned frame ONCE so every consumer
+    observes the SAME partition boundaries and ids.
+
+    The two-pass prefix-sum pattern is only exact when its rank branch
+    and its counts branch read the identical partitioning.  The old
+    contract relied on the planner's ReuseExchange, but the plans NEVER
+    reuse here (the ``spark_partition_id()`` projection is
+    nondeterministic, which defeats subtree canonicalization): each
+    branch re-executed the whole lineage INCLUDING its own
+    ``repartitionByRange`` boundary sampling, whose random sample
+    differs per execution once the grain outgrows the sample size —
+    measured at sf0.1 as run-to-run-varying (and oracle-diverging)
+    Mann-Whitney U values, while small SFs stayed green because the
+    sample covers the whole frame there.  A lazy localCheckpoint pins
+    one physical partitioning (and, as a side effect, stops the whole
+    upstream lineage from executing twice); the answer itself is
+    partition-invariant, so values at already-green scale factors are
+    unchanged."""
+    try:
+        return parted.localCheckpoint(eager=False)
+    except Exception:  # pragma: no cover - Spark Connect
+        from pyspark import StorageLevel
+
+        return parted.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def value_midranks(
     df: DataFrame,
     value_col: str,
@@ -116,16 +143,11 @@ def value_midranks(
             )
         except (TypeError, ValueError):
             nparts = 200
-    parted = vg.repartitionByRange(nparts, F.col("__v").asc()).withColumn(
-        "__pid", F.spark_partition_id()
+    parted = _pin_range_partitions(
+        vg.repartitionByRange(nparts, F.col("__v").asc()).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
-    # rank branch and counts branch reuse the ONE range exchange (see
-    # sharding.balanced_shards for the exchange-reuse contract)
-    reuse = str(
-        df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
-    ).lower()
-    if reuse != "true":  # pragma: no cover - non-default conf
-        parted = parted.localCheckpoint(eager=False)
     wrun = (
         Window.partitionBy("__pid")
         .orderBy(F.col("__v").asc())
@@ -393,9 +415,11 @@ def _range_prefix_sums(
         except (TypeError, ValueError):  # pragma: no cover
             nparts = 200
     sum_cols = list(sum_cols)
-    parted = vg.repartitionByRange(
-        nparts, F.col(order_col).asc()
-    ).withColumn("__pid", F.spark_partition_id())
+    parted = _pin_range_partitions(
+        vg.repartitionByRange(
+            nparts, F.col(order_col).asc()
+        ).withColumn("__pid", F.spark_partition_id())
+    )
     wrun = (
         Window.partitionBy("__pid")
         .orderBy(F.col(order_col).asc())

@@ -111,21 +111,19 @@ def balanced_shards(
             )
         except (TypeError, ValueError):
             nparts = 200
-    parted = (
+    # the rank branch and the counts branch below both consume `parted`
+    # and must observe IDENTICAL range boundaries.  ReuseExchange does
+    # NOT fire on these plans (the spark_partition_id projection defeats
+    # canonicalization — verified: 0 ReusedExchange nodes, run-to-run
+    # divergent results at sf0.1), so pin ONE physical partitioning
+    # with a lazy materialization (ranks._pin_range_partitions)
+    from .ranks import _pin_range_partitions
+
+    parted = _pin_range_partitions(
         df.select(id_col, cost_col)
         .repartitionByRange(nparts, *order)
         .withColumn("__pid", F.spark_partition_id())
     )
-    # the rank branch and the counts branch below both consume `parted`;
-    # they must observe IDENTICAL range boundaries.  With
-    # spark.sql.exchange.reuse=true (the default) the planner reuses the
-    # one range exchange, making this structural; if reuse is disabled,
-    # pin the boundaries by materialising the partitioned frame once
-    reuse = str(
-        df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
-    ).lower()
-    if reuse != "true":
-        parted = parted.localCheckpoint(eager=False)
     local = parted.withColumn(
         "__lr",
         F.row_number().over(Window.partitionBy("__pid").orderBy(*order)),

@@ -25,14 +25,26 @@ TABLES = [
 
 def norm(v):
     import datetime
+    import decimal
     import math
 
+    if isinstance(v, decimal.Decimal):
+        # fetchall() returns DECIMAL columns as Decimal (fetch_df
+        # converted them to float); compare on the same float grid
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return round(v, 6)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
+    if isinstance(v, datetime.date):
+        # fetchall() keeps DATE as date; Spark date_trunc yields a
+        # midnight timestamp — same instant, same normal form (this is
+        # what the old fetch_df/pandas conversion did implicitly)
+        return datetime.datetime.combine(
+            v, datetime.time.min
+        ).isoformat()
     return v
 
 
@@ -79,13 +91,18 @@ def main(sf_dir: str, only: "list[str] | None" = None) -> int:
         if name not in oracles:
             print(f"  {name}: rows-only ({len(spark_rows)} rows) [no oracle]")
             continue
-        ddf = con.execute(oracles[name]).fetch_df()
-        duck_cols = sorted(ddf.columns)
+        # fetchall(), NOT fetch_df(): pandas conversion turns an
+        # all-NULL integer column into float64 NaN, which falsely
+        # diverges from Spark's None (seen on compaction group_id)
+        cur = con.execute(oracles[name])
+        names = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        duck_cols = sorted(names)
+        order = [names.index(c) for c in duck_cols]
         d_vals = sorted(
-            tuple(norm(v) for v in row)
-            for row in ddf[duck_cols].itertuples(index=False, name=None)
+            tuple(norm(row[i]) for i in order) for row in drows
         )
-        ok_rows = len(spark_rows) == len(ddf)
+        ok_rows = len(spark_rows) == len(drows)
         ok_cols = spark_cols == duck_cols
         ok_vals = s_vals == d_vals
         status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"

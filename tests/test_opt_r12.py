@@ -380,3 +380,53 @@ class TestSqlLaneBuilds:
         }
         assert out[("a", "x_ge_0 'quoted\\path'")] == 1
         assert out[("b", "x_ge_0 'quoted\\path'")] == 0
+
+class TestRangeRankDeterminism:
+    """The two-pass range-rank primitive must give the exact global
+    answer on every run.  Before r12 its rank branch and counts branch
+    each re-executed their own repartitionByRange (ReuseExchange never
+    fires across the nondeterministic spark_partition_id projection),
+    so each branch sampled DIFFERENT range boundaries once the grain
+    outgrew the boundary sample — run-to-run-varying, oracle-diverging
+    Mann-Whitney U at sf0.1.  _pin_range_partitions materializes ONE
+    partitioning for all consumers."""
+
+    def test_mann_whitney_matches_global_window_and_repeats(self, spark):
+        from pyspark.sql import Window
+        from pandera_spark.operators.ranks import mann_whitney_u
+
+        n = 60_000  # distinct-heavy: far beyond the boundary sample
+        df = (
+            spark.range(n)
+            .select(
+                (F.pmod(F.xxhash64("id"), F.lit(100000)).cast("double")
+                 / 7.0).alias("v"),
+                F.when(F.col("id") % 3 == 0, "a").otherwise("b")
+                .alias("g"),
+            )
+        )
+        got = [
+            mann_whitney_u(df, "v", "g", "a", "b").first()["u_a"]
+            for _ in range(3)
+        ]
+        assert got[0] == got[1] == got[2], got
+        vg = (
+            df.where(F.col("v").isNotNull())
+            .groupBy(F.col("v").alias("__v"))
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.sum((F.col("g") == "a").cast("long")).alias("__na"),
+            )
+        )
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        mr = vg.withColumn("__cum", F.sum("__cnt").over(w)).withColumn(
+            "__rank", F.col("__cum") - (F.col("__cnt") - 1) / 2.0
+        )
+        ref = mr.agg(
+            F.sum("__na").alias("na"),
+            F.sum(F.col("__na") * F.col("__rank")).alias("ra"),
+        ).first()
+        u_ref = ref["ra"] - ref["na"] * (ref["na"] + 1) / 2.0
+        assert got[0] == u_ref
