@@ -319,10 +319,12 @@ class TestMedianTest:
                                     "x double, g string")
         r1 = median_test(one, "x", "g").first()
         assert r1["dof"] == 0 and r1["pvalue"] is None
-        import pytest as _pt
-
-        with _pt.raises(ValueError, match="non-null"):
-            median_test(
-                spark.createDataFrame([(None, "A")], "x double, g string"),
-                "x", "g",
-            )
+        # all-null input: EMPTY result frame (r12 — the pooled-median
+        # probe folded into the lazy plan, so there is no build-time
+        # action left to raise from; the closing k > 0 filter drops
+        # the degenerate row instead)
+        empty = median_test(
+            spark.createDataFrame([(None, "A")], "x double, g string"),
+            "x", "g",
+        )
+        assert empty.count() == 0
