@@ -69,6 +69,7 @@ def frequent_pairs(
     min_pair_support: int = 2,
     min_item_support: int = 2,
     max_items_per_basket: Optional[int] = None,
+    basket_storage: Optional[str] = None,
 ) -> DataFrame:
     """Frequent item pairs with association-rule statistics.
 
@@ -84,9 +85,21 @@ def frequent_pairs(
     survives the size cap — including baskets with only infrequent
     items, matching the textbook definition.  Item counts are
     per-basket (duplicates within a basket collapse).
+
+    ``basket_storage`` optionally persists the deduped
+    ``(basket, item)`` frame, which is consumed by the denominator
+    aggregate, both sides of the pair self-join, and the item-count
+    broadcasts.  The default ``None`` recomputes: at bench scale the
+    re-executed lineage is a columnar scan + broadcast join + distinct
+    whose exchange statistics let AQE size the self-join, and caching
+    measured *slower* (hidden stats + cache-build barrier).  At corpus
+    scale, five re-executions of a full scan + distinct shuffle
+    dominate — pass ``"DISK_ONLY"``/``"MEMORY_AND_DISK"`` there.
     """
     if min_pair_support < 1 or min_item_support < 1:
         raise ValueError("support thresholds must be >= 1")
+    from .similarity import _materialize
+
     items = _baskets(df, basket_col, item_col)
     if max_items_per_basket is not None:
         sizes = (
@@ -96,8 +109,16 @@ def frequent_pairs(
             .select("__b")
         )
         items = items.join(sizes, "__b")
-    # the support denominator is fixed BEFORE item pruning
-    n_baskets = items.select("__b").distinct().count()
+    # the deduped basket frame feeds FIVE consumers (denominator agg,
+    # both self-join sides, the two count broadcasts via ``frequent``);
+    # ``basket_storage`` computes it once at corpus scale (see docstring
+    # for why recompute is the measured local default)
+    items = _materialize(items, basket_storage)
+    # the support denominator is fixed BEFORE item pruning; kept in-plan
+    # as a broadcast 1-row frame instead of a driver-side count action
+    nbf = items.agg(
+        F.count_distinct(F.col("__b")).alias("__nb")
+    )
     counts = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__c"))
     frequent = counts.where(F.col("__c") >= min_item_support)
     pruned = items.join(
@@ -120,17 +141,18 @@ def frequent_pairs(
         frequent.select(F.col("__i").alias("item_b"),
                         F.col("__c").alias("count_b"))
     )
-    nb = F.lit(float(n_baskets))
+    nb = F.col("__nb").cast("double")
     return (
         pairs.join(ca, "item_a")
         .join(cb, "item_b")
+        .crossJoin(F.broadcast(nbf))
         .select(
             "item_a",
             "item_b",
             "pair_count",
             "count_a",
             "count_b",
-            F.lit(int(n_baskets)).alias("n_baskets"),
+            F.col("__nb").alias("n_baskets"),
             (F.col("pair_count") / nb).alias("support"),
             (F.col("pair_count") / F.col("count_a"))
             .alias("conf_a_to_b"),

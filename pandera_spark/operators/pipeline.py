@@ -123,9 +123,13 @@ def prepare_training_corpus(
     emb = hash_embed(gated, id_col, text_col, dim=embed_dim).select(
         id_col, F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # the banded frame is scanned by BOTH sides of the LSH self-join;
+    # without its own persist each side re-runs hash_embed (the md5 pass
+    # over the gated corpus) — same stage_storage knob, same 100 TB
+    # opt-out (None) as the stage persists above
     pairs = embedding_near_dups(
         emb, id_col=id_col, threshold=dedup_threshold, dim=embed_dim,
-        n_planes=n_planes, bands=bands, corpus_storage=None,
+        n_planes=n_planes, bands=bands, corpus_storage=stage_storage,
     ).select("id_a", "id_b")
     # kept feeds the chunker, the caller, and its own report row
     kept = _materialize(apply_dedup(gated, pairs, id_col=id_col),
