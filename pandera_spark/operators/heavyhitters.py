@@ -142,7 +142,17 @@ def heavy_hitters(
         )
     keyed = df.select(key_col).filter(F.col(key_col).isNotNull())
     if total is None:
-        total = keyed.count()
+        # in-plan broadcast 1-row total instead of a driver count
+        # action: the keyed lineage (often an upstream explode) already
+        # executes for the sketch and the exact pass — this keeps the
+        # denominator from adding a third full execution
+        totf = keyed.agg(
+            F.count(F.lit(1)).cast("double").alias("__tot")
+        )
+        tot_col = F.col("__tot")
+    else:
+        totf = None
+        tot_col = F.lit(float(total))
     cand = (
         misra_gries_candidates(keyed, key_col, counters=k)
         .select(key_col).distinct()
@@ -152,9 +162,12 @@ def heavy_hitters(
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    if totf is not None:
+        counts = counts.crossJoin(F.broadcast(totf))
     return (
-        counts.filter(F.col("freq") > F.lit(float(phi) * total))
-        .withColumn("share", F.round(F.col("freq") / F.lit(float(total)), 6))
+        counts.filter(F.col("freq") > F.lit(float(phi)) * tot_col)
+        .withColumn("share", F.round(F.col("freq") / tot_col, 6))
+        .drop("__tot")
         .orderBy(F.desc("freq"), key_col)
     )
 

@@ -652,11 +652,12 @@ def lsh_recall(
     ``(n_exact_pairs, n_lsh_pairs, recall)`` (recall null when no exact
     pairs exist)."""
     if max_rows is not None:
-        n = df.count()
+        # early-exit probe (scan stops at max_rows+1), not a full count
+        n = df.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
-                f"lsh_recall is O(n^2) exact: input has {n} rows > "
-                f"max_rows={max_rows}; evaluate on a sample "
+                f"lsh_recall is O(n^2) exact: input has more than "
+                f"max_rows={max_rows} rows; evaluate on a sample "
                 "(df.sample or hash_stratified_sample) or raise max_rows"
             )
     base = df.select(

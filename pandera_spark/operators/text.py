@@ -1136,14 +1136,18 @@ def nb_train(
         F.col("bucket").cast("long").alias("bucket"),
         F.log((F.col("c") + a) / (F.col("tot") + a * B)).alias("loglik"),
     )
-    n_docs = df.count()
+    # corpus size as an in-plan broadcast 1-row aggregate — one driver
+    # action fewer, and the training scan is not executed a second time
+    # just for the denominator
+    ndf = df.agg(F.count(F.lit(1)).cast("double").alias("__nd"))
     priors = (
         df.groupBy(lab)
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .crossJoin(F.broadcast(ndf))
         .select(
             "label",
             F.lit(-1).cast("long").alias("bucket"),
-            F.log(F.col("n") / F.lit(float(n_docs))).alias("loglik"),
+            F.log(F.col("n") / F.col("__nd")).alias("loglik"),
         )
     )
     defaults = totals.select(
