@@ -739,27 +739,30 @@ def bootstrap_ci_mean(
     # ~60 Column-construction round trips per replicate); operations
     # and literals are identical, so values are bit-identical — the
     # DuckDB oracle replays every replicate digit for digit.
-    wcols = {
-        f"__wc_{r}": F.expr(
+    wcols = [
+        F.expr(
             _poisson_weight_sql("`__k`", f":{r}{salt}", thresholds)
-        )
+        ).alias(f"__wc_{r}")
         for r in range(n_boot)
-    }
-    aggs = [
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.avg("__x").alias("mean"),
+    ]
+    # 2B+2 aggregates and the replicate-mean array as generated SQL —
+    # the Column loop here was ~1k py4j round trips per build; parsed
+    # trees are operation-for-operation identical (bit-identical
+    # values, pinned by the differential test)
+    agg_exprs = [
+        "CAST(count(1) AS BIGINT) AS n",
+        "avg(__x) AS mean",
     ]
     for r in range(n_boot):
-        aggs.append(
-            F.sum(F.col(f"__wc_{r}") * F.col("__x")).alias(f"__s_{r}")
+        agg_exprs.append(f"sum(__wc_{r} * __x) AS __s_{r}")
+        agg_exprs.append(f"CAST(sum(__wc_{r}) AS DOUBLE) AS __w_{r}")
+    wide = sub.select("*", *wcols).selectExpr(*agg_exprs)
+    reps = F.expr(
+        "array("
+        + ", ".join(
+            f"try_divide(__s_{r}, __w_{r})" for r in range(n_boot)
         )
-        aggs.append(F.sum(f"__wc_{r}").cast("double").alias(f"__w_{r}"))
-    wide = sub.withColumns(wcols).agg(*aggs)
-    reps = F.array(
-        *[
-            F.try_divide(F.col(f"__s_{r}"), F.col(f"__w_{r}"))
-            for r in range(n_boot)
-        ]
+        + ")"
     )
     k_lo = max(1, _math.ceil(n_boot * (alpha / 2.0)))
     k_hi = min(n_boot, _math.ceil(n_boot * (1.0 - alpha / 2.0)))
@@ -1122,60 +1125,61 @@ def randomization_test_mean(
             f"both groups need rows: n_a={n_a}, n_b={n_b}"
         )
     p_a = n_a / float(n_a + n_b)
-    # one indicator COLUMN per replicate, then plain sums: each per-row
+    # one indicator column per replicate, then plain sums: each per-row
     # md5 appears once in the plan instead of twice (same rewrite as
     # bootstrap_ci_mean — halves plan text, partial aggregation
-    # unchanged)
-    # indicator expressions generated as SQL, one py4j call each (same
-    # one-round-trip build as bootstrap_ci_mean's weights; operations
-    # and literals identical, oracle replays them digit for digit)
-    icols = {
-        f"__ic_{r}": F.expr(
-            f"CAST(({_hash_u_sql('`__k`', f':{r}{salt}')}) "
-            f"< {p_a!r}D AS INT)"
-        )
+    # unchanged).  EVERYTHING below the probe is generated SQL: the
+    # indicator projection, the 2R+3 aggregates, and the replicate
+    # extreme-count fold were ~10k py4j round trips as Column builds
+    # (~2 s of driver latency per call, measured) and are a handful of
+    # selectExpr parses now.  The parsed trees are operation-for-
+    # operation the Column trees they replace (same literals via exact
+    # repr, same operand order), so every value is bit-identical — the
+    # oracle still replays the replicates digit for digit.
+    ics = [
+        f"CAST(({_hash_u_sql('`__k`', f':{r}{salt}')}) "
+        f"< {p_a!r}D AS INT) AS __ic_{r}"
         for r in range(n_rep)
-    }
-    aggs = [
-        F.sum(F.col("__x")).alias("__s"),
-        F.count(F.lit(1)).cast("double").alias("__c"),
-        F.sum(F.when(F.col("__a"), F.col("__x"))).alias("__sa"),
+    ]
+    projected = sub.selectExpr("*", *ics)
+    agg_exprs = [
+        "sum(__x) AS __s",
+        "CAST(count(1) AS DOUBLE) AS __c",
+        "sum(CASE WHEN __a THEN __x END) AS __sa",
     ]
     for r in range(n_rep):
-        aggs.append(
-            F.sum(F.col(f"__ic_{r}") * F.col("__x")).alias(f"__s_{r}")
-        )
-        aggs.append(
-            F.sum(f"__ic_{r}").cast("double").alias(f"__c_{r}")
-        )
-    wide = sub.withColumns(icols).agg(*aggs)
-    ca = F.lit(float(n_a))
-    obs = F.col("__sa") / ca - (F.col("__s") - F.col("__sa")) / (
-        F.col("__c") - ca
+        agg_exprs.append(f"sum(__ic_{r} * __x) AS __s_{r}")
+        agg_exprs.append(f"CAST(sum(__ic_{r}) AS DOUBLE) AS __c_{r}")
+    wide = projected.selectExpr(*agg_exprs)
+    ca = f"{float(n_a)!r}D"
+    # observed difference named once so the R extreme comparisons
+    # reference a column instead of duplicating the tree R times
+    obs = wide.selectExpr(
+        "*",
+        f"(__sa / {ca} - (__s - __sa) / (__c - {ca})) AS __obs",
     )
 
-    def rep_diff(r: int):
-        sa, cc = F.col(f"__s_{r}"), F.col(f"__c_{r}")
-        return F.when(
-            (cc > 0) & (F.col("__c") - cc > 0),
-            sa / cc - (F.col("__s") - sa) / (F.col("__c") - cc),
+    def rep_ext(r: int) -> str:
+        # CASE WHEN mirrors when(...)/otherwise(0): a replicate with an
+        # empty pseudo-group yields NULL inside abs() and the NULL
+        # comparison falls through to 0, exactly like the Column build
+        d = (
+            f"CASE WHEN ((__c_{r} > 0) AND ((__c - __c_{r}) > 0)) "
+            f"THEN __s_{r} / __c_{r} - (__s - __s_{r}) / (__c - __c_{r}) "
+            f"END"
         )
+        return f"(CASE WHEN abs({d}) >= abs(__obs) THEN 1 ELSE 0 END)"
 
-    extreme = None
-    for r in range(n_rep):
-        e = F.when(
-            F.abs(rep_diff(r)) >= F.abs(obs), 1
-        ).otherwise(0)
-        extreme = e if extreme is None else extreme + e
-    return wide.select(
-        F.lit(n_a).cast("long").alias("n_a"),
-        F.lit(n_b).cast("long").alias("n_b"),
-        obs.alias("obs_diff"),
-        extreme.cast("long").alias("n_extreme"),
-        (
-            (extreme.cast("double") + 1.0)
-            / F.lit(float(n_rep + 1))
-        ).alias("pvalue"),
+    ext = obs.selectExpr(
+        "*",
+        "(" + " + ".join(rep_ext(r) for r in range(n_rep)) + ") AS __ext",
+    )
+    return ext.selectExpr(
+        f"CAST({n_a}L AS BIGINT) AS n_a",
+        f"CAST({n_b}L AS BIGINT) AS n_b",
+        "__obs AS obs_diff",
+        "CAST(__ext AS BIGINT) AS n_extreme",
+        f"(CAST(__ext AS DOUBLE) + 1.0D) / {float(n_rep + 1)!r}D AS pvalue",
     )
 
 def median_test(

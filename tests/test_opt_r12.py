@@ -430,3 +430,178 @@ class TestRangeRankDeterminism:
         ).first()
         u_ref = ref["ra"] - ref["na"] * (ref["na"] + 1) / 2.0
         assert got[0] == u_ref
+
+
+class TestPermtestSqlBuild:
+    """The randomization-test tail (indicator projection, 2R+3
+    aggregates, replicate extreme fold) is generated SQL since r12's
+    continuation — it must be bit-identical to the Column construction
+    it replaced."""
+
+    @pytest.mark.parametrize("salt", ["", "s'x"])
+    def test_bit_identical_to_column_build(self, spark, salt):
+        from pandera_spark.operators.stats import (
+            _hash_u_sql,
+            randomization_test_mean,
+        )
+
+        n_rep = 16
+        rows = [
+            (float((i * 7) % 23), "A" if i % 3 else "B", i)
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "x double, g string, id long")
+        new = randomization_test_mean(
+            df, "x", "g", "A", "B", "id", n_rep=n_rep, salt=salt
+        ).first()
+
+        # the replaced Column construction, verbatim
+        sub = df.where(
+            F.col("x").isNotNull() & F.col("g").isin(["A", "B"])
+        ).select(
+            F.col("x").cast("double").alias("__x"),
+            (F.col("g") == F.lit("A")).alias("__a"),
+            F.col("id").cast("string").alias("__k"),
+        )
+        counts = sub.groupBy().agg(
+            F.sum(F.col("__a").cast("long")).alias("na"),
+            F.sum((~F.col("__a")).cast("long")).alias("nb"),
+        ).first()
+        n_a, n_b = int(counts["na"]), int(counts["nb"])
+        p_a = n_a / float(n_a + n_b)
+        icols = {
+            f"__ic_{r}": F.expr(
+                f"CAST(({_hash_u_sql('`__k`', f':{r}{salt}')}) "
+                f"< {p_a!r}D AS INT)"
+            )
+            for r in range(n_rep)
+        }
+        aggs = [
+            F.sum(F.col("__x")).alias("__s"),
+            F.count(F.lit(1)).cast("double").alias("__c"),
+            F.sum(F.when(F.col("__a"), F.col("__x"))).alias("__sa"),
+        ]
+        for r in range(n_rep):
+            aggs.append(
+                F.sum(F.col(f"__ic_{r}") * F.col("__x")).alias(f"__s_{r}")
+            )
+            aggs.append(
+                F.sum(f"__ic_{r}").cast("double").alias(f"__c_{r}")
+            )
+        wide = sub.withColumns(icols).agg(*aggs)
+        ca = F.lit(float(n_a))
+        obs = F.col("__sa") / ca - (F.col("__s") - F.col("__sa")) / (
+            F.col("__c") - ca
+        )
+
+        def rep_diff(r):
+            sa, cc = F.col(f"__s_{r}"), F.col(f"__c_{r}")
+            return F.when(
+                (cc > 0) & (F.col("__c") - cc > 0),
+                sa / cc - (F.col("__s") - sa) / (F.col("__c") - cc),
+            )
+
+        extreme = None
+        for r in range(n_rep):
+            e = F.when(
+                F.abs(rep_diff(r)) >= F.abs(obs), 1
+            ).otherwise(0)
+            extreme = e if extreme is None else extreme + e
+        old = wide.select(
+            F.lit(n_a).cast("long").alias("n_a"),
+            F.lit(n_b).cast("long").alias("n_b"),
+            obs.alias("obs_diff"),
+            extreme.cast("long").alias("n_extreme"),
+            (
+                (extreme.cast("double") + 1.0)
+                / F.lit(float(n_rep + 1))
+            ).alias("pvalue"),
+        ).first()
+
+        assert new["n_a"] == old["n_a"]
+        assert new["n_b"] == old["n_b"]
+        assert new["obs_diff"] == old["obs_diff"]  # bit-exact
+        assert new["n_extreme"] == old["n_extreme"]
+        assert new["pvalue"] == old["pvalue"]  # bit-exact
+
+
+class TestBootciSqlBuild:
+    """bootstrap_ci_mean's 2B+2 aggregates and replicate array are
+    generated SQL since r12's continuation — pinned bit-identical to
+    the Column construction they replaced."""
+
+    def test_bit_identical_to_column_build(self, spark):
+        import math as _math
+
+        from pandera_spark.operators.stats import (
+            _poisson_weight_sql,
+            bootstrap_ci_mean,
+        )
+
+        n_boot, alpha, salt = 16, 0.05, ""
+        rows = [(float((i * 13) % 31), i) for i in range(500)]
+        df = spark.createDataFrame(rows, "x double, id long")
+        new = bootstrap_ci_mean(
+            df, "x", "id", n_boot=n_boot, alpha=alpha, salt=salt
+        ).first()
+
+        # the replaced Column construction, verbatim
+        acc, thresholds = 0.0, []
+        for k in range(13):
+            acc += _math.exp(-1.0) / _math.factorial(k)
+            thresholds.append(acc)
+        sub = df.where(F.col("x").isNotNull()).select(
+            F.col("x").cast("double").alias("__x"),
+            F.col("id").cast("string").alias("__k"),
+        )
+        wcols = {
+            f"__wc_{r}": F.expr(
+                _poisson_weight_sql("`__k`", f":{r}{salt}", thresholds)
+            )
+            for r in range(n_boot)
+        }
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("__x").alias("mean"),
+        ]
+        for r in range(n_boot):
+            aggs.append(
+                F.sum(F.col(f"__wc_{r}") * F.col("__x")).alias(f"__s_{r}")
+            )
+            aggs.append(
+                F.sum(f"__wc_{r}").cast("double").alias(f"__w_{r}")
+            )
+        wide = sub.withColumns(wcols).agg(*aggs)
+        reps = F.array(
+            *[
+                F.try_divide(F.col(f"__s_{r}"), F.col(f"__w_{r}"))
+                for r in range(n_boot)
+            ]
+        )
+        k_lo = max(1, _math.ceil(n_boot * (alpha / 2.0)))
+        k_hi = min(n_boot, _math.ceil(n_boot * (1.0 - alpha / 2.0)))
+        srt = F.sort_array(reps)
+        s1 = F.aggregate(
+            reps, F.lit(0.0), lambda a, b: a + F.coalesce(b, F.lit(0.0))
+        )
+        s2 = F.aggregate(
+            reps,
+            F.lit(0.0),
+            lambda a, b: a + F.coalesce(b * b, F.lit(0.0)),
+        )
+        bn = float(n_boot)
+        old = wide.select(
+            "n",
+            "mean",
+            F.element_at(srt, k_lo).alias("ci_lo"),
+            F.element_at(srt, k_hi).alias("ci_hi"),
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    (s2 - s1 * s1 / bn) / F.lit(bn - 1.0),
+                )
+            ).alias("se_boot"),
+        ).first()
+
+        for c in ("n", "mean", "ci_lo", "ci_hi", "se_boot"):
+            assert new[c] == old[c], c  # bit-exact
