@@ -390,43 +390,72 @@ def cluster_quality(
     """
     import numpy as np
 
+    from pandera_spark.checks import _sql_ident
+
+    from .similarity import _fmt_double
+
     cent = np.asarray(centroids, dtype=float)
     k = cent.shape[0]
     if k < 2:
         raise ValueError("need at least 2 centroids for silhouette")
     v = F.col(vec_col).cast("array<double>")
+    # per-centroid distances generated as SQL and projected ONCE as
+    # columns: the Column build was ~k·d literal round trips (~4k py4j
+    # calls at k=8, d=64 — pure driver latency), and the projection
+    # computes each distance once per row instead of once per CASE
+    # branch referencing it.  The parsed trees are operation-for-
+    # operation the Column builds (exact repr literals, same fold
+    # order) — bit-identical, pinned by a differential test.
+    vs = f"CAST({_sql_ident(vec_col)} AS ARRAY<DOUBLE>)"
 
-    def _dist(c_row) -> C:
-        lit = F.array(*[F.lit(float(x)) for x in c_row])
-        return F.sqrt(
-            F.aggregate(
-                F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+    def _dist_sql(c_row) -> str:
+        arr = ", ".join(_fmt_double(x) for x in c_row)
+        return (
+            f"sqrt(aggregate(zip_with({vs}, array({arr}), "
+            f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x))"
         )
 
-    dists = [_dist(cent[i]) for i in range(k)]
+    cid_sql = _sql_ident(cluster_col)
     cid = F.col(cluster_col)
-    a = F.lit(None).cast("double")
-    for i in range(k):
-        a = F.when(cid == i, dists[i]).otherwise(a)
-    b = F.lit(None).cast("double")
-    for i in range(k):
-        others = [dists[j] for j in range(k) if j != i]
-        nearest = others[0] if len(others) == 1 else F.least(*others)
-        b = F.when(cid == i, nearest).otherwise(b)
-    s = F.when(
-        F.greatest(a, b) > 0,
-        (b - a) / F.greatest(a, b),
-    ).otherwise(F.lit(0.0))
+    base = assigned.where(v.isNotNull() & cid.isNotNull()).selectExpr(
+        f"{cid_sql} AS __cid",
+        *[f"{_dist_sql(cent[i])} AS __d{i}" for i in range(k)],
+    )
+    # own-centroid distance / nearest-other distance as flat CASEs over
+    # the projected columns (branches are mutually exclusive, so the
+    # flat form equals the nested when/otherwise chain it replaces)
+    a_sql = (
+        "CASE "
+        + " ".join(f"WHEN __cid = {i} THEN __d{i}" for i in range(k))
+        + " ELSE CAST(NULL AS DOUBLE) END"
+    )
+
+    def _nearest(i: int) -> str:
+        others = [f"__d{j}" for j in range(k) if j != i]
+        return (
+            others[0] if len(others) == 1
+            else "least(" + ", ".join(others) + ")"
+        )
+
+    b_sql = (
+        "CASE "
+        + " ".join(f"WHEN __cid = {i} THEN {_nearest(i)}" for i in range(k))
+        + " ELSE CAST(NULL AS DOUBLE) END"
+    )
+    scored = base.selectExpr(
+        "__cid", f"({a_sql}) AS __a", f"({b_sql}) AS __b"
+    ).selectExpr(
+        "__cid",
+        "__a",
+        "CASE WHEN greatest(__a, __b) > 0 "
+        "THEN (__b - __a) / greatest(__a, __b) ELSE 0.0D END AS __s",
+    )
     return (
-        assigned.where(v.isNotNull() & cid.isNotNull())
-        .groupBy(cid.alias("cluster_id"))
+        scored.groupBy(F.col("__cid").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.avg(a).alias("mean_dist"),
-            F.avg(s).alias("silhouette"),
+            F.avg("__a").alias("mean_dist"),
+            F.avg("__s").alias("silhouette"),
         )
     )
 

@@ -605,3 +605,77 @@ class TestBootciSqlBuild:
 
         for c in ("n", "mean", "ci_lo", "ci_hi", "se_boot"):
             assert new[c] == old[c], c  # bit-exact
+
+
+class TestClusterQualitySqlBuild:
+    """cluster_quality's per-centroid distances and silhouette CASEs
+    are generated SQL since r12's continuation — pinned bit-identical
+    to the Column construction they replaced."""
+
+    def test_bit_identical_to_column_build(self, spark):
+        import numpy as np
+
+        from pandera_spark.operators.kmeans import cluster_quality
+
+        rng = np.random.RandomState(7)
+        cent = rng.randn(5, 16)
+        rows = [
+            ([float(x) for x in rng.randn(16)], int(i % 5))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows, "embedding array<double>, cluster_id int"
+        )
+        new = {
+            r["cluster_id"]: r
+            for r in cluster_quality(df, cent).collect()
+        }
+
+        # the replaced Column construction, verbatim
+        v = F.col("embedding").cast("array<double>")
+
+        def _dist(c_row):
+            lit = F.array(*[F.lit(float(x)) for x in c_row])
+            return F.sqrt(
+                F.aggregate(
+                    F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+
+        k = cent.shape[0]
+        dists = [_dist(cent[i]) for i in range(k)]
+        cid = F.col("cluster_id")
+        a = F.lit(None).cast("double")
+        for i in range(k):
+            a = F.when(cid == i, dists[i]).otherwise(a)
+        b = F.lit(None).cast("double")
+        for i in range(k):
+            others = [dists[j] for j in range(k) if j != i]
+            nearest = (
+                others[0] if len(others) == 1 else F.least(*others)
+            )
+            b = F.when(cid == i, nearest).otherwise(b)
+        s = F.when(
+            F.greatest(a, b) > 0,
+            (b - a) / F.greatest(a, b),
+        ).otherwise(F.lit(0.0))
+        old = {
+            r["cluster_id"]: r
+            for r in (
+                df.where(v.isNotNull() & cid.isNotNull())
+                .groupBy(cid.alias("cluster_id"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.avg(a).alias("mean_dist"),
+                    F.avg(s).alias("silhouette"),
+                )
+                .collect()
+            )
+        }
+        assert set(new) == set(old)
+        for c in new:
+            assert new[c]["n"] == old[c]["n"]
+            assert new[c]["mean_dist"] == old[c]["mean_dist"]  # bit-exact
+            assert new[c]["silhouette"] == old[c]["silhouette"]
