@@ -6461,9 +6461,11 @@ def q_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ranks = pagerank(edges, iters=2)
-    n = F.lit(float(ranks.count()))
-    return ranks.select(
-        "node", F.round(F.col("rank") * n, 6).alias("rank_n")
+    # node count folded in-plan (broadcast 1-row agg over the
+    # checkpointed rank frame) instead of a separate count action
+    nf = ranks.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    return ranks.crossJoin(F.broadcast(nf)).select(
+        "node", F.round(F.col("rank") * F.col("__n"), 6).alias("rank_n")
     )
 
 
@@ -10976,12 +10978,20 @@ def q_joincard_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")
     orders = _load(spark, sf_dir, "orders")
     r = join_cardinality_approx(li, orders, "l_orderkey", "o_orderkey")
-    exact_l = F.lit(
-        li.select("l_orderkey").distinct().count()
-    ).cast("double")
-    exact_r = F.lit(
-        orders.select("o_orderkey").distinct().count()
-    ).cast("double")
+    # exact key counts as ONE broadcast 1-row frame inside the plan —
+    # the two .distinct().count() driver actions this replaces ran both
+    # full scans during query build (guide §5); same exact values
+    ex = (
+        li.select("l_orderkey").distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("__xl"))
+        .crossJoin(
+            orders.select("o_orderkey").distinct()
+            .agg(F.count(F.lit(1)).cast("double").alias("__xr"))
+        )
+    )
+    r = r.crossJoin(F.broadcast(ex))
+    exact_l = F.col("__xl")
+    exact_r = F.col("__xr")
     return r.select(
         "left_rows", "right_rows",
         (F.abs(F.col("left_keys_est") - exact_l) <= 0.05 * exact_l)
