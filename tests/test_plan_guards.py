@@ -111,6 +111,18 @@ ALLOWED_BNLJ = {
                                  # .first() probes into one lazy plan
     "lift_events",               # 1-row sketch_bins decile-edges
                                  # frame crossed onto the scored rows
+    "brandpairs_lineitem",       # 1-row basket-count denominator frame
+                                 # crossed onto the pair stats — the r12
+                                 # fold of the eager n_baskets count
+    "heavyhitters_documents",    # 1-row token-total frame crossed onto
+                                 # the candidate counts — the r12 fold
+                                 # of the eager total count
+    "joincard_approx_lineitem",  # 1-row exact-key-count frame crossed
+                                 # onto the sketch row — the r12 fold of
+                                 # two eager distinct counts
+    "pagerank_orders",           # 1-row node-count frame crossed onto
+                                 # the rank frame for the mean-1
+                                 # normalization (r12 fold)
 }
 
 
@@ -169,16 +181,41 @@ def test_fk_checks_broadcast_the_dim_side(plans):
         )
 
 
-def test_balanced_shards_global_rank_is_range_partitioned(plans):
+def test_balanced_shards_global_rank_is_range_partitioned(
+    plans, _spark_base, monkeypatch
+):
     """balanced_shards must rank via repartitionByRange + per-partition
     windows (the ordered.py two-pass idiom), never an un-partitioned
     window sorting every (id, cost) pair in ONE task.  An un-partitioned
     windowspec shows ONLY sort-ordered args (every arg carries ASC/DESC);
     such a spec may order the tiny #partitions-row offsets frame
-    (``__pid``) but never the corpus cost column."""
+    (``__pid``) but never the corpus cost column.
+
+    Since the r12 determinism fix the ranked frame sits behind
+    ``_pin_range_partitions`` (a lazy localCheckpoint), whose plan node
+    is an RDD scan — the range exchange is no longer visible in the
+    final query's explain.  So this guard (a) asserts the REAL plan
+    carries the pin, and (b) re-plans with the pin stubbed to identity
+    to assert the underlying lineage is still the range-partitioned
+    two-pass construction."""
     import re
 
-    plan = plans["balanced_shards_documents"]
+    import pandera_spark.operators.ranks as ranks_mod
+
+    real_plan = plans["balanced_shards_documents"]
+    assert "Scan ExistingRDD" in real_plan, (
+        "balanced_shards lost its _pin_range_partitions checkpoint — "
+        "the rank and counts branches may sample different range "
+        "boundaries again (the r12 nondeterminism bug)"
+    )
+    monkeypatch.setattr(
+        ranks_mod, "_pin_range_partitions", lambda df: df
+    )
+    plan = _plan(
+        entrymod.queries()["balanced_shards_documents"](
+            _spark_base, SF_DIR
+        )
+    )
     assert "rangepartitioning(toks" in plan, (
         "balanced_shards lost its repartitionByRange(cost desc, id) — "
         "the global rank is no longer range-partitioned"
